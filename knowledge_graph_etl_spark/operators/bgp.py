@@ -1,0 +1,231 @@
+"""Basic-graph-pattern compilation: SPARQL WHERE semantics as DataFrame plans.
+
+Implements SURVEY.md §2 ops 14-20 and 23 as composable combinators over the
+quads table:
+
+  * ``pattern`` — one triple-pattern scan with constant-term filters
+    pushed to the parquet scan (op 14).
+  * ``BGPBuilder`` — conjunction of patterns: star joins (shared subject,
+    op 15), chain joins (object→subject, op 16), cross-graph value joins
+    (op 17) all fall out of the same rule: inner-join on shared variables.
+  * ``optional`` — SPARQL OPTIONAL = left outer join on shared variables,
+    with the group compiled bottom-up as its own subplan first (op 18).
+  * ``exists`` — semi-join constraint (op 19).
+  * ``bind`` — extend bindings with computed term columns (op 20).
+
+Variable-binding representation: a solution mapping is a DataFrame with one
+column per variable holding the term VALUE, plus companion columns
+``?v__type / ?v__dt / ?v__lang`` for variables that can bind non-plain
+literals or IRIs (needed by construct templates and term-aware functions).
+Join compatibility is tested on the value column — safe because bnode
+labels (``_:...``) and IRIs never collide lexically within a load.
+
+Scale notes: every pattern is a filtered scan of the same quads table;
+constant g/p/o filters are pushed into the parquet reader (partition
+pruning on ``g``, row-group skip on ``p``). Highly-selective
+constant-object patterns produce tiny DataFrames — callers can hint
+``broadcast=True`` to force a broadcast-hash join (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import TermExpr
+from ..terms import LITERAL, Term
+
+
+@dataclass(frozen=True)
+class Var:
+    """A SPARQL variable. ``Var("o")`` ≙ ``?o``."""
+
+    name: str
+
+
+def _is_var(t) -> bool:
+    return isinstance(t, Var)
+
+
+def _companion(name: str, kind: str) -> str:
+    return f"{name}__{kind}"
+
+
+def pattern(
+    quads: DataFrame,
+    s,
+    p,
+    o,
+    keep_object_meta: bool = True,
+) -> DataFrame:
+    """Compile one triple pattern into a filtered, projected scan.
+
+    ``s``/``p``/``o`` are :class:`Var` or constants (:class:`Term`, or a
+    plain str meaning an IRI for s/p and a plain literal for o — matching
+    how the reference's queries write constants, e.g.
+    sparql/ldap_mapping_school.sparql:20 ``?o source:businessCategory
+    "School"``).
+    """
+    conds: list[Column] = []
+    cols: list[Column] = []
+
+    if not _is_var(s):
+        sv = s.value if isinstance(s, Term) else s
+        conds.append(F.col("s") == sv)
+    else:
+        cols.append(F.col("s").alias(s.name))
+        cols.append(F.col("s_type").alias(_companion(s.name, "type")))
+
+    if not _is_var(p):
+        pv = p.value if isinstance(p, Term) else p
+        conds.append(F.col("p") == pv)
+    else:
+        cols.append(F.col("p").alias(p.name))
+
+    if not _is_var(o):
+        if isinstance(o, Term):
+            conds.append(F.col("o_value") == o.value)
+            conds.append(F.col("o_type") == o.type)
+            if o.datatype is not None:
+                conds.append(F.col("o_datatype") == o.datatype)
+            if o.lang is not None:
+                conds.append(F.col("o_lang") == o.lang)
+        else:
+            # plain string constant ≙ plain literal object
+            conds.append(F.col("o_value") == o)
+            conds.append(F.col("o_type") == LITERAL)
+    else:
+        cols.append(F.col("o_value").alias(o.name))
+        if keep_object_meta:
+            cols.append(F.col("o_type").alias(_companion(o.name, "type")))
+            cols.append(F.col("o_datatype").alias(_companion(o.name, "dt")))
+            cols.append(F.col("o_lang").alias(_companion(o.name, "lang")))
+
+    out = quads
+    for c in conds:
+        out = out.where(c)
+    if not cols:  # pattern with no variables: existence row
+        return out.select(F.lit(1).alias("__match"))
+    return out.select(*cols)
+
+
+def _shared_value_vars(left: DataFrame, right: DataFrame) -> list[str]:
+    lv = {c for c in left.columns if "__" not in c}
+    rv = {c for c in right.columns if "__" not in c}
+    return sorted(lv & rv)
+
+
+def _merge_companions(joined: DataFrame, left_cols, right_cols, on: list[str]) -> DataFrame:
+    """After an equi-join on value columns, duplicate companion columns of
+    the join variables can exist on both sides; keep the left's."""
+    # Spark suffixes nothing when using `on=list`; companions never clash
+    # because we drop the right side's duplicates before joining.
+    return joined
+
+
+class BGPBuilder:
+    """Accumulates a basic graph pattern into a single DataFrame plan.
+
+    Usage::
+
+        b = BGP(quads_in_scope)
+        b.pattern(Var("o"), NS + "objectClass", "organization")
+        b.pattern(Var("o"), NS + "o", Var("orid"))
+        b.bind("org", uri(concat(lit(ORG_NS), md5(col("orid")))))
+        df = b.df
+    """
+
+    def __init__(self, quads: DataFrame):
+        self.quads = quads
+        self.df: DataFrame | None = None
+
+    # -- conjunction -------------------------------------------------------
+
+    def pattern(self, s, p, o, broadcast: bool = False) -> "BGPBuilder":
+        scan = pattern(self.quads, s, p, o)
+        return self.join_group(scan, broadcast=broadcast)
+
+    def join_group(self, group: DataFrame, broadcast: bool = False) -> "BGPBuilder":
+        """Inner-join another solution-mapping DataFrame on shared variables
+        (ops 15/16/17 are all this one rule)."""
+        if self.df is None:
+            self.df = group
+            return self
+        on = _shared_value_vars(self.df, group)
+        dup = [c for c in group.columns if c in self.df.columns and c not in on]
+        group = group.drop(*dup)
+        right = F.broadcast(group) if broadcast else group
+        if on:
+            self.df = self.df.join(right, on=on, how="inner")
+        else:
+            self.df = self.df.crossJoin(right)
+        return self
+
+    # -- optional / exists ---------------------------------------------------
+
+    def optional(self, group: DataFrame) -> "BGPBuilder":
+        """SPARQL OPTIONAL — left outer join; unbound vars flow as NULLs
+        into BINDs and templates (op 18). ``group`` is compiled bottom-up
+        by the caller (nested OPTIONALs = optional() on a DataFrame that
+        itself was built with optional())."""
+        if self.df is None:
+            raise ValueError("OPTIONAL requires a preceding required group")
+        on = _shared_value_vars(self.df, group)
+        dup = [c for c in group.columns if c in self.df.columns and c not in on]
+        group = group.drop(*dup)
+        if not on:
+            raise ValueError("OPTIONAL group shares no variables with the outer group")
+        self.df = self.df.join(group, on=on, how="left")
+        return self
+
+    def exists(self, group: DataFrame) -> "BGPBuilder":
+        """EXISTS-style constraint: pattern group that binds no new exported
+        variables — semi-join (op 19; reference
+        sparql/tl_companies_mapping_cp.sparql:28-35)."""
+        if self.df is None:
+            raise ValueError("EXISTS requires a preceding required group")
+        on = _shared_value_vars(self.df, group)
+        self.df = self.df.join(group.select(*on).dropDuplicates(on), on=on, how="left_semi")
+        return self
+
+    def not_exists(self, group: DataFrame) -> "BGPBuilder":
+        """FILTER NOT EXISTS — anti-join (absent from the reference workload,
+        SURVEY.md §2.5, provided for completeness)."""
+        if self.df is None:
+            raise ValueError("NOT EXISTS requires a preceding required group")
+        on = _shared_value_vars(self.df, group)
+        self.df = self.df.join(group.select(*on).dropDuplicates(on), on=on, how="left_anti")
+        return self
+
+    # -- extension -----------------------------------------------------------
+
+    def bind(self, name: str, expr: Column | TermExpr) -> "BGPBuilder":
+        """BIND(expr AS ?name) (op 20). A :class:`TermExpr` sets the
+        companion term-metadata columns; a plain Column binds a plain
+        literal value."""
+        if self.df is None:
+            raise ValueError("BIND requires a preceding group")
+        if isinstance(expr, TermExpr):
+            self.df = (
+                self.df.withColumn(name, expr.value)
+                .withColumn(_companion(name, "type"), expr.type)
+                .withColumn(_companion(name, "dt"), expr.datatype)
+                .withColumn(_companion(name, "lang"), expr.lang)
+            )
+        else:
+            self.df = self.df.withColumn(name, expr)
+        return self
+
+    def filter(self, cond: Column) -> "BGPBuilder":
+        """FILTER(expr) — absent from the reference workload (§2.5) but part
+        of the BGP algebra; provided for the front end."""
+        if self.df is None:
+            raise ValueError("FILTER requires a preceding group")
+        self.df = self.df.where(cond)
+        return self
+
+
+def BGP(quads: DataFrame) -> BGPBuilder:
+    return BGPBuilder(quads)

@@ -1,0 +1,95 @@
+"""CONSTRUCT-style INSERT templates (SURVEY.md §2 ops 21-22, 24).
+
+For each WHERE-binding row, emit one output quad per template triple.
+Template terms are :class:`Var` references into the bindings or constant
+:class:`Term` values. Any template triple containing an unbound (NULL)
+term is skipped for that row — load-bearing because OPTIONAL variables
+feed templates (reference sparql/ldap_mapping_org.sparql:21→42).
+
+The union of all template triples is deduplicated (triple-store set
+semantics) and routed to the target graph (``WITH <g>`` /
+``GRAPH <g> {}`` — both compile to a constant ``g`` column, op 22).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..terms import IRI, QUAD_COLUMNS, Term
+from .bgp import Var, _companion
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _subject_cols(t, df_cols: set[str]) -> tuple[Column, Column]:
+    if isinstance(t, Var):
+        stype = (
+            F.col(_companion(t.name, "type"))
+            if _companion(t.name, "type") in df_cols
+            else F.lit(IRI)
+        )
+        return F.col(t.name), stype
+    return F.lit(t.value), F.lit(t.type)
+
+
+def _object_cols(t, df_cols: set[str]) -> tuple[Column, Column, Column, Column]:
+    if isinstance(t, Var):
+        c = lambda kind, default: (
+            F.col(_companion(t.name, kind))
+            if _companion(t.name, kind) in df_cols
+            else default
+        )
+        return (
+            F.col(t.name),
+            c("type", F.lit("literal")),
+            c("dt", _null_str()),
+            c("lang", _null_str()),
+        )
+    return (
+        F.lit(t.value),
+        F.lit(t.type),
+        F.lit(t.datatype).cast("string"),
+        F.lit(t.lang).cast("string"),
+    )
+
+
+def construct(
+    bindings: DataFrame,
+    template: list[tuple],
+    target_graph: str,
+) -> DataFrame:
+    """Instantiate ``template`` (list of (s, p, o) with Var/Term entries)
+    against the bindings, returning a deduplicated quads DataFrame for
+    ``target_graph``."""
+    cols = set(bindings.columns)
+    parts: list[DataFrame] = []
+    for s, p, o in template:
+        s_val, s_type = _subject_cols(s, cols)
+        if isinstance(p, Var):
+            p_val: Column = F.col(p.name)
+        else:
+            p_val = F.lit(p.value if isinstance(p, Term) else p)
+        o_val, o_type, o_dt, o_lang = _object_cols(o, cols)
+        row = bindings.select(
+            F.lit(target_graph).alias("g"),
+            s_val.alias("s"),
+            s_type.alias("s_type"),
+            p_val.alias("p"),
+            o_val.alias("o_value"),
+            o_type.alias("o_type"),
+            o_dt.alias("o_datatype"),
+            o_lang.alias("o_lang"),
+        )
+        # unbound-term skip (op 21): template triple with a NULL term emits
+        # nothing for that binding row
+        row = row.where(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o_value").isNotNull()
+        )
+        parts.append(row)
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.dropDuplicates(QUAD_COLUMNS)

@@ -1,0 +1,98 @@
+"""JSON document source/sink + JDBC source config (SURVEY.md §2 ops 1, 2, 6).
+
+The reference extracts JSON documents from Postgres ``jsonb`` columns with a
+server-side cursor (load_knowledge_graph.py:60-79) and from whole files
+(load_knowledge_graph.py:160-176). Spark-side:
+
+  * Postgres → ``spark.read.jdbc`` with ``fetchsize`` (distributed scan,
+    replacing the psycopg2 cursor's ``itersize=10000``).
+  * File → ``spark.read.json`` / whole-text, schema-agnostic: each document
+    stays a JSON string for the direct mapping (the reference's "any shape"
+    property, SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_json_docs(
+    spark: SparkSession,
+    path: str,
+    multiline_array: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read a JSON file of documents into (doc_id, json-text) rows ready for
+    the direct mapping — the Spark equivalent of
+    ``extract_from_file_and_insert`` (load_knowledge_graph.py:160-176).
+
+    ``multiline_array=True`` handles the reference's one file source,
+    ``mam_tenants_{env}.json`` — a single top-level JSON array
+    (load_knowledge_graph.py:329, FIXTURES.md §A6): each element becomes a
+    document. Otherwise the file is JSON-lines (one document per line).
+    """
+    if multiline_array:
+        import json as _json
+
+        import pandas as pd
+
+        raw = spark.read.text(path, wholetext=True)
+
+        def split(batches):
+            for pdf in batches:
+                for text in pdf["value"]:
+                    data = _json.loads(text)
+                    if not isinstance(data, list):
+                        data = [data]
+                    yield pd.DataFrame(
+                        {
+                            id_col: [str(i) for i in range(len(data))],
+                            "json": [_json.dumps(d) for d in data],
+                        }
+                    )
+
+        return raw.mapInPandas(split, schema=f"{id_col} string, json string")
+    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    return lines.select(
+        F.monotonically_increasing_id().cast("string").alias(id_col),
+        F.col("value").alias("json"),
+    )
+
+
+def write_json_docs(docs: DataFrame, path: str, json_col: str = "json") -> None:
+    """JSON file sink (reference ``extract_json``,
+    load_knowledge_graph.py:81-98 — there a driver-side single-file write of
+    a ``jsonb_agg`` blob; here a distributed text write of one document per
+    line)."""
+    docs.select(F.col(json_col).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_postgres_json(
+    spark: SparkSession,
+    url: str,
+    schema: str,
+    table: str,
+    field: str,
+    fetchsize: int = 10000,
+    **options,
+) -> DataFrame:
+    """JDBC scan of a Postgres jsonb column, one document per row —
+    the Spark re-expression of ``_get_cursor`` (load_knowledge_graph.py:60-79;
+    ``fetchsize`` mirrors ``cursor.itersize = 10000`` at :74). The
+    ``jsonb_agg`` single-row mode (:64-65) is intentionally dropped — it
+    existed only to write one JSON file, which ``write_json_docs`` covers
+    distributively. Untestable in this container (no Postgres); kept thin.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"(SELECT ({table}.{field})::text AS json FROM {schema}.{table}) src")
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.select(
+        F.monotonically_increasing_id().cast("string").alias("doc_id"), "json"
+    )

@@ -1,0 +1,151 @@
+"""Quad store: one columnar table of RDF quads partitioned by named graph.
+
+Replaces the reference's external Stardog endpoint (sparql_update.py:108-133)
+with a Parquet-backed table partitioned by ``g`` — graph DDL becomes
+partition-level operations and SPARQL dataset selection (``USING``/``WITH``)
+becomes static partition pruning (SURVEY.md §4.2).
+
+Set semantics are a hard correctness requirement (SURVEY.md §1.3): a triple
+store deduplicates, so ``insert`` drops duplicates within the batch AND
+against the already-stored target graphs via a left-anti join that only scans
+the affected partitions.
+
+Scale posture: partition by ``g`` (few, large graphs → each graph is a
+directory of many files); inserts append files, never rewrite other graphs;
+``optimize`` compacts a graph's files. No driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .terms import QUAD_COLUMNS, QUAD_SCHEMA
+
+
+class GraphStore:
+    """Parquet-backed quad store. ``path=None`` gives an in-memory store
+    (a union of inserted DataFrames) for tests and small pipelines."""
+
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = path
+        self._mem: DataFrame | None = None
+        if path:
+            os.makedirs(path, exist_ok=True)
+
+    # -- read ------------------------------------------------------------
+
+    def quads(self) -> DataFrame:
+        """All quads. Filters on ``g`` prune partitions (parquet) before scan."""
+        if self.path:
+            if not self._has_data():
+                return self.spark.createDataFrame([], QUAD_SCHEMA)
+            return (
+                self.spark.read.schema(QUAD_SCHEMA)
+                .option("basePath", self.path)
+                .parquet(self.path)
+            )
+        if self._mem is None:
+            return self.spark.createDataFrame([], QUAD_SCHEMA)
+        return self._mem
+
+    def graph(self, g: str) -> DataFrame:
+        return self.quads().where(F.col("g") == g)
+
+    def dataset(self, graphs: list[str]) -> DataFrame:
+        """SPARQL ``USING <g>...`` — restrict matching to listed graphs
+        (reference sparql/tl_companies_mapping_org.sparql:34-35)."""
+        return self.quads().where(F.col("g").isin(graphs))
+
+    # -- write -----------------------------------------------------------
+
+    def insert(self, new_quads: DataFrame, dedup_against_store: bool = True) -> None:
+        """INSERT with triple-store set semantics (SURVEY.md §1.3; the
+        reference's per-record ``INSERT DATA`` round-trips at
+        load_knowledge_graph.py:152-154 collapse into one bulk append)."""
+        batch = new_quads.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS)
+        if dedup_against_store:
+            existing = self.quads().alias("ex")
+            batch = batch.alias("nw")
+            # null-safe equality on every column (o_datatype/o_lang are
+            # often NULL); join key g is constant per partition → the
+            # anti-join prunes the existing-side scan to the target graphs
+            cond = None
+            for c in QUAD_COLUMNS:
+                eq = F.col(f"nw.{c}").eqNullSafe(F.col(f"ex.{c}"))
+                cond = eq if cond is None else (cond & eq)
+            batch = batch.join(existing, on=cond, how="left_anti")
+        if self.path:
+            batch.write.mode("append").partitionBy("g").parquet(self.path)
+        else:
+            cur = self._mem
+            self._mem = batch if cur is None else cur.unionByName(batch)
+            # keep the in-memory lineage shallow
+            self._mem = self._mem.localCheckpoint(eager=True)
+
+    def insert_data(self, rows: list[tuple], graph: str | None = None) -> None:
+        """SPARQL ``INSERT DATA { GRAPH <g> { ...constant triples... } }``
+        (reference load_knowledge_graph.py:520-532, sparql_update.py:108-122).
+        ``rows`` are (s, s_type, p, o_value, o_type, o_datatype, o_lang)
+        tuples, or full 8-tuples with leading g when graph is None."""
+        if graph is not None:
+            rows = [(graph, *r) for r in rows]
+        self.insert(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+
+    def clear(self, g: str) -> None:
+        """``CLEAR SILENT GRAPH <g>`` (reference load_knowledge_graph.py:341):
+        empty the graph, no error if absent. Partition-level delete."""
+        self._drop_partition(g)
+
+    def drop(self, g: str) -> None:
+        """``DROP SILENT GRAPH <g>`` (reference load_knowledge_graph.py:623-665).
+        Same storage action as CLEAR in a partitioned-table model; both verbs
+        kept for API fidelity (SURVEY.md §2 ops 11-12)."""
+        self._drop_partition(g)
+
+    def optimize(self, g: str | None = None, target_files: int = 8) -> None:
+        """Compact a graph's files (the reference's post-load store-optimize
+        call, load_knowledge_graph.py:669-675)."""
+        if not self.path:
+            return
+        graphs = [g] if g else self.list_graphs()
+        for gname in graphs:
+            df = self.graph(gname).repartition(target_files)
+            tmp = os.path.join(self.path, "_compact_tmp")
+            df.write.mode("overwrite").parquet(tmp)
+            self._drop_partition(gname)
+            self.spark.read.parquet(tmp).write.mode("append").partitionBy(
+                "g"
+            ).parquet(self.path)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def list_graphs(self) -> list[str]:
+        if self.path:
+            out = []
+            for name in os.listdir(self.path):
+                if name.startswith("g="):
+                    from urllib.parse import unquote
+
+                    out.append(unquote(name[2:]))
+            return sorted(out)
+        if self._mem is None:
+            return []
+        return [r["g"] for r in self._mem.select("g").distinct().collect()]
+
+    # -- internals ---------------------------------------------------------
+
+    def _has_data(self) -> bool:
+        return any(n.startswith("g=") for n in os.listdir(self.path))
+
+    def _drop_partition(self, g: str) -> None:
+        if self.path:
+            from urllib.parse import quote
+
+            part = os.path.join(self.path, f"g={quote(g, safe='')}")
+            shutil.rmtree(part, ignore_errors=True)
+        elif self._mem is not None:
+            self._mem = self._mem.where(F.col("g") != g)
