@@ -1,38 +1,644 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a beyond-reference extension), with a DuckDB-equivalent ``oracle_sql()``
+unless the op is not SQL-expressible. KG-engine entries build a quad store
+from the driver's relational tables (``ingest.quadify`` — the SQL direct
+mapping) and run the real BGP/OPTIONAL/CONSTRUCT machinery, so the oracle
+checks engine semantics end-to-end against plain relational SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knowledge_graph_etl_spark import BGP, GraphStore, Term, Var, construct, pattern
+from knowledge_graph_etl_spark.extensions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from knowledge_graph_etl_spark.extensions.multimodal import (
+    attach_metadata,
+    decode_and_featurize,
+)
+from knowledge_graph_etl_spark.extensions.similarity import cosine_topk
+from knowledge_graph_etl_spark.extensions.text import (
+    STOPWORDS,
+    fingerprint,
+    langid,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from knowledge_graph_etl_spark.functions import (
+    concat,
+    encode_for_uri,
+    md5,
+    strafter,
+    uri,
+)
+from knowledge_graph_etl_spark.ingest import json_to_quads, quadify
+
+P = "urn:p:"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which the
+    Spark vectorized reader rejects; read it as epoch-nanos bigint (the
+    oracle side uses DuckDB ``epoch_ns``) — ordering semantics identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def _customer_quads(spark, sf_dir):
+    return quadify(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "urn:cust:",
+        "urn:g:customer",
+        columns=["c_name", "c_mktsegment", "c_nationkey"],
+        namespace=P,
+    )
+
+
+def _orders_quads(spark, sf_dir):
+    return quadify(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "urn:ord:",
+        "urn:g:orders",
+        columns=["o_custkey", "o_orderstatus", "o_orderpriority"],
+        namespace=P,
+        iri_columns={"o_custkey": "urn:cust:"},
+    )
+
+
+# --------------------------------------------------------------------------
+# KG engine: ops 14-24 over quadified driver tables
+# --------------------------------------------------------------------------
+
+
+def kg_pattern_scan(spark, sf_dir):
+    """Op 14: triple-pattern scan, constant predicate + object."""
+    q = _customer_quads(spark, sf_dir)
+    return pattern(q, Var("s"), P + "c_mktsegment", "BUILDING").select("s")
+
+
+def kg_star_join_bind(spark, sf_dir):
+    """Ops 15+20+25-27: 3-way star join on shared subject + BIND uri(md5)."""
+    b = BGP(_customer_quads(spark, sf_dir))
+    b.pattern(Var("c"), P + "c_mktsegment", "BUILDING", broadcast=True)
+    b.pattern(Var("c"), P + "c_name", Var("name"))
+    b.pattern(Var("c"), P + "c_nationkey", Var("nk"))
+    b.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
+    return b.df.select("org", "name", "nk")
+
+
+def kg_chain_join(spark, sf_dir):
+    """Op 16: object→subject chain join across two quadified graphs."""
+    quads = _customer_quads(spark, sf_dir).unionByName(_orders_quads(spark, sf_dir))
+    b = BGP(quads)
+    b.pattern(Var("ord"), P + "o_orderpriority", "1-URGENT")
+    b.pattern(Var("ord"), P + "o_custkey", Var("c"))
+    b.pattern(Var("c"), P + "c_name", Var("name"))
+    return b.df.select("ord", "name")
+
+
+def _urgent_group(spark, sf_dir):
+    g = BGP(_orders_quads(spark, sf_dir))
+    g.pattern(Var("ord"), P + "o_orderpriority", "1-URGENT")
+    g.pattern(Var("ord"), P + "o_custkey", Var("c"))
+    return g.df
+
+
+def kg_optional(spark, sf_dir):
+    """Op 18: OPTIONAL = left join; unbound → NULL."""
+    b = BGP(_customer_quads(spark, sf_dir))
+    b.pattern(Var("c"), P + "c_name", Var("name"))
+    b.optional(_urgent_group(spark, sf_dir).select("c", "ord"))
+    return b.df.select("name", "ord")
+
+
+def kg_exists_semijoin(spark, sf_dir):
+    """Op 19: EXISTS constraint = semi join."""
+    b = BGP(_customer_quads(spark, sf_dir))
+    b.pattern(Var("c"), P + "c_name", Var("name"))
+    b.exists(_urgent_group(spark, sf_dir).select("c"))
+    return b.df.select("c", "name")
+
+
+def kg_construct(spark, sf_dir):
+    """Ops 21-22: CONSTRUCT template with unbound-skip + target-graph routing."""
+    b = BGP(_customer_quads(spark, sf_dir))
+    b.pattern(Var("c"), P + "c_mktsegment", "BUILDING")
+    b.pattern(Var("c"), P + "c_name", Var("name"))
+    b.optional(_urgent_group(spark, sf_dir).select("c", "ord", "ord__type"))
+    b.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
+    return construct(
+        b.df,
+        [
+            (Var("org"), RDF_TYPE, Term("urn:cls:Organization", "iri")),
+            (Var("org"), "urn:schema:name", Var("name")),
+            (Var("org"), P + "urgentOrder", Var("ord")),
+        ],
+        target_graph="urn:g:out",
+    )
+
+
+def kg_direct_mapping(spark, sf_dir):
+    """Op 4: JSON→triples direct mapping (deterministic bnodes)."""
+    nation = _t(spark, sf_dir, "nation")
+    docs = nation.select(
+        F.col("n_nationkey").cast("string").alias("doc_id"),
+        F.to_json(F.struct("n_name", "n_regionkey")).alias("json"),
+    )
+    quads = json_to_quads(docs, "urn:g:nation", namespace=P)
+    return quads.select("s", "p", "o_value", "o_type", "o_datatype")
+
+
+def kg_functions(spark, sf_dir):
+    """Ops 25-26, 32-35: the scalar-function set."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        md5(F.col("c_name")).alias("h"),
+        F.lower(F.col("c_mktsegment")).alias("lc"),
+        F.regexp_replace(F.col("c_name"), "#", "-").alias("rep"),
+        strafter(F.col("c_name"), "#").alias("aft"),
+        encode_for_uri(concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment"))).alias(
+            "enc"
+        ),
+    )
+
+
+def kg_dedup_union(spark, sf_dir):
+    """Op 24: set-union of two mapping outputs through the store's
+    set-semantic insert (overlapping results collapse)."""
+    store = GraphStore(spark)
+    b1 = BGP(_customer_quads(spark, sf_dir))
+    b1.pattern(Var("c"), P + "c_mktsegment", "BUILDING")
+    b1.pattern(Var("c"), P + "c_name", Var("name"))
+    b1.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
+    tmpl = [(Var("org"), RDF_TYPE, Term("urn:cls:Organization", "iri"))]
+    store.insert(construct(b1.df, tmpl, "urn:g:out"))
+    b2 = BGP(_customer_quads(spark, sf_dir))
+    b2.pattern(Var("c"), P + "c_name", Var("name"))
+    b2.exists(_urgent_group(spark, sf_dir).select("c"))
+    b2.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
+    store.insert(construct(b2.df, tmpl, "urn:g:out"))
+    return store.quads()
+
+
+def kg_dataset_union(spark, sf_dir):
+    """Op 23: USING <g1> <g2> dataset selection over the store."""
+    store = GraphStore(spark)
+    store.insert(
+        quadify(_t(spark, sf_dir, "nation"), "n_nationkey", "urn:nat:", "urn:g:nation",
+                columns=["n_name"], namespace=P)
+    )
+    store.insert(
+        quadify(_t(spark, sf_dir, "region"), "r_regionkey", "urn:reg:", "urn:g:region",
+                columns=["r_name"], namespace=P)
+    )
+    return store.dataset(["urn:g:nation", "urn:g:region"]).select("g", "s", "p", "o_value")
+
+
+# --------------------------------------------------------------------------
+# Relational core: aggregation / window / sort-limit (needed by Phase-5 and
+# absent from the reference, SURVEY.md §2.5 — implemented as first-class ops)
+# --------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+def agg_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_price = price * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def join_topn_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1996-06-01"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-06-01"))
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def multi_join_revenue_by_nation(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def window_running_total(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+def window_topk_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_id", "user_id", "value", "rn")
+    )
+
+
+def json_extract_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(k).alias("sum_k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_q(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def dedup_minhash_lsh_q(spark, sf_dir):
+    # rows-only check: LSH banding is not reasonably SQL-expressible
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def ann_cosine_topk_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+def text_features_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("p_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def text_langid_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", langid(F.col("text")).alias("lang_pred"))
+
+
+def text_fingerprint_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def multimodal_binary_meta_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return attach_metadata(media).select("media_id", "n_bytes", "payload_md5")
+
+
+def multimodal_features_q(spark, sf_dir):
+    # rows-only: stubbed decode (no codec libs in container); Spark-side
+    # plumbing (Arrow batches, schema, fan-out) is real
+    d = _t(spark, sf_dir, "documents").limit(100)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_and_featurize(media, dim=8).select(
+        "media_id", "n_bytes", "sha256"
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG mapping — quadify → BGP star + OPTIONAL chain →
+    BIND md5-minted IRI → CONSTRUCT with unbound-skip → set-dedup."""
+    return kg_construct(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_pattern_scan": kg_pattern_scan,
+        "kg_star_join_bind": kg_star_join_bind,
+        "kg_chain_join": kg_chain_join,
+        "kg_optional": kg_optional,
+        "kg_exists_semijoin": kg_exists_semijoin,
+        "kg_construct": kg_construct,
+        "kg_direct_mapping": kg_direct_mapping,
+        "kg_functions": kg_functions,
+        "kg_dedup_union": kg_dedup_union,
+        "kg_dataset_union": kg_dataset_union,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_topn_revenue": join_topn_revenue,
+        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
+        "window_running_total": window_running_total,
+        "window_topk_per_user": window_topk_per_user,
+        "json_extract_events": json_extract_events,
+        "dedup_exact": dedup_exact_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "ann_cosine_topk": ann_cosine_topk_q,
+        "text_features": text_features_q,
+        "text_langid": text_langid_q,
+        "text_fingerprint": text_fingerprint_q,
+        "multimodal_binary_meta": multimodal_binary_meta_q,
+        "multimodal_features": multimodal_features_q,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _sw_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"(CASE WHEN len({_TOKS}) > 0 THEN "
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains([{words}], t))) AS DOUBLE)"
+        f" / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    urgent = "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'"
+    org = "concat('urn:org:', md5(c_name))"
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    cust_s = "concat('urn:cust:', CAST(c_custkey AS VARCHAR))"
+    ord_s = "concat('urn:ord:', CAST(o_orderkey AS VARCHAR))"
+    punct = (
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    )
+    ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+    return {
+        "kg_pattern_scan": f"SELECT {cust_s} AS s FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "kg_star_join_bind": (
+            f"SELECT {org} AS org, c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk "
+            "FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "kg_chain_join": (
+            f"SELECT {ord_s} AS ord, c_name AS name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "kg_optional": (
+            f"SELECT c_name AS name, CASE WHEN o_orderkey IS NULL THEN NULL "
+            f"ELSE {ord_s} END AS ord "
+            f"FROM customer LEFT JOIN ({urgent}) o ON o_custkey = c_custkey"
+        ),
+        "kg_exists_semijoin": (
+            f"SELECT {cust_s} AS c, c_name AS name FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "kg_construct": (
+            "SELECT 'urn:g:out' AS g, s, s_type, p, o_value, o_type, "
+            "CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang FROM ("
+            f"SELECT {org} AS s, 'iri' AS s_type, "
+            "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p, "
+            "'urn:cls:Organization' AS o_value, 'iri' AS o_type "
+            "FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION "
+            f"SELECT {org}, 'iri', 'urn:schema:name', c_name, 'literal' "
+            "FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION "
+            f"SELECT {org}, 'iri', 'urn:p:urgentOrder', {ord_s}, 'iri' "
+            f"FROM customer JOIN ({urgent}) o ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "kg_direct_mapping": (
+            "SELECT concat('_:b', CAST(n_nationkey AS VARCHAR), '-0') AS s, "
+            "'urn:p:n_name' AS p, n_name AS o_value, 'literal' AS o_type, "
+            "CAST(NULL AS VARCHAR) AS o_datatype FROM nation "
+            "UNION ALL "
+            "SELECT concat('_:b', CAST(n_nationkey AS VARCHAR), '-0'), "
+            f"'urn:p:n_regionkey', CAST(n_regionkey AS VARCHAR), 'literal', '{_XSD_INT}' "
+            "FROM nation"
+        ),
+        "kg_functions": (
+            "SELECT md5(c_name) AS h, lower(c_mktsegment) AS lc, "
+            "replace(c_name, '#', '-') AS rep, "
+            "CASE WHEN strpos(c_name, '#') > 0 "
+            "THEN substr(c_name, strpos(c_name, '#') + 1) ELSE '' END AS aft, "
+            "replace(replace(concat(c_name, ' ', c_mktsegment), '#', '%23'), ' ', '%20') AS enc "
+            "FROM customer"
+        ),
+        "kg_dedup_union": (
+            "SELECT 'urn:g:out' AS g, s, 'iri' AS s_type, "
+            "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p, "
+            "'urn:cls:Organization' AS o_value, 'iri' AS o_type, "
+            "CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang FROM ("
+            f"SELECT {org} AS s FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION "
+            f"SELECT {org} FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT'))"
+        ),
+        "kg_dataset_union": (
+            "SELECT 'urn:g:nation' AS g, concat('urn:nat:', CAST(n_nationkey AS VARCHAR)) AS s, "
+            "'urn:p:n_name' AS p, n_name AS o_value FROM nation "
+            "UNION ALL "
+            "SELECT 'urn:g:region', concat('urn:reg:', CAST(r_regionkey AS VARCHAR)), "
+            "'urn:p:r_name', r_name FROM region"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            f"CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_topn_revenue": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            f"CAST(SUM({rev}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1996-06-01' "
+            "AND l_shipdate > TIMESTAMP '1996-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "multi_join_revenue_by_nation": (
+            f"SELECT n_name, CAST(SUM({rev}) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
+        ),
+        "window_running_total": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "AS running_value FROM events"
+        ),
+        "window_topk_per_user": (
+            "SELECT event_id, user_id, value, CAST(rn AS INTEGER) AS rn FROM ("
+            "SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC, event_id) AS rn FROM events) "
+            "WHERE rn <= 3"
+        ),
+        "json_extract_events": (
+            "SELECT event_type, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, "
+            "COUNT(*) AS group_size FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+            "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+            "ELSE [] END) AS shingles FROM tok), "
+            "f AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS shingle FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, "
+            "COUNT(*) AS common FROM f a JOIN f b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) "
+            "SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (sa + sb - common), 6) "
+            "AS jaccard FROM p "
+            "WHERE round(CAST(common AS DOUBLE) / (sa + sb - common), 6) >= 0.8"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM embeddings c CROSS JOIN q) "
+            "SELECT query_id, neighbor_id, cosine_sim, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank "
+            "FROM s QUALIFY rank <= 10"
+        ),
+        "text_features": (
+            f"SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens, "
+            f"round(CASE WHEN length(text) > 0 THEN {punct} / length(text) ELSE 0.0 END, 6) "
+            "AS p_ratio, "
+            f"round((CASE WHEN {ntok} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) + "
+            f"(CASE WHEN (CASE WHEN length(text) > 0 THEN {punct} / length(text) "
+            "ELSE 0.0 END) <= 0.2 THEN 0.3 ELSE 0.0 END) + "
+            f"(CASE WHEN {_sw_ratio('en')} >= 0.01 THEN 0.3 ELSE 0.0 END), 2) AS quality "
+            "FROM documents"
+        ),
+        "text_langid": (
+            "SELECT doc_id, lang, CASE "
+            + " ".join(
+                f"WHEN {_sw_ratio(lg)} > 0 AND {_sw_ratio(lg)} >= "
+                + "greatest("
+                + ", ".join(_sw_ratio(l2) for l2 in sorted(STOPWORDS))
+                + f") THEN '{lg}'"
+                for lg in sorted(STOPWORDS)
+            )
+            + " ELSE 'und' END AS lang_pred FROM documents"
+        ),
+        "text_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) "
+            "AS fp FROM documents"
+        ),
+        "multimodal_binary_meta": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS payload_md5 FROM documents"
+        ),
+        # dedup_minhash_lsh, multimodal_features: rows-only (not SQL-expressible
+        # / stubbed decode)
+    }

@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the point of these at 100 TB):
+
+* ``exact_dedup`` — one hash-aggregate; the only shuffle is on the 32-hex
+  md5 key, which is uniformly distributed → no skew.
+* ``ngram_jaccard_pairs`` — shingle-inverted-index join: explode shingles,
+  self-join on the shingle value, count shared shingles, compute Jaccard
+  from exact set sizes. Hot shingles (stopword n-grams) create join skew →
+  ``max_shingle_freq`` drops shingles appearing in more than N docs (they
+  carry ~no signal and dominate cost), same idea as stopword pruning in
+  inverted indexes. AQE skew-join handles the remainder.
+* ``minhash_lsh_pairs`` — MinHash signatures (k permutations via
+  ``xxhash64(token, seed)``) banded into LSH buckets; candidate pairs only
+  join within a bucket → candidate generation is linear in bucket sizes,
+  never all-pairs. This is the 100 TB path: bands bound the shuffle.
+* ``simhash_pairs`` — 64-bit SimHash grouped by rotated prefix blocks
+  (Hamming-ball blocking).
+
+Everything is built-in Column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (lowest id) per exact text; adds
+    ``group_size``. Equality on md5(text) — collisions are negligible and
+    the 32-byte key shuffles far cheaper than full documents."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> column."""
+    tks = tokens(text)
+    count = F.size(tks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tks, i + 1, n)))
+    return F.array_distinct(F.when(count >= n, grams).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    Inverted-index self-join on shingles — never a cartesian product.
+    Jaccard uses the TRUE set sizes even when ``max_shingle_freq`` prunes
+    hot shingles from the index (pruning can only lose candidate pairs that
+    share nothing but stop-shingles, which cannot reach a high threshold).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+    flat = base.select("id", "set_size", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        flat = flat.join(
+            F.broadcast(freq.where(F.col("df") > max_shingle_freq).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("common")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed i, min over tokens of xxhash64(token, i).
+    Deterministic, JVM-side; array<bigint> of length ``num_hashes``."""
+    tks = F.array_distinct(tokens(text))
+    return F.array(
+        *[F.array_min(F.transform(tks, lambda t: F.xxhash64(t, F.lit(i)))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, with an exact
+    estimated-similarity refinement.
+
+    shingle→minhash→band→bucket-join (the classic MinHashLSH pipeline):
+    docs sharing any band bucket become candidates; candidate pairs are
+    scored by full-signature agreement (estimated Jaccard) and filtered.
+    At scale: bucket join is an equi-shuffle on (band, bucket-hash);
+    signatures are ``num_hashes × 8`` bytes per doc regardless of doc size.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
+    ).where(F.size(F.col("sig").cast("array<bigint>")) > 0)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via block-permutation candidate generation:
+    split the 64-bit hash into ``blocks`` segments; by pigeonhole, any pair
+    within ``max_hamming < blocks`` differs in zero bits of at least one
+    segment → join on (block_index, segment). Never all-pairs."""
+    from .text import simhash64
+
+    sh = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    width = 64 // blocks
+    seg = lambda col, bi: (
+        (col / F.lit(float(2 ** (bi * width)))).cast("decimal(22,0)")
+        % F.lit(2**width)
+    )
+    blocked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("blk"), seg(F.col("sh"), bi).alias("segv"))
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", "b.blk", "b.segv")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.segv") == F.col("b.segv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # popcount(xor) over decimal-encoded uint64, bit by bit (columnar)
+    ham = None
+    for bit in range(64):
+        div = F.lit(float(2**bit))
+        xa = ((F.col("sh_a") / div).cast("decimal(22,0)") % 2)
+        xb = ((F.col("sh_b") / div).cast("decimal(22,0)") % 2)
+        d = F.when(xa != xb, 1).otherwise(0)
+        ham = d if ham is None else ham + d
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

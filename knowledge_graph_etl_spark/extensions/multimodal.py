@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The container has no codec libraries, so the DECODE step is stubbed behind
+a deterministic fake (``fake_decode=True``, default) or
+``NotImplementedError`` — but the Spark-side plumbing (schema, Arrow batch
+shape, ``mapInPandas`` signatures, partition behavior) is real and tested.
+
+Design for 100 TB of media: binary payloads never pass through Python
+row-at-a-time — every transform is an Arrow-batched ``mapInPandas`` whose
+batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+metadata-only operations (filtering by size/kind, sampling) are pure
+Column expressions that never touch the payload bytes (parquet column
+pruning skips them entirely).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata derivable without decoding — pure Column ops, payload column
+    touched only for length/hash (still JVM-side)."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(payload_col)).cast("long")).withColumn(
+        "payload_md5", F.md5(F.col(payload_col))
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: bytes of
+    repeated sha256, scaled to [-1, 1]. Replace with a real decoder when
+    codec libs are available."""
+    out: list[float] = []
+    seed = payload or b""
+    h = hashlib.sha256(seed).digest()
+    while len(out) < dim:
+        for byte in h:
+            out.append((byte - 127.5) / 127.5)
+            if len(out) == dim:
+                break
+        h = hashlib.sha256(h).digest()
+    return out
+
+
+def decode_and_featurize(
+    media: DataFrame,
+    dim: int = 16,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """DECODE → FEATURE-EXTRACT over media rows (Arrow-batched).
+
+    With ``fake_decode=False`` this raises ``NotImplementedError`` where a
+    real codec (PIL/ffmpeg/torchaudio) would be called — the surrounding
+    plumbing is identical either way.
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                if payload is None:
+                    rows.append((r["media_id"], r["kind"], None, None, None))
+                    continue
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "real media decode requires codec libraries (PIL/ffmpeg); "
+                        "not available in this environment"
+                    )
+                payload = bytes(payload)
+                rows.append(
+                    (
+                        r["media_id"],
+                        r["kind"],
+                        len(payload),
+                        hashlib.sha256(payload).hexdigest(),
+                        _fake_feature(payload, dim),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "n_bytes", "sha256", "feature"]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per sampled
+    timestamp. The frame payload is a stub (sha256-derived bytes); the row
+    fan-out, schema, and batch shape match a real ffmpeg-backed sampler."""
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("frame_ts_ms", LongType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["duration_ms"]
+                if dur is None or r["payload"] is None:
+                    continue
+                if not fake_decode:
+                    raise NotImplementedError("real frame extraction requires ffmpeg")
+                payload = bytes(r["payload"])
+                for ts in range(0, int(dur), every_ms):
+                    frame = hashlib.sha256(payload + str(ts).encode()).digest()
+                    rows.append((r["media_id"], ts, frame))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_ts_ms", "frame"])
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(run, schema=out_schema)

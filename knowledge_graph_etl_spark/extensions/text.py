@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python in
+the hot path), designed to run over a ~100 TB ``documents`` table: every
+function is a narrow per-row map, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "den"],
+    "es": ["el", "la", "los", "de", "y", "que", "es", "un", "una", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased). One expression, no UDF."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND on
+    letter/digit/punctuation boundaries — a cheap, deterministic proxy for a
+    BPE tokenizer's piece count."""
+    pieces = F.split(
+        F.trim(text), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+"
+    )
+    return F.size(F.filter(pieces, lambda p: F.length(F.trim(p)) > 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    tks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(tks, lambda t: F.array_contains(sw, t)))
+    n = F.size(tks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic: length band + punctuation sanity +
+    stopword presence. Deterministic, SQL-expressible (oracled in
+    __spark_entry__)."""
+    n = token_count(text)
+    length_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(text, "en") >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + punct_ok + sw_ok, 2)
+
+
+def langid_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
+
+
+def langid(text: Column) -> Column:
+    """N-gram-free language-ID heuristic: argmax of stopword-hit ratio over
+    the five built-in lists, ties broken by language code order, 'und' when
+    nothing hits."""
+    scores = langid_scores(text)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    # array_max on struct compares score first, then lang — but ties must
+    # pick the FIRST language code, so invert: max over (score, reversed lang)
+    # is fragile; instead sort and take the head.
+    ordered = F.sort_array(pairs, asc=False)  # by score desc, then lang desc
+    # To break ties by lang ASC we re-sort structs of (-score, lang):
+    keyed = F.array(
+        *[
+            F.struct((-s).alias("negscore"), F.lit(lang).alias("lang"))
+            for lang, s in scores
+        ]
+    )
+    first = F.sort_array(keyed, asc=True)[0]
+    return F.when(-first["negscore"] > 0, first["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the sorted set of distinct tokens
+    (canonical "bag fingerprint" — robust to token order & repetition)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.md5(canon)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Token hash = first 16 hex chars of md5 (deterministic, portable);
+    per-bit majority vote over the document's tokens, fully columnar:
+    for each bit position, sum(±1) over tokens, sign → bit.
+    """
+    tks = F.array_distinct(tokens(text))
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 16), 16, 10).cast("decimal(22,0)")
+    hashes = F.transform(tks, h)
+    bits = []
+    for b in range(64):
+        divisor = F.lit(2) ** F.lit(b)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(
+                ((x / divisor).cast("decimal(22,0)") % 2) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit(2.0) ** b).otherwise(F.lit(0.0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("decimal(22,0)")
+
+
+def add_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        docs.withColumn("n_tokens", token_count(t))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", langid(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )
