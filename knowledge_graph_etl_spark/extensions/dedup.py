@@ -69,7 +69,12 @@ def ngram_jaccard_pairs(
     base = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
-    flat = base.select("id", "set_size", F.explode("shingles").alias("shingle"))
+    # join on xxhash64(shingle), not the shingle string: 8-byte fixed-width
+    # shuffle keys instead of ~n-word strings (collision probability across
+    # even billions of distinct shingles is negligible at 64 bits)
+    flat = base.select(
+        "id", "set_size", F.explode("shingles").alias("shingle")
+    ).select("id", "set_size", F.xxhash64("shingle").alias("shingle"))
     if max_shingle_freq is not None:
         freq = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         flat = flat.join(
@@ -129,10 +134,9 @@ def minhash_lsh_pairs(
     sig = docs.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes).alias("sig"),
-    ).where(F.size(F.col("sig").cast("array<bigint>")) > 0)
+    ).where(F.col("sig")[0].isNotNull())  # drop token-less docs
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -146,7 +150,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+    # Candidate generation joins NARROW rows (id, band, bucket) only — a
+    # mega-bucket of k docs emits k² 16-byte rows, not k² signature pairs;
+    # signatures are joined back after dedup, when the pair set is small.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -155,14 +162,12 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
