@@ -1,0 +1,83 @@
+"""Engine facade: the PySpark-native replacement for the reference's
+SPARQL-endpoint hook.
+
+Where the reference POSTs update text to Stardog
+(reference sparql_update.py:77-106) and lets the external store execute
+it, ``Engine.update`` parses the same text and executes it as DataFrame
+plans over the local quad store: parse → algebra → compile → Catalyst
+(SURVEY.md §3 entry point 2).
+
+File-vs-inline query resolution mirrors the reference hook
+(sparql_update.py:85-90 / load_knowledge_graph.py:186-193): if the string
+names an existing ``.sparql`` file, its contents are used.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ingest import json_to_quads
+from .plans.compiler import compile_insert_where, execute_update
+from .plans.parser import InsertWhere, parse_update
+from .store import GraphStore
+
+SOURCE_NS = "https://data.hetarchief.be/ns/source/"
+GRAPH_NS = "https://data.hetarchief.be/graph/"
+
+
+class Engine:
+    """A quad store plus the SPARQL-Update execution path."""
+
+    def __init__(self, spark: SparkSession, store_path: str | None = None):
+        self.spark = spark
+        self.store = GraphStore(spark, store_path)
+
+    # -- update path ------------------------------------------------------
+
+    @staticmethod
+    def _resolve(query: str) -> str:
+        if query.strip().endswith(".sparql") and os.path.isfile(query.strip()):
+            with open(query.strip(), encoding="utf-8") as f:
+                return f.read()
+        return query
+
+    def update(self, query: str, params: dict | None = None) -> None:
+        """Execute one SPARQL Update (inline text or path to a .sparql file).
+
+        ``params`` performs ``{{params.key}}``-style constant substitution
+        before parsing, mirroring the reference's Jinja templating being a
+        query-construction-time step, not a row expression
+        (SURVEY.md §2 op 37; load_knowledge_graph.py:54-57,513-544).
+        """
+        text = self._resolve(query)
+        if params:
+            for k, v in params.items():
+                text = text.replace("{{params.%s}}" % k, str(v))
+        execute_update(parse_update(text), self.store)
+
+    def plan(self, query: str) -> DataFrame:
+        """Compile an INSERT..WHERE to its output-quads DataFrame without
+        executing the insert (for EXPLAIN/testing)."""
+        node = parse_update(self._resolve(query))
+        if not isinstance(node, InsertWhere):
+            raise ValueError("plan() only applies to INSERT ... WHERE")
+        return compile_insert_where(node, self.store)
+
+    # -- ingest path ------------------------------------------------------
+
+    def load_json(
+        self,
+        docs: DataFrame,
+        graph: str,
+        json_col: str = "json",
+        id_col: str = "doc_id",
+        namespace: str = SOURCE_NS,
+    ) -> None:
+        """Extract-and-insert: JSON documents → direct-mapped triples in a
+        staging graph (reference load_knowledge_graph.py:138-158, but bulk
+        partition appends instead of one INSERT round trip per record)."""
+        self.store.insert(
+            json_to_quads(docs, graph, json_col=json_col, id_col=id_col, namespace=namespace)
+        )

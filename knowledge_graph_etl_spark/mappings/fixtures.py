@@ -1,0 +1,195 @@
+"""Deterministic JSON fixtures for the mapping-query workload.
+
+Shapes inferred from exactly the predicates/structures the reference's 16
+mapping queries match (FIXTURES.md §A2-A6, with file:line cites there).
+Edge rows deliberately included: org with every OPTIONAL absent, org
+without units, company without an OR-ID custom field (must map to
+nothing), CP status "nee", classification value without the ``' - '``
+separator (STRAFTER → ``''``), email type without a matching telephone
+type, user without function/telephones.
+"""
+
+from __future__ import annotations
+
+import json
+
+# custom-field definition ids (tl_custom_fields lookup side,
+# reference sparql/tl_companies_mapping_org.sparql:39)
+CF = {
+    "5.1 - OR-ID": "cf-orid-uuid",
+    "2.2 - CP status": "cf-status-uuid",
+    "1.1 - Type organisatie": "cf-class-uuid",
+    "4.2 - Watermerk": "cf-overlay-uuid",
+    "4.1 - Bezoekertool": "cf-bzt-uuid",
+    "CP - Omschrijving (200 tek.)": "cf-omsch-uuid",
+    "E-mail Ontsluiting": "cf-eo-uuid",
+    "Telefoon Ontsluiting": "cf-to-uuid",
+    "E-mail Facturatie": "cf-ef-uuid",
+    "CP - Link aanvraagformulier": "cf-form-uuid",
+    "Unused decoy label": "cf-decoy-uuid",
+}
+
+
+def _ldap_org(orid, name, category, sector=None, address=None, extra_classes=(), units=()):
+    attrs = {
+        "objectClass": ["top", "organization", *extra_classes],
+        "o": orid,
+        "description": name,
+    }
+    if category is not None:
+        attrs["businessCategory"] = category
+    if sector is not None:
+        attrs["x-be-viaa-sector"] = sector
+    if address:
+        attrs.update(address)
+    doc = {"attributes": attrs}
+    if units:
+        doc["units"] = [{"attributes": u} for u in units]
+    return doc
+
+
+def ldap_organizations() -> list[dict]:
+    full_addr = {"street": "Teststraat 1", "postalCode": "9000", "l": "Gent", "st": "Oost-Vlaanderen"}
+    return [
+        _ldap_org(
+            "OR-abc123x", "Archief Gent", "Content Partner", sector="Cultuur",
+            address=full_addr,
+            units=[
+                {
+                    "objectClass": ["organizationalUnit"],
+                    "ou": "OR-abc123x-unit1",
+                    "description": "Unit Een",
+                    "street": "Unitstraat 5",
+                    "postalCode": "9050",
+                    "l": "Gentbrugge",
+                    "st": "Oost-Vlaanderen",
+                    "x-be-viaa-sector": "Cultuur",
+                },
+                {
+                    "objectClass": ["organizationalUnit"],
+                    "ou": "OR-abc123x-unit2",
+                    "description": "Unit Twee (kaal)",
+                },
+            ],
+        ),
+        _ldap_org("OR-school1", "School Eén", "School"),
+        _ldap_org("OR-sp001aa", "Dienstverlener BV", "Service Provider", sector="Media"),
+        _ldap_org("OR-cust01a", "Klant NV", "Customer"),
+        _ldap_org(
+            "OR-edu001a", "Edu-org", "School",
+            extra_classes=["x-be-viaa-educationalOrganization"],
+        ),
+        # every OPTIONAL absent, no businessCategory
+        _ldap_org("OR-kaal001", "Kale Organisatie", None),
+    ]
+
+
+def tl_users() -> list[dict]:
+    return [
+        {
+            "id": "user-uuid-1",
+            "first_name": "An",
+            "last_name": "Peeters",
+            "email": "an@meemoo.be",
+            "function": "Account manager archieven",  # spaces → ENCODE_FOR_URI
+            "telephones": [{"type": "mobile", "number": "+32470000001"}],
+        },
+        {
+            # no function, no telephones (OPTIONALs unbound)
+            "id": "user-uuid-2",
+            "first_name": "Bert",
+            "last_name": "Claes",
+            "email": "bert@meemoo.be",
+        },
+    ]
+
+
+def _cf(value, def_id):
+    return {"value": value, "definition": {"id": def_id}}
+
+
+def tl_companies() -> list[dict]:
+    return [
+        {
+            "name": "Archief Gent VZW",
+            "website": "www.archiefgent.be",  # STRSTARTS 'www' branch
+            "addresses": [
+                {
+                    "type": "primary",
+                    "address": {
+                        "line_1": "Teststraat 1",
+                        "postal_code": "9000",
+                        "city": "Gent",
+                        "country": "BE",
+                    },
+                }
+            ],
+            "emails": [
+                {"type": "primary", "email": "info@archiefgent.be"},
+                {"type": "support", "email": "help@archiefgent.be"},
+            ],
+            "telephones": [{"type": "primary", "number": "+3291234567"}],
+            "responsible_user": {"id": "user-uuid-1"},
+            "custom_fields": [
+                _cf("OR-abc123x", CF["5.1 - OR-ID"]),
+                _cf("ja", CF["2.2 - CP status"]),
+                _cf("1 - Cultuur organisatie", CF["1.1 - Type organisatie"]),
+                _cf(True, CF["4.2 - Watermerk"]),
+                # overlay query requires BOTH 4.2 and 4.1 chains
+                # (reference sparql/tl_companies_mapping_overlay.sparql:24-46)
+                _cf(False, CF["4.1 - Bezoekertool"]),
+                _cf("Beschrijving van de contentpartner", CF["CP - Omschrijving (200 tek.)"]),
+                _cf("ontsluiting@archiefgent.be", CF["E-mail Ontsluiting"]),
+                _cf("+329000000", CF["Telefoon Ontsluiting"]),
+                _cf("facturatie@archiefgent.be", CF["E-mail Facturatie"]),
+                _cf("https://forms.archiefgent.be/aanvraag", CF["CP - Link aanvraagformulier"]),
+            ],
+        },
+        {
+            "name": "Dienstverlener BV",
+            "website": "https://dienstverlener.be",  # non-www branch
+            "emails": [{"type": "primary", "email": "info@dienstverlener.be"}],
+            # no telephones: correlated nested OPTIONAL unbound
+            "custom_fields": [
+                _cf("OR-sp001aa", CF["5.1 - OR-ID"]),
+                _cf("nee", CF["2.2 - CP status"]),  # semi-join must exclude
+                _cf("Zonder separator", CF["1.1 - Type organisatie"]),  # STRAFTER → ''
+                _cf(False, CF["4.1 - Bezoekertool"]),
+            ],
+        },
+        {
+            # no OR-ID custom field: must produce NOTHING in any tl mapping
+            "name": "Geen Orid NV",
+            "custom_fields": [_cf("ja", CF["2.2 - CP status"])],
+        },
+    ]
+
+
+def tl_custom_fields() -> list[dict]:
+    return [{"id": def_id, "label": label} for label, def_id in CF.items()]
+
+
+def mediahaven_tenants() -> list[dict]:
+    # file source (reference load_knowledge_graph.py:325-334); the whole
+    # file is ONE document (an array of tenants)
+    return [
+        {"Name": "Tenant Archief Gent", "ExternalId": "OR-abc123x"},
+        {"Name": "Tenant School", "ExternalId": "OR-school1"},
+    ]
+
+
+def fixture_documents() -> dict[str, list[tuple[str, str]]]:
+    """source name → [(doc_id, json_text)] for every staging source."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    for name, docs in [
+        ("ldap_organizations", ldap_organizations()),
+        ("tl_users", tl_users()),
+        ("tl_companies", tl_companies()),
+        ("tl_custom_fields", tl_custom_fields()),
+    ]:
+        out[name] = [(f"{name}-{i}", json.dumps(d)) for i, d in enumerate(docs)]
+    # mam tenants: a single whole-file JSON document
+    out["mediahaven_tenants"] = [
+        ("mediahaven_tenants-0", json.dumps(mediahaven_tenants()))
+    ]
+    return out

@@ -1,0 +1,355 @@
+"""Compile the parsed SPARQL-Update algebra onto DataFrame plans.
+
+The pipeline is: SPARQL text → algebra (:mod:`.parser`) → one declarative
+DataFrame expression built from the operator combinators
+(:mod:`..operators.bgp`, :mod:`..operators.construct`) → Catalyst owns
+physical planning (SURVEY.md §3 entry point 2, §4.2).
+
+Compile-time choices this layer makes (the only "optimizer" we add on
+top of Catalyst, SURVEY.md §4.2):
+
+  * **Join-order seed**: within each run of consecutive triple patterns,
+    greedy connectivity ordering — start from the most selective pattern
+    (constant object, e.g. the custom-field label lookups of
+    reference sparql/tl_companies_mapping_org.sparql:39), then always
+    prefer a pattern sharing a variable with what's already joined, so
+    cross joins only happen when the query itself is disconnected.
+  * **notNull template pruning** is inserted by
+    :func:`..operators.construct.construct`.
+
+Everything else (pushdown, pruning, broadcast selection, AQE skew
+handling) is left to Catalyst — the patterns compile to filtered scans
+of the quads table whose g/p/o constants reach the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    TermExpr,
+    encode_for_uri,
+    strafter,
+    strbefore,
+)
+from ..operators.bgp import BGPBuilder, Var, _companion, pattern
+from ..operators.construct import construct
+from ..terms import IRI, LITERAL, Term
+from .parser import (
+    BindExpr,
+    FilterExpr,
+    FuncCall,
+    Group,
+    GraphDDL,
+    InsertData,
+    InsertWhere,
+    IriT,
+    LitT,
+    OptionalGroup,
+    TriplePattern,
+    VarT,
+)
+
+
+def _term_to_pattern_arg(t):
+    """Convert an AST term to a ``pattern()`` argument."""
+    if isinstance(t, VarT):
+        return Var(t.name)
+    if isinstance(t, IriT):
+        return Term(t.value, IRI)
+    if isinstance(t, LitT):
+        return Term(t.value, LITERAL, t.datatype, t.lang)
+    raise TypeError(f"unexpected term {t!r}")
+
+
+def _pattern_vars(tp: TriplePattern) -> set[str]:
+    return {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, VarT)}
+
+
+def _order_patterns(patterns: list[TriplePattern]) -> list[TriplePattern]:
+    """Greedy connectivity order seeded on selectivity (see module doc)."""
+    remaining = list(patterns)
+    ordered: list[TriplePattern] = []
+    bound: set[str] = set()
+
+    def selectivity(tp: TriplePattern) -> int:
+        # lower = more selective: constant object beats constant-subject
+        # beats all-var (predicates are almost always constant here)
+        if not isinstance(tp.o, VarT):
+            return 0
+        if not isinstance(tp.s, VarT):
+            return 1
+        return 2
+
+    while remaining:
+        if not ordered:
+            pick = min(remaining, key=selectivity)
+        else:
+            connected = [tp for tp in remaining if _pattern_vars(tp) & bound]
+            pick = min(connected or remaining, key=selectivity)
+        remaining.remove(pick)
+        ordered.append(pick)
+        bound |= _pattern_vars(pick)
+    return ordered
+
+
+# --------------------------------------------------------------------------
+# Expression compilation
+# --------------------------------------------------------------------------
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _var_term(name: str, cols: set[str]) -> TermExpr:
+    c = lambda kind, default: (
+        F.col(_companion(name, kind)) if _companion(name, kind) in cols else default
+    )
+    if name not in cols:
+        # referencing a variable that is nowhere in scope: SPARQL evaluates
+        # to unbound (e.g. ?amid when the OPTIONAL that binds it matched
+        # nothing for any row still exists as a column; a truly absent
+        # variable is constant-unbound)
+        return TermExpr(_null_str(), _null_str(), _null_str(), _null_str())
+    return TermExpr(
+        F.col(name),
+        c("type", F.lit(LITERAL)),
+        c("dt", _null_str()),
+        c("lang", _null_str()),
+    )
+
+
+def _lit_str(node) -> str | None:
+    """Python string of a literal AST node (for regex/separator args)."""
+    return node.value if isinstance(node, LitT) else None
+
+
+def compile_expr(node, cols: set[str]) -> TermExpr:
+    """AST expression → TermExpr (value + term-metadata columns).
+
+    SPARQL error-propagation (unbound arg → unbound result) maps onto
+    Spark NULL propagation for this function set (SURVEY.md §2 op 20).
+    """
+    if isinstance(node, VarT):
+        return _var_term(node.name, cols)
+    if isinstance(node, LitT):
+        dt = None if node.datatype is None else node.datatype
+        return TermExpr(
+            F.lit(node.value),
+            F.lit(LITERAL),
+            F.lit(dt).cast("string"),
+            F.lit(node.lang).cast("string"),
+        )
+    if isinstance(node, IriT):
+        return TermExpr(F.lit(node.value), F.lit(IRI), _null_str(), _null_str())
+    if not isinstance(node, FuncCall):
+        raise TypeError(f"unexpected expression node {node!r}")
+
+    name, args = node.name, node.args
+
+    if name == "CONCAT":
+        vals = [compile_expr(a, cols).value for a in args]
+        return TermExpr.literal_value(F.concat(*vals))
+    if name == "MD5":
+        return TermExpr.literal_value(F.md5(compile_expr(args[0], cols).value))
+    if name == "URI":
+        return TermExpr(
+            compile_expr(args[0], cols).value, F.lit(IRI), _null_str(), _null_str()
+        )
+    if name == "STR":
+        return TermExpr.literal_value(compile_expr(args[0], cols).value)
+    if name == "LCASE":
+        return TermExpr.literal_value(F.lower(compile_expr(args[0], cols).value))
+    if name == "UCASE":
+        return TermExpr.literal_value(F.upper(compile_expr(args[0], cols).value))
+    if name == "STRLANG":
+        tag = _lit_str(args[1])
+        return TermExpr(
+            compile_expr(args[0], cols).value,
+            F.lit(LITERAL),
+            _null_str(),
+            F.lit(tag),
+        )
+    if name == "REPLACE":
+        src = compile_expr(args[0], cols).value
+        pat, rep = _lit_str(args[1]), _lit_str(args[2])
+        return TermExpr.literal_value(F.regexp_replace(src, pat, rep))
+    if name == "STRAFTER":
+        return TermExpr.literal_value(
+            strafter(compile_expr(args[0], cols).value, _lit_str(args[1]))
+        )
+    if name == "STRBEFORE":
+        return TermExpr.literal_value(
+            strbefore(compile_expr(args[0], cols).value, _lit_str(args[1]))
+        )
+    if name == "ENCODE_FOR_URI":
+        return TermExpr.literal_value(encode_for_uri(compile_expr(args[0], cols).value))
+    if name == "BOUND":
+        if not isinstance(args[0], VarT):
+            raise ValueError("BOUND takes a variable")
+        v = args[0].name
+        val = F.col(v).isNotNull() if v in cols else F.lit(False)
+        return TermExpr.literal_value(val)
+    if name == "STRSTARTS":
+        a = compile_expr(args[0], cols).value
+        b = compile_expr(args[1], cols).value
+        return TermExpr.literal_value(a.startswith(b))
+    if name == "IF":
+        cond = compile_expr(args[0], cols).value
+        t, e = compile_expr(args[1], cols), compile_expr(args[2], cols)
+        pick = lambda a, b: F.when(cond, a).otherwise(b)
+        return TermExpr(
+            pick(t.value, e.value),
+            pick(t.type, e.type),
+            pick(t.datatype, e.datatype),
+            pick(t.lang, e.lang),
+        )
+    raise ValueError(f"unsupported function {name}")
+
+
+# --------------------------------------------------------------------------
+# Group compilation
+# --------------------------------------------------------------------------
+
+
+def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
+    """Group graph pattern → solution-mapping DataFrame.
+
+    Elements evaluate in syntactic order (SPARQL group semantics):
+    consecutive triple patterns accumulate into a BGP (reordered by the
+    connectivity seed), OPTIONAL left-joins its bottom-up-compiled
+    subgroup, BIND extends, FILTER restricts.
+    """
+    b = BGPBuilder(dataset)
+    run: list[TriplePattern] = []
+
+    def flush_run():
+        for tp in _order_patterns(run):
+            b.pattern(
+                _term_to_pattern_arg(tp.s),
+                _term_to_pattern_arg(tp.p),
+                _term_to_pattern_arg(tp.o),
+            )
+        run.clear()
+
+    def ensure_df():
+        if b.df is None:
+            # group starts with BIND/FILTER: the unit solution mapping
+            # (reference sparql/ldap_mapping_org.sparql:32 BINDs ?ns first)
+            b.df = dataset.sparkSession.range(1).select(
+                F.lit(1).alias("__unit")
+            )
+
+    for el in group.elements:
+        if isinstance(el, TriplePattern):
+            run.append(el)
+            continue
+        flush_run()
+        if isinstance(el, OptionalGroup):
+            ensure_df()
+            sub = compile_group(el.group, dataset)
+            shared = [
+                c for c in sub.columns if "__" not in c and c in b.df.columns
+            ]
+            if shared:
+                b.optional(sub)
+            else:
+                # OPTIONAL sharing no variables: SPARQL still left-joins on
+                # the empty key — every row pairs with every subgroup row
+                # (absent from the reference workload; crossJoin fallback)
+                b.df = b.df.crossJoin(sub)
+        elif isinstance(el, BindExpr):
+            ensure_df()
+            cols = set(b.df.columns)
+            b.bind(el.var, compile_expr(el.expr, cols))
+        elif isinstance(el, FilterExpr):
+            ensure_df()
+            b.filter(compile_expr(el.expr, set(b.df.columns)).value.cast("boolean"))
+        else:
+            raise TypeError(f"unexpected group element {el!r}")
+    flush_run()
+    if b.df is None:
+        b.df = dataset.sparkSession.range(1).select(F.lit(1).alias("__unit"))
+    return b.df.drop("__unit") if "__unit" in b.df.columns else b.df
+
+
+# --------------------------------------------------------------------------
+# Update execution
+# --------------------------------------------------------------------------
+
+
+def _template_term(t):
+    if isinstance(t, VarT):
+        return Var(t.name)
+    if isinstance(t, IriT):
+        return Term(t.value, IRI)
+    if isinstance(t, LitT):
+        return Term(t.value, LITERAL, t.datatype, t.lang)
+    raise TypeError(f"unexpected template term {t!r}")
+
+
+def compile_insert_where(node: InsertWhere, store) -> DataFrame:
+    """INSERT..WHERE → quads DataFrame ready for ``store.insert``.
+
+    ``USING`` graphs restrict the matched dataset (partition pruning on
+    ``g``, SURVEY.md §2 op 23); the template routes to ``WITH``'s graph or
+    per-GRAPH-block graphs (op 22)."""
+    dataset = store.dataset(node.using) if node.using else store.quads()
+    bindings = compile_group(node.where, dataset)
+    # Materialize the WHERE result once: the template union instantiates
+    # one projection per template triple (up to 16, e.g. reference
+    # sparql/tl_companies_mapping_org.sparql:13-32) and the store's
+    # set-dedup anti-join adds another consumer — without this the deep
+    # self-join subtree re-executes per consumer (17× for a 16-triple
+    # template). Also cuts lineage and gives exact stats downstream.
+    bindings = bindings.localCheckpoint(eager=True)
+
+    by_graph: dict[str, list] = {}
+    for g, tp in node.template:
+        graph = g or node.target_graph
+        if graph is None:
+            raise ValueError("template triple has no target graph (no WITH/GRAPH)")
+        by_graph.setdefault(graph, []).append(
+            (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
+        )
+    outs = [
+        construct(bindings, triples, target_graph=g) for g, triples in by_graph.items()
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def execute_update(node, store) -> None:
+    """Run one parsed update against a :class:`..store.GraphStore`."""
+    if isinstance(node, GraphDDL):
+        (store.clear if node.verb == "clear" else store.drop)(node.graph)
+        return
+    if isinstance(node, InsertData):
+        rows = []
+        for g, tp in node.quads:
+            if g is None:
+                raise ValueError("INSERT DATA without GRAPH is not supported")
+            s, p, o = tp.s, tp.p, tp.o
+            s_val, s_type = (
+                (s.value, IRI) if isinstance(s, IriT) else (s.value, "bnode")
+            )
+            if not isinstance(p, IriT):
+                raise ValueError("INSERT DATA predicate must be an IRI")
+            if isinstance(o, IriT):
+                rows.append((g, s_val, s_type, p.value, o.value, IRI, None, None))
+            elif isinstance(o, LitT):
+                rows.append(
+                    (g, s_val, s_type, p.value, o.value, LITERAL, o.datatype, o.lang)
+                )
+            else:
+                raise ValueError("INSERT DATA terms must be constant")
+        store.insert_data(rows)
+        return
+    if isinstance(node, InsertWhere):
+        store.insert(compile_insert_where(node, store))
+        return
+    raise TypeError(f"unexpected update node {node!r}")

@@ -1,0 +1,516 @@
+"""SPARQL Update parser — the reference workload's exact subset.
+
+Parses the update forms the reference submits to its store
+(reference sparql_update.py:92-106 POSTs these verbatim):
+
+  * ``PREFIX`` prologue
+  * ``[WITH <g>] INSERT { template } [USING <g>]* WHERE { group }``
+    (all 13 sparql/ files + 3 inline queries, SURVEY.md §2.3), including
+    the ``GRAPH <g> { ... }`` template form
+    (reference sparql/tl_users_mapping.sparql:12)
+  * ``INSERT DATA { GRAPH <g> { constant triples } }``
+    (reference load_knowledge_graph.py:520-532)
+  * ``CLEAR [SILENT] GRAPH <g>`` / ``DROP [SILENT] GRAPH <g>``
+    (reference load_knowledge_graph.py:341,623-665)
+
+Grammar features exercised by those queries: ``;`` predicate lists, ``,``
+object lists, ``[ ... ]`` blank-node property lists (desugared to fresh
+non-exported variables, reference sparql/tl_companies_mapping_org.sparql:40-46),
+``a`` = rdf:type, OPTIONAL (incl. nested + correlated,
+sparql/tl_companies_mapping_contactpoint.sparql:44-54), BIND (incl. inside
+OPTIONAL, sparql/tl_companies_mapping_classification.sparql:38), FILTER
+(for completeness — the reference workload has none, SURVEY.md §2.5),
+typed literals ``"..."^^xsd:T``, lang tags, and the scalar-function set
+of SURVEY.md §2.4.
+
+The output is a small algebra (dataclasses below); compilation to
+DataFrame plans lives in :mod:`.compiler`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..terms import RDF_TYPE
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VarT:
+    """Variable term ``?name``. Desugared bnodes get ``__b{n}`` names."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class IriT:
+    value: str
+
+
+@dataclass(frozen=True)
+class LitT:
+    value: str
+    datatype: str | None = None
+    lang: str | None = None
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: object
+    p: object
+    o: object
+
+
+@dataclass
+class OptionalGroup:
+    group: "Group"
+
+
+@dataclass(frozen=True)
+class BindExpr:
+    expr: object
+    var: str
+
+
+@dataclass(frozen=True)
+class FilterExpr:
+    expr: object
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    name: str
+    args: tuple
+
+
+@dataclass
+class Group:
+    elements: list = field(default_factory=list)
+
+
+@dataclass
+class InsertWhere:
+    template: list  # [(graph | None, TriplePattern)]
+    target_graph: str | None  # WITH <g>
+    using: list  # graph IRIs
+    where: Group
+
+
+@dataclass
+class InsertData:
+    quads: list  # [(graph, TriplePattern with constant terms)]
+
+
+@dataclass
+class GraphDDL:
+    verb: str  # 'clear' | 'drop'
+    graph: str
+    silent: bool
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+)
+    | (?P<COMMENT>\#[^\n]*)
+    | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+    | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+    | (?P<DTYPE>\^\^)
+    | (?P<PNAME>(?:[A-Za-z_][\w-]*)?:[A-Za-z0-9_](?:[\w-]|\.(?=[\w-]))*)
+    | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
+    | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
+    | (?P<NAME>[A-Za-z_][\w-]*)
+    | (?P<PUNCT>[{}\[\]();,.])
+    """,
+    re.VERBOSE,
+)
+
+_STR_ESCAPES = {
+    "t": "\t",
+    "n": "\n",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    '"': '"',
+    "'": "'",
+    "\\": "\\",
+}
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "\\" and i + 1 < len(s):
+            out.append(_STR_ESCAPES.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(text: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SyntaxError(f"unexpected character {text[pos]!r} at offset {pos}")
+        kind = m.lastgroup or ""
+        if kind not in ("WS", "COMMENT"):
+            tokens.append(Token(kind, m.group(), pos))
+        pos = m.end()
+    return tokens
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+FUNCTIONS = {
+    "CONCAT",
+    "MD5",
+    "URI",
+    "IRI",
+    "IF",
+    "BOUND",
+    "STRSTARTS",
+    "STRLANG",
+    "LCASE",
+    "UCASE",
+    "REPLACE",
+    "STRAFTER",
+    "STRBEFORE",
+    "ENCODE_FOR_URI",
+    "STR",
+}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._bnode_n = 0
+
+    # -- token helpers ----------------------------------------------------
+
+    def peek(self, k: int = 0) -> Token | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Token:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of input")
+        self.i += 1
+        return t
+
+    def at_name(self, *names: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "NAME" and t.text.upper() in names
+
+    def expect_name(self, name: str) -> None:
+        t = self.next()
+        if t.kind != "NAME" or t.text.upper() != name:
+            raise SyntaxError(f"expected {name}, got {t.text!r} at {t.pos}")
+
+    def at_punct(self, ch: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "PUNCT" and t.text == ch
+
+    def expect_punct(self, ch: str) -> None:
+        t = self.next()
+        if t.kind != "PUNCT" or t.text != ch:
+            raise SyntaxError(f"expected {ch!r}, got {t.text!r} at {t.pos}")
+
+    # -- terms ------------------------------------------------------------
+
+    def resolve_pname(self, text: str) -> str:
+        ns, _, local = text.partition(":")
+        if ns not in self.prefixes:
+            raise SyntaxError(f"undefined prefix {ns!r}:")
+        return self.prefixes[ns] + local
+
+    def parse_iri(self) -> str:
+        t = self.next()
+        if t.kind == "IRIREF":
+            return t.text[1:-1]
+        if t.kind in ("PNAME", "PNAME_NS"):
+            return self.resolve_pname(t.text)
+        raise SyntaxError(f"expected IRI, got {t.text!r} at {t.pos}")
+
+    def parse_literal(self) -> LitT:
+        t = self.next()
+        value = _unescape(t.text[1:-1])
+        nxt = self.peek()
+        if nxt is not None and nxt.kind == "DTYPE":
+            self.next()
+            dt = self.parse_iri()
+            # RDF 1.1: "..."^^xsd:string IS the plain string literal
+            return LitT(value, None if dt == _XSD_STRING else dt)
+        if nxt is not None and nxt.kind == "LANGTAG":
+            self.next()
+            return LitT(value, None, nxt.text[1:])
+        return LitT(value)
+
+    def fresh_bnode_var(self) -> VarT:
+        # NOTE: no double underscore — columns containing "__" are term
+        # companion columns in the compiled solution mapping (bgp.py), so a
+        # "__bN" name would be invisible to shared-variable join detection
+        self._bnode_n += 1
+        return VarT(f"_anon_{self._bnode_n}")
+
+    # -- entry ------------------------------------------------------------
+
+    def parse_update(self):
+        self.parse_prologue()
+        if self.at_name("CLEAR", "DROP"):
+            return self.parse_ddl()
+        if self.at_name("INSERT"):
+            self.next()
+            if self.at_name("DATA"):
+                self.next()
+                return self.parse_insert_data()
+            return self.parse_insert_where(target=None, insert_consumed=True)
+        if self.at_name("WITH"):
+            self.next()
+            target = self.parse_iri()
+            self.expect_name("INSERT")
+            return self.parse_insert_where(target=target, insert_consumed=True)
+        t = self.peek()
+        raise SyntaxError(f"expected update form, got {t.text if t else 'EOF'!r}")
+
+    def parse_prologue(self) -> None:
+        while self.at_name("PREFIX"):
+            self.next()
+            t = self.next()
+            if t.kind not in ("PNAME_NS",):
+                raise SyntaxError(f"expected prefix declaration at {t.pos}")
+            ns = t.text[:-1]
+            iri_t = self.next()
+            if iri_t.kind != "IRIREF":
+                raise SyntaxError(f"expected IRI in PREFIX at {iri_t.pos}")
+            self.prefixes[ns] = iri_t.text[1:-1]
+
+    def parse_ddl(self) -> GraphDDL:
+        verb = self.next().text.lower()
+        silent = False
+        if self.at_name("SILENT"):
+            silent = True
+            self.next()
+        self.expect_name("GRAPH")
+        graph = self.parse_iri()
+        return GraphDDL(verb, graph, silent)
+
+    # -- INSERT DATA ------------------------------------------------------
+
+    def parse_insert_data(self) -> InsertData:
+        self.expect_punct("{")
+        quads: list[tuple[str | None, TriplePattern]] = []
+        while not self.at_punct("}"):
+            if self.at_name("GRAPH"):
+                self.next()
+                g = self.parse_iri()
+                self.expect_punct("{")
+                while not self.at_punct("}"):
+                    for tp in self.parse_triples_block(allow_vars=False):
+                        quads.append((g, tp))
+                self.expect_punct("}")
+            else:
+                for tp in self.parse_triples_block(allow_vars=False):
+                    quads.append((None, tp))
+        self.expect_punct("}")
+        return InsertData(quads)
+
+    # -- INSERT ... WHERE -------------------------------------------------
+
+    def parse_insert_where(self, target: str | None, insert_consumed: bool) -> InsertWhere:
+        if not insert_consumed:
+            self.expect_name("INSERT")
+        self.expect_punct("{")
+        template: list[tuple[str | None, TriplePattern]] = []
+        while not self.at_punct("}"):
+            if self.at_name("GRAPH"):
+                self.next()
+                g = self.parse_iri()
+                self.expect_punct("{")
+                while not self.at_punct("}"):
+                    for tp in self.parse_triples_block(allow_vars=True):
+                        template.append((g, tp))
+                self.expect_punct("}")
+            else:
+                for tp in self.parse_triples_block(allow_vars=True):
+                    template.append((None, tp))
+        self.expect_punct("}")
+        using: list[str] = []
+        while self.at_name("USING"):
+            self.next()
+            if self.at_name("NAMED"):
+                self.next()
+            using.append(self.parse_iri())
+        self.expect_name("WHERE")
+        where = self.parse_group()
+        return InsertWhere(template, target, using, where)
+
+    # -- groups -----------------------------------------------------------
+
+    def parse_group(self) -> Group:
+        self.expect_punct("{")
+        g = Group()
+        while not self.at_punct("}"):
+            if self.at_name("OPTIONAL"):
+                self.next()
+                g.elements.append(OptionalGroup(self.parse_group()))
+            elif self.at_name("BIND"):
+                self.next()
+                self.expect_punct("(")
+                expr = self.parse_expr()
+                self.expect_name("AS")
+                var = self.next()
+                if var.kind != "VAR":
+                    raise SyntaxError(f"expected variable after AS at {var.pos}")
+                self.expect_punct(")")
+                g.elements.append(BindExpr(expr, var.text[1:]))
+            elif self.at_name("FILTER"):
+                self.next()
+                self.expect_punct("(")
+                expr = self.parse_expr()
+                self.expect_punct(")")
+                g.elements.append(FilterExpr(expr))
+            else:
+                for tp in self.parse_triples_block(allow_vars=True, stop_at_keyword=True):
+                    g.elements.append(tp)
+        self.expect_punct("}")
+        return g
+
+    # -- triples ----------------------------------------------------------
+
+    def parse_triples_block(
+        self, allow_vars: bool, stop_at_keyword: bool = False
+    ) -> list[TriplePattern]:
+        """One ``triplesSameSubject`` chain (incl. trailing ``.``); returns
+        the desugared flat pattern list."""
+        out: list[TriplePattern] = []
+        subj = self.parse_term_or_bnode(out, allow_vars)
+        self.parse_property_list(subj, out, allow_vars)
+        if self.at_punct("."):
+            self.next()
+        return out
+
+    def parse_property_list(self, subj, out: list, allow_vars: bool) -> None:
+        first = True
+        while True:
+            if not first:
+                if not self.at_punct(";"):
+                    break
+                while self.at_punct(";"):
+                    self.next()
+                # dangling ';' before '.', '}' or ']'
+                if self.at_punct(".") or self.at_punct("}") or self.at_punct("]"):
+                    break
+            first = False
+            pred = self.parse_verb()
+            while True:
+                obj = self.parse_term_or_bnode(out, allow_vars)
+                out.append(TriplePattern(subj, pred, obj))
+                if self.at_punct(","):
+                    self.next()
+                    continue
+                break
+            if not self.at_punct(";"):
+                break
+
+    def parse_verb(self):
+        t = self.peek()
+        if t is not None and t.kind == "NAME" and t.text == "a":
+            self.next()
+            return IriT(RDF_TYPE)
+        return IriT(self.parse_iri())
+
+    def parse_term_or_bnode(self, out: list, allow_vars: bool):
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of input in triples block")
+        if t.kind == "PUNCT" and t.text == "[":
+            # blank-node property list → fresh non-exported variable
+            # (reference sparql/tl_companies_mapping_org.sparql:40-46)
+            self.next()
+            node = self.fresh_bnode_var()
+            if not self.at_punct("]"):
+                self.parse_property_list(node, out, allow_vars)
+            self.expect_punct("]")
+            return node
+        if t.kind == "VAR":
+            if not allow_vars:
+                raise SyntaxError(f"variable not allowed here at {t.pos}")
+            self.next()
+            return VarT(t.text[1:])
+        if t.kind == "STRING":
+            return self.parse_literal()
+        if t.kind == "NUMBER":
+            self.next()
+            if "." in t.text:
+                return LitT(t.text, "http://www.w3.org/2001/XMLSchema#decimal")
+            return LitT(t.text, "http://www.w3.org/2001/XMLSchema#integer")
+        return IriT(self.parse_iri())
+
+    # -- expressions ------------------------------------------------------
+
+    def parse_expr(self):
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of input in expression")
+        if t.kind == "VAR":
+            self.next()
+            return VarT(t.text[1:])
+        if t.kind == "STRING":
+            return self.parse_literal()
+        if t.kind == "NUMBER":
+            self.next()
+            return LitT(t.text)
+        if t.kind == "NAME" and t.text.upper() in FUNCTIONS:
+            fname = self.next().text.upper()
+            self.expect_punct("(")
+            args = []
+            if not self.at_punct(")"):
+                args.append(self.parse_expr())
+                while self.at_punct(","):
+                    self.next()
+                    args.append(self.parse_expr())
+            self.expect_punct(")")
+            return FuncCall("URI" if fname == "IRI" else fname, tuple(args))
+        if t.kind in ("IRIREF", "PNAME", "PNAME_NS"):
+            return IriT(self.parse_iri())
+        raise SyntaxError(f"unexpected token {t.text!r} in expression at {t.pos}")
+
+
+def parse_update(text: str):
+    """Parse one SPARQL Update request → InsertWhere | InsertData | GraphDDL."""
+    p = _Parser(text)
+    node = p.parse_update()
+    if p.at_punct(";"):  # trailing separator
+        p.next()
+    if p.peek() is not None:
+        t = p.peek()
+        raise SyntaxError(f"trailing input at {t.pos}: {t.text!r}")
+    return node

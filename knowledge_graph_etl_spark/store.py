@@ -83,9 +83,16 @@ class GraphStore:
             batch.write.mode("append").partitionBy("g").parquet(self.path)
         else:
             cur = self._mem
-            self._mem = batch if cur is None else cur.unionByName(batch)
-            # keep the in-memory lineage shallow
-            self._mem = self._mem.localCheckpoint(eager=True)
+            new = batch if cur is None else cur.unionByName(batch)
+            # materialize through the cache: InMemoryRelation carries REAL
+            # size stats, so downstream pattern-scan joins get sane
+            # broadcast decisions instead of defaultSizeInBytes=Long.Max
+            # cascading into astronomically-estimated join plans
+            new = new.cache()
+            new.count()
+            if cur is not None:
+                cur.unpersist()
+            self._mem = new
 
     def insert_data(self, rows: list[tuple], graph: str | None = None) -> None:
         """SPARQL ``INSERT DATA { GRAPH <g> { ...constant triples... } }``

@@ -1,0 +1,332 @@
+"""SPARQL-Update front end: parser unit tests + compiled-semantics tests.
+
+The parser/compiler must run the reference's own query files verbatim
+(reference airflow_files/dags/sparql/*.sparql); the semantic cases here
+cover the grammar features those queries exercise (SURVEY.md §2.3, §7
+Phase 3 hard parts: bnode desugaring, nested OPTIONAL scoping,
+BIND-in-OPTIONAL, term typing through expressions).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_etl_spark.engine import Engine
+from knowledge_graph_etl_spark.plans.parser import (
+    GraphDDL,
+    InsertData,
+    InsertWhere,
+    parse_update,
+)
+
+REF_SPARQL_DIR = "/root/reference/airflow_files/dags/sparql"
+
+NS = "urn:ns/"
+
+
+def eng_with(spark, quad_rows):
+    eng = Engine(spark)
+    eng.store.insert_data(quad_rows)
+    return eng
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# -- parser ----------------------------------------------------------------
+
+
+def test_parse_all_reference_files():
+    if not os.path.isdir(REF_SPARQL_DIR):
+        pytest.skip("reference checkout not available")
+    for fname in sorted(os.listdir(REF_SPARQL_DIR)):
+        node = parse_update(open(os.path.join(REF_SPARQL_DIR, fname)).read())
+        assert isinstance(node, InsertWhere)
+        assert node.template
+        assert node.using
+        assert node.target_graph or all(g for g, _ in node.template)
+
+
+def test_parse_ddl():
+    node = parse_update("CLEAR SILENT GRAPH <urn:g:x>")
+    assert node == GraphDDL("clear", "urn:g:x", True)
+    node = parse_update("DROP GRAPH <urn:g:y>")
+    assert node == GraphDDL("drop", "urn:g:y", False)
+
+
+def test_parse_insert_data_typed():
+    node = parse_update(
+        """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        INSERT DATA { GRAPH <urn:g> {
+          <urn:s> <urn:p> "v"; <urn:q> "3"^^xsd:integer, "x"@nl.
+        } }
+        """
+    )
+    assert isinstance(node, InsertData)
+    assert len(node.quads) == 3
+    (g1, t1), (g2, t2), (g3, t3) = node.quads
+    assert g1 == g2 == g3 == "urn:g"
+    assert t1.o.value == "v" and t1.o.datatype is None
+    assert t2.o.datatype == "http://www.w3.org/2001/XMLSchema#integer"
+    assert t3.o.lang == "nl"
+
+
+def test_parse_bnode_property_list_desugar():
+    node = parse_update(
+        """
+        INSERT { ?o <urn:t> ?v } USING <urn:g> WHERE {
+          ?o <urn:cf> [ <urn:value> ?v; <urn:def> [ <urn:id> ?d ] ].
+        }
+        """
+    )
+    pats = node.where.elements
+    assert len(pats) == 4  # o→cf→b1, b1→value, b1→def→b2, b2→id
+    names = {t.name for p in pats for t in (p.s, p.o) if hasattr(t, "name")}
+    anon = {n for n in names if n.startswith("_anon_")}
+    assert len(anon) == 2
+    assert not any("__" in n for n in anon)  # must be joinable variables
+
+
+# -- compiled semantics ----------------------------------------------------
+
+
+def _quads(*rows_):
+    """(s, p, o) or (s, p, o, datatype) → constant quad rows in urn:g."""
+    out = []
+    for r in rows_:
+        s, p, o = r[0], r[1], r[2]
+        dt = r[3] if len(r) > 3 else None
+        if o.startswith("urn:") or o.startswith("_:"):
+            ty = "bnode" if o.startswith("_:") else "iri"
+            out.append(("urn:g", s, "iri", p, o, ty, None, None))
+        else:
+            out.append(("urn:g", s, "iri", p, o, "literal", dt, None))
+    return out
+
+
+def test_insert_where_star_bind_md5(spark):
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:a", NS + "objectClass", "organization"),
+            ("urn:a", NS + "o", "OR-1"),
+            ("urn:b", NS + "objectClass", "other"),
+            ("urn:b", NS + "o", "OR-2"),
+        ),
+    )
+    eng.update(
+        f"""
+        PREFIX source: <{NS}>
+        WITH <urn:out>
+        INSERT {{ ?org a <urn:Org>; <urn:id> ?orid. }}
+        USING <urn:g>
+        WHERE {{
+          ?x source:objectClass "organization"; source:o ?orid.
+          BIND (URI(CONCAT('urn:org/', MD5(?orid))) AS ?org)
+        }}
+        """
+    )
+    out = eng.store.graph("urn:out")
+    got = rows(out.select("s", "p", "o_value", "o_type"))
+    import hashlib
+
+    h = "urn:org/" + hashlib.md5(b"OR-1").hexdigest()
+    assert got == {
+        (h, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:Org", "iri"),
+        (h, "urn:id", "OR-1", "literal"),
+    }
+
+
+def test_optional_unbound_skips_template_triple(spark):
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:a", NS + "name", "A"),
+            ("urn:a", NS + "street", "Main 1"),
+            ("urn:b", NS + "name", "B"),
+        ),
+    )
+    eng.update(
+        f"""
+        PREFIX source: <{NS}>
+        WITH <urn:out>
+        INSERT {{ ?x <urn:label> ?n. ?x <urn:addr> ?street. }}
+        USING <urn:g>
+        WHERE {{
+          ?x source:name ?n.
+          OPTIONAL {{ ?x source:street ?street }}
+        }}
+        """
+    )
+    got = rows(eng.store.graph("urn:out").select("s", "p", "o_value"))
+    assert got == {
+        ("urn:a", "urn:label", "A"),
+        ("urn:a", "urn:addr", "Main 1"),
+        ("urn:b", "urn:label", "B"),
+    }
+
+
+def test_nested_correlated_optional(spark):
+    # mirrors sparql/tl_companies_mapping_contactpoint.sparql:44-54 —
+    # inner OPTIONAL correlates on the OUTER optional's ?etype
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:c1", NS + "emails", "_:e1"),
+            ("_:e1", NS + "type", "primary"),
+            ("_:e1", NS + "email", "a@x"),
+            ("urn:c1", NS + "emails", "_:e2"),
+            ("_:e2", NS + "type", "support"),
+            ("_:e2", NS + "email", "b@x"),
+            ("urn:c1", NS + "telephones", "_:t1"),
+            ("_:t1", NS + "type", "primary"),
+            ("_:t1", NS + "number", "+32"),
+        ),
+    )
+    df = eng.plan(
+        f"""
+        PREFIX source: <{NS}>
+        WITH <urn:out>
+        INSERT {{ ?c <urn:mail> ?email. ?c <urn:tel> ?tel. }}
+        USING <urn:g>
+        WHERE {{
+          OPTIONAL {{
+            ?c source:emails ?e.
+            ?e source:type ?etype; source:email ?email
+            OPTIONAL {{
+              ?c source:telephones ?t.
+              ?t source:type ?etype; source:number ?tel
+            }}
+          }}
+        }}
+        """
+    )
+    got = rows(df.select("s", "p", "o_value"))
+    # primary email pairs with primary phone; support email has none
+    assert got == {
+        ("urn:c1", "urn:mail", "a@x"),
+        ("urn:c1", "urn:mail", "b@x"),
+        ("urn:c1", "urn:tel", "+32"),
+    }
+
+
+def test_bind_inside_optional_scope(spark):
+    # sparql/tl_companies_mapping_classification.sparql:38 — BIND inside
+    # OPTIONAL only applies to matched rows
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:a", NS + "id", "A"),
+            ("urn:a", NS + "class", "1 - Cultuur organisatie"),
+            ("urn:b", NS + "id", "B"),
+        ),
+    )
+    df = eng.plan(
+        f"""
+        PREFIX source: <{NS}>
+        WITH <urn:out>
+        INSERT {{ ?x <urn:cls> ?cls. ?x <urn:seen> "y". }}
+        USING <urn:g>
+        WHERE {{
+          ?x source:id ?i.
+          OPTIONAL {{
+            ?x source:class ?c.
+            BIND (URI(CONCAT('urn:t/', LCASE(REPLACE(STRAFTER(?c, ' - '), ' ', '_')))) AS ?cls)
+          }}
+        }}
+        """
+    )
+    got = rows(df.select("s", "o_value", "o_type"))
+    assert ("urn:a", "urn:t/cultuur_organisatie", "iri") in got
+    assert ("urn:a", "y", "literal") in got
+    assert ("urn:b", "y", "literal") in got
+    assert not any(s == "urn:b" and t == "iri" for s, _, t in got)
+
+
+def test_if_bound_default_typed_literal(spark):
+    # sparql/tl_companies_mapping_overlay.sparql:48-49
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:a", NS + "id", "A"),
+            ("urn:a", NS + "flag", "true", "http://www.w3.org/2001/XMLSchema#boolean"),
+            ("urn:b", NS + "id", "B"),
+        ),
+    )
+    df = eng.plan(
+        f"""
+        PREFIX source: <{NS}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        WITH <urn:out>
+        INSERT {{ ?x <urn:flag> ?v. }}
+        USING <urn:g>
+        WHERE {{
+          ?x source:id ?i.
+          OPTIONAL {{ ?x source:flag ?f. }}
+          BIND (IF(BOUND(?f), ?f, "false"^^xsd:boolean) AS ?v)
+        }}
+        """
+    )
+    got = rows(df.select("s", "o_value", "o_datatype"))
+    xsd_b = "http://www.w3.org/2001/XMLSchema#boolean"
+    assert got == {("urn:a", "true", xsd_b), ("urn:b", "false", xsd_b)}
+
+
+def test_strlang_graph_template(spark):
+    eng = eng_with(spark, _quads(("urn:a", NS + "d", "hallo")))
+    eng.update(
+        f"""
+        PREFIX source: <{NS}>
+        INSERT {{ GRAPH <urn:out> {{ ?x <urn:desc> ?l. }} }}
+        USING <urn:g>
+        WHERE {{ ?x source:d ?d. BIND (STRLANG(?d, "nl") AS ?l) }}
+        """
+    )
+    got = rows(eng.store.graph("urn:out").select("o_value", "o_lang"))
+    assert got == {("hallo", "nl")}
+
+
+def test_insert_idempotent_set_semantics(spark):
+    eng = eng_with(spark, _quads(("urn:a", NS + "name", "A")))
+    q = f"""
+        PREFIX source: <{NS}>
+        WITH <urn:out>
+        INSERT {{ ?x <urn:label> ?n. }}
+        USING <urn:g>
+        WHERE {{ ?x source:name ?n. }}
+    """
+    eng.update(q)
+    first = sorted(map(tuple, eng.store.graph("urn:out").collect()))
+    eng.update(q)
+    second = sorted(map(tuple, eng.store.graph("urn:out").collect()))
+    assert first == second and len(first) == 1
+
+
+def test_clear_and_drop(spark):
+    eng = eng_with(spark, _quads(("urn:a", NS + "name", "A")))
+    assert eng.store.graph("urn:g").count() == 1
+    eng.update("CLEAR SILENT GRAPH <urn:g>")
+    assert eng.store.graph("urn:g").count() == 0
+    eng.update("CLEAR SILENT GRAPH <urn:never-existed>")  # silent: no error
+    eng.update("DROP SILENT GRAPH <urn:g>")
+
+
+def test_insert_data_execute(spark):
+    eng = Engine(spark)
+    eng.update(
+        """
+        PREFIX prov: <http://www.w3.org/ns/prov#>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        INSERT DATA { GRAPH <urn:prov> {
+            <urn:result> prov:wasDerivedFrom <urn:src1>, <urn:src2>;
+                         prov:startedAtTime "2024-01-01T00:00:00"^^xsd:dateTime.
+        } }
+        """
+    )
+    got = rows(eng.store.graph("urn:prov").select("p", "o_value", "o_type"))
+    assert ("http://www.w3.org/ns/prov#wasDerivedFrom", "urn:src1", "iri") in got
+    assert ("http://www.w3.org/ns/prov#wasDerivedFrom", "urn:src2", "iri") in got
+    assert any(v == "2024-01-01T00:00:00" for _, v, _ in got)
