@@ -29,7 +29,12 @@ from knowledge_graph_etl_spark.extensions.multimodal import (
     attach_metadata,
     decode_and_featurize,
 )
-from knowledge_graph_etl_spark.extensions.similarity import cosine_topk
+from knowledge_graph_etl_spark.extensions.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from knowledge_graph_etl_spark.extensions.text import (
     STOPWORDS,
     fingerprint,
@@ -215,6 +220,36 @@ def kg_dataset_union(spark, sf_dir):
     return store.dataset(["urn:g:nation", "urn:g:region"]).select("g", "s", "p", "o_value")
 
 
+def kg_sparql_update(spark, sf_dir):
+    """Ops 8+14-24 via the FULL SPARQL-Update front end: text → parser →
+    algebra → DataFrame compile → set-semantic insert (plans/parser.py,
+    plans/compiler.py, engine.py)."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(_customer_quads(spark, sf_dir), dedup_against_store=False)
+    eng.store.insert(_orders_quads(spark, sf_dir), dedup_against_store=False)
+    eng.update(
+        """
+        PREFIX p: <urn:p:>
+        WITH <urn:g:out>
+        INSERT {
+            ?org a <urn:cls:Organization>;
+                 <urn:schema:name> ?name;
+                 <urn:p:urgentOrder> ?ord.
+        }
+        USING <urn:g:customer>
+        USING <urn:g:orders>
+        WHERE {
+            ?c p:c_mktsegment "BUILDING"; p:c_name ?name.
+            OPTIONAL { ?ord p:o_custkey ?c; p:o_orderpriority "1-URGENT". }
+            BIND (URI(CONCAT('urn:org:', MD5(?name))) AS ?org)
+        }
+        """
+    )
+    return eng.store.graph("urn:g:out")
+
+
 # --------------------------------------------------------------------------
 # Relational core: aggregation / window / sort-limit (needed by Phase-5 and
 # absent from the reference, SURVEY.md §2.5 — implemented as first-class ops)
@@ -319,6 +354,41 @@ def json_extract_events(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Streaming operators (batch-equivalent path of the same code;
+# stream-vs-batch equivalence is asserted in tests/test_streaming.py)
+# --------------------------------------------------------------------------
+
+
+def _events_ts(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_windowed_counts(spark, sf_dir):
+    from knowledge_graph_etl_spark.streaming import windowed_event_counts
+
+    out = windowed_event_counts(_events_ts(spark, sf_dir), window_duration="1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("ws_us"),
+        "event_type",
+        "cnt",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def streaming_sessionize(spark, sf_dir):
+    from knowledge_graph_etl_spark.streaming import sessionize
+
+    out = sessionize(_events_ts(spark, sf_dir), gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
 # Beyond-reference: dedup / similarity / text / multimodal
 # --------------------------------------------------------------------------
 
@@ -344,6 +414,36 @@ def ann_cosine_topk_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+def ann_embedding_neardup_q(spark, sf_dir):
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def ann_lsh_topk_q(spark, sf_dir):
+    # rows-only: LSH candidate generation is approximate by design; the
+    # exact-recall baseline is ann_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+def ann_ivf_topk_q(spark, sf_dir):
+    # rows-only: IVF probing is approximate by design
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4, query_id_col="query_id")
+
+
+def dedup_simhash_q(spark, sf_dir):
+    # rows-only: 64-bit SimHash with Hamming-ball blocking
+    from knowledge_graph_etl_spark.extensions.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, blocks=4)
 
 
 def text_features_q(spark, sf_dir):
@@ -414,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functions": kg_functions,
         "kg_dedup_union": kg_dedup_union,
         "kg_dataset_union": kg_dataset_union,
+        "kg_sparql_update": kg_sparql_update,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_sessionize": streaming_sessionize,
         "agg_pricing_summary": agg_pricing_summary,
         "join_topn_revenue": join_topn_revenue,
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
@@ -424,6 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_minhash_lsh": dedup_minhash_lsh_q,
         "ann_cosine_topk": ann_cosine_topk_q,
+        "ann_embedding_neardup": ann_embedding_neardup_q,
+        "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "dedup_simhash": dedup_simhash_q,
         "text_features": text_features_q,
         "text_langid": text_langid_q,
         "text_fingerprint": text_fingerprint_q,
@@ -529,6 +636,44 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'urn:g:region', concat('urn:reg:', CAST(r_regionkey AS VARCHAR)), "
             "'urn:p:r_name', r_name FROM region"
+        ),
+        "kg_sparql_update": (
+            "SELECT 'urn:g:out' AS g, s, 'iri' AS s_type, p, o_value, o_type, "
+            "CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang FROM ("
+            f"SELECT {org} AS s, "
+            "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p, "
+            "'urn:cls:Organization' AS o_value, 'iri' AS o_type "
+            "FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION "
+            f"SELECT {org}, 'urn:schema:name', c_name, 'literal' "
+            "FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION "
+            f"SELECT {org}, 'urn:p:urgentOrder', {ord_s}, 'iri' "
+            f"FROM customer JOIN ({urgent}) o ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "streaming_windowed_counts": (
+            "SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, "
+            "COUNT(*) AS cnt, round(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_sessionize": (
+            "WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+            "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
+            "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)), "
+            "s AS (SELECT user_id, us, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "ann_embedding_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

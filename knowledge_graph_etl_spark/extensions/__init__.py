@@ -13,7 +13,7 @@ from .text import (
     langid,
     punct_ratio,
     quality_score,
-    simhash64,
+    simhash64_table,
     stopword_ratio,
     token_count,
     tokens,
@@ -33,7 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "punct_ratio",
     "quality_score",
-    "simhash64",
+    "simhash64_table",
     "simhash_pairs",
     "stopword_ratio",
     "token_count",

@@ -191,22 +191,22 @@ def simhash_pairs(
     """SimHash near-dup pairs via block-permutation candidate generation:
     split the 64-bit hash into ``blocks`` segments; by pigeonhole, any pair
     within ``max_hamming < blocks`` differs in zero bits of at least one
-    segment → join on (block_index, segment). Never all-pairs."""
-    from .text import simhash64
+    segment → join on (block_index, segment). Never all-pairs; Hamming
+    distance is one ``bit_count(xor)`` — everything bitwise on bigint,
+    whole-stage codegen throughout."""
+    from .text import simhash64_table
 
-    sh = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = simhash64_table(docs, text_col=text_col, id_col=id_col)
     width = 64 // blocks
-    seg = lambda col, bi: (
-        (col / F.lit(float(2 ** (bi * width)))).cast("decimal(22,0)")
-        % F.lit(2**width)
-    )
+    mask = F.lit((1 << width) - 1).cast("long")
+    seg = lambda bi: F.shiftright("sh", bi * width).bitwiseAND(mask)
     blocked = sh.select(
         "id",
         "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(bi).alias("blk"), seg(F.col("sh"), bi).alias("segv"))
+                    F.struct(F.lit(bi).alias("blk"), seg(bi).alias("segv"))
                     for bi in range(blocks)
                 ]
             )
@@ -228,14 +228,7 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # popcount(xor) over decimal-encoded uint64, bit by bit (columnar)
-    ham = None
-    for bit in range(64):
-        div = F.lit(float(2**bit))
-        xa = ((F.col("sh_a") / div).cast("decimal(22,0)") % 2)
-        xb = ((F.col("sh_b") / div).cast("decimal(22,0)") % 2)
-        d = F.when(xa != xb, 1).otherwise(0)
-        ham = d if ham is None else ham + d
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,150 @@
+"""Streaming analytics operators: windowed aggregation + sessionization.
+
+Beyond-reference operators (the reference workload has no streaming,
+SURVEY.md §2.5) built the idiomatic Structured-Streaming way:
+
+  * ``windowed_event_counts`` — tumbling event-time windows with a
+    watermark for late data; works identically on batch DataFrames
+    (same code path, Catalyst handles both).
+  * ``sessionize`` — gap-based session windows via
+    ``applyInPandasWithState`` (the custom-stateful-operator escape
+    hatch) on streams, with a batch window-function equivalent for
+    oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums per group. On a streaming input the
+    watermark bounds state and admits late rows up to the delay; on a
+    batch input the same expression is a plain grouped aggregate."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization.
+
+    Streaming path: ``applyInPandasWithState`` keeps per-user open-session
+    state (start, last-seen, count) and emits a session row when the gap
+    closes it or the state times out past the watermark. Batch path: the
+    classic gaps-and-islands rewrite (lag + cumulative sum), which is the
+    SQL-oracle-checkable equivalent.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(user_col).orderBy(ts_col)
+        gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+        df = events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+        )
+        df = df.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        return df.groupBy(user_col, "session_id").agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).drop("session_id")
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+
+    def update(key, pdfs, state):
+        (user,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_ms = []
+        for pdf in pdfs:
+            ts_ms.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"]))
+        ts_ms.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_ms[0], ts_ms[0], 0
+        out = []
+        for t in ts_ms:
+            if t - last > gap_ms:
+                out.append((user, start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": [pd.Timestamp(r[1], unit="ms") for r in out],
+                    "session_end": [pd.Timestamp(r[2], unit="ms") for r in out],
+                    "n_events": [r[3] for r in out],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,161 @@
+"""Structured-Streaming operators: ingest-to-store, windowed aggregation
+with watermark, stateful sessionization. File-stream sources +
+availableNow triggers keep runs deterministic."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_etl_spark.store import GraphStore
+from knowledge_graph_etl_spark.streaming import (
+    sessionize,
+    stream_insert_into_store,
+    stream_json_to_quads,
+    windowed_event_counts,
+)
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_ingest_into_store(spark, tmp_path):
+    src = str(tmp_path / "in")
+    _write_jsonl(
+        os.path.join(src, "batch1.jsonl"),
+        [
+            {"doc_id": "a", "json": json.dumps({"name": "A", "n": 1})},
+            {"doc_id": "b", "json": json.dumps({"name": "B"})},
+        ],
+    )
+    store = GraphStore(spark, str(tmp_path / "store"))
+    docs = (
+        spark.readStream.schema("doc_id string, json string")
+        .json(src)
+    )
+    quads = stream_json_to_quads(docs, "urn:g:stream", namespace="urn:p:")
+    q = stream_insert_into_store(
+        quads, store, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["s"], r["p"], r["o_value"])
+        for r in store.graph("urn:g:stream").collect()
+    }
+    assert ("_:ba-0", "urn:p:name", "A") in got
+    assert ("_:ba-0", "urn:p:n", "1") in got
+    assert ("_:bb-0", "urn:p:name", "B") in got
+
+    # second batch overlapping the first: set semantics across batches
+    _write_jsonl(
+        os.path.join(src, "batch2.jsonl"),
+        [
+            {"doc_id": "a", "json": json.dumps({"name": "A", "n": 1})},  # dup
+            {"doc_id": "c", "json": json.dumps({"name": "C"})},
+        ],
+    )
+    q = stream_insert_into_store(
+        stream_json_to_quads(
+            spark.readStream.schema("doc_id string, json string").json(src),
+            "urn:g:stream",
+            namespace="urn:p:",
+        ),
+        store,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = store.graph("urn:g:stream").collect()
+    assert len(rows) == len({tuple(r) for r in rows})  # no duplicates
+    assert ("_:bc-0", "urn:p:name", "C") in {
+        (r["s"], r["p"], r["o_value"]) for r in rows
+    }
+
+
+def _event_rows():
+    return [
+        # user 1: two sessions separated by > 30 min
+        (1, "2024-01-01T10:00:00", "view", 1.0),
+        (1, "2024-01-01T10:10:00", "view", 2.0),
+        (1, "2024-01-01T11:30:00", "buy", 5.0),
+        # user 2: one session
+        (2, "2024-01-01T10:05:00", "view", 3.0),
+    ]
+
+
+def _events_df(spark):
+    df = spark.createDataFrame(
+        _event_rows(), "user_id bigint, ts_s string, event_type string, value double"
+    )
+    return df.select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    batch = windowed_event_counts(_events_df(spark), window_duration="1 hour")
+    expect = {
+        (str(r["window_start"]), r["event_type"], r["cnt"], r["sum_value"])
+        for r in batch.collect()
+    }
+    src = str(tmp_path / "ev")
+    _events_df(spark).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = windowed_event_counts(stream, window_duration="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"], r["cnt"], r["sum_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    assert got == expect and len(got) == 2
+
+
+def test_sessionize_batch(spark):
+    out = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize(_events_df(spark), gap_seconds=1800).collect()
+    }
+    assert out == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),
+        (1, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
+        (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1),
+    }
+
+
+def test_sessionize_stream_closed_sessions(spark, tmp_path):
+    src = str(tmp_path / "ev2")
+    _events_df(spark).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+    # within one availableNow run only sessions CLOSED by a later event in
+    # the same user's stream emit; open sessions wait for timeout.
+    # user 1's first session closes when the 11:30 event arrives.
+    assert (1, "2024-01-01 10:00:00", 2) in got
