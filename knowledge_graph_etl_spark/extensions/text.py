@@ -77,15 +77,8 @@ def langid(text: Column) -> Column:
     the five built-in lists, ties broken by language code order, 'und' when
     nothing hits."""
     scores = langid_scores(text)
-    pairs = F.array(
-        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
-    )
-    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
-    # array_max on struct compares score first, then lang — but ties must
-    # pick the FIRST language code, so invert: max over (score, reversed lang)
-    # is fragile; instead sort and take the head.
-    ordered = F.sort_array(pairs, asc=False)  # by score desc, then lang desc
-    # To break ties by lang ASC we re-sort structs of (-score, lang):
+    # ties must pick the FIRST language code: sort structs of (-score, lang)
+    # ascending and take the head
     keyed = F.array(
         *[
             F.struct((-s).alias("negscore"), F.lit(lang).alias("lang"))

@@ -35,7 +35,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import TermExpr
-from ..terms import LITERAL, Term
+from ..terms import LITERAL, Term, XSD_STRING
+
+
+def _plain_literal_conds(value) -> list[Column]:
+    """Full term equality for a constant plain literal: SPARQL matches
+    ``"x"`` only against the plain/xsd:string literal, never ``"x"@nl`` or
+    ``"x"^^dt`` (RDF 1.1 folds xsd:string into the plain form)."""
+    return [
+        F.col("o_value") == value,
+        F.col("o_type") == LITERAL,
+        F.col("o_datatype").isNull() | (F.col("o_datatype") == XSD_STRING),
+        F.col("o_lang").isNull(),
+    ]
 
 
 @dataclass(frozen=True)
@@ -86,16 +98,27 @@ def pattern(
 
     if not _is_var(o):
         if isinstance(o, Term):
-            conds.append(F.col("o_value") == o.value)
-            conds.append(F.col("o_type") == o.type)
-            if o.datatype is not None:
-                conds.append(F.col("o_datatype") == o.datatype)
-            if o.lang is not None:
-                conds.append(F.col("o_lang") == o.lang)
+            if o.type == LITERAL and o.datatype is None and o.lang is None:
+                conds.extend(_plain_literal_conds(o.value))
+            else:
+                conds.append(F.col("o_value") == o.value)
+                conds.append(F.col("o_type") == o.type)
+                if o.datatype is not None:
+                    conds.append(
+                        (F.col("o_datatype") == o.datatype)
+                        if o.datatype != XSD_STRING
+                        else (
+                            F.col("o_datatype").isNull()
+                            | (F.col("o_datatype") == XSD_STRING)
+                        )
+                    )
+                if o.lang is not None:
+                    conds.append(F.col("o_lang") == o.lang)
+                if o.type == LITERAL and o.lang is None:
+                    conds.append(F.col("o_lang").isNull())
         else:
             # plain string constant ≙ plain literal object
-            conds.append(F.col("o_value") == o)
-            conds.append(F.col("o_type") == LITERAL)
+            conds.extend(_plain_literal_conds(o))
     else:
         cols.append(F.col("o_value").alias(o.name))
         if keep_object_meta:

@@ -35,9 +35,10 @@ from ..functions import (
 )
 from ..operators.bgp import BGPBuilder, Var, _companion, pattern
 from ..operators.construct import construct
-from ..terms import IRI, LITERAL, Term
+from ..terms import BNODE, IRI, LITERAL, Term
 from .parser import (
     BindExpr,
+    BNodeT,
     FilterExpr,
     FuncCall,
     Group,
@@ -334,13 +335,20 @@ def execute_update(node, store) -> None:
             if g is None:
                 raise ValueError("INSERT DATA without GRAPH is not supported")
             s, p, o = tp.s, tp.p, tp.o
-            s_val, s_type = (
-                (s.value, IRI) if isinstance(s, IriT) else (s.value, "bnode")
-            )
+            if isinstance(s, IriT):
+                s_val, s_type = s.value, IRI
+            elif isinstance(s, BNodeT):
+                s_val, s_type = s.value, BNODE
+            else:
+                raise ValueError(
+                    f"INSERT DATA subject must be an IRI or blank node, got {s!r}"
+                )
             if not isinstance(p, IriT):
                 raise ValueError("INSERT DATA predicate must be an IRI")
             if isinstance(o, IriT):
                 rows.append((g, s_val, s_type, p.value, o.value, IRI, None, None))
+            elif isinstance(o, BNodeT):
+                rows.append((g, s_val, s_type, p.value, o.value, BNODE, None, None))
             elif isinstance(o, LitT):
                 rows.append(
                     (g, s_val, s_type, p.value, o.value, LITERAL, o.datatype, o.lang)

@@ -59,6 +59,15 @@ class LitT:
 
 
 @dataclass(frozen=True)
+class BNodeT:
+    """Concrete blank node (INSERT DATA only — the reference's hook
+    string-builds INSERT DATA containing rdflib BNode ``_:`` labels,
+    sparql_update.py:108-122)."""
+
+    value: str
+
+
+@dataclass(frozen=True)
 class TriplePattern:
     s: object
     p: object
@@ -125,7 +134,9 @@ _TOKEN_RE = re.compile(
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<DTYPE>\^\^)
-    | (?P<PNAME>(?:[A-Za-z_][\w-]*)?:[A-Za-z0-9_](?:[\w-]|\.(?=[\w-]))*)
+    | (?P<PNAME>(?:[A-Za-z_][\w-]*)?:
+        (?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])
+        (?:[\w-]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%]|\.(?=[\w%\\-]))* )
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
     | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
@@ -249,7 +260,10 @@ class _Parser:
         ns, _, local = text.partition(":")
         if ns not in self.prefixes:
             raise SyntaxError(f"undefined prefix {ns!r}:")
-        return self.prefixes[ns] + local
+        # PLX: %XX percent-escapes stay verbatim in the IRI; \-escapes drop
+        # the backslash (SPARQL PN_LOCAL — needed because the reference mints
+        # ':{quote_plus(run_id)}' local names, load_knowledge_graph.py:524)
+        return self.prefixes[ns] + re.sub(r"\\(.)", r"\1", local)
 
     def parse_iri(self) -> str:
         t = self.next()
@@ -412,7 +426,10 @@ class _Parser:
         the desugared flat pattern list."""
         out: list[TriplePattern] = []
         subj = self.parse_term_or_bnode(out, allow_vars)
-        self.parse_property_list(subj, out, allow_vars)
+        # `[ props ] .` — a blank-node property list may stand alone with an
+        # empty outer property list (SPARQL TriplesNode PropertyList)
+        if not (out and (self.at_punct(".") or self.at_punct("}"))):
+            self.parse_property_list(subj, out, allow_vars)
         if self.at_punct("."):
             self.next()
         return out
@@ -452,14 +469,27 @@ class _Parser:
         if t is None:
             raise SyntaxError("unexpected end of input in triples block")
         if t.kind == "PUNCT" and t.text == "[":
-            # blank-node property list → fresh non-exported variable
-            # (reference sparql/tl_companies_mapping_org.sparql:40-46)
+            # blank-node property list → fresh non-exported variable in
+            # patterns (reference sparql/tl_companies_mapping_org.sparql:40-46);
+            # in INSERT DATA it's a concrete fresh bnode
             self.next()
-            node = self.fresh_bnode_var()
+            if allow_vars:
+                node = self.fresh_bnode_var()
+            else:
+                self._bnode_n += 1
+                node = BNodeT(f"b{self._bnode_n}")
             if not self.at_punct("]"):
                 self.parse_property_list(node, out, allow_vars)
             self.expect_punct("]")
             return node
+        if t.kind == "PNAME" and t.text.startswith("_:"):
+            # explicit bnode label (the reference hook emits rdflib _:N3
+            # labels inside INSERT DATA, sparql_update.py:115-120)
+            self.next()
+            if allow_vars:
+                # bnode labels in patterns scope like non-exported variables
+                return VarT(f"_anon_label_{t.text[2:]}")
+            return BNodeT(t.text[2:])
         if t.kind == "VAR":
             if not allow_vars:
                 raise SyntaxError(f"variable not allowed here at {t.pos}")

@@ -91,11 +91,17 @@ def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
     o_is_iri = F.col("o_raw").startswith("<")
     o_is_bnode = F.col("o_raw").startswith("_:")
     lex = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
-    lex = F.regexp_replace(lex, r"\\t", "\t")
-    lex = F.regexp_replace(lex, r"\\r", "\r")
-    lex = F.regexp_replace(lex, r"\\n", "\n")
-    lex = F.regexp_replace(lex, r'\\"', '"')
-    lex = F.regexp_replace(lex, r"\\\\", "\\\\")
+    # Single-pass unescape: split on escaped backslashes first so a literal
+    # backslash followed by t/r/n is never mistaken for a control escape
+    # (left-to-right semantics, mirroring plans/parser._unescape).
+    def _unescape_segment(seg: Column) -> Column:
+        seg = F.regexp_replace(seg, r"\\t", "\t")
+        seg = F.regexp_replace(seg, r"\\r", "\r")
+        seg = F.regexp_replace(seg, r"\\n", "\n")
+        seg = F.regexp_replace(seg, r'\\"', '"')
+        return seg
+
+    lex = F.array_join(F.transform(F.split(lex, r"\\\\"), _unescape_segment), "\\")
     lang = F.nullif(F.regexp_extract("o_raw", r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))
     dtype = F.nullif(F.regexp_extract("o_raw", r"\^\^<([^>]*)>$", 1), F.lit(""))
     o_val = (

@@ -25,6 +25,35 @@ from pyspark.sql import functions as F
 
 from .terms import QUAD_COLUMNS, QUAD_SCHEMA
 
+# Spark writes Hive-style escaped partition directories (see Spark's
+# ExternalCatalogUtils.escapePathName / Hive FileUtils): ONLY this char set
+# is %XX-escaped (uppercase hex) — notably space, '+', ',', '(', ')' and '~'
+# are NOT escaped, so urllib quote/unquote would mismatch the on-disk names.
+_PART_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(1, 32)
+)
+
+
+def _escape_partition_value(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PART_ESCAPE_CHARS else ch for ch in value
+    )
+
+
+def _unescape_partition_value(name: str) -> str:
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
 
 class GraphStore:
     """Parquet-backed quad store. ``path=None`` gives an in-memory store
@@ -132,12 +161,11 @@ class GraphStore:
 
     def list_graphs(self) -> list[str]:
         if self.path:
-            out = []
-            for name in os.listdir(self.path):
-                if name.startswith("g="):
-                    from urllib.parse import unquote
-
-                    out.append(unquote(name[2:]))
+            out = [
+                _unescape_partition_value(name[2:])
+                for name in os.listdir(self.path)
+                if name.startswith("g=")
+            ]
             return sorted(out)
         if self._mem is None:
             return []
@@ -150,9 +178,13 @@ class GraphStore:
 
     def _drop_partition(self, g: str) -> None:
         if self.path:
-            from urllib.parse import quote
-
-            part = os.path.join(self.path, f"g={quote(g, safe='')}")
+            part = os.path.join(self.path, f"g={_escape_partition_value(g)}")
             shutil.rmtree(part, ignore_errors=True)
+            # Belt-and-braces: locate the partition by decoding on-disk names
+            # too, so an escaping divergence can never leave stale rows to
+            # survive a "full refresh" CLEAR (ADVICE r01).
+            for name in os.listdir(self.path):
+                if name.startswith("g=") and _unescape_partition_value(name[2:]) == g:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         elif self._mem is not None:
             self._mem = self._mem.where(F.col("g") != g)
