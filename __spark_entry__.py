@@ -30,6 +30,8 @@ from knowledge_graph_etl_spark.extensions.multimodal import (
     decode_and_featurize,
 )
 from knowledge_graph_etl_spark.extensions.similarity import (
+    _hyperplane,
+    cosine_neardup_lsh,
     cosine_neardup_pairs,
     cosine_topk,
     ivf_topk,
@@ -402,9 +404,16 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
 
 
 def dedup_minhash_lsh_q(spark, sf_dir):
-    # rows-only check: LSH banding is not reasonably SQL-expressible
+    # hash_fn="md5": cross-engine-deterministic hash family, so the FULL
+    # MinHash+LSH pipeline (signature, banding, bucket join, estimate) is
+    # verified against the DuckDB oracle; the xxhash64 scale path shares
+    # 100% of that machinery (tests/test_extensions.py covers it).
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_fn="md5",
     )
 
 
@@ -421,8 +430,8 @@ def ann_embedding_neardup_q(spark, sf_dir):
 
 
 def ann_lsh_topk_q(spark, sf_dir):
-    # rows-only: LSH candidate generation is approximate by design; the
-    # exact-recall baseline is ann_cosine_topk
+    # fully oracled: the hyperplanes are deterministic driver-side constants,
+    # so the DuckDB oracle recomputes the same sign-buckets and candidates
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -431,7 +440,8 @@ def ann_lsh_topk_q(spark, sf_dir):
 
 
 def ann_ivf_topk_q(spark, sf_dir):
-    # rows-only: IVF probing is approximate by design
+    # fully oracled: centroids are a deterministic md5-ranked sample the
+    # oracle re-derives in SQL; assignment/probe/rescore all verified
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -439,11 +449,20 @@ def ann_ivf_topk_q(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4, query_id_col="query_id")
 
 
+def ann_neardup_lsh_q(spark, sf_dir):
+    # LSH-prefiltered near-dup: linear candidate generation + exact
+    # rescoring; by construction a subset of ann_embedding_neardup
+    return cosine_neardup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def dedup_simhash_q(spark, sf_dir):
-    # rows-only: 64-bit SimHash with Hamming-ball blocking
+    # hash_fn="md5": cross-engine token hash → the whole SimHash pipeline
+    # (per-bit majority, pigeonhole blocking, Hamming filter) is oracled
     from knowledge_graph_etl_spark.extensions.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, blocks=4)
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, blocks=4, hash_fn="md5"
+    )
 
 
 def text_features_q(spark, sf_dir):
@@ -478,9 +497,10 @@ def multimodal_binary_meta_q(spark, sf_dir):
 
 
 def multimodal_features_q(spark, sf_dir):
-    # rows-only: stubbed decode (no codec libs in container); Spark-side
-    # plumbing (Arrow batches, schema, fan-out) is real
-    d = _t(spark, sf_dir, "documents").limit(100)
+    # decode is stubbed (no codec libs in container) but the surfaced
+    # columns (byte length, sha256 of the payload) are exact and oracled;
+    # Spark-side plumbing (Arrow batches, schema, fan-out) is real
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -530,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_neardup": ann_embedding_neardup_q,
         "ann_lsh_topk": ann_lsh_topk_q,
         "ann_ivf_topk": ann_ivf_topk_q,
+        "ann_neardup_lsh": ann_neardup_lsh_q,
         "dedup_simhash": dedup_simhash_q,
         "text_features": text_features_q,
         "text_langid": text_langid_q,
@@ -550,6 +571,168 @@ def _sw_ratio(lang: str) -> str:
         f"(CASE WHEN len({_TOKS}) > 0 THEN "
         f"CAST(len(list_filter({_TOKS}, t -> list_contains([{words}], t))) AS DOUBLE)"
         f" / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)"
+    )
+
+
+def _lsh_bucket_exprs(
+    num_planes: int = 8, num_tables: int = 4, dim: int = 64, col: str = "embedding"
+) -> list[str]:
+    """DuckDB SQL for the signed-projection bucket of each LSH table — the
+    hyperplanes are deterministic driver-side constants (same `_hyperplane`
+    the Spark path uses), so the oracle recomputes identical buckets."""
+    exprs = []
+    for t in range(num_tables):
+        terms = []
+        for i in range(num_planes):
+            plane = _hyperplane(dim, t * 1000 + i)
+            arr = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {arr}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        exprs.append("(" + " + ".join(terms) + ")")
+    return exprs
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(tks, t -> md5('{i}:' || t)))"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(array_to_string("
+        f"list_slice(sig, {bi * rpb + 1}, {bi * rpb + rpb}), '|')) AS bucket FROM oksig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = f"round(({agree}) / {num_hashes}.0, 6)"
+    return (
+        f"WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS tks FROM documents), "
+        f"sig AS (SELECT doc_id, [{mins}] AS sig FROM tok), "
+        "oksig AS (SELECT * FROM sig WHERE sig[1] IS NOT NULL), "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, {est} AS est_jaccard FROM cand "
+        "JOIN oksig sa ON sa.doc_id = id_a JOIN oksig sb ON sb.doc_id = id_b "
+        f"WHERE {est} >= {threshold}"
+    )
+
+
+def _simhash_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
+    hd = lambda p: f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    seg = lambda k: (
+        f"({hd(4 * k + 1)} * 4096 + {hd(4 * k + 2)} * 256 + "
+        f"{hd(4 * k + 3)} * 16 + {hd(4 * k + 4)})"
+    )
+    seg_sel = ", ".join(f"{seg(k)} AS ts{k}" for k in range(blocks))
+    votes = ", ".join(
+        f"SUM(CASE WHEN (ts{k} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}_{b}"
+        for k in range(blocks)
+        for b in range(16)
+    )
+    segval = lambda k: (
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{k}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        )
+        + ")"
+    )
+    sh_sel = ", ".join(f"{segval(k)} AS s{k}" for k in range(blocks))
+    allsegs = ", ".join(f"s{k}" for k in range(blocks))
+    blocked = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS blk, s{bi} AS segv, {allsegs} FROM sh"
+        for bi in range(blocks)
+    )
+    ab = (
+        ", ".join(f"a.s{k} AS a{k}" for k in range(blocks))
+        + ", "
+        + ", ".join(f"b.s{k} AS b{k}" for k in range(blocks))
+    )
+    ham = " + ".join(f"bit_count(xor(a{k}, b{k}))" for k in range(blocks))
+    return (
+        f"WITH t0 AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok "
+        "FROM documents), "
+        "t1 AS (SELECT doc_id, md5(tok) AS h FROM t0), "
+        f"t2 AS (SELECT doc_id, {seg_sel} FROM t1), "
+        f"v AS (SELECT doc_id, {votes} FROM t2 GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {sh_sel} FROM v), "
+        f"bl AS ({blocked}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {ab} FROM bl a "
+        "JOIN bl b ON a.blk = b.blk AND a.segv = b.segv AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming FROM cand "
+        f"WHERE {ham} <= {max_hamming}"
+    )
+
+
+def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    cos = (
+        "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])), 6)"
+    )
+    return (
+        "WITH cents AS (SELECT embedding AS cent, "
+        "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        f"CAST(vec_id AS VARCHAR)) - 1 AS list_id FROM embeddings QUALIFY list_id < {nlist}), "
+        "asg AS (SELECT c.vec_id AS neighbor_id, c.embedding AS cvec, t.list_id, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        + cos.format(a="c.embedding", b="t.cent")
+        + " DESC, t.list_id) AS rn FROM embeddings c CROSS JOIN cents t), "
+        "ca AS (SELECT neighbor_id, cvec, list_id FROM asg WHERE rn = 1), "
+        "qa AS (SELECT q.vec_id AS query_id, q.embedding AS qvec, t.list_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        + cos.format(a="q.embedding", b="t.cent")
+        + " DESC, t.list_id) AS rn FROM embeddings q CROSS JOIN cents t "
+        "WHERE q.vec_id < 5), "
+        f"qp AS (SELECT query_id, qvec, list_id FROM qa WHERE rn <= {nprobe}), "
+        "s AS (SELECT qp.query_id, ca.neighbor_id, "
+        + cos.format(a="qp.qvec", b="ca.cvec")
+        + " AS cosine_sim FROM ca JOIN qp ON ca.list_id = qp.list_id) "
+        "SELECT query_id, neighbor_id, cosine_sim, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank "
+        f"FROM s QUALIFY rank <= {k}"
+    )
+
+
+def _ann_lsh_topk_oracle(k: int = 10) -> str:
+    b0, b1, b2, b3 = _lsh_bucket_exprs()
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {b0} AS b0, {b1} AS b1, "
+        f"{b2} AS b2, {b3} AS b3 FROM embeddings), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "q.embedding AS qv, c.embedding AS cv FROM b q JOIN b c "
+        "ON (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2 OR q.b3 = c.b3) "
+        "WHERE q.vec_id < 5), "
+        "s AS (SELECT query_id, neighbor_id, "
+        "round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) "
+        "AS cosine_sim FROM cand) "
+        "SELECT query_id, neighbor_id, cosine_sim, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank "
+        f"FROM s QUALIFY rank <= {k}"
+    )
+
+
+def _ann_neardup_lsh_oracle(threshold: float = 0.4) -> str:
+    b0, b1, b2, b3 = _lsh_bucket_exprs()
+    cos = (
+        "round(list_cosine_similarity(CAST(va AS DOUBLE[]), "
+        "CAST(vb AS DOUBLE[])), 6)"
+    )
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {b0} AS b0, {b1} AS b1, "
+        f"{b2} AS b2, {b3} AS b3 FROM embeddings), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b, "
+        "a.embedding AS va, c.embedding AS vb FROM b a JOIN b c "
+        "ON a.vec_id < c.vec_id "
+        "AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)) "
+        f"SELECT id_a, id_b, {cos} AS cosine_sim FROM cand WHERE {cos} >= {threshold}"
     )
 
 
@@ -784,6 +967,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS payload_md5 FROM documents"
         ),
-        # dedup_minhash_lsh, multimodal_features: rows-only (not SQL-expressible
-        # / stubbed decode)
+        "multimodal_features": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS sha256 FROM documents WHERE doc_id < 100"
+        ),
+        "dedup_minhash_lsh": _minhash_oracle(num_hashes=32, bands=8, threshold=0.5),
+        "dedup_simhash": _simhash_oracle(max_hamming=3, blocks=4),
+        "ann_ivf_topk": _ivf_oracle(nlist=16, nprobe=4, k=10),
+        "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        "ann_neardup_lsh": _ann_neardup_lsh_oracle(),
     }

@@ -57,7 +57,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
@@ -65,7 +65,13 @@ def ngram_jaccard_pairs(
     Jaccard uses the TRUE set sizes even when ``max_shingle_freq`` prunes
     hot shingles from the index (pruning can only lose candidate pairs that
     share nothing but stop-shingles, which cannot reach a high threshold).
-    """
+
+    ``max_shingle_freq`` defaults to 1000 as the skew guard: ONE shingle
+    shared by k documents emits k² join rows on a single shuffle key —
+    AQE skew-join can't split a single logical key, so an unguarded viral
+    shingle (boilerplate header, stopword n-gram) is a 100×-scale
+    straggler. Pass ``None`` only when the shingle-frequency distribution
+    is known to be flat."""
     base = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
@@ -104,10 +110,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed i, min over tokens of xxhash64(token, i).
-    Deterministic, JVM-side; array<bigint> of length ``num_hashes``."""
+def minhash_signature(
+    text: Column, num_hashes: int = 32, hash_fn: str = "xxhash64"
+) -> Column:
+    """MinHash signature: per seed i, min over tokens of hash(token, i).
+    Deterministic, JVM-side; length-``num_hashes`` array.
+
+    ``hash_fn``:
+      * ``"xxhash64"`` (default) — 8-byte bigint mins, the cheap scale path.
+      * ``"md5"`` — min of the 32-hex ``md5('{i}:' || token)`` string; ~4×
+        wider signatures but bit-identical to ANSI-SQL ``md5`` in any
+        engine, which is what the cross-engine correctness oracle needs.
+        Both are uniform hash families — same collision statistics.
+    """
     tks = F.array_distinct(tokens(text))
+    if hash_fn == "md5":
+        # NB: the lambda must take exactly ONE parameter — a two-parameter
+        # lambda makes F.transform pass the array INDEX as the second arg
+        def seed_min(i: int) -> Column:
+            prefix = f"{i}:"
+            return F.array_min(
+                F.transform(tks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+            )
+
+        return F.array(*[seed_min(i) for i in range(num_hashes)])
     return F.array(
         *[F.array_min(F.transform(tks, lambda t: F.xxhash64(t, F.lit(i)))) for i in range(num_hashes)]
     )
@@ -120,6 +146,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, with an exact
     estimated-similarity refinement.
@@ -129,23 +156,47 @@ def minhash_lsh_pairs(
     scored by full-signature agreement (estimated Jaccard) and filtered.
     At scale: bucket join is an equi-shuffle on (band, bucket-hash);
     signatures are ``num_hashes × 8`` bytes per doc regardless of doc size.
+
+    ``hash_fn="md5"`` selects the cross-engine-deterministic hash family
+    (see :func:`minhash_signature`) so the whole pipeline — banding,
+    candidate join, signature-agreement estimate — is verifiable against
+    an ANSI-SQL oracle; the LSH machinery is identical in both modes.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    # Signature via explode → ONE min-aggregate: the document is tokenized
+    # once (vs num_hashes times if the signature were built as a per-row
+    # array expression — Catalyst does not eliminate the common
+    # tokenize+distinct subtree across array elements, a measured ~30×
+    # slowdown), and the mins combine map-side before the shuffle on id.
+    tok = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes).alias("sig"),
-    ).where(F.col("sig")[0].isNotNull())  # drop token-less docs
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    if hash_fn == "md5":
+        hash_i = lambda i: F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))
+    else:
+        hash_i = lambda i: F.xxhash64("tok", F.lit(i))
+    agg = tok.groupBy("id").agg(
+        *[F.min(hash_i(i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    # token-less docs never reach the aggregate (explode of an empty array)
+    sig = agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    if hash_fn == "md5":
+        bucket_of = lambda bi: F.md5(
+            F.concat_ws("|", F.slice("sig", bi * rows_per_band + 1, rows_per_band))
+        )
+    else:
+        bucket_of = lambda bi: F.hash(
+            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+        )
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias(
-                            "bucket"
-                        ),
-                    )
+                    F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
                     for bi in range(bands)
                 ]
             )
@@ -187,31 +238,36 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs via block-permutation candidate generation:
-    split the 64-bit hash into ``blocks`` segments; by pigeonhole, any pair
-    within ``max_hamming < blocks`` differs in zero bits of at least one
+    the 64-bit hash is carried as ``blocks`` 16-bit segments; by pigeonhole,
+    any pair within ``max_hamming < blocks`` matches exactly on at least one
     segment → join on (block_index, segment). Never all-pairs; Hamming
-    distance is one ``bit_count(xor)`` — everything bitwise on bigint,
-    whole-stage codegen throughout."""
-    from .text import simhash64_table
+    distance = Σ ``bit_count(xor(seg))`` — everything bitwise on int,
+    whole-stage codegen throughout.
 
-    sh = simhash64_table(docs, text_col=text_col, id_col=id_col)
-    width = 64 // blocks
-    mask = F.lit((1 << width) - 1).cast("long")
-    seg = lambda bi: F.shiftright("sh", bi * width).bitwiseAND(mask)
+    ``hash_fn="md5"`` selects the cross-engine-deterministic token hash
+    (see :func:`..text.simhash_segments_table`) used by the correctness
+    oracle; the blocking/scoring machinery is identical in both modes."""
+    from .text import simhash_segments_table
+
+    sh = simhash_segments_table(
+        docs, text_col=text_col, id_col=id_col, blocks=blocks, hash_fn=hash_fn
+    )
+    seg_cols = [f"seg{k}" for k in range(blocks)]
     blocked = sh.select(
         "id",
-        "sh",
+        *seg_cols,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(bi).alias("blk"), seg(bi).alias("segv"))
+                    F.struct(F.lit(bi).alias("blk"), F.col(f"seg{bi}").alias("segv"))
                     for bi in range(blocks)
                 ]
             )
         ).alias("b"),
-    ).select("id", "sh", "b.blk", "b.segv")
+    ).select("id", *seg_cols, "b.blk", "b.segv")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
@@ -223,14 +279,17 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            *[F.col(f"a.seg{k}").alias(f"a{k}") for k in range(blocks)],
+            *[F.col(f"b.seg{k}").alias(f"b{k}") for k in range(blocks)],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = None
+    for k in range(blocks):
+        piece = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        ham = piece if ham is None else ham + piece
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

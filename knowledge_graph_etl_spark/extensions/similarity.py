@@ -8,13 +8,20 @@
 * ``lsh_topk`` — random-hyperplane (signed projection) LSH: corpus and
   queries hash to sign-pattern buckets; only same-bucket pairs are scored.
   The scale path when the query set itself is large.
-* ``ivf_topk`` — IVF-style coarse quantization: k-means-free variant using
-  deterministic seed centroids (sampled rows), assign every vector to its
-  nearest centroid (broadcast centroids), probe ``nprobe`` nearest lists.
+* ``ivf_topk`` — IVF-style coarse quantization: deterministic pseudo-random
+  sample centroids (md5-ranked ids), centroid assignment via an
+  Arrow-batched pandas UDF over a broadcast numpy matrix — one GEMM per
+  batch, no shuffle, plan size independent of ``nlist``.
+* ``cosine_neardup_lsh`` — LSH-prefiltered near-duplicate pairs: signed
+  projections generate candidates linearly; exact cosine rescoring keeps
+  only true matches. The 100 TB path for near-dup-by-embedding (the exact
+  ``cosine_neardup_pairs`` is quadratic by design).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,13 +155,51 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
 
 
 def signed_projection_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: sign bits of dot products with fixed hyperplanes."""
+    """LSH bucket id: sign bits of dot products with fixed hyperplanes.
+    Column-expression form — exact but interpreted per element; the batch
+    operators use :func:`_all_buckets_udf` (bitwise-identical, ~10× faster)."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in plane])
         bit = F.when(_dot(vec, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit * F.lit(2**i)
     return bucket
+
+
+def _all_buckets_udf(df: DataFrame, tables: list[list[list[float]]]):
+    """Arrow-batched bucketizer: one int bucket per LSH table, computed in
+    numpy with the dimensions accumulated SEQUENTIALLY (``acc += v_j * p_j``
+    column-wise) — the identical IEEE add/mul sequence as the Column-fold
+    ``F.aggregate`` and DuckDB's ``list_dot_product``, so sign bits are
+    bitwise-reproducible across all three paths (the correctness oracle
+    depends on this). Replaces a 2048-literal interpreted expression tree
+    with one broadcast (tables × planes × dim) matrix."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    P = np.asarray(tables, dtype=np.float64)  # (T, planes, dim)
+    bc = df.sparkSession.sparkContext.broadcast(P)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        Pm = bc.value
+        T, nplanes, dim = Pm.shape
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if V.size == 0:
+            return pd.Series([])
+        out = np.zeros((len(V), T), dtype=np.int64)
+        for t in range(T):
+            bucket = np.zeros(len(V), dtype=np.int64)
+            for i in range(nplanes):
+                acc = np.zeros(len(V), dtype=np.float64)
+                for j in range(dim):
+                    # sequential accumulation — do NOT replace with V @ p
+                    # (BLAS reorders the sum and can flip near-zero signs)
+                    acc = acc + V[:, j] * Pm[t, i, j]
+                bucket += (acc >= 0).astype(np.int64) << i
+            out[:, t] = bucket
+        return pd.Series([row.astype("int32").tolist() for row in out])
+
+    return buckets
 
 
 def lsh_topk(
@@ -167,40 +212,36 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket with
     the query in any of ``num_tables`` tables. Recall grows with tables;
-    cost is bucket-local. The bucket join shuffles on (table, bucket) —
-    uniform by construction."""
+    cost is bucket-local.
+
+    ``broadcast_queries=True`` (default) broadcasts the bucketized query
+    side — right when queries are a small probe set, the corpus is never
+    shuffled. For a LARGE query set pass ``broadcast_queries=False``: both
+    sides shuffle on (table, bucket), which is uniform by construction —
+    the scale path when queries don't fit the broadcast threshold."""
     tables = [
         [_hyperplane(dim, t * 1000 + i) for i in range(num_planes)]
         for t in range(num_tables)
     ]
+    buckets = _all_buckets_udf(corpus, tables)
 
     def bucketize(df: DataFrame, idc: str, out_id: str) -> DataFrame:
         return df.select(
             F.col(idc).alias(out_id),
             F.col(vec_col).alias(f"{out_id}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            signed_projection_bucket(F.col(vec_col), tables[t]).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(out_id, f"{out_id}_vec", "tb.tbl", "tb.bucket")
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
 
     cb = bucketize(corpus, id_col, "neighbor_id")
     qb = bucketize(queries, query_id_col, "query_id")
-    cand = cb.join(
-        F.broadcast(qb), on=["tbl", "bucket"], how="inner"
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    qside = F.broadcast(qb) if broadcast_queries else qb
+    cand = cb.join(qside, on=["tbl", "bucket"], how="inner").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
     scored = cand.select(
         "query_id",
         "neighbor_id",
@@ -218,6 +259,58 @@ def lsh_topk(
     )
 
 
+def sample_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic pseudo-random centroid sample: the ``nlist`` corpus
+    rows with the smallest ``md5(id)`` — order-independent, reproducible
+    across engines (the correctness oracle re-derives the same set in SQL),
+    and uniformly spread regardless of id distribution. Returns
+    ``(list_id, cent)`` with ``list_id`` = 0..nlist-1 in md5-rank order."""
+    from pyspark.sql import Window as W
+
+    ranked = (
+        corpus.select(
+            F.col(id_col).cast("string").alias("cid"), F.col(vec_col).alias("cent")
+        )
+        .withColumn("rk", F.md5("cid"))
+        .orderBy("rk", "cid")
+        .limit(nlist)
+    )
+    # nlist rows — the global window is a single trivial task
+    w = W.orderBy("rk", "cid")
+    return ranked.withColumn("list_id", F.row_number().over(w) - 1).select(
+        "list_id", "cent"
+    )
+
+
+def _nearest_lists_udf(spark_df: DataFrame, cent_rows: list, vec_col: str, n: int):
+    """Vectorized centroid assignment: broadcast the (nlist × dim) centroid
+    matrix as numpy; one GEMM per Arrow batch. Ties after 6-decimal rounding
+    break toward the lower list_id (stable argsort) — mirrored by the
+    oracle's ORDER BY round(sim,6) DESC, list_id."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray([list(r["cent"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    sc = spark_df.sparkSession.sparkContext
+    bc = sc.broadcast(Cn)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        Cm = bc.value
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = np.round(Vn @ Cm.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return nearest
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -228,44 +321,31 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF-flat: centroids = deterministic sample of corpus vectors;
-    every corpus vector is assigned to its nearest centroid (one broadcast
-    pass); each query probes its ``nprobe`` nearest lists. Scale: the
-    corpus scan is one map; the probe join hits ~nprobe/nlist of the data."""
-    cents = [
-        (i, r[0])
-        for i, r in enumerate(
-            corpus.select(vec_col).orderBy(F.col(id_col)).limit(nlist).collect()
-        )
-    ]
+    """IVF-flat approximate top-k.
 
-    def nearest_lists(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias(
-                        "negsim"
-                    ),
-                    F.lit(ci).alias("list_id"),
-                )
-                for ci, cvec in cents
-            ]
-        )
-        return F.slice(F.sort_array(scored), 1, n)
+    Centroids = :func:`sample_centroids` (deterministic md5-ranked sample,
+    a small DataFrame — NEVER plan literals, so the plan doesn't grow with
+    ``nlist``). Assignment = broadcast numpy matrix inside an Arrow-batched
+    pandas UDF: the corpus pass is shuffle-free, ~one GEMM per batch. Each
+    query probes its ``nprobe`` nearest lists; the probe join reads
+    ~nprobe/nlist of the corpus. Exact cosine rescoring on the probed subset.
+    """
+    cent_rows = sorted(
+        sample_centroids(corpus, nlist, id_col, vec_col).collect(),
+        key=lambda r: r["list_id"],
+    )
+    assign1 = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
+    assignN = _nearest_lists_udf(corpus, cent_rows, vec_col, nprobe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        nearest_lists(F.col(vec_col), 1)[0]["list_id"].alias("list_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(
-            F.transform(
-                nearest_lists(F.col(vec_col), nprobe), lambda s: s["list_id"]
-            )
-        ).alias("list_id"),
+        F.explode(assignN(F.col(vec_col))).alias("list_id"),
     )
     scored = c.join(F.broadcast(q), "list_id").select(
         "query_id",
@@ -279,4 +359,57 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-prefiltered near-duplicate pairs: linear-cost candidate
+    generation (signed-projection buckets, ``num_tables`` independent
+    tables) followed by EXACT cosine rescoring — every returned pair truly
+    clears ``threshold``; pairs landing in no shared bucket are missed
+    (recall grows with ``num_tables``). This is the 100 TB near-dup path:
+    candidate count ~ sum of squared bucket sizes, never N².
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b — by construction a
+    subset of the exact :func:`cosine_neardup_pairs` output at the same
+    threshold."""
+    tables = [
+        [_hyperplane(dim, t * 1000 + i) for i in range(num_planes)]
+        for t in range(num_tables)
+    ]
+    buckets = _all_buckets_udf(corpus, tables)
+    # candidates on narrow (id, tbl, bucket) rows; vectors joined back after
+    # pair-dedup so a bucket of b docs shuffles b² id-pairs, not b² vectors
+    narrow = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    a, b = narrow.alias("a"), narrow.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cand = (
+        cand.join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vb"), "id_b")
+    )
+    return (
+        cand.withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )

@@ -130,6 +130,65 @@ def simhash64_table(
     return agg.select("id", sh.alias("sh"))
 
 
+def simhash_segments_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document SimHash as ``blocks`` 16-bit integer segments
+    ``seg0..seg{blocks-1}`` (low bits first) — the form the pigeonhole
+    block join consumes directly, avoiding 64-bit sign pitfalls entirely.
+
+    ``hash_fn``:
+      * ``"xxhash64"`` (default) — token hash = ``xxhash64(token)``,
+        segments carved by shifts. The cheap scale path.
+      * ``"md5"`` — token hash = first ``4·blocks`` hex chars of
+        ``md5(token)``, each segment parsed from 4 hex digits. Bit-identical
+        to ANSI-SQL ``md5`` in any engine → cross-engine oracle-able. Same
+        per-bit uniformity; ~2× hash cost.
+
+    Same physical shape as :func:`simhash64_table`: explode distinct
+    tokens → ONE hash aggregate carrying 16·blocks bitwise vote sums —
+    whole-stage codegen, one shuffle on ``id`` with map-side partials.
+    """
+    width = 16
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    if hash_fn == "md5":
+        hm = F.md5("tok")
+        seg_exprs = [
+            F.conv(F.substring(hm, 4 * k + 1, 4), 16, 10).cast("int").alias(f"ts{k}")
+            for k in range(blocks)
+        ]
+    else:
+        h = F.xxhash64("tok")
+        mask = F.lit((1 << width) - 1).cast("long")
+        seg_exprs = [
+            F.shiftright(h, k * width).bitwiseAND(mask).cast("int").alias(f"ts{k}")
+            for k in range(blocks)
+        ]
+    tok = tok.select("id", *seg_exprs)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(f"ts{k}"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{k}_{b}")
+        for k in range(blocks)
+        for b in range(width)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    out_cols = []
+    for k in range(blocks):
+        seg = F.lit(0)
+        for b in range(width):
+            seg = seg + F.when(F.col(f"v{k}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        out_cols.append(seg.cast("int").alias(f"seg{k}"))
+    return agg.select("id", *out_cols)
+
+
 def add_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (

@@ -1,0 +1,220 @@
+"""Tests for the beyond-reference extension operators: dedup families
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force, LSH, IVF), and the scale guards the 100 TB design relies on.
+
+The md5 hash_fn variants are verified end-to-end against DuckDB oracles by
+the driver (tools/check_oracle.py); these tests cover the xxhash64 scale
+paths and the structural invariants the oracles can't express (skew
+bounds, broadcast-vs-shuffle plan equivalence, recall floors, subset
+containment).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_etl_spark.extensions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from knowledge_graph_etl_spark.extensions.similarity import (
+    cosine_neardup_lsh,
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind distant purple mountains and rivers flow quietly through green valleys"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("purple", "orange")),  # near-dup of 0
+        (3, "completely different text about databases indexes and query engines"),
+        (4, "yet another unrelated document concerning maritime navigation charts"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 20..24: tiny perturbations of 0..4 → guaranteed near-dups
+    for i in range(5):
+        rows.append((20 + i, [float(x + 0.001) for x in base[i]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+# -- minhash ----------------------------------------------------------------
+
+
+def test_minhash_both_hash_fns_find_duplicates(docs):
+    for hash_fn in ("xxhash64", "md5"):
+        out = minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5, hash_fn=hash_fn
+        )
+        rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+        assert rows[(0, 1)] == 1.0, hash_fn  # exact dup: all hashes agree
+        assert (0, 2) in rows and rows[(0, 2)] >= 0.5, hash_fn  # near-dup
+        assert (3, 4) not in rows, hash_fn  # unrelated never paired
+
+
+# -- n-gram jaccard + skew guard ----------------------------------------------
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows[(0, 1)] == 1.0
+    # one word changed in a long doc: most shingles survive → jaccard > 0.7
+    assert (0, 2) in rows and 0.7 < rows[(0, 2)] < 1.0
+
+
+def test_ngram_hot_shingle_skew_guard(spark):
+    # 60 documents sharing ONE viral shingle but otherwise disjoint: the
+    # inverted-index join would emit 60·59/2 = 1770 candidate rows for that
+    # single key; the frequency cap drops it, bounding candidates to 0.
+    hot = "click here now"
+    rows = [(i, f"{hot} unique{i} filler{i} token{i} body{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_freq=50)
+    assert guarded.count() == 0
+    unguarded = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_freq=None)
+    assert unguarded.count() == 1770  # the k² blowup the default prevents
+
+
+def test_ngram_guard_keeps_true_dups(spark):
+    # true near-dups still found with the cap active: shared content
+    # shingles are below the frequency cap
+    rows = [(0, BASE), (1, BASE)] + [
+        (i, f"noise{i} padding{i} words{i} etc{i} more{i}") for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.8, max_shingle_freq=10)
+    assert _pairs(out) == {(0, 1)}
+
+
+# -- simhash ------------------------------------------------------------------
+
+
+def test_simhash_both_hash_fns(docs):
+    for hash_fn in ("xxhash64", "md5"):
+        out = simhash_pairs(docs, max_hamming=3, blocks=4, hash_fn=hash_fn)
+        rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+        assert rows[(0, 1)] == 0, hash_fn  # identical text → identical simhash
+        assert (3, 4) not in rows, hash_fn  # unrelated docs never paired
+
+
+def test_simhash_md5_matches_python_reference(spark):
+    """Unit oracle for the md5 simhash path: recompute the per-bit majority
+    vote in pure Python (hashlib.md5) and compare segments exactly."""
+    import hashlib
+
+    from knowledge_graph_etl_spark.extensions.text import simhash_segments_table
+
+    texts = {0: BASE, 1: "alpha beta gamma", 2: "one two three four five six"}
+
+    def ref_segments(text: str) -> list[int]:
+        toks = set(text.lower().strip().split())
+        segs = []
+        for k in range(4):
+            votes = [0] * 16
+            for t in toks:
+                v = int(hashlib.md5(t.encode()).hexdigest()[4 * k : 4 * k + 4], 16)
+                for b in range(16):
+                    votes[b] += 1 if (v >> b) & 1 else -1
+            segs.append(sum((1 << b) for b in range(16) if votes[b] > 0))
+        return segs
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["id"]: [r["seg0"], r["seg1"], r["seg2"], r["seg3"]]
+        for r in simhash_segments_table(df, hash_fn="md5").collect()
+    }
+    for i, text in texts.items():
+        assert got[i] == ref_segments(text), i
+
+
+# -- similarity ---------------------------------------------------------------
+
+
+def _queries(vectors):
+    return vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_lsh_topk_broadcast_and_shuffle_paths_equal(vectors):
+    q = _queries(vectors)
+    a = lsh_topk(vectors, q, k=5, dim=16, broadcast_queries=True)
+    b = lsh_topk(vectors, q, k=5, dim=16, broadcast_queries=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lsh_topk_finds_perturbed_neighbor(vectors):
+    q = _queries(vectors)
+    out = lsh_topk(vectors, q, k=5, dim=16)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in (0, 1, 2):
+        # the 0.001-perturbed twin (id+20) shares every bucket in practice
+        assert qid + 20 in by_q[qid]
+        assert by_q[qid][0] == qid  # rank 1 = the query itself (cos 1.0)
+
+
+def test_ivf_topk_recall_vs_exact(vectors):
+    q = _queries(vectors)
+    exact = cosine_topk(vectors, q, k=5)
+    approx = ivf_topk(vectors, q, k=5, nlist=4, nprobe=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # nprobe/nlist = 1/2 of the lists probed → demand ≥ 60% recall and the
+    # trivial self+twin hits
+    assert len(ex & ap) / len(ex) >= 0.6
+    for qid in (0, 1, 2):
+        assert (qid, qid) in ap
+
+
+def test_ivf_topk_plan_no_literal_centroids(vectors):
+    q = _queries(vectors)
+    plan = ivf_topk(vectors, q, k=5, nlist=4, nprobe=2)._jdf.queryExecution().toString()
+    # the plan must not embed centroid vectors as literals — assignment goes
+    # through the pandas UDF over a broadcast numpy matrix
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
+
+
+def test_neardup_lsh_subset_of_exact_with_recall(vectors):
+    exact = cosine_neardup_pairs(vectors, threshold=0.9, block_size=8)
+    approx = cosine_neardup_lsh(vectors, threshold=0.9, dim=16)
+    ex, ap = _pairs(exact), _pairs(approx)
+    assert ap <= ex  # exact rescoring → no false positives
+    assert len(ap) >= 0.8 * len(ex)  # 4 tables × 8 planes → high recall here
+    for i in range(5):
+        assert (i, 20 + i) in ap  # the planted twins all land in shared buckets
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["group_size"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
