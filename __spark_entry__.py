@@ -199,12 +199,12 @@ def kg_dedup_union(spark, sf_dir):
     b1.pattern(Var("c"), P + "c_name", Var("name"))
     b1.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
     tmpl = [(Var("org"), RDF_TYPE, Term("urn:cls:Organization", "iri"))]
-    store.insert(construct(b1.df, tmpl, "urn:g:out"))
+    store.insert(construct(b1.df, tmpl, "urn:g:out"), target_graphs=["urn:g:out"])
     b2 = BGP(_customer_quads(spark, sf_dir))
     b2.pattern(Var("c"), P + "c_name", Var("name"))
     b2.exists(_urgent_group(spark, sf_dir).select("c"))
     b2.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
-    store.insert(construct(b2.df, tmpl, "urn:g:out"))
+    store.insert(construct(b2.df, tmpl, "urn:g:out"), target_graphs=["urn:g:out"])
     return store.quads()
 
 
@@ -595,14 +595,19 @@ def _lsh_bucket_exprs(
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    from knowledge_graph_etl_spark.extensions.dedup import _MERSENNE31, _mh_coeffs
+
+    p = _MERSENNE31
     rpb = num_hashes // bands
     mins = ", ".join(
-        f"list_min(list_transform(tks, t -> md5('{i}:' || t)))"
-        for i in range(num_hashes)
+        f"min(({a} * hb + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
     )
+    sig_arr = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, md5(array_to_string("
-        f"list_slice(sig, {bi * rpb + 1}, {bi * rpb + rpb}), '|')) AS bucket FROM oksig"
+        f"SELECT doc_id, {bi} AS band, md5(array_to_string(list_transform("
+        f"list_slice(sig, {bi * rpb + 1}, {bi * rpb + rpb}), "
+        f"x -> CAST(x AS VARCHAR)), '|')) AS bucket FROM oksig"
         for bi in range(bands)
     )
     agree = " + ".join(
@@ -611,9 +616,12 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
     )
     est = f"round(({agree}) / {num_hashes}.0, 6)"
     return (
-        f"WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS tks FROM documents), "
-        f"sig AS (SELECT doc_id, [{mins}] AS sig FROM tok), "
-        "oksig AS (SELECT * FROM sig WHERE sig[1] IS NOT NULL), "
+        f"WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok "
+        "FROM documents), "
+        "hb AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) "
+        f"% {p} AS hb FROM tok), "
+        f"agg AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
+        f"oksig AS (SELECT doc_id, {sig_arr} AS sig FROM agg), "
         f"bands AS ({band_rows}), "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "

@@ -29,7 +29,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default (10 MB) broadcast threshold on purpose: dimension-side
+        # broadcasts are explicit `F.broadcast` hints; a high threshold
+        # makes Catalyst broadcast one side of the dedup self-joins, which
+        # kills the ReusedExchange that lets the inverted index / banded
+        # signatures be computed once for both sides
+
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -47,6 +52,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - record and continue
             print(f"# bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # queries are independent: drop caches (in-memory store unions) AND
+        # localCheckpoint RDDs (clearCache doesn't touch those) so one
+        # query's residue doesn't GC-thrash the next — matches how each
+        # would run in its own job at scale
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -79,5 +79,6 @@ class Engine:
         staging graph (reference load_knowledge_graph.py:138-158, but bulk
         partition appends instead of one INSERT round trip per record)."""
         self.store.insert(
-            json_to_quads(docs, graph, json_col=json_col, id_col=id_col, namespace=namespace)
+            json_to_quads(docs, graph, json_col=json_col, id_col=id_col, namespace=namespace),
+            target_graphs=[graph],
         )

@@ -110,30 +110,66 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE31 = 2_147_483_647  # prime modulus of the md5 universal-hash family
+
+
+def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod 2^31-1``. Shared verbatim with the SQL
+    oracle generator — both engines evaluate the identical arithmetic."""
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % _MERSENNE31 or 1
+        b = (972663749 * (i + 1) + 12345) % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def _md5_base(tok: Column) -> Column:
+    """Cross-engine-deterministic integer hash of a token: the first 15 hex
+    chars of md5 as a bigint, reduced mod 2^31-1. ONE md5 per token — the
+    per-seed hashes are then integer multiply-adds (whole-stage codegen),
+    not ``num_hashes`` further md5 calls. Reproducible in ANSI SQL:
+    Spark ``conv(substr(md5(t),1,15),16,10)`` ≡ DuckDB
+    ``('0x' || substr(md5(t),1,15))::BIGINT`` (verified bit-identical);
+    15 hex chars < 2^60 so no engine overflows, and products
+    ``a_i * (base % p)`` stay < 2^62."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint") % _MERSENNE31
+    )
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 32, hash_fn: str = "xxhash64"
 ) -> Column:
-    """MinHash signature: per seed i, min over tokens of hash(token, i).
-    Deterministic, JVM-side; length-``num_hashes`` array.
+    """MinHash signature: per seed i, min over tokens of hash_i(token).
+    Deterministic, JVM-side; length-``num_hashes`` array<bigint>.
 
     ``hash_fn``:
-      * ``"xxhash64"`` (default) — 8-byte bigint mins, the cheap scale path.
-      * ``"md5"`` — min of the 32-hex ``md5('{i}:' || token)`` string; ~4×
-        wider signatures but bit-identical to ANSI-SQL ``md5`` in any
-        engine, which is what the cross-engine correctness oracle needs.
-        Both are uniform hash families — same collision statistics.
+      * ``"xxhash64"`` (default) — ``xxhash64(token, seed=i)``, the cheap
+        scale path.
+      * ``"md5"`` — universal hash family over :func:`_md5_base`:
+        one md5 per token, then integer multiply-adds per seed —
+        bit-reproducible in any ANSI-SQL engine, which is what the
+        cross-engine correctness oracle needs. Both are uniform hash
+        families — same collision statistics.
     """
     tks = F.array_distinct(tokens(text))
     if hash_fn == "md5":
-        # NB: the lambda must take exactly ONE parameter — a two-parameter
-        # lambda makes F.transform pass the array INDEX as the second arg
-        def seed_min(i: int) -> Column:
-            prefix = f"{i}:"
-            return F.array_min(
-                F.transform(tks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
-            )
+        coeffs = _mh_coeffs(num_hashes)
 
-        return F.array(*[seed_min(i) for i in range(num_hashes)])
+        def hashes_of(x: Column) -> Column:
+            return F.array(*[(F.lit(a) * x + F.lit(b)) % _MERSENNE31 for a, b in coeffs])
+
+        # one fold over the tokens: md5 evaluated ONCE per token, all
+        # num_hashes mins updated via zip_with — vs num_hashes separate
+        # array_min passes each recomputing the md5 transform
+        sig = F.aggregate(
+            F.transform(tks, _md5_base),
+            F.array(*[F.lit(_MERSENNE31)] * num_hashes).cast("array<bigint>"),
+            lambda acc, x: F.zip_with(acc, hashes_of(x), F.least),
+        )
+        return F.when(F.size(tks) > 0, sig)
     return F.array(
         *[F.array_min(F.transform(tks, lambda t: F.xxhash64(t, F.lit(i)))) for i in range(num_hashes)]
     )
@@ -173,7 +209,12 @@ def minhash_lsh_pairs(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
     if hash_fn == "md5":
-        hash_i = lambda i: F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))
+        coeffs = _mh_coeffs(num_hashes)
+        base = _md5_base(F.col("tok"))
+        tok = tok.select("id", base.alias("hb"))
+        hash_i = lambda i: (
+            F.lit(coeffs[i][0]) * F.col("hb") + F.lit(coeffs[i][1])
+        ) % _MERSENNE31
     else:
         hash_i = lambda i: F.xxhash64("tok", F.lit(i))
     agg = tok.groupBy("id").agg(
@@ -184,8 +225,17 @@ def minhash_lsh_pairs(
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )
     if hash_fn == "md5":
+        # sig is array<bigint> in both modes now; band bucket = md5 of the
+        # '|'-joined decimal strings (injective, reproducible in SQL via
+        # array_to_string)
         bucket_of = lambda bi: F.md5(
-            F.concat_ws("|", F.slice("sig", bi * rows_per_band + 1, rows_per_band))
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
         )
     else:
         bucket_of = lambda bi: F.hash(

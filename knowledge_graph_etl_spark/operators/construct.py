@@ -62,10 +62,25 @@ def construct(
     bindings: DataFrame,
     template: list[tuple],
     target_graph: str,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Instantiate ``template`` (list of (s, p, o) with Var/Term entries)
     against the bindings, returning a deduplicated quads DataFrame for
-    ``target_graph``."""
+    ``target_graph``.
+
+    The template union makes one consumer of ``bindings`` PER template
+    triple, and the store's set-dedup anti-join adds another — so a
+    multi-triple template re-executes the whole WHERE join tree per triple
+    (17× for a 16-triple reference template like
+    sparql/tl_companies_mapping_org.sparql:13-32) unless the bindings are
+    materialized first. ``materialize=None`` (default) checkpoints whenever
+    the template has more than one triple; pass ``False`` to opt out (e.g.
+    bindings already checkpointed by the SPARQL-frontend compiler) or
+    ``True`` to force."""
+    if materialize is None:
+        materialize = len(template) > 1
+    if materialize and not bindings.isStreaming:
+        bindings = bindings.localCheckpoint(eager=True)
     cols = set(bindings.columns)
     parts: list[DataFrame] = []
     for s, p, o in template:

@@ -316,7 +316,9 @@ def compile_insert_where(node: InsertWhere, store) -> DataFrame:
             (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
         )
     outs = [
-        construct(bindings, triples, target_graph=g) for g, triples in by_graph.items()
+        # materialize=False: bindings already checkpointed above
+        construct(bindings, triples, target_graph=g, materialize=False)
+        for g, triples in by_graph.items()
     ]
     result = outs[0]
     for o in outs[1:]:
@@ -358,6 +360,7 @@ def execute_update(node, store) -> None:
         store.insert_data(rows)
         return
     if isinstance(node, InsertWhere):
-        store.insert(compile_insert_where(node, store))
+        graphs = sorted({g or node.target_graph for g, _ in node.template})
+        store.insert(compile_insert_where(node, store), target_graphs=graphs)
         return
     raise TypeError(f"unexpected update node {node!r}")

@@ -92,13 +92,28 @@ class GraphStore:
 
     # -- write -----------------------------------------------------------
 
-    def insert(self, new_quads: DataFrame, dedup_against_store: bool = True) -> None:
+    def insert(
+        self,
+        new_quads: DataFrame,
+        dedup_against_store: bool = True,
+        target_graphs: list[str] | None = None,
+    ) -> None:
         """INSERT with triple-store set semantics (SURVEY.md §1.3; the
         reference's per-record ``INSERT DATA`` round-trips at
-        load_knowledge_graph.py:152-154 collapse into one bulk append)."""
+        load_knowledge_graph.py:152-154 collapse into one bulk append).
+
+        ``target_graphs``: the graphs the batch writes into, when the caller
+        knows them statically (WITH/GRAPH targets are constants in every
+        reference query). The set-dedup anti-join then scans ONLY those
+        partitions — without it the join key ``g`` is only bound at runtime,
+        so the existing-side scan covers the whole store (at 100 TB that is
+        the difference between reading one graph and reading all of them)."""
         batch = new_quads.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS)
         if dedup_against_store:
-            existing = self.quads().alias("ex")
+            existing = self.quads()
+            if target_graphs is not None:
+                existing = existing.where(F.col("g").isin(list(target_graphs)))
+            existing = existing.alias("ex")
             batch = batch.alias("nw")
             # null-safe equality on every column (o_datatype/o_lang are
             # often NULL); join key g is constant per partition → the
@@ -130,7 +145,10 @@ class GraphStore:
         tuples, or full 8-tuples with leading g when graph is None."""
         if graph is not None:
             rows = [(graph, *r) for r in rows]
-        self.insert(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self.insert(
+            self.spark.createDataFrame(rows, QUAD_SCHEMA),
+            target_graphs=sorted({r[0] for r in rows}),
+        )
 
     def clear(self, g: str) -> None:
         """``CLEAR SILENT GRAPH <g>`` (reference load_knowledge_graph.py:341):

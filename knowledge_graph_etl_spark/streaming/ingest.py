@@ -43,6 +43,7 @@ def stream_insert_into_store(
     checkpoint_dir: str,
     dedup_against_store: bool = True,
     available_now: bool = False,
+    target_graphs: list[str] | None = None,
 ):
     """Write a quad stream into the store with set semantics.
 
@@ -53,7 +54,11 @@ def stream_insert_into_store(
     """
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        store.insert(batch_df, dedup_against_store=dedup_against_store)
+        store.insert(
+            batch_df,
+            dedup_against_store=dedup_against_store,
+            target_graphs=target_graphs,
+        )
 
     writer = (
         quads_stream.writeStream.outputMode("append")
