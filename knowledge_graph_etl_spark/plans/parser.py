@@ -130,7 +130,8 @@ _TOKEN_RE = re.compile(
       (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
     | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
-    | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<LONGSTRING>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<STRING>"(?:[^"\n\\]|\\.)*"|'(?:[^'\n\\]|\\.)*')
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<DTYPE>\^\^)
@@ -138,7 +139,7 @@ _TOKEN_RE = re.compile(
         (?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])
         (?:[\w-]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%]|\.(?=[\w%\\-]))* )
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
-    | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
+    | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
     | (?P<PUNCT>[{}\[\]();,.])
     """,
@@ -275,7 +276,8 @@ class _Parser:
 
     def parse_literal(self) -> LitT:
         t = self.next()
-        value = _unescape(t.text[1:-1])
+        raw = t.text[3:-3] if t.kind == "LONGSTRING" else t.text[1:-1]
+        value = _unescape(raw)
         nxt = self.peek()
         if nxt is not None and nxt.kind == "DTYPE":
             self.next()
@@ -495,10 +497,12 @@ class _Parser:
                 raise SyntaxError(f"variable not allowed here at {t.pos}")
             self.next()
             return VarT(t.text[1:])
-        if t.kind == "STRING":
+        if t.kind in ("STRING", "LONGSTRING"):
             return self.parse_literal()
         if t.kind == "NUMBER":
             self.next()
+            if "e" in t.text.lower():
+                return LitT(t.text, "http://www.w3.org/2001/XMLSchema#double")
             if "." in t.text:
                 return LitT(t.text, "http://www.w3.org/2001/XMLSchema#decimal")
             return LitT(t.text, "http://www.w3.org/2001/XMLSchema#integer")
@@ -513,7 +517,7 @@ class _Parser:
         if t.kind == "VAR":
             self.next()
             return VarT(t.text[1:])
-        if t.kind == "STRING":
+        if t.kind in ("STRING", "LONGSTRING"):
             return self.parse_literal()
         if t.kind == "NUMBER":
             self.next()
