@@ -68,6 +68,14 @@ def write_json_docs(docs: DataFrame, path: str, json_col: str = "json") -> None:
     docs.select(F.col(json_col).alias("value")).write.mode("overwrite").text(path)
 
 
+def postgres_doc_query(schema: str, table: str, field: str) -> str:
+    """The pushed-down Postgres subquery extracting one JSON document per
+    row — the exact per-row SELECT shape of the reference's ``_get_cursor``
+    (load_knowledge_graph.py:62-63: ``SELECT ({table}.{field})::text FROM
+    {schema}.{table}``), wrapped as a JDBC dbtable subquery."""
+    return f"(SELECT ({table}.{field})::text AS json FROM {schema}.{table}) src"
+
+
 def read_postgres_json(
     spark: SparkSession,
     url: str,
@@ -75,6 +83,7 @@ def read_postgres_json(
     table: str,
     field: str,
     fetchsize: int = 10000,
+    doc_query: str | None = None,
     **options,
 ) -> DataFrame:
     """JDBC scan of a Postgres jsonb column, one document per row —
@@ -82,12 +91,17 @@ def read_postgres_json(
     ``fetchsize`` mirrors ``cursor.itersize = 10000`` at :74). The
     ``jsonb_agg`` single-row mode (:64-65) is intentionally dropped — it
     existed only to write one JSON file, which ``write_json_docs`` covers
-    distributively. Untestable in this container (no Postgres); kept thin.
+    distributively.
+
+    ``doc_query`` overrides the generated Postgres subquery for other SQL
+    dialects (also the contract-test seam: the wiring is exercised against
+    the embedded Derby that ships with Spark, since this container has no
+    Postgres — the subquery must produce a single ``json`` column).
     """
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("dbtable", f"(SELECT ({table}.{field})::text AS json FROM {schema}.{table}) src")
+        .option("dbtable", doc_query or postgres_doc_query(schema, table, field))
         .option("fetchsize", str(fetchsize))
     )
     for k, v in options.items():
