@@ -147,6 +147,40 @@ def kg_exists_semijoin(spark, sf_dir):
     return b.df.select("c", "name")
 
 
+def kg_star_chain7(spark, sf_dir):
+    """Reference-shaped 7-pattern BGP (the ldap_mapping_unit shape,
+    sparql/ldap_mapping_unit.sparql:40-50: multi-star + container chains —
+    the store-layout benchmark query, SURVEY.md §4.3). Three subject
+    stars (?c, ?ord, ?nat) linked by two object→subject chains."""
+    cust = quadify(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        "urn:cust:",
+        "urn:g:customer",
+        columns=["c_name", "c_mktsegment", "c_nationkey"],
+        namespace=P,
+        iri_columns={"c_nationkey": "urn:nat:"},
+    )
+    nat = quadify(
+        _t(spark, sf_dir, "nation"),
+        "n_nationkey",
+        "urn:nat:",
+        "urn:g:nation",
+        columns=["n_name"],
+        namespace=P,
+    )
+    quads = cust.unionByName(_orders_quads(spark, sf_dir)).unionByName(nat)
+    b = BGP(quads)
+    b.pattern(Var("c"), P + "c_mktsegment", "BUILDING", broadcast=True)
+    b.pattern(Var("c"), P + "c_name", Var("name"))
+    b.pattern(Var("c"), P + "c_nationkey", Var("nat"))
+    b.pattern(Var("nat"), P + "n_name", Var("nname"))
+    b.pattern(Var("ord"), P + "o_custkey", Var("c"))
+    b.pattern(Var("ord"), P + "o_orderpriority", "1-URGENT")
+    b.pattern(Var("ord"), P + "o_orderstatus", Var("st"))
+    return b.df.select("ord", "name", "nname", "st")
+
+
 def kg_construct(spark, sf_dir):
     """Ops 21-22: CONSTRUCT template with unbound-skip + target-graph routing."""
     b = BGP(_customer_quads(spark, sf_dir))
@@ -527,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
         "kg_chain_join": kg_chain_join,
+        "kg_star_chain7": kg_star_chain7,
         "kg_optional": kg_optional,
         "kg_exists_semijoin": kg_exists_semijoin,
         "kg_construct": kg_construct,
@@ -767,6 +802,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {ord_s} AS ord, c_name AS name FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE o_orderpriority = '1-URGENT'"
+        ),
+        "kg_star_chain7": (
+            f"SELECT {ord_s} AS ord, c_name AS name, n_name AS nname, "
+            "o_orderstatus AS st FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "AND c_mktsegment = 'BUILDING'"
         ),
         "kg_optional": (
             f"SELECT c_name AS name, CASE WHEN o_orderkey IS NULL THEN NULL "

@@ -161,14 +161,31 @@ class GraphStore:
         kept for API fidelity (SURVEY.md §2 ops 11-12)."""
         self._drop_partition(g)
 
-    def optimize(self, g: str | None = None, target_files: int = 8) -> None:
+    def optimize(
+        self,
+        g: str | None = None,
+        target_files: int = 8,
+        cluster_by: str | None = "s",
+    ) -> None:
         """Compact a graph's files (the reference's post-load store-optimize
-        call, load_knowledge_graph.py:669-675)."""
+        call, load_knowledge_graph.py:669-675).
+
+        ``cluster_by="s"`` (default, SURVEY.md §4.3) range-partitions and
+        sorts each rewritten graph by subject, so every parquet row group
+        carries tight min/max stats on ``s`` — constant-subject patterns
+        and the build side of subject joins then prune row groups instead
+        of scanning the graph. (At 100 TB this is what makes a 7-way BGP
+        self-join read a sliver of the store per pattern.)"""
         if not self.path:
             return
         graphs = [g] if g else self.list_graphs()
         for gname in graphs:
-            df = self.graph(gname).repartition(target_files)
+            df = self.graph(gname)
+            if cluster_by:
+                df = df.repartitionByRange(target_files, F.col(cluster_by))
+                df = df.sortWithinPartitions(cluster_by)
+            else:
+                df = df.repartition(target_files)
             tmp = os.path.join(self.path, "_compact_tmp")
             df.write.mode("overwrite").parquet(tmp)
             self._drop_partition(gname)
@@ -176,6 +193,39 @@ class GraphStore:
                 "g"
             ).parquet(self.path)
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def as_bucketed_table(self, table: str, buckets: int = 32) -> DataFrame:
+        """Materialize the store as a Spark-catalog table bucketed AND
+        sorted by ``s`` (SURVEY.md §4.3's co-location promise) and return a
+        DataFrame over it.
+
+        Every scan of the returned table reports the bucketing to the
+        planner, so the N self-joins of a star BGP (join key ``s``) become
+        shuffle-FREE sort-merge joins — at 100 TB the dominant cost of the
+        mapping workload is exactly these shuffles. Chain joins
+        (``o_value`` → ``s``) still shuffle their left side; the right
+        (subject) side stays exchange-free. Rebuild after bulk loads —
+        this is a materialization for the query phase, not an incremental
+        store."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not self.spark.catalog.tableExists(table):
+            # the catalog may have lost the entry (fresh in-memory catalog)
+            # while the managed location survived — remove the orphan, or
+            # saveAsTable refuses with LOCATION_ALREADY_EXISTS
+            warehouse = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            orphan = os.path.join(warehouse, table.split(".")[-1].lower())
+            shutil.rmtree(orphan, ignore_errors=True)
+        (
+            self.quads()
+            .write.mode("overwrite")
+            .bucketBy(buckets, "s")
+            .sortBy("s")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return self.spark.table(table)
 
     def list_graphs(self) -> list[str]:
         if self.path:

@@ -59,3 +59,59 @@ def test_optimize_preserves_data(spark, tmp_path):
 def test_list_graphs(store):
     store.insert_data(ROWS)
     assert store.list_graphs() == ["urn:g:a", "urn:g:b"]
+
+
+def test_optimize_clusters_by_subject(spark, tmp_path):
+    """cluster_by='s' compaction (SURVEY.md §4.3): data preserved and each
+    rewritten file covers a tight, sorted subject range."""
+    store = GraphStore(spark, str(tmp_path / "q"))
+    rows = [
+        ("urn:g:a", f"urn:s:{i:03d}", "iri", "urn:p:x", f"v{i}", "literal", None, None)
+        for i in range(100)
+    ]
+    store.insert_data(rows)
+    before = {tuple(r) for r in store.quads().collect()}
+    store.optimize(cluster_by="s", target_files=4)
+    assert {tuple(r) for r in store.quads().collect()} == before
+    # range partitioning: per-file subject ranges must not overlap
+    import pyspark.sql.functions as F
+
+    per_file = (
+        store.quads()
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(spans) > 1
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_bucketed_table_star_join_has_no_shuffle(spark, tmp_path):
+    """as_bucketed_table co-locates by subject: a star self-join compiles
+    to SortMergeJoin with NO shuffle exchange (the SURVEY §4.3 claim)."""
+    import pyspark.sql.functions as F
+
+    store = GraphStore(spark, str(tmp_path / "q"))
+    rows = []
+    for i in range(50):
+        rows.append(("urn:g:a", f"urn:s:{i}", "iri", "urn:p:name", f"n{i}", "literal", None, None))
+        rows.append(("urn:g:a", f"urn:s:{i}", "iri", "urn:p:kind", "thing", "literal", None, None))
+    store.insert_data(rows)
+    tbl = store.as_bucketed_table("quads_b_test", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = tbl.where(F.col("p") == "urn:p:kind").select(F.col("s").alias("e"))
+        b = tbl.where(F.col("p") == "urn:p:name").select(
+            F.col("s").alias("e"), F.col("o_value").alias("name")
+        )
+        j = a.join(b, "e")
+        assert j.count() == 50
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS quads_b_test")
