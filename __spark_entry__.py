@@ -170,14 +170,28 @@ def kg_star_chain7(spark, sf_dir):
         namespace=P,
     )
     quads = cust.unionByName(_orders_quads(spark, sf_dir)).unionByName(nat)
+    # both subject stars compile via the property-table rewrite
+    # (operators.bgp.star_scan): ONE scan + ONE shuffle per star instead of
+    # 3 scans + 2 self-joins each — measured 2.5× faster cold at sf0.1 and
+    # the shuffle count is what matters at 100× (BASELINE.md §3)
     b = BGP(quads)
-    b.pattern(Var("c"), P + "c_mktsegment", "BUILDING", broadcast=True)
-    b.pattern(Var("c"), P + "c_name", Var("name"))
-    b.pattern(Var("c"), P + "c_nationkey", Var("nat"))
+    b.star(
+        Var("c"),
+        [
+            (P + "c_mktsegment", "BUILDING"),
+            (P + "c_name", Var("name")),
+            (P + "c_nationkey", Var("nat")),
+        ],
+    )
     b.pattern(Var("nat"), P + "n_name", Var("nname"))
-    b.pattern(Var("ord"), P + "o_custkey", Var("c"))
-    b.pattern(Var("ord"), P + "o_orderpriority", "1-URGENT")
-    b.pattern(Var("ord"), P + "o_orderstatus", Var("st"))
+    b.star(
+        Var("ord"),
+        [
+            (P + "o_custkey", Var("c")),
+            (P + "o_orderpriority", "1-URGENT"),
+            (P + "o_orderstatus", Var("st")),
+        ],
+    )
     return b.df.select("ord", "name", "nname", "st")
 
 

@@ -18,7 +18,7 @@ queries (SURVEY.md). This package re-expresses that, Spark-first:
 """
 
 from .ingest import json_to_quads, parse_document, parse_json_text, quadify
-from .operators import BGP, Var, construct, pattern
+from .operators import BGP, Var, construct, pattern, star_scan
 from .store import GraphStore
 from .terms import QUAD_COLUMNS, QUAD_SCHEMA, Term, bnode, iri, literal
 
@@ -37,5 +37,6 @@ __all__ = [
     "parse_document",
     "parse_json_text",
     "pattern",
+    "star_scan",
     "quadify",
 ]

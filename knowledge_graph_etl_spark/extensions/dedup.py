@@ -22,7 +22,7 @@ Everything is built-in Column expressions — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -82,12 +82,14 @@ def ngram_jaccard_pairs(
         "id", "set_size", F.explode("shingles").alias("shingle")
     ).select("id", "set_size", F.xxhash64("shingle").alias("shingle"))
     if max_shingle_freq is not None:
-        freq = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        flat = flat.join(
-            F.broadcast(freq.where(F.col("df") > max_shingle_freq).select("shingle")),
-            "shingle",
-            "left_anti",
-        )
+        # document frequency via a window over the SAME shuffle the
+        # self-join needs anyway (partition by shingle): no extra pass over
+        # the corpus, no separate freq aggregate + anti-join — and both
+        # join sides reuse the one exchange (ReusedExchange)
+        w = Window.partitionBy("shingle")
+        flat = flat.withColumn("df", F.count(F.lit(1)).over(w)).where(
+            F.col("df") <= max_shingle_freq
+        ).drop("df")
     a = flat.alias("a")
     b = flat.alias("b")
     pairs = (

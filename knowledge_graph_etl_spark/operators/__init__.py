@@ -1,4 +1,4 @@
-from .bgp import BGP, BGPBuilder, Var, pattern
+from .bgp import BGP, BGPBuilder, Var, pattern, star_scan
 from .construct import construct
 
-__all__ = ["BGP", "BGPBuilder", "Var", "pattern", "construct"]
+__all__ = ["BGP", "BGPBuilder", "Var", "pattern", "star_scan", "construct"]

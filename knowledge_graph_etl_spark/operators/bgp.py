@@ -50,6 +50,30 @@ def _plain_literal_conds(value) -> list[Column]:
     ]
 
 
+def _object_conds(o) -> list[Column]:
+    """Full-term equality conditions for a constant object term."""
+    if isinstance(o, Term):
+        if o.type == LITERAL and o.datatype is None and o.lang is None:
+            return _plain_literal_conds(o.value)
+        conds = [F.col("o_value") == o.value, F.col("o_type") == o.type]
+        if o.datatype is not None:
+            conds.append(
+                (F.col("o_datatype") == o.datatype)
+                if o.datatype != XSD_STRING
+                else (
+                    F.col("o_datatype").isNull()
+                    | (F.col("o_datatype") == XSD_STRING)
+                )
+            )
+        if o.lang is not None:
+            conds.append(F.col("o_lang") == o.lang)
+        if o.type == LITERAL and o.lang is None:
+            conds.append(F.col("o_lang").isNull())
+        return conds
+    # plain string constant ≙ plain literal object
+    return _plain_literal_conds(o)
+
+
 @dataclass(frozen=True)
 class Var:
     """A SPARQL variable. ``Var("o")`` ≙ ``?o``."""
@@ -97,28 +121,7 @@ def pattern(
         cols.append(F.col("p").alias(p.name))
 
     if not _is_var(o):
-        if isinstance(o, Term):
-            if o.type == LITERAL and o.datatype is None and o.lang is None:
-                conds.extend(_plain_literal_conds(o.value))
-            else:
-                conds.append(F.col("o_value") == o.value)
-                conds.append(F.col("o_type") == o.type)
-                if o.datatype is not None:
-                    conds.append(
-                        (F.col("o_datatype") == o.datatype)
-                        if o.datatype != XSD_STRING
-                        else (
-                            F.col("o_datatype").isNull()
-                            | (F.col("o_datatype") == XSD_STRING)
-                        )
-                    )
-                if o.lang is not None:
-                    conds.append(F.col("o_lang") == o.lang)
-                if o.type == LITERAL and o.lang is None:
-                    conds.append(F.col("o_lang").isNull())
-        else:
-            # plain string constant ≙ plain literal object
-            conds.extend(_plain_literal_conds(o))
+        conds.extend(_object_conds(o))
     else:
         cols.append(F.col("o_value").alias(o.name))
         if keep_object_meta:
@@ -132,6 +135,86 @@ def pattern(
     if not cols:  # pattern with no variables: existence row
         return out.select(F.lit(1).alias("__match"))
     return out.select(*cols)
+
+
+def star_scan(
+    quads: DataFrame,
+    subject: Var,
+    patterns: list[tuple],
+    keep_object_meta: bool = True,
+) -> DataFrame:
+    """Property-table rewrite of a same-subject star (SURVEY.md §4.2's one
+    genuinely custom optimization): N patterns sharing ``?subject`` with
+    CONSTANT predicates compile to ONE predicate-filtered scan + ONE
+    aggregation on ``s`` instead of N scans + N-1 self-joins.
+
+    Per subject, each pattern's matching objects are collected
+    (``collect_list(when(p = p_i, term))``, map-side partial) and then
+    exploded sequentially — the cross product per subject is exactly the
+    SPARQL join semantics, including multi-valued predicates. Constant
+    objects become presence flags (no exported column), mirroring
+    reference patterns like sparql/ldap_mapping_school.sparql:19-21.
+
+    Scale: the star shape dominates the reference's mapping workload (up to
+    4-pattern stars, sparql/tl_users_mapping.sparql:31-34); this turns its
+    k shuffles into one, and the single shuffle key ``s`` is the store's
+    clustering/bucketing key (see GraphStore.as_bucketed_table — over a
+    bucketed table the aggregation is shuffle-free too).
+
+    Returns the same solution-mapping shape as chained :func:`pattern`
+    joins: value column per variable + ``__type/__dt/__lang`` companions.
+    """
+    if not _is_var(subject):
+        raise ValueError("star_scan subject must be a Var")
+    pvals = []
+    for p, _ in patterns:
+        if _is_var(p):
+            raise ValueError("star_scan requires constant predicates")
+        pvals.append(p.value if isinstance(p, Term) else p)
+    var_names = [o.name for _, o in patterns if _is_var(o)]
+    if len(var_names) != len(set(var_names)):
+        raise ValueError("star_scan object variables must be distinct")
+
+    scan = quads.where(F.col("p").isin(sorted(set(pvals))))
+    aggs: list[Column] = []
+    exploded: list[tuple[int, str]] = []
+    for i, (pv, (_, o)) in enumerate(zip(pvals, patterns)):
+        cond = F.col("p") == pv
+        if _is_var(o):
+            term = F.struct(
+                F.col("o_value").alias("v"),
+                F.col("o_type").alias("t"),
+                F.col("o_datatype").alias("d"),
+                F.col("o_lang").alias("l"),
+            )
+            aggs.append(F.collect_list(F.when(cond, term)).alias(f"__vals_{i}"))
+            exploded.append((i, o.name))
+        else:
+            for oc in _object_conds(o):
+                cond = cond & oc
+            aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"__has_{i}"))
+
+    df = scan.groupBy(
+        F.col("s").alias(subject.name),
+        F.col("s_type").alias(_companion(subject.name, "type")),
+    ).agg(*aggs)
+    for i, (_, o) in enumerate(patterns):
+        if _is_var(o):
+            df = df.where(F.size(F.col(f"__vals_{i}")) > 0)
+        else:
+            df = df.where(F.col(f"__has_{i}").isNotNull())
+            df = df.drop(f"__has_{i}")
+    for i, vname in exploded:
+        df = df.withColumn(vname, F.explode(F.col(f"__vals_{i}"))).drop(f"__vals_{i}")
+        cols = [F.col(vname)["v"].alias("__tmp_v")]
+        if keep_object_meta:
+            cols += [
+                F.col(vname)["t"].alias(_companion(vname, "type")),
+                F.col(vname)["d"].alias(_companion(vname, "dt")),
+                F.col(vname)["l"].alias(_companion(vname, "lang")),
+            ]
+        df = df.select("*", *cols).drop(vname).withColumnRenamed("__tmp_v", vname)
+    return df
 
 
 def _shared_value_vars(left: DataFrame, right: DataFrame) -> list[str]:
@@ -169,6 +252,11 @@ class BGPBuilder:
     def pattern(self, s, p, o, broadcast: bool = False) -> "BGPBuilder":
         scan = pattern(self.quads, s, p, o)
         return self.join_group(scan, broadcast=broadcast)
+
+    def star(self, subject: Var, patterns: list[tuple], broadcast: bool = False) -> "BGPBuilder":
+        """Join a same-subject star compiled via :func:`star_scan`
+        (one scan + one shuffle instead of N patterns joined)."""
+        return self.join_group(star_scan(self.quads, subject, patterns), broadcast=broadcast)
 
     def join_group(self, group: DataFrame, broadcast: bool = False) -> "BGPBuilder":
         """Inner-join another solution-mapping DataFrame on shared variables

@@ -33,7 +33,7 @@ from ..functions import (
     strafter,
     strbefore,
 )
-from ..operators.bgp import BGPBuilder, Var, _companion, pattern
+from ..operators.bgp import BGPBuilder, Var, _companion, pattern, star_scan
 from ..operators.construct import construct
 from ..terms import BNODE, IRI, LITERAL, Term
 from .parser import (
@@ -215,11 +215,77 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
 # --------------------------------------------------------------------------
 
 
+#: Compile same-subject constant-predicate pattern groups of this size or
+#: larger through the property-table rewrite (operators.bgp.star_scan):
+#: one scan + one aggregation on ``s`` replaces N scans + N-1 self-joins.
+#: Set to 0 to disable (plain join path) — used for A/B verification.
+STAR_REWRITE_MIN = 2
+
+
+def _star_units(run: list[TriplePattern]):
+    """Split a pattern run into star-rewrite units and singleton patterns.
+
+    A pattern joins a star when its subject is a variable, its predicate a
+    constant IRI, and its object is not the subject variable itself; one
+    pattern per repeated object variable stays a singleton (the equi-join
+    on the shared variable enforces the equality star_scan can't)."""
+    stars: dict[str, list[TriplePattern]] = {}
+    singles: list[TriplePattern] = []
+    for tp in run:
+        ok = (
+            isinstance(tp.s, VarT)
+            and isinstance(tp.p, IriT)
+            and not (isinstance(tp.o, VarT) and tp.o.name == tp.s.name)
+        )
+        if ok:
+            stars.setdefault(tp.s.name, []).append(tp)
+        else:
+            singles.append(tp)
+    units = []
+    for subj, tps in stars.items():
+        seen: set[str] = set()
+        keep: list[TriplePattern] = []
+        for tp in tps:
+            if isinstance(tp.o, VarT):
+                if tp.o.name in seen:
+                    singles.append(tp)
+                    continue
+                seen.add(tp.o.name)
+            keep.append(tp)
+        if STAR_REWRITE_MIN and len(keep) >= STAR_REWRITE_MIN:
+            star_vars = {subj} | {
+                tp.o.name for tp in keep if isinstance(tp.o, VarT)
+            }
+            sel = 0 if any(not isinstance(tp.o, VarT) for tp in keep) else 1
+            units.append(("star", subj, keep, star_vars, sel))
+        else:
+            singles.extend(keep)
+    for tp in _order_patterns(singles):
+        sel = 0 if not isinstance(tp.o, VarT) else (1 if not isinstance(tp.s, VarT) else 2)
+        units.append(("single", None, [tp], _pattern_vars(tp), sel))
+    # greedy connectivity over units, seeded on selectivity (same policy
+    # as _order_patterns, lifted to star granularity)
+    ordered = []
+    bound: set[str] = set()
+    remaining = list(units)
+    while remaining:
+        if not ordered:
+            pick = min(remaining, key=lambda u: u[4])
+        else:
+            connected = [u for u in remaining if u[3] & bound]
+            pick = min(connected or remaining, key=lambda u: u[4])
+        remaining.remove(pick)
+        ordered.append(pick)
+        bound |= pick[3]
+    return ordered
+
+
 def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
     """Group graph pattern → solution-mapping DataFrame.
 
     Elements evaluate in syntactic order (SPARQL group semantics):
-    consecutive triple patterns accumulate into a BGP (reordered by the
+    consecutive triple patterns accumulate into a BGP (same-subject stars
+    compiled via the property-table rewrite, the rest reordered by the
     connectivity seed), OPTIONAL left-joins its bottom-up-compiled
     subgroup, BIND extends, FILTER restricts.
     """
@@ -227,12 +293,25 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
     run: list[TriplePattern] = []
 
     def flush_run():
-        for tp in _order_patterns(run):
-            b.pattern(
-                _term_to_pattern_arg(tp.s),
-                _term_to_pattern_arg(tp.p),
-                _term_to_pattern_arg(tp.o),
-            )
+        for kind, subj, tps, _, _sel in _star_units(run):
+            if kind == "star":
+                b.join_group(
+                    star_scan(
+                        dataset,
+                        Var(subj),
+                        [
+                            (_term_to_pattern_arg(tp.p), _term_to_pattern_arg(tp.o))
+                            for tp in tps
+                        ],
+                    )
+                )
+            else:
+                tp = tps[0]
+                b.pattern(
+                    _term_to_pattern_arg(tp.s),
+                    _term_to_pattern_arg(tp.p),
+                    _term_to_pattern_arg(tp.o),
+                )
         run.clear()
 
     def ensure_df():

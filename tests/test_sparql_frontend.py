@@ -330,3 +330,50 @@ def test_insert_data_execute(spark):
     assert ("http://www.w3.org/ns/prov#wasDerivedFrom", "urn:src1", "iri") in got
     assert ("http://www.w3.org/ns/prov#wasDerivedFrom", "urn:src2", "iri") in got
     assert any(v == "2024-01-01T00:00:00" for _, v, _ in got)
+
+
+def test_star_rewrite_ab_equivalence(spark):
+    """The property-table star rewrite (compiler.STAR_REWRITE_MIN) must be
+    binding-equivalent to the plain join path on a reference-shaped query
+    (multi-star + chain + OPTIONAL + multi-valued predicate)."""
+    from knowledge_graph_etl_spark.plans import compiler
+
+    quad_rows = _quads(
+        ("urn:a", NS + "objectClass", "organization"),
+        ("urn:a", NS + "o", "OR-1"),
+        ("urn:a", NS + "label", "first"),
+        ("urn:a", NS + "label", "second"),  # multi-valued
+        ("urn:a", NS + "unit", "urn:u1"),
+        ("urn:u1", NS + "name", "Unit One"),
+        ("urn:b", NS + "objectClass", "organization"),
+        ("urn:b", NS + "o", "OR-2"),
+        ("urn:b", NS + "label", "only"),
+        ("urn:c", NS + "objectClass", "other"),
+        ("urn:c", NS + "o", "OR-3"),
+        ("urn:c", NS + "label", "nope"),
+    )
+    query = f"""
+        PREFIX source: <{NS}>
+        WITH <urn:out>
+        INSERT {{ ?x <urn:id> ?orid. ?x <urn:lbl> ?lab. ?x <urn:un> ?uname. }}
+        USING <urn:g>
+        WHERE {{
+          ?x source:objectClass "organization"; source:o ?orid;
+             source:label ?lab.
+          OPTIONAL {{ ?x source:unit ?u. ?u source:name ?uname. }}
+        }}
+        """
+    results = {}
+    for mode in (2, 0):
+        old = compiler.STAR_REWRITE_MIN
+        compiler.STAR_REWRITE_MIN = mode
+        try:
+            eng = eng_with(spark, quad_rows)
+            eng.update(query)
+            results[mode] = rows(eng.store.graph("urn:out").select("s", "p", "o_value"))
+        finally:
+            compiler.STAR_REWRITE_MIN = old
+    assert results[2] == results[0]
+    assert ("urn:a", "urn:lbl", "second") in results[2]
+    assert ("urn:a", "urn:un", "Unit One") in results[2]
+    assert ("urn:b", "urn:id", "OR-2") in results[2]
