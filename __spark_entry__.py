@@ -63,11 +63,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    Spark vectorized reader rejects; read it as epoch-nanos bigint (the
-    oracle side uses DuckDB ``epoch_ns``) — ordering semantics identical."""
+    """Normalize ``events.ts`` to a TIMESTAMP column whatever the parquet
+    physical type is: TIMESTAMP(NANOS) generations are readable only as
+    epoch-nanos bigint (``nanosAsLong``), TIMESTAMP(MICROS) generations read
+    as TIMESTAMP_NTZ. Session tz is pinned to UTC so the NTZ→LTZ cast (and
+    thus ``unix_micros``) agrees with DuckDB's ``epoch_us`` on the same file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    dt = dict(e.dtypes)["ts"]
+    if dt == "bigint":  # epoch nanos
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
 
 
 def _customer_quads(spark, sf_dir):
@@ -377,7 +386,7 @@ def window_running_total(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        F.unix_micros("ts").alias("ts_us"),
         F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
     )
 
@@ -410,8 +419,7 @@ def json_extract_events(spark, sf_dir):
 
 
 def _events_ts(spark, sf_dir):
-    e = _events(spark, sf_dir)
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
 def streaming_windowed_counts(spark, sf_dir):
