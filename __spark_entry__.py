@@ -256,12 +256,20 @@ def kg_dedup_union(spark, sf_dir):
     b1.pattern(Var("c"), P + "c_name", Var("name"))
     b1.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
     tmpl = [(Var("org"), RDF_TYPE, Term("urn:cls:Organization", "iri"))]
-    store.insert(construct(b1.df, tmpl, "urn:g:out"), target_graphs=["urn:g:out"])
+    store.insert(
+        construct(b1.df, tmpl, "urn:g:out"),
+        target_graphs=["urn:g:out"],
+        batch_distinct=True,
+    )
     b2 = BGP(_customer_quads(spark, sf_dir))
     b2.pattern(Var("c"), P + "c_name", Var("name"))
     b2.exists(_urgent_group(spark, sf_dir).select("c"))
     b2.bind("org", uri(concat(F.lit("urn:org:"), md5(F.col("name")))))
-    store.insert(construct(b2.df, tmpl, "urn:g:out"), target_graphs=["urn:g:out"])
+    store.insert(
+        construct(b2.df, tmpl, "urn:g:out"),
+        target_graphs=["urn:g:out"],
+        batch_distinct=True,
+    )
     return store.quads()
 
 
@@ -286,8 +294,12 @@ def kg_sparql_update(spark, sf_dir):
     from knowledge_graph_etl_spark.engine import Engine
 
     eng = Engine(spark)
-    eng.store.insert(_customer_quads(spark, sf_dir), dedup_against_store=False)
-    eng.store.insert(_orders_quads(spark, sf_dir), dedup_against_store=False)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    eng.store.insert(
+        _orders_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
     eng.update(
         """
         PREFIX p: <urn:p:>
@@ -464,11 +476,16 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     # MinHash+LSH pipeline (signature, banding, bucket join, estimate) is
     # verified against the DuckDB oracle; the xxhash64 scale path shares
     # 100% of that machinery (tests/test_extensions.py covers it).
+    # bands=4 (rows_per_band=8): the LSH operating point (1/b)^(1/r) ≈ 0.84
+    # matches the 0.8 near-dup threshold (same threshold as the ngram
+    # query). At bands=8/threshold=0.5 this synthetic corpus is ~60%
+    # pairwise-similar, so the OUTPUT is quadratic (7.7M pairs at sf0.1) —
+    # a miscalibrated operating point, not a representative dedup job.
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         num_hashes=32,
-        bands=8,
-        threshold=0.5,
+        bands=4,
+        threshold=0.8,
         hash_fn="md5",
     )
 
@@ -1045,7 +1062,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents WHERE doc_id < 100"
         ),
-        "dedup_minhash_lsh": _minhash_oracle(num_hashes=32, bands=8, threshold=0.5),
+        "dedup_minhash_lsh": _minhash_oracle(num_hashes=32, bands=4, threshold=0.8),
         "dedup_simhash": _simhash_oracle(max_hamming=3, blocks=4),
         "ann_ivf_topk": _ivf_oracle(nlist=16, nprobe=4, k=10),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),

@@ -59,6 +59,11 @@ def main() -> int:
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+        # force a full GC so one query's garbage (shuffle buffers, broadcast
+        # blocks, unrolled cache pages) isn't paid for as GC pauses inside
+        # the NEXT query's timing — measured 2-4x inflation on late queries
+        # without this; matches each query running as its own job at scale
+        spark._jvm.System.gc()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -226,6 +226,13 @@ def minhash_lsh_pairs(
     sig = agg.select(
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )
+    # sig feeds THREE consumers (banding + both sides of the refinement
+    # join); without materialization the tokenize→hash→32-way-min subtree —
+    # the most expensive stage — re-executes each time. Checkpointing is
+    # scale-safe: a signature is num_hashes × 8 bytes per doc regardless of
+    # document size (sf-independent width).
+    if not docs.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
     if hash_fn == "md5":
         # sig is array<bigint> in both modes now; band bucket = md5 of the
         # '|'-joined decimal strings (injective, reproducible in SQL via

@@ -440,6 +440,12 @@ def execute_update(node, store) -> None:
         return
     if isinstance(node, InsertWhere):
         graphs = sorted({g or node.target_graph for g, _ in node.template})
-        store.insert(compile_insert_where(node, store), target_graphs=graphs)
+        # batch_distinct: each construct() output is deduped internally and
+        # the per-graph unions are disjoint on g → no second dedup shuffle
+        store.insert(
+            compile_insert_where(node, store),
+            target_graphs=graphs,
+            batch_distinct=True,
+        )
         return
     raise TypeError(f"unexpected update node {node!r}")

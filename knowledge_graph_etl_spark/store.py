@@ -97,6 +97,7 @@ class GraphStore:
         new_quads: DataFrame,
         dedup_against_store: bool = True,
         target_graphs: list[str] | None = None,
+        batch_distinct: bool = False,
     ) -> None:
         """INSERT with triple-store set semantics (SURVEY.md §1.3; the
         reference's per-record ``INSERT DATA`` round-trips at
@@ -107,8 +108,17 @@ class GraphStore:
         reference query). The set-dedup anti-join then scans ONLY those
         partitions — without it the join key ``g`` is only bound at runtime,
         so the existing-side scan covers the whole store (at 100 TB that is
-        the difference between reading one graph and reading all of them)."""
-        batch = new_quads.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS)
+        the difference between reading one graph and reading all of them).
+
+        ``batch_distinct``: caller guarantees the batch already has no
+        duplicate quads (true for ``quadify``-style staging loads — one
+        quad per (row, non-null column) of a keyed table), skipping the
+        in-batch ``dropDuplicates`` shuffle. Set semantics are unchanged:
+        the guarantee is the caller's, exactly like the reference trusting
+        its per-record INSERT DATA batches to be duplicate-free."""
+        batch = new_quads.select(*QUAD_COLUMNS)
+        if not batch_distinct:
+            batch = batch.dropDuplicates(QUAD_COLUMNS)
         if dedup_against_store:
             existing = self.quads()
             if target_graphs is not None:
@@ -126,17 +136,18 @@ class GraphStore:
         if self.path:
             batch.write.mode("append").partitionBy("g").parquet(self.path)
         else:
+            # materialize ONLY the new batch through the cache:
+            # InMemoryRelation carries REAL size stats, so downstream
+            # pattern-scan joins get sane broadcast decisions instead of
+            # defaultSizeInBytes=Long.Max cascading into astronomical join
+            # estimates. The store stays a LAZY union of cached pieces —
+            # re-caching the whole union per insert would re-materialize
+            # the entire store on every one of a pipeline's 30+ inserts
+            # (measured 2× on the flagship end-to-end query).
+            batch = batch.cache()
+            batch.count()
             cur = self._mem
-            new = batch if cur is None else cur.unionByName(batch)
-            # materialize through the cache: InMemoryRelation carries REAL
-            # size stats, so downstream pattern-scan joins get sane
-            # broadcast decisions instead of defaultSizeInBytes=Long.Max
-            # cascading into astronomically-estimated join plans
-            new = new.cache()
-            new.count()
-            if cur is not None:
-                cur.unpersist()
-            self._mem = new
+            self._mem = batch if cur is None else cur.unionByName(batch)
 
     def insert_data(self, rows: list[tuple], graph: str | None = None) -> None:
         """SPARQL ``INSERT DATA { GRAPH <g> { ...constant triples... } }``

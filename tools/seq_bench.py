@@ -1,0 +1,39 @@
+"""Run a named sequence of queries() entries with the exact bench config,
+printing per-query wall-clock — for bisecting cross-query interference."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+names = sys.argv[1].split(",")
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entrymod
+
+qs = entrymod.queries()
+out = {}
+for name in names:
+    t0 = time.time()
+    qs[name](spark, SF).count()
+    out[name] = round(time.time() - t0, 2)
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark._jvm.System.gc()
+print(json.dumps(out))
+spark.stop()
