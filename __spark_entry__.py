@@ -584,6 +584,39 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+def skew_salted_join_q(spark, sf_dir):
+    """Salted shuffle join (extensions/skew.py): lineitem ⋈ part with every
+    lineitem key spread over 8 salt partitions — the mitigation for a hot
+    logical key that AQE cannot split. Result is provably identical to the
+    plain join: the oracle runs the UNSALTED query."""
+    from knowledge_graph_etl_spark.extensions.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_extendedprice").cast(_DEC).alias("price"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(l, p, on="p_partkey", salt=8)
+    return j.groupBy("p_brand").agg(
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def skew_distinct_users_q(spark, sf_dir):
+    """Skew-safe COUNT(DISTINCT): two-phase distinct over (group, value)
+    pairs (extensions/skew.py) — a hot event_type fans out over its value
+    count instead of one reducer."""
+    from knowledge_graph_etl_spark.extensions.skew import two_phase_distinct
+
+    return two_phase_distinct(
+        _events(spark, sf_dir).select("event_type", "user_id"),
+        "event_type",
+        "user_id",
+        out_col="n_users",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -631,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_features": multimodal_features_q,
+        "skew_salted_join": skew_salted_join_q,
+        "skew_distinct_users": skew_distinct_users_q,
     }
 
 
@@ -1067,4 +1102,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle(nlist=16, nprobe=4, k=10),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "ann_neardup_lsh": _ann_neardup_lsh_oracle(),
+        # skew entries: the oracle is the UNSALTED equivalent — identical
+        # results prove the mitigation changes the shuffle, not the answer
+        "skew_salted_join": (
+            "SELECT p_brand, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+        ),
+        "skew_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
     }

@@ -334,6 +334,12 @@ def simhash_pairs(
     sh = simhash_segments_table(
         docs, text_col=text_col, id_col=id_col, blocks=blocks, hash_fn=hash_fn
     )
+    # NOTE: deliberately NOT checkpointed — both sides of the blocked
+    # self-join consume the identical aggregate subtree, which Catalyst
+    # serves from one exchange (ReusedExchange); an eager checkpoint here
+    # measured ~2× slower by breaking that reuse (unlike minhash_lsh_pairs,
+    # whose signature table has consumers on both sides of a groupBy
+    # boundary where exchange reuse cannot apply).
     seg_cols = [f"seg{k}" for k in range(blocks)]
     blocked = sh.select(
         "id",
