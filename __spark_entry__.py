@@ -446,6 +446,15 @@ def streaming_windowed_counts(spark, sf_dir):
     )
 
 
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact-dedup (watermark-bounded dropDuplicates state);
+    executed here in batch mode — tests/test_streaming.py proves the
+    stream==batch equivalence on the same operator."""
+    from knowledge_graph_etl_spark.streaming import dedup_events
+
+    return dedup_events(_events_ts(spark, sf_dir), key_cols=("user_id", "event_type"))
+
+
 def streaming_sessionize(spark, sf_dir):
     from knowledge_graph_etl_spark.streaming import sessionize
 
@@ -643,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dataset_union": kg_dataset_union,
         "kg_sparql_update": kg_sparql_update,
         "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_dedup": streaming_dedup,
         "streaming_sessionize": streaming_sessionize,
         "agg_pricing_summary": agg_pricing_summary,
         "join_topn_revenue": join_topn_revenue,
@@ -1113,5 +1123,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "streaming_dedup": (
+            "SELECT DISTINCT user_id, event_type FROM events"
         ),
     }

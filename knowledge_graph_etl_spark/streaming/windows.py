@@ -47,6 +47,26 @@ def windowed_event_counts(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: first arrival per key wins; the watermark
+    bounds the dedup state (a key older than the delay is dropped from
+    state — at 100 TB/day unbounded dedup state is the streaming killer,
+    so the delay IS the dedup horizon). On a batch input the same
+    ``dropDuplicates`` is a plain hash aggregate.
+
+    Returns only the key columns (deterministic in both modes — which
+    full row survives ``dropDuplicates`` is arrival-order-dependent)."""
+    keys = list(key_cols)
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark_delay)
+    return events.dropDuplicates(keys).select(*keys)
+
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from knowledge_graph_etl_spark.store import GraphStore
 from knowledge_graph_etl_spark.streaming import (
+    dedup_events,
     sessionize,
     stream_insert_into_store,
     stream_json_to_quads,
@@ -159,3 +160,26 @@ def test_sessionize_stream_closed_sessions(spark, tmp_path):
     # the same user's stream emit; open sessions wait for timeout.
     # user 1's first session closes when the 11:30 event arrives.
     assert (1, "2024-01-01 10:00:00", 2) in got
+
+
+def test_dedup_events_stream_matches_batch(spark, tmp_path):
+    # duplicate keys across the stream: (1, view) appears twice
+    batch = dedup_events(_events_df(spark), key_cols=("user_id", "event_type"))
+    expect = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+    assert expect == {(1, "view"), (1, "buy"), (2, "view")}
+    src = str(tmp_path / "ev_dedup")
+    _events_df(spark).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = dedup_events(stream, key_cols=("user_id", "event_type"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_keys")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["event_type"]) for r in spark.table("dedup_keys").collect()}
+    assert got == expect
