@@ -99,12 +99,15 @@ def test_triple_count_matches_structure(doc):
 def test_bnode_links_form_a_forest(doc):
     triples = list(parse_document(doc, "d1"))
     link_objects = [t[3] for t in triples if t[4] == BNODE]
-    # each minted node is the object of at most one parent link...
+    # each minted node is the object of at most one parent link (forest:
+    # in-degree ≤ 1; roots have in-degree 0)...
     assert len(link_objects) == len(set(link_objects))
-    # ...and subjects are always previously-minted nodes of this document
+    # ...and every subject/link-object is a node label scoped to this doc
+    # (labels _:b{doc_id}-{k} with k strictly increasing at mint time;
+    # objects that emit no triples still advance k, so the only invariant
+    # on k is the label format, not density)
     minted = {t[0] for t in triples} | set(link_objects)
-    assert all(o.startswith("_:bd1-") for o in link_objects)
-    assert minted <= {f"_:bd1-{i}" for i in range(len(minted) + len(triples))}
+    assert all(m.startswith("_:bd1-") and m[6:].isdigit() for m in minted)
 
 
 @settings(max_examples=100, deadline=None)
