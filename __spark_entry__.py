@@ -593,6 +593,19 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+def text_winnow_fp_q(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-gram hashes → sliding-window
+    minima, the MOSS algorithm) — position-aware document fingerprinting;
+    md5 hash family → exact DuckDB oracle."""
+    from knowledge_graph_etl_spark.extensions.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=4, window=5)).alias("fp"),
+    )
+
+
 def skew_salted_join_q(spark, sf_dir):
     """Salted shuffle join (extensions/skew.py): lineitem ⋈ part with every
     lineitem key spread over 8 salt partitions — the mitigation for a hot
@@ -672,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": text_features_q,
         "text_langid": text_langid_q,
         "text_fingerprint": text_fingerprint_q,
+        "text_winnow_fp": text_winnow_fp_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_features": multimodal_features_q,
         "skew_salted_join": skew_salted_join_q,
@@ -1123,6 +1137,18 @@ def oracle_sql() -> dict[str, str]:
         "skew_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "text_winnow_fp": (
+            "WITH tok AS (SELECT doc_id, " + _TOKS + " AS t FROM documents), "
+            "g AS (SELECT doc_id, list_transform(generate_series(1, "
+            "greatest(len(t) - 3, 0)), i -> array_to_string(list_slice(t, i, i + 3), ' ')) "
+            "AS grams FROM tok), "
+            "h AS (SELECT doc_id, list_transform(grams, x -> "
+            "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS hs FROM g), "
+            "m AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "generate_series(1, greatest(len(hs) - 4, 0)), "
+            "i -> list_aggregate(list_slice(hs, i, i + 4), 'min')))) AS fps FROM h) "
+            "SELECT doc_id, unnest(fps) AS fp FROM m"
         ),
         "streaming_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"

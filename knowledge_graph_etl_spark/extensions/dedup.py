@@ -129,7 +129,9 @@ def ngram_jaccard_pairs(
     )
 
 
-_MERSENNE31 = 2_147_483_647  # prime modulus of the md5 universal-hash family
+# shared cross-engine hash primitives (also used by text.winnow_fingerprints)
+from .hashing import MERSENNE31 as _MERSENNE31
+from .hashing import md5_base as _md5_base
 
 
 def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
@@ -142,20 +144,6 @@ def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
         b = (972663749 * (i + 1) + 12345) % _MERSENNE31
         out.append((a, b))
     return out
-
-
-def _md5_base(tok: Column) -> Column:
-    """Cross-engine-deterministic integer hash of a token: the first 15 hex
-    chars of md5 as a bigint, reduced mod 2^31-1. ONE md5 per token — the
-    per-seed hashes are then integer multiply-adds (whole-stage codegen),
-    not ``num_hashes`` further md5 calls. Reproducible in ANSI SQL:
-    Spark ``conv(substr(md5(t),1,15),16,10)`` ≡ DuckDB
-    ``('0x' || substr(md5(t),1,15))::BIGINT`` (verified bit-identical);
-    15 hex chars < 2^60 so no engine overflows, and products
-    ``a_i * (base % p)`` stay < 2^62."""
-    return (
-        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint") % _MERSENNE31
-    )
 
 
 def minhash_signature(

@@ -96,6 +96,64 @@ def fingerprint(text: Column) -> Column:
     return F.md5(canon)
 
 
+def _shifted(arr: Column, i: int) -> Column:
+    """``arr`` shifted left by ``i`` (suffix slice); empty-safe."""
+    return F.slice(arr, i + 1, F.greatest(F.size(arr) - i, F.lit(0)))
+
+
+def winnow_fingerprints(
+    text: Column, k: int = 4, window: int = 5
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): rolling
+    hashes of the k-gram stream, then the MINIMUM of each sliding window of
+    ``window`` consecutive hashes; the distinct minima are the document's
+    fingerprint set. Guarantees any shared run of ≥ ``window+k-1`` tokens
+    between two documents yields a shared fingerprint — the position-aware
+    complement of the bag :func:`fingerprint`.
+
+    Hash = md5-derived bigint of the k-gram (cross-engine-deterministic, so
+    the DuckDB oracle reproduces the exact fingerprint sets). All array
+    expressions — shifted-slice zips, never per-index lambdas over the
+    re-evaluated parent (see dedup.word_shingles).
+
+    Returns a sorted array<bigint> (empty when the doc has < k tokens)."""
+    from .hashing import md5_base  # local import: avoids module cycle
+
+    grams_src = tokens(text)
+    # k-gram join: zip the token array with its k-1 shifted suffixes
+    parts = {"g0": grams_src}
+    for i in range(1, k):
+        parts[f"g{i}"] = _shifted(grams_src, i)
+    z = F.arrays_zip(*[c.alias(n) for n, c in parts.items()])
+    grams = F.filter(
+        F.transform(
+            z,
+            lambda s: F.when(
+                s[f"g{k - 1}"].isNotNull(),
+                F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)]),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    hashes = F.transform(grams, md5_base)
+    # sliding-window min: least() across the hash array and its w-1 shifts
+    hparts = {"h0": hashes}
+    for i in range(1, window):
+        hparts[f"h{i}"] = _shifted(hashes, i)
+    hz = F.arrays_zip(*[c.alias(n) for n, c in hparts.items()])
+    mins = F.filter(
+        F.transform(
+            hz,
+            lambda s: F.when(
+                s[f"h{window - 1}"].isNotNull(),
+                F.least(*[s[f"h{i}"] for i in range(window)]),
+            ),
+        ),
+        lambda m: m.isNotNull(),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def simhash64_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

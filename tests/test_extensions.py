@@ -218,3 +218,28 @@ def test_exact_dedup_groups(docs):
     out = {r["keep_id"]: r["group_size"] for r in exact_dedup(docs).collect()}
     assert out[0] == 2  # docs 0 and 1 identical
     assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a run of >= window+k-1
+    tokens share at least one fingerprint; disjoint docs share none."""
+    from knowledge_graph_etl_spark.extensions.text import winnow_fingerprints
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= w+k-1
+    rows = [
+        ("a", f"one two {shared} three"),
+        ("b", f"{shared} four five six"),
+        ("c", "totally different words with no overlap at all here"),
+        ("d", "tiny doc"),  # < k tokens -> empty fingerprint set
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=k, window=w).alias("fps")
+        ).collect()
+    }
+    assert fps["a"] & fps["b"], "shared run must yield a shared fingerprint"
+    assert not (fps["a"] & fps["c"])
+    assert fps["d"] == set()
