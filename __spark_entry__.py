@@ -593,6 +593,27 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+def multimodal_frame_sample_q(spark, sf_dir):
+    """Video frame-sampling plumbing (extensions/multimodal.sample_frames):
+    one row per sampled timestamp, Arrow-batched fan-out. Decode is the
+    documented deterministic stub (sha256 of payload+ts — no codecs in the
+    container), which makes the fan-out AND the frame bytes exactly
+    oracle-able."""
+    from knowledge_graph_etl_spark.extensions.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("n_chars").cast("long").alias("duration_ms"),
+    )
+    out = sample_frames(media, every_ms=100)
+    return out.select(
+        "media_id", "frame_ts_ms", F.lower(F.hex("frame")).alias("frame_sha")
+    )
+
+
 def text_winnow_fp_q(spark, sf_dir):
     """Winnowing fingerprints (rolling k-gram hashes → sliding-window
     minima, the MOSS algorithm) — position-aware document fingerprinting;
@@ -688,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": text_winnow_fp_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_features": multimodal_features_q,
+        "multimodal_frame_sample": multimodal_frame_sample_q,
         "skew_salted_join": skew_salted_join_q,
         "skew_distinct_users": skew_distinct_users_q,
     }
@@ -1137,6 +1159,12 @@ def oracle_sql() -> dict[str, str]:
         "skew_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "multimodal_frame_sample": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 100)) AS frame_ts_ms, "
+            "sha256(text || CAST(unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 100)) AS VARCHAR)) AS frame_sha "
+            "FROM documents WHERE doc_id < 200 AND n_chars > 0"
         ),
         "text_winnow_fp": (
             "WITH tok AS (SELECT doc_id, " + _TOKS + " AS t FROM documents), "

@@ -145,7 +145,9 @@ def sample_frames(
             rows = []
             for _, r in pdf.iterrows():
                 dur = r["duration_ms"]
-                if dur is None or r["payload"] is None:
+                # nullable int64 arrives as NaN in pandas — `is None` alone
+                # would crash int(dur) in the worker
+                if pd.isna(dur) or r["payload"] is None:
                     continue
                 if not fake_decode:
                     raise NotImplementedError("real frame extraction requires ffmpeg")

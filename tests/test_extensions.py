@@ -243,3 +243,26 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     assert fps["a"] & fps["b"], "shared run must yield a shared fingerprint"
     assert not (fps["a"] & fps["c"])
     assert fps["d"] == set()
+
+
+def test_sample_frames_fanout_and_kind_filter(spark):
+    from knowledge_graph_etl_spark.extensions.multimodal import sample_frames
+
+    rows = [
+        ("v1", "video", b"payload-1", 2500),   # frames at 0,1000,2000
+        ("v2", "video", b"payload-2", 999),    # frame at 0
+        ("v3", "video", None, 5000),           # null payload -> skipped
+        ("a1", "audio", b"payload-3", 9000),   # wrong kind -> filtered
+        ("v4", "video", b"payload-4", None),   # null duration -> skipped
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, duration_ms long"
+    )
+    out = sample_frames(media, every_ms=1000).collect()
+    got = {(r["media_id"], r["frame_ts_ms"]) for r in out}
+    assert got == {("v1", 0), ("v1", 1000), ("v1", 2000), ("v2", 0)}
+    # frames are deterministic: same payload+ts -> same bytes across runs
+    again = {(r["media_id"], r["frame_ts_ms"], bytes(r["frame"])) for r in
+             sample_frames(media, every_ms=1000).collect()}
+    first = {(r["media_id"], r["frame_ts_ms"], bytes(r["frame"])) for r in out}
+    assert again == first
