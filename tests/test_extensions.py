@@ -266,3 +266,34 @@ def test_sample_frames_fanout_and_kind_filter(spark):
              sample_frames(media, every_ms=1000).collect()}
     first = {(r["media_id"], r["frame_ts_ms"], bytes(r["frame"])) for r in out}
     assert again == first
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """Lloyd-refined centroids: recall@k vs exact top-k must clear a floor
+    and not regress against the md5-sample init at the same nprobe."""
+    from knowledge_graph_etl_spark.extensions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=10, nlist=16, nprobe=4, centroids=centroids
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_sample = recall("sample")
+    r_kmeans = recall("kmeans")
+    assert r_kmeans >= 0.5
+    # refinement must not hurt at matched parameters (small tolerance for
+    # assignment boundary flips on this tiny corpus)
+    assert r_kmeans >= r_sample - 0.1
