@@ -124,6 +124,47 @@ def decode_and_featurize(
     )
 
 
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image-resize plumbing: payload → payload transform that rewrites the
+    (width, height) metadata. The pixel work is the documented stub (the
+    fake 'resized' payload is sha256-stretched to a deterministic
+    width·height-dependent length); with a real codec only the inner
+    function changes — schema, Arrow batching, and column flow are real."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target_len = max(1, (width * height) // 64)
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    continue
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "real image resize requires codec libraries (PIL)"
+                    )
+                buf = b""
+                h = hashlib.sha256(bytes(p)).digest()
+                while len(buf) < target_len:
+                    buf += h
+                    h = hashlib.sha256(h).digest()
+                payloads.append(buf[:target_len])
+            out["payload"] = payloads
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=media.schema
+    )
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,

@@ -297,3 +297,25 @@ def test_ivf_kmeans_centroids_recall(spark):
     # refinement must not hurt at matched parameters (small tolerance for
     # assignment boundary flips on this tiny corpus)
     assert r_kmeans >= r_sample - 0.1
+
+
+def test_resize_images_plumbing(spark):
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        ("i1", "image", b"img-bytes-1", "image/png", 640, 480, None),
+        ("i2", "image", None, "image/png", 10, 10, None),
+        ("a1", "audio", b"wav", "audio/wav", None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 64, 64).collect()}
+    assert set(out) == {"i1", "i2"}  # non-images filtered
+    assert out["i1"]["width"] == 64 and out["i1"]["height"] == 64
+    assert len(bytes(out["i1"]["payload"])) == (64 * 64) // 64
+    assert out["i2"]["payload"] is None  # null payload preserved
+    # deterministic: same input -> same resized bytes
+    again = {r["media_id"]: r for r in resize_images(media, 64, 64).collect()}
+    assert bytes(again["i1"]["payload"]) == bytes(out["i1"]["payload"])
