@@ -43,29 +43,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> column.
+    """Distinct word n-gram shingles as an array<string> column
+    (empty — never NULL — for NULL/short text). See
+    :func:`..text.zip_kgrams` for why the zip construction matters."""
+    from .text import zip_kgrams
 
-    Built by zipping the token array with its n-1 shifted suffixes —
-    NOT via ``transform(idx, i -> slice(tokens, i, n))``: Catalyst does no
-    common-subexpression elimination inside lambda bodies, so the
-    per-index form re-runs the regex tokenizer once per OUTPUT SHINGLE
-    (~token-count× per row; measured 6× slower end-to-end). The zip form
-    evaluates the tokenizer a constant ~2(n-1)+1 times per row."""
-    tks = tokens(text)
-    shifted = {"t0": tks}
-    for i in range(1, n):
-        shifted[f"t{i}"] = F.slice(tks, i + 1, F.greatest(F.size(tks) - i, F.lit(0)))
-    z = F.arrays_zip(*[c.alias(k) for k, c in shifted.items()])
-    # arrays_zip pads the shifted suffixes with NULL at the tail; a NULL
-    # last component marks an incomplete window → filtered out
-    grams = F.transform(
-        z,
-        lambda s: F.when(
-            s[f"t{n - 1}"].isNotNull(),
-            F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
-        ),
-    )
-    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+    return F.array_distinct(zip_kgrams(tokens(text), n))
 
 
 def ngram_jaccard_pairs(

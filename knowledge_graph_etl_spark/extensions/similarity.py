@@ -328,10 +328,11 @@ def kmeans_centroids(
             .collect()
         )
         new = {r["list_id"]: [x["m"] for x in r["pm"]] for r in rows}
-        # empty lists keep their previous centroid
-        cents = {i: new.get(i, cents[i]) for i in range(nlist)}
+        # empty lists keep their previous centroid; iterate the ACTUAL
+        # list ids — a corpus smaller than nlist yields fewer centroids
+        cents = {i: new.get(i, c) for i, c in cents.items()}
         cent_rows = [
-            {"list_id": i, "cent": cents[i]} for i in range(nlist)
+            {"list_id": i, "cent": cents[i]} for i in sorted(cents)
         ]
     return cent_rows
 

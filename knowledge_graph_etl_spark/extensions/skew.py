@@ -19,8 +19,9 @@ be split without changing the join itself — that is what salting does:
   the final per-key step into a plain COUNT over already-unique rows.
 
 Both stay entirely in built-in Column expressions (no UDFs); the salt is
-``pmod(xxhash64(entire row), salt)`` — deterministic under task retry,
-uniform for any row mix, and requiring no extra column from the caller.
+a seeded ``rand()`` so even FULLY-DUPLICATE rows of a hot key spread over
+salts (a row-content hash cannot do that), while the join result itself is
+salt-independent.
 """
 
 from __future__ import annotations
@@ -51,9 +52,14 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
+    # seeded rand, not a row-content hash: fully-duplicate rows of a hot
+    # key (the classic dirty-data skew) must spread over salts too, which
+    # any deterministic function of the row's columns cannot do. The join
+    # RESULT is salt-independent (the small side is replicated at every
+    # salt value), so recomputation under task retry is semantically safe
+    # — the same guarantee class as Spark's own round-robin repartition.
     big_salted = big.withColumn(
-        SALT_COL,
-        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(salt)),
+        SALT_COL, F.floor(F.rand(seed=42) * salt).cast("int")
     )
     small_rep = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -77,4 +83,6 @@ def two_phase_distinct(
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     uniq = df.select(*groups, distinct_col).dropDuplicates([*groups, distinct_col])
-    return uniq.groupBy(*groups).agg(F.count(F.lit(1)).alias(out_col))
+    # count(col), not count(*): COUNT(DISTINCT x) ignores NULL x, so the
+    # surviving (group, NULL) row must not be counted
+    return uniq.groupBy(*groups).agg(F.count(F.col(distinct_col)).alias(out_col))

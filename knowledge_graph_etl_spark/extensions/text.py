@@ -101,6 +101,34 @@ def _shifted(arr: Column, i: int) -> Column:
     return F.slice(arr, i + 1, F.greatest(F.size(arr) - i, F.lit(0)))
 
 
+def zip_kgrams(tks: Column, k: int, sep: str = " ") -> Column:
+    """k-grams of a token array, via ``arrays_zip`` of the array with its
+    k-1 shifted suffixes — NOT ``transform(idx, i -> slice(tks, i, k))``:
+    Catalyst does no common-subexpression elimination inside lambda bodies,
+    so the per-index form re-evaluates the token-array expression once per
+    OUTPUT GRAM (measured 6× slower end-to-end). The zip form evaluates it
+    a constant ~2(k-1)+1 times per row. Shared by
+    :func:`dedup.word_shingles` and :func:`winnow_fingerprints`.
+
+    NULL-safe: NULL input (or fewer than k tokens) → empty array."""
+    parts = {"g0": tks}
+    for i in range(1, k):
+        parts[f"g{i}"] = _shifted(tks, i)
+    z = F.arrays_zip(*[c.alias(n) for n, c in parts.items()])
+    # arrays_zip pads the shifted suffixes with NULL at the tail; a NULL
+    # last component marks an incomplete window → filtered out
+    grams = F.transform(
+        z,
+        lambda s: F.when(
+            s[f"g{k - 1}"].isNotNull(),
+            F.concat_ws(sep, *[s[f"g{i}"] for i in range(k)]),
+        ),
+    )
+    return F.coalesce(
+        F.filter(grams, lambda g: g.isNotNull()), F.array().cast("array<string>")
+    )
+
+
 def winnow_fingerprints(
     text: Column, k: int = 4, window: int = 5
 ) -> Column:
@@ -119,22 +147,7 @@ def winnow_fingerprints(
     Returns a sorted array<bigint> (empty when the doc has < k tokens)."""
     from .hashing import md5_base  # local import: avoids module cycle
 
-    grams_src = tokens(text)
-    # k-gram join: zip the token array with its k-1 shifted suffixes
-    parts = {"g0": grams_src}
-    for i in range(1, k):
-        parts[f"g{i}"] = _shifted(grams_src, i)
-    z = F.arrays_zip(*[c.alias(n) for n, c in parts.items()])
-    grams = F.filter(
-        F.transform(
-            z,
-            lambda s: F.when(
-                s[f"g{k - 1}"].isNotNull(),
-                F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)]),
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
+    grams = zip_kgrams(tokens(text), k)
     hashes = F.transform(grams, md5_base)
     # sliding-window min: least() across the hash array and its w-1 shifts
     hparts = {"h0": hashes}

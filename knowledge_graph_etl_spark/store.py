@@ -63,6 +63,10 @@ class GraphStore:
         self.spark = spark
         self.path = path
         self._mem: DataFrame | None = None
+        # cached per-insert batches backing the in-memory union — tracked so
+        # clear/drop/close can unpersist them (CacheManager holds JVM-side
+        # references; dropping the Python objects frees nothing)
+        self._mem_pieces: list[DataFrame] = []
         if path:
             os.makedirs(path, exist_ok=True)
 
@@ -146,6 +150,7 @@ class GraphStore:
             # (measured 2× on the flagship end-to-end query).
             batch = batch.cache()
             batch.count()
+            self._mem_pieces.append(batch)
             cur = self._mem
             self._mem = batch if cur is None else cur.unionByName(batch)
 
@@ -266,4 +271,24 @@ class GraphStore:
                 if name.startswith("g=") and _unescape_partition_value(name[2:]) == g:
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         elif self._mem is not None:
-            self._mem = self._mem.where(F.col("g") != g)
+            # consolidate: materialize the remainder into ONE cached piece
+            # and release every previous cached batch — without this, a
+            # full-refresh pipeline replayed N times would pin N copies of
+            # the corpus in the cache (clear/drop are exactly the moments
+            # the reference's lifecycle discards data, so the one-pass
+            # re-materialization belongs here, not on every insert)
+            remainder = self._mem.where(F.col("g") != g).cache()
+            remainder.count()
+            for piece in self._mem_pieces:
+                piece.unpersist()
+            self._mem_pieces = [remainder]
+            self._mem = remainder
+
+    def close(self) -> None:
+        """Release every cached in-memory batch (no-op for parquet stores).
+        The Spark CacheManager holds JVM-side references, so discarding the
+        Python ``GraphStore`` object alone frees nothing."""
+        for piece in self._mem_pieces:
+            piece.unpersist()
+        self._mem_pieces = []
+        self._mem = None

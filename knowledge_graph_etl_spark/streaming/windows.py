@@ -60,10 +60,16 @@ def dedup_events(
     ``dropDuplicates`` is a plain hash aggregate.
 
     Returns only the key columns (deterministic in both modes — which
-    full row survives ``dropDuplicates`` is arrival-order-dependent)."""
+    full row survives ``dropDuplicates`` is arrival-order-dependent).
+
+    On streams this uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates(keys)`` only evicts state when the watermarked
+    event-time column is PART of the keys, so with pure business keys the
+    state would grow forever and the watermark would be a no-op."""
     keys = list(key_cols)
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark_delay)
+        return events.dropDuplicatesWithinWatermark(keys).select(*keys)
     return events.dropDuplicates(keys).select(*keys)
 
 

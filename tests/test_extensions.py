@@ -319,3 +319,33 @@ def test_resize_images_plumbing(spark):
     # deterministic: same input -> same resized bytes
     again = {r["media_id"]: r for r in resize_images(media, 64, 64).collect()}
     assert bytes(again["i1"]["payload"]) == bytes(out["i1"]["payload"])
+
+
+def test_word_shingles_null_and_short_text(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "one two"), ("d", "one two three four")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    # empty array, never NULL (callers compute size()/explode on it)
+    assert got["a"] == [] and got["b"] == [] and got["c"] == []
+    assert got["d"] == ["one two three", "two three four"]
+
+
+def test_ivf_kmeans_small_corpus(spark):
+    """Corpus smaller than nlist: fewer centroids, no crash."""
+    from knowledge_graph_etl_spark.extensions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").where(
+        F.col("vec_id") < 10
+    )
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, centroids="kmeans")
+    assert out.count() > 0

@@ -115,3 +115,21 @@ def test_bucketed_table_star_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS quads_b_test")
+
+
+def test_inmemory_clear_consolidates_cache(spark):
+    from knowledge_graph_etl_spark.store import GraphStore
+
+    s = GraphStore(spark)  # in-memory
+    rows1 = [("urn:g:a", "s1", "iri", "p", "v1", "literal", None, None)]
+    rows2 = [("urn:g:b", "s2", "iri", "p", "v2", "literal", None, None)]
+    s.insert_data(rows1)
+    s.insert_data(rows2)
+    assert len(s._mem_pieces) == 2
+    s.clear("urn:g:a")
+    # consolidated to one cached piece; cleared graph gone, other intact
+    assert len(s._mem_pieces) == 1
+    got = {(r["g"], r["s"]) for r in s.quads().collect()}
+    assert got == {("urn:g:b", "s2")}
+    s.close()
+    assert s._mem_pieces == [] and s.quads().count() == 0
