@@ -63,7 +63,9 @@ class Engine:
         node = parse_update(self._resolve(query))
         if not isinstance(node, InsertWhere):
             raise ValueError("plan() only applies to INSERT ... WHERE")
-        return compile_insert_where(node, self.store)
+        # materialize=False: compiling for EXPLAIN must not execute the
+        # WHERE join tree as a checkpoint side effect
+        return compile_insert_where(node, self.store, materialize=False)
 
     # -- ingest path ------------------------------------------------------
 

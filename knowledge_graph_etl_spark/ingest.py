@@ -109,6 +109,12 @@ def parse_document(
     prop: str | None = None
     n_nodes = 0
 
+    # NOTE (reference fidelity): end_array pops the saved property keyed on
+    # the CURRENT subject even when it closes an INNER nested array, so a
+    # sibling object closing after `[[..], {..}, x]` does not restore the
+    # outer array's property — the reference behaves identically
+    # (parse_functions.py:68-76 pops arrayProperties[s] on every end_array),
+    # and this engine reproduces it rather than "fixing" a divergence.
     for event, value in events(doc):
         if event == "start_array" and subject_stack and prop is not None:
             array_properties[subject_stack[-1][0]] = prop

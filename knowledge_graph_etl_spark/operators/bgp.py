@@ -89,6 +89,16 @@ def _companion(name: str, kind: str) -> str:
     return f"{name}__{kind}"
 
 
+def _check_var_name(t) -> None:
+    """'__' delimits companion columns; a user variable containing it would
+    be invisible to the shared-variable join logic (silently producing a
+    cross join) — reject loudly instead."""
+    if _is_var(t) and "__" in t.name:
+        raise ValueError(
+            f"variable name {t.name!r} is reserved: '__' marks term-companion columns"
+        )
+
+
 def pattern(
     quads: DataFrame,
     s,
@@ -104,24 +114,44 @@ def pattern(
     sparql/ldap_mapping_school.sparql:20 ``?o source:businessCategory
     "School"``).
     """
+    for t in (s, p, o):
+        _check_var_name(t)
     conds: list[Column] = []
     cols: list[Column] = []
+    bound: dict[str, str] = {}  # var name -> role already exporting it
 
     if not _is_var(s):
         sv = s.value if isinstance(s, Term) else s
         conds.append(F.col("s") == sv)
     else:
+        bound[s.name] = "s"
         cols.append(F.col("s").alias(s.name))
         cols.append(F.col("s_type").alias(_companion(s.name, "type")))
 
     if not _is_var(p):
         pv = p.value if isinstance(p, Term) else p
         conds.append(F.col("p") == pv)
+    elif p.name in bound:
+        # ?x ?x ?o — the subject term must also be the predicate IRI
+        conds.append((F.col("p") == F.col("s")) & (F.col("s_type") == "iri"))
     else:
+        bound[p.name] = "p"
         cols.append(F.col("p").alias(p.name))
 
     if not _is_var(o):
         conds.extend(_object_conds(o))
+    elif o.name in bound:
+        # repeated variable within one pattern (?s <p> ?s self-loop):
+        # full TERM equality as an in-pattern filter, single exported column
+        if bound[o.name] == "s":
+            conds.append(
+                (F.col("o_value") == F.col("s"))
+                & (F.col("o_type") == F.col("s_type"))
+            )
+        else:  # bound as predicate (an IRI)
+            conds.append(
+                (F.col("o_value") == F.col("p")) & (F.col("o_type") == "iri")
+            )
     else:
         cols.append(F.col("o_value").alias(o.name))
         if keep_object_meta:
@@ -166,6 +196,9 @@ def star_scan(
     """
     if not _is_var(subject):
         raise ValueError("star_scan subject must be a Var")
+    _check_var_name(subject)
+    for _, o in patterns:
+        _check_var_name(o)
     pvals = []
     for p, _ in patterns:
         if _is_var(p):
@@ -223,12 +256,42 @@ def _shared_value_vars(left: DataFrame, right: DataFrame) -> list[str]:
     return sorted(lv & rv)
 
 
-def _merge_companions(joined: DataFrame, left_cols, right_cols, on: list[str]) -> DataFrame:
-    """After an equi-join on value columns, duplicate companion columns of
-    the join variables can exist on both sides; keep the left's."""
-    # Spark suffixes nothing when using `on=list`; companions never clash
-    # because we drop the right side's duplicates before joining.
-    return joined
+_COMPANION_KINDS = ("type", "dt", "lang")
+
+
+def _term_join(left: DataFrame, right: DataFrame, on: list[str], how: str) -> DataFrame:
+    """Join two solution mappings on shared variables with full TERM
+    compatibility: besides value equality, any companion column
+    (``__type/__dt/__lang``) present on BOTH sides must match null-safely —
+    SPARQL unifies terms, not lexical values, so ``"5"^^xsd:integer`` must
+    not join ``"5"`` (plain), and a literal object must not chain onto a
+    subject. Companions present on only one side impose nothing (e.g. a
+    subject-role var carries ``__type`` only; its dt/lang are vacuously
+    NULL).
+
+    All conditions are conjunctive equalities, so Catalyst still extracts
+    hash-join keys — the plan shape is identical to the value-only join.
+    The right side's shared columns are pre-renamed (no ambiguity) and the
+    surviving copy is the left's (identical by the join condition)."""
+    ren: dict[str, str] = {}
+    for v in on:
+        ren[v] = f"__r__{v}"
+        for k in _COMPANION_KINDS:
+            comp = _companion(v, k)
+            if comp in right.columns and comp in left.columns:
+                ren[comp] = f"__r__{comp}"
+    r2 = right
+    for a, b in ren.items():
+        r2 = r2.withColumnRenamed(a, b)
+    cond = None
+    for v in on:
+        c = F.col(v) == F.col(f"__r__{v}")
+        for k in _COMPANION_KINDS:
+            comp = _companion(v, k)
+            if f"__r__{comp}" in r2.columns:
+                c = c & F.col(comp).eqNullSafe(F.col(f"__r__{comp}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(r2, on=cond, how=how).drop(*ren.values())
 
 
 class BGPBuilder:
@@ -265,11 +328,19 @@ class BGPBuilder:
             self.df = group
             return self
         on = _shared_value_vars(self.df, group)
-        dup = [c for c in group.columns if c in self.df.columns and c not in on]
+        # drop right-side duplicates that are NOT join-relevant (a shared
+        # var's companions participate in the term-equality join instead)
+        dup = [
+            c
+            for c in group.columns
+            if c in self.df.columns
+            and c not in on
+            and not any(c == _companion(v, k) for v in on for k in _COMPANION_KINDS)
+        ]
         group = group.drop(*dup)
         right = F.broadcast(group) if broadcast else group
         if on:
-            self.df = self.df.join(right, on=on, how="inner")
+            self.df = _term_join(self.df, right, on, "inner")
         else:
             self.df = self.df.crossJoin(right)
         return self
@@ -284,11 +355,17 @@ class BGPBuilder:
         if self.df is None:
             raise ValueError("OPTIONAL requires a preceding required group")
         on = _shared_value_vars(self.df, group)
-        dup = [c for c in group.columns if c in self.df.columns and c not in on]
+        dup = [
+            c
+            for c in group.columns
+            if c in self.df.columns
+            and c not in on
+            and not any(c == _companion(v, k) for v in on for k in _COMPANION_KINDS)
+        ]
         group = group.drop(*dup)
         if not on:
             raise ValueError("OPTIONAL group shares no variables with the outer group")
-        self.df = self.df.join(group, on=on, how="left")
+        self.df = _term_join(self.df, group, on, "left")
         return self
 
     def exists(self, group: DataFrame) -> "BGPBuilder":
@@ -298,7 +375,15 @@ class BGPBuilder:
         if self.df is None:
             raise ValueError("EXISTS requires a preceding required group")
         on = _shared_value_vars(self.df, group)
-        self.df = self.df.join(group.select(*on).dropDuplicates(on), on=on, how="left_semi")
+        keep = on + [
+            _companion(v, k)
+            for v in on
+            for k in _COMPANION_KINDS
+            if _companion(v, k) in group.columns and _companion(v, k) in self.df.columns
+        ]
+        self.df = _term_join(
+            self.df, group.select(*keep).dropDuplicates(keep), on, "left_semi"
+        )
         return self
 
     def not_exists(self, group: DataFrame) -> "BGPBuilder":
@@ -307,7 +392,15 @@ class BGPBuilder:
         if self.df is None:
             raise ValueError("NOT EXISTS requires a preceding required group")
         on = _shared_value_vars(self.df, group)
-        self.df = self.df.join(group.select(*on).dropDuplicates(on), on=on, how="left_anti")
+        keep = on + [
+            _companion(v, k)
+            for v in on
+            for k in _COMPANION_KINDS
+            if _companion(v, k) in group.columns and _companion(v, k) in self.df.columns
+        ]
+        self.df = _term_join(
+            self.df, group.select(*keep).dropDuplicates(keep), on, "left_anti"
+        )
         return self
 
     # -- extension -----------------------------------------------------------
@@ -318,6 +411,7 @@ class BGPBuilder:
         literal value."""
         if self.df is None:
             raise ValueError("BIND requires a preceding group")
+        _check_var_name(Var(name))
         if isinstance(expr, TermExpr):
             self.df = (
                 self.df.withColumn(name, expr.value)

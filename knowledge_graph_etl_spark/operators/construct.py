@@ -101,9 +101,14 @@ def construct(
             o_lang.alias("o_lang"),
         )
         # unbound-term skip (op 21): template triple with a NULL term emits
-        # nothing for that binding row
+        # nothing for that binding row; a subject bound to a LITERAL term is
+        # likewise skipped (RDF subjects are IRIs/bnodes — SPARQL drops such
+        # template instantiations rather than emitting malformed quads)
         row = row.where(
-            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o_value").isNotNull()
+            F.col("s").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("o_value").isNotNull()
+            & (F.col("s_type") != "literal")
         )
         parts.append(row)
     out = reduce(lambda a, b: a.unionByName(b), parts)

@@ -336,10 +336,11 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             if shared:
                 b.optional(sub)
             else:
-                # OPTIONAL sharing no variables: SPARQL still left-joins on
-                # the empty key — every row pairs with every subgroup row
-                # (absent from the reference workload; crossJoin fallback)
-                b.df = b.df.crossJoin(sub)
+                # OPTIONAL sharing no variables: left join on the empty key
+                # — every outer row pairs with every subgroup row, and when
+                # the subgroup is EMPTY the outer rows survive with the
+                # optional vars unbound (a crossJoin would drop them all)
+                b.df = b.df.join(sub, F.lit(True), "left")
         elif isinstance(el, BindExpr):
             ensure_df()
             cols = set(b.df.columns)
@@ -370,13 +371,25 @@ def _template_term(t):
     raise TypeError(f"unexpected template term {t!r}")
 
 
-def compile_insert_where(node: InsertWhere, store) -> DataFrame:
+def compile_insert_where(
+    node: InsertWhere, store, materialize: bool = True
+) -> DataFrame:
     """INSERT..WHERE → quads DataFrame ready for ``store.insert``.
 
-    ``USING`` graphs restrict the matched dataset (partition pruning on
-    ``g``, SURVEY.md §2 op 23); the template routes to ``WITH``'s graph or
-    per-GRAPH-block graphs (op 22)."""
-    dataset = store.dataset(node.using) if node.using else store.quads()
+    ``USING`` graphs restrict the matched dataset; with no USING,
+    ``WITH <g>`` restricts matching to g (SPARQL 1.1 Update: WITH sets the
+    dataset for matching unless USING overrides); with neither, the whole
+    store matches. Partition pruning on ``g`` applies in every case
+    (SURVEY.md §2 ops 22-23).
+
+    ``materialize=False`` (used by ``Engine.plan``) skips the eager
+    checkpoint so compiling stays side-effect-free."""
+    if node.using:
+        dataset = store.dataset(node.using)
+    elif node.target_graph is not None:
+        dataset = store.graph(node.target_graph)
+    else:
+        dataset = store.quads()
     bindings = compile_group(node.where, dataset)
     # Materialize the WHERE result once: the template union instantiates
     # one projection per template triple (up to 16, e.g. reference
@@ -384,7 +397,34 @@ def compile_insert_where(node: InsertWhere, store) -> DataFrame:
     # set-dedup anti-join adds another consumer — without this the deep
     # self-join subtree re-executes per consumer (17× for a 16-triple
     # template). Also cuts lineage and gives exact stats downstream.
-    bindings = bindings.localCheckpoint(eager=True)
+    if materialize:
+        bindings = bindings.localCheckpoint(eager=True)
+
+    # SPARQL blank nodes in an INSERT template mint a FRESH bnode per
+    # solution row (parser desugars them to _anon_* vars never bound by
+    # WHERE): bind each as a deterministic per-row label — md5 over the
+    # full binding row, so identical rows collapse exactly like the
+    # store's set semantics would collapse their quads anyway.
+    anon = {
+        t.name
+        for _, tp in node.template
+        for t in (tp.s, tp.p, tp.o)
+        if isinstance(t, VarT) and t.name.startswith("_anon_")
+    } - set(bindings.columns)
+    if anon:
+        row_key = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in sorted(c for c in bindings.columns if "__" not in c)
+                ],
+            )
+        )
+        for name in sorted(anon):
+            bindings = bindings.withColumn(
+                name, F.concat(F.lit(f"_:{name}-"), row_key)
+            ).withColumn(f"{name}__type", F.lit(BNODE))
 
     by_graph: dict[str, list] = {}
     for g, tp in node.template:
@@ -395,7 +435,8 @@ def compile_insert_where(node: InsertWhere, store) -> DataFrame:
             (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
         )
     outs = [
-        # materialize=False: bindings already checkpointed above
+        # materialize=False: bindings already checkpointed above (or the
+        # caller asked for a side-effect-free compile)
         construct(bindings, triples, target_graph=g, materialize=False)
         for g, triples in by_graph.items()
     ]
@@ -439,7 +480,10 @@ def execute_update(node, store) -> None:
         store.insert_data(rows)
         return
     if isinstance(node, InsertWhere):
-        graphs = sorted({g or node.target_graph for g, _ in node.template})
+        targets = {g or node.target_graph for g, _ in node.template}
+        if None in targets:
+            raise ValueError("template triple has no target graph (no WITH/GRAPH)")
+        graphs = sorted(targets)
         # batch_distinct: each construct() output is deduped internally and
         # the per-graph unions are disjoint on g → no second dedup shuffle
         store.insert(

@@ -289,6 +289,16 @@ class _Parser:
             return LitT(value, None, nxt.text[1:])
         return LitT(value)
 
+    def _user_var(self, t) -> VarT:
+        """Validate a user variable token: '__' is the engine's companion-
+        column delimiter and '_anon_' the bnode-desugaring namespace — a
+        user variable in either would silently confuse the join logic, so
+        reject at parse time."""
+        name = t.text[1:]
+        if "__" in name or name.startswith("_anon_"):
+            raise SyntaxError(f"variable name ?{name} is reserved at {t.pos}")
+        return VarT(name)
+
     def fresh_bnode_var(self) -> VarT:
         # NOTE: no double underscore — columns containing "__" are term
         # companion columns in the compiled solution mapping (bgp.py), so a
@@ -382,7 +392,15 @@ class _Parser:
         while self.at_name("USING"):
             self.next()
             if self.at_name("NAMED"):
-                self.next()
+                # USING NAMED populates named-graph slots reachable only
+                # via GRAPH patterns (unsupported here); merging it into
+                # the default dataset would silently match triples a
+                # conformant store would not — reject loudly instead.
+                raise SyntaxError(
+                    "USING NAMED is not supported (no GRAPH patterns in the "
+                    "WHERE subset); use USING <g> to add g to the default "
+                    "matching dataset"
+                )
             using.append(self.parse_iri())
         self.expect_name("WHERE")
         where = self.parse_group()
@@ -406,7 +424,7 @@ class _Parser:
                 if var.kind != "VAR":
                     raise SyntaxError(f"expected variable after AS at {var.pos}")
                 self.expect_punct(")")
-                g.elements.append(BindExpr(expr, var.text[1:]))
+                g.elements.append(BindExpr(expr, self._user_var(var).name))
             elif self.at_name("FILTER"):
                 self.next()
                 self.expect_punct("(")
@@ -414,16 +432,14 @@ class _Parser:
                 self.expect_punct(")")
                 g.elements.append(FilterExpr(expr))
             else:
-                for tp in self.parse_triples_block(allow_vars=True, stop_at_keyword=True):
+                for tp in self.parse_triples_block(allow_vars=True):
                     g.elements.append(tp)
         self.expect_punct("}")
         return g
 
     # -- triples ----------------------------------------------------------
 
-    def parse_triples_block(
-        self, allow_vars: bool, stop_at_keyword: bool = False
-    ) -> list[TriplePattern]:
+    def parse_triples_block(self, allow_vars: bool) -> list[TriplePattern]:
         """One ``triplesSameSubject`` chain (incl. trailing ``.``); returns
         the desugared flat pattern list."""
         out: list[TriplePattern] = []
@@ -496,7 +512,7 @@ class _Parser:
             if not allow_vars:
                 raise SyntaxError(f"variable not allowed here at {t.pos}")
             self.next()
-            return VarT(t.text[1:])
+            return self._user_var(t)
         if t.kind in ("STRING", "LONGSTRING"):
             return self.parse_literal()
         if t.kind == "NUMBER":
@@ -516,7 +532,7 @@ class _Parser:
             raise SyntaxError("unexpected end of input in expression")
         if t.kind == "VAR":
             self.next()
-            return VarT(t.text[1:])
+            return self._user_var(t)
         if t.kind in ("STRING", "LONGSTRING"):
             return self.parse_literal()
         if t.kind == "NUMBER":

@@ -99,11 +99,12 @@ def _quads(*rows_):
     for r in rows_:
         s, p, o = r[0], r[1], r[2]
         dt = r[3] if len(r) > 3 else None
+        sty = "bnode" if s.startswith("_:") else "iri"
         if o.startswith("urn:") or o.startswith("_:"):
             ty = "bnode" if o.startswith("_:") else "iri"
-            out.append(("urn:g", s, "iri", p, o, ty, None, None))
+            out.append(("urn:g", s, sty, p, o, ty, None, None))
         else:
-            out.append(("urn:g", s, "iri", p, o, "literal", dt, None))
+            out.append(("urn:g", s, sty, p, o, "literal", dt, None))
     return out
 
 
