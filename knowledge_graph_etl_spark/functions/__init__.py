@@ -72,8 +72,15 @@ ucase = F.upper
 
 
 def iif(cond: Column, then, otherwise) -> Column:
-    """SPARQL ``IF(cond, a, b)`` (reference tl_companies_mapping_org.sparql:54)."""
-    return F.when(cond, then).otherwise(otherwise)
+    """SPARQL ``IF(cond, a, b)`` (reference tl_companies_mapping_org.sparql:54).
+
+    A NULL condition (an unbound-variable SPARQL *error*) yields NULL —
+    the whole expression errors and the BIND leaves the variable unbound —
+    NOT the else-branch: ``when(cond, a).otherwise(b)`` alone would route
+    error to ``b`` and mint extra wrong values. The reference workload
+    only conditions on ``BOUND(...)`` (never NULL), so its outputs are
+    unchanged."""
+    return F.when(cond, then).otherwise(F.when(~cond, otherwise))
 
 
 def bound(col: Column) -> Column:

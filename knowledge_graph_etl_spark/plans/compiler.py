@@ -198,9 +198,11 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         b = compile_expr(args[1], cols).value
         return TermExpr.literal_value(a.startswith(b))
     if name == "IF":
-        cond = compile_expr(args[0], cols).value
+        cond = compile_expr(args[0], cols).value.cast("boolean")
         t, e = compile_expr(args[1], cols), compile_expr(args[2], cols)
-        pick = lambda a, b: F.when(cond, a).otherwise(b)
+        # NULL condition = SPARQL error → whole IF errors (NULL), not the
+        # else branch (see functions.iif)
+        pick = lambda a, b: F.when(cond, a).otherwise(F.when(~cond, b))
         return TermExpr(
             pick(t.value, e.value),
             pick(t.type, e.type),

@@ -37,17 +37,23 @@ def read_json_docs(
 
         import pandas as pd
 
-        raw = spark.read.text(path, wholetext=True)
+        # ids are prefixed with a hash of the source FILE: a glob/directory
+        # input otherwise restarts the element index at 0 per file, and
+        # colliding doc ids would merge distinct documents' bnode-labelled
+        # triples downstream (json_to_quads requires unique ids)
+        raw = spark.read.text(path, wholetext=True).select(
+            F.md5(F.input_file_name()).alias("__file"), "value"
+        )
 
         def split(batches):
             for pdf in batches:
-                for text in pdf["value"]:
+                for fh, text in zip(pdf["__file"], pdf["value"]):
                     data = _json.loads(text)
                     if not isinstance(data, list):
                         data = [data]
                     yield pd.DataFrame(
                         {
-                            id_col: [str(i) for i in range(len(data))],
+                            id_col: [f"{fh[:10]}-{i}" for i in range(len(data))],
                             "json": [_json.dumps(d) for d in data],
                         }
                     )
@@ -107,6 +113,11 @@ def read_postgres_json(
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.load()
-    return df.select(
-        F.monotonically_increasing_id().cast("string").alias("doc_id"), "json"
-    )
+    # doc_id = content hash, NOT monotonically_increasing_id: a JDBC scan
+    # has no stable row order, so positional ids change across
+    # re-evaluations (task retry, second action on this lazy DataFrame) and
+    # would split one document's bnode-labelled triples across two
+    # subjects. Identical documents share an id — their direct-mapped
+    # triples are identical too, and the store's set semantics collapse
+    # them exactly like re-inserted triples.
+    return df.select(F.md5("json").alias("doc_id"), "json")

@@ -69,18 +69,60 @@ _O = r"""\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)\s*\
 _LINE = _S + _P + _O
 
 
-def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
+_NT_ESCAPES = {"t": "\t", "r": "\r", "n": "\n", "b": "\b", "f": "\f", '"': '"', "\\": "\\", "'": "'"}
+
+
+def _unescape_udf(col: Column) -> Column:
+    """Left-to-right N-Triples string unescape incl. UCHAR
+    (``\\uXXXX``/``\\UXXXXXXXX`` — W3C canonical N-Triples emits these for
+    non-ASCII, so skipping them silently stores the raw escape text and
+    breaks equality joins against data loaded decoded). One Arrow-batched
+    pass on the load path only; a regexp_replace chain cannot express the
+    stateful left-to-right scan (an escaped backslash followed by ``u``
+    must NOT start a UCHAR). Built lazily — pandas_udf needs an active
+    session, and this module imports before one exists."""
+    import re as _re
+
+    pat = _re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+
+    def _sub(m):
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _NT_ESCAPES.get(g, g)
+
+    @F.pandas_udf("string")
+    def run(vals):
+        return vals.map(lambda s: None if s is None else pat.sub(_sub, s))
+
+    return run(col)
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, graph: str, strict: bool = True
+) -> DataFrame:
     """Distributed N-Triples reader into the quad schema for ``graph``
     (reference SparqlUpdateHook.insert_file, sparql_update.py:124-133).
-    Turtle/RDF-XML auto-detection is out of scope — N-Triples covers the
-    reference's own writer output round-trip."""
+    Turtle/RDF-XML auto-detection lives in :func:`..turtle.read_rdf`.
+
+    ``strict=True`` (default) raises on any non-blank, non-comment line
+    the triple grammar cannot parse — the reference's rdflib parse fails
+    loudly on malformed files, and a silent drop would under-load a full
+    refresh with no signal. ``strict=False`` restores drop-and-continue."""
     lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
     lines = lines.where(~F.trim("value").startswith("#"))
     s_raw = F.regexp_extract("value", _LINE, 1)
     p_raw = F.regexp_extract("value", _LINE, 2)
     o_raw = F.regexp_extract("value", _LINE, 3)
-    parsed = lines.select(s_raw.alias("s_raw"), p_raw.alias("p_raw"), o_raw.alias("o_raw"))
-    parsed = parsed.where(F.col("p_raw") != "")
+    parsed = lines.select(
+        F.col("value"), s_raw.alias("s_raw"), p_raw.alias("p_raw"), o_raw.alias("o_raw")
+    )
+    if strict:
+        bad = parsed.where(F.col("p_raw") == "").select("value").limit(5).collect()
+        if bad:
+            sample = "; ".join(repr(r["value"][:120]) for r in bad)
+            raise ValueError(f"unparseable N-Triples line(s) in {path}: {sample}")
+    parsed = parsed.drop("value").where(F.col("p_raw") != "")
 
     s_is_iri = F.col("s_raw").startswith("<")
     s_val = F.when(s_is_iri, F.expr("substring(s_raw, 2, length(s_raw)-2)")).otherwise(
@@ -90,18 +132,7 @@ def read_ntriples(spark: SparkSession, path: str, graph: str) -> DataFrame:
 
     o_is_iri = F.col("o_raw").startswith("<")
     o_is_bnode = F.col("o_raw").startswith("_:")
-    lex = F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1)
-    # Single-pass unescape: split on escaped backslashes first so a literal
-    # backslash followed by t/r/n is never mistaken for a control escape
-    # (left-to-right semantics, mirroring plans/parser._unescape).
-    def _unescape_segment(seg: Column) -> Column:
-        seg = F.regexp_replace(seg, r"\\t", "\t")
-        seg = F.regexp_replace(seg, r"\\r", "\r")
-        seg = F.regexp_replace(seg, r"\\n", "\n")
-        seg = F.regexp_replace(seg, r'\\"', '"')
-        return seg
-
-    lex = F.array_join(F.transform(F.split(lex, r"\\\\"), _unescape_segment), "\\")
+    lex = _unescape_udf(F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1))
     lang = F.nullif(F.regexp_extract("o_raw", r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))
     dtype = F.nullif(F.regexp_extract("o_raw", r"\^\^<([^>]*)>$", 1), F.lit(""))
     o_val = (

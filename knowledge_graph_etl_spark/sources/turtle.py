@@ -96,11 +96,15 @@ class _TurtleParser:
         return self.prefixes[ns] + _re.sub(r"\\(.)", r"\1", local)
 
     def _bnode(self, label: str) -> BNodeT:
-        return BNodeT(f"t{self.scope}_{label}" if self.scope else label)
+        # "u" namespaces user labels away from anonymous ones: without it,
+        # an explicit `_:a1` and the first `[...]` node (fresh label a1)
+        # would collide and silently merge two distinct RDF nodes
+        return BNodeT(f"t{self.scope}_u{label}" if self.scope else f"u{label}")
 
     def _fresh_bnode(self) -> BNodeT:
         self._anon += 1
-        return self._bnode(f"a{self._anon}")
+        label = f"a{self._anon}"
+        return BNodeT(f"t{self.scope}_{label}" if self.scope else label)
 
     def parse_term(self, as_subject: bool = False):
         t = self.peek()

@@ -224,15 +224,20 @@ class GraphStore:
         this is a materialization for the query phase, not an incremental
         store."""
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if not self.spark.catalog.tableExists(table):
-            # the catalog may have lost the entry (fresh in-memory catalog)
-            # while the managed location survived — remove the orphan, or
-            # saveAsTable refuses with LOCATION_ALREADY_EXISTS
-            warehouse = self.spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
-            orphan = os.path.join(warehouse, table.split(".")[-1].lower())
-            shutil.rmtree(orphan, ignore_errors=True)
+        # the catalog may have lost the entry (fresh in-memory catalog)
+        # while the managed location survived — remove the orphan, or
+        # saveAsTable refuses with LOCATION_ALREADY_EXISTS. Managed
+        # locations are <warehouse>[/<db>.db]/<table>.
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        parts = table.lower().split(".")
+        orphan = (
+            os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
+            if len(parts) > 1
+            else os.path.join(warehouse, parts[-1])
+        )
+        shutil.rmtree(orphan, ignore_errors=True)
         (
             self.quads()
             .write.mode("overwrite")

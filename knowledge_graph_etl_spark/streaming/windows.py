@@ -24,6 +24,7 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
     group_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling-window counts/sums per group. On a streaming input the
     watermark bounds state and admits late rows up to the delay; on a
@@ -35,7 +36,7 @@ def windowed_event_counts(
         df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -121,6 +122,14 @@ def sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_ms = gap_seconds * 1000
+    # honor the caller's column names and the user column's actual type —
+    # the output schema must match what the update function emits in both
+    # modes (a hardcoded 'user_id bigint' breaks string ids / renamed cols)
+    user_dtype = events.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_dtype}, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
 
     def update(key, pdfs, state):
         (user,) = key
@@ -129,7 +138,7 @@ def sessionize(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user],
+                    user_col: [user],
                     "session_start": [pd.Timestamp(start, unit="ms")],
                     "session_end": [pd.Timestamp(last, unit="ms")],
                     "n_events": [n],
@@ -138,7 +147,7 @@ def sessionize(
             return
         ts_ms = []
         for pdf in pdfs:
-            ts_ms.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"]))
+            ts_ms.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf[ts_col]))
         ts_ms.sort()
         if state.exists:
             start, last, n = state.get
@@ -152,11 +161,18 @@ def sessionize(
             last = max(last, t)
             n += 1
         state.update((start, last, n))
-        state.setTimeoutTimestamp(last + gap_ms)
+        # EventTimeTimeout requires a timestamp STRICTLY past the current
+        # watermark; a group whose newest event is already more than
+        # gap_seconds behind the watermark (late data within the watermark
+        # delay but outside the gap) would otherwise throw and kill the
+        # whole query — clamp, so such a session times out on the next
+        # watermark advance instead
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
         if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in out],
+                    user_col: [r[0] for r in out],
                     "session_start": [pd.Timestamp(r[1], unit="ms") for r in out],
                     "session_end": [pd.Timestamp(r[2], unit="ms") for r in out],
                     "n_events": [r[3] for r in out],
@@ -168,7 +184,7 @@ def sessionize(
         .groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -195,3 +195,88 @@ def test_plan_is_side_effect_free(spark):
     # compiling must not have inserted anything or left checkpoint RDDs
     assert store.graph("urn:g:out").count() == 0
     assert df.count() == 1  # and the plan is still executable
+
+
+# -- r02 second review batch (sources/store/streaming/functions) -----------
+
+
+def test_turtle_anon_and_labeled_bnodes_distinct(spark, tmp_path):
+    from knowledge_graph_etl_spark.sources.turtle import read_turtle
+
+    p = tmp_path / "t.ttl"
+    p.write_text('_:a1 <urn:p> <urn:o> .\n[ <urn:q> <urn:r> ] .\n')
+    quads = read_turtle(spark, str(p), "urn:g").collect()
+    subjects = {r["s"] for r in quads}
+    assert len(subjects) == 2, f"anon and _:a1 merged: {subjects}"
+
+
+def test_ntriples_strict_raises_on_malformed(spark, tmp_path):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.sources.ntriples import read_ntriples
+
+    p = tmp_path / "bad.nt"
+    p.write_text('<urn:s> <urn:p> "ok" .\n<urn:s> broken-line\n')
+    with _pytest.raises(ValueError, match="unparseable"):
+        read_ntriples(spark, str(p), "urn:g").count()
+    # lenient mode drops and continues
+    assert read_ntriples(spark, str(p), "urn:g", strict=False).count() == 1
+
+
+def test_ntriples_uchar_decoding(spark, tmp_path):
+    from knowledge_graph_etl_spark.sources.ntriples import read_ntriples
+
+    p = tmp_path / "u.nt"
+    p.write_text(
+        '<urn:s> <urn:p> "caf\\u00E9 \\U0001F600" .\n'
+        '<urn:s> <urn:p2> "literal backslash \\\\u0041" .\n'
+    )
+    rows = {r["p"]: r["o_value"] for r in read_ntriples(spark, str(p), "urn:g").collect()}
+    assert rows["urn:p"] == "café \U0001F600"
+    # escaped backslash + u0041 is NOT a UCHAR
+    assert rows["urn:p2"] == "literal backslash \\u0041"
+
+
+def test_json_docs_unique_ids_across_files(spark, tmp_path):
+    import json
+
+    from knowledge_graph_etl_spark.sources.jsonsrc import read_json_docs
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps([{"x": 1}, {"x": 2}]))
+    (d / "b.json").write_text(json.dumps([{"y": 1}]))
+    out = read_json_docs(spark, str(d)).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == 3 and len(set(ids)) == 3
+
+
+def test_iif_null_condition_is_unbound(spark):
+    from knowledge_graph_etl_spark.functions import iif
+
+    df = spark.createDataFrame([(True,), (False,), (None,)], "c boolean")
+    got = [r["v"] for r in df.select(iif(F.col("c"), F.lit("a"), F.lit("b")).alias("v")).collect()]
+    assert got == ["a", "b", None]
+
+
+def test_sessionize_custom_user_col_and_string_ids(spark):
+    from knowledge_graph_etl_spark.streaming import sessionize
+
+    df = spark.createDataFrame(
+        [("acct-1", "2024-01-01T10:00:00"), ("acct-1", "2024-01-01T12:00:00")],
+        "account string, ts_s string",
+    ).select("account", F.to_timestamp("ts_s").alias("ts"))
+    out = sessionize(df, gap_seconds=1800, user_col="account")
+    rows = out.collect()
+    assert out.columns[0] == "account"
+    assert len(rows) == 2 and all(r["account"] == "acct-1" for r in rows)
+
+
+def test_windowed_counts_custom_value_col(spark):
+    from knowledge_graph_etl_spark.streaming import windowed_event_counts
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T10:00:00", 2.0)], "kind string, ts_s string, amount double"
+    ).select("kind", F.to_timestamp("ts_s").alias("ts"), "amount")
+    out = windowed_event_counts(df, group_col="kind", value_col="amount").collect()
+    assert out[0]["sum_value"] == 2.0

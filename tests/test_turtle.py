@@ -85,7 +85,7 @@ def test_parse_bnodes_scoped_and_linked():
         "https://schema.org/postalCode": "9000",
     }
     labeled = [t for t in out if t[3] == "bnode subject"]
-    assert labeled[0][0] == "tf1_labeled" and labeled[0][1] == "bnode"
+    assert labeled[0][0] == "tf1_ulabeled" and labeled[0][1] == "bnode"
 
 
 def test_parse_collection():
