@@ -617,14 +617,13 @@ def multimodal_frame_sample_q(spark, sf_dir):
 def text_winnow_fp_q(spark, sf_dir):
     """Winnowing fingerprints (rolling k-gram hashes → sliding-window
     minima, the MOSS algorithm) — position-aware document fingerprinting;
-    md5 hash family → exact DuckDB oracle."""
-    from knowledge_graph_etl_spark.extensions.text import winnow_fingerprints
+    md5 hash family → exact DuckDB oracle. Row-form (one md5 per gram +
+    one shuffle); equivalence with the array-form column is pinned in
+    tests/test_extensions.py."""
+    from knowledge_graph_etl_spark.extensions.text import winnow_fingerprint_rows
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"), k=4, window=5)).alias("fp"),
-    )
+    return winnow_fingerprint_rows(d, k=4, window=5)
 
 
 def skew_salted_join_q(spark, sf_dir):

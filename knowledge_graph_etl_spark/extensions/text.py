@@ -167,6 +167,41 @@ def winnow_fingerprints(
     return F.array_sort(F.array_distinct(mins))
 
 
+def winnow_fingerprint_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Row-form winnowing: the same fingerprint SET as
+    :func:`winnow_fingerprints`, as exploded (id, fp) rows.
+
+    This is the fast path: the array form's sliding-min must reference the
+    per-gram hash array ``window`` times, and Catalyst re-evaluates the
+    whole md5-transform per reference (no CSE across array arguments —
+    measured ~2.5× slower). Here each gram is hashed EXACTLY once
+    (posexplode → md5 → windowed min over dense positions); cost is one
+    shuffle on the doc id, linear in corpus size."""
+    from pyspark.sql import Window
+
+    from .hashing import md5_base
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(zip_kgrams(tokens(F.col(text_col)), k)).alias("pos", "gram"),
+    )
+    h = grams.select(id_col, "pos", md5_base(F.col("gram")).alias("h"))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    n = Window.partitionBy(id_col)
+    mins = (
+        h.withColumn("m", F.min("h").over(w))
+        .withColumn("maxpos", F.max("pos").over(n))
+        .where(F.col("pos") <= F.col("maxpos") - (window - 1))
+    )
+    return mins.select(F.col(id_col), F.col("m").alias("fp")).distinct()
+
+
 def simhash64_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -349,3 +349,24 @@ def test_ivf_kmeans_small_corpus(spark):
     )
     out = ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, centroids="kmeans")
     assert out.count() > 0
+
+
+def test_winnow_rows_equivalent_to_array_form(spark):
+    from knowledge_graph_etl_spark.extensions.text import (
+        winnow_fingerprint_rows,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    arr = {
+        (r["doc_id"], fp)
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=4, window=5).alias("fps")
+        ).collect()
+        for fp in r["fps"]
+    }
+    rows = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprint_rows(docs, k=4, window=5).collect()
+    }
+    assert rows == arr and len(rows) > 0
