@@ -716,7 +716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
-_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+# list_filter: Spark's tokens() drops the [''] artifact of splitting
+# empty/whitespace-only text — the oracle must tokenize identically
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
 
 
 def _sw_ratio(lang: str) -> str:

@@ -63,8 +63,10 @@ def ngram_jaccard_pairs(
 
     Inverted-index self-join on shingles — never a cartesian product.
     Jaccard uses the TRUE set sizes even when ``max_shingle_freq`` prunes
-    hot shingles from the index (pruning can only lose candidate pairs that
-    share nothing but stop-shingles, which cannot reach a high threshold).
+    hot shingles from the index — so pruning UNDERESTIMATES the Jaccard of
+    pairs whose overlap includes hot shingles, and pairs overlapping ONLY
+    in hot shingles are lost entirely (see the module docstring's blind-
+    spot note; ``exact_dedup`` / ``minhash_lsh_pairs`` cover that shape).
 
     ``max_shingle_freq`` defaults to 1000 as the skew guard: ONE shingle
     shared by k documents emits k² join rows on a single shuffle key —
@@ -188,6 +190,13 @@ def minhash_lsh_pairs(
     candidate join, signature-agreement estimate — is verifiable against
     an ANSI-SQL oracle; the LSH machinery is identical in both modes.
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make every band bucket a constant (one
+        # global bucket -> O(N²) cross join); non-divisible values would
+        # silently ignore trailing hashes and lower recall
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     # Signature via explode → ONE min-aggregate: the document is tokenized
     # once (vs num_hashes times if the signature were built as a per-row
@@ -300,6 +309,13 @@ def simhash_pairs(
     ``hash_fn="md5"`` selects the cross-engine-deterministic token hash
     (see :func:`..text.simhash_segments_table`) used by the correctness
     oracle; the blocking/scoring machinery is identical in both modes."""
+    if max_hamming >= blocks:
+        # the pigeonhole guarantee (some segment matches exactly) requires
+        # max_hamming < blocks; beyond it qualifying pairs are silently lost
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < blocks ({blocks}) for the "
+            "pigeonhole candidate generation to be complete"
+        )
     from .text import simhash_segments_table
 
     sh = simhash_segments_table(

@@ -156,8 +156,13 @@ def resize_images(
                     h = hashlib.sha256(h).digest()
                 payloads.append(buf[:target_len])
             out["payload"] = payloads
-            out["width"] = width
-            out["height"] = height
+            resized = [p is not None for p in payloads]
+            out["width"] = [
+                width if ok else w for ok, w in zip(resized, pdf["width"])
+            ]
+            out["height"] = [
+                height if ok else h for ok, h in zip(resized, pdf["height"])
+            ]
             yield out
 
     return media.where(F.col("kind") == "image").mapInPandas(

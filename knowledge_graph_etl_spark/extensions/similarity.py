@@ -94,9 +94,15 @@ def cosine_neardup_pairs(
     N/bs times — bound it by raising ``block_size`` as N grows. For
     approximate-but-linear candidate generation use the
     :func:`lsh_topk`-style signed-projection buckets instead."""
-    import numpy as np
-    import pandas as pd
-
+    id_dtype = dict(corpus.dtypes)[id_col]
+    if id_dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # block assignment floors id/block_size: a non-numeric id would
+        # cast to NULL and those rows would silently VANISH from an
+        # operator documented as exact — fail loudly instead
+        raise ValueError(
+            f"cosine_neardup_pairs requires a numeric id column; {id_col!r} "
+            f"is {id_dtype} (map your ids to dense integers first)"
+        )
     blk = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     blk = blk.withColumn(
         "bk", F.floor(F.col("id").cast("long") / F.lit(block_size)).cast("int")
@@ -186,6 +192,11 @@ def _all_buckets_udf(df: DataFrame, tables: list[list[list[float]]]):
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if V.size == 0:
             return pd.Series([])
+        if V.shape[1] != dim:
+            raise ValueError(
+                f"LSH hyperplanes were built for dim={dim} but embeddings "
+                f"have {V.shape[1]} components — pass dim={V.shape[1]}"
+            )
         out = np.zeros((len(V), T), dtype=np.int64)
         for t in range(T):
             bucket = np.zeros(len(V), dtype=np.int64)
@@ -229,25 +240,38 @@ def lsh_topk(
     ]
     buckets = _all_buckets_udf(corpus, tables)
 
+    # candidates on NARROW (id, tbl, bucket) rows — a hot bucket of b docs
+    # emits b² id pairs, not b² embedding pairs; vectors are joined back
+    # only after pair dedup (the same pattern as cosine_neardup_lsh — at
+    # scale the bucket-join shuffle must not carry vector payloads)
     def bucketize(df: DataFrame, idc: str, out_id: str) -> DataFrame:
         return df.select(
             F.col(idc).alias(out_id),
-            F.col(vec_col).alias(f"{out_id}_vec"),
             F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
         )
 
     cb = bucketize(corpus, id_col, "neighbor_id")
     qb = bucketize(queries, query_id_col, "query_id")
     qside = F.broadcast(qb) if broadcast_queries else qb
-    cand = cb.join(qside, on=["tbl", "bucket"], how="inner").dropDuplicates(
-        ["query_id", "neighbor_id"]
+    cand = (
+        cb.join(qside, on=["tbl", "bucket"], how="inner")
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6).alias(
-            "cosine_sim"
-        ),
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qv) if broadcast_queries else qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -353,6 +377,8 @@ def _nearest_lists_udf(spark_df: DataFrame, cent_rows: list, vec_col: str, n: in
     def nearest(vecs: pd.Series) -> pd.Series:
         Cm = bc.value
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if V.size == 0:  # empty Arrow batch: norm(axis=1) would raise
+            return pd.Series([])
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         sims = np.round(Vn @ Cm.T, 6)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n]

@@ -21,8 +21,12 @@ STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (lowercased). One expression, no UDF."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    """Whitespace tokenization (lowercased). One expression, no UDF.
+    Empty/whitespace-only text yields an EMPTY array — ``split`` alone
+    returns [''] there, which would give every blank document the same
+    one-token minhash/simhash signature and flood the dedup output with
+    blank-blank "perfect duplicate" pairs."""
+    return F.array_remove(F.split(F.trim(F.lower(text)), r"\s+"), "")
 
 
 def token_count(text: Column) -> Column:

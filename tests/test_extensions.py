@@ -370,3 +370,79 @@ def test_winnow_rows_equivalent_to_array_form(spark):
         for r in winnow_fingerprint_rows(docs, k=4, window=5).collect()
     }
     assert rows == arr and len(rows) > 0
+
+
+def test_blank_docs_produce_no_dedup_pairs(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("1", ""), ("2", "   "), ("3", "\t"), ("4", "real text here okay")],
+        "doc_id string, text string",
+    )
+    # blank docs must NOT pair up as est_jaccard=1.0 duplicates
+    assert minhash_lsh_pairs(docs, num_hashes=16, bands=4).count() == 0
+    assert simhash_pairs(docs, max_hamming=3, blocks=4).count() == 0
+
+
+def test_minhash_bands_validation(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([("1", "a b c")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=64)
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=5)
+
+
+def test_simhash_pigeonhole_validation(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([("1", "a b c")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4, blocks=4)
+
+
+def test_neardup_pairs_rejects_non_numeric_ids(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import cosine_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [("doc_a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="numeric id"):
+        cosine_neardup_pairs(emb)
+
+
+def test_lsh_dim_mismatch_clear_error(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 32), (2, [0.5] * 32)], "vec_id long, embedding array<double>"
+    )
+    q = emb.selectExpr("vec_id as query_id", "embedding")
+    try:
+        lsh_topk(emb, q, k=1, dim=64).collect()
+        raise AssertionError("expected dim-mismatch error")
+    except Exception as e:  # Spark wraps the UDF's ValueError
+        assert "dim=32" in str(e)
+
+
+def test_resize_null_payload_keeps_metadata(spark):
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rows = [("i1", "image", None, "image/png", 640, 480, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, 64, 64).collect()[0]
+    # not resized -> original dimensions preserved, not claimed as 64x64
+    assert out["width"] == 640 and out["height"] == 480
