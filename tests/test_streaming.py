@@ -183,3 +183,44 @@ def test_dedup_events_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["user_id"], r["event_type"]) for r in spark.table("dedup_keys").collect()}
     assert got == expect
+
+
+def test_sessionize_survives_late_event_past_gap(spark, tmp_path):
+    """A group whose newest event is already more than gap_seconds behind
+    the current watermark (late data is NOT filtered for stateful
+    applyInPandasWithState) must not kill the query: the timeout timestamp
+    is clamped past the watermark instead of raising."""
+    d = tmp_path / "late"
+    d.mkdir()
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01T12:00:00", "view", 1.0)],
+        "user_id bigint, ts_s string, event_type string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    df2 = spark.createDataFrame(
+        # 09:25 event: within nothing — watermark after batch1 is
+        # 12:00 - 2h = 10:00, and 09:25 + 30min gap = 09:55 < 10:00
+        [(2, "2024-01-01T09:25:00", "view", 1.0)],
+        "user_id bigint, ts_s string, event_type string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    df1.write.parquet(str(d / "b1"))
+    df2.write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/*")
+    )
+    out = sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the query completed without the IllegalArgumentException; user 2's
+    # state was registered (it emits on timeout in a later batch — here we
+    # only assert survival and that nothing crashed)
+    assert q.exception() is None
