@@ -24,6 +24,7 @@ from knowledge_graph_etl_spark.extensions.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    resolve_clusters,
 )
 from knowledge_graph_etl_spark.extensions.multimodal import (
     attach_metadata,
@@ -499,6 +500,20 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     )
 
 
+def dedup_resolve_clusters_q(spark, sf_dir):
+    """Pairs → per-document keep/drop: connected components (hash-min label
+    propagation + pointer jumping) over the MinHash+LSH near-dup pair
+    graph, with the full corpus supplying singleton clusters. The DuckDB
+    oracle recomputes the same components via a recursive CTE, so the
+    ENTIRE fuzzy-dedup pipeline — signature → banding → candidate join →
+    estimate filter → transitive cluster resolution — is hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=4, threshold=0.8, hash_fn="md5"
+    )
+    return resolve_clusters(pairs, docs=docs)
+
+
 def ann_cosine_topk_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -696,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact_q,
         "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
         "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "dedup_resolve_clusters": dedup_resolve_clusters_q,
         "ann_cosine_topk": ann_cosine_topk_q,
         "ann_embedding_neardup": ann_embedding_neardup_q,
         "ann_lsh_topk": ann_lsh_topk_q,
@@ -833,6 +849,27 @@ def _simhash_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
         "JOIN bl b ON a.blk = b.blk AND a.segv = b.segv AND a.doc_id < b.doc_id) "
         f"SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming FROM cand "
         f"WHERE {ham} <= {max_hamming}"
+    )
+
+
+def _resolve_clusters_oracle(pairs_sql: str) -> str:
+    """Connected components over a near-dup pair query as a DuckDB
+    recursive CTE: symmetrize edges, propagate every reachable label to
+    every node (the recursive UNION dedups, so it terminates), then take
+    MIN per node — exactly resolve_clusters' min-reachable-id semantics.
+    Singletons come from a left join against the full documents table."""
+    return (
+        "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" + pairs_sql + ")), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "lbl(node, lab) AS ("
+        "SELECT u, u FROM edges "
+        "UNION "
+        "SELECT e.u, l.lab FROM edges e JOIN lbl l ON l.node = e.v), "
+        "comp AS (SELECT node, MIN(lab) AS rep FROM lbl GROUP BY node) "
+        "SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS cluster_rep, "
+        "COUNT(*) OVER (PARTITION BY COALESCE(c.rep, d.doc_id)) AS cluster_size "
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
     )
 
 
@@ -1147,6 +1184,9 @@ def oracle_sql() -> dict[str, str]:
             "sha256(text) AS sha256 FROM documents WHERE doc_id < 100"
         ),
         "dedup_minhash_lsh": _minhash_oracle(num_hashes=32, bands=4, threshold=0.8),
+        "dedup_resolve_clusters": _resolve_clusters_oracle(
+            _minhash_oracle(num_hashes=32, bands=4, threshold=0.8)
+        ),
         "dedup_simhash": _simhash_oracle(max_hamming=3, blocks=4),
         "ann_ivf_topk": _ivf_oracle(nlist=16, nprobe=4, k=10),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),

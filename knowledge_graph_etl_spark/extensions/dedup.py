@@ -291,6 +291,110 @@ def minhash_lsh_pairs(
     )
 
 
+def resolve_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve near-duplicate *pairs* into per-document keep/drop decisions:
+    distributed connected components over the pair graph, emitting one row
+    per document with its ``cluster_rep`` (the minimum doc id reachable
+    through near-dup edges — the canonical "keep" representative) and the
+    ``cluster_size``. Documents in no pair are singleton clusters of
+    themselves when ``docs`` supplies the full corpus.
+
+    This is the step a training-data pipeline runs after
+    :func:`minhash_lsh_pairs` / :func:`simhash_pairs` /
+    ``similarity.cosine_neardup_lsh``: pairs say "these two are dups",
+    components say "keep exactly one per group" — transitively, so
+    A~B, B~C drops both B and C even though A~C was never emitted.
+
+    Algorithm: iterative **hash-min label propagation with pointer
+    jumping** (no GraphFrames dependency):
+
+    * each node starts labeled with itself;
+    * per round, every node takes the min of its label and its neighbors'
+      labels (one equi-join edges⋈labels + a min-aggregate — map-side
+      partial mins, shuffle on the uniform node id);
+    * then one **pointer-jumping** step relabels through the label table
+      itself (``label ← label(label)``), contracting star chains so long
+      paths converge in O(log diameter) rounds instead of O(diameter);
+    * convergence is detected by the per-round sum of labels (labels are
+      non-negative and monotonically non-increasing per node, so the sum
+      strictly decreases iff any label changed — one cheap aggregate per
+      round, no row-wise diff join).
+
+    Scale posture: the edge list is symmetrized, deduped, and checkpointed
+    ONCE (it is static across rounds — re-deriving it would re-run the
+    upstream LSH pipeline every round); labels are 16 bytes/node; each
+    round is 3 bounded shuffles. Near-dup components are overwhelmingly
+    dense (LSH emits most intra-cluster edges), so real convergence is
+    2-4 rounds; ``max_iter`` merely bounds adversarial path graphs, and
+    hitting it raises rather than silently emitting unconverged labels.
+    """
+    a_col, b_col = pair_cols
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if docs is not None:
+        nodes = docs.select(F.col(id_col).alias("node")).distinct()
+    else:
+        nodes = edges.select(F.col("u").alias("node")).distinct()
+    # static across rounds; checkpoint severs the (possibly expensive)
+    # upstream pair-generation lineage so it executes exactly once
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    # labels are node ids (non-negative longs); decimal sum is overflow-proof
+    _sum = lambda df: df.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = _sum(labels)
+    converged = False
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr"))
+        )
+        upd = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr"], labels["label"])
+                ).alias("label"),
+            )
+            # materialized before the self-join below: severs lineage so the
+            # jump join is between two independent plans (no self-join
+            # ambiguity) and the neighbor-min subtree runs once, not twice
+            .localCheckpoint(eager=True)
+        )
+        jump = upd.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
+        upd = upd.join(jump, upd["label"] == jump["jn"], "left").select(
+            upd["node"], F.coalesce(jump["jl"], upd["label"]).alias("label")
+        )
+        labels = upd.localCheckpoint(eager=True)
+        cur_sum = _sum(labels)
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"resolve_clusters did not converge within max_iter={max_iter} rounds"
+        )
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
+    )
+    w = Window.partitionBy("cluster_rep")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",

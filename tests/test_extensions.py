@@ -446,3 +446,84 @@ def test_resize_null_payload_keeps_metadata(spark):
     out = resize_images(media, 64, 64).collect()[0]
     # not resized -> original dimensions preserved, not claimed as 64x64
     assert out["width"] == 640 and out["height"] == 480
+
+
+# --------------------------------------------------------------------------
+# resolve_clusters: pairs -> per-document keep/drop (connected components)
+# --------------------------------------------------------------------------
+
+
+def _cc_oracle(pairs, nodes):
+    """Driver-side union-find for small graphs."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _check_resolution(spark, edges, nodes, **kw):
+    from knowledge_graph_etl_spark.extensions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        pairs = pairs.where(F.lit(False))
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in resolve_clusters(pairs, docs=docs, **kw).collect()
+    }
+    want_rep = _cc_oracle(edges, nodes)
+    from collections import Counter
+
+    sizes = Counter(want_rep.values())
+    assert got == {n: (want_rep[n], sizes[want_rep[n]]) for n in nodes}
+
+
+def test_resolve_clusters_path_graph(spark):
+    """A 40-node path is the worst case for plain label propagation
+    (diameter 39 > default rounds); pointer jumping must contract it."""
+    edges = [(i, i + 1) for i in range(39)]
+    _check_resolution(spark, edges, list(range(40)), max_iter=12)
+
+
+def test_resolve_clusters_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check_resolution(spark, edges, nodes)
+
+
+def test_resolve_clusters_singletons_and_no_docs(spark):
+    """Without docs=, only nodes appearing in pairs are labeled; with
+    docs=, isolated documents come back as singleton clusters."""
+    from knowledge_graph_etl_spark.extensions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame([(5, 3), (3, 9)], "id_a long, id_b long")
+    out = resolve_clusters(pairs).collect()
+    assert {r["doc_id"]: r["cluster_rep"] for r in out} == {3: 3, 5: 3, 9: 3}
+    assert all(r["cluster_size"] == 3 for r in out)
+    _check_resolution(spark, [(5, 3), (3, 9)], [1, 3, 5, 9])
+
+
+def test_resolve_clusters_empty_pairs(spark):
+    _check_resolution(spark, [], [1, 2, 3])
+
+
+def test_resolve_clusters_transitive_drop(spark):
+    """A~B and B~C (A~C never emitted) must still collapse to one cluster —
+    the reason pair output alone can't drive keep/drop."""
+    _check_resolution(spark, [(10, 20), (20, 30)], [10, 20, 30, 40])
