@@ -69,6 +69,8 @@ class GraphStore:
         self._mem_pieces: list[DataFrame] = []
         if path:
             os.makedirs(path, exist_ok=True)
+            # finish (or roll back) any compaction a previous process died in
+            self._recover_compactions()
 
     # -- read ------------------------------------------------------------
 
@@ -194,6 +196,7 @@ class GraphStore:
         self-join read a sliver of the store per pattern.)"""
         if not self.path:
             return
+        self._recover_compactions()
         graphs = [g] if g else self.list_graphs()
         for gname in graphs:
             df = self.graph(gname)
@@ -202,13 +205,62 @@ class GraphStore:
                 df = df.sortWithinPartitions(cluster_by)
             else:
                 df = df.repartition(target_files)
-            tmp = os.path.join(self.path, "_compact_tmp")
-            df.write.mode("overwrite").parquet(tmp)
-            self._drop_partition(gname)
-            self.spark.read.parquet(tmp).write.mode("append").partitionBy(
-                "g"
-            ).parquet(self.path)
-            shutil.rmtree(tmp, ignore_errors=True)
+            # Crash-safe protocol (write-ahead commit point; every crash
+            # window is covered by _recover_compactions on the next open):
+            #   1. write the compacted generation into _compact_tmp/<esc_g>
+            #      (a _-prefixed dir — invisible to parquet readers; the g
+            #      column is dropped because after the swap the partition
+            #      directory name carries it, as in every partitionBy write)
+            #   2. atomically create the COMMIT marker — from this instant
+            #      the compacted generation is authoritative
+            #   3. swap: drop the old partition dir, rename tmp into place
+            #      (one atomic rename — readers never see both generations,
+            #      so set semantics are preserved without read-side dedup),
+            #      remove the marker.
+            # Crash before 2 → old partition untouched, tmp is garbage
+            # (rolled back on recovery). Crash after 2 → recovery replays
+            # step 3. The old code's drop-then-append window (graph empty,
+            # data only in tmp) no longer exists.
+            esc = _escape_partition_value(gname)
+            tmp_g = os.path.join(self.path, "_compact_tmp", esc)
+            marker = os.path.join(self.path, "_compact_tmp", esc + ".COMMIT")
+            df.drop("g").write.mode("overwrite").parquet(tmp_g)
+            with open(marker, "x"):
+                pass
+            self._complete_swap(gname)
+
+    def _complete_swap(self, gname: str) -> None:
+        """Step 3 of the compaction protocol: replace the partition dir with
+        the committed compacted generation. Idempotent — safe to replay."""
+        esc = _escape_partition_value(gname)
+        tmp_g = os.path.join(self.path, "_compact_tmp", esc)
+        marker = os.path.join(self.path, "_compact_tmp", esc + ".COMMIT")
+        self._drop_partition(gname)
+        os.rename(tmp_g, os.path.join(self.path, f"g={esc}"))
+        os.remove(marker)
+        # leave _compact_tmp itself; empty dir, invisible to readers
+
+    def _recover_compactions(self) -> None:
+        """Finish or roll back compactions interrupted by a crash. A marker
+        file is the commit point: marker present → the tmp generation is
+        authoritative (replay the swap); absent → the old partition is
+        authoritative (tmp contents are garbage, discard them)."""
+        tmp_root = os.path.join(self.path, "_compact_tmp")
+        if not os.path.isdir(tmp_root):
+            return
+        names = set(os.listdir(tmp_root))
+        for name in sorted(names):
+            if name.endswith(".COMMIT"):
+                esc = name[: -len(".COMMIT")]
+                if esc in names:
+                    self._complete_swap(_unescape_partition_value(esc))
+                else:
+                    # marker outlived its tmp dir: the swap already renamed
+                    # tmp into place and died before removing the marker
+                    os.remove(os.path.join(tmp_root, name))
+            elif name + ".COMMIT" not in names:
+                # uncommitted generation from a crashed write — roll back
+                shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
 
     def as_bucketed_table(self, table: str, buckets: int = 32) -> DataFrame:
         """Materialize the store as a Spark-catalog table bucketed AND

@@ -133,3 +133,68 @@ def test_inmemory_clear_consolidates_cache(spark):
     assert got == {("urn:g:b", "s2")}
     s.close()
     assert s._mem_pieces == [] and s.quads().count() == 0
+
+
+# --------------------------------------------------------------------------
+# crash-safe optimize: every crash window recovers to a complete graph
+# --------------------------------------------------------------------------
+
+
+def _crashy_store(spark, tmp_path, crash_in):
+    """GraphStore whose compaction dies at a chosen protocol step."""
+    path = str(tmp_path / "q")
+    store = GraphStore(spark, path)
+    store.insert_data(ROWS)
+    before = {tuple(r) for r in store.quads().collect()}
+    orig = GraphStore._complete_swap
+
+    if crash_in == "before_commit":
+        # die while writing the compacted generation (no marker yet):
+        # simulate by leaving an uncommitted tmp dir behind
+        import os
+
+        junk = os.path.join(path, "_compact_tmp", "urn%3Ag%3Aa")
+        os.makedirs(junk)
+        with open(os.path.join(junk, "part-junk.parquet"), "w") as f:
+            f.write("half-written garbage")
+    elif crash_in == "after_commit":
+        # die between the COMMIT marker and the swap
+        def boom(self, gname):
+            raise RuntimeError("injected crash after commit point")
+
+        GraphStore._complete_swap = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                store.optimize()
+        finally:
+            GraphStore._complete_swap = orig
+    elif crash_in == "after_swap":
+        # die between the rename and marker removal: marker with no tmp dir
+        import os
+
+        tmp_root = os.path.join(path, "_compact_tmp")
+        os.makedirs(tmp_root, exist_ok=True)
+        with open(os.path.join(tmp_root, "urn%3Ag%3Ab.COMMIT"), "w"):
+            pass
+    return path, before
+
+
+@pytest.mark.parametrize("crash_in", ["before_commit", "after_commit", "after_swap"])
+def test_optimize_crash_recovery(spark, tmp_path, crash_in):
+    """Kill the compaction at each protocol step; a fresh GraphStore over
+    the same path must read the COMPLETE original graph (the r02 code left
+    the graph empty if the process died between drop and re-append)."""
+    path, before = _crashy_store(spark, tmp_path, crash_in)
+    reopened = GraphStore(spark, path)
+    assert {tuple(r) for r in reopened.quads().collect()} == before
+    # and a subsequent optimize on the recovered store succeeds cleanly
+    reopened.optimize()
+    assert {tuple(r) for r in reopened.quads().collect()} == before
+
+
+def test_optimize_recovery_is_idempotent(spark, tmp_path):
+    """Recovery replayed twice (crash during recovery itself) is safe."""
+    path, before = _crashy_store(spark, tmp_path, "after_commit")
+    GraphStore(spark, path)
+    reopened = GraphStore(spark, path)
+    assert {tuple(r) for r in reopened.quads().collect()} == before
