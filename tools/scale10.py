@@ -1,0 +1,95 @@
+"""10× scaling harness (BASELINE.md §4 methodology, committed this round).
+
+Builds a 10×-scale corpus from sf0.1 in /tmp/scale10:
+
+* ``documents`` replicated 10× with **disjoint vocabularies** (every token
+  suffixed with its replica id) — each replica block reproduces the
+  original similarity structure with zero cross-block candidates, so the
+  run measures the OPERATOR's scaling, not corpus self-similarity.
+* ``embeddings`` replicated 10× verbatim with offset vec_ids (near-dup
+  output therefore grows ~quadratically in replica count — output-bound
+  by construction; noted per-query in BASELINE.md).
+* all other tables symlinked unchanged.
+
+Usage: python tools/scale10.py q1,q2,...   # then compare vs seq_bench at sf0.1
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale10"
+REPLICAS = 10
+ID_STRIDE = 100_000_000
+
+names = sys.argv[1].split(",") if len(sys.argv) > 1 else []
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+if not os.path.exists(f"{DST}/documents.parquet"):
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.r * {ID_STRIDE} AS doc_id,
+                 array_to_string(
+                   list_transform(string_split(d.text, ' '),
+                                  x -> x || '~' || CAST(r.r AS VARCHAR)),
+                   ' ') AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{SRC}/documents.parquet') d
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+if not os.path.exists(f"{DST}/embeddings.parquet"):
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.r * {ID_STRIDE} AS vec_id, e.embedding
+          FROM read_parquet('{SRC}/embeddings.parquet') e
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+    dst = f"{DST}/{t}.parquet"
+    if not os.path.exists(dst):
+        os.symlink(f"{SRC}/{t}.parquet", dst)
+
+if not names:
+    print(f"corpus ready in {DST}")
+    sys.exit(0)
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entrymod
+
+qs = entrymod.queries()
+out = {}
+for name in names:
+    t0 = time.time()
+    n = qs[name](spark, DST).count()
+    out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark._jvm.System.gc()
+print(json.dumps(out))
+spark.stop()
