@@ -322,6 +322,62 @@ def kg_sparql_update(spark, sf_dir):
     return eng.store.graph("urn:g:out")
 
 
+def kg_select(spark, sf_dir):
+    """Read-side SPARQL (engine.select — beyond the reference's update-only
+    workload, sparql_update.py:94-95): SELECT with an expression
+    projection, OPTIONAL, FROM dataset selection, total ORDER BY and
+    LIMIT, compiled through the same algebra as the update path. The
+    ORDER+LIMIT compiles to TakeOrderedAndProject (distributed top-k)."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    eng.store.insert(
+        _orders_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?c ?name (URI(CONCAT('urn:org:', MD5(?name))) AS ?org) ?ord
+        FROM <urn:g:customer> FROM <urn:g:orders>
+        WHERE {
+            ?c p:c_mktsegment "BUILDING"; p:c_name ?name.
+            OPTIONAL { ?ord p:o_custkey ?c; p:o_orderpriority "1-URGENT". }
+        }
+        ORDER BY ?name ?ord
+        LIMIT 100
+        """
+    )
+
+
+def kg_sparql_delete(spark, sf_dir):
+    """DELETE/INSERT Modify via the SPARQL front end: rewrite the BUILDING
+    segment triples to an archival predicate IN PLACE (both templates
+    instantiate against the same pre-modification bindings), then return
+    the modified graph. Exercises parser DELETE forms, the copy-on-write
+    store.delete, and FILTER(STRSTARTS)."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    eng.update(
+        """
+        PREFIX p: <urn:p:>
+        WITH <urn:g:customer>
+        DELETE { ?c p:c_mktsegment ?seg }
+        INSERT { ?c p:was_segment ?seg }
+        WHERE { ?c p:c_mktsegment ?seg . FILTER(STRSTARTS(?seg, "B")) }
+        """
+    )
+    return eng.store.graph("urn:g:customer").select(
+        "s", "p", "o_value", "o_type", "o_datatype"
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational core: aggregation / window / sort-limit (needed by Phase-5 and
 # absent from the reference, SURVEY.md §2.5 — implemented as first-class ops)
@@ -699,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dedup_union": kg_dedup_union,
         "kg_dataset_union": kg_dataset_union,
         "kg_sparql_update": kg_sparql_update,
+        "kg_select": kg_select,
+        "kg_sparql_delete": kg_sparql_delete,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_dedup": streaming_dedup,
         "streaming_sessionize": streaming_sessionize,
@@ -1045,6 +1103,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {org}, 'urn:p:urgentOrder', {ord_s}, 'iri' "
             f"FROM customer JOIN ({urgent}) o ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "kg_select": (
+            "SELECT c, name, org, ord FROM ("
+            f"SELECT {cust_s} AS c, c_name AS name, "
+            "concat('urn:org:', md5(c_name)) AS org, "
+            # || propagates NULL (DuckDB concat() skips NULL args — a
+            # missing OPTIONAL match must stay unbound, not 'urn:ord:')
+            "'urn:ord:' || CAST(o_orderkey AS VARCHAR) AS ord "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT' "
+            "WHERE c_mktsegment = 'BUILDING') "
+            "ORDER BY name, ord NULLS FIRST LIMIT 100"
+        ),
+        "kg_sparql_delete": (
+            # quadify(customer) minus the BUILDING c_mktsegment triples
+            # plus the archival was_segment triples (DELETE/INSERT Modify)
+            f"WITH q AS ("
+            f"SELECT {cust_s} AS s, 'urn:p:c_name' AS p, c_name AS o_value, "
+            "'literal' AS o_type, CAST(NULL AS VARCHAR) AS o_datatype FROM customer "
+            "UNION ALL "
+            f"SELECT {cust_s}, 'urn:p:c_mktsegment', c_mktsegment, 'literal', NULL "
+            "FROM customer WHERE c_mktsegment <> 'BUILDING' "
+            "UNION ALL "
+            f"SELECT {cust_s}, 'urn:p:was_segment', c_mktsegment, 'literal', NULL "
+            "FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL "
+            f"SELECT {cust_s}, 'urn:p:c_nationkey', CAST(c_nationkey AS VARCHAR), "
+            f"'literal', '{_XSD_INT}' FROM customer) "
+            "SELECT s, p, o_value, o_type, o_datatype FROM q"
         ),
         "streaming_windowed_counts": (
             "SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, "

@@ -19,8 +19,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .ingest import json_to_quads
-from .plans.compiler import compile_insert_where, execute_update
-from .plans.parser import InsertWhere, parse_update
+from .plans.compiler import (
+    compile_ask,
+    compile_insert_where,
+    compile_select,
+    execute_update,
+)
+from .plans.parser import (
+    AskQuery,
+    InsertWhere,
+    SelectQuery,
+    parse_query,
+    parse_update,
+)
 from .store import GraphStore
 
 SOURCE_NS = "https://data.hetarchief.be/ns/source/"
@@ -51,11 +62,41 @@ class Engine:
         query-construction-time step, not a row expression
         (SURVEY.md §2 op 37; load_knowledge_graph.py:54-57,513-544).
         """
+        execute_update(parse_update(self._substitute(query, params)), self.store)
+
+    # -- read path --------------------------------------------------------
+
+    def _substitute(self, query: str, params: dict | None) -> str:
         text = self._resolve(query)
         if params:
             for k, v in params.items():
                 text = text.replace("{{params.%s}}" % k, str(v))
-        execute_update(parse_update(text), self.store)
+        return text
+
+    def select(
+        self, query: str, params: dict | None = None, with_terms: bool = False
+    ) -> DataFrame:
+        """Execute a SPARQL SELECT over the quad store → DataFrame with one
+        column per projected variable (``with_terms=True`` adds the
+        ``__type/__dt/__lang`` term companions).
+
+        Read-side entry the reference never needed (its workload is 100%
+        update — sparql_update.py:94-95 warns on non-updates) but the first
+        thing a user pointing an analytics engine at a quad store runs;
+        compiles through the same algebra as the updates
+        (projection/DISTINCT/ORDER/LIMIT/OFFSET added in plans.compiler)."""
+        node = parse_query(self._substitute(query, params))
+        if not isinstance(node, SelectQuery):
+            raise ValueError("select() needs a SELECT query; use ask()/update()")
+        return compile_select(node, self.store, with_terms=with_terms)
+
+    def ask(self, query: str, params: dict | None = None) -> bool:
+        """SPARQL ASK → bool (the compiled plan is LIMIT 1 — Catalyst
+        short-circuits the scan)."""
+        node = parse_query(self._substitute(query, params))
+        if not isinstance(node, AskQuery):
+            raise ValueError("ask() needs an ASK query; use select()/update()")
+        return len(compile_ask(node, self.store).take(1)) > 0
 
     def plan(self, query: str) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without

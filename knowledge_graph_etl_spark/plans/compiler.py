@@ -35,10 +35,13 @@ from ..functions import (
 )
 from ..operators.bgp import BGPBuilder, Var, _companion, pattern, star_scan
 from ..operators.construct import construct
-from ..terms import BNODE, IRI, LITERAL, Term
+from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, Term
 from .parser import (
+    AskQuery,
     BindExpr,
     BNodeT,
+    DeleteData,
+    DeleteWhere,
     FilterExpr,
     FuncCall,
     Group,
@@ -48,6 +51,7 @@ from .parser import (
     IriT,
     LitT,
     OptionalGroup,
+    SelectQuery,
     TriplePattern,
     VarT,
 )
@@ -428,17 +432,22 @@ def compile_insert_where(
                 name, F.concat(F.lit(f"_:{name}-"), row_key)
             ).withColumn(f"{name}__type", F.lit(BNODE))
 
+    return _template_quads(bindings, node.template, node.target_graph)
+
+
+def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFrame:
+    """Instantiate a quad template against a solution mapping — one
+    ``construct`` per target graph, unioned. ``materialize=False``: the
+    caller owns the bindings' materialization policy."""
     by_graph: dict[str, list] = {}
-    for g, tp in node.template:
-        graph = g or node.target_graph
+    for g, tp in template:
+        graph = g or target_graph
         if graph is None:
             raise ValueError("template triple has no target graph (no WITH/GRAPH)")
         by_graph.setdefault(graph, []).append(
             (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
         )
     outs = [
-        # materialize=False: bindings already checkpointed above (or the
-        # caller asked for a side-effect-free compile)
         construct(bindings, triples, target_graph=g, materialize=False)
         for g, triples in by_graph.items()
     ]
@@ -448,38 +457,188 @@ def compile_insert_where(
     return result
 
 
+def compile_delete_insert(
+    node: DeleteWhere, store, materialize: bool = True
+) -> tuple[DataFrame, DataFrame | None]:
+    """DELETE [INSERT] WHERE → (quads-to-delete, quads-to-insert-or-None).
+
+    Both templates instantiate against the SAME pre-modification WHERE
+    solutions (SPARQL 1.1 Update Modify semantics) — the bindings are
+    checkpointed before either write executes, so the delete cannot
+    change what the insert template sees."""
+    if node.using:
+        dataset = store.dataset(node.using)
+    elif node.target_graph is not None:
+        dataset = store.graph(node.target_graph)
+    else:
+        dataset = store.quads()
+    bindings = compile_group(node.where, dataset)
+    if materialize:
+        bindings = bindings.localCheckpoint(eager=True)
+    del_df = _template_quads(bindings, node.delete_template, node.target_graph)
+    ins_df = (
+        _template_quads(bindings, node.insert_template, node.target_graph)
+        if node.insert_template
+        else None
+    )
+    return del_df, ins_df
+
+
+# --------------------------------------------------------------------------
+# Read-side queries (SELECT / ASK)
+# --------------------------------------------------------------------------
+
+
+def compile_select(
+    node: SelectQuery, store, with_terms: bool = False
+) -> DataFrame:
+    """SELECT → solution-sequence DataFrame: one column per projected
+    variable; ``with_terms=True`` keeps the ``__type/__dt/__lang`` term
+    companions in the output (they always participate in DISTINCT —
+    SPARQL solutions are term mappings, so ``"42"^^xsd:int`` and plain
+    ``"42"`` are distinct solutions even though their value columns tie).
+
+    Modifier pipeline (SPARQL 1.1 §15, mapped onto Catalyst): extend with
+    projection expressions → DISTINCT → ORDER BY (unbound sorts lowest:
+    nulls-first asc, nulls-last desc) → OFFSET → LIMIT. ORDER+LIMIT
+    compiles to TakeOrderedAndProject (a distributed top-k — no global
+    sort materialization), which is the plan you want at scale."""
+    dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
+    df = compile_group(node.where, dataset)
+    if node.variables is not None:
+        for name, expr in node.variables:
+            if expr is None:
+                continue
+            te = compile_expr(expr, set(df.columns))
+            df = (
+                df.withColumn(name, te.value)
+                .withColumn(_companion(name, "type"), te.type)
+                .withColumn(_companion(name, "dt"), te.datatype)
+                .withColumn(_companion(name, "lang"), te.lang)
+            )
+        names = [n for n, _ in node.variables]
+    else:
+        # SELECT *: every in-scope user variable (desugared bnode vars are
+        # not variables and never project)
+        names = [
+            c
+            for c in df.columns
+            if "__" not in c and not c.startswith("_anon_")
+        ]
+    have = set(df.columns)
+    proj: list[Column] = []
+    out_cols: list[str] = []
+    for n in names:
+        proj.append(F.col(n) if n in have else F.lit(None).cast("string").alias(n))
+        out_cols.append(n)
+        for kind in ("type", "dt", "lang"):
+            comp = _companion(n, kind)
+            if comp in have:
+                proj.append(F.col(comp))
+                out_cols.append(comp)
+    # ORDER BY expressions evaluate in the full WHERE scope (legal SPARQL
+    # restricts them to projected vars under DISTINCT; computing them
+    # before the projection supports the general non-DISTINCT case too)
+    ord_cols = []
+    for i, (expr, desc) in enumerate(node.order_by):
+        val = compile_expr(expr, set(df.columns)).value
+        ord_cols.append((f"__ord_{i}", desc))
+        df = df.withColumn(f"__ord_{i}", val)
+    df = df.select(*proj, *[F.col(c) for c, _ in ord_cols])
+    if node.distinct:
+        df = df.dropDuplicates(out_cols)
+    if ord_cols:
+        df = df.orderBy(
+            *[
+                F.col(c).desc_nulls_last() if desc else F.col(c).asc_nulls_first()
+                for c, desc in ord_cols
+            ]
+        )
+    if node.offset:
+        df = df.offset(node.offset)
+    if node.limit is not None:
+        df = df.limit(node.limit)
+    drop = [c for c, _ in ord_cols]
+    if not with_terms:
+        drop += [c for c in out_cols if "__" in c]
+    return df.drop(*drop) if drop else df
+
+
+def compile_ask(node: AskQuery, store) -> DataFrame:
+    """ASK → a plan whose non-emptiness is the answer (the caller takes 1
+    row; Catalyst short-circuits the scan via the limit)."""
+    dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
+    return compile_group(node.where, dataset).limit(1)
+
+
+def _const_quad_rows(quads: list, form: str) -> list[tuple]:
+    """Constant-term quad list (INSERT DATA / DELETE DATA) → store rows."""
+    rows = []
+    for g, tp in quads:
+        if g is None:
+            raise ValueError(f"{form} without GRAPH is not supported")
+        s, p, o = tp.s, tp.p, tp.o
+        if isinstance(s, IriT):
+            s_val, s_type = s.value, IRI
+        elif isinstance(s, BNodeT):
+            s_val, s_type = s.value, BNODE
+        else:
+            raise ValueError(
+                f"{form} subject must be an IRI or blank node, got {s!r}"
+            )
+        if not isinstance(p, IriT):
+            raise ValueError(f"{form} predicate must be an IRI")
+        if isinstance(o, IriT):
+            rows.append((g, s_val, s_type, p.value, o.value, IRI, None, None))
+        elif isinstance(o, BNodeT):
+            rows.append((g, s_val, s_type, p.value, o.value, BNODE, None, None))
+        elif isinstance(o, LitT):
+            rows.append(
+                (g, s_val, s_type, p.value, o.value, LITERAL, o.datatype, o.lang)
+            )
+        else:
+            raise ValueError(f"{form} terms must be constant")
+    return rows
+
+
+def _delete_graphs(node: DeleteWhere) -> list[str]:
+    targets = {g or node.target_graph for g, _ in node.delete_template}
+    if None in targets:
+        raise ValueError(
+            "delete template triple has no target graph (no WITH/GRAPH)"
+        )
+    return sorted(targets)
+
+
 def execute_update(node, store) -> None:
     """Run one parsed update against a :class:`..store.GraphStore`."""
     if isinstance(node, GraphDDL):
         (store.clear if node.verb == "clear" else store.drop)(node.graph)
         return
     if isinstance(node, InsertData):
-        rows = []
-        for g, tp in node.quads:
-            if g is None:
-                raise ValueError("INSERT DATA without GRAPH is not supported")
-            s, p, o = tp.s, tp.p, tp.o
-            if isinstance(s, IriT):
-                s_val, s_type = s.value, IRI
-            elif isinstance(s, BNodeT):
-                s_val, s_type = s.value, BNODE
-            else:
+        store.insert_data(_const_quad_rows(node.quads, "INSERT DATA"))
+        return
+    if isinstance(node, DeleteData):
+        rows = _const_quad_rows(node.quads, "DELETE DATA")
+        store.delete(
+            store.spark.createDataFrame(rows, QUAD_SCHEMA),
+            target_graphs=sorted({r[0] for r in rows}),
+        )
+        return
+    if isinstance(node, DeleteWhere):
+        del_df, ins_df = compile_delete_insert(node, store)
+        # SPARQL Modify order: delete first, then insert, both instantiated
+        # from the pre-modification bindings (checkpointed above)
+        store.delete(del_df, target_graphs=_delete_graphs(node))
+        if ins_df is not None:
+            targets = {
+                g or node.target_graph for g, _ in node.insert_template
+            }
+            if None in targets:
                 raise ValueError(
-                    f"INSERT DATA subject must be an IRI or blank node, got {s!r}"
+                    "template triple has no target graph (no WITH/GRAPH)"
                 )
-            if not isinstance(p, IriT):
-                raise ValueError("INSERT DATA predicate must be an IRI")
-            if isinstance(o, IriT):
-                rows.append((g, s_val, s_type, p.value, o.value, IRI, None, None))
-            elif isinstance(o, BNodeT):
-                rows.append((g, s_val, s_type, p.value, o.value, BNODE, None, None))
-            elif isinstance(o, LitT):
-                rows.append(
-                    (g, s_val, s_type, p.value, o.value, LITERAL, o.datatype, o.lang)
-                )
-            else:
-                raise ValueError("INSERT DATA terms must be constant")
-        store.insert_data(rows)
+            store.insert(ins_df, target_graphs=sorted(targets), batch_distinct=True)
         return
     if isinstance(node, InsertWhere):
         targets = {g or node.target_graph for g, _ in node.template}

@@ -115,10 +115,52 @@ class InsertData:
 
 
 @dataclass
+class DeleteData:
+    quads: list  # [(graph, TriplePattern with constant terms, no bnodes)]
+
+
+@dataclass
+class DeleteWhere:
+    """``[WITH <g>] DELETE { t } [INSERT { t }] USING* WHERE { g }`` and the
+    ``DELETE WHERE { p }`` shortcut (template = pattern). SPARQL 1.1 Update
+    Modify operation — the dual of :class:`InsertWhere`: the delete template
+    instantiates against the WHERE solutions and the resulting quads are
+    removed (set semantics); the optional insert template instantiates
+    against the SAME pre-modification solutions."""
+
+    delete_template: list  # [(graph | None, TriplePattern)]
+    insert_template: list | None
+    target_graph: str | None  # WITH <g>
+    using: list
+    where: Group
+
+
+@dataclass
 class GraphDDL:
     verb: str  # 'clear' | 'drop'
     graph: str
     silent: bool
+
+
+@dataclass
+class SelectQuery:
+    """Read-side ``SELECT`` over the same algebra the updates compile
+    through. ``variables`` is None for ``SELECT *``, else a list of
+    ``(name, expr_or_None)`` — expr set for ``(expr AS ?v)`` projections."""
+
+    variables: list | None
+    distinct: bool
+    from_graphs: list
+    where: Group
+    order_by: list  # [(expr_ast, desc: bool)]
+    limit: int | None
+    offset: int | None
+
+
+@dataclass
+class AskQuery:
+    from_graphs: list
+    where: Group
 
 
 # --------------------------------------------------------------------------
@@ -141,7 +183,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
-    | (?P<PUNCT>[{}\[\]();,.])
+    | (?P<PUNCT>[{}\[\]();,.*])
     """,
     re.VERBOSE,
 )
@@ -318,13 +360,33 @@ class _Parser:
                 self.next()
                 return self.parse_insert_data()
             return self.parse_insert_where(target=None, insert_consumed=True)
+        if self.at_name("DELETE"):
+            self.next()
+            return self.parse_delete(target=None)
         if self.at_name("WITH"):
             self.next()
             target = self.parse_iri()
+            if self.at_name("DELETE"):
+                self.next()
+                return self.parse_delete(target=target)
             self.expect_name("INSERT")
             return self.parse_insert_where(target=target, insert_consumed=True)
         t = self.peek()
         raise SyntaxError(f"expected update form, got {t.text if t else 'EOF'!r}")
+
+    def parse_query(self):
+        self.parse_prologue()
+        if self.at_name("SELECT"):
+            self.next()
+            return self.parse_select()
+        if self.at_name("ASK"):
+            self.next()
+            from_graphs = self.parse_from_clauses()
+            if self.at_name("WHERE"):
+                self.next()
+            return AskQuery(from_graphs, self.parse_group())
+        t = self.peek()
+        raise SyntaxError(f"expected query form, got {t.text if t else 'EOF'!r}")
 
     def parse_prologue(self) -> None:
         while self.at_name("PREFIX"):
@@ -370,9 +432,8 @@ class _Parser:
 
     # -- INSERT ... WHERE -------------------------------------------------
 
-    def parse_insert_where(self, target: str | None, insert_consumed: bool) -> InsertWhere:
-        if not insert_consumed:
-            self.expect_name("INSERT")
+    def parse_template_block(self) -> list:
+        """``{ triples | GRAPH <g> { triples } ... }`` → [(g|None, tp)]."""
         self.expect_punct("{")
         template: list[tuple[str | None, TriplePattern]] = []
         while not self.at_punct("}"):
@@ -388,6 +449,12 @@ class _Parser:
                 for tp in self.parse_triples_block(allow_vars=True):
                     template.append((None, tp))
         self.expect_punct("}")
+        return template
+
+    def parse_insert_where(self, target: str | None, insert_consumed: bool) -> InsertWhere:
+        if not insert_consumed:
+            self.expect_name("INSERT")
+        template = self.parse_template_block()
         using: list[str] = []
         while self.at_name("USING"):
             self.next()
@@ -405,6 +472,173 @@ class _Parser:
         self.expect_name("WHERE")
         where = self.parse_group()
         return InsertWhere(template, target, using, where)
+
+    # -- DELETE forms -----------------------------------------------------
+
+    def parse_delete(self, target: str | None):
+        """After the DELETE keyword: ``DATA { quads }``, the
+        ``DELETE WHERE { pattern }`` shortcut, or the Modify form
+        ``DELETE { t } [INSERT { t }] USING* WHERE { group }``."""
+        if self.at_name("DATA"):
+            if target is not None:
+                raise SyntaxError("WITH is not allowed with DELETE DATA")
+            self.next()
+            data = self.parse_insert_data()
+            for g, tp in data.quads:
+                for t in (tp.s, tp.p, tp.o):
+                    if isinstance(t, BNodeT):
+                        raise SyntaxError(
+                            "blank nodes are not allowed in DELETE DATA"
+                        )
+            return DeleteData(data.quads)
+        if self.at_name("WHERE"):
+            # DELETE WHERE { p }: the pattern IS the template. GRAPH blocks
+            # scope both matching and deletion to that graph; WHERE-side
+            # graph scoping beyond one graph needs GRAPH patterns we don't
+            # compile, so allow at most one distinct GRAPH.
+            self.next()
+            template = self.parse_template_block()
+            graphs = {g for g, _ in template if g is not None}
+            if len(graphs) > 1:
+                raise SyntaxError(
+                    "DELETE WHERE with multiple GRAPH blocks is not supported"
+                )
+            self._check_no_template_bnodes(template, "DELETE WHERE")
+            where = Group(elements=[tp for _, tp in template])
+            g = next(iter(graphs), None)
+            return DeleteWhere(
+                template, None, target, [g] if g else [], where
+            )
+        template = self.parse_template_block()
+        self._check_no_template_bnodes(template, "DELETE")
+        insert_template = None
+        if self.at_name("INSERT"):
+            self.next()
+            insert_template = self.parse_template_block()
+        using: list[str] = []
+        while self.at_name("USING"):
+            self.next()
+            if self.at_name("NAMED"):
+                raise SyntaxError(
+                    "USING NAMED is not supported (no GRAPH patterns in the "
+                    "WHERE subset); use USING <g> to add g to the default "
+                    "matching dataset"
+                )
+            using.append(self.parse_iri())
+        self.expect_name("WHERE")
+        where = self.parse_group()
+        return DeleteWhere(template, insert_template, target, using, where)
+
+    def _check_no_template_bnodes(self, template: list, form: str) -> None:
+        """SPARQL 1.1 Update: blank nodes (incl. ``[...]`` sugar, which the
+        parser desugars to ``_anon_*`` vars) are illegal in delete
+        templates — a fresh bnode can never match anything to delete."""
+        for _, tp in template:
+            for t in (tp.s, tp.p, tp.o):
+                if isinstance(t, BNodeT) or (
+                    isinstance(t, VarT) and t.name.startswith("_anon_")
+                ):
+                    raise SyntaxError(
+                        f"blank nodes are not allowed in a {form} template"
+                    )
+
+    # -- SELECT / ASK -----------------------------------------------------
+
+    def parse_from_clauses(self) -> list[str]:
+        graphs: list[str] = []
+        while self.at_name("FROM"):
+            self.next()
+            if self.at_name("NAMED"):
+                raise SyntaxError(
+                    "FROM NAMED is not supported (no GRAPH patterns in the "
+                    "WHERE subset)"
+                )
+            graphs.append(self.parse_iri())
+        return graphs
+
+    def parse_select(self) -> SelectQuery:
+        distinct = False
+        if self.at_name("DISTINCT"):
+            distinct = True
+            self.next()
+        elif self.at_name("REDUCED"):
+            # REDUCED permits (but does not require) duplicate elimination —
+            # emitting the duplicates verbatim is conformant
+            self.next()
+        variables: list | None = None
+        if self.at_punct("*"):
+            self.next()
+        else:
+            variables = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    raise SyntaxError("unexpected end of input in SELECT")
+                if t.kind == "VAR":
+                    self.next()
+                    variables.append((self._user_var(t).name, None))
+                elif t.kind == "PUNCT" and t.text == "(":
+                    self.next()
+                    expr = self.parse_expr()
+                    self.expect_name("AS")
+                    var = self.next()
+                    if var.kind != "VAR":
+                        raise SyntaxError(
+                            f"expected variable after AS at {var.pos}"
+                        )
+                    self.expect_punct(")")
+                    variables.append((self._user_var(var).name, expr))
+                else:
+                    break
+            if not variables:
+                raise SyntaxError("SELECT needs a projection (vars or *)")
+        from_graphs = self.parse_from_clauses()
+        if self.at_name("WHERE"):
+            self.next()
+        where = self.parse_group()
+        order_by: list = []
+        limit: int | None = None
+        offset: int | None = None
+        while True:
+            if self.at_name("ORDER"):
+                self.next()
+                self.expect_name("BY")
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        break
+                    if self.at_name("ASC", "DESC"):
+                        desc = self.next().text.upper() == "DESC"
+                        self.expect_punct("(")
+                        expr = self.parse_expr()
+                        self.expect_punct(")")
+                        order_by.append((expr, desc))
+                    elif t.kind == "VAR":
+                        self.next()
+                        order_by.append((self._user_var(t), False))
+                    elif t.kind == "NAME" and t.text.upper() in FUNCTIONS:
+                        order_by.append((self.parse_expr(), False))
+                    else:
+                        break
+                if not order_by:
+                    raise SyntaxError("ORDER BY needs at least one condition")
+            elif self.at_name("LIMIT"):
+                self.next()
+                t = self.next()
+                if t.kind != "NUMBER" or not t.text.isdigit():
+                    raise SyntaxError(f"LIMIT needs an integer at {t.pos}")
+                limit = int(t.text)
+            elif self.at_name("OFFSET"):
+                self.next()
+                t = self.next()
+                if t.kind != "NUMBER" or not t.text.isdigit():
+                    raise SyntaxError(f"OFFSET needs an integer at {t.pos}")
+                offset = int(t.text)
+            else:
+                break
+        return SelectQuery(
+            variables, distinct, from_graphs, where, order_by, limit, offset
+        )
 
     # -- groups -----------------------------------------------------------
 
@@ -554,13 +788,23 @@ class _Parser:
         raise SyntaxError(f"unexpected token {t.text!r} in expression at {t.pos}")
 
 
-def parse_update(text: str):
-    """Parse one SPARQL Update request → InsertWhere | InsertData | GraphDDL."""
-    p = _Parser(text)
-    node = p.parse_update()
+def _finish(p: "_Parser", node):
     if p.at_punct(";"):  # trailing separator
         p.next()
     if p.peek() is not None:
         t = p.peek()
         raise SyntaxError(f"trailing input at {t.pos}: {t.text!r}")
     return node
+
+
+def parse_update(text: str):
+    """Parse one SPARQL Update request → InsertWhere | InsertData |
+    DeleteWhere | DeleteData | GraphDDL."""
+    p = _Parser(text)
+    return _finish(p, p.parse_update())
+
+
+def parse_query(text: str):
+    """Parse one SPARQL read query → SelectQuery | AskQuery."""
+    p = _Parser(text)
+    return _finish(p, p.parse_query())

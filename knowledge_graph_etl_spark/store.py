@@ -40,6 +40,16 @@ def _escape_partition_value(value: str) -> str:
     )
 
 
+def _quad_eq_cond(left: str, right: str):
+    """Null-safe term equality across all 8 quad columns between two
+    aliased sides (o_datatype/o_lang are often NULL)."""
+    cond = None
+    for c in QUAD_COLUMNS:
+        eq = F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 def _unescape_partition_value(name: str) -> str:
     out, i = [], 0
     while i < len(name):
@@ -134,11 +144,9 @@ class GraphStore:
             # null-safe equality on every column (o_datatype/o_lang are
             # often NULL); join key g is constant per partition → the
             # anti-join prunes the existing-side scan to the target graphs
-            cond = None
-            for c in QUAD_COLUMNS:
-                eq = F.col(f"nw.{c}").eqNullSafe(F.col(f"ex.{c}"))
-                cond = eq if cond is None else (cond & eq)
-            batch = batch.join(existing, on=cond, how="left_anti")
+            batch = batch.join(
+                existing, on=_quad_eq_cond("nw", "ex"), how="left_anti"
+            )
         if self.path:
             batch.write.mode("append").partitionBy("g").parquet(self.path)
         else:
@@ -167,6 +175,61 @@ class GraphStore:
             self.spark.createDataFrame(rows, QUAD_SCHEMA),
             target_graphs=sorted({r[0] for r in rows}),
         )
+
+    def delete(
+        self,
+        del_quads: DataFrame,
+        target_graphs: list[str] | None = None,
+    ) -> None:
+        """DELETE with set semantics: remove every stored quad term-equal
+        (null-safe, all 8 columns) to a quad in the batch — the write half
+        of SPARQL ``DELETE``/``DELETE WHERE`` (SURVEY.md §2 op family 11-13
+        gains its missing verb; the reference workload is insert-only but
+        any update user hits DELETE right after INSERT).
+
+        Parquet stores are copy-on-write at partition granularity: each
+        affected graph is rewritten minus the batch through the SAME
+        crash-safe commit-marker protocol as ``optimize`` — a reader never
+        sees a half-deleted graph, and a crash at any point recovers to
+        either the old or the new complete generation. ``target_graphs``
+        bounds the rewrite exactly like ``insert``'s anti-join pruning."""
+        batch = del_quads.select(*QUAD_COLUMNS)
+        if self.path:
+            self._recover_compactions()
+            if target_graphs is not None:
+                graphs = list(target_graphs)
+            else:
+                graphs = [r["g"] for r in batch.select("g").distinct().collect()]
+            graphs = [g for g in graphs if g in set(self.list_graphs())]
+            if len(graphs) > 1:
+                # the per-graph rewrites re-evaluate the batch; pin it so a
+                # batch lazily reading graph A can't observe A's rewrite
+                # while graph B is being processed
+                batch = batch.localCheckpoint(eager=True)
+            for gname in graphs:
+                remaining = self.graph(gname).alias("ex").join(
+                    batch.where(F.col("g") == gname).alias("dl"),
+                    on=_quad_eq_cond("ex", "dl"),
+                    how="left_anti",
+                )
+                esc = _escape_partition_value(gname)
+                tmp_g = os.path.join(self.path, "_compact_tmp", esc)
+                marker = os.path.join(self.path, "_compact_tmp", esc + ".COMMIT")
+                remaining.drop("g").write.mode("overwrite").parquet(tmp_g)
+                with open(marker, "x"):
+                    pass
+                self._complete_swap(gname)
+        elif self._mem is not None:
+            remaining = self._mem.alias("ex").join(
+                batch.alias("dl"), on=_quad_eq_cond("ex", "dl"), how="left_anti"
+            )
+            # materialize the remainder BEFORE releasing the pieces it reads
+            remaining = remaining.cache()
+            remaining.count()
+            for piece in self._mem_pieces:
+                piece.unpersist()
+            self._mem_pieces = [remaining]
+            self._mem = remaining
 
     def clear(self, g: str) -> None:
         """``CLEAR SILENT GRAPH <g>`` (reference load_knowledge_graph.py:341):

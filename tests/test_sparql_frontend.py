@@ -378,3 +378,179 @@ def test_star_rewrite_ab_equivalence(spark):
     assert ("urn:a", "urn:lbl", "second") in results[2]
     assert ("urn:a", "urn:un", "Unit One") in results[2]
     assert ("urn:b", "urn:id", "OR-2") in results[2]
+
+
+# -- read path: SELECT / ASK ----------------------------------------------
+
+
+SEL_ROWS = [
+    ("urn:g:a", "urn:s:1", "iri", "urn:p:name", "alice", "literal", None, None),
+    ("urn:g:a", "urn:s:1", "iri", "urn:p:age", "31", "literal",
+     "http://www.w3.org/2001/XMLSchema#integer", None),
+    ("urn:g:a", "urn:s:2", "iri", "urn:p:name", "bob", "literal", None, None),
+    ("urn:g:a", "urn:s:3", "iri", "urn:p:name", "carol", "literal", None, None),
+    ("urn:g:a", "urn:s:3", "iri", "urn:p:age", "27", "literal",
+     "http://www.w3.org/2001/XMLSchema#integer", None),
+    ("urn:g:b", "urn:s:9", "iri", "urn:p:name", "zoe", "literal", None, None),
+]
+
+
+def test_select_projection_and_from(spark):
+    eng = eng_with(spark, SEL_ROWS)
+    out = eng.select(
+        "SELECT ?s ?name FROM <urn:g:a> WHERE { ?s <urn:p:name> ?name }"
+    )
+    assert out.columns == ["s", "name"]
+    assert rows(out) == {
+        ("urn:s:1", "alice"), ("urn:s:2", "bob"), ("urn:s:3", "carol")
+    }
+
+
+def test_select_star_optional_order_limit(spark):
+    eng = eng_with(spark, SEL_ROWS)
+    out = eng.select(
+        """
+        SELECT * FROM <urn:g:a> WHERE {
+          ?s <urn:p:name> ?name .
+          OPTIONAL { ?s <urn:p:age> ?age }
+        } ORDER BY DESC(?name) LIMIT 2
+        """
+    )
+    assert sorted(out.columns) == ["age", "name", "s"]
+    got = [(r["name"], r["age"]) for r in out.collect()]
+    assert got == [("carol", "27"), ("bob", None)]
+
+
+def test_select_distinct_and_expr_projection(spark):
+    eng = eng_with(spark, SEL_ROWS)
+    out = eng.select(
+        """
+        SELECT DISTINCT (CONCAT('x-', ?name) AS ?tag)
+        WHERE { ?s <urn:p:name> ?name } ORDER BY ?tag OFFSET 1 LIMIT 2
+        """
+    )
+    assert [r["tag"] for r in out.collect()] == ["x-bob", "x-carol"]
+
+
+def test_select_distinct_is_term_aware(spark):
+    """Two solutions whose VALUES tie but whose datatypes differ are
+    distinct SPARQL solutions — DISTINCT must not merge them."""
+    eng = eng_with(spark, [
+        ("urn:g:a", "urn:s:1", "iri", "urn:p:v", "42", "literal", None, None),
+        ("urn:g:a", "urn:s:2", "iri", "urn:p:v", "42", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ])
+    out = eng.select("SELECT DISTINCT ?v WHERE { ?s <urn:p:v> ?v }")
+    assert out.count() == 2
+    out_t = eng.select(
+        "SELECT DISTINCT ?v WHERE { ?s <urn:p:v> ?v }", with_terms=True
+    )
+    assert "v__dt" in out_t.columns
+
+
+def test_select_unprojected_unbound_var(spark):
+    eng = eng_with(spark, SEL_ROWS)
+    out = eng.select("SELECT ?s ?nope FROM <urn:g:a> WHERE { ?s <urn:p:name> ?name }")
+    assert out.columns == ["s", "nope"]
+    assert all(r["nope"] is None for r in out.collect())
+
+
+def test_ask(spark):
+    eng = eng_with(spark, SEL_ROWS)
+    assert eng.ask("ASK { ?s <urn:p:name> \"alice\" }") is True
+    assert eng.ask("ASK FROM <urn:g:b> { ?s <urn:p:name> \"alice\" }") is False
+    assert eng.ask("ASK WHERE { ?s <urn:p:age> ?a }") is True
+
+
+def test_select_rejects_update_and_vice_versa(spark):
+    eng = eng_with(spark, SEL_ROWS)
+    with pytest.raises(SyntaxError):
+        eng.select("INSERT DATA { GRAPH <urn:g> { <a> <b> <c> } }")
+    with pytest.raises(SyntaxError):
+        eng.update("SELECT ?s WHERE { ?s ?p ?o }")
+
+
+# -- DELETE forms ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["mem", "parquet"])
+def test_delete_data(spark, tmp_path, mode):
+    eng = Engine(spark, str(tmp_path / "q") if mode == "parquet" else None)
+    eng.store.insert_data(SEL_ROWS)
+    eng.update(
+        'DELETE DATA { GRAPH <urn:g:a> { <urn:s:2> <urn:p:name> "bob" } }'
+    )
+    assert rows(eng.select("SELECT ?name FROM <urn:g:a> WHERE { ?s <urn:p:name> ?name }")) == {
+        ("alice",), ("carol",)
+    }
+    # graph b untouched
+    assert eng.ask("ASK FROM <urn:g:b> { ?s <urn:p:name> \"zoe\" }")
+    # deleting an absent quad is a no-op
+    eng.update(
+        'DELETE DATA { GRAPH <urn:g:a> { <urn:s:2> <urn:p:name> "bob" } }'
+    )
+    assert eng.store.graph("urn:g:a").count() == 4
+
+
+@pytest.mark.parametrize("mode", ["mem", "parquet"])
+def test_delete_where_shortcut(spark, tmp_path, mode):
+    eng = Engine(spark, str(tmp_path / "q") if mode == "parquet" else None)
+    eng.store.insert_data(SEL_ROWS)
+    # drop every age triple in graph a
+    eng.update("DELETE WHERE { GRAPH <urn:g:a> { ?s <urn:p:age> ?v } }")
+    assert eng.store.graph("urn:g:a").count() == 3
+    assert not eng.ask("ASK { ?s <urn:p:age> ?v }")
+
+
+def test_delete_insert_modify(spark):
+    """WITH <g> DELETE { t } INSERT { t } WHERE — both templates see the
+    pre-modification bindings (rename a predicate in place)."""
+    eng = eng_with(spark, SEL_ROWS)
+    eng.update(
+        """
+        WITH <urn:g:a>
+        DELETE { ?s <urn:p:name> ?n }
+        INSERT { ?s <urn:p:label> ?n }
+        WHERE { ?s <urn:p:name> ?n }
+        """
+    )
+    assert not eng.ask("ASK FROM <urn:g:a> { ?s <urn:p:name> ?n }")
+    assert rows(eng.select("SELECT ?n FROM <urn:g:a> WHERE { ?s <urn:p:label> ?n }")) == {
+        ("alice",), ("bob",), ("carol",)
+    }
+    # graph b's name triples are out of scope of WITH
+    assert eng.ask("ASK FROM <urn:g:b> { ?s <urn:p:name> ?n }")
+
+
+def test_delete_using_where_join(spark):
+    """DELETE with USING: delete target rows justified by a cross-graph
+    join (ages of people whose name exists in graph b)."""
+    eng = eng_with(spark, SEL_ROWS + [
+        ("urn:g:b", "urn:s:9", "iri", "urn:p:same", "alice", "literal", None, None),
+    ])
+    eng.update(
+        """
+        DELETE { GRAPH <urn:g:a> { ?s <urn:p:age> ?a } }
+        USING <urn:g:a>
+        USING <urn:g:b>
+        WHERE { ?s <urn:p:name> ?n . ?x <urn:p:same> ?n . ?s <urn:p:age> ?a }
+        """
+    )
+    # only alice's age (s:1) deleted; carol's survives
+    assert rows(eng.select("SELECT ?s FROM <urn:g:a> WHERE { ?s <urn:p:age> ?a }")) == {
+        ("urn:s:3",)
+    }
+
+
+def test_delete_template_bnode_rejected():
+    with pytest.raises(SyntaxError, match="blank node"):
+        parse_update("DELETE { GRAPH <urn:g> { ?s <urn:p> [] } } WHERE { ?s <urn:p> ?o }")
+    with pytest.raises(SyntaxError, match="blank node"):
+        parse_update('DELETE DATA { GRAPH <urn:g> { _:b <urn:p> "x" } }')
+
+
+def test_delete_where_multi_graph_rejected():
+    with pytest.raises(SyntaxError, match="GRAPH blocks"):
+        parse_update(
+            "DELETE WHERE { GRAPH <urn:a> { ?s <urn:p> ?o } GRAPH <urn:b> { ?s <urn:q> ?o } }"
+        )
