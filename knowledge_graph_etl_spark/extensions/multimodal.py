@@ -95,10 +95,13 @@ def decode_and_featurize(
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"]
+            # zip over column Series, not iterrows(): row-at-a-time pandas
+            # access is ~10× slower per item (same pattern as ingest.py)
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
                 if payload is None:
-                    rows.append((r["media_id"], r["kind"], None, None, None))
+                    rows.append((media_id, kind, None, None, None))
                     continue
                 if not fake_decode:
                     raise NotImplementedError(
@@ -108,8 +111,8 @@ def decode_and_featurize(
                 payload = bytes(payload)
                 rows.append(
                     (
-                        r["media_id"],
-                        r["kind"],
+                        media_id,
+                        kind,
                         len(payload),
                         hashlib.sha256(payload).hexdigest(),
                         _fake_feature(payload, dim),
@@ -189,18 +192,19 @@ def sample_frames(
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                dur = r["duration_ms"]
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
                 # nullable int64 arrives as NaN in pandas — `is None` alone
                 # would crash int(dur) in the worker
-                if pd.isna(dur) or r["payload"] is None:
+                if pd.isna(dur) or payload is None:
                     continue
                 if not fake_decode:
                     raise NotImplementedError("real frame extraction requires ffmpeg")
-                payload = bytes(r["payload"])
+                payload = bytes(payload)
                 for ts in range(0, int(dur), every_ms):
                     frame = hashlib.sha256(payload + str(ts).encode()).digest()
-                    rows.append((r["media_id"], ts, frame))
+                    rows.append((media_id, ts, frame))
             yield pd.DataFrame(rows, columns=["media_id", "frame_ts_ms", "frame"])
 
     return media.where(F.col("kind") == "video").select(

@@ -387,6 +387,122 @@ def _nearest_lists_udf(spark_df: DataFrame, cent_rows: list, vec_col: str, n: in
     return nearest
 
 
+class IvfIndex:
+    """A built IVF index: the (small) centroid rows plus the assigned
+    corpus ``(neighbor_id, cvec, list_id)``. File-backed indexes are
+    partitioned by ``list_id``, so a probe reads only ``nprobe`` of the
+    ``nlist`` partition directories — repeated query batches skip the
+    corpus re-assignment GEMM entirely (the r02 gap: every ``ivf_topk``
+    call re-assigned the whole corpus)."""
+
+    def __init__(self, cent_rows: list, assigned: DataFrame):
+        self.cent_rows = cent_rows
+        self.assigned = assigned
+
+
+def ivf_build(
+    corpus: DataFrame,
+    nlist: int = 16,
+    path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "sample",
+    kmeans_iters: int = 3,
+    materialize: bool = True,
+) -> IvfIndex:
+    """Build the IVF index: pick centroids, assign every corpus vector to
+    its nearest list (broadcast-GEMM pandas UDF — shuffle-free corpus
+    pass), and materialize the assignment.
+
+    ``path``: persist as parquet **partitioned by list_id** and reopen —
+    the durable index. ``path=None, materialize=True``: localCheckpoint
+    (session-lifetime index for repeated probes).
+    ``materialize=False``: stay lazy (one-shot use; :func:`ivf_topk`).
+
+    ``centroids="sample"``: deterministic md5-ranked sample, reproducible
+    across engines (what the exact-match oracle uses).
+    ``centroids="kmeans"``: Lloyd-refined (:func:`kmeans_centroids`) —
+    the quality path on clustered corpora; recall-tested rather than
+    exact-matched (float means are summation-order-dependent)."""
+    if centroids == "kmeans":
+        cent_rows = kmeans_centroids(corpus, nlist, kmeans_iters, id_col, vec_col)
+    else:
+        cent_rows = sorted(
+            sample_centroids(corpus, nlist, id_col, vec_col).collect(),
+            key=lambda r: r["list_id"],
+        )
+    assign1 = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    )
+    if path is not None:
+        spark = corpus.sparkSession
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+            path + "/assigned"
+        )
+        spark.createDataFrame(
+            [(r["list_id"], list(r["cent"])) for r in cent_rows],
+            "list_id int, cent array<float>",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        assigned = spark.read.parquet(path + "/assigned")
+    elif materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    return IvfIndex(cent_rows, assigned)
+
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    """Reopen a persisted IVF index (centroids collected to the driver —
+    nlist × dim floats; the assignment stays a partitioned parquet scan)."""
+    cent_rows = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    return IvfIndex(cent_rows, spark.read.parquet(path + "/assigned"))
+
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a built IVF index: each query visits its ``nprobe`` nearest
+    lists; exact cosine rescoring on the probed subset.
+
+    The probed list ids are collected first (bounded by
+    |queries| × nprobe ints) and applied as a STATIC ``isin`` filter, so a
+    file-backed index scans only the probed ``list_id=`` partition
+    directories — ~nprobe/nlist of the index bytes, no corpus GEMM."""
+    assignN = _nearest_lists_udf(queries, index.cent_rows, vec_col, nprobe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(assignN(F.col(vec_col))).alias("list_id"),
+    ).localCheckpoint(eager=True)
+    probed = [r["list_id"] for r in q.select("list_id").distinct().collect()]
+    scored = (
+        index.assigned.where(F.col("list_id").isin(probed))
+        .join(F.broadcast(q), "list_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -399,54 +515,22 @@ def ivf_topk(
     centroids: str = "sample",
     kmeans_iters: int = 3,
 ) -> DataFrame:
-    """IVF-flat approximate top-k.
-
-    ``centroids="sample"`` (default): :func:`sample_centroids` —
-    deterministic md5-ranked sample, reproducible across engines (what the
-    exact-match oracle uses). ``centroids="kmeans"``: Lloyd-refined
-    (:func:`kmeans_centroids`) — the quality path on clustered corpora
-    (balances list sizes; measured equal-recall on the driver's UNIFORM
-    synthetic embeddings, where any centroid spread is as good as any
-    other; recall-tested rather than exact-matched). Either way the
-    centroids are a small broadcast matrix, NEVER plan literals, so the
-    plan doesn't grow with ``nlist``. Assignment = broadcast numpy matrix
-    inside an Arrow-batched pandas UDF: the corpus pass is shuffle-free,
-    ~one GEMM per batch. Each query probes its ``nprobe`` nearest lists;
-    the probe join reads ~nprobe/nlist of the corpus. Exact cosine
-    rescoring on the probed subset.
-    """
-    if centroids == "kmeans":
-        cent_rows = kmeans_centroids(corpus, nlist, kmeans_iters, id_col, vec_col)
-    else:
-        cent_rows = sorted(
-            sample_centroids(corpus, nlist, id_col, vec_col).collect(),
-            key=lambda r: r["list_id"],
-        )
-    assign1 = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
-    assignN = _nearest_lists_udf(corpus, cent_rows, vec_col, nprobe)
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    """One-shot IVF-flat approximate top-k: :func:`ivf_build` (lazy — a
+    single-use assignment is streamed through the probe join, not
+    materialized) + :func:`ivf_query`. For repeated query batches build
+    the index once with ``ivf_build(path=...)`` and probe via
+    :func:`ivf_query` — the build cost amortizes across batches."""
+    idx = ivf_build(
+        corpus,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        kmeans_iters=kmeans_iters,
+        materialize=False,
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(assignN(F.col(vec_col))).alias("list_id"),
-    )
-    scored = c.join(F.broadcast(q), "list_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    return ivf_query(
+        idx, queries, k=k, nprobe=nprobe, vec_col=vec_col, query_id_col=query_id_col
     )
 
 

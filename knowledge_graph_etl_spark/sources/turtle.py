@@ -311,8 +311,10 @@ def read_rdf(
     """Format-autodetecting RDF file source, mirroring the reference's
     rdflib ``Graph().parse()`` extension autodetect
     (sparql_update.py:124-133): ``.nt``/``.ntriples`` → the line-splittable
-    N-Triples reader, ``.ttl``/``.turtle`` → the per-file Turtle reader."""
+    N-Triples reader, ``.ttl``/``.turtle`` → the per-file Turtle reader,
+    ``.rdf``/``.owl``/``.xml`` → the per-file RDF/XML reader."""
     from .ntriples import read_ntriples
+    from .rdfxml import read_rdfxml
 
     if fmt is None:
         low = path.lower().rstrip("/")
@@ -320,12 +322,17 @@ def read_rdf(
             fmt = "turtle"
         elif low.endswith((".nt", ".ntriples")):
             fmt = "ntriples"
+        elif low.endswith((".rdf", ".owl", ".xml")):
+            fmt = "rdfxml"
         else:
             raise ValueError(
-                f"cannot autodetect RDF format of {path!r}; pass fmt='turtle'|'ntriples'"
+                f"cannot autodetect RDF format of {path!r}; "
+                "pass fmt='turtle'|'ntriples'|'rdfxml'"
             )
     if fmt == "turtle":
         return read_turtle(spark, path, graph)
     if fmt == "ntriples":
         return read_ntriples(spark, path, graph)
+    if fmt in ("rdfxml", "xml"):
+        return read_rdfxml(spark, path, graph)
     raise ValueError(f"unsupported RDF format {fmt!r}")

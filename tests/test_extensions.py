@@ -527,3 +527,72 @@ def test_resolve_clusters_transitive_drop(spark):
     """A~B and B~C (A~C never emitted) must still collapse to one cluster —
     the reason pair output alone can't drive keep/drop."""
     _check_resolution(spark, [(10, 20), (20, 30)], [10, 20, 30, 40])
+
+
+# --------------------------------------------------------------------------
+# IVF index materialization: build / persist / load / query
+# --------------------------------------------------------------------------
+
+
+def test_ivf_build_query_matches_one_shot(spark, tmp_path):
+    """build(path)+query ≡ one-shot ivf_topk, through a full persist/load
+    round trip; the probe scans only the probed list_id partitions."""
+    import os
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_query,
+        ivf_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 13) % 19) - 9.0 for j in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {tuple(r) for r in ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()}
+
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, nlist=8, path=path)
+    idx = ivf_load(spark, path)
+    got = ivf_query(idx, queries, k=5, nprobe=3)
+    assert {tuple(r) for r in got.collect()} == want
+
+    # on-disk layout: one partition dir per non-empty list
+    dirs = [d for d in os.listdir(path + "/assigned") if d.startswith("list_id=")]
+    assert 1 <= len(dirs) <= 8
+    # probe plan reads a static subset of partitions (isin filter present)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan
+
+
+def test_ivf_index_reuse_skips_corpus_assignment(spark, tmp_path):
+    """After build, probing must not re-run the corpus-assignment UDF:
+    the probe plan over the loaded index contains no pandas UDF on the
+    corpus side (only the tiny query-side assignment, which is collected
+    before the final plan)."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_query,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 11) for j in range(4)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf2")
+    ivf_build(emb, nlist=4, path=path)
+    idx = ivf_load(spark, path)
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_query(idx, q, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # corpus side is a plain parquet relation; the only Python evaluation
+    # left would be the checkpointed query-side RDD scan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert out.count() > 0
