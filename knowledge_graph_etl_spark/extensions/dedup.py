@@ -175,6 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, with an exact
     estimated-similarity refinement.
@@ -227,8 +228,10 @@ def minhash_lsh_pairs(
     # join); without materialization the tokenize→hash→32-way-min subtree —
     # the most expensive stage — re-executes each time. Checkpointing is
     # scale-safe: a signature is num_hashes × 8 bytes per doc regardless of
-    # document size (sf-independent width).
-    if not docs.isStreaming:
+    # document size (sf-independent width). ``materialize=False`` keeps
+    # plan construction fully lazy (no job at build time) for callers that
+    # only want the plan — same contract as ``construct(materialize=)``.
+    if materialize and not docs.isStreaming:
         sig = sig.localCheckpoint(eager=True)
     if hash_fn == "md5":
         # sig is array<bigint> in both modes now; band bucket = md5 of the

@@ -409,8 +409,15 @@ def compile_insert_where(
     # SPARQL blank nodes in an INSERT template mint a FRESH bnode per
     # solution row (parser desugars them to _anon_* vars never bound by
     # WHERE): bind each as a deterministic per-row label — md5 over the
-    # full binding row, so identical rows collapse exactly like the
-    # store's set semantics would collapse their quads anyway.
+    # full binding row INCLUDING the __type/__dt/__lang companions, so
+    # two solutions agreeing lexically but differing in term type or
+    # datatype mint distinct bnodes. Deliberate determinism tradeoff vs
+    # SPARQL 1.1: duplicate solution rows collapse to ONE bnode (spec
+    # mints a fresh bnode per solution, yielding distinct quads); we
+    # accept the collapse so re-running an update is idempotent under
+    # the store's set semantics — the divergence only shows when WHERE
+    # yields exact-duplicate rows, which DISTINCT-shaped mappings never
+    # produce.
     anon = {
         t.name
         for _, tp in node.template
@@ -423,7 +430,7 @@ def compile_insert_where(
                 "\x1f",
                 *[
                     F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in sorted(c for c in bindings.columns if "__" not in c)
+                    for c in sorted(bindings.columns)
                 ],
             )
         )

@@ -90,6 +90,7 @@ def read_postgres_json(
     field: str,
     fetchsize: int = 10000,
     doc_query: str | None = None,
+    key_col: str | None = None,
     **options,
 ) -> DataFrame:
     """JDBC scan of a Postgres jsonb column, one document per row —
@@ -103,6 +104,13 @@ def read_postgres_json(
     dialects (also the contract-test seam: the wiring is exercised against
     the embedded Derby that ships with Spark, since this container has no
     Postgres — the subquery must produce a single ``json`` column).
+
+    ``key_col`` names a primary-key column the subquery also projects:
+    ``doc_id`` becomes that key's string form, so byte-identical duplicate
+    rows stay distinct documents (matching the reference's fresh-BNode-
+    per-row behaviour, load_knowledge_graph.py:105). Without a key the
+    fallback is ``md5(json)``, which deliberately collapses exact
+    duplicates (their direct-mapped triples are identical anyway).
     """
     reader = (
         spark.read.format("jdbc")
@@ -113,11 +121,15 @@ def read_postgres_json(
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.load()
-    # doc_id = content hash, NOT monotonically_increasing_id: a JDBC scan
-    # has no stable row order, so positional ids change across
-    # re-evaluations (task retry, second action on this lazy DataFrame) and
-    # would split one document's bnode-labelled triples across two
-    # subjects. Identical documents share an id — their direct-mapped
+    # doc_id = primary key when the source has one, else content hash —
+    # NOT monotonically_increasing_id: a JDBC scan has no stable row
+    # order, so positional ids change across re-evaluations (task retry,
+    # second action on this lazy DataFrame) and would split one
+    # document's bnode-labelled triples across two subjects. With
+    # key_col, duplicate documents stay distinct (reference behaviour);
+    # keyless, identical documents share an id — their direct-mapped
     # triples are identical too, and the store's set semantics collapse
     # them exactly like re-inserted triples.
+    if key_col is not None:
+        return df.select(F.col(key_col).cast("string").alias("doc_id"), "json")
     return df.select(F.md5("json").alias("doc_id"), "json")

@@ -108,21 +108,27 @@ def read_ntriples(
     ``strict=True`` (default) raises on any non-blank, non-comment line
     the triple grammar cannot parse — the reference's rdflib parse fails
     loudly on malformed files, and a silent drop would under-load a full
-    refresh with no signal. ``strict=False`` restores drop-and-continue."""
+    refresh with no signal. ``strict=False`` restores drop-and-continue.
+    Validation is folded into the single load pass (``raise_error``
+    inside the projection — fires executor-side when the job runs), so
+    the reader stays lazy and strict mode costs no extra scan."""
     lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
     lines = lines.where(~F.trim("value").startswith("#"))
     s_raw = F.regexp_extract("value", _LINE, 1)
     p_raw = F.regexp_extract("value", _LINE, 2)
     o_raw = F.regexp_extract("value", _LINE, 3)
-    parsed = lines.select(
-        F.col("value"), s_raw.alias("s_raw"), p_raw.alias("p_raw"), o_raw.alias("o_raw")
-    )
     if strict:
-        bad = parsed.where(F.col("p_raw") == "").select("value").limit(5).collect()
-        if bad:
-            sample = "; ".join(repr(r["value"][:120]) for r in bad)
-            raise ValueError(f"unparseable N-Triples line(s) in {path}: {sample}")
-    parsed = parsed.drop("value").where(F.col("p_raw") != "")
+        # CaseWhen evaluates branches lazily: the raise only fires on a
+        # row the grammar rejected, in the same task that scanned it.
+        msg = F.concat(
+            F.lit(f"unparseable N-Triples line in {path}: "),
+            F.substring("value", 1, 120),
+        )
+        p_raw = F.when(p_raw == "", F.raise_error(msg).cast("string")).otherwise(p_raw)
+    parsed = lines.select(
+        s_raw.alias("s_raw"), p_raw.alias("p_raw"), o_raw.alias("o_raw")
+    )
+    parsed = parsed.where(F.col("p_raw") != "")
 
     s_is_iri = F.col("s_raw").startswith("<")
     s_val = F.when(s_is_iri, F.expr("substring(s_raw, 2, length(s_raw)-2)")).otherwise(

@@ -163,6 +163,12 @@ class GraphStore:
             self._mem_pieces.append(batch)
             cur = self._mem
             self._mem = batch if cur is None else cur.unionByName(batch)
+            # an insert-heavy session that never clears would otherwise
+            # grow cache entries and union-plan depth without bound;
+            # past the threshold, fold the pieces into ONE cached
+            # DataFrame (the same shape the drop path leaves behind)
+            if len(self._mem_pieces) >= self._MEM_CONSOLIDATE_AT:
+                self._consolidate_mem()
 
     def insert_data(self, rows: list[tuple], graph: str | None = None) -> None:
         """SPARQL ``INSERT DATA { GRAPH <g> { ...constant triples... } }``
@@ -230,6 +236,28 @@ class GraphStore:
                 piece.unpersist()
             self._mem_pieces = [remaining]
             self._mem = remaining
+
+    _MEM_CONSOLIDATE_AT = 32
+
+    def _consolidate_mem(self) -> None:
+        """Fold the per-insert cached pieces into one cached DataFrame.
+
+        Each in-memory insert caches its (deduped) batch separately so the
+        store stays a lazy union — cheap per insert, but unbounded in piece
+        count. Once the union is this deep, one consolidation pass costs a
+        single scan of data that is already columnar-in-memory, and every
+        later read replaces a 32-way union with one InMemoryRelation (with
+        exact stats, so join-side broadcast decisions stay sane). The new
+        cache is materialized BEFORE the pieces it reads are released."""
+        merged = self._mem_pieces[0]
+        for piece in self._mem_pieces[1:]:
+            merged = merged.unionByName(piece)
+        merged = merged.cache()
+        merged.count()
+        for piece in self._mem_pieces:
+            piece.unpersist()
+        self._mem_pieces = [merged]
+        self._mem = merged
 
     def clear(self, g: str) -> None:
         """``CLEAR SILENT GRAPH <g>`` (reference load_knowledge_graph.py:341):
