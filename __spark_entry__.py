@@ -776,6 +776,143 @@ def skew_distinct_users_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# corpus curation / temporal / embedding extensions (round 3)
+# --------------------------------------------------------------------------
+
+
+def text_repetition_q(spark, sf_dir):
+    """Gopher-style within-doc repetition filters
+    (extensions/curation.repetition_signals)."""
+    from knowledge_graph_etl_spark.extensions.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def dedup_lines_q(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup (first occurrence wins) over
+    documents re-chunked into 10-token pseudo-lines — the synthetic corpus
+    has no newlines (extensions/curation.dedup_lines)."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        chunk_into_lines,
+        dedup_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", chunk_into_lines(F.col("text"), 10).alias("text")
+    )
+    return dedup_lines(d)
+
+
+def decontaminate_q(spark, sf_dir):
+    """Benchmark n-gram decontamination flagging: every 50th document
+    stands in for the eval suite; any doc sharing a 3-gram with it is
+    flagged (extensions/curation.decontaminate)."""
+    from knowledge_graph_etl_spark.extensions.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where((F.col("doc_id") % 50) == 0)
+    return decontaminate(d, bench, n=3)
+
+
+def pii_redact_q(spark, sf_dir):
+    """Regex PII scrubbing (email → IPv4 → long digit runs, sequential
+    counts). PII tokens are synthesized deterministically from doc_id so
+    every pattern actually fires at every SF
+    (extensions/curation.pii_redact)."""
+    from knowledge_graph_etl_spark.extensions.curation import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 acct 90210"),
+            did, F.lit("1234567"),
+        ).alias("text"),
+    )
+    return pii_redact(seeded)
+
+
+def data_split_shard_q(spark, sf_dir):
+    """Deterministic hash-based train/val/test split + shard assignment
+    (extensions/curation.assign_split / assign_shards)."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        assign_shards,
+        assign_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(assign_split(d), num_shards=8).select(
+        "doc_id", "split", "shard"
+    )
+
+
+def asof_join_events_q(spark, sf_dir):
+    """As-of (point-in-time) join: each purchase event picks up the latest
+    prior click in its user group — merge-based single-shuffle plan
+    (extensions/temporal.asof_join); oracled against DuckDB's native
+    ASOF LEFT JOIN."""
+    from knowledge_graph_etl_spark.extensions.temporal import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", "value",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    # right side unique per (user, ts): max(value) resolves equal-ts ties
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(purchases, clicks, by="user_id", ts_col="ts_us",
+                    right_cols=["value"], prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("click_ts_us").alias("click_ts_us"),
+        F.col("click_value").alias("click_value"),
+    )
+
+
+def agg_rollup_q(spark, sf_dir):
+    """ROLLUP aggregation (subtotals + grand total in one pass of
+    partial-aggregated shuffles — Spark expands grouping sets map-side,
+    no extra scan per level)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+    return (
+        o.rollup("o_year", "o_orderpriority")
+        .agg(
+            F.sum("price").cast("double").alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def embed_quantize_q(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column with
+    dequantization-error audit (extensions/similarity.quantize_int8);
+    qvec surfaced as an md5 signature for compact comparison."""
+    from knowledge_graph_etl_spark.extensions.similarity import quantize_int8
+
+    q = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))))
+        .alias("qvec_md5"),
+        "max_abs_err",
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -833,6 +970,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample_q,
         "skew_salted_join": skew_salted_join_q,
         "skew_distinct_users": skew_distinct_users_q,
+        "text_repetition": text_repetition_q,
+        "dedup_lines": dedup_lines_q,
+        "decontaminate": decontaminate_q,
+        "pii_redact": pii_redact_q,
+        "data_split_shard": data_split_shard_q,
+        "asof_join_events": asof_join_events_q,
+        "agg_rollup": agg_rollup_q,
+        "embed_quantize": embed_quantize_q,
     }
 
 
@@ -851,6 +996,34 @@ def _sw_ratio(lang: str) -> str:
         f"(CASE WHEN len({_TOKS}) > 0 THEN "
         f"CAST(len(list_filter({_TOKS}, t -> list_contains([{words}], t))) AS DOUBLE)"
         f" / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END)"
+    )
+
+
+def _pii_oracle() -> str:
+    """DuckDB SQL twin of ``pii_redact_q``: same seeded text, same three
+    RE2/Java-portable patterns applied in the same email→ip→number order,
+    each counting on the previous stage's output."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        EMAIL_RE,
+        IPV4_RE,
+        LONGNUM_RE,
+    )
+
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 acct 90210' || CAST(doc_id AS VARCHAR) || '1234567'"
+    )
+    return (
+        f"WITH t0 AS (SELECT doc_id, {seeded} AS s FROM documents), "
+        f"t1 AS (SELECT doc_id, len(regexp_extract_all(s, '{EMAIL_RE}')) AS n_emails, "
+        f"regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g') AS s FROM t0), "
+        f"t2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(s, '{IPV4_RE}')) AS n_ipv4, "
+        f"regexp_replace(s, '{IPV4_RE}', '<IP>', 'g') AS s FROM t1), "
+        f"t3 AS (SELECT doc_id, n_emails, n_ipv4, "
+        f"len(regexp_extract_all(s, '{LONGNUM_RE}')) AS n_longnums, "
+        f"regexp_replace(s, '{LONGNUM_RE}', '<NUM>', 'g') AS s FROM t2) "
+        "SELECT doc_id, s AS redacted, n_emails, n_ipv4, n_longnums FROM t3"
     )
 
 
@@ -1359,5 +1532,96 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"
+        ),
+        "text_repetition": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, k, gram FROM ("
+            "  SELECT doc_id, 2 AS k, unnest(list_transform(generate_series(1, "
+            "greatest(len(t) - 1, 0)), i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram FROM tok "
+            "  UNION ALL "
+            "  SELECT doc_id, 3 AS k, unnest(list_transform(generate_series(1, "
+            "greatest(len(t) - 2, 0)), i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram FROM tok)), "
+            "c AS (SELECT doc_id, k, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3), "
+            "a AS (SELECT doc_id, "
+            "SUM(CASE WHEN k = 2 THEN c END) AS tot2, "
+            "COUNT(CASE WHEN k = 2 THEN 1 END) AS dis2, "
+            "MAX(CASE WHEN k = 2 THEN c END) AS top2, "
+            "SUM(CASE WHEN k = 3 THEN c END) AS tot3, "
+            "COUNT(CASE WHEN k = 3 THEN 1 END) AS dis3 "
+            "FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "round(CASE WHEN coalesce(tot2, 0) > 0 THEN CAST(tot2 - dis2 AS DOUBLE) / tot2 ELSE 0.0 END, 6) AS dup_2gram_frac, "
+            "round(CASE WHEN coalesce(tot3, 0) > 0 THEN CAST(tot3 - dis3 AS DOUBLE) / tot3 ELSE 0.0 END, 6) AS dup_3gram_frac, "
+            "round(CASE WHEN coalesce(tot2, 0) > 0 THEN CAST(top2 AS DOUBLE) / tot2 ELSE 0.0 END, 6) AS top_2gram_frac "
+            "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        ),
+        "dedup_lines": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "nl AS (SELECT doc_id, t, CAST(ceil(len(t) / 10.0) AS BIGINT) AS n FROM tok), "
+            "lines AS (SELECT doc_id, "
+            "unnest(generate_series(1, n)) AS pos, "
+            "unnest(list_transform(generate_series(1, n), i -> "
+            "array_to_string(list_slice(t, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' '))) AS line "
+            "FROM nl WHERE n > 0), "
+            "r AS (SELECT doc_id, pos, line, "
+            "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines), "
+            "a AS (SELECT doc_id, COUNT(*) AS n_lines, "
+            "SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, "
+            "string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text "
+            "FROM r GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.text, '') AS text, "
+            "coalesce(n_lines, 0) AS n_lines, coalesce(n_kept, 0) AS n_kept "
+            "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        ),
+        "decontaminate": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(generate_series(1, len(t) - 2), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END) AS grams FROM tok), "
+            "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0), "
+            "h AS (SELECT dg.doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (gram) "
+            "GROUP BY dg.doc_id) "
+            "SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits, "
+            "coalesce(n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        "pii_redact": _pii_oracle(),
+        "data_split_shard": (
+            "SELECT doc_id, "
+            "CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9800 THEN 'train' "
+            "WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9900 THEN 'val' "
+            "ELSE 'test' END AS split, "
+            "CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INTEGER) AS shard "
+            "FROM documents"
+        ),
+        "asof_join_events": (
+            "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "event_type, value FROM events), "
+            "a AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'), "
+            "b AS (SELECT user_id, ts_us, MAX(value) AS value FROM ev "
+            "WHERE event_type = 'click' GROUP BY 1, 2) "
+            "SELECT a.event_id, a.user_id, a.ts_us, "
+            "b.ts_us AS click_ts_us, b.value AS click_value "
+            "FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts_us >= b.ts_us"
+        ),
+        "agg_rollup": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, "
+            "COUNT(*) AS n_orders "
+            "FROM orders GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderpriority)"
+        ),
+        "embed_quantize": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "s AS (SELECT vec_id, e, "
+            "list_aggregate(list_transform(e, x -> abs(x)), 'max') AS ma FROM v), "
+            "sc AS (SELECT vec_id, e, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale FROM s), "
+            "q AS (SELECT vec_id, e, scale, "
+            "list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS qv FROM sc) "
+            "SELECT vec_id, round(scale, 6) AS scale, "
+            "md5(array_to_string(qv, ',')) AS qvec_md5, "
+            "round(list_aggregate(list_transform(generate_series(1, len(e)), "
+            "i -> abs(e[i] - CASE WHEN scale > 0 THEN qv[i] / scale ELSE 0.0 END)), 'max'), 6) "
+            "AS max_abs_err FROM q"
         ),
     }

@@ -1,0 +1,309 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (the reference ships no text corpus tooling;
+SURVEY.md §2 covers its ETL surface) — the operations an LLM training-data
+pipeline runs over a ~100 TB ``documents`` table after the dedup family in
+:mod:`.dedup`:
+
+* :func:`repetition_signals` — Gopher-style within-document repetition
+  ratios (duplicate n-gram fraction, top-bigram fraction) used as quality
+  filters.
+* :func:`dedup_lines` — CCNet-style corpus-wide line-level deduplication
+  (first occurrence wins), reassembling each document from its kept lines.
+* :func:`decontaminate` — benchmark n-gram overlap flagging: any document
+  sharing an n-gram with the benchmark set is marked for exclusion.
+* :func:`pii_redact` — regex scrubbing of email / IPv4 / long-digit
+  sequences with per-pattern match counts.
+* :func:`assign_split` / :func:`assign_shards` — deterministic hash-based
+  train/val/test splitting and shard assignment (no sampling
+  nondeterminism, stable under re-runs and retries).
+
+Everything is pure DataFrame ops (JVM-side, whole-stage codegen). The only
+shuffles are the per-key aggregations that define the semantics (per-doc
+gram counts, corpus-wide first-occurrence, gram-overlap join) — each keyed
+by doc id, line hash, or gram hash, all high-cardinality uniform keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens, zip_kgrams
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition ratios (Gopher §A1.1-style filters):
+
+    * ``dup_2gram_frac`` / ``dup_3gram_frac`` — ``1 - distinct/total``
+      n-grams: the mass of repeated n-grams.
+    * ``top_2gram_frac`` — occurrences of the most frequent bigram over
+      all bigrams: catches boilerplate loops a distinct-ratio misses.
+
+    All three are per-document aggregates: grams explode once per k, the
+    (doc, gram) count combines map-side (partial aggregation) before the
+    shuffle on the uniform (doc, gram) key, then one more reduce by doc.
+    Documents too short to have grams get 0.0 via the left join back to
+    the id spine — no silent row loss."""
+    tks = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.concat(
+                F.transform(zip_kgrams(tks, 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram"))),
+                F.transform(zip_kgrams(tks, 3), lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram"))),
+            )
+        ).alias("kg"),
+    ).select("id", F.col("kg.k").alias("k"), F.col("kg.gram").alias("gram"))
+    counts = grams.groupBy("id", "k", "gram").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("tot2"),
+        F.count(F.when(F.col("k") == 2, True)).alias("dis2"),
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("top2"),
+        F.sum(F.when(F.col("k") == 3, F.col("c"))).alias("tot3"),
+        F.count(F.when(F.col("k") == 3, True)).alias("dis3"),
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
+        )
+
+    out = docs.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        frac(F.coalesce(F.col("tot2") - F.col("dis2"), F.lit(0)), F.coalesce("tot2", F.lit(0))).alias("dup_2gram_frac"),
+        frac(F.coalesce(F.col("tot3") - F.col("dis3"), F.lit(0)), F.coalesce("tot3", F.lit(0))).alias("dup_3gram_frac"),
+        frac(F.coalesce("top2", F.lit(0)), F.coalesce("tot2", F.lit(0))).alias("top_2gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (CCNet)
+# ---------------------------------------------------------------------------
+
+
+def chunk_into_lines(text: Column, tokens_per_line: int = 10) -> Column:
+    """Re-chunk running text into fixed-width pseudo-lines of
+    ``tokens_per_line`` whitespace tokens, newline-joined. Gives
+    :func:`dedup_lines` a deterministic line structure on corpora whose
+    documents carry no newlines (the synthetic ``documents`` table)."""
+    tks = tokens(text)
+    n = F.size(tks)
+    nlines = F.ceil(n.cast("double") / F.lit(float(tokens_per_line))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.greatest(nlines - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(tks, i * tokens_per_line + 1, tokens_per_line)
+        ),
+    )
+    return F.when(n > 0, F.concat_ws("\n", lines)).otherwise(F.lit(""))
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (CCNet-style): every line keeps
+    its FIRST occurrence — ordered by (doc id, line position) — and every
+    later repeat anywhere in the corpus is removed; documents are then
+    reassembled from their surviving lines in original order.
+
+    Scale shape: one shuffle partitioned by line hash (uniform key — the
+    window's ``row_number`` needs all copies of a line together; heavily
+    duplicated boilerplate lines make hot keys, but the per-key payload is
+    (doc_id, pos), not the document), one shuffle back on doc id for
+    reassembly. Empty lines are dropped rather than deduped — keeping one
+    global empty line is never the wanted semantics.
+
+    Returns ``(id_col, text, n_lines, n_kept)`` — ``text`` empty when every
+    line of a document was seen earlier."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).where(F.length(F.trim("line")) > 0)
+    w = Window.partitionBy(F.md5("line")).orderBy("id", "pos")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any word n-gram with a benchmark
+    set (the standard eval-decontamination join, e.g. GPT-3 §C / PaLM:
+    13-gram overlap; ``n`` is configurable because the synthetic docs are
+    short). Returns ``(id_col, n_hits, contaminated)`` for EVERY document —
+    ``n_hits`` = number of distinct contaminated n-grams.
+
+    Scale shape: the benchmark side is eval suites — thousands of
+    documents, not terabytes — so its distinct-gram set broadcasts and the
+    100 TB corpus side never shuffles (``broadcast_benchmark=True``).
+    With a huge benchmark set, flip it off for a plain shuffle equi-join
+    on the gram key."""
+    tks = tokens(F.col(text_col))
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(zip_kgrams(tks, n))).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(zip_kgrams(tokens(F.col(text_col)), n))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return spine.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative patterns that parse and match identically under Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded quantifiers,
+# non-capturing groups, \b — no backrefs or lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+LONGNUM_RE = r"\b\d{9,}\b"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub email addresses, IPv4 addresses and long digit runs from a
+    text column, with per-pattern match counts. Patterns apply in a fixed
+    order (email → ip → long-number), each counting matches on the OUTPUT
+    of the previous stage, so an IP never double-counts as a long number.
+
+    Pure per-row ``regexp_replace``/``regexp_extract_all`` expressions —
+    a narrow map over the corpus, no shuffle, no UDF. Returns
+    ``(id_col, redacted, n_emails, n_ipv4, n_longnums)``."""
+    t0 = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_num = F.size(F.regexp_extract_all(t2, F.lit(LONGNUM_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, LONGNUM_RE, "<NUM>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("redacted"),
+        n_email.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ipv4"),
+        n_num.cast("bigint").alias("n_longnums"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits and shards
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 10_000
+
+
+def _id_bucket(id_col: Column, salt: str, modulus: int) -> Column:
+    """Uniform bucket in [0, modulus) from md5 of the (salted) id — the
+    same 15-hex-chars-to-bigint trick as :func:`..hashing.md5_base`, exactly
+    reproducible in ANSI SQL. Salting decorrelates split from shard."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % modulus
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the document id
+    into 10k buckets and cutting at the cumulative weight boundaries.
+    Hash-based (not ``rand()``/``sample()``): assignment is stable across
+    re-runs, retries, partitionings and engines — the property a training
+    pipeline needs so a document can never migrate between train and eval.
+    Adds a ``split`` column; per-row map, no shuffle."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = _id_bucket(F.col(id_col), salt, _SPLIT_BUCKETS)
+    expr = None
+    cum = 0.0
+    for name, wt in weights.items():
+        cum += wt
+        hi = int(round(cum * _SPLIT_BUCKETS))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)
+
+
+def assign_shards(
+    docs: DataFrame, id_col: str = "doc_id", num_shards: int = 64, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic shard id in [0, num_shards) — the hash-shuffle that
+    turns a curated corpus into N stable training shards. Adds ``shard``;
+    pair with ``.repartition(num_shards, "shard")`` +
+    ``write.partitionBy("shard")`` to materialize co-located shard files."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    return docs.withColumn(
+        "shard", _id_bucket(F.col(id_col), salt, num_shards).cast("int")
+    )

@@ -585,3 +585,32 @@ def cosine_neardup_lsh(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column — the
+    4× compression step before a corpus-scale ANN index is materialized
+    (scale = 127/max|x| per vector, q_i = round-half-up(x_i * scale)).
+
+    Pure Column expressions over the vector array (one narrow map, no
+    shuffle, no UDF); rounding is an explicit ``floor(x + 0.5)`` so the
+    result is bit-reproducible on any engine regardless of its ``round``
+    tie convention. Returns ``(id_col, scale, qvec, max_abs_err)`` —
+    ``max_abs_err`` is the per-vector dequantization error, the number a
+    pipeline monitors to decide whether int8 is safe for its corpus.
+    Zero vectors pass through with scale 0 and an all-zero qvec."""
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    deq_err = F.zip_with(
+        v, q, lambda x, qq: F.abs(x - F.when(scale > 0, qq / scale).otherwise(F.lit(0.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+        F.round(F.array_max(deq_err), 6).alias("max_abs_err"),
+    )

@@ -1,0 +1,109 @@
+"""Temporal join operators Spark lacks as built-ins.
+
+* :func:`asof_join` — merge-based as-of (point-in-time) join: for each
+  left row, the latest right row with ``right.ts <= left.ts`` in the same
+  key group. The classic time-series enrichment (trade←quote, event←state
+  snapshot) that engines with a native ASOF JOIN (DuckDB, kdb, Pandas
+  ``merge_asof``) ship built-in.
+* :func:`range_join_events` — event-to-interval assignment via a
+  bucketized equi-join, avoiding the O(N·M) theta-join Spark would
+  otherwise plan for ``start <= ts < end``.
+
+Both are compositions of existing DataFrame ops — no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the ``right_cols`` values
+    of the LATEST ``right`` row in its ``by`` group with
+    ``right.ts <= left.ts`` (inclusive — a right row exactly at the left
+    timestamp matches, like DuckDB ``ASOF JOIN``'s ``>=``); NULLs when no
+    prior right row exists (left-join semantics).
+
+    Implementation is the merge-based plan, not a range theta-join: tag and
+    union both inputs, ONE shuffle on ``by``, one in-partition sort on
+    ``(ts, tag)`` — right rows sort before left rows at equal timestamps —
+    then ``last(value, ignorenulls)`` over the unbounded-preceding window
+    carries each right value forward to the left rows it covers. Cost is a
+    single exchange of both inputs regardless of time-range width, where a
+    non-equi join would nested-loop per key group. Skewed keys behave like
+    any windowed aggregation (AQE handles moderate skew; salt upstream for
+    a pathological single key).
+
+    ``right`` must be unique per (by, ts) — pre-aggregate duplicates to
+    keep "the latest row" well-defined (enforced cheaply: duplicate
+    timestamps would silently pick the physical-order last, so callers
+    dedupe first)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (by, ts_col)
+    ]
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    carried = [f"{prefix}{ts_col}"] + [f"{prefix}{c}" for c in right_cols]
+    l = left.withColumn("__tag", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts_col, "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("__tag") == 1).drop("__tag")
+
+
+def range_join_events(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Assign events to intervals (``start <= ts < end``) via bucketization:
+    each interval explodes into its covered ``bucket_width``-sized buckets,
+    events hash to exactly one bucket, and the match becomes an EQUI-join
+    on bucket (then the exact range predicate as a cheap post-filter).
+
+    Pick ``bucket_width`` near the typical interval length: an interval
+    spanning B buckets emits B rows, so the blow-up is bounded by
+    span/width, while Spark's native plan for the raw range predicate is a
+    broadcast nested-loop over every (event, interval) pair. All columns
+    of both inputs are preserved."""
+    ev = events.withColumn(
+        "__bucket", (F.col(ts_col) / bucket_width).cast("bigint")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_width).cast("bigint"),
+                # end is exclusive, but an interval ending exactly on a
+                # bucket boundary still owns no part of that bucket —
+                # sequence() is inclusive so subtract the boundary case
+                ((F.col(end_col) - 1) / bucket_width).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, "__bucket")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )

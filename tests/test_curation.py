@@ -1,0 +1,215 @@
+"""Unit tests for the corpus-curation / temporal / quantization operators
+(extensions/curation.py, extensions/temporal.py, similarity.quantize_int8).
+
+The oracle gate (tools/check_oracle.py) cross-checks these against DuckDB
+on the driver tables; these tests pin the SEMANTICS on hand-built corner
+cases the synthetic tables don't exercise.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_etl_spark.extensions.curation import (
+    assign_shards,
+    assign_split,
+    chunk_into_lines,
+    decontaminate,
+    dedup_lines,
+    pii_redact,
+    repetition_signals,
+)
+from knowledge_graph_etl_spark.extensions.similarity import quantize_int8
+from knowledge_graph_etl_spark.extensions.temporal import asof_join, range_join_events
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# -- repetition --------------------------------------------------------------
+
+
+def test_repetition_signals_values(spark):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(
+            _docs(
+                spark,
+                [
+                    ("rep", "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+                    ("uniq", "p q r s"),      # all bigrams distinct
+                    ("short", "one"),          # no bigrams at all
+                    ("empty", ""),
+                ],
+            )
+        ).collect()
+    }
+    rep = out["rep"]
+    assert rep["dup_2gram_frac"] == pytest.approx(3 / 5)
+    assert rep["top_2gram_frac"] == pytest.approx(3 / 5)  # 'a b' occurs 3/5
+    assert out["uniq"]["dup_2gram_frac"] == 0.0
+    # short/empty docs survive with zeros, not dropped rows
+    assert out["short"]["dup_2gram_frac"] == 0.0
+    assert out["empty"]["top_2gram_frac"] == 0.0
+
+
+# -- line dedup --------------------------------------------------------------
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            _docs(
+                spark,
+                [
+                    ("a", "common line\nunique to a"),
+                    ("b", "common line\nunique to b\ncommon line"),
+                    ("c", "common line"),  # loses everything
+                ],
+            )
+        ).collect()
+    }
+    assert out["a"]["text"] == "common line\nunique to a"  # first occurrence kept
+    assert out["b"]["text"] == "unique to b"  # both copies removed (one was dup-in-doc)
+    assert out["b"]["n_lines"] == 3 and out["b"]["n_kept"] == 1
+    assert out["c"]["text"] == "" and out["c"]["n_kept"] == 0  # doc survives empty
+
+
+def test_chunk_into_lines_width(spark):
+    df = spark.range(1).select(
+        chunk_into_lines(F.lit("t1 t2 t3 t4 t5"), tokens_per_line=2).alias("t")
+    )
+    assert df.collect()[0]["t"] == "t1 t2\nt3 t4\nt5"
+
+
+# -- decontamination ---------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            ("clean", "totally different words here now"),
+            ("dirty", "the quick brown fox jumps high"),
+            ("partial", "lazy dog quick brown fox runs"),
+        ],
+    )
+    bench = _docs(spark, [("bench", "the quick brown fox sleeps")])
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert not out["clean"]["contaminated"] and out["clean"]["n_hits"] == 0
+    # 'the quick brown' + 'quick brown fox' shared
+    assert out["dirty"]["contaminated"] and out["dirty"]["n_hits"] == 2
+    assert out["partial"]["n_hits"] == 1  # 'quick brown fox'
+
+
+# -- PII redaction -----------------------------------------------------------
+
+
+def test_pii_redact_patterns_and_order(spark):
+    out = pii_redact(
+        _docs(
+            spark,
+            [("d", "mail a.b+c@ex-ample.org ip 192.168.0.1 card 4111111111111 end")],
+        )
+    ).collect()[0]
+    assert out["redacted"] == "mail <EMAIL> ip <IP> card <NUM> end"
+    assert (out["n_emails"], out["n_ipv4"], out["n_longnums"]) == (1, 1, 1)
+    # an IP's digits never double-count as a long number (sequential stages)
+    out2 = pii_redact(_docs(spark, [("e", "just 10.200.30.40 here")])).collect()[0]
+    assert out2["n_ipv4"] == 1 and out2["n_longnums"] == 0
+
+
+# -- splits and shards -------------------------------------------------------
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    d = spark.range(2000).select(F.col("id").cast("string").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = assign_split(d, weights=w).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # stable across invocations (hash, not rand)
+    b = assign_split(d, weights=w)
+    joined = assign_split(d, weights=w).alias("x").join(
+        b.alias("y"), "doc_id"
+    ).where(F.col("x.split") != F.col("y.split"))
+    assert joined.count() == 0
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    d = spark.range(1).select(F.col("id").cast("string").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(d, weights={"a": 0.5, "b": 0.1})
+
+
+def test_assign_shards_range(spark):
+    d = spark.range(500).select(F.col("id").cast("string").alias("doc_id"))
+    shards = assign_shards(d, num_shards=7).select("shard").distinct().collect()
+    vals = {r["shard"] for r in shards}
+    assert vals == set(range(7))  # 500 ids cover all 7 shards
+    with pytest.raises(ValueError, match="num_shards"):
+        assign_shards(d, num_shards=0)
+
+
+# -- as-of join --------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "l1"), ("u1", 20, "l2"), ("u1", 5, "l0"), ("u2", 50, "l3")],
+        "k string, ts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 15, 2.0), ("u3", 1, 9.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["lbl"]: r
+        for r in asof_join(left, right, by="k", ts_col="ts").collect()
+    }
+    assert out["l1"]["asof_v"] == 1.0  # equal ts matches (inclusive)
+    assert out["l1"]["asof_ts"] == 10
+    assert out["l2"]["asof_v"] == 2.0  # latest prior, not first
+    assert out["l0"]["asof_v"] is None  # nothing at or before ts=5
+    assert out["l3"]["asof_v"] is None  # no right rows for u2 at all
+    assert len(out) == 4  # left join: every left row survives
+
+
+# -- range join --------------------------------------------------------------
+
+
+def test_range_join_events_boundaries(spark):
+    events = spark.createDataFrame(
+        [(1, 100), (2, 199), (3, 200), (4, 350), (5, 99)],
+        "event_id long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [("w1", 100, 200), ("w2", 200, 300)],
+        "win string, start long, stop long",
+    )
+    out = range_join_events(
+        events, intervals, "ts", "start", "stop", bucket_width=50
+    ).select("event_id", "win").collect()
+    got = {(r["event_id"], r["win"]) for r in out}
+    # start inclusive, end exclusive; 350 and 99 match nothing
+    assert got == {(1, "w1"), (2, "w1"), (3, "w2")}
+
+
+# -- quantization ------------------------------------------------------------
+
+
+def test_quantize_int8_bounds(spark):
+    df = spark.createDataFrame(
+        [("v1", [1.0, -0.5, 0.25, 0.0]), ("zero", [0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    full = quantize_int8(df).collect()
+    out = {r["vec_id"]: r for r in full}
+    v = out["v1"]
+    assert v["qvec"] == [127, -63, 32, 0]  # max|x| -> ±127, half-up rounding
+    assert v["scale"] == pytest.approx(127.0)
+    assert v["max_abs_err"] <= 0.5 / 127.0 + 1e-9  # error bound of the scheme
+    z = out["zero"]
+    assert z["scale"] == 0.0 and z["qvec"] == [0, 0] and z["max_abs_err"] == 0.0
