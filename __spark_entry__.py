@@ -912,6 +912,67 @@ def embed_quantize_q(spark, sf_dir):
     )
 
 
+def agg_quantiles_q(spark, sf_dir):
+    """Exact per-group discrete quantiles via rank selection — one window
+    pass + one aggregate (extensions/stats.group_quantiles); approximate
+    percentile_approx deliberately not used (correctness-gated)."""
+    from knowledge_graph_etl_spark.extensions.stats import group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+def text_normalize_q(spark, sf_dir):
+    """Whitespace/control-char canonicalization (text.normalize_text);
+    dirty runs are seeded deterministically so the cleanup actually
+    fires at every SF."""
+    from knowledge_graph_etl_spark.extensions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit("  x\ty \r nb"))
+    return d.select(
+        "doc_id",
+        normalize_text(dirty).alias("clean"),
+        F.length(dirty).cast("bigint").alias("n_before"),
+        F.length(normalize_text(dirty)).cast("bigint").alias("n_after"),
+    )
+
+
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing per hash shard
+    (extensions/curation.pack_sequences over assign_shards) — per-shard
+    window cumsum, nothing global."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        assign_shards,
+        pack_sequences,
+    )
+    from knowledge_graph_etl_spark.extensions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        assign_shards(d, num_shards=4), max_tokens=128, shard_col="shard"
+    )
+
+
+def corpus_ngram_topk_q(spark, sf_dir):
+    """Corpus-wide heavy hitters: global top-20 trigrams, deterministic
+    tiebreak (extensions/curation.corpus_ngram_topk)."""
+    from knowledge_graph_etl_spark.extensions.curation import corpus_ngram_topk
+
+    return corpus_ngram_topk(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+def tfidf_topterms_q(spark, sf_dir):
+    """Per-document top-3 tf·idf terms; ranked on the ROUNDED score so
+    ordering is ulp-stable across engines
+    (extensions/curation.tfidf_top_terms)."""
+    from knowledge_graph_etl_spark.extensions.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -978,6 +1039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events_q,
         "agg_rollup": agg_rollup_q,
         "embed_quantize": embed_quantize_q,
+        "agg_quantiles": agg_quantiles_q,
+        "text_normalize": text_normalize_q,
+        "pack_sequences": pack_sequences_q,
+        "corpus_ngram_topk": corpus_ngram_topk_q,
+        "tfidf_topterms": tfidf_topterms_q,
     }
 
 
@@ -1610,6 +1676,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, "
             "COUNT(*) AS n_orders "
             "FROM orders GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderpriority)"
+        ),
+        "agg_quantiles": (
+            "WITH r AS (SELECT l_returnflag, l_extendedprice AS v, "
+            "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, "
+            "COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem) "
+            "SELECT l_returnflag, MIN(n) AS n_rows, "
+            "MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p0_25, "
+            "MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p0_5, "
+            "MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p0_75 "
+            "FROM r GROUP BY l_returnflag"
+        ),
+        "text_normalize": (
+            "WITH t AS (SELECT doc_id, text || '  x' || chr(9) || 'y ' || chr(13) "
+            "|| ' nb' AS s FROM documents), "
+            "c AS (SELECT doc_id, s, trim(regexp_replace(regexp_replace(s, "
+            "'[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g')) AS clean FROM t) "
+            "SELECT doc_id, clean, CAST(length(s) AS BIGINT) AS n_before, "
+            "CAST(length(clean) AS BIGINT) AS n_after FROM c"
+        ),
+        "pack_sequences": (
+            f"WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tokens, "
+            "CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS INTEGER) AS shard "
+            "FROM documents), "
+            "c AS (SELECT doc_id, shard, n_tokens, "
+            "SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start "
+            "FROM d) "
+            "SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(floor(start / 128.0) AS BIGINT) AS seq_id, "
+            "CAST(start % 128 AS BIGINT) AS seq_offset FROM c"
+        ),
+        "corpus_ngram_topk": (
+            f"WITH tok AS (SELECT {_TOKS} AS t FROM documents), "
+            "g AS (SELECT unnest(list_transform(generate_series(1, "
+            "greatest(len(t) - 2, 0)), i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram FROM tok) "
+            "SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram "
+            "ORDER BY n_occurrences DESC, gram ASC LIMIT 20"
+        ),
+        "tfidf_topterms": (
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+            "n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score "
+            "FROM tf JOIN df USING (token) CROSS JOIN n) "
+            "SELECT doc_id, token, tf, df, score, "
+            "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INTEGER) AS rank "
+            "FROM s QUALIFY rank <= 3"
         ),
         "embed_quantize": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "

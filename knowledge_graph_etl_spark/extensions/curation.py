@@ -307,3 +307,123 @@ def assign_shards(
     return docs.withColumn(
         "shard", _id_bucket(F.col(id_col), salt, num_shards).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): documents are laid end-to-end in id order and cut every
+    ``max_tokens`` tokens; each document reports the sequence it STARTS in
+    and its token offset there. Emits
+    ``(id_col, [shard_col], n_tokens, seq_id, seq_offset)``.
+
+    With ``shard_col`` (from :func:`assign_shards`) the cumulative layout
+    is per shard — the scalable form: one window shuffle per shard key,
+    each shard's packing independent, nothing global. Without it the
+    corpus is one giant ordered group (single reducer) — only for small
+    corpora; the operator refuses nothing but the docstring is the
+    warning. Pure integer window arithmetic, exactly reproducible in SQL.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    parts = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(count_col).over(w)
+    start = (cum - F.col(count_col)).cast("bigint")
+    return docs.select(
+        id_col,
+        *parts,
+        F.col(count_col).cast("bigint").alias("n_tokens"),
+        F.floor(start / F.lit(float(max_tokens))).cast("bigint").alias("seq_id"),
+        (start % max_tokens).cast("bigint").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics / TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def corpus_ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by occurrence count (ties broken by gram
+    text ascending — fully deterministic). The classic heavy-hitter
+    aggregate: explode → count with map-side partial aggregation on the
+    uniform gram key → global top-k (Spark's sort-limit runs per-partition
+    top-k before the single merge, so the driver sees k rows, not the
+    gram universe)."""
+    grams = docs.select(
+        F.explode(zip_kgrams(tokens(F.col(text_col)), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df), raw counts).
+    Emits ``(id_col, token, tf, df, score)`` — ``score`` rounded to 6
+    decimals, and RANKED on that rounded value (then token asc), so the
+    ordering is insensitive to last-ulp differences in ``ln`` between
+    engines and the whole operator is exactly oracle-able.
+
+    Scale shape: term frequencies aggregate on the uniform (doc, token)
+    key; document frequencies reuse the same exploded relation aggregated
+    by token; N is one scalar broadcast. No driver-side loops, no UDFs —
+    three shuffles total, all map-side combinable."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "token", "tf", "df", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

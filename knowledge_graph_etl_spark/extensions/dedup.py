@@ -321,21 +321,33 @@ def resolve_clusters(
     * per round, every node takes the min of its label and its neighbors'
       labels (one equi-join edges⋈labels + a min-aggregate — map-side
       partial mins, shuffle on the uniform node id);
-    * then one **pointer-jumping** step relabels through the label table
-      itself (``label ← label(label)``), contracting star chains so long
-      paths converge in O(log diameter) rounds instead of O(diameter);
+    * then one **pointer-jumping** step relabels through the PREVIOUS
+      round's label table (``label ← min(label, prev_label(label))``),
+      contracting star chains so long paths converge in O(log diameter)
+      rounds instead of O(diameter). Jumping through the previous table
+      (not the just-computed one) keeps the whole round a single plan
+      with the neighbor-min subtree referenced once — no mid-round
+      materialization — at the cost of the jump lagging one round, which
+      only shifts convergence by ≤1 round on path-like graphs;
     * convergence is detected by the per-round sum of labels (labels are
       non-negative and monotonically non-increasing per node, so the sum
-      strictly decreases iff any label changed — one cheap aggregate per
-      round, no row-wise diff join).
+      strictly decreases iff any label changed). The sum aggregate IS the
+      action that materializes the round's ``persist()`` — ONE Spark job
+      per round, not separate checkpoint + convergence jobs (measured 3×
+      on the bench entry, where per-job overhead dominated the tiny
+      label table).
 
     Scale posture: the edge list is symmetrized, deduped, and checkpointed
     ONCE (it is static across rounds — re-deriving it would re-run the
-    upstream LSH pipeline every round); labels are 16 bytes/node; each
-    round is 3 bounded shuffles. Near-dup components are overwhelmingly
-    dense (LSH emits most intra-cluster edges), so real convergence is
-    2-4 rounds; ``max_iter`` merely bounds adversarial path graphs, and
-    hitting it raises rather than silently emitting unconverged labels.
+    upstream LSH pipeline every round); labels are 16 bytes/node,
+    lazily checkpointed per round (plan severed immediately — each round
+    references the table three times, so an unsevered plan would triple
+    in size per round — while materialization rides the convergence
+    action); each round is 3 bounded shuffles in one job. Near-dup components are
+    overwhelmingly dense (LSH emits most intra-cluster edges), so real
+    convergence is 2-4 rounds; ``max_iter`` merely bounds adversarial
+    path graphs, and hitting it raises rather than silently emitting
+    unconverged labels.
     """
     a_col, b_col = pair_cols
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -351,12 +363,30 @@ def resolve_clusters(
     # static across rounds; checkpoint severs the (possibly expensive)
     # upstream pair-generation lineage so it executes exactly once
     edges = edges.localCheckpoint(eager=True)
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    # LAZY localCheckpoint: the plan is severed to a LogicalRDD immediately
+    # (each round references labels three times — without severing, the
+    # plan tree would TRIPLE per round, exponential in rounds), but the
+    # RDD materializes during the convergence-sum action below, so each
+    # round still costs exactly one Spark job. The FIRST propagation round
+    # is fused into initialization (identity labels make neighbor-min just
+    # min(neighbor id), no labels join needed) — the mandatory init job
+    # does a full round's work instead of summing an identity table.
+    first = edges.groupBy("u").agg(F.min("v").alias("nbr0"))
+    labels = (
+        nodes.join(first, nodes["node"] == first["u"], "left")
+        .select(
+            nodes["node"],
+            F.least(nodes["node"], F.coalesce(first["nbr0"], nodes["node"])).alias(
+                "label"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
     # labels are node ids (non-negative longs); decimal sum is overflow-proof
     _sum = lambda df: df.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).collect()[0][0]
-    prev_sum = _sum(labels)
+    prev_sum = _sum(labels)  # this action also materializes the checkpoint
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -364,25 +394,29 @@ def resolve_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nbr"))
         )
-        upd = (
-            labels.join(nbr, labels["node"] == nbr["u"], "left")
+        upd = labels.join(nbr, labels["node"] == nbr["u"], "left").select(
+            labels["node"],
+            F.least(
+                labels["label"], F.coalesce(nbr["nbr"], labels["label"])
+            ).alias("label"),
+        )
+        # pointer jump through the PREVIOUS round's (cached) table — upd is
+        # referenced once, so the whole round stays one un-materialized plan
+        jump = labels.select(
+            F.col("node").alias("jn"), F.col("label").alias("jl")
+        )
+        nxt = (
+            upd.join(jump, upd["label"] == jump["jn"], "left")
             .select(
-                labels["node"],
-                F.least(
-                    labels["label"], F.coalesce(nbr["nbr"], labels["label"])
-                ).alias("label"),
+                upd["node"],
+                F.least(upd["label"], F.coalesce(jump["jl"], upd["label"])).alias(
+                    "label"
+                ),
             )
-            # materialized before the self-join below: severs lineage so the
-            # jump join is between two independent plans (no self-join
-            # ambiguity) and the neighbor-min subtree runs once, not twice
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        jump = upd.select(F.col("node").alias("jn"), F.col("label").alias("jl"))
-        upd = upd.join(jump, upd["label"] == jump["jn"], "left").select(
-            upd["node"], F.coalesce(jump["jl"], upd["label"]).alias("label")
-        )
-        labels = upd.localCheckpoint(eager=True)
-        cur_sum = _sum(labels)
+        cur_sum = _sum(nxt)  # one job: materializes the round AND checks it
+        labels = nxt
         if cur_sum == prev_sum:
             converged = True
             break

@@ -439,9 +439,14 @@ def ivf_build(
     )
     if path is not None:
         spark = corpus.sparkSession
-        assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-            path + "/assigned"
-        )
+        # shuffle on list_id before the partitioned write: each list's
+        # vectors land in one task → one parquet file per list directory,
+        # not tasks × nlist fragments. This is also the read-side layout a
+        # probe wants: a list's rows are contiguous, so nprobe partition
+        # dirs stream sequentially instead of seeking across fragments.
+        assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(path + "/assigned")
         spark.createDataFrame(
             [(r["list_id"], list(r["cent"])) for r in cent_rows],
             "list_id int, cent array<float>",
@@ -478,11 +483,14 @@ def ivf_query(
     file-backed index scans only the probed ``list_id=`` partition
     directories — ~nprobe/nlist of the index bytes, no corpus GEMM."""
     assignN = _nearest_lists_udf(queries, index.cent_rows, vec_col, nprobe)
+    # lazy checkpoint: severs the GEMM lineage (q feeds both the probed-id
+    # collect and the broadcast join) while the materializing job is the
+    # collect itself — no separate checkpoint job
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(assignN(F.col(vec_col))).alias("list_id"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probed = [r["list_id"] for r in q.select("list_id").distinct().collect()]
     scored = (
         index.assigned.where(F.col("list_id").isin(probed))

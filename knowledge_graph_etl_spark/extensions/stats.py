@@ -1,0 +1,56 @@
+"""Distribution statistics operators.
+
+:func:`group_quantiles` — exact discrete per-group quantiles via the
+rank-selection rule (smallest value whose cumulative rank reaches the
+requested fraction), computed with ONE window pass + ONE aggregate.
+
+Built-in alternatives and why not: ``percentile_approx`` is approximate
+(t-digest — fine for monitoring, wrong for a correctness-gated pipeline);
+``percentile``/``percentile_cont`` interpolate between values, and the
+interpolation arithmetic is not bit-reproducible across engines. The
+rank-selection form picks REAL data values with pure integer logic, so it
+is exact, deterministic, and verifiable against any SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fracs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group discrete quantiles: for each fraction ``p``, the value at
+    rank ``ceil(p * n)`` in ascending order (SQL ``percentile_disc``
+    semantics). Output: one row per group with ``n_rows`` and one
+    ``p<frac>`` column per fraction (``p0_5`` for the median).
+
+    Scale shape: one shuffle on the group key for the in-partition sort
+    (rank + group count share the same window frame), then a map-side
+    combinable min-aggregate. A single giant group serializes into one
+    task — same caveat as any exact per-group sort; pre-split such groups
+    or fall back to ``percentile_approx``."""
+    if not fracs:
+        raise ValueError("fracs must be non-empty")
+    if any(not 0.0 < f <= 1.0 for f in fracs):
+        raise ValueError(f"fractions must be in (0, 1], got {fracs}")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(group_col, value_col).select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    aggs = [F.min("__n").alias("n_rows")]
+    for f in fracs:
+        target = F.ceil(F.lit(float(f)) * F.col("__n"))
+        name = "p" + str(f).replace(".", "_").rstrip("0").rstrip("_")
+        aggs.append(
+            F.min(F.when(F.col("__rn") == target, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)

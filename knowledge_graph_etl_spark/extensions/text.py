@@ -308,3 +308,14 @@ def add_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", langid(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical whitespace/control cleanup — the first pass of every text
+    pipeline: control characters (C0 range) become spaces, whitespace runs
+    collapse to one space, ends trimmed. Three chained ``regexp_replace``
+    expressions (JVM-side, codegen; patterns portable between Java regex
+    and RE2 so the op is exactly oracle-able)."""
+    no_ctl = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.regexp_replace(no_ctl, r"\s+", " ")
+    return F.trim(collapsed)
