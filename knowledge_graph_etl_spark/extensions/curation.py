@@ -46,41 +46,46 @@ def repetition_signals(
     * ``top_2gram_frac`` — occurrences of the most frequent bigram over
       all bigrams: catches boilerplate loops a distinct-ratio misses.
 
-    All three are per-document aggregates: grams explode once per k, the
-    (doc, gram) count combines map-side (partial aggregation) before the
-    shuffle on the uniform (doc, gram) key, then one more reduce by doc.
-    Documents too short to have grams get 0.0 via the left join back to
-    the id spine — no silent row loss."""
+    All three are WITHIN-document statistics, so the whole operator is a
+    pure per-row map over the gram arrays — NO explode, NO shuffle, no
+    row-count change (the natural formulation, explode → count by
+    (doc, gram) → reduce by doc, pays two full shuffles of the gram
+    stream for statistics each document can compute locally). Duplicate
+    mass is ``size - size(array_distinct)``; the top-bigram count is the
+    longest equal-run of the SORTED gram array, folded in one
+    ``aggregate`` pass (state = (prev, run, best) — stays in codegen)."""
     tks = tokens(F.col(text_col))
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.concat(
-                F.transform(zip_kgrams(tks, 2), lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram"))),
-                F.transform(zip_kgrams(tks, 3), lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram"))),
-            )
-        ).alias("kg"),
-    ).select("id", F.col("kg.k").alias("k"), F.col("kg.gram").alias("gram"))
-    counts = grams.groupBy("id", "k", "gram").agg(F.count("*").alias("c"))
-    per_doc = counts.groupBy("id").agg(
-        F.sum(F.when(F.col("k") == 2, F.col("c"))).alias("tot2"),
-        F.count(F.when(F.col("k") == 2, True)).alias("dis2"),
-        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("top2"),
-        F.sum(F.when(F.col("k") == 3, F.col("c"))).alias("tot3"),
-        F.count(F.when(F.col("k") == 3, True)).alias("dis3"),
-    )
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(
             F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
         )
 
-    out = docs.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
-    return out.select(
-        F.col("id").alias(id_col),
-        frac(F.coalesce(F.col("tot2") - F.col("dis2"), F.lit(0)), F.coalesce("tot2", F.lit(0))).alias("dup_2gram_frac"),
-        frac(F.coalesce(F.col("tot3") - F.col("dis3"), F.lit(0)), F.coalesce("tot3", F.lit(0))).alias("dup_3gram_frac"),
-        frac(F.coalesce("top2", F.lit(0)), F.coalesce("tot2", F.lit(0))).alias("top_2gram_frac"),
+    def dup_frac(k: int) -> Column:
+        g = zip_kgrams(tks, k)
+        return frac(F.size(g) - F.size(F.array_distinct(g)), F.size(g))
+
+    g2 = F.array_sort(zip_kgrams(tks, 2))
+    top2 = F.aggregate(
+        g2,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        F.col(id_col),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        frac(top2, F.size(zip_kgrams(tks, 2))).alias("top_2gram_frac"),
     )
 
 
@@ -395,15 +400,17 @@ def tfidf_top_terms(
     engines and the whole operator is exactly oracle-able.
 
     Scale shape: term frequencies aggregate on the uniform (doc, token)
-    key; document frequencies reuse the same exploded relation aggregated
-    by token; N is one scalar broadcast. No driver-side loops, no UDFs —
-    three shuffles total, all map-side combinable."""
+    key; document frequencies COUNT over the tf relation — (doc, token)
+    is already distinct there, so df needs no second pass over the raw
+    exploded token stream and no count-distinct; N is one scalar
+    broadcast. No driver-side loops, no UDFs — three shuffles total, all
+    map-side combinable."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     scored = (
         tf.join(df_, "token")
