@@ -96,3 +96,83 @@ def test_scalar_pipeline_stays_in_codegen(spark):
     # formatted mode marks codegen stages as "[codegen id : N]"
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- round-3 operators: plan-shape assertions --------------------------------
+
+
+def test_repetition_signals_has_no_shuffle(spark):
+    """The rewrite's whole point: within-doc statistics need no exchange."""
+    from knowledge_graph_etl_spark.extensions.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [("1", "a b c a b")], "doc_id string, text string"
+    )
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side of the
+    overlap join never shuffles."""
+    from knowledge_graph_etl_spark.extensions.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(str(i), "w x y z q r") for i in range(50)], "doc_id string, text string"
+    )
+    bench = docs.limit(2)
+    plan = _plan(decontaminate(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_asof_join_single_exchange_per_input(spark):
+    """Merge-based as-of: one hash exchange on the key per input (union →
+    window), never a nested-loop/range join."""
+    from knowledge_graph_etl_spark.extensions.temporal import asof_join
+
+    left = spark.createDataFrame([("a", 1, "x")], "k string, ts long, p string")
+    right = spark.createDataFrame([("a", 1, 2.0)], "k string, ts long, v double")
+    plan = _plan(asof_join(left, right, by="k", ts_col="ts"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the window's partitioning exchange is the only shuffle kind present
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 1, plan
+
+
+def test_pii_redact_and_split_stay_row_local(spark):
+    from knowledge_graph_etl_spark.extensions.curation import (
+        assign_shards,
+        assign_split,
+        pii_redact,
+    )
+
+    docs = spark.createDataFrame([("1", "t")], "doc_id string, text string")
+    for df in (pii_redact(docs), assign_shards(assign_split(docs))):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "codegen id" in plan, plan
+
+
+def test_ivf_query_prunes_index_partitions(spark, tmp_path):
+    """A probe over a file-backed IVF index must scan only the probed
+    list_id partition directories (static isin filter → PartitionFilters)."""
+    from knowledge_graph_etl_spark.extensions.similarity import ivf_build, ivf_query
+
+    import pyspark.sql.functions as SF
+
+    corpus = spark.range(80).select(
+        SF.col("id").alias("vec_id"),
+        SF.array(*[(SF.col("id") * (i + 1) % 7).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    idx = ivf_build(corpus, nlist=8, path=str(tmp_path / "ivf"))
+    queries = corpus.where(SF.col("vec_id") < 2).select(
+        SF.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_query(idx, queries, k=3, nprobe=2)
+    plan = _plan(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "list_id" in " ".join(pf), plan
