@@ -973,6 +973,52 @@ def tfidf_topterms_q(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def sample_per_group_q(spark, sf_dir):
+    """Deterministic stratified sampling: 20 docs per language by md5
+    rank (extensions/curation.sample_per_group)."""
+    from knowledge_graph_etl_spark.extensions.curation import sample_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_per_group(d, "lang", n=20)
+
+
+def curation_pipeline_q(spark, sf_dir):
+    """Flagship end-to-end curation pipeline — the composition a training
+    corpus actually runs, each stage an already-oracled operator:
+    normalize → repetition/length filter → exact dedup (keep min id) →
+    benchmark decontamination (drop) → deterministic split + shard.
+    Returns the surviving corpus manifest (doc_id, split, shard)."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        assign_shards,
+        assign_split,
+        decontaminate,
+        repetition_signals,
+    )
+    from knowledge_graph_etl_spark.extensions.dedup import exact_dedup
+    from knowledge_graph_etl_spark.extensions.text import normalize_text, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    clean = d.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    filt = (
+        clean.join(repetition_signals(clean), "doc_id")
+        .where(
+            token_count(F.col("text")).between(5, 10000)
+            & (F.col("dup_2gram_frac") <= 0.5)
+        )
+        .select("doc_id", "text")
+    )
+    kept = filt.join(
+        exact_dedup(filt).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    flags = decontaminate(kept, kept.where((F.col("doc_id") % 50) == 0), n=3)
+    survivors = kept.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    ).select("doc_id")
+    return assign_shards(assign_split(survivors), num_shards=8).select(
+        "doc_id", "split", "shard"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1044,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "corpus_ngram_topk": corpus_ngram_topk_q,
         "tfidf_topterms": tfidf_topterms_q,
+        "sample_per_group": sample_per_group_q,
+        "curation_pipeline": curation_pipeline_q,
     }
 
 
@@ -1725,6 +1773,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, token, tf, df, score, "
             "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INTEGER) AS rank "
             "FROM s QUALIFY rank <= 3"
+        ),
+        "sample_per_group": (
+            "SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents) WHERE rk <= 20"
+        ),
+        "curation_pipeline": (
+            "WITH clean AS (SELECT doc_id, trim(regexp_replace(regexp_replace(text, "
+            "'[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g')) AS text FROM documents), "
+            "tok AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t "
+            "FROM clean), "
+            "rep AS (SELECT doc_id, text, len(t) AS ntok, "
+            "CASE WHEN greatest(len(t) - 1, 0) > 0 THEN "
+            "CAST(greatest(len(t) - 1, 0) - len(list_distinct(list_transform("
+            "generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS DOUBLE) "
+            "/ greatest(len(t) - 1, 0) ELSE 0.0 END AS dup2 FROM tok), "
+            "filt AS (SELECT doc_id, text FROM rep "
+            "WHERE ntok BETWEEN 5 AND 10000 AND round(dup2, 6) <= 0.5), "
+            "keep AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(text)), "
+            "kept AS (SELECT f.doc_id, f.text FROM filt f JOIN keep k USING (doc_id)), "
+            "kt AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t "
+            "FROM kept), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(generate_series(1, len(t) - 2), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END) AS grams FROM kt), "
+            "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0), "
+            "bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)), "
+            "surv AS (SELECT doc_id FROM kept "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad)) "
+            "SELECT doc_id, "
+            "CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9800 THEN 'train' "
+            "WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9900 THEN 'val' "
+            "ELSE 'test' END AS split, "
+            "CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INTEGER) AS shard "
+            "FROM surv"
         ),
         "embed_quantize": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "

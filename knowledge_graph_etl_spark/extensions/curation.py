@@ -434,3 +434,34 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    n: int = 100,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n`` rows per group with the
+    smallest ``md5(salt || id)`` — a uniform pseudo-random draw that is
+    stable across runs, partitionings and engines (the property
+    ``df.sampleBy`` lacks: its draw depends on row order within
+    partitions). Adds ``sample_rank`` (1-based).
+
+    One window shuffle on the group key; the per-group sort is over the
+    16-byte hash, not row payloads. Use for eval-set carve-outs and
+    per-language/per-source quota sampling."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    rk = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rk, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )

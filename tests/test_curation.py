@@ -213,3 +213,25 @@ def test_quantize_int8_bounds(spark):
     assert v["max_abs_err"] <= 0.5 / 127.0 + 1e-9  # error bound of the scheme
     z = out["zero"]
     assert z["scale"] == 0.0 and z["qvec"] == [0, 0] and z["max_abs_err"] == 0.0
+
+
+# -- stratified sampling -----------------------------------------------------
+
+
+def test_sample_per_group_quota_and_determinism(spark):
+    from knowledge_graph_etl_spark.extensions.curation import sample_per_group
+
+    rows = [(f"d{i}", "en" if i % 3 else "nl") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = sample_per_group(df, "lang", n=10)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 10, "nl": 10}
+    # deterministic: same draw on re-run
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in sample_per_group(df, "lang", n=10).collect()}
+    assert a == b
+    # different salt -> (almost surely) different draw
+    c = {tuple(r) for r in sample_per_group(df, "lang", n=10, salt="v2").collect()}
+    assert {t[0] for t in a} != {t[0] for t in c}
+    with pytest.raises(ValueError, match="n must be"):
+        sample_per_group(df, "lang", n=0)
