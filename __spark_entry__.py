@@ -973,6 +973,29 @@ def tfidf_topterms_q(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def kg_construct_query_q(spark, sf_dir):
+    """Read-side CONSTRUCT (engine.construct_query — completes the read
+    surface next to kg_select): template instantiation RETURNED as quads,
+    g NULL for the default-graph triples, GRAPH block routed."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    return eng.construct_query(
+        """
+        PREFIX p: <urn:p:>
+        CONSTRUCT {
+            ?c <urn:out:seg> ?seg .
+            GRAPH <urn:g:labels> { ?c <urn:out:label> ?name }
+        }
+        FROM <urn:g:customer>
+        WHERE { ?c p:c_mktsegment ?seg ; p:c_name ?name }
+        """
+    )
+
+
 def sample_per_group_q(spark, sf_dir):
     """Deterministic stratified sampling: 20 docs per language by md5
     rank (extensions/curation.sample_per_group)."""
@@ -1092,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": tfidf_topterms_q,
         "sample_per_group": sample_per_group_q,
         "curation_pipeline": curation_pipeline_q,
+        "kg_construct_query": kg_construct_query_q,
     }
 
 
@@ -1773,6 +1797,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, token, tf, df, score, "
             "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INTEGER) AS rank "
             "FROM s QUALIFY rank <= 3"
+        ),
+        "kg_construct_query": (
+            "WITH c AS (SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS s, "
+            "c_mktsegment, c_name FROM customer) "
+            "SELECT CAST(NULL AS VARCHAR) AS g, s, 'iri' AS s_type, "
+            "'urn:out:seg' AS p, c_mktsegment AS o_value, 'literal' AS o_type, "
+            "CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang FROM c "
+            "UNION ALL "
+            "SELECT 'urn:g:labels', s, 'iri', 'urn:out:label', c_name, 'literal', "
+            "NULL, NULL FROM c"
         ),
         "sample_per_group": (
             "SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank FROM ("

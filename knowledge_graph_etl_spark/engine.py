@@ -21,12 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from .ingest import json_to_quads
 from .plans.compiler import (
     compile_ask,
+    compile_construct,
     compile_insert_where,
     compile_select,
     execute_update,
 )
 from .plans.parser import (
     AskQuery,
+    ConstructQuery,
     InsertWhere,
     SelectQuery,
     parse_query,
@@ -97,6 +99,19 @@ class Engine:
         if not isinstance(node, AskQuery):
             raise ValueError("ask() needs an ASK query; use select()/update()")
         return len(compile_ask(node, self.store).take(1)) > 0
+
+    def construct_query(self, query: str, params: dict | None = None) -> DataFrame:
+        """SPARQL CONSTRUCT → quads DataFrame (read-side; the triples are
+        returned, not inserted — ``g`` NULL for default-graph template
+        triples, the GRAPH IRI for GRAPH template blocks). Completes the
+        read surface next to select()/ask(); same template machinery as
+        INSERT..WHERE including unbound-skip and fresh template bnodes."""
+        node = parse_query(self._substitute(query, params))
+        if not isinstance(node, ConstructQuery):
+            raise ValueError(
+                "construct_query() needs a CONSTRUCT query; use select()/ask()/update()"
+            )
+        return compile_construct(node, self.store)
 
     def plan(self, query: str) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without

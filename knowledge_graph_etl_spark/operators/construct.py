@@ -61,7 +61,7 @@ def _object_cols(t, df_cols: set[str]) -> tuple[Column, Column, Column, Column]:
 def construct(
     bindings: DataFrame,
     template: list[tuple],
-    target_graph: str,
+    target_graph: str | None,
     materialize: bool | None = None,
 ) -> DataFrame:
     """Instantiate ``template`` (list of (s, p, o) with Var/Term entries)
@@ -91,7 +91,9 @@ def construct(
             p_val = F.lit(p.value if isinstance(p, Term) else p)
         o_val, o_type, o_dt, o_lang = _object_cols(o, cols)
         row = bindings.select(
-            F.lit(target_graph).alias("g"),
+            # explicit string cast: target_graph=None (read-side CONSTRUCT
+            # default graph) must yield a typed NULL column, not NullType
+            F.lit(target_graph).cast("string").alias("g"),
             s_val.alias("s"),
             s_type.alias("s_type"),
             p_val.alias("p"),

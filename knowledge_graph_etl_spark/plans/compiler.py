@@ -40,6 +40,7 @@ from .parser import (
     AskQuery,
     BindExpr,
     BNodeT,
+    ConstructQuery,
     DeleteData,
     DeleteWhere,
     FilterExpr,
@@ -406,21 +407,26 @@ def compile_insert_where(
     if materialize:
         bindings = bindings.localCheckpoint(eager=True)
 
-    # SPARQL blank nodes in an INSERT template mint a FRESH bnode per
-    # solution row (parser desugars them to _anon_* vars never bound by
-    # WHERE): bind each as a deterministic per-row label — md5 over the
-    # full binding row INCLUDING the __type/__dt/__lang companions, so
-    # two solutions agreeing lexically but differing in term type or
-    # datatype mint distinct bnodes. Deliberate determinism tradeoff vs
-    # SPARQL 1.1: duplicate solution rows collapse to ONE bnode (spec
-    # mints a fresh bnode per solution, yielding distinct quads); we
-    # accept the collapse so re-running an update is idempotent under
-    # the store's set semantics — the divergence only shows when WHERE
-    # yields exact-duplicate rows, which DISTINCT-shaped mappings never
-    # produce.
+    bindings = _mint_template_bnodes(bindings, node.template)
+    return _template_quads(bindings, node.template, node.target_graph)
+
+
+def _mint_template_bnodes(bindings: DataFrame, template: list) -> DataFrame:
+    """SPARQL blank nodes in an INSERT/CONSTRUCT template mint a FRESH
+    bnode per solution row (parser desugars them to _anon_* vars never
+    bound by WHERE): bind each as a deterministic per-row label — md5 over
+    the full binding row INCLUDING the __type/__dt/__lang companions, so
+    two solutions agreeing lexically but differing in term type or
+    datatype mint distinct bnodes. Deliberate determinism tradeoff vs
+    SPARQL 1.1: duplicate solution rows collapse to ONE bnode (spec
+    mints a fresh bnode per solution, yielding distinct quads); we
+    accept the collapse so re-running an update is idempotent under
+    the store's set semantics — the divergence only shows when WHERE
+    yields exact-duplicate rows, which DISTINCT-shaped mappings never
+    produce."""
     anon = {
         t.name
-        for _, tp in node.template
+        for _, tp in template
         for t in (tp.s, tp.p, tp.o)
         if isinstance(t, VarT) and t.name.startswith("_anon_")
     } - set(bindings.columns)
@@ -438,8 +444,7 @@ def compile_insert_where(
             bindings = bindings.withColumn(
                 name, F.concat(F.lit(f"_:{name}-"), row_key)
             ).withColumn(f"{name}__type", F.lit(BNODE))
-
-    return _template_quads(bindings, node.template, node.target_graph)
+    return bindings
 
 
 def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFrame:
@@ -452,6 +457,35 @@ def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFr
         if graph is None:
             raise ValueError("template triple has no target graph (no WITH/GRAPH)")
         by_graph.setdefault(graph, []).append(
+            (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
+        )
+    outs = [
+        construct(bindings, triples, target_graph=g, materialize=False)
+        for g, triples in by_graph.items()
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def compile_construct(
+    node: ConstructQuery, store, materialize: bool = True
+) -> DataFrame:
+    """Read-side CONSTRUCT → quads DataFrame: the INSERT template machinery
+    with the triples RETURNED instead of inserted. ``g`` is NULL for
+    default-graph template triples (a CONSTRUCT result is a graph, not a
+    dataset) and the GRAPH IRI for ``GRAPH <g> { ... }`` template blocks.
+    Unbound template variables skip the triple (construct()'s unbound-skip),
+    fresh template bnodes mint per solution row exactly as in updates."""
+    dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
+    bindings = compile_group(node.where, dataset)
+    if materialize:
+        bindings = bindings.localCheckpoint(eager=True)
+    bindings = _mint_template_bnodes(bindings, node.template)
+    by_graph: dict[str | None, list] = {}
+    for g, tp in node.template:
+        by_graph.setdefault(g, []).append(
             (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
         )
     outs = [

@@ -163,6 +163,18 @@ class AskQuery:
     where: Group
 
 
+@dataclass
+class ConstructQuery:
+    """Read-side ``CONSTRUCT { template } [FROM <g>...] WHERE { ... }`` —
+    the query form of the INSERT template machinery: instantiates the
+    template against the solutions and RETURNS the triples instead of
+    inserting them."""
+
+    template: list  # [(graph | None, TriplePattern)]
+    from_graphs: list
+    where: Group
+
+
 # --------------------------------------------------------------------------
 # Tokenizer
 # --------------------------------------------------------------------------
@@ -385,6 +397,13 @@ class _Parser:
             if self.at_name("WHERE"):
                 self.next()
             return AskQuery(from_graphs, self.parse_group())
+        if self.at_name("CONSTRUCT"):
+            self.next()
+            template = self.parse_template_block()
+            from_graphs = self.parse_from_clauses()
+            if self.at_name("WHERE"):
+                self.next()
+            return ConstructQuery(template, from_graphs, self.parse_group())
         t = self.peek()
         raise SyntaxError(f"expected query form, got {t.text if t else 'EOF'!r}")
 

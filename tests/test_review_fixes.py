@@ -217,7 +217,9 @@ def test_ntriples_strict_raises_on_malformed(spark, tmp_path):
 
     p = tmp_path / "bad.nt"
     p.write_text('<urn:s> <urn:p> "ok" .\n<urn:s> broken-line\n')
-    with _pytest.raises(ValueError, match="unparseable"):
+    # validation is folded into the load pass (r2 ADVICE: no eager
+    # double-scan), so the error surfaces executor-side at action time
+    with _pytest.raises(Exception, match="unparseable"):
         read_ntriples(spark, str(p), "urn:g").count()
     # lenient mode drops and continues
     assert read_ntriples(spark, str(p), "urn:g", strict=False).count() == 1

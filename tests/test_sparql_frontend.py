@@ -554,3 +554,67 @@ def test_delete_where_multi_graph_rejected():
         parse_update(
             "DELETE WHERE { GRAPH <urn:a> { ?s <urn:p> ?o } GRAPH <urn:b> { ?s <urn:q> ?o } }"
         )
+
+
+# -- read-side CONSTRUCT -------------------------------------------------------
+
+
+def test_construct_query_returns_quads(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:in", "urn:s:1", "iri", "urn:p:name", "alice", "literal", None, None),
+            ("urn:g:in", "urn:s:2", "iri", "urn:p:nick", "bb", "literal", None, None),
+        ]
+    )
+    out = eng.construct_query(
+        """
+        CONSTRUCT { ?s <urn:o:label> ?n .
+                    GRAPH <urn:g:x> { ?s <urn:o:seen> "y" } }
+        FROM <urn:g:in>
+        WHERE { ?s <urn:p:name> ?n }
+        """
+    ).collect()
+    # only s:1 matches; template yields one default-graph + one GRAPH triple
+    got = {(r["g"], r["s"], r["p"], r["o_value"]) for r in out}
+    assert got == {
+        (None, "urn:s:1", "urn:o:label", "alice"),
+        ("urn:g:x", "urn:s:1", "urn:o:seen", "y"),
+    }
+    # store unchanged: CONSTRUCT is read-only
+    assert eng.store.quads().count() == 2
+
+
+def test_construct_query_unbound_skip_and_bnodes(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:in", "urn:s:1", "iri", "urn:p:name", "a", "literal", None, None),
+            ("urn:g:in", "urn:s:1", "iri", "urn:p:mail", "m", "literal", None, None),
+            ("urn:g:in", "urn:s:2", "iri", "urn:p:name", "b", "literal", None, None),
+        ]
+    )
+    out = eng.construct_query(
+        """
+        CONSTRUCT { ?s <urn:o:mail> ?m . [ <urn:o:of> ?s ] . }
+        FROM <urn:g:in>
+        WHERE { ?s <urn:p:name> ?n OPTIONAL { ?s <urn:p:mail> ?m } }
+        """
+    ).collect()
+    mails = [r for r in out if r["p"] == "urn:o:mail"]
+    assert len(mails) == 1 and mails[0]["s"] == "urn:s:1"  # unbound ?m skipped
+    anons = [r for r in out if r["p"] == "urn:o:of"]
+    assert len(anons) == 2  # one fresh bnode per solution
+    assert all(r["s_type"] == "bnode" for r in anons)
+    assert len({r["s"] for r in anons}) == 2
+
+
+def test_construct_query_rejects_wrong_form(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    with pytest.raises(ValueError, match="CONSTRUCT"):
+        Engine(spark).construct_query("SELECT ?s WHERE { ?s <urn:p> ?o }")
