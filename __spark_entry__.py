@@ -996,6 +996,59 @@ def kg_construct_query_q(spark, sf_dir):
     )
 
 
+def graph_pagerank_q(spark, sf_dir):
+    """Fixed-point integer PageRank over the order→customer→nation→region
+    chain graph (extensions/graph.pagerank) — an iterative algorithm with
+    an EXACT SQL oracle (integer micro-unit arithmetic, 5 unrolled
+    iterations)."""
+    from knowledge_graph_etl_spark.extensions.graph import pagerank
+
+    def pfx(tag, col):
+        return F.concat(F.lit(tag), F.col(col).cast("string"))
+
+    o = _t(spark, sf_dir, "orders").select(
+        pfx("o", "o_orderkey").alias("src"), pfx("c", "o_custkey").alias("dst")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        pfx("c", "c_custkey").alias("src"), pfx("n", "c_nationkey").alias("dst")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        pfx("n", "n_nationkey").alias("src"), pfx("r", "n_regionkey").alias("dst")
+    )
+    return pagerank(o.unionByName(c).unionByName(n), iters=5)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled-CTE twin of graph_pagerank_q: identical integer fixed-point
+    update per iteration (DuckDB ``//`` ≡ Spark ``div`` on positive
+    bigints), so the hash compare is exact despite the algorithm being
+    iterative."""
+    parts = [
+        "WITH e AS ("
+        "SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src, "
+        "'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders "
+        "UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR), "
+        "'n' || CAST(c_nationkey AS VARCHAR) FROM customer "
+        "UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR), "
+        "'r' || CAST(n_regionkey AS VARCHAR) FROM nation), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+        "ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT dst, SUM(rank_micro // deg) AS contrib "
+            f"FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY dst), "
+            f"r{i} AS (SELECT n.node, CAST(150000 + "
+            f"(850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS rank_micro "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"
+        )
+    parts.append(f" SELECT node, rank_micro FROM r{iters}")
+    return "".join(parts)
+
+
 def sample_per_group_q(spark, sf_dir):
     """Deterministic stratified sampling: 20 docs per language by md5
     rank (extensions/curation.sample_per_group)."""
@@ -1116,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": sample_per_group_q,
         "curation_pipeline": curation_pipeline_q,
         "kg_construct_query": kg_construct_query_q,
+        "graph_pagerank": graph_pagerank_q,
     }
 
 
@@ -1798,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INTEGER) AS rank "
             "FROM s QUALIFY rank <= 3"
         ),
+        "graph_pagerank": _pagerank_oracle(iters=5),
         "kg_construct_query": (
             "WITH c AS (SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS s, "
             "c_mktsegment, c_name FROM customer) "

@@ -235,3 +235,31 @@ def test_sample_per_group_quota_and_determinism(spark):
     assert {t[0] for t in a} != {t[0] for t in c}
     with pytest.raises(ValueError, match="n must be"):
         sample_per_group(df, "lang", n=0)
+
+
+# -- pagerank ----------------------------------------------------------------
+
+
+def test_pagerank_star_graph(spark):
+    from knowledge_graph_etl_spark.extensions.graph import MICRO, pagerank
+
+    # 3 leaves -> 1 center; center has no out-edges (dangling)
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "src string, dst string"
+    )
+    out = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=2).collect()}
+    assert set(out) == {"a", "b", "c", "x"}
+    base = 150_000
+    # leaves: no in-edges -> base rank after every round
+    assert out["a"] == out["b"] == out["c"] == base
+    # center after round 2: base + 0.85 * (3 * base) (leaves' round-1 rank)
+    expect = base + (850_000 * (3 * base)) // MICRO
+    assert out["x"] == expect
+
+
+def test_pagerank_validates_iters(spark):
+    from knowledge_graph_etl_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(edges, iters=0)
