@@ -447,10 +447,14 @@ def ivf_build(
         assigned.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(path + "/assigned")
+        # repartition(1), NOT coalesce(1): coalesce makes a single task
+        # that drains all parallelize partitions from the driver
+        # sequentially (measured ~4.5 s for 16 rows); the one-file layout
+        # is the same either way
         spark.createDataFrame(
             [(r["list_id"], list(r["cent"])) for r in cent_rows],
             "list_id int, cent array<float>",
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        ).repartition(1).write.mode("overwrite").parquet(path + "/centroids")
         assigned = spark.read.parquet(path + "/assigned")
     elif materialize:
         assigned = assigned.localCheckpoint(eager=True)
