@@ -1049,6 +1049,44 @@ def _pagerank_oracle(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def events_pivot_q(spark, sf_dir):
+    """Pivot (long→wide): per-user event counts, one column per event
+    type. Spark's ``pivot`` with an EXPLICIT value list — omitting it
+    costs an extra distinct-scan job to discover values and makes the
+    output schema data-dependent, which no downstream contract wants."""
+    e = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+
+
+def events_unpivot_q(spark, sf_dir):
+    """Unpivot (wide→long, ``melt``): the inverse contract — lineitem's
+    three charge components to (measure, value) rows. Stays a narrow
+    per-row expansion (no shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
 def sample_per_group_q(spark, sf_dir):
     """Deterministic stratified sampling: 20 docs per language by md5
     rank (extensions/curation.sample_per_group)."""
@@ -1170,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
+        "events_pivot": events_pivot_q,
+        "events_unpivot": events_unpivot_q,
     }
 
 
@@ -1853,6 +1893,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "events_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+                for t in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "events_unpivot": (
+            "WITH w AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(l_extendedprice AS DOUBLE) AS extendedprice, "
+            "CAST(l_discount AS DOUBLE) AS discount, CAST(l_tax AS DOUBLE) AS tax "
+            "FROM lineitem WHERE l_orderkey < 1000) "
+            "SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure, "
+            "extendedprice AS value FROM w "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', discount FROM w "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'tax', tax FROM w"
+        ),
         "kg_construct_query": (
             "WITH c AS (SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS s, "
             "c_mktsegment, c_name FROM customer) "
