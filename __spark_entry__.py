@@ -1087,6 +1087,17 @@ def events_unpivot_q(spark, sf_dir):
     )
 
 
+def sketch_kmv_distinct_q(spark, sf_dir):
+    """Deterministic KMV distinct-count sketch per event type
+    (extensions/stats.kmv_distinct, k=16) — an approximate operator whose
+    ESTIMATE is still hash-exact verifiable (fixed md5 hash family), the
+    same verification standard as the MinHash/SimHash/IVF pipelines."""
+    from knowledge_graph_etl_spark.extensions.stats import kmv_distinct
+
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    return kmv_distinct(e, "event_type", "user_id", k=16)
+
+
 def sample_per_group_q(spark, sf_dir):
     """Deterministic stratified sampling: 20 docs per language by md5
     rank (extensions/curation.sample_per_group)."""
@@ -1210,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
+        "sketch_kmv_distinct": sketch_kmv_distinct_q,
     }
 
 
@@ -1900,6 +1912,17 @@ def oracle_sql() -> dict[str, str]:
                 for t in ["click", "error", "purchase", "signup", "view"]
             )
             + " FROM events GROUP BY user_id"
+        ),
+        "sketch_kmv_distinct": (
+            "WITH p AS (SELECT DISTINCT event_type, "
+            "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE) "
+            "/ CAST(1152921504606846976 AS DOUBLE) AS h FROM events), "
+            "r AS (SELECT event_type, h, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM p) "
+            "SELECT event_type, COUNT(*) AS n_kept, "
+            "round(CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE) "
+            "ELSE 15.0 / MAX(h) END, 4) AS est_distinct "
+            "FROM r WHERE rk <= 16 GROUP BY event_type"
         ),
         "events_unpivot": (
             "WITH w AS (SELECT l_orderkey, l_linenumber, "

@@ -54,3 +54,49 @@ def group_quantiles(
             F.min(F.when(F.col("__rn") == target, F.col(value_col))).alias(name)
         )
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group approximate distinct count via a KMV (k-minimum-values)
+    sketch — the classic bottom-k estimator: hash values uniformly into
+    (0,1], keep each group's k smallest distinct hashes, estimate
+    ``(k-1) / h_k`` from the k-th smallest. Groups with fewer than k
+    distinct values report their EXACT count (the sketch degenerates to
+    the full set).
+
+    Unlike HLL (``approx_count_distinct``), KMV on a fixed hash is fully
+    deterministic — same input, same estimate, on any engine — so even the
+    *approximate* answer is verifiable against a SQL oracle, and estimates
+    are reproducible across pipeline re-runs. Standard error ≈ 1/√(k-2).
+
+    Scale shape: one distinct-aggregate on (group, hash) — map-side
+    combinable, uniform 8-byte keys — then a per-group bottom-k via
+    ``row_number`` over the hash order. Returns
+    ``(group_col, n_kept, est_distinct)``."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # 15 md5 hex chars → uniform integer in [0, 16^15); +1 keeps the
+    # normalized hash in (0, 1] so the estimator never divides by zero
+    h_int = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = (h_int + F.lit(1)).cast("double") / F.lit(float(16**15))
+    pairs = df.select(F.col(group_col), h.alias("__h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("__h")
+    ranked = pairs.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.when(
+                F.count("*") < k, F.count("*").cast("double")
+            ).otherwise(F.lit(float(k - 1)) / F.max("__h")),
+            4,
+        ).alias("est_distinct"),
+    )

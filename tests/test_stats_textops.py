@@ -100,3 +100,24 @@ def test_tfidf_top_terms(spark):
     assert top["1"]["score"] == pytest.approx(round(2 * math.log(3 / 1), 6))
     assert top["2"]["token"] in ("banana", "cherry")  # tie -> token asc
     assert top["2"]["token"] == "banana"
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from knowledge_graph_etl_spark.extensions.stats import kmv_distinct
+
+    rows = [("small", f"v{i}") for i in range(5)] + [
+        ("big", f"u{i}") for i in range(500)
+    ] + [("big", "u0")]  # duplicate must not inflate the sketch
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=16).collect()}
+    # below k distinct -> exact
+    assert out["small"]["est_distinct"] == 5.0 and out["small"]["n_kept"] == 5
+    # at 500 distinct with k=16 the estimate is within ~3 standard errors
+    # (se ≈ 1/sqrt(14) ≈ 27%)
+    assert out["big"]["n_kept"] == 16
+    assert 500 * 0.3 < out["big"]["est_distinct"] < 500 * 2.2
+    # deterministic: identical estimate on re-run
+    again = {r["g"]: r["est_distinct"] for r in kmv_distinct(df, "g", "v", k=16).collect()}
+    assert again["big"] == out["big"]["est_distinct"]
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "g", "v", k=1)
