@@ -1087,6 +1087,33 @@ def events_unpivot_q(spark, sf_dir):
     )
 
 
+def multimodal_resize_q(spark, sf_dir):
+    """Image-resize plumbing (extensions/multimodal.resize_images): the
+    documented fake decode is a sha256 hex-chain stretch, so the resized
+    payload BYTES are exactly oracle-able; width/height metadata rewrite
+    and Arrow batch flow are the real plumbing under test."""
+    from knowledge_graph_etl_spark.extensions.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"),
+    )
+    out = resize_images(media, width=64, height=64)
+    # payload surfaced as lowercase hex (DuckDB has no md5-of-BLOB): the
+    # full resized bytes are compared, not just a digest
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
 def sketch_kmv_distinct_q(spark, sf_dir):
     """Deterministic KMV distinct-count sketch per event type
     (extensions/stats.kmv_distinct, k=16) — an approximate operator whose
@@ -1222,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
+        "multimodal_resize": multimodal_resize_q,
     }
 
 
@@ -1912,6 +1940,13 @@ def oracle_sql() -> dict[str, str]:
                 for t in ["click", "error", "purchase", "signup", "view"]
             )
             + " FROM events GROUP BY user_id"
+        ),
+        "multimodal_resize": (
+            "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "sha256(text) AS h1 FROM documents WHERE doc_id < 200), "
+            "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
+            "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
+            "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
         ),
         "sketch_kmv_distinct": (
             "WITH p AS (SELECT DISTINCT event_type, "

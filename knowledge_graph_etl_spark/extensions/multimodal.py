@@ -137,7 +137,13 @@ def resize_images(
     (width, height) metadata. The pixel work is the documented stub (the
     fake 'resized' payload is sha256-stretched to a deterministic
     width·height-dependent length); with a real codec only the inner
-    function changes — schema, Arrow batching, and column flow are real."""
+    function changes — schema, Arrow batching, and column flow are real.
+
+    The stretch chains over HEX DIGEST STRINGS (h1 = sha256(payload),
+    h2 = sha256(h1-hex), …; payload = unhex of the concatenation) rather
+    than raw digest bytes — same entropy, but every step exists in ANSI
+    SQL, so even the stubbed pixel bytes are exactly oracle-able
+    (`multimodal_resize`), like the md5 hash families of the dedup ops."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target_len = max(1, (width * height) // 64)
@@ -152,12 +158,12 @@ def resize_images(
                     raise NotImplementedError(
                         "real image resize requires codec libraries (PIL)"
                     )
-                buf = b""
-                h = hashlib.sha256(bytes(p)).digest()
-                while len(buf) < target_len:
-                    buf += h
-                    h = hashlib.sha256(h).digest()
-                payloads.append(buf[:target_len])
+                hx = hashlib.sha256(bytes(p)).hexdigest()
+                buf_hex = hx
+                while len(buf_hex) < 2 * target_len:
+                    hx = hashlib.sha256(hx.encode("ascii")).hexdigest()
+                    buf_hex += hx
+                payloads.append(bytes.fromhex(buf_hex[: 2 * target_len]))
             out["payload"] = payloads
             resized = [p is not None for p in payloads]
             out["width"] = [
