@@ -388,9 +388,10 @@ def resolve_clusters(
     ).collect()[0][0]
     prev_sum = _sum(labels)  # this action also materializes the checkpoint
     converged = False
+    cur_edges = edges
     for _ in range(max_iter):
         nbr = (
-            edges.join(labels, edges["v"] == labels["node"])
+            cur_edges.join(labels, cur_edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nbr"))
         )
@@ -413,6 +414,24 @@ def resolve_clusters(
                     "label"
                 ),
             )
+            .localCheckpoint(eager=False)
+        )
+        # Contract the edge list through the new labels (distinct
+        # (label(u), label(v)), self-loops dropped): near-dup components
+        # are dense cliques (3.2 M pairs over 5 k docs at sf0.1), and one
+        # round of hash-min turns each clique into a star — so round 2+
+        # joins a relation the size of the REPRESENTATIVE graph, not the
+        # raw pair graph. Lazy checkpoint: materializes inside the NEXT
+        # round's convergence job, keeping one Spark job per round; if
+        # the loop converges first, the unused plan never executes.
+        lu = nxt.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+        lv = nxt.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+        cur_edges = (
+            cur_edges.join(lu, "u")
+            .join(lv, "v")
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=False)
         )
         cur_sum = _sum(nxt)  # one job: materializes the round AND checks it
