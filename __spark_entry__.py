@@ -1087,6 +1087,24 @@ def events_unpivot_q(spark, sf_dir):
     )
 
 
+def streaming_curate_q(spark, sf_dir):
+    """Stateless streaming curation (streaming/curate.curate_docs:
+    normalize → length filter → PII redact) — executed in batch mode here;
+    tests/test_streaming.py proves the stream==batch equivalence. PII is
+    seeded deterministically so redaction fires at every SF."""
+    from knowledge_graph_etl_spark.streaming import curate_docs
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("  mail u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.org\tend"),
+        ).alias("text"),
+    )
+    return curate_docs(seeded)
+
+
 def multimodal_resize_q(spark, sf_dir):
     """Image-resize plumbing (extensions/multimodal.resize_images): the
     documented fake decode is a sha256 hex-chain stretch, so the resized
@@ -1250,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
         "multimodal_resize": multimodal_resize_q,
+        "streaming_curate": streaming_curate_q,
     }
 
 
@@ -1271,23 +1290,19 @@ def _sw_ratio(lang: str) -> str:
     )
 
 
-def _pii_oracle() -> str:
-    """DuckDB SQL twin of ``pii_redact_q``: same seeded text, same three
-    RE2/Java-portable patterns applied in the same email→ip→number order,
-    each counting on the previous stage's output."""
+def _pii_chain(src_cte: str) -> str:
+    """The email→ip→long-number redaction CTE chain over a source CTE
+    named ``t0`` with columns (doc_id, s) — same RE2/Java-portable
+    patterns as ``extensions.curation.pii_redact``, each stage counting on
+    the previous stage's output."""
     from knowledge_graph_etl_spark.extensions.curation import (
         EMAIL_RE,
         IPV4_RE,
         LONGNUM_RE,
     )
 
-    seeded = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
-        "'.7 acct 90210' || CAST(doc_id AS VARCHAR) || '1234567'"
-    )
     return (
-        f"WITH t0 AS (SELECT doc_id, {seeded} AS s FROM documents), "
+        f"{src_cte}, "
         f"t1 AS (SELECT doc_id, len(regexp_extract_all(s, '{EMAIL_RE}')) AS n_emails, "
         f"regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g') AS s FROM t0), "
         f"t2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(s, '{IPV4_RE}')) AS n_ipv4, "
@@ -1296,6 +1311,35 @@ def _pii_oracle() -> str:
         f"len(regexp_extract_all(s, '{LONGNUM_RE}')) AS n_longnums, "
         f"regexp_replace(s, '{LONGNUM_RE}', '<NUM>', 'g') AS s FROM t2) "
         "SELECT doc_id, s AS redacted, n_emails, n_ipv4, n_longnums FROM t3"
+    )
+
+
+def _pii_oracle() -> str:
+    """DuckDB SQL twin of ``pii_redact_q``: same seeded text."""
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 acct 90210' || CAST(doc_id AS VARCHAR) || '1234567'"
+    )
+    return _pii_chain(f"WITH t0 AS (SELECT doc_id, {seeded} AS s FROM documents)")
+
+
+def _streaming_curate_oracle() -> str:
+    """Twin of ``streaming_curate_q``: seed → normalize → token-length
+    filter → the shared PII chain."""
+    seeded = (
+        "text || '  mail u' || CAST(doc_id AS VARCHAR) || '@ex.org' "
+        "|| chr(9) || 'end'"
+    )
+    norm = (
+        "trim(regexp_replace(regexp_replace(s, '[\\x00-\\x1F\\x7F]', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    toks = "list_filter(string_split_regex(lower(trim(s)), '\\s+'), x -> x <> '')"
+    return _pii_chain(
+        f"WITH seeded AS (SELECT doc_id, {seeded} AS s FROM documents), "
+        f"norm AS (SELECT doc_id, {norm} AS s FROM seeded), "
+        f"t0 AS (SELECT doc_id, s FROM norm WHERE len({toks}) BETWEEN 5 AND 10000)"
     )
 
 
@@ -1941,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + " FROM events GROUP BY user_id"
         ),
+        "streaming_curate": _streaming_curate_oracle(),
         "multimodal_resize": (
             "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
             "sha256(text) AS h1 FROM documents WHERE doc_id < 200), "

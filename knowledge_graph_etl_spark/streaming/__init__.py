@@ -1,7 +1,9 @@
 from .ingest import stream_insert_into_store, stream_json_to_quads
+from .curate import curate_docs
 from .windows import dedup_events, sessionize, windowed_event_counts
 
 __all__ = [
+    "curate_docs",
     "stream_json_to_quads",
     "stream_insert_into_store",
     "windowed_event_counts",

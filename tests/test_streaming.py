@@ -224,3 +224,44 @@ def test_sessionize_survives_late_event_past_gap(spark, tmp_path):
     # state was registered (it emits on timeout in a later batch — here we
     # only assert survival and that nothing crashed)
     assert q.exception() is None
+
+
+def test_curate_docs_stream_matches_batch(spark, tmp_path):
+    """curate_docs is stateless, so the same transform must produce the
+    same curated rows from a file stream as from the batch read."""
+    from knowledge_graph_etl_spark.streaming import curate_docs
+
+    rows = [
+        {"doc_id": "keep", "text": "one two\tthree  mail a@b.io five six"},
+        {"doc_id": "short", "text": "too short"},
+        {"doc_id": "ip", "text": "host 10.1.2.3 up and running fine now"},
+    ]
+    src = str(tmp_path / "docs")
+    _write_jsonl(os.path.join(src, "b1.jsonl"), rows[:2])
+    _write_jsonl(os.path.join(src, "b2.jsonl"), rows[2:])
+
+    batch = curate_docs(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id string, text string"
+        )
+    )
+    stream = curate_docs(
+        spark.readStream.schema("doc_id string, text string").json(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("curate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {tuple(r) for r in spark.sql("SELECT * FROM curate_out").collect()}
+    got_batch = {tuple(r) for r in batch.collect()}
+    assert got_stream == got_batch
+    ids = {t[0] for t in got_batch}
+    assert ids == {"keep", "ip"}  # 'short' filtered by token length
+    by_id = {t[0]: t for t in got_batch}
+    assert "<EMAIL>" in by_id["keep"][1] and by_id["keep"][2] == 1
+    assert "<IP>" in by_id["ip"][1] and by_id["ip"][3] == 1
+    assert "\t" not in by_id["keep"][1]  # normalization collapsed the tab
