@@ -1164,26 +1164,35 @@ def curation_pipeline_q(spark, sf_dir):
         decontaminate,
         repetition_signals,
     )
-    from knowledge_graph_etl_spark.extensions.dedup import exact_dedup
     from knowledge_graph_etl_spark.extensions.text import normalize_text, token_count
+
+    from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
     clean = d.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    # repetition signals append in-row (pure map — no id-join), so the
+    # quality filter costs zero shuffles
     filt = (
-        clean.join(repetition_signals(clean), "doc_id")
+        repetition_signals(clean, append=True)
         .where(
             token_count(F.col("text")).between(5, 10000)
             & (F.col("dup_2gram_frac") <= 0.5)
         )
         .select("doc_id", "text")
     )
-    kept = filt.join(
-        exact_dedup(filt).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    # exact dedup as ONE window shuffle (row_number over md5(text) keyed
+    # groups, lowest id wins) — the agg+join-back form of exact_dedup()
+    # would pay two
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        filt.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
+    # decontaminate returns a row per input doc — filter it directly, no
+    # join-back needed for an id-only manifest
     flags = decontaminate(kept, kept.where((F.col("doc_id") % 50) == 0), n=3)
-    survivors = kept.join(
-        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id"
-    ).select("doc_id")
+    survivors = flags.where(~F.col("contaminated")).select("doc_id")
     return assign_shards(assign_split(survivors), num_shards=8).select(
         "doc_id", "split", "shard"
     )

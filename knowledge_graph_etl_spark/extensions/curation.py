@@ -37,7 +37,10 @@ from .text import tokens, zip_kgrams
 
 
 def repetition_signals(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Within-document repetition ratios (Gopher §A1.1-style filters):
 
@@ -81,12 +84,17 @@ def repetition_signals(
         ),
         lambda acc: acc["best"],
     )
-    return docs.select(
-        F.col(id_col),
+    signal_cols = [
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
         frac(top2, F.size(zip_kgrams(tks, 2))).alias("top_2gram_frac"),
-    )
+    ]
+    if append:
+        # keep every input column (a filter-pipeline caller needs the text
+        # downstream) — since the signals are per-row, appending avoids
+        # the id-join a separate signal table would force
+        return docs.select("*", *signal_cols)
+    return docs.select(F.col(id_col), *signal_cols)
 
 
 # ---------------------------------------------------------------------------
