@@ -473,3 +473,28 @@ def sample_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
     )
+
+
+def write_sharded_corpus(
+    docs: DataFrame,
+    path: str,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Materialize a curated corpus as ``num_shards`` stable training
+    shards: deterministic hash shard assignment (:func:`assign_shards`),
+    ONE shuffle co-locating each shard, ``partitionBy("shard")`` layout so
+    a trainer (or a later Spark job) reads shard N as one directory.
+
+    ``repartition(num_shards, "shard")`` before the write is the load-
+    bearing half: without it every write task spills a file into every
+    shard directory (tasks × shards small files — the classic partitioned-
+    write mistake); with it each shard is one task → one file."""
+    sharded = assign_shards(docs, id_col=id_col, num_shards=num_shards, salt=salt)
+    (
+        sharded.repartition(num_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -263,3 +263,36 @@ def test_pagerank_validates_iters(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iters"):
         pagerank(edges, iters=0)
+
+
+# -- sharded corpus sink ------------------------------------------------------
+
+
+def test_write_sharded_corpus_layout(spark, tmp_path):
+    import os
+
+    from knowledge_graph_etl_spark.extensions.curation import (
+        assign_shards,
+        write_sharded_corpus,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    write_sharded_corpus(docs, out, num_shards=4)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    # one data file per shard directory (co-located write, no fragmenting)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # round-trip preserves the deterministic assignment
+    expect = assign_shards(docs, num_shards=4)
+    mism = back.alias("a").join(expect.alias("b"), "doc_id").where(
+        F.col("a.shard") != F.col("b.shard")
+    )
+    assert mism.count() == 0
