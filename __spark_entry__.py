@@ -1041,8 +1041,12 @@ def _pagerank_oracle(iters: int = 5) -> str:
         parts.append(
             f", c{i} AS (SELECT dst, SUM(rank_micro // deg) AS contrib "
             f"FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY dst), "
+            # overflow-safe split form, identical to graph.pagerank:
+            # d*(c//M) + (d*(c%M))//M  ==  (d*c)//M  exactly
             f"r{i} AS (SELECT n.node, CAST(150000 + "
-            f"(850000 * COALESCE(c.contrib, 0)) // 1000000 AS BIGINT) AS rank_micro "
+            f"850000 * (COALESCE(c.contrib, 0) // 1000000) + "
+            f"(850000 * (COALESCE(c.contrib, 0) % 1000000)) // 1000000 "
+            f"AS BIGINT) AS rank_micro "
             f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"
         )
     parts.append(f" SELECT node, rank_micro FROM r{iters}")

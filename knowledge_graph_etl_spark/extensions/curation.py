@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_u60
 from .text import tokens, zip_kgrams
 
 # ---------------------------------------------------------------------------
@@ -271,15 +272,10 @@ _SPLIT_BUCKETS = 10_000
 
 
 def _id_bucket(id_col: Column, salt: str, modulus: int) -> Column:
-    """Uniform bucket in [0, modulus) from md5 of the (salted) id — the
-    same 15-hex-chars-to-bigint trick as :func:`..hashing.md5_base`, exactly
-    reproducible in ANSI SQL. Salting decorrelates split from shard."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return h % modulus
+    """Uniform bucket in [0, modulus) from md5 of the (salted) id
+    (:func:`..hashing.md5_u60` — exactly reproducible in ANSI SQL).
+    Salting decorrelates split from shard."""
+    return md5_u60(F.concat(F.lit(salt), id_col.cast("string"))) % modulus
 
 
 def assign_split(

@@ -70,6 +70,12 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        # (d·c) div M computed as d·(c div M) + (d·(c mod M)) div M — the
+        # algebraically identical split form (c = qM + r ⇒ floor(dc/M) =
+        # dq + floor(dr/M)) that cannot overflow: a direct d·c product
+        # wraps bigint once a hub's contrib passes ~1.08e10 micro-units
+        # (~10^7 in-neighbors), silently going negative with ANSI mode
+        # off. Here d·r < 10^12 and d·q < d·(total mass/M) = d·N.
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
@@ -77,7 +83,8 @@ def pagerank(
                 (
                     F.lit(base)
                     + F.expr(
-                        f"(CAST({d_micro} AS BIGINT) * coalesce(contrib, 0)) div {MICRO}"
+                        f"CAST({d_micro} AS BIGINT) * (coalesce(contrib, 0) div {MICRO}) "
+                        f"+ (CAST({d_micro} AS BIGINT) * (coalesce(contrib, 0) % {MICRO})) div {MICRO}"
                     )
                 ).cast("bigint").alias("rank_micro"),
             )

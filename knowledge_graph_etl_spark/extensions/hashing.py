@@ -23,3 +23,13 @@ def md5_base(s: Column) -> Column:
     15 hex chars < 2^60 so no engine overflows, and universal-hash
     products ``a_i * (base % p)`` stay < 2^62."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MERSENNE31
+
+
+def md5_u60(s: Column) -> Column:
+    """First 15 hex chars of md5 as a uniform bigint in [0, 2^60) — the
+    UN-reduced base of :func:`md5_base`, shared by every operator that
+    needs a cross-engine-reproducible uniform integer (split/shard
+    bucketing, KMV sketch hashes). One definition, one SQL twin
+    (``('0x' || substr(md5(x), 1, 15))::BIGINT`` in DuckDB) — keeping the
+    Spark expression and the oracles from drifting apart."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")

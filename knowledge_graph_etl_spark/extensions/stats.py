@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import md5_u60
+
 
 def group_quantiles(
     df: DataFrame,
@@ -40,7 +42,13 @@ def group_quantiles(
         raise ValueError(f"fractions must be in (0, 1], got {fracs}")
     w = Window.partitionBy(group_col).orderBy(value_col)
     wn = Window.partitionBy(group_col)
-    ranked = df.select(group_col, value_col).select(
+    # NULL values are excluded BEFORE ranking (percentile_disc semantics):
+    # ranked NULLs would sort first, occupy ranks, and shift — or NULL out —
+    # every quantile; n_rows likewise counts only real values. A group
+    # whose values are all NULL disappears from the output.
+    ranked = df.select(group_col, value_col).where(
+        F.col(value_col).isNotNull()
+    ).select(
         F.col(group_col),
         F.col(value_col),
         F.row_number().over(w).alias("__rn"),
@@ -80,12 +88,11 @@ def kmv_distinct(
     ``(group_col, n_kept, est_distinct)``."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # 15 md5 hex chars → uniform integer in [0, 16^15); +1 keeps the
-    # normalized hash in (0, 1] so the estimator never divides by zero
-    h_int = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    h = (h_int + F.lit(1)).cast("double") / F.lit(float(16**15))
+    # md5_u60 → uniform integer in [0, 2^60); +1 keeps the normalized
+    # hash in (0, 1] so the estimator never divides by zero
+    h = (md5_u60(F.col(value_col).cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(16**15))
     pairs = df.select(F.col(group_col), h.alias("__h")).distinct()
     w = Window.partitionBy(group_col).orderBy("__h")
     ranked = pairs.withColumn("__rk", F.row_number().over(w)).where(

@@ -49,14 +49,21 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (by, ts_col)
     ]
+    # carry ONE struct of (ts + value columns), not per-column carries:
+    # last(col, ignorenulls) per column would skip a legitimately-NULL
+    # field of the latest right row and splice in a STALE older value —
+    # mixing columns from different right rows. The struct itself is
+    # non-null exactly when a right row exists, so its fields (NULLs
+    # included) always travel together.
     r = right.select(
         F.col(by),
         F.col(ts_col),
         F.lit(0).alias("__tag"),
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.struct(
+            F.col(ts_col).alias(f"{prefix}{ts_col}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        ).alias("__asof"),
     )
-    carried = [f"{prefix}{ts_col}"] + [f"{prefix}{c}" for c in right_cols]
     l = left.withColumn("__tag", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -64,9 +71,11 @@ def asof_join(
         .orderBy(ts_col, "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("__tag") == 1).drop("__tag")
+    u = u.withColumn("__asof", F.last("__asof", ignorenulls=True).over(w))
+    out = u.where(F.col("__tag") == 1)
+    for c in [f"{prefix}{ts_col}"] + [f"{prefix}{c}" for c in right_cols]:
+        out = out.withColumn(c, F.col("__asof")[c])
+    return out.drop("__tag", "__asof")
 
 
 def range_join_events(
@@ -90,7 +99,12 @@ def range_join_events(
     ev = events.withColumn(
         "__bucket", (F.col(ts_col) / bucket_width).cast("bigint")
     )
-    iv = intervals.withColumn(
+    # degenerate intervals (end <= start) are dropped BEFORE the explode:
+    # sequence(a, b) with a > b counts DOWN, so one malformed row would
+    # otherwise explode into |start-end|/bucket_width spurious bucket rows
+    # (potentially millions) that the post-filter only discards after the
+    # join. An empty interval correctly matches zero events.
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
