@@ -996,6 +996,42 @@ def kg_construct_query_q(spark, sf_dir):
     )
 
 
+def kg_path_query_q(spark, sf_dir):
+    """SPARQL 1.1 property path: transitive closure (`+`) over an
+    order→customer→nation→region parent hierarchy (operators/paths.py
+    semi-naive closure), oracled against a DuckDB recursive CTE — the
+    engine's iterative operator verified exactly, like graph_pagerank."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+
+    def _edges(df, pa, ka, pb, kb):
+        return df.select(
+            F.lit("urn:g:hier").alias("g"),
+            F.concat(F.lit(f"urn:{pa}:"), F.col(ka).cast("string")).alias("s"),
+            F.lit("iri").alias("s_type"),
+            F.lit("urn:p:parent").alias("p"),
+            F.concat(F.lit(f"urn:{pb}:"), F.col(kb).cast("string")).alias("o_value"),
+            F.lit("iri").alias("o_type"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+
+    quads = (
+        _edges(_t(spark, sf_dir, "orders"), "o", "o_orderkey", "c", "o_custkey")
+        .unionByName(
+            _edges(_t(spark, sf_dir, "customer"), "c", "c_custkey", "n", "c_nationkey")
+        )
+        .unionByName(
+            _edges(_t(spark, sf_dir, "nation"), "n", "n_nationkey", "r", "n_regionkey")
+        )
+    )
+    eng.store.insert(quads, dedup_against_store=False, batch_distinct=True)
+    return eng.select(
+        "SELECT ?x ?top FROM <urn:g:hier> WHERE { ?x <urn:p:parent>+ ?top }"
+    )
+
+
 def graph_pagerank_q(spark, sf_dir):
     """Fixed-point integer PageRank over the order→customer→nation→region
     chain graph (extensions/graph.pagerank) — an iterative algorithm with
@@ -1277,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
+        "kg_path_query": kg_path_query_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -1990,6 +2027,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "kg_path_query": (
+            "WITH RECURSIVE e AS ("
+            "SELECT 'urn:o:' || CAST(o_orderkey AS VARCHAR) AS a, "
+            "'urn:c:' || CAST(o_custkey AS VARCHAR) AS b FROM orders "
+            "UNION ALL SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR), "
+            "'urn:n:' || CAST(c_nationkey AS VARCHAR) FROM customer "
+            "UNION ALL SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR), "
+            "'urn:r:' || CAST(n_regionkey AS VARCHAR) FROM nation), "
+            "r AS (SELECT a, b FROM e "
+            "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a) "
+            "SELECT a AS x, b AS top FROM r"
+        ),
         "events_pivot": (
             "SELECT user_id, "
             + ", ".join(

@@ -35,6 +35,7 @@ from ..functions import (
 )
 from ..operators.bgp import BGPBuilder, Var, _companion, pattern, star_scan
 from ..operators.construct import construct
+from ..operators.paths import path_solution
 from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, Term
 from .parser import (
     AskQuery,
@@ -52,6 +53,7 @@ from .parser import (
     IriT,
     LitT,
     OptionalGroup,
+    PathT,
     SelectQuery,
     TriplePattern,
     VarT,
@@ -331,6 +333,20 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
 
     for el in group.elements:
         if isinstance(el, TriplePattern):
+            if isinstance(el.p, PathT):
+                # property-path pattern: evaluates to its own solution
+                # relation (operators/paths.py) and joins like any group —
+                # it never participates in the star rewrite
+                flush_run()
+                b.join_group(
+                    path_solution(
+                        dataset,
+                        _term_to_pattern_arg(el.s),
+                        el.p,
+                        _term_to_pattern_arg(el.o),
+                    )
+                )
+                continue
             run.append(el)
             continue
         flush_run()

@@ -164,6 +164,17 @@ class AskQuery:
 
 
 @dataclass
+class PathT:
+    """Property-path expression (SPARQL 1.1 §9 subset): ``op`` in
+    ``seq`` / ``alt`` (parts = operand list), ``inv`` / ``plus`` /
+    ``star`` (parts = [child]). Leaves are ``IriT``. Only valid in WHERE
+    patterns — templates reject paths at parse time."""
+
+    op: str
+    parts: list
+
+
+@dataclass
 class ConstructQuery:
     """Read-side ``CONSTRUCT { template } [FROM <g>...] WHERE { ... }`` —
     the query form of the INSERT template machinery: instantiates the
@@ -195,7 +206,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
-    | (?P<PUNCT>[{}\[\]();,.*])
+    | (?P<PUNCT>[{}\[\]();,.*+/^|])
     """,
     re.VERBOSE,
 )
@@ -277,6 +288,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._bnode_n = 0
+        # property paths are WHERE-only: parse_group flips this on, so a
+        # path in an INSERT/DELETE/CONSTRUCT template fails loudly
+        self._allow_paths = False
 
     # -- token helpers ----------------------------------------------------
 
@@ -662,6 +676,14 @@ class _Parser:
     # -- groups -----------------------------------------------------------
 
     def parse_group(self) -> Group:
+        prev_paths = self._allow_paths
+        self._allow_paths = True
+        try:
+            return self._parse_group_body()
+        finally:
+            self._allow_paths = prev_paths
+
+    def _parse_group_body(self) -> Group:
         self.expect_punct("{")
         g = Group()
         while not self.at_punct("}"):
@@ -729,11 +751,57 @@ class _Parser:
                 break
 
     def parse_verb(self):
+        if self._allow_paths:
+            return self.parse_path()
+        return self.parse_verb_primary()
+
+    def parse_verb_primary(self):
         t = self.peek()
         if t is not None and t.kind == "NAME" and t.text == "a":
             self.next()
             return IriT(RDF_TYPE)
         return IriT(self.parse_iri())
+
+    # -- property paths (SPARQL 1.1 §9 subset: / ^ | + *) ------------------
+
+    def parse_path(self):
+        node = self.parse_path_seq()
+        while self.at_punct("|"):
+            self.next()
+            alt = self.parse_path_seq()
+            if isinstance(node, PathT) and node.op == "alt":
+                node.parts.append(alt)
+            else:
+                node = PathT("alt", [node, alt])
+        return node
+
+    def parse_path_seq(self):
+        parts = [self.parse_path_elt()]
+        while self.at_punct("/"):
+            self.next()
+            parts.append(self.parse_path_elt())
+        return parts[0] if len(parts) == 1 else PathT("seq", parts)
+
+    def parse_path_elt(self):
+        inv = False
+        if self.at_punct("^"):
+            self.next()
+            inv = True
+        if self.at_punct("("):
+            self.next()
+            prim = self.parse_path()
+            self.expect_punct(")")
+        else:
+            prim = self.parse_verb_primary()
+        if self.at_punct("+"):
+            self.next()
+            prim = PathT("plus", [prim])
+        elif self.at_punct("*"):
+            self.next()
+            prim = PathT("star", [prim])
+        if inv:
+            prim = PathT("inv", [prim])
+        return prim
 
     def parse_term_or_bnode(self, out: list, allow_vars: bool):
         t = self.peek()
