@@ -996,6 +996,33 @@ def kg_construct_query_q(spark, sf_dir):
     )
 
 
+def kg_not_exists_q(spark, sf_dir):
+    """FILTER NOT EXISTS + MINUS through the SPARQL frontend (anti-join
+    compilation, plans/compiler.py): BUILDING customers with no urgent
+    order, minus a named customer — both negation forms in one query."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    eng.store.insert(
+        _orders_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?c ?name WHERE {
+            ?c p:c_mktsegment "BUILDING" ; p:c_name ?name .
+            FILTER NOT EXISTS {
+                ?ord p:o_custkey ?c . ?ord p:o_orderpriority "1-URGENT"
+            }
+            MINUS { ?c p:c_name "Customer#000000001" }
+        }
+        """
+    )
+
+
 def kg_path_query_q(spark, sf_dir):
     """SPARQL 1.1 property path: transitive closure (`+`) over an
     order→customer→nation→region parent hierarchy (operators/paths.py
@@ -1314,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
         "kg_path_query": kg_path_query_q,
+        "kg_not_exists": kg_not_exists_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2027,6 +2055,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "kg_not_exists": (
+            "WITH c AS (SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS c, "
+            "c_name AS name, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+            "SELECT c, name FROM c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT') "
+            "AND name <> 'Customer#000000001'"
+        ),
         "kg_path_query": (
             "WITH RECURSIVE e AS ("
             "SELECT 'urn:o:' || CAST(o_orderkey AS VARCHAR) AS a, "

@@ -33,7 +33,7 @@ from ..functions import (
     strafter,
     strbefore,
 )
-from ..operators.bgp import BGPBuilder, Var, _companion, pattern, star_scan
+from ..operators.bgp import BGPBuilder, Var, _companion, _term_join, pattern, star_scan
 from ..operators.construct import construct
 from ..operators.paths import path_solution
 from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, Term
@@ -52,6 +52,8 @@ from .parser import (
     InsertWhere,
     IriT,
     LitT,
+    ExistsFilter,
+    MinusGroup,
     OptionalGroup,
     PathT,
     SelectQuery,
@@ -350,6 +352,28 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             run.append(el)
             continue
         flush_run()
+        if isinstance(el, (ExistsFilter, MinusGroup)):
+            ensure_df()
+            sub = compile_group(el.group, dataset)
+            shared = [
+                c for c in sub.columns if "__" not in c and c in b.df.columns
+            ]
+            if isinstance(el, MinusGroup):
+                # disjoint-domain rule: no shared vars -> MINUS removes
+                # nothing (SPARQL 1.1 §8.3)
+                if shared:
+                    b.df = _term_join(b.df, sub, shared, "left_anti")
+            elif shared:
+                how = "left_anti" if el.negated else "left_semi"
+                b.df = _term_join(b.df, sub, shared, how)
+            else:
+                # variable-free (or var-disjoint) EXISTS: a global gate —
+                # lazily expressed as a semi/anti join against ONE row of
+                # the subgroup, no driver-side count
+                how = "left_anti" if el.negated else "left_semi"
+                gate = sub.limit(1).select(F.lit(1).alias("__gate"))
+                b.df = b.df.join(gate, F.lit(True), how)
+            continue
         if isinstance(el, OptionalGroup):
             ensure_df()
             sub = compile_group(el.group, dataset)

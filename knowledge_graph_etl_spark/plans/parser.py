@@ -102,6 +102,27 @@ class Group:
 
 
 @dataclass
+class ExistsFilter:
+    """``FILTER EXISTS { g }`` / ``FILTER NOT EXISTS { g }`` — a semi/anti
+    join against the group's solutions on shared variables (SPARQL 1.1
+    §8.1). With NO shared variables the subgroup acts as a global gate:
+    non-empty ⇒ all solutions pass (EXISTS) / none do (NOT EXISTS)."""
+
+    group: "Group"
+    negated: bool
+
+
+@dataclass
+class MinusGroup:
+    """``MINUS { g }`` (SPARQL 1.1 §8.3): remove solutions that have a
+    COMPATIBLE solution in g sharing at least one variable — with no
+    shared variables MINUS removes nothing (the spec's
+    disjoint-domain rule, the observable difference vs NOT EXISTS)."""
+
+    group: "Group"
+
+
+@dataclass
 class InsertWhere:
     template: list  # [(graph | None, TriplePattern)]
     target_graph: str | None  # WITH <g>
@@ -702,10 +723,21 @@ class _Parser:
                 g.elements.append(BindExpr(expr, self._user_var(var).name))
             elif self.at_name("FILTER"):
                 self.next()
-                self.expect_punct("(")
-                expr = self.parse_expr()
-                self.expect_punct(")")
-                g.elements.append(FilterExpr(expr))
+                if self.at_name("EXISTS"):
+                    self.next()
+                    g.elements.append(ExistsFilter(self.parse_group(), False))
+                elif self.at_name("NOT"):
+                    self.next()
+                    self.expect_name("EXISTS")
+                    g.elements.append(ExistsFilter(self.parse_group(), True))
+                else:
+                    self.expect_punct("(")
+                    expr = self.parse_expr()
+                    self.expect_punct(")")
+                    g.elements.append(FilterExpr(expr))
+            elif self.at_name("MINUS"):
+                self.next()
+                g.elements.append(MinusGroup(self.parse_group()))
             else:
                 for tp in self.parse_triples_block(allow_vars=True):
                     g.elements.append(tp)

@@ -618,3 +618,45 @@ def test_construct_query_rejects_wrong_form(spark):
 
     with pytest.raises(ValueError, match="CONSTRUCT"):
         Engine(spark).construct_query("SELECT ?s WHERE { ?s <urn:p> ?o }")
+
+
+# -- negation: FILTER (NOT) EXISTS / MINUS -----------------------------------
+
+
+def _neg_engine(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:n", "urn:s:1", "iri", "urn:p:name", "a", "literal", None, None),
+            ("urn:g:n", "urn:s:2", "iri", "urn:p:name", "b", "literal", None, None),
+            ("urn:g:n", "urn:s:1", "iri", "urn:p:flag", "y", "literal", None, None),
+        ]
+    )
+    return eng
+
+
+def test_filter_exists_and_not_exists(spark):
+    eng = _neg_engine(spark)
+    q = "SELECT ?s FROM <urn:g:n> WHERE {{ ?s <urn:p:name> ?n FILTER {} EXISTS {{ ?s <urn:p:flag> ?f }} }}"
+    assert {r["s"] for r in eng.select(q.format("")).collect()} == {"urn:s:1"}
+    assert {r["s"] for r in eng.select(q.format("NOT")).collect()} == {"urn:s:2"}
+
+
+def test_minus_shared_and_disjoint(spark):
+    eng = _neg_engine(spark)
+    got = {r["s"] for r in eng.select(
+        'SELECT ?s FROM <urn:g:n> WHERE { ?s <urn:p:name> ?n MINUS { ?s <urn:p:flag> "y" } }'
+    ).collect()}
+    assert got == {"urn:s:2"}
+    # disjoint-domain MINUS removes NOTHING (the spec's observable
+    # difference vs NOT EXISTS, which would remove everything here)
+    got2 = {r["s"] for r in eng.select(
+        'SELECT ?s FROM <urn:g:n> WHERE { ?s <urn:p:name> ?n MINUS { ?x <urn:p:flag> "y" } }'
+    ).collect()}
+    assert got2 == {"urn:s:1", "urn:s:2"}
+    got3 = {r["s"] for r in eng.select(
+        'SELECT ?s FROM <urn:g:n> WHERE { ?s <urn:p:name> ?n FILTER NOT EXISTS { ?x <urn:p:flag> "y" } }'
+    ).collect()}
+    assert got3 == set()
