@@ -1023,6 +1023,30 @@ def kg_not_exists_q(spark, sf_dir):
     )
 
 
+def kg_union_values_q(spark, sf_dir):
+    """UNION groups + VALUES inline data + BIND through the SPARQL
+    frontend: two tagged segment branches unioned, then joined against a
+    VALUES-provided tag set."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?c ?name ?tag WHERE {
+            { ?c p:c_mktsegment "BUILDING" . BIND("B" AS ?tag) }
+            UNION
+            { ?c p:c_mktsegment "MACHINERY" . BIND("M" AS ?tag) }
+            ?c p:c_name ?name .
+            VALUES ?tag { "B" "M" }
+        }
+        """
+    )
+
+
 def kg_path_query_q(spark, sf_dir):
     """SPARQL 1.1 property path: transitive closure (`+`) over an
     order→customer→nation→region parent hierarchy (operators/paths.py
@@ -1342,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank_q,
         "kg_path_query": kg_path_query_q,
         "kg_not_exists": kg_not_exists_q,
+        "kg_union_values": kg_union_values_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2055,6 +2080,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "kg_union_values": (
+            "SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS c, "
+            "c_name AS name, 'B' AS tag FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL "
+            "SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR), c_name, 'M' "
+            "FROM customer WHERE c_mktsegment = 'MACHINERY'"
+        ),
         "kg_not_exists": (
             "WITH c AS (SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS c, "
             "c_name AS name, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "

@@ -56,6 +56,8 @@ from .parser import (
     MinusGroup,
     OptionalGroup,
     PathT,
+    UnionGroup,
+    ValuesClause,
     SelectQuery,
     TriplePattern,
     VarT,
@@ -352,6 +354,49 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             run.append(el)
             continue
         flush_run()
+        if isinstance(el, UnionGroup):
+            # compile each branch, align columns (a var absent from one
+            # branch is unbound there -> typed NULL), union, then term-join
+            # into the accumulated solutions on whatever vars are shared
+            parts = [compile_group(sub, dataset) for sub in el.groups]
+            allcols: list[str] = []
+            for pdf in parts:
+                for c in pdf.columns:
+                    if c not in allcols:
+                        allcols.append(c)
+            aligned = [
+                pdf.select(
+                    *[
+                        (F.col(c) if c in pdf.columns else _null_str().alias(c))
+                        for c in allcols
+                    ]
+                )
+                for pdf in parts
+            ]
+            u = aligned[0]
+            for pdf in aligned[1:]:
+                u = u.unionByName(pdf)
+            b.join_group(u)
+            continue
+        if isinstance(el, ValuesClause):
+            rows = []
+            for row in el.rows:
+                vals: list = []
+                for term in row:
+                    if term is None:
+                        vals += [None, None, None, None]
+                    elif isinstance(term, IriT):
+                        vals += [term.value, IRI, None, None]
+                    else:  # LitT
+                        vals += [term.value, LITERAL, term.datatype, term.lang]
+                rows.append(tuple(vals))
+            schema = ", ".join(
+                f"{n} string, {_companion(n, 'type')} string, "
+                f"{_companion(n, 'dt')} string, {_companion(n, 'lang')} string"
+                for n in el.variables
+            )
+            b.join_group(dataset.sparkSession.createDataFrame(rows, schema))
+            continue
         if isinstance(el, (ExistsFilter, MinusGroup)):
             ensure_df()
             sub = compile_group(el.group, dataset)

@@ -102,6 +102,24 @@ class Group:
 
 
 @dataclass
+class UnionGroup:
+    """``{ g1 } UNION { g2 } ...`` (GroupOrUnionGraphPattern): solution
+    union with unshared variables unbound — a bare braced subgroup parses
+    as a one-element union."""
+
+    groups: list
+
+
+@dataclass
+class ValuesClause:
+    """``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline
+    data; rows hold IriT/LitT terms or None for UNDEF."""
+
+    variables: list  # [str]
+    rows: list  # [[term|None, ...]]
+
+
+@dataclass
 class ExistsFilter:
     """``FILTER EXISTS { g }`` / ``FILTER NOT EXISTS { g }`` — a semi/anti
     join against the group's solutions on shared variables (SPARQL 1.1
@@ -738,11 +756,60 @@ class _Parser:
             elif self.at_name("MINUS"):
                 self.next()
                 g.elements.append(MinusGroup(self.parse_group()))
+            elif self.at_name("VALUES"):
+                self.next()
+                g.elements.append(self.parse_values())
+            elif self.at_punct("{"):
+                parts = [self.parse_group()]
+                while self.at_name("UNION"):
+                    self.next()
+                    parts.append(self.parse_group())
+                g.elements.append(UnionGroup(parts))
             else:
                 for tp in self.parse_triples_block(allow_vars=True):
                     g.elements.append(tp)
         self.expect_punct("}")
         return g
+
+    def parse_values(self) -> ValuesClause:
+        if self.at_punct("("):
+            self.next()
+            names = []
+            while not self.at_punct(")"):
+                names.append(self._user_var(self.next()).name)
+            self.expect_punct(")")
+        else:
+            names = [self._user_var(self.next()).name]
+        self.expect_punct("{")
+        rows = []
+        while not self.at_punct("}"):
+            if self.at_punct("("):
+                self.next()
+                row = []
+                while not self.at_punct(")"):
+                    row.append(self._values_term())
+                self.expect_punct(")")
+            else:
+                row = [self._values_term()]
+            if len(row) != len(names):
+                raise SyntaxError(
+                    f"VALUES row width {len(row)} != variable count {len(names)}"
+                )
+            rows.append(row)
+        self.expect_punct("}")
+        return ValuesClause(names, rows)
+
+    def _values_term(self):
+        t = self.peek()
+        if t is not None and t.kind == "NAME" and t.text == "UNDEF":
+            self.next()
+            return None
+        if t is not None and t.kind in ("STRING", "LONGSTRING", "NUMBER"):
+            if t.kind == "NUMBER":
+                self.next()
+                return LitT(t.text)
+            return self.parse_literal()
+        return IriT(self.parse_iri())
 
     # -- triples ----------------------------------------------------------
 
@@ -783,6 +850,13 @@ class _Parser:
                 break
 
     def parse_verb(self):
+        t = self.peek()
+        if t is not None and t.kind == "VAR":
+            # variable predicate ?p — valid in patterns and templates;
+            # SPARQL 1.1 forbids variables inside property paths, so no
+            # path modifiers apply
+            self.next()
+            return self._user_var(t)
         if self._allow_paths:
             return self.parse_path()
         return self.parse_verb_primary()

@@ -660,3 +660,50 @@ def test_minus_shared_and_disjoint(spark):
         'SELECT ?s FROM <urn:g:n> WHERE { ?s <urn:p:name> ?n FILTER NOT EXISTS { ?x <urn:p:flag> "y" } }'
     ).collect()}
     assert got3 == set()
+
+
+# -- UNION / VALUES / variable predicates ------------------------------------
+
+
+def test_union_groups(spark):
+    eng = _neg_engine(spark)
+    got = {(r["s"], r["o"]) for r in eng.select(
+        """SELECT ?s ?o FROM <urn:g:n> WHERE {
+             { ?s <urn:p:name> ?o } UNION { ?s <urn:p:flag> ?o } }"""
+    ).collect()}
+    assert got == {
+        ("urn:s:1", "a"), ("urn:s:2", "b"), ("urn:s:1", "y"),
+    }
+
+
+def test_union_unshared_var_unbound(spark):
+    eng = _neg_engine(spark)
+    rows = eng.select(
+        """SELECT ?s ?n ?f FROM <urn:g:n> WHERE {
+             { ?s <urn:p:name> ?n } UNION { ?s <urn:p:flag> ?f } }"""
+    ).collect()
+    by = [(r["s"], r["n"], r["f"]) for r in rows]
+    assert ("urn:s:1", "a", None) in by and ("urn:s:1", None, "y") in by
+
+
+def test_values_single_and_multi(spark):
+    eng = _neg_engine(spark)
+    got = {r["s"] for r in eng.select(
+        """SELECT ?s FROM <urn:g:n> WHERE {
+             ?s <urn:p:name> ?n VALUES ?n { "a" "zzz" } }"""
+    ).collect()}
+    assert got == {"urn:s:1"}
+    got2 = {(r["s"], r["n"]) for r in eng.select(
+        """SELECT ?s ?n FROM <urn:g:n> WHERE {
+             ?s <urn:p:name> ?n
+             VALUES (?s ?n) { (<urn:s:1> "a") (<urn:s:2> "WRONG") } }"""
+    ).collect()}
+    assert got2 == {("urn:s:1", "a")}  # the mismatched pair joins nothing
+
+
+def test_variable_predicate(spark):
+    eng = _neg_engine(spark)
+    got = {(r["p"], r["o"]) for r in eng.select(
+        "SELECT ?p ?o FROM <urn:g:n> WHERE { <urn:s:1> ?p ?o }"
+    ).collect()}
+    assert got == {("urn:p:name", "a"), ("urn:p:flag", "y")}
