@@ -1047,6 +1047,34 @@ def kg_union_values_q(spark, sf_dir):
     )
 
 
+def kg_group_agg_q(spark, sf_dir):
+    """SELECT aggregates through the SPARQL frontend: GROUP BY + COUNT /
+    SUM / MIN (plans/compiler._aggregate_select) — sums accumulate in
+    decimal so the result is exact and order-independent."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    quads = quadify(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "urn:ord:",
+        "urn:g:ordagg",
+        columns=["o_orderpriority", "o_totalprice"],
+        namespace=P,
+    )
+    eng.store.insert(quads, dedup_against_store=False, batch_distinct=True)
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?pri (COUNT(*) AS ?n_orders) (SUM(?tp) AS ?total)
+               (COUNT(DISTINCT ?o) AS ?n_subjects)
+        FROM <urn:g:ordagg>
+        WHERE { ?o p:o_orderpriority ?pri . ?o p:o_totalprice ?tp }
+        GROUP BY ?pri
+        """
+    )
+
+
 def kg_path_query_q(spark, sf_dir):
     """SPARQL 1.1 property path: transitive closure (`+`) over an
     order→customer→nation→region parent hierarchy (operators/paths.py
@@ -1367,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_query": kg_path_query_q,
         "kg_not_exists": kg_not_exists_q,
         "kg_union_values": kg_union_values_q,
+        "kg_group_agg": kg_group_agg_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2080,6 +2109,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "kg_group_agg": (
+            "SELECT o_orderpriority AS pri, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total, "
+            "COUNT(DISTINCT o_orderkey) AS n_subjects "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
         "kg_union_values": (
             "SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS c, "
             "c_name AS name, 'B' AS tag FROM customer WHERE c_mktsegment = 'BUILDING' "

@@ -38,6 +38,7 @@ from ..operators.construct import construct
 from ..operators.paths import path_solution
 from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, Term
 from .parser import (
+    AggCall,
     AskQuery,
     BindExpr,
     BNodeT,
@@ -631,8 +632,16 @@ def compile_select(
     sort materialization), which is the plan you want at scale."""
     dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
     df = compile_group(node.where, dataset)
-    if node.variables is not None:
-        for name, expr in node.variables:
+    variables = node.variables
+    has_aggs = variables is not None and any(
+        isinstance(e, AggCall) for _, e in variables
+    )
+    if (node.group_by or has_aggs) and variables is not None:
+        df = _aggregate_select(df, node.group_by or [], variables)
+        # every projected var is now a plain column of the aggregate
+        variables = [(n, None) for n, _ in variables]
+    if variables is not None:
+        for name, expr in variables:
             if expr is None:
                 continue
             te = compile_expr(expr, set(df.columns))
@@ -642,7 +651,7 @@ def compile_select(
                 .withColumn(_companion(name, "dt"), te.datatype)
                 .withColumn(_companion(name, "lang"), te.lang)
             )
-        names = [n for n, _ in node.variables]
+        names = [n for n, _ in variables]
     else:
         # SELECT *: every in-scope user variable (desugared bnode vars are
         # not variables and never project)
@@ -688,6 +697,85 @@ def compile_select(
     if not with_terms:
         drop += [c for c in out_cols if "__" in c]
     return df.drop(*drop) if drop else df
+
+
+def _aggregate_select(
+    df: DataFrame, group_by: list, variables: list
+) -> DataFrame:
+    """GROUP BY + aggregate projection (SPARQL 1.1 §11 subset).
+
+    Grouping keys are TERMS: a key var groups on its value column plus
+    every companion present, so ``"5"`` and ``"5"^^xsd:integer`` form
+    distinct groups. Aggregate semantics on the lexical store:
+
+    * COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) — rows / bound terms /
+      distinct term values;
+    * SUM / AVG — values cast to decimal(28,6) (EXACT, order-independent
+      accumulation — a double sum would not be reproducible across
+      partitionings or engines), result cast to double; non-numeric
+      lexical values become NULL and are ignored, per SPARQL's
+      error-ignoring aggregate rule;
+    * MIN / MAX — lexicographic on the lexical form (document the corpus
+      convention; numeric min/max via a BIND cast upstream);
+    * SAMPLE — F.min, a DETERMINISTIC choice (the spec allows any
+      element; picking the minimum keeps runs and oracles reproducible).
+
+    A projected plain variable must be a grouping key (SPARQL's own
+    restriction) — anything else raises."""
+    cols = set(df.columns)
+    keys: list[Column] = []
+    for g in group_by:
+        if g not in cols:
+            raise ValueError(f"GROUP BY variable ?{g} is not in scope")
+        keys.append(F.col(g))
+        for kind in ("type", "dt", "lang"):
+            comp = _companion(g, kind)
+            if comp in cols:
+                keys.append(F.col(comp))
+    aggs: list[Column] = []
+    for name, expr in variables:
+        if expr is None:
+            if name not in group_by:
+                raise ValueError(
+                    f"projected variable ?{name} must be aggregated or "
+                    "appear in GROUP BY"
+                )
+            continue
+        if not isinstance(expr, AggCall):
+            raise ValueError(
+                "non-aggregate projection expressions are not supported "
+                "together with GROUP BY; BIND before grouping instead"
+            )
+        aggs.append(_agg_column(expr, cols).alias(name))
+    if not aggs:
+        raise ValueError("GROUP BY needs at least one aggregate projection")
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _agg_column(expr: AggCall, cols: set) -> Column:
+    if expr.name == "COUNT":
+        if expr.arg is None:
+            return F.count(F.lit(1)).cast("long")
+        val = compile_expr(expr.arg, cols).value
+        c = F.count_distinct(val) if expr.distinct else F.count(val)
+        return c.cast("long")
+    val = compile_expr(expr.arg, cols).value
+    if expr.name == "SUM":
+        # try_cast: a non-numeric lexical value becomes NULL and is
+        # ignored by the aggregate (SPARQL's error-ignoring rule); a plain
+        # cast would THROW under ANSI mode
+        return F.sum(val.try_cast("decimal(28,6)")).cast("double")
+    if expr.name == "AVG":
+        return F.avg(val.try_cast("decimal(28,6)")).cast("double")
+    if expr.name == "MIN":
+        return F.min(val)
+    if expr.name == "MAX":
+        return F.max(val)
+    if expr.name == "SAMPLE":
+        return F.min(val)
+    raise ValueError(f"unsupported aggregate {expr.name}")
 
 
 def compile_ask(node: AskQuery, store) -> DataFrame:

@@ -181,6 +181,17 @@ class GraphDDL:
     silent: bool
 
 
+@dataclass(frozen=True)
+class AggCall:
+    """Aggregate in a SELECT projection: ``name`` in COUNT/SUM/MIN/MAX/
+    AVG/SAMPLE; ``arg`` is an expression AST or None for ``COUNT(*)``;
+    ``distinct`` only with COUNT."""
+
+    name: str
+    arg: object | None
+    distinct: bool = False
+
+
 @dataclass
 class SelectQuery:
     """Read-side ``SELECT`` over the same algebra the updates compile
@@ -194,6 +205,7 @@ class SelectQuery:
     order_by: list  # [(expr_ast, desc: bool)]
     limit: int | None
     offset: int | None
+    group_by: list = None  # [var name] or None
 
 
 @dataclass
@@ -301,6 +313,8 @@ def tokenize(text: str) -> list[Token]:
 # --------------------------------------------------------------------------
 
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
 
 FUNCTIONS = {
     "CONCAT",
@@ -671,6 +685,7 @@ class _Parser:
         order_by: list = []
         limit: int | None = None
         offset: int | None = None
+        group_by: list = []
         while True:
             if self.at_name("ORDER"):
                 self.next()
@@ -694,6 +709,23 @@ class _Parser:
                         break
                 if not order_by:
                     raise SyntaxError("ORDER BY needs at least one condition")
+            elif self.at_name("GROUP"):
+                self.next()
+                self.expect_name("BY")
+                group_by = []
+                while True:
+                    t = self.peek()
+                    if t is None or t.kind != "VAR":
+                        break
+                    self.next()
+                    group_by.append(self._user_var(t).name)
+                if not group_by:
+                    raise SyntaxError("GROUP BY needs at least one variable")
+            elif self.at_name("HAVING"):
+                raise SyntaxError(
+                    "HAVING is not supported (the expression subset has no "
+                    "comparison operators); filter on the aggregated result"
+                )
             elif self.at_name("LIMIT"):
                 self.next()
                 t = self.next()
@@ -709,7 +741,8 @@ class _Parser:
             else:
                 break
         return SelectQuery(
-            variables, distinct, from_graphs, where, order_by, limit, offset
+            variables, distinct, from_graphs, where, order_by, limit, offset,
+            group_by,
         )
 
     # -- groups -----------------------------------------------------------
@@ -965,6 +998,24 @@ class _Parser:
         if t.kind == "NUMBER":
             self.next()
             return LitT(t.text)
+        if t.kind == "NAME" and t.text.upper() in AGG_FUNCS:
+            fname = self.next().text.upper()
+            self.expect_punct("(")
+            distinct = False
+            if self.at_name("DISTINCT"):
+                distinct = True
+                self.next()
+            if self.at_punct("*"):
+                if fname != "COUNT":
+                    raise SyntaxError(f"{fname}(*) is not valid")
+                self.next()
+                arg = None
+            else:
+                arg = self.parse_expr()
+            self.expect_punct(")")
+            if distinct and fname != "COUNT":
+                raise SyntaxError("DISTINCT is only supported inside COUNT")
+            return AggCall(fname, arg, distinct)
         if t.kind == "NAME" and t.text.upper() in FUNCTIONS:
             fname = self.next().text.upper()
             self.expect_punct("(")

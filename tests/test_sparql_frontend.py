@@ -707,3 +707,55 @@ def test_variable_predicate(spark):
         "SELECT ?p ?o FROM <urn:g:n> WHERE { <urn:s:1> ?p ?o }"
     ).collect()}
     assert got == {("urn:p:name", "a"), ("urn:p:flag", "y")}
+
+
+# -- SELECT aggregates -------------------------------------------------------
+
+
+def _agg_engine(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:agg", "urn:s:1", "iri", "urn:p:seg", "X", "literal", None, None),
+            ("urn:g:agg", "urn:s:1", "iri", "urn:p:v", "2.5", "literal", None, None),
+            ("urn:g:agg", "urn:s:2", "iri", "urn:p:seg", "X", "literal", None, None),
+            ("urn:g:agg", "urn:s:2", "iri", "urn:p:v", "1.5", "literal", None, None),
+            ("urn:g:agg", "urn:s:3", "iri", "urn:p:seg", "Y", "literal", None, None),
+            ("urn:g:agg", "urn:s:3", "iri", "urn:p:v", "oops", "literal", None, None),
+        ]
+    )
+    return eng
+
+
+def test_group_by_aggregates(spark):
+    eng = _agg_engine(spark)
+    rows = {r["seg"]: r for r in eng.select(
+        """SELECT ?seg (COUNT(*) AS ?n) (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+           FROM <urn:g:agg>
+           WHERE { ?c <urn:p:seg> ?seg . ?c <urn:p:v> ?v } GROUP BY ?seg"""
+    ).collect()}
+    assert rows["X"]["n"] == 2 and rows["X"]["total"] == 4.0
+    assert rows["X"]["mean"] == 2.0
+    # non-numeric lexical value -> NULL -> ignored by SUM (SPARQL
+    # error-ignoring aggregates); COUNT(*) still counts the row
+    assert rows["Y"]["n"] == 1 and rows["Y"]["total"] is None
+
+
+def test_global_aggregate_and_count_distinct(spark):
+    eng = _agg_engine(spark)
+    row = eng.select(
+        """SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?seg) AS ?nseg)
+           FROM <urn:g:agg> WHERE { ?c <urn:p:seg> ?seg }"""
+    ).collect()
+    assert len(row) == 1 and row[0]["n"] == 3 and row[0]["nseg"] == 2
+
+
+def test_group_by_rejects_unaggregated_projection(spark):
+    eng = _agg_engine(spark)
+    with pytest.raises(Exception, match="GROUP BY"):
+        eng.select(
+            """SELECT ?seg ?c (COUNT(*) AS ?n) FROM <urn:g:agg>
+               WHERE { ?c <urn:p:seg> ?seg } GROUP BY ?seg"""
+        ).collect()
