@@ -353,6 +353,15 @@ class GraphStore:
                 # uncommitted generation from a crashed write — roll back
                 shutil.rmtree(os.path.join(tmp_root, name), ignore_errors=True)
 
+    def register_view(self, name: str = "quads") -> None:
+        """Expose the store to Spark SQL as a temp view: after
+        ``store.register_view()``, ``spark.sql("SELECT ... FROM quads")``
+        queries the quad table directly — the zero-friction bridge from
+        the RDF surface to plain SQL analytics (the view is the same lazy
+        plan ``quads()`` returns; partition pruning on ``g`` applies to
+        SQL exactly as to the DataFrame API)."""
+        self.quads().createOrReplaceTempView(name)
+
     def as_bucketed_table(self, table: str, buckets: int = 32) -> DataFrame:
         """Materialize the store as a Spark-catalog table bucketed AND
         sorted by ``s`` (SURVEY.md §4.3's co-location promise) and return a

@@ -198,3 +198,15 @@ def test_optimize_recovery_is_idempotent(spark, tmp_path):
     GraphStore(spark, path)
     reopened = GraphStore(spark, path)
     assert {tuple(r) for r in reopened.quads().collect()} == before
+
+
+def test_register_view_sql_bridge(spark):
+    store = GraphStore(spark)
+    store.insert_data(
+        [("urn:g:v", "urn:s:1", "iri", "urn:p:x", "hello", "literal", None, None)]
+    )
+    store.register_view("quads_v")
+    got = spark.sql(
+        "SELECT o_value FROM quads_v WHERE g = 'urn:g:v' AND p = 'urn:p:x'"
+    ).collect()
+    assert [r["o_value"] for r in got] == ["hello"]
