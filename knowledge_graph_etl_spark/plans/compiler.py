@@ -57,6 +57,7 @@ from .parser import (
     MinusGroup,
     OptionalGroup,
     PathT,
+    SubSelect,
     UnionGroup,
     ValuesClause,
     SelectQuery,
@@ -358,8 +359,22 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
         if isinstance(el, UnionGroup):
             # compile each branch, align columns (a var absent from one
             # branch is unbound there -> typed NULL), union, then term-join
-            # into the accumulated solutions on whatever vars are shared
-            parts = [compile_group(sub, dataset) for sub in el.groups]
+            # into the accumulated solutions on whatever vars are shared.
+            # A branch may be a SubSelect: its solution-modifier pipeline
+            # runs against the same dataset, companions kept so the outer
+            # join stays term-aware.
+            parts = [
+                (
+                    _select_pipeline(
+                        compile_group(sub.query.where, dataset),
+                        sub.query,
+                        with_terms=True,
+                    )
+                    if isinstance(sub, SubSelect)
+                    else compile_group(sub, dataset)
+                )
+                for sub in el.groups
+            ]
             allcols: list[str] = []
             for pdf in parts:
                 for c in pdf.columns:
@@ -632,6 +647,16 @@ def compile_select(
     sort materialization), which is the plan you want at scale."""
     dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
     df = compile_group(node.where, dataset)
+    return _select_pipeline(df, node, with_terms)
+
+
+def _select_pipeline(
+    df: DataFrame, node: SelectQuery, with_terms: bool
+) -> DataFrame:
+    """The SELECT solution-modifier pipeline over an already-compiled
+    WHERE mapping — shared by top-level SELECT (compile_select) and
+    subqueries (compile_group's SubSelect branch, which keeps companions
+    so outer joins stay term-aware)."""
     variables = node.variables
     has_aggs = variables is not None and any(
         isinstance(e, AggCall) for _, e in variables

@@ -102,6 +102,15 @@ class Group:
 
 
 @dataclass
+class SubSelect:
+    """``{ SELECT ... }`` nested query (SPARQL 1.1 §12): evaluated against
+    the enclosing dataset (FROM is not allowed inside), its projected
+    solutions join the outer group on shared variables."""
+
+    query: "SelectQuery"
+
+
+@dataclass
 class UnionGroup:
     """``{ g1 } UNION { g2 } ...`` (GroupOrUnionGraphPattern): solution
     union with unshared variables unbound — a bare braced subgroup parses
@@ -793,16 +802,33 @@ class _Parser:
                 self.next()
                 g.elements.append(self.parse_values())
             elif self.at_punct("{"):
-                parts = [self.parse_group()]
+                parts = [self._parse_group_or_subselect()]
                 while self.at_name("UNION"):
                     self.next()
-                    parts.append(self.parse_group())
+                    parts.append(self._parse_group_or_subselect())
                 g.elements.append(UnionGroup(parts))
             else:
                 for tp in self.parse_triples_block(allow_vars=True):
                     g.elements.append(tp)
         self.expect_punct("}")
         return g
+
+    def _parse_group_or_subselect(self):
+        """At a ``{``: either a nested group pattern or a subquery."""
+        save = self.i
+        self.expect_punct("{")
+        if self.at_name("SELECT"):
+            self.next()
+            sub = self.parse_select()
+            if sub.from_graphs:
+                raise SyntaxError(
+                    "FROM is not allowed in a subquery (it inherits the "
+                    "enclosing dataset)"
+                )
+            self.expect_punct("}")
+            return SubSelect(sub)
+        self.i = save
+        return self.parse_group()
 
     def parse_values(self) -> ValuesClause:
         if self.at_punct("("):

@@ -759,3 +759,40 @@ def test_group_by_rejects_unaggregated_projection(spark):
             """SELECT ?seg ?c (COUNT(*) AS ?n) FROM <urn:g:agg>
                WHERE { ?c <urn:p:seg> ?seg } GROUP BY ?seg"""
         ).collect()
+
+
+# -- subqueries --------------------------------------------------------------
+
+
+def test_subselect_joins_outer(spark):
+    eng = _agg_engine(spark)
+    got = {(r["seg"], r["n"], r["c"]) for r in eng.select(
+        """SELECT ?seg ?n ?c FROM <urn:g:agg> WHERE {
+             { SELECT ?seg (COUNT(*) AS ?n) WHERE { ?x <urn:p:seg> ?seg }
+               GROUP BY ?seg }
+             ?c <urn:p:seg> ?seg .
+           }"""
+    ).collect()}
+    assert got == {
+        ("X", 2, "urn:s:1"), ("X", 2, "urn:s:2"), ("Y", 1, "urn:s:3"),
+    }
+
+
+def test_subselect_limit_scopes_inside(spark):
+    eng = _agg_engine(spark)
+    rows = eng.select(
+        """SELECT ?seg FROM <urn:g:agg> WHERE {
+             { SELECT ?seg WHERE { ?x <urn:p:seg> ?seg } ORDER BY ?seg LIMIT 1 }
+           }"""
+    ).collect()
+    # inner LIMIT 1 after ORDER: only the lexically-first seg value rows
+    assert {r["seg"] for r in rows} == {"X"}
+
+
+def test_subselect_rejects_from(spark):
+    from knowledge_graph_etl_spark.plans.parser import parse_query
+
+    with pytest.raises(SyntaxError, match="FROM"):
+        parse_query(
+            "SELECT ?s WHERE { { SELECT ?s FROM <urn:g> WHERE { ?s ?p ?o } } }"
+        )
