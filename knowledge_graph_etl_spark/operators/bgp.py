@@ -259,7 +259,13 @@ def _shared_value_vars(left: DataFrame, right: DataFrame) -> list[str]:
 _COMPANION_KINDS = ("type", "dt", "lang")
 
 
-def _term_join(left: DataFrame, right: DataFrame, on: list[str], how: str) -> DataFrame:
+def _term_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str,
+    compat: frozenset = frozenset(),
+) -> DataFrame:
     """Join two solution mappings on shared variables with full TERM
     compatibility: besides value equality, any companion column
     (``__type/__dt/__lang``) present on BOTH sides must match null-safely —
@@ -290,8 +296,35 @@ def _term_join(left: DataFrame, right: DataFrame, on: list[str], how: str) -> Da
             comp = _companion(v, k)
             if f"__r__{comp}" in r2.columns:
                 c = c & F.col(comp).eqNullSafe(F.col(f"__r__{comp}"))
+        if v in compat:
+            # SPARQL compatible-merge for a var that may be UNBOUND on
+            # either side (UNION branch that doesn't bind it, VALUES
+            # UNDEF, OPTIONAL-then-pattern): an unbound side matches
+            # anything and the bound side's term wins in the output.
+            # NOTE: this disjunct removes the var from the equi-join key
+            # set — correctness over plan shape, and only for vars
+            # statically flagged maybe-unbound.
+            c = F.col(v).isNull() | F.col(f"__r__{v}").isNull() | c
         cond = c if cond is None else (cond & c)
-    return left.join(r2, on=cond, how=how).drop(*ren.values())
+    out = left.join(r2, on=cond, how=how)
+    if how in ("inner", "left") and compat:
+        for v in compat:
+            if v not in on:
+                continue
+            use_l = F.col(v).isNotNull()
+            out = out.withColumn(
+                v, F.when(use_l, F.col(v)).otherwise(F.col(f"__r__{v}"))
+            )
+            for k in _COMPANION_KINDS:
+                comp = _companion(v, k)
+                if f"__r__{comp}" in r2.columns:
+                    out = out.withColumn(
+                        comp,
+                        F.when(use_l, F.col(comp)).otherwise(
+                            F.col(f"__r__{comp}")
+                        ),
+                    )
+    return out.drop(*ren.values())
 
 
 class BGPBuilder:
@@ -309,6 +342,10 @@ class BGPBuilder:
     def __init__(self, quads: DataFrame):
         self.quads = quads
         self.df: DataFrame | None = None
+        # vars that may be NULL-as-unbound in self.df (bound only inside
+        # an OPTIONAL, or by a UNION branch / VALUES row that skips them);
+        # joins on these use compatible-merge semantics
+        self.maybe_unbound: set = set()
 
     # -- conjunction -------------------------------------------------------
 
@@ -321,11 +358,22 @@ class BGPBuilder:
         (one scan + one shuffle instead of N patterns joined)."""
         return self.join_group(star_scan(self.quads, subject, patterns), broadcast=broadcast)
 
-    def join_group(self, group: DataFrame, broadcast: bool = False) -> "BGPBuilder":
+    def join_group(
+        self,
+        group: DataFrame,
+        broadcast: bool = False,
+        maybe_unbound: set | None = None,
+    ) -> "BGPBuilder":
         """Inner-join another solution-mapping DataFrame on shared variables
-        (ops 15/16/17 are all this one rule)."""
+        (ops 15/16/17 are all this one rule). ``maybe_unbound`` names the
+        incoming group's vars that can be NULL-as-unbound (UNION branches
+        that don't bind them, VALUES UNDEF); those — and vars already
+        flagged on the accumulated side (OPTIONAL outputs) — join with
+        SPARQL compatible-merge semantics instead of plain equality."""
+        incoming = set(maybe_unbound or ())
         if self.df is None:
             self.df = group
+            self.maybe_unbound |= incoming
             return self
         on = _shared_value_vars(self.df, group)
         # drop right-side duplicates that are NOT join-relevant (a shared
@@ -340,9 +388,20 @@ class BGPBuilder:
         group = group.drop(*dup)
         right = F.broadcast(group) if broadcast else group
         if on:
-            self.df = _term_join(self.df, right, on, "inner")
+            compat = frozenset(
+                v for v in on if v in self.maybe_unbound or v in incoming
+            )
+            self.df = _term_join(self.df, right, on, "inner", compat=compat)
+            # a shared var stays maybe-unbound only if NEITHER side was
+            # guaranteed to bind it; new right-side vars inherit their flag
+            self.maybe_unbound = (
+                (self.maybe_unbound - set(on))
+                | {v for v in on if v in self.maybe_unbound and v in incoming}
+                | (incoming - set(on))
+            )
         else:
             self.df = self.df.crossJoin(right)
+            self.maybe_unbound |= incoming
         return self
 
     # -- optional / exists ---------------------------------------------------
@@ -366,6 +425,9 @@ class BGPBuilder:
         if not on:
             raise ValueError("OPTIONAL group shares no variables with the outer group")
         self.df = _term_join(self.df, group, on, "left")
+        self.maybe_unbound |= {
+            c for c in group.columns if "__" not in c and c not in on
+        }
         return self
 
     def exists(self, group: DataFrame) -> "BGPBuilder":

@@ -30,8 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..terms import Term
+from ..terms import LITERAL, Term
 from .bgp import Var, _companion
+
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 _ACOLS = ("av", "at", "ad", "al")
 _BCOLS = ("bv", "bt", "bd", "bl")
@@ -103,25 +105,55 @@ def _identity(dataset: DataFrame) -> DataFrame:
     )
 
 
+def _minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """left ANTI right on all eight pair columns (null-safe)."""
+    allc = list(_ACOLS + _BCOLS)
+    r = right
+    for c in allc:
+        r = r.withColumnRenamed(c, f"k_{c}")
+    cond = None
+    for c in allc:
+        e = F.col(c).eqNullSafe(F.col(f"k_{c}"))
+        cond = e if cond is None else (cond & e)
+    return left.join(r, cond, "left_anti")
+
+
 def _closure(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Transitive closure (OneOrMorePath), semi-naive: each round joins
-    only the newly-discovered frontier against the base edges, anti-joins
-    away already-known pairs, and stops when the frontier drains. 25
-    doublings cover any diameter < 2^25."""
+    """Transitive closure (OneOrMorePath) by PATH DOUBLING: each round
+    extends the newly-found paths by every already-known path
+    (frontier ∘ reach), so reachable path length doubles per round —
+    ``max_iter`` rounds cover any diameter < 2^max_iter (a linear
+    frontier ∘ base scheme would cap at max_iter hops and crash on a
+    deep chain). Terminates when no new pairs appear; one count action
+    per round, plans severed by lazy checkpoints."""
     base = pairs.distinct().localCheckpoint(eager=True)
     reach = base
     frontier = base
-    allc = list(_ACOLS + _BCOLS)
+    for _ in range(max_iter):
+        stepped = _pair_join(frontier, reach).distinct()
+        new = _minus(stepped, reach).localCheckpoint(eager=False)
+        if new.count() == 0:
+            return reach
+        reach = reach.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    raise RuntimeError(f"path closure did not converge within {max_iter} rounds")
+
+
+def _closure_from(
+    pairs: DataFrame, seed: DataFrame, max_iter: int = 1000
+) -> DataFrame:
+    """Single-source reachability: BFS from the ``seed`` pair set (pairs
+    whose a-term satisfied a constant endpoint), one hop per round —
+    each round's join is bounded by the frontier, not the whole relation,
+    which is the plan a constant-endpoint closure wants at scale (the
+    all-pairs closure would compute full-graph reachability and then
+    filter). Rounds = eccentricity of the source set."""
+    base = pairs.distinct().localCheckpoint(eager=True)
+    reach = seed.distinct().localCheckpoint(eager=True)
+    frontier = reach
     for _ in range(max_iter):
         stepped = _pair_join(frontier, base).distinct()
-        r = reach
-        for c in allc:
-            r = r.withColumnRenamed(c, f"k_{c}")
-        anti = None
-        for c in allc:
-            e = F.col(c).eqNullSafe(F.col(f"k_{c}"))
-            anti = e if anti is None else (anti & e)
-        new = stepped.join(r, anti, "left_anti").localCheckpoint(eager=False)
+        new = _minus(stepped, reach).localCheckpoint(eager=False)
         if new.count() == 0:
             return reach
         reach = reach.unionByName(new).localCheckpoint(eager=False)
@@ -165,19 +197,71 @@ def path_solution(dataset: DataFrame, s, path_node, o) -> DataFrame:
     ``__type/__dt/__lang`` companions), ready for ``BGPBuilder.join_group``.
     ``s``/``o`` are :class:`Var` or constants (str = IRI for s, plain
     literal for o, or :class:`Term`)."""
-    pairs = eval_path(dataset, path_node)
+    from ..plans.parser import PathT
+
+    def _term_conds(term, vcol, tcol, dcol, lcol, default_type) -> list:
+        out = []
+        if isinstance(term, Term):
+            out.append(F.col(vcol) == term.value)
+            out.append(F.col(tcol) == term.type)
+            if term.type == LITERAL and term.datatype in (None, _XSD_STRING):
+                # RDF 1.1: "x" and "x"^^xsd:string are the SAME term —
+                # mirror bgp._object_conds' folding so a constant matches
+                # identically whether the predicate is a path or not
+                out.append(
+                    F.col(dcol).isNull() | (F.col(dcol) == _XSD_STRING)
+                )
+            else:
+                out.append(
+                    F.col(dcol).eqNullSafe(F.lit(term.datatype).cast("string"))
+                )
+            out.append(F.col(lcol).eqNullSafe(F.lit(term.lang).cast("string")))
+        elif default_type == "literal":
+            out.append(F.col(vcol) == term)
+            out.append(F.col(tcol) == default_type)
+            out.append(F.col(dcol).isNull() | (F.col(dcol) == _XSD_STRING))
+            out.append(F.col(lcol).isNull())
+        else:
+            out.append(F.col(vcol) == term)
+            out.append(F.col(tcol) == default_type)
+        return out
+
+    # constant endpoint + top-level closure: seed the iteration from the
+    # constant instead of computing ALL-PAIRS reachability and filtering —
+    # single-source BFS bounded by the reachable subgraph per round
+    closed = None
+    if isinstance(path_node, PathT) and path_node.op in ("plus", "star"):
+        inner = None
+        if not isinstance(s, Var):
+            inner = eval_path(dataset, path_node.parts[0])
+            seed = inner
+            for c in _term_conds(s, "av", "at", "ad", "al", "iri"):
+                seed = seed.where(c)
+            closed = _closure_from(inner, seed)
+        elif not isinstance(o, Var):
+            inner = _swap(eval_path(dataset, path_node.parts[0]))
+            seed = inner
+            for c in _term_conds(o, "av", "at", "ad", "al", "literal"):
+                seed = seed.where(c)
+            closed = _swap(_closure_from(inner, seed))
+        if closed is not None and path_node.op == "star":
+            ident = _identity(dataset)
+            col_set = (
+                ("av", "at", "ad", "al", "iri")
+                if not isinstance(s, Var)
+                else ("bv", "bt", "bd", "bl", "literal")
+            )
+            term = s if not isinstance(s, Var) else o
+            for c in _term_conds(term, *col_set):
+                ident = ident.where(c)
+            closed = closed.unionByName(ident).distinct()
+
+    pairs = closed if closed is not None else eval_path(dataset, path_node)
     conds = []
     cols = []
 
     def _const_conds(term, vcol, tcol, dcol, lcol, default_type):
-        if isinstance(term, Term):
-            conds.append(F.col(vcol) == term.value)
-            conds.append(F.col(tcol) == term.type)
-            conds.append(F.col(dcol).eqNullSafe(F.lit(term.datatype).cast("string")))
-            conds.append(F.col(lcol).eqNullSafe(F.lit(term.lang).cast("string")))
-        else:
-            conds.append(F.col(vcol) == term)
-            conds.append(F.col(tcol) == default_type)
+        conds.extend(_term_conds(term, vcol, tcol, dcol, lcol, default_type))
 
     if isinstance(s, Var):
         cols += [

@@ -392,7 +392,15 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             u = aligned[0]
             for pdf in aligned[1:]:
                 u = u.unionByName(pdf)
-            b.join_group(u)
+            # a var some branch doesn't bind is NULL-as-unbound in the
+            # union output → compatible-merge when later joined
+            unb = {
+                c
+                for c in allcols
+                if "__" not in c
+                and any(c not in pdf.columns for pdf in parts)
+            }
+            b.join_group(u, maybe_unbound=unb)
             continue
         if isinstance(el, ValuesClause):
             rows = []
@@ -411,7 +419,16 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
                 f"{_companion(n, 'dt')} string, {_companion(n, 'lang')} string"
                 for n in el.variables
             )
-            b.join_group(dataset.sparkSession.createDataFrame(rows, schema))
+            undef_vars = {
+                el.variables[i]
+                for row in el.rows
+                for i, term in enumerate(row)
+                if term is None
+            }
+            b.join_group(
+                dataset.sparkSession.createDataFrame(rows, schema),
+                maybe_unbound=undef_vars,
+            )
             continue
         if isinstance(el, (ExistsFilter, MinusGroup)):
             ensure_df()
@@ -661,6 +678,11 @@ def _select_pipeline(
     has_aggs = variables is not None and any(
         isinstance(e, AggCall) for _, e in variables
     )
+    if node.group_by and variables is None:
+        raise ValueError(
+            "SELECT * cannot be combined with GROUP BY — project grouping "
+            "keys and aggregates explicitly"
+        )
     if (node.group_by or has_aggs) and variables is not None:
         df = _aggregate_select(df, node.group_by or [], variables)
         # every projected var is now a plain column of the aggregate
@@ -749,6 +771,7 @@ def _aggregate_select(
     restriction) — anything else raises."""
     cols = set(df.columns)
     keys: list[Column] = []
+    packed: list[str] = []
     for g in group_by:
         if g not in cols:
             raise ValueError(f"GROUP BY variable ?{g} is not in scope")
@@ -771,20 +794,60 @@ def _aggregate_select(
                 "non-aggregate projection expressions are not supported "
                 "together with GROUP BY; BIND before grouping instead"
             )
-        aggs.append(_agg_column(expr, cols).alias(name))
+        if expr.name in ("MIN", "MAX", "SAMPLE"):
+            # pack the full TERM so the aggregated column keeps its
+            # __type/__dt/__lang companions (an aggregated IRI must stay
+            # an IRI downstream); rows with an unbound value become a
+            # NULL struct, which min/max skip — SPARQL's error-ignoring
+            # aggregates
+            te = compile_expr(expr.arg, cols)
+            packed_struct = F.when(
+                te.value.isNotNull(),
+                F.struct(
+                    te.value.alias("v"), te.type.alias("t"),
+                    te.datatype.alias("d"), te.lang.alias("l"),
+                ),
+            )
+            fn = F.max if expr.name == "MAX" else F.min
+            aggs.append(fn(packed_struct).alias(f"__pk_{name}"))
+            packed.append(name)
+        else:
+            aggs.append(_agg_column(expr, cols).alias(name))
     if not aggs:
         raise ValueError("GROUP BY needs at least one aggregate projection")
-    if keys:
-        return df.groupBy(*keys).agg(*aggs)
-    return df.agg(*aggs)
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    for name in packed:
+        pk = f"__pk_{name}"
+        out = (
+            out.withColumn(name, F.col(pk)["v"])
+            .withColumn(_companion(name, "type"), F.col(pk)["t"])
+            .withColumn(_companion(name, "dt"), F.col(pk)["d"])
+            .withColumn(_companion(name, "lang"), F.col(pk)["l"])
+            .drop(pk)
+        )
+    return out
 
 
 def _agg_column(expr: AggCall, cols: set) -> Column:
     if expr.name == "COUNT":
         if expr.arg is None:
             return F.count(F.lit(1)).cast("long")
-        val = compile_expr(expr.arg, cols).value
-        c = F.count_distinct(val) if expr.distinct else F.count(val)
+        te = compile_expr(expr.arg, cols)
+        if expr.distinct:
+            # distinct TERMS, not lexical values: "5" plain and
+            # "5"^^xsd:integer are two. Companions are coalesced to a
+            # sentinel because multi-column count_distinct skips rows
+            # containing ANY null; unbound values (null .value) must
+            # still be skipped, which the bare value column ensures.
+            sent = "\x00"
+            c = F.count_distinct(
+                te.value,
+                F.coalesce(te.type, F.lit(sent)),
+                F.coalesce(te.datatype, F.lit(sent)),
+                F.coalesce(te.lang, F.lit(sent)),
+            )
+        else:
+            c = F.count(te.value)
         return c.cast("long")
     val = compile_expr(expr.arg, cols).value
     if expr.name == "SUM":

@@ -325,6 +325,16 @@ _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
 
+
+def _number_lit(text: str) -> "LitT":
+    """SPARQL numeric literal → typed literal (same rule everywhere a
+    number can appear: pattern objects, VALUES rows)."""
+    if "e" in text.lower():
+        return LitT(text, "http://www.w3.org/2001/XMLSchema#double")
+    if "." in text:
+        return LitT(text, "http://www.w3.org/2001/XMLSchema#decimal")
+    return LitT(text, "http://www.w3.org/2001/XMLSchema#integer")
+
 FUNCTIONS = {
     "CONCAT",
     "MD5",
@@ -831,14 +841,22 @@ class _Parser:
         return self.parse_group()
 
     def parse_values(self) -> ValuesClause:
+        def _var_token():
+            t = self.next()
+            if t.kind != "VAR":
+                raise SyntaxError(
+                    f"VALUES needs variables, got {t.text!r} at {t.pos}"
+                )
+            return self._user_var(t).name
+
         if self.at_punct("("):
             self.next()
             names = []
             while not self.at_punct(")"):
-                names.append(self._user_var(self.next()).name)
+                names.append(_var_token())
             self.expect_punct(")")
         else:
-            names = [self._user_var(self.next()).name]
+            names = [_var_token()]
         self.expect_punct("{")
         rows = []
         while not self.at_punct("}"):
@@ -865,8 +883,11 @@ class _Parser:
             return None
         if t is not None and t.kind in ("STRING", "LONGSTRING", "NUMBER"):
             if t.kind == "NUMBER":
+                # SAME datatype rule as pattern objects — an untyped "5"
+                # here could never term-join data stored as
+                # "5"^^xsd:integer by a numeric triple
                 self.next()
-                return LitT(t.text)
+                return _number_lit(t.text)
             return self.parse_literal()
         return IriT(self.parse_iri())
 
@@ -1003,11 +1024,7 @@ class _Parser:
             return self.parse_literal()
         if t.kind == "NUMBER":
             self.next()
-            if "e" in t.text.lower():
-                return LitT(t.text, "http://www.w3.org/2001/XMLSchema#double")
-            if "." in t.text:
-                return LitT(t.text, "http://www.w3.org/2001/XMLSchema#decimal")
-            return LitT(t.text, "http://www.w3.org/2001/XMLSchema#integer")
+            return _number_lit(t.text)
         return IriT(self.parse_iri())
 
     # -- expressions ------------------------------------------------------

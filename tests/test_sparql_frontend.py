@@ -796,3 +796,86 @@ def test_subselect_rejects_from(spark):
         parse_query(
             "SELECT ?s WHERE { { SELECT ?s FROM <urn:g> WHERE { ?s ?p ?o } } }"
         )
+
+
+# -- review-fix regressions (round-3 second review) ---------------------------
+
+
+def test_values_undef_matches_any_binding(spark):
+    eng = _neg_engine(spark)
+    got = [(r["s"], r["n"]) for r in eng.select(
+        """SELECT ?s ?n FROM <urn:g:n> WHERE {
+             ?s <urn:p:name> ?n
+             VALUES (?s ?n) { (<urn:s:1> UNDEF) } }"""
+    ).collect()]
+    assert got == [("urn:s:1", "a")]
+
+
+def test_union_unbound_var_merges_with_later_pattern(spark):
+    eng = _neg_engine(spark)
+    rows = {(r["s"], r["n"], r["t"]) for r in eng.select(
+        """SELECT ?s ?n ?t FROM <urn:g:n> WHERE {
+             { ?s <urn:p:name> ?n . BIND("A" AS ?t) }
+             UNION { ?s <urn:p:flag> "y" . BIND("B" AS ?t) }
+             ?s <urn:p:name> ?n . }"""
+    ).collect()}
+    # the flag branch leaves ?n unbound; SPARQL compatible-merge lets it
+    # take the ?n the trailing pattern binds
+    assert rows == {
+        ("urn:s:1", "a", "A"), ("urn:s:2", "b", "A"), ("urn:s:1", "a", "B"),
+    }
+
+
+def test_values_numbers_are_typed_terms(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.update("INSERT DATA { GRAPH <urn:g:num> { <urn:s:9> <urn:p:v> 5 } }")
+    got = [r["s"] for r in eng.select(
+        "SELECT ?s FROM <urn:g:num> WHERE { ?s <urn:p:v> ?x VALUES ?x { 5 } }"
+    ).collect()]
+    assert got == ["urn:s:9"]
+
+
+def test_select_star_group_by_raises(spark):
+    eng = _agg_engine(spark)
+    with pytest.raises(Exception, match="SELECT \\*"):
+        eng.select(
+            "SELECT * FROM <urn:g:agg> WHERE { ?s <urn:p:seg> ?n } GROUP BY ?s"
+        ).collect()
+
+
+def test_count_distinct_counts_terms_not_lexical(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:cd", "urn:s:1", "iri", "urn:p:v", "5", "literal", None, None),
+            (
+                "urn:g:cd", "urn:s:2", "iri", "urn:p:v", "5", "literal",
+                "http://www.w3.org/2001/XMLSchema#integer", None,
+            ),
+        ]
+    )
+    row = eng.select(
+        """SELECT (COUNT(DISTINCT ?v) AS ?n) FROM <urn:g:cd>
+           WHERE { ?s <urn:p:v> ?v }"""
+    ).collect()[0]
+    assert row["n"] == 2  # plain "5" and "5"^^xsd:integer are distinct terms
+
+
+def test_sample_keeps_term_companions(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [("urn:g:sm", "urn:s:1", "iri", "urn:p:v", "w", "literal", None, None)]
+    )
+    out = eng.select(
+        """SELECT (SAMPLE(?s) AS ?one) FROM <urn:g:sm>
+           WHERE { ?s <urn:p:v> ?v }""",
+        with_terms=True,
+    )
+    row = out.collect()[0]
+    assert row["one"] == "urn:s:1" and row["one__type"] == "iri"
