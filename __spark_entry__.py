@@ -1075,6 +1075,34 @@ def kg_group_agg_q(spark, sf_dir):
     )
 
 
+def kg_filter_compare_q(spark, sf_dir):
+    """FILTER with comparison + boolean operators (plans/compiler
+    _compile_cmp: numeric when both operands are numeric, && / ||
+    short-circuit NULL-as-error semantics)."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    quads = quadify(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "urn:ord:",
+        "urn:g:ordf",
+        columns=["o_orderpriority", "o_totalprice"],
+        namespace=P,
+    )
+    eng.store.insert(quads, dedup_against_store=False, batch_distinct=True)
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?o ?pri FROM <urn:g:ordf>
+        WHERE {
+            ?o p:o_totalprice ?tp ; p:o_orderpriority ?pri
+            FILTER(?tp > 150000 && (?pri = "1-URGENT" || ?pri = "2-HIGH"))
+        }
+        """
+    )
+
+
 def kg_path_query_q(spark, sf_dir):
     """SPARQL 1.1 property path: transitive closure (`+`) over an
     order→customer→nation→region parent hierarchy (operators/paths.py
@@ -1396,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_not_exists": kg_not_exists_q,
         "kg_union_values": kg_union_values_q,
         "kg_group_agg": kg_group_agg_q,
+        "kg_filter_compare": kg_filter_compare_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2109,6 +2138,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "kg_filter_compare": (
+            "SELECT 'urn:ord:' || CAST(o_orderkey AS VARCHAR) AS o, "
+            "o_orderpriority AS pri FROM orders "
+            "WHERE o_totalprice > 150000 "
+            "AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        ),
         "kg_group_agg": (
             "SELECT o_orderpriority AS pri, COUNT(*) AS n_orders, "
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total, "

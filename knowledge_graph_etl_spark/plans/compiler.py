@@ -40,6 +40,9 @@ from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, Term
 from .parser import (
     AggCall,
     AskQuery,
+    BoolExpr,
+    CmpExpr,
+    NotExpr,
     BindExpr,
     BNodeT,
     ConstructQuery,
@@ -158,6 +161,18 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         )
     if isinstance(node, IriT):
         return TermExpr(F.lit(node.value), F.lit(IRI), _null_str(), _null_str())
+    if isinstance(node, CmpExpr):
+        return TermExpr.literal_value(_compile_cmp(node, cols))
+    if isinstance(node, BoolExpr):
+        vals = [compile_expr(p, cols).value.cast("boolean") for p in node.parts]
+        out = vals[0]
+        for v in vals[1:]:
+            out = (out | v) if node.op == "or" else (out & v)
+        return TermExpr.literal_value(out)
+    if isinstance(node, NotExpr):
+        return TermExpr.literal_value(
+            ~compile_expr(node.expr, cols).value.cast("boolean")
+        )
     if not isinstance(node, FuncCall):
         raise TypeError(f"unexpected expression node {node!r}")
 
@@ -293,6 +308,51 @@ def _star_units(run: list[TriplePattern]):
         ordered.append(pick)
         bound |= pick[3]
     return ordered
+
+
+def _compile_cmp(node: CmpExpr, cols: set) -> Column:
+    """SPARQL §17.3 operator mapping, pragmatically typed for a lexical
+    store: when BOTH operands cast to double the comparison is numeric
+    ("05"^^xsd:int = "5"^^xsd:int, 3 < 10); otherwise ``=``/``!=`` are
+    TERM equality (value + type/datatype/lang companions) and the
+    ordering operators compare codepoint-wise on the lexical form (the
+    simple-literal rule; Spark and DuckDB both compare strings as binary
+    UTF-8, so the oracle agrees). An unbound operand yields NULL — the
+    SPARQL error — which FILTER then drops."""
+    l = compile_expr(node.left, cols)
+    r = compile_expr(node.right, cols)
+    ln = l.value.try_cast("double")
+    rn = r.value.try_cast("double")
+    both_num = ln.isNotNull() & rn.isNotNull()
+    if node.op in ("=", "!="):
+        term_eq = (
+            (l.value == r.value)
+            & l.type.eqNullSafe(r.type)
+            & l.datatype.eqNullSafe(r.datatype)
+            & l.lang.eqNullSafe(r.lang)
+        )
+        eq = F.when(both_num, ln == rn).otherwise(term_eq)
+        # propagate unbound as NULL (when/otherwise would turn it into
+        # the term_eq branch, which is fine: NULL value makes it NULL)
+        out = eq if node.op == "=" else ~eq
+        return out
+    ops = {
+        "<": lambda a, b: a < b,
+        ">": lambda a, b: a > b,
+        "<=": lambda a, b: a <= b,
+        ">=": lambda a, b: a >= b,
+    }
+    f = ops[node.op]
+    # mixed numeric/non-numeric ordering is a SPARQL type error → NULL →
+    # the FILTER drops the row; string comparison applies only when
+    # NEITHER side is numeric. (Pragmatic divergence, documented: two
+    # digit-like values always compare numerically, even if stored as
+    # plain literals — the useful semantics over a lexical store.)
+    return (
+        F.when(both_num, f(ln, rn))
+        .when(ln.isNull() & rn.isNull(), f(l.value, r.value))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
 
 
 def compile_group(group: Group, dataset: DataFrame) -> DataFrame:

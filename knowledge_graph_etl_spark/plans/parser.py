@@ -91,6 +91,30 @@ class FilterExpr:
 
 
 @dataclass(frozen=True)
+class CmpExpr:
+    """Comparison ``l op r`` with op in = != < > <= >= (SPARQL §17.3:
+    numeric comparison when both operands are numeric, else term/codepoint
+    comparison)."""
+
+    op: str
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class BoolExpr:
+    """``&&`` / ``||`` chain (op in 'and'/'or')."""
+
+    op: str
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class NotExpr:
+    expr: object
+
+
+@dataclass(frozen=True)
 class FuncCall:
     name: str
     args: tuple
@@ -266,7 +290,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
-    | (?P<PUNCT>[{}\[\]();,.*+/^|])
+    | (?P<PUNCT>[{}\[\]();,.*+/^|<>=!&])
     """,
     re.VERBOSE,
 )
@@ -1030,6 +1054,62 @@ class _Parser:
     # -- expressions ------------------------------------------------------
 
     def parse_expr(self):
+        return self.parse_or_expr()
+
+    def _at_two_puncts(self, a: str, b: str) -> bool:
+        t1, t2 = self.peek(), (
+            self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        )
+        return (
+            t1 is not None and t1.kind == "PUNCT" and t1.text == a
+            and t2 is not None and t2.kind == "PUNCT" and t2.text == b
+        )
+
+    def parse_or_expr(self):
+        parts = [self.parse_and_expr()]
+        while self._at_two_puncts("|", "|"):
+            self.next(); self.next()
+            parts.append(self.parse_and_expr())
+        return parts[0] if len(parts) == 1 else BoolExpr("or", tuple(parts))
+
+    def parse_and_expr(self):
+        parts = [self.parse_not_expr()]
+        while self._at_two_puncts("&", "&"):
+            self.next(); self.next()
+            parts.append(self.parse_not_expr())
+        return parts[0] if len(parts) == 1 else BoolExpr("and", tuple(parts))
+
+    def parse_not_expr(self):
+        if self.at_punct("!") and not self._at_two_puncts("!", "="):
+            self.next()
+            return NotExpr(self.parse_not_expr())
+        return self.parse_cmp_expr()
+
+    def parse_cmp_expr(self):
+        left = self.parse_primary_expr()
+        op = None
+        if self._at_two_puncts("!", "="):
+            self.next(); self.next(); op = "!="
+        elif self._at_two_puncts("<", "="):
+            self.next(); self.next(); op = "<="
+        elif self._at_two_puncts(">", "="):
+            self.next(); self.next(); op = ">="
+        elif self.at_punct("="):
+            self.next(); op = "="
+        elif self.at_punct("<"):
+            self.next(); op = "<"
+        elif self.at_punct(">"):
+            self.next(); op = ">"
+        if op is None:
+            return left
+        return CmpExpr(op, left, self.parse_primary_expr())
+
+    def parse_primary_expr(self):
+        if self.at_punct("("):
+            self.next()
+            e = self.parse_expr()
+            self.expect_punct(")")
+            return e
         t = self.peek()
         if t is None:
             raise SyntaxError("unexpected end of input in expression")

@@ -879,3 +879,46 @@ def test_sample_keeps_term_companions(spark):
     )
     row = out.collect()[0]
     assert row["one"] == "urn:s:1" and row["one__type"] == "iri"
+
+
+# -- FILTER comparison / boolean operators -----------------------------------
+
+
+def _cmp_engine(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    eng.store.insert_data(
+        [
+            ("urn:g:f", "urn:s:1", "iri", "urn:p:v", "5", "literal", xsd_int, None),
+            ("urn:g:f", "urn:s:2", "iri", "urn:p:v", "05", "literal", xsd_int, None),
+            ("urn:g:f", "urn:s:3", "iri", "urn:p:v", "12", "literal", xsd_int, None),
+            ("urn:g:f", "urn:s:4", "iri", "urn:p:v", "abc", "literal", None, None),
+        ]
+    )
+    return eng
+
+
+def _filter_sel(eng, cond):
+    return {r["s"] for r in eng.select(
+        f"SELECT ?s FROM <urn:g:f> WHERE {{ ?s <urn:p:v> ?v FILTER({cond}) }}"
+    ).collect()}
+
+
+def test_filter_numeric_comparisons(spark):
+    eng = _cmp_engine(spark)
+    assert _filter_sel(eng, "?v = 5") == {"urn:s:1", "urn:s:2"}  # 05 == 5 numerically
+    assert _filter_sel(eng, "?v > 5") == {"urn:s:3"}
+    assert _filter_sel(eng, "?v >= 5 && ?v < 12") == {"urn:s:1", "urn:s:2"}
+    assert _filter_sel(eng, "?v != 5") == {"urn:s:3", "urn:s:4"}
+
+
+def test_filter_boolean_and_string_ops(spark):
+    eng = _cmp_engine(spark)
+    assert _filter_sel(eng, '?v = "abc"') == {"urn:s:4"}
+    assert _filter_sel(eng, "?v < 6 || ?v = 12") == {"urn:s:1", "urn:s:2", "urn:s:3"}
+    # mixed numeric/non-numeric ordering is a type error -> row dropped
+    assert _filter_sel(eng, "?v > 4") == {"urn:s:1", "urn:s:2", "urn:s:3"}
+    assert _filter_sel(eng, '?v >= "abc"') == {"urn:s:4"}  # string vs string ok
+    assert _filter_sel(eng, "!(?v = 12)") == {"urn:s:1", "urn:s:2", "urn:s:4"}
