@@ -22,6 +22,7 @@ from .ingest import json_to_quads
 from .plans.compiler import (
     compile_ask,
     compile_construct,
+    compile_describe,
     compile_insert_where,
     compile_select,
     execute_update,
@@ -29,6 +30,7 @@ from .plans.compiler import (
 from .plans.parser import (
     AskQuery,
     ConstructQuery,
+    DescribeQuery,
     InsertWhere,
     SelectQuery,
     parse_query,
@@ -112,6 +114,14 @@ class Engine:
                 "construct_query() needs a CONSTRUCT query; use select()/ask()/update()"
             )
         return compile_construct(node, self.store)
+
+    def describe(self, query: str, params: dict | None = None) -> DataFrame:
+        """SPARQL DESCRIBE → quads DataFrame (outgoing arcs of the
+        described resources; constant IRIs and/or WHERE-bound variables)."""
+        node = parse_query(self._substitute(query, params))
+        if not isinstance(node, DescribeQuery):
+            raise ValueError("describe() needs a DESCRIBE query")
+        return compile_describe(node, self.store)
 
     def plan(self, query: str) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without

@@ -48,6 +48,7 @@ from .parser import (
     ConstructQuery,
     DeleteData,
     DeleteWhere,
+    DescribeQuery,
     FilterExpr,
     FuncCall,
     Group,
@@ -923,7 +924,52 @@ def _agg_column(expr: AggCall, cols: set) -> Column:
         return F.max(val)
     if expr.name == "SAMPLE":
         return F.min(val)
+    if expr.name == "GROUP_CONCAT":
+        # spec leaves element order undefined; sorting makes the result
+        # deterministic (stable across runs, partitionings, engines)
+        return F.concat_ws(
+            expr.separator, F.array_sort(F.collect_list(val))
+        )
     raise ValueError(f"unsupported aggregate {expr.name}")
+
+
+def compile_describe(node: DescribeQuery, store) -> DataFrame:
+    """DESCRIBE → quads DataFrame: all quads whose subject is a described
+    resource. Constant IRIs filter directly; variables draw their values
+    from the WHERE solutions (IRI/bnode bindings only — a literal cannot
+    be a subject) via a semi-join on the uniform subject key."""
+    dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
+    consts = [t.value for t in node.terms if isinstance(t, IriT)]
+    var_names = [t.name for t in node.terms if isinstance(t, VarT)]
+    parts = []
+    if consts:
+        parts.append(dataset.where(F.col("s").isin(consts)))
+    if var_names:
+        if node.where is None:
+            raise ValueError("DESCRIBE with variables needs a WHERE clause")
+        bindings = compile_group(node.where, dataset)
+        res = None
+        for v in var_names:
+            if v not in bindings.columns:
+                continue
+            one = bindings.select(F.col(v).alias("__res")).where(
+                F.col("__res").isNotNull()
+            )
+            res = one if res is None else res.unionByName(one)
+        if res is not None:
+            parts.append(
+                dataset.join(
+                    res.distinct(),
+                    dataset["s"] == F.col("__res"),
+                    "left_semi",
+                )
+            )
+    if not parts:
+        return dataset.limit(0)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.dropDuplicates()
 
 
 def compile_ask(node: AskQuery, store) -> DataFrame:

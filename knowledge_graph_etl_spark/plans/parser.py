@@ -217,12 +217,14 @@ class GraphDDL:
 @dataclass(frozen=True)
 class AggCall:
     """Aggregate in a SELECT projection: ``name`` in COUNT/SUM/MIN/MAX/
-    AVG/SAMPLE; ``arg`` is an expression AST or None for ``COUNT(*)``;
-    ``distinct`` only with COUNT."""
+    AVG/SAMPLE/GROUP_CONCAT; ``arg`` is an expression AST or None for
+    ``COUNT(*)``; ``distinct`` only with COUNT; ``separator`` only with
+    GROUP_CONCAT (default space per SPARQL)."""
 
     name: str
     arg: object | None
     distinct: bool = False
+    separator: str = " "
 
 
 @dataclass
@@ -256,6 +258,17 @@ class PathT:
 
     op: str
     parts: list
+
+
+@dataclass
+class DescribeQuery:
+    """``DESCRIBE <iri>|?var ... [FROM <g>] [WHERE { ... }]`` — returns
+    every quad whose SUBJECT is a described resource (outgoing-arcs
+    description; the spec leaves the description form to the service)."""
+
+    terms: list  # [IriT | VarT]
+    from_graphs: list
+    where: object | None  # Group
 
 
 @dataclass
@@ -347,7 +360,7 @@ def tokenize(text: str) -> list[Token]:
 
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
-AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
+AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
 
 def _number_lit(text: str) -> "LitT":
@@ -507,6 +520,27 @@ class _Parser:
             if self.at_name("WHERE"):
                 self.next()
             return AskQuery(from_graphs, self.parse_group())
+        if self.at_name("DESCRIBE"):
+            self.next()
+            terms = []
+            while True:
+                t = self.peek()
+                if t is not None and t.kind == "VAR":
+                    self.next()
+                    terms.append(self._user_var(t))
+                elif t is not None and t.kind in ("IRIREF", "PNAME", "PNAME_NS"):
+                    terms.append(IriT(self.parse_iri()))
+                else:
+                    break
+            if not terms:
+                raise SyntaxError("DESCRIBE needs at least one IRI or variable")
+            from_graphs = self.parse_from_clauses()
+            where = None
+            if self.at_name("WHERE") or self.at_punct("{"):
+                if self.at_name("WHERE"):
+                    self.next()
+                where = self.parse_group()
+            return DescribeQuery(terms, from_graphs, where)
         if self.at_name("CONSTRUCT"):
             self.next()
             template = self.parse_template_block()
@@ -1135,10 +1169,20 @@ class _Parser:
                 arg = None
             else:
                 arg = self.parse_expr()
+            sep = " "
+            if self.at_punct(";"):
+                self.next()
+                self.expect_name("SEPARATOR")
+                self.expect_punct("=")
+                t2 = self.next()
+                if t2.kind not in ("STRING", "LONGSTRING"):
+                    raise SyntaxError(f"SEPARATOR needs a string at {t2.pos}")
+                raw = t2.text[3:-3] if t2.kind == "LONGSTRING" else t2.text[1:-1]
+                sep = _unescape(raw)
             self.expect_punct(")")
             if distinct and fname != "COUNT":
                 raise SyntaxError("DISTINCT is only supported inside COUNT")
-            return AggCall(fname, arg, distinct)
+            return AggCall(fname, arg, distinct, sep)
         if t.kind == "NAME" and t.text.upper() in FUNCTIONS:
             fname = self.next().text.upper()
             self.expect_punct("(")

@@ -922,3 +922,38 @@ def test_filter_boolean_and_string_ops(spark):
     assert _filter_sel(eng, "?v > 4") == {"urn:s:1", "urn:s:2", "urn:s:3"}
     assert _filter_sel(eng, '?v >= "abc"') == {"urn:s:4"}  # string vs string ok
     assert _filter_sel(eng, "!(?v = 12)") == {"urn:s:1", "urn:s:2", "urn:s:4"}
+
+
+# -- DESCRIBE / GROUP_CONCAT --------------------------------------------------
+
+
+def test_describe_constants_and_vars(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:d", "urn:s:1", "iri", "urn:p:a", "x", "literal", None, None),
+            ("urn:g:d", "urn:s:1", "iri", "urn:p:b", "urn:s:2", "iri", None, None),
+            ("urn:g:d", "urn:s:2", "iri", "urn:p:a", "y", "literal", None, None),
+            ("urn:g:d", "urn:s:3", "iri", "urn:p:a", "z", "literal", None, None),
+        ]
+    )
+    got = {(r["s"], r["o_value"]) for r in eng.describe(
+        "DESCRIBE <urn:s:3> ?x FROM <urn:g:d> WHERE { <urn:s:1> <urn:p:b> ?x }"
+    ).collect()}
+    assert got == {("urn:s:3", "z"), ("urn:s:2", "y")}
+    with pytest.raises(ValueError, match="WHERE"):
+        eng.describe("DESCRIBE ?x FROM <urn:g:d>").collect()
+
+
+def test_group_concat_deterministic(spark):
+    eng = _agg_engine(spark)
+    row = eng.select(
+        """SELECT ?seg (GROUP_CONCAT(?c; SEPARATOR="|") AS ?members)
+           FROM <urn:g:agg> WHERE { ?c <urn:p:seg> ?seg } GROUP BY ?seg
+           ORDER BY ?seg"""
+    ).collect()
+    # sorted within group -> deterministic across runs/partitionings
+    assert row[0]["members"] == "urn:s:1|urn:s:2"
+    assert row[1]["members"] == "urn:s:3"
