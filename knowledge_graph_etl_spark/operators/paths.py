@@ -183,6 +183,26 @@ def eval_path(dataset: DataFrame, node) -> DataFrame:
         for part in node.parts[1:]:
             out = out.unionByName(eval_path(dataset, part))
         return out
+    if node.op == "nps":
+        # negated property set: any forward edge whose predicate is NOT
+        # in the banned list — one scan with an isin anti-filter
+        return dataset.where(~F.col("p").isin(list(node.parts))).select(
+            F.col("s").alias("av"),
+            F.col("s_type").alias("at"),
+            _nstr().alias("ad"),
+            _nstr().alias("al"),
+            F.col("o_value").alias("bv"),
+            F.col("o_type").alias("bt"),
+            F.col("o_datatype").alias("bd"),
+            F.col("o_lang").alias("bl"),
+        )
+    if node.op == "opt":
+        # ZeroOrOnePath: the step's pairs plus every graph term to itself
+        return (
+            eval_path(dataset, node.parts[0])
+            .unionByName(_identity(dataset))
+            .distinct()
+        )
     if node.op == "plus":
         return _closure(eval_path(dataset, node.parts[0]))
     if node.op == "star":

@@ -748,6 +748,15 @@ def _select_pipeline(
         df = _aggregate_select(df, node.group_by or [], variables)
         # every projected var is now a plain column of the aggregate
         variables = [(n, None) for n, _ in variables]
+    if node.having is not None:
+        if not (node.group_by or has_aggs):
+            raise ValueError("HAVING requires GROUP BY or aggregates")
+        # HAVING evaluates over the aggregated relation; reference the
+        # projected aliases (?n for (COUNT(*) AS ?n)) — the pragmatic
+        # subset now that FILTER comparisons exist
+        df = df.where(
+            compile_expr(node.having, set(df.columns)).value.cast("boolean")
+        )
     if variables is not None:
         for name, expr in variables:
             if expr is None:

@@ -241,6 +241,7 @@ class SelectQuery:
     limit: int | None
     offset: int | None
     group_by: list = None  # [var name] or None
+    having: object = None  # expression over projected aggregate aliases
 
 
 @dataclass
@@ -303,7 +304,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
-    | (?P<PUNCT>[{}\[\]();,.*+/^|<>=!&])
+    | (?P<PUNCT>[{}\[\]();,.*+/^|<>=!&?])
     """,
     re.VERBOSE,
 )
@@ -763,6 +764,7 @@ class _Parser:
         limit: int | None = None
         offset: int | None = None
         group_by: list = []
+        having = None
         while True:
             if self.at_name("ORDER"):
                 self.next()
@@ -799,10 +801,10 @@ class _Parser:
                 if not group_by:
                     raise SyntaxError("GROUP BY needs at least one variable")
             elif self.at_name("HAVING"):
-                raise SyntaxError(
-                    "HAVING is not supported (the expression subset has no "
-                    "comparison operators); filter on the aggregated result"
-                )
+                self.next()
+                self.expect_punct("(")
+                having = self.parse_expr()
+                self.expect_punct(")")
             elif self.at_name("LIMIT"):
                 self.next()
                 t = self.next()
@@ -819,7 +821,7 @@ class _Parser:
                 break
         return SelectQuery(
             variables, distinct, from_graphs, where, order_by, limit, offset,
-            group_by,
+            group_by, having,
         )
 
     # -- groups -----------------------------------------------------------
@@ -1031,6 +1033,24 @@ class _Parser:
         if self.at_punct("^"):
             self.next()
             inv = True
+        if self.at_punct("!"):
+            # negated property set (forward predicates only): !iri or
+            # !(iri|iri|...)
+            self.next()
+            banned = []
+            if self.at_punct("("):
+                self.next()
+                banned.append(self.parse_verb_primary().value)
+                while self.at_punct("|"):
+                    self.next()
+                    banned.append(self.parse_verb_primary().value)
+                self.expect_punct(")")
+            else:
+                banned.append(self.parse_verb_primary().value)
+            prim = PathT("nps", banned)
+            if inv:
+                prim = PathT("inv", [prim])
+            return prim
         if self.at_punct("("):
             self.next()
             prim = self.parse_path()
@@ -1043,6 +1063,9 @@ class _Parser:
         elif self.at_punct("*"):
             self.next()
             prim = PathT("star", [prim])
+        elif self.at_punct("?"):
+            self.next()
+            prim = PathT("opt", [prim])
         if inv:
             prim = PathT("inv", [prim])
         return prim

@@ -109,3 +109,19 @@ def test_path_rejected_in_templates(spark):
         parse_update(
             "INSERT { ?s <urn:p:a>/<urn:p:b> ?o } WHERE { ?s <urn:p:c> ?o }"
         )
+
+
+def test_negated_property_set(spark):
+    e = _hier(spark)
+    got = _pairs(e.select(
+        "SELECT ?s ?o FROM <urn:g:h> WHERE { ?s !(<urn:p:parent>|<urn:p:name>) ?o }"
+    ))
+    assert got == {("urn:n:x", "urn:n:a")}  # only the 'other' edge survives
+
+
+def test_zero_or_one_path(spark):
+    e = _hier(spark)
+    got = {r["o"] for r in e.select(
+        "SELECT ?o FROM <urn:g:h> WHERE { <urn:n:a> <urn:p:parent>? ?o }"
+    ).collect()}
+    assert got == {"urn:n:a", "urn:n:b"}  # self (zero) + one hop

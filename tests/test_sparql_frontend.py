@@ -957,3 +957,19 @@ def test_group_concat_deterministic(spark):
     # sorted within group -> deterministic across runs/partitionings
     assert row[0]["members"] == "urn:s:1|urn:s:2"
     assert row[1]["members"] == "urn:s:3"
+
+
+# -- HAVING ------------------------------------------------------------------
+
+
+def test_having_filters_groups(spark):
+    eng = _agg_engine(spark)
+    rows = {(r["seg"], r["n"]) for r in eng.select(
+        """SELECT ?seg (COUNT(*) AS ?n) FROM <urn:g:agg>
+           WHERE { ?s <urn:p:seg> ?seg } GROUP BY ?seg HAVING(?n > 1)"""
+    ).collect()}
+    assert rows == {("X", 2)}
+    with pytest.raises(Exception, match="HAVING"):
+        eng.select(
+            "SELECT ?s FROM <urn:g:agg> WHERE { ?s <urn:p:seg> ?n } HAVING(?n > 1)"
+        ).collect()
