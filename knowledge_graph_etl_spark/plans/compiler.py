@@ -51,6 +51,7 @@ from .parser import (
     DescribeQuery,
     FilterExpr,
     FuncCall,
+    GraphGroup,
     Group,
     GraphDDL,
     InsertData,
@@ -417,6 +418,12 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             run.append(el)
             continue
         flush_run()
+        if isinstance(el, GraphGroup):
+            # constant GRAPH block: the subgroup evaluates against that
+            # graph's partition only (pruned scan), then joins as usual
+            sub = compile_group(el.group, dataset.where(F.col("g") == el.graph))
+            b.join_group(sub)
+            continue
         if isinstance(el, UnionGroup):
             # compile each branch, align columns (a var absent from one
             # branch is unbound there -> typed NULL), union, then term-join

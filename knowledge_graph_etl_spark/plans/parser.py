@@ -126,6 +126,17 @@ class Group:
 
 
 @dataclass
+class GraphGroup:
+    """``GRAPH <g> { ... }`` in a WHERE clause: the subgroup matches only
+    quads of that graph (within the active dataset). Variable graphs
+    (``GRAPH ?g``) are not supported — the engine's dataset selection is
+    FROM/USING-based; a variable graph raises at parse time."""
+
+    graph: str
+    group: "Group"
+
+
+@dataclass
 class SubSelect:
     """``{ SELECT ... }`` nested query (SPARQL 1.1 §12): evaluated against
     the enclosing dataset (FROM is not allowed inside), its projected
@@ -868,6 +879,16 @@ class _Parser:
             elif self.at_name("MINUS"):
                 self.next()
                 g.elements.append(MinusGroup(self.parse_group()))
+            elif self.at_name("GRAPH"):
+                self.next()
+                t = self.peek()
+                if t is not None and t.kind == "VAR":
+                    raise SyntaxError(
+                        "GRAPH with a variable is not supported; use a "
+                        "constant graph IRI (dataset selection is FROM/USING)"
+                    )
+                graph_iri = self.parse_iri()
+                g.elements.append(GraphGroup(graph_iri, self.parse_group()))
             elif self.at_name("VALUES"):
                 self.next()
                 g.elements.append(self.parse_values())

@@ -973,3 +973,31 @@ def test_having_filters_groups(spark):
         eng.select(
             "SELECT ?s FROM <urn:g:agg> WHERE { ?s <urn:p:seg> ?n } HAVING(?n > 1)"
         ).collect()
+
+
+# -- GRAPH patterns ----------------------------------------------------------
+
+
+def test_graph_block_restricts_matching(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:one", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
+            ("urn:g:two", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
+        ]
+    )
+    got = {r["s"] for r in eng.select(
+        "SELECT ?s WHERE { GRAPH <urn:g:one> { ?s <urn:p:v> ?v } }"
+    ).collect()}
+    assert got == {"urn:s:1"}
+    # joins across GRAPH blocks
+    got2 = {(r["a"], r["b"]) for r in eng.select(
+        """SELECT ?a ?b WHERE {
+             GRAPH <urn:g:one> { ?a <urn:p:v> ?v1 }
+             GRAPH <urn:g:two> { ?b <urn:p:v> ?v2 } }"""
+    ).collect()}
+    assert got2 == {("urn:s:1", "urn:s:2")}
+    with pytest.raises(SyntaxError, match="GRAPH with a variable"):
+        eng.select("SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }")
