@@ -1279,6 +1279,17 @@ def multimodal_resize_q(spark, sf_dir):
     )
 
 
+def doc_chunking_q(spark, sf_dir):
+    """Overlapping token-window chunking (RAG preprocessing,
+    extensions/curation.chunk_overlapping): 16-token windows every 8
+    tokens — pure array-slice expansion, no shuffle."""
+    from knowledge_graph_etl_spark.extensions.curation import chunk_overlapping
+
+    return chunk_overlapping(
+        _t(spark, sf_dir, "documents"), chunk_tokens=16, stride=8
+    )
+
+
 def sketch_kmv_distinct_q(spark, sf_dir):
     """Deterministic KMV distinct-count sketch per event type
     (extensions/stats.kmv_distinct, k=16) — an approximate operator whose
@@ -1430,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
         "multimodal_resize": multimodal_resize_q,
         "streaming_curate": streaming_curate_q,
+        "doc_chunking": doc_chunking_q,
     }
 
 
@@ -2186,6 +2198,17 @@ def oracle_sql() -> dict[str, str]:
             + " FROM events GROUP BY user_id"
         ),
         "streaming_curate": _streaming_curate_oracle(),
+        "doc_chunking": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "c AS (SELECT doc_id, len(t) AS n, "
+            "unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS i, "
+            "unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1), "
+            "i -> array_to_string(list_slice(t, i * 8 + 1, i * 8 + 16), ' '))) AS chunk_text "
+            "FROM tok WHERE len(t) > 0) "
+            "SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, chunk_text, "
+            "CAST(least(n - i * 8, 16) AS BIGINT) AS n_tokens "
+            "FROM c WHERE least(n - i * 8, 16) > 0"
+        ),
         "multimodal_resize": (
             "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
             "sha256(text) AS h1 FROM documents WHERE doc_id < 200), "

@@ -494,3 +494,60 @@ def write_sharded_corpus(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def chunk_overlapping(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context
+    preprocessing primitive): windows of ``chunk_tokens`` whitespace
+    tokens starting every ``stride`` tokens, so consecutive chunks share
+    ``chunk_tokens - stride`` tokens of context. Emits
+    ``(id_col, chunk_id, chunk_text, n_tokens)`` — ``chunk_id`` is the
+    0-based window index; the final partial window is kept (it still
+    carries unique tail tokens) and empty documents yield no rows.
+
+    Pure per-row expansion: the token array is built once per document,
+    windows are array slices (no shuffle, no UDF); the output fans out by
+    ~n_tokens/stride rows per document."""
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens and stride must be >= 1, got {chunk_tokens}, {stride}"
+        )
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would drop tokens"
+        )
+    tks = tokens(F.col(text_col))
+    n = F.size(tks)
+    # windows start at 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(
+        n > 0, F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
+    ).otherwise(F.lit(0))
+    # a window fully contained in the previous one adds nothing: stop at
+    # the last start with start + chunk > prev end... simple rule: starts
+    # while start < n
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(tks, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .where(F.col("c.n_tokens") > 0)
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

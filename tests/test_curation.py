@@ -353,3 +353,23 @@ def test_pagerank_hub_no_overflow(spark):
     # rank = base + d*(c//M) + (d*(c%M))//M = 150000 + 850000*1000 + 0
     assert out["hub"] == 150_000 + 850_000 * 1000
     assert all(v > 0 for v in out.values())
+
+
+# -- overlapping chunking -----------------------------------------------------
+
+
+def test_chunk_overlapping_windows(spark):
+    from knowledge_graph_etl_spark.extensions.curation import chunk_overlapping
+
+    docs = _docs(spark, [("d", "t1 t2 t3 t4 t5"), ("empty", "")])
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_overlapping(docs, chunk_tokens=3, stride=2).collect()
+    )
+    assert out == [
+        (0, "t1 t2 t3", 3),
+        (1, "t3 t4 t5", 3),
+        (2, "t5", 1),  # partial tail kept
+    ]
+    with pytest.raises(ValueError, match="stride"):
+        chunk_overlapping(docs, chunk_tokens=2, stride=3)
