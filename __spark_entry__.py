@@ -1279,6 +1279,30 @@ def multimodal_resize_q(spark, sf_dir):
     )
 
 
+def streaming_interval_join_q(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.interval_join) run in
+    batch mode: each purchase joined to every click by the same user in
+    the preceding hour; tests/test_streaming.py proves the watermarked
+    stream==batch equivalence of the same operator."""
+    from knowledge_graph_etl_spark.streaming import interval_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = interval_join(purchases, clicks, key="user_id", max_lag_seconds=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("r_click_id").alias("click_id"),
+        F.unix_micros("r_ts").alias("click_ts_us"),
+    )
+
+
 def doc_chunking_q(spark, sf_dir):
     """Overlapping token-window chunking (RAG preprocessing,
     extensions/curation.chunk_overlapping): 16-token windows every 8
@@ -1442,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize_q,
         "streaming_curate": streaming_curate_q,
         "doc_chunking": doc_chunking_q,
+        "streaming_interval_join": streaming_interval_join_q,
     }
 
 
@@ -2198,6 +2223,16 @@ def oracle_sql() -> dict[str, str]:
             + " FROM events GROUP BY user_id"
         ),
         "streaming_curate": _streaming_curate_oracle(),
+        "streaming_interval_join": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, "
+            "c.click_id, epoch_us(c.cts) AS click_ts_us "
+            "FROM p JOIN c ON p.user_id = c.user_id "
+            "AND c.cts >= p.ts - INTERVAL 3600 SECOND AND c.cts <= p.ts"
+        ),
         "doc_chunking": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "c AS (SELECT doc_id, len(t) AS n, "

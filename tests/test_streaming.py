@@ -265,3 +265,56 @@ def test_curate_docs_stream_matches_batch(spark, tmp_path):
     assert "<EMAIL>" in by_id["keep"][1] and by_id["keep"][2] == 1
     assert "<IP>" in by_id["ip"][1] and by_id["ip"][3] == 1
     assert "\t" not in by_id["keep"][1]  # normalization collapsed the tab
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """interval_join: same rows from a pair of file streams as from the
+    batch frames (watermarked stream-stream join vs plain range join)."""
+    from knowledge_graph_etl_spark.streaming import interval_join
+
+    lrows = [
+        {"user": "u1", "ts": "2024-01-01T10:00:00", "what": "buy"},
+        {"user": "u1", "ts": "2024-01-01T12:00:00", "what": "buy2"},
+        {"user": "u2", "ts": "2024-01-01T10:30:00", "what": "buy3"},
+    ]
+    rrows = [
+        {"user": "u1", "ts": "2024-01-01T09:30:00", "page": "a"},  # within 1h of buy
+        {"user": "u1", "ts": "2024-01-01T08:00:00", "page": "b"},  # too old
+        {"user": "u1", "ts": "2024-01-01T11:59:00", "page": "c"},  # within 1h of buy2
+        {"user": "u2", "ts": "2024-01-01T10:30:00", "page": "d"},  # exactly at ts
+    ]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_jsonl(os.path.join(lsrc, "a.jsonl"), lrows)
+    _write_jsonl(os.path.join(rsrc, "a.jsonl"), rrows)
+    schema_l = "user string, ts timestamp, what string"
+    schema_r = "user string, ts timestamp, page string"
+
+    batch = interval_join(
+        spark.read.schema(schema_l).json(lsrc),
+        spark.read.schema(schema_r).json(rsrc),
+        key="user",
+        max_lag_seconds=3600,
+    )
+    got_batch = {(r["what"], r["r_page"]) for r in batch.collect()}
+    assert got_batch == {("buy", "a"), ("buy2", "c"), ("buy3", "d")}
+
+    stream = interval_join(
+        spark.readStream.schema(schema_l).json(lsrc),
+        spark.readStream.schema(schema_r).json(rsrc),
+        key="user",
+        max_lag_seconds=3600,
+        watermark_seconds=7200,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r["what"], r["r_page"])
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    }
+    assert got_stream == got_batch
