@@ -2,8 +2,9 @@
 
 Beyond the reference's workload (its 16 mapping queries use only plain
 predicates) but core to any SPARQL engine surface: ``p/q`` sequence,
-``^p`` inverse, ``p|q`` alternative, ``p+`` / ``p*`` closures
-(SPARQL 1.1 §9; the engine subset omits ``?`` and negated property sets).
+``^p`` inverse, ``p|q`` alternative, ``p+`` / ``p*`` / ``p?`` closures and
+negated property sets ``!(p|q)`` (SPARQL 1.1 §9; forward-only NPS —
+``!^p`` inverse members are not supported).
 
 A path evaluates to a PAIR RELATION — endpoint terms
 ``(av, at, ad, al, bv, bt, bd, bl)`` (value/type/datatype/lang for each
@@ -163,7 +164,7 @@ def _closure_from(
 
 def eval_path(dataset: DataFrame, node) -> DataFrame:
     """Path AST → pair relation. ``node`` is an ``IriT`` or a
-    ``plans.parser.PathT`` (op in seq/alt/inv/plus/star)."""
+    ``plans.parser.PathT`` (op in seq/alt/inv/plus/star/opt/nps)."""
     # late import: parser imports nothing from here, avoid cycles
     from ..plans.parser import IriT, PathT
 

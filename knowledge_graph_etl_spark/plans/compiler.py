@@ -166,14 +166,19 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
     if isinstance(node, CmpExpr):
         return TermExpr.literal_value(_compile_cmp(node, cols))
     if isinstance(node, BoolExpr):
-        vals = [compile_expr(p, cols).value.cast("boolean") for p in node.parts]
+        # try_cast: a non-boolean operand is an EBV type error → NULL →
+        # the row is dropped; a plain cast would ABORT the query under
+        # ANSI mode (Spark 4 default)
+        vals = [
+            compile_expr(p, cols).value.try_cast("boolean") for p in node.parts
+        ]
         out = vals[0]
         for v in vals[1:]:
             out = (out | v) if node.op == "or" else (out & v)
         return TermExpr.literal_value(out)
     if isinstance(node, NotExpr):
         return TermExpr.literal_value(
-            ~compile_expr(node.expr, cols).value.cast("boolean")
+            ~compile_expr(node.expr, cols).value.try_cast("boolean")
         )
     if not isinstance(node, FuncCall):
         raise TypeError(f"unexpected expression node {node!r}")
@@ -327,17 +332,25 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
     rn = r.value.try_cast("double")
     both_num = ln.isNotNull() & rn.isNotNull()
     if node.op in ("=", "!="):
+        # RDF 1.1 same-term folding: "x" and "x"^^xsd:string are equal —
+        # match the BGP constant-pattern behavior (bgp._object_conds)
+        xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+        ld = F.when(l.datatype == xsd_str, _null_str()).otherwise(l.datatype)
+        rd = F.when(r.datatype == xsd_str, _null_str()).otherwise(r.datatype)
         term_eq = (
             (l.value == r.value)
             & l.type.eqNullSafe(r.type)
-            & l.datatype.eqNullSafe(r.datatype)
+            & ld.eqNullSafe(rd)
             & l.lang.eqNullSafe(r.lang)
         )
         eq = F.when(both_num, ln == rn).otherwise(term_eq)
-        # propagate unbound as NULL (when/otherwise would turn it into
-        # the term_eq branch, which is fine: NULL value makes it NULL)
-        out = eq if node.op == "=" else ~eq
-        return out
+        # an UNBOUND operand is a SPARQL type error → NULL, which FILTER
+        # drops for BOTH = and != (an explicit guard: the companion
+        # eqNullSafe terms would otherwise turn unbound into plain FALSE,
+        # and ~FALSE would wrongly KEEP rows under !=)
+        bound = l.value.isNotNull() & r.value.isNotNull()
+        eq = F.when(~bound, F.lit(None).cast("boolean")).otherwise(eq)
+        return eq if node.op == "=" else ~eq
     ops = {
         "<": lambda a, b: a < b,
         ">": lambda a, b: a > b,
@@ -540,7 +553,9 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             b.bind(el.var, compile_expr(el.expr, cols))
         elif isinstance(el, FilterExpr):
             ensure_df()
-            b.filter(compile_expr(el.expr, set(b.df.columns)).value.cast("boolean"))
+            b.filter(
+                compile_expr(el.expr, set(b.df.columns)).value.try_cast("boolean")
+            )
         else:
             raise TypeError(f"unexpected group element {el!r}")
     flush_run()
@@ -762,7 +777,7 @@ def _select_pipeline(
         # projected aliases (?n for (COUNT(*) AS ?n)) — the pragmatic
         # subset now that FILTER comparisons exist
         df = df.where(
-            compile_expr(node.having, set(df.columns)).value.cast("boolean")
+            compile_expr(node.having, set(df.columns)).value.try_cast("boolean")
         )
     if variables is not None:
         for name, expr in variables:
@@ -968,9 +983,17 @@ def compile_describe(node: DescribeQuery, store) -> DataFrame:
         for v in var_names:
             if v not in bindings.columns:
                 continue
-            one = bindings.select(F.col(v).alias("__res")).where(
-                F.col("__res").isNotNull()
-            )
+            one = bindings.select(F.col(v).alias("__res"), *(
+                [F.col(_companion(v, "type")).alias("__rt")]
+                if _companion(v, "type") in bindings.columns
+                else [F.lit(None).cast("string").alias("__rt")]
+            )).where(F.col("__res").isNotNull())
+            # a literal binding is never a subject: without this check a
+            # literal whose lexical form collides with an IRI/bnode label
+            # would leak that resource's description
+            one = one.where(
+                F.col("__rt").isNull() | F.col("__rt").isin("iri", "bnode")
+            ).select("__res")
             res = one if res is None else res.unionByName(one)
         if res is not None:
             parts.append(

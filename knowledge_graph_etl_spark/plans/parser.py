@@ -1056,7 +1056,7 @@ class _Parser:
             inv = True
         if self.at_punct("!"):
             # negated property set (forward predicates only): !iri or
-            # !(iri|iri|...)
+            # !(iri|iri|...); falls through to the +/*/? modifier handling
             self.next()
             banned = []
             if self.at_punct("("):
@@ -1069,10 +1069,7 @@ class _Parser:
             else:
                 banned.append(self.parse_verb_primary().value)
             prim = PathT("nps", banned)
-            if inv:
-                prim = PathT("inv", [prim])
-            return prim
-        if self.at_punct("("):
+        elif self.at_punct("("):
             self.next()
             prim = self.parse_path()
             self.expect_punct(")")
@@ -1215,6 +1212,10 @@ class _Parser:
                 arg = self.parse_expr()
             sep = " "
             if self.at_punct(";"):
+                if fname != "GROUP_CONCAT":
+                    raise SyntaxError(
+                        f"SEPARATOR is only valid in GROUP_CONCAT, not {fname}"
+                    )
                 self.next()
                 self.expect_name("SEPARATOR")
                 self.expect_punct("=")

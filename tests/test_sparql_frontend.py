@@ -1001,3 +1001,88 @@ def test_graph_block_restricts_matching(spark):
     assert got2 == {("urn:s:1", "urn:s:2")}
     with pytest.raises(SyntaxError, match="GRAPH with a variable"):
         eng.select("SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }")
+
+
+# -- third-review regressions -------------------------------------------------
+
+
+def test_filter_neq_drops_unbound(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:u2", "urn:s:1", "iri", "urn:p:v", "1", "literal", None, None),
+            ("urn:g:u2", "urn:s:2", "iri", "urn:p:v", "2", "literal", None, None),
+            ("urn:g:u2", "urn:s:1", "iri", "urn:p:w", "5", "literal", None, None),
+        ]
+    )
+    got = {r["s"] for r in eng.select(
+        """SELECT ?s FROM <urn:g:u2> WHERE {
+             ?s <urn:p:v> ?v OPTIONAL { ?s <urn:p:w> ?w }
+             FILTER(?w != 9) }"""
+    ).collect()}
+    # unbound ?w is a type error -> dropped, NOT kept by ~FALSE
+    assert got == {"urn:s:1"}
+
+
+def test_filter_boolean_nonbool_drops_not_crashes(spark):
+    eng = _cmp_engine(spark)
+    # ?v as a bare boolean operand is a type error for every row -> empty
+    # result, and crucially no ANSI cast crash
+    assert _filter_sel(eng, "?v && ?v = 5") == set()
+
+
+def test_filter_eq_folds_xsd_string(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [(
+            "urn:g:xs", "urn:s:1", "iri", "urn:p:v", "abc", "literal",
+            "http://www.w3.org/2001/XMLSchema#string", None,
+        )]
+    )
+    got = {r["s"] for r in eng.select(
+        'SELECT ?s FROM <urn:g:xs> WHERE { ?s <urn:p:v> ?v FILTER(?v = "abc") }'
+    ).collect()}
+    assert got == {"urn:s:1"}  # same folding as the pattern-constant path
+
+
+def test_describe_ignores_literal_bindings(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:dl", "urn:s:1", "iri", "urn:p:b", "urn:s:2", "literal", None, None),
+            ("urn:g:dl", "urn:s:2", "iri", "urn:p:a", "y", "literal", None, None),
+        ]
+    )
+    out = eng.describe(
+        "DESCRIBE ?x FROM <urn:g:dl> WHERE { <urn:s:1> <urn:p:b> ?x }"
+    ).collect()
+    assert out == []  # the literal "urn:s:2" must not leak the resource
+
+
+def test_spaceless_boolean_ops_parse(spark):
+    # `<` must be whitespace-separated (it is lexically ambiguous with a
+    # relative IRIREF like <6&&?w>, which SPARQL's own grammar also lexes
+    # as an IRI token); the other operators chain spacelessly
+    eng = _cmp_engine(spark)
+    assert _filter_sel(eng, "?v>=5&&?v!=12") == {"urn:s:1", "urn:s:2"}
+
+
+def test_nps_with_closure_modifier(spark):
+    from knowledge_graph_etl_spark.plans.parser import parse_query, PathT
+
+    q = parse_query("SELECT ?s WHERE { ?s !(<urn:p:a>)+ ?o }")
+    p = q.where.elements[0].p
+    assert p.op == "plus" and p.parts[0].op == "nps"
+
+
+def test_separator_only_for_group_concat(spark):
+    from knowledge_graph_etl_spark.plans.parser import parse_query
+
+    with pytest.raises(SyntaxError, match="SEPARATOR"):
+        parse_query('SELECT (SUM(?x; SEPARATOR=",") AS ?t) WHERE { ?s ?p ?x }')
