@@ -1103,6 +1103,44 @@ def kg_filter_compare_q(spark, sf_dir):
     )
 
 
+def kg_select_builtins_q(spark, sf_dir):
+    """SPARQL 1.1 §17.4 builtin set beyond the reference workload
+    (plans/compiler compile_expr): SUBSTR/STRLEN/CONTAINS/REGEX-with-flags/
+    CEIL/FLOOR/ROUND (ties toward +inf per spec — floor(x+0.5), not Spark
+    round), SHA256, isNumeric — each oracled exactly against DuckDB's
+    native string/math functions over the same relational values."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    quads = quadify(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "urn:ord:",
+        "urn:g:ordb",
+        columns=["o_orderpriority", "o_totalprice"],
+        namespace=P,
+    )
+    eng.store.insert(quads, dedup_against_store=False, batch_distinct=True)
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?o ?pri2 ?ln ?ceil_v ?floor_v ?round_v ?sha ?isnum
+        FROM <urn:g:ordb>
+        WHERE {
+            ?o p:o_totalprice ?tp ; p:o_orderpriority ?pri .
+            FILTER(CONTAINS(?pri, "-") && REGEX(?pri, "^[12]-h", "i"))
+            BIND(SUBSTR(?pri, 3) AS ?pri2)
+            BIND(STRLEN(?pri2) AS ?ln)
+            BIND(CEIL(?tp) AS ?ceil_v)
+            BIND(FLOOR(?tp) AS ?floor_v)
+            BIND(ROUND(?tp) AS ?round_v)
+            BIND(SHA256(?pri2) AS ?sha)
+            BIND(isNumeric(?tp) AS ?isnum)
+        }
+        """
+    )
+
+
 def kg_path_query_q(spark, sf_dir):
     """SPARQL 1.1 property path: transitive closure (`+`) over an
     order→customer→nation→region parent hierarchy (operators/paths.py
@@ -1460,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_union_values": kg_union_values_q,
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
+        "kg_select_builtins": kg_select_builtins_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2180,6 +2219,20 @@ def oracle_sql() -> dict[str, str]:
             "o_orderpriority AS pri FROM orders "
             "WHERE o_totalprice > 150000 "
             "AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        ),
+        "kg_select_builtins": (
+            # ROUND ties toward +inf = floor(x+0.5) on BOTH engines (DuckDB
+            # round() is half-away-from-zero, so spell the spec rule out)
+            "SELECT 'urn:ord:' || CAST(o_orderkey AS VARCHAR) AS o, "
+            "substr(o_orderpriority, 3) AS pri2, "
+            "CAST(length(substr(o_orderpriority, 3)) AS BIGINT) AS ln, "
+            "CAST(ceil(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS ceil_v, "
+            "CAST(floor(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS floor_v, "
+            "CAST(floor(CAST(o_totalprice AS DOUBLE) + 0.5) AS BIGINT) AS round_v, "
+            "sha256(substr(o_orderpriority, 3)) AS sha, "
+            "TRUE AS isnum "
+            "FROM orders WHERE contains(o_orderpriority, '-') "
+            "AND regexp_matches(o_orderpriority, '^[12]-h', 'i')"
         ),
         "kg_group_agg": (
             "SELECT o_orderpriority AS pri, COUNT(*) AS n_orders, "

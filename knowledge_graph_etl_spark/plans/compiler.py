@@ -36,7 +36,12 @@ from ..functions import (
 from ..operators.bgp import BGPBuilder, Var, _companion, _term_join, pattern, star_scan
 from ..operators.construct import construct
 from ..operators.paths import path_solution
-from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, Term
+from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, XSD_STRING, Term
+
+#: rdf:langString — the datatype of language-tagged literals (RDF 1.1);
+#: only ever OBSERVED via DATATYPE(), never stored (the store keeps the
+#: lang tag in its own column and o_datatype NULL for tagged literals).
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 from .parser import (
     AggCall,
     AskQuery,
@@ -211,6 +216,8 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
     if name == "REPLACE":
         src = compile_expr(args[0], cols).value
         pat, rep = _lit_str(args[1]), _lit_str(args[2])
+        if len(args) > 3:
+            pat = _regex_with_flags(pat, _lit_str(args[3]), "REPLACE")
         return TermExpr.literal_value(F.regexp_replace(src, pat, rep))
     if name == "STRAFTER":
         return TermExpr.literal_value(
@@ -244,7 +251,170 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
             pick(t.datatype, e.datatype),
             pick(t.lang, e.lang),
         )
+
+    # -- SPARQL 1.1 §17.4 builtins beyond the reference workload ----------
+
+    if name == "STRLEN":
+        return TermExpr.literal_value(
+            F.length(compile_expr(args[0], cols).value).cast("long")
+        )
+    if name == "SUBSTR":
+        # 1-based like SPARQL (fn:substring); Spark substring is 1-based too
+        src = compile_expr(args[0], cols).value
+        start = compile_expr(args[1], cols).value.try_cast("int")
+        length = (
+            compile_expr(args[2], cols).value.try_cast("int")
+            if len(args) > 2
+            else F.lit(2147483647)
+        )
+        return TermExpr.literal_value(F.substring(src, start, length))
+    if name == "CONTAINS":
+        a = compile_expr(args[0], cols).value
+        b = compile_expr(args[1], cols).value
+        return TermExpr.literal_value(a.contains(b))
+    if name == "STRENDS":
+        a = compile_expr(args[0], cols).value
+        b = compile_expr(args[1], cols).value
+        return TermExpr.literal_value(a.endswith(b))
+    if name == "REGEX":
+        src = compile_expr(args[0], cols).value
+        pat = _regex_with_flags(
+            _lit_str(args[1]),
+            _lit_str(args[2]) if len(args) > 2 else None,
+            "REGEX",
+        )
+        return TermExpr.literal_value(F.regexp_like(src, F.lit(pat)))
+    if name == "COALESCE":
+        terms = [compile_expr(a, cols) for a in args]
+
+        def pick(attr: str) -> Column:
+            # companions follow the FIRST BOUND argument, not a blanket
+            # coalesce of companions (a later arg's datatype must not leak
+            # under an earlier bound plain literal)
+            out = F.lit(None).cast("string")
+            for t in reversed(terms):
+                out = F.when(t.value.isNotNull(), getattr(t, attr)).otherwise(out)
+            return out
+
+        return TermExpr(
+            F.coalesce(*[t.value for t in terms]),
+            pick("type"),
+            pick("datatype"),
+            pick("lang"),
+        )
+    if name in ("ABS", "CEIL", "FLOOR", "ROUND"):
+        # numeric builtins on the lexical store: try_cast keeps SPARQL's
+        # error semantics (non-numeric argument → NULL → unbound). ROUND
+        # ties go toward +inf per the spec (ROUND(-2.5) = -2), which is
+        # floor(x+0.5) — NOT Spark round() (HALF_UP away from zero → -3).
+        v = compile_expr(args[0], cols).value.try_cast("double")
+        if name == "ABS":
+            return TermExpr.literal_value(F.abs(v))
+        if name == "CEIL":
+            return TermExpr.literal_value(F.ceil(v).cast("long"))
+        if name == "FLOOR":
+            return TermExpr.literal_value(F.floor(v).cast("long"))
+        return TermExpr.literal_value(F.floor(v + F.lit(0.5)).cast("long"))
+    if name == "LANG":
+        t = compile_expr(args[0], cols)
+        # literal → tag or ""; IRI/bnode argument is a SPARQL type error →
+        # NULL (unbound propagates as NULL already)
+        return TermExpr.literal_value(
+            F.when(t.type == LITERAL, F.coalesce(t.lang, F.lit("")))
+        )
+    if name == "DATATYPE":
+        t = compile_expr(args[0], cols)
+        dt = F.when(
+            t.type == LITERAL,
+            F.coalesce(
+                t.datatype,
+                F.when(t.lang.isNotNull(), F.lit(RDF_LANGSTRING)).otherwise(
+                    F.lit(XSD_STRING)
+                ),
+            ),
+        )
+        return TermExpr(dt, F.lit(IRI), _null_str(), _null_str())
+    if name == "LANGMATCHES":
+        tag = compile_expr(args[0], cols).value
+        rng = _lit_str(args[1])
+        if rng is None:
+            raise ValueError("LANGMATCHES needs a constant language range")
+        if rng == "*":
+            return TermExpr.literal_value(tag.isNotNull() & (tag != ""))
+        low = F.lower(tag)
+        r = rng.lower()
+        return TermExpr.literal_value(
+            (low == r) | low.startswith(r + "-")
+        )
+    if name in ("ISIRI", "ISBLANK", "ISLITERAL"):
+        t = compile_expr(args[0], cols)
+        target = {"ISIRI": IRI, "ISBLANK": BNODE, "ISLITERAL": LITERAL}[name]
+        # unbound argument is an error (NULL), not False
+        return TermExpr.literal_value(
+            F.when(t.value.isNotNull(), t.type == target)
+        )
+    if name == "ISNUMERIC":
+        t = compile_expr(args[0], cols)
+        return TermExpr.literal_value(
+            F.when(
+                t.value.isNotNull(),
+                (t.type == LITERAL) & t.value.try_cast("double").isNotNull(),
+            )
+        )
+    if name == "SAMETERM":
+        l = compile_expr(args[0], cols)
+        r = compile_expr(args[1], cols)
+        # strict term identity — NO numeric promotion ("05" vs "5" differ
+        # here even though FILTER(?a = ?b) would equate them); xsd:string
+        # folds to the plain form (RDF 1.1: they ARE the same term)
+        ld = F.when(l.datatype == XSD_STRING, _null_str()).otherwise(l.datatype)
+        rd = F.when(r.datatype == XSD_STRING, _null_str()).otherwise(r.datatype)
+        eq = (
+            (l.value == r.value)
+            & l.type.eqNullSafe(r.type)
+            & ld.eqNullSafe(rd)
+            & l.lang.eqNullSafe(r.lang)
+        )
+        bound_both = l.value.isNotNull() & r.value.isNotNull()
+        return TermExpr.literal_value(
+            F.when(~bound_both, F.lit(None).cast("boolean")).otherwise(eq)
+        )
+    if name == "SHA1":
+        return TermExpr.literal_value(F.sha1(compile_expr(args[0], cols).value))
+    if name in ("SHA256", "SHA384", "SHA512"):
+        return TermExpr.literal_value(
+            F.sha2(compile_expr(args[0], cols).value, int(name[3:]))
+        )
+    if name == "STRDT":
+        if not isinstance(args[1], IriT):
+            raise ValueError("STRDT needs a constant datatype IRI")
+        dt = args[1].value
+        return TermExpr(
+            compile_expr(args[0], cols).value,
+            F.lit(LITERAL),
+            F.lit(None if dt == XSD_STRING else dt).cast("string"),
+            _null_str(),
+        )
     raise ValueError(f"unsupported function {name}")
+
+
+def _regex_with_flags(pat: str | None, flags: str | None, fn: str) -> str:
+    """Fold SPARQL regex flags into an embedded-flag prefix. Pattern and
+    flags must be constants (the common case; per-row patterns would also
+    defeat regex compilation caching)."""
+    if pat is None:
+        raise ValueError(f"{fn} needs a constant pattern string")
+    if not flags:
+        return pat
+    if not set(flags) <= set("ismxq"):
+        raise ValueError(f"unsupported {fn} flags {flags!r}")
+    if "q" in flags:
+        # XPath 'q': treat the pattern as a literal string
+        import re as _re
+
+        pat = _re.escape(pat)
+        flags = flags.replace("q", "")
+    return f"(?{flags}){pat}" if flags else pat
 
 
 # --------------------------------------------------------------------------

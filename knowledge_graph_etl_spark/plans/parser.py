@@ -400,6 +400,32 @@ FUNCTIONS = {
     "STRBEFORE",
     "ENCODE_FOR_URI",
     "STR",
+    # SPARQL 1.1 §17.4 builtins beyond the reference workload (the read
+    # side of the engine exposes the full common set)
+    "STRLEN",
+    "SUBSTR",
+    "CONTAINS",
+    "STRENDS",
+    "REGEX",
+    "COALESCE",
+    "ABS",
+    "CEIL",
+    "FLOOR",
+    "ROUND",
+    "LANG",
+    "DATATYPE",
+    "LANGMATCHES",
+    "ISIRI",
+    "ISURI",
+    "ISBLANK",
+    "ISLITERAL",
+    "ISNUMERIC",
+    "SAMETERM",
+    "SHA1",
+    "SHA256",
+    "SHA384",
+    "SHA512",
+    "STRDT",
 }
 
 
@@ -1238,7 +1264,9 @@ class _Parser:
                     self.next()
                     args.append(self.parse_expr())
             self.expect_punct(")")
-            return FuncCall("URI" if fname == "IRI" else fname, tuple(args))
+            # canonical aliases: IRI≡URI, isURI≡isIRI (SPARQL 1.1 §17.4)
+            fname = {"IRI": "URI", "ISURI": "ISIRI"}.get(fname, fname)
+            return FuncCall(fname, tuple(args))
         if t.kind in ("IRIREF", "PNAME", "PNAME_NS"):
             return IriT(self.parse_iri())
         raise SyntaxError(f"unexpected token {t.text!r} in expression at {t.pos}")

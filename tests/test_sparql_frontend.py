@@ -1086,3 +1086,122 @@ def test_separator_only_for_group_concat(spark):
 
     with pytest.raises(SyntaxError, match="SEPARATOR"):
         parse_query('SELECT (SUM(?x; SEPARATOR=",") AS ?t) WHERE { ?s ?p ?x }')
+
+
+# -- SPARQL 1.1 §17.4 builtin expansion ------------------------------------
+
+
+def _fn_engine(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:fn", "urn:s:1", "iri", "urn:p:v", "Hello World", "literal", None, None),
+            ("urn:g:fn", "urn:s:2", "iri", "urn:p:v", "hallo", "literal", None, "nl"),
+            ("urn:g:fn", "urn:s:3", "iri", "urn:p:v", "-2.5", "literal", xsd_int, None),
+            ("urn:g:fn", "urn:s:4", "iri", "urn:p:v", "urn:x:ref", "iri", None, None),
+            ("urn:g:fn", "urn:s:5", "iri", "urn:p:v", "b1", "bnode", None, None),
+        ]
+    )
+    return eng
+
+
+def _bind_one(eng, subject, expr, extra=""):
+    df = eng.select(
+        "SELECT ?r FROM <urn:g:fn> WHERE { "
+        f"<{subject}> <urn:p:v> ?v. {extra} BIND({expr} AS ?r) }}"
+    )
+    got = df.collect()
+    assert len(got) == 1
+    return got[0]["r"]
+
+
+def test_builtin_string_fns(spark):
+    eng = _fn_engine(spark)
+    assert _bind_one(eng, "urn:s:1", "STRLEN(?v)") == 11
+    assert _bind_one(eng, "urn:s:1", "SUBSTR(?v, 7)") == "World"
+    assert _bind_one(eng, "urn:s:1", "SUBSTR(?v, 1, 5)") == "Hello"
+    assert _bind_one(eng, "urn:s:1", 'CONTAINS(?v, "lo W")') is True
+    assert _bind_one(eng, "urn:s:1", 'STRENDS(?v, "World")') is True
+    assert _bind_one(eng, "urn:s:1", 'STRENDS(?v, "world")') is False
+    assert _bind_one(eng, "urn:s:1", 'REGEX(?v, "^hello", "i")') is True
+    assert _bind_one(eng, "urn:s:1", 'REGEX(?v, "^hello")') is False
+    assert _bind_one(eng, "urn:s:1", 'REPLACE(?v, "o", "0", "i")') == "Hell0 W0rld"
+
+
+def test_builtin_numeric_fns(spark):
+    eng = _fn_engine(spark)
+    assert _bind_one(eng, "urn:s:3", "ABS(?v)") == 2.5
+    assert _bind_one(eng, "urn:s:3", "CEIL(?v)") == -2
+    assert _bind_one(eng, "urn:s:3", "FLOOR(?v)") == -3
+    # SPARQL ROUND ties go toward +inf: ROUND(-2.5) = -2, not -3
+    assert _bind_one(eng, "urn:s:3", "ROUND(?v)") == -2
+    # non-numeric argument is a type error -> unbound (NULL), not a crash
+    assert _bind_one(eng, "urn:s:1", "ABS(?v)") is None
+
+
+def test_builtin_term_accessors(spark):
+    eng = _fn_engine(spark)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert _bind_one(eng, "urn:s:1", "LANG(?v)") == ""
+    assert _bind_one(eng, "urn:s:2", "LANG(?v)") == "nl"
+    assert _bind_one(eng, "urn:s:4", "LANG(?v)") is None  # IRI -> error
+    assert _bind_one(eng, "urn:s:1", "DATATYPE(?v)") == xsd + "string"
+    assert _bind_one(eng, "urn:s:3", "DATATYPE(?v)") == xsd + "integer"
+    assert (
+        _bind_one(eng, "urn:s:2", "DATATYPE(?v)")
+        == "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    )
+    assert _bind_one(eng, "urn:s:2", 'LANGMATCHES(LANG(?v), "NL")') is True
+    assert _bind_one(eng, "urn:s:2", 'LANGMATCHES(LANG(?v), "*")') is True
+    assert _bind_one(eng, "urn:s:1", 'LANGMATCHES(LANG(?v), "*")') is False
+    assert _bind_one(eng, "urn:s:4", "isIRI(?v)") is True
+    assert _bind_one(eng, "urn:s:4", "isURI(?v)") is True
+    assert _bind_one(eng, "urn:s:1", "isIRI(?v)") is False
+    assert _bind_one(eng, "urn:s:5", "isBlank(?v)") is True
+    assert _bind_one(eng, "urn:s:1", "isLiteral(?v)") is True
+    assert _bind_one(eng, "urn:s:3", "isNumeric(?v)") is True
+    assert _bind_one(eng, "urn:s:1", "isNumeric(?v)") is False
+    assert _bind_one(eng, "urn:s:4", "isNumeric(?v)") is False  # IRI, even if digits
+
+
+def test_builtin_sameterm_coalesce_hashes(spark):
+    eng = _fn_engine(spark)
+    # sameTerm is strict: "05"^^xsd:int vs "5"^^xsd:int are DIFFERENT terms
+    # (FILTER = would equate them numerically)
+    cmp_eng = _cmp_engine(spark)
+    got = {
+        (r["a"], r["b"])
+        for r in cmp_eng.select(
+            "SELECT ?a ?b FROM <urn:g:f> WHERE { ?a <urn:p:v> ?x. ?b <urn:p:v> ?y. "
+            "FILTER(sameTerm(?x, ?y)) FILTER(?a < ?b) }"
+        ).collect()
+    }
+    assert got == set()  # all four values are distinct terms
+    assert _bind_one(eng, "urn:s:1", 'COALESCE(?missing, ?v, "zz")',
+                     extra="OPTIONAL { <urn:s:1> <urn:p:none> ?missing. }") == "Hello World"
+    import hashlib
+
+    assert _bind_one(eng, "urn:s:1", "SHA1(?v)") == hashlib.sha1(b"Hello World").hexdigest()
+    assert _bind_one(eng, "urn:s:1", "SHA256(?v)") == hashlib.sha256(b"Hello World").hexdigest()
+    assert _bind_one(eng, "urn:s:1", "SHA512(?v)") == hashlib.sha512(b"Hello World").hexdigest()
+
+
+def test_builtin_strdt_and_coalesce_companions(spark):
+    eng = _fn_engine(spark)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    df = eng.select(
+        "SELECT ?r ?dt FROM <urn:g:fn> WHERE { <urn:s:1> <urn:p:v> ?v. "
+        f'BIND(STRDT("7", <{xsd}byte>) AS ?r) BIND(DATATYPE(?r) AS ?dt) }}'
+    )
+    row = df.collect()[0]
+    assert row["r"] == "7" and row["dt"] == xsd + "byte"
+    # COALESCE carries the FIRST BOUND argument's companions: the fallback
+    # typed literal's datatype must not leak when ?v (plain) is bound
+    df2 = eng.select(
+        "SELECT ?dt FROM <urn:g:fn> WHERE { <urn:s:1> <urn:p:v> ?v. "
+        f'BIND(DATATYPE(COALESCE(?v, STRDT("7", <{xsd}byte>))) AS ?dt) }}'
+    )
+    assert df2.collect()[0]["dt"] == xsd + "string"
