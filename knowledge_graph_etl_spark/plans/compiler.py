@@ -56,11 +56,13 @@ from .parser import (
     DescribeQuery,
     FilterExpr,
     FuncCall,
+    GraphCopy,
     GraphGroup,
     Group,
     GraphDDL,
     InsertData,
     InsertWhere,
+    LoadGraph,
     IriT,
     LitT,
     ExistsFilter,
@@ -1230,7 +1232,48 @@ def _delete_graphs(node: DeleteWhere) -> list[str]:
 def execute_update(node, store) -> None:
     """Run one parsed update against a :class:`..store.GraphStore`."""
     if isinstance(node, GraphDDL):
-        (store.clear if node.verb == "clear" else store.drop)(node.graph)
+        op = store.clear if node.verb == "clear" else store.drop
+        if node.scope == "graph":
+            op(node.graph)
+        else:
+            # NAMED ≡ ALL in a store with no default graph: every quad
+            # lives in a named graph (one partition delete per graph)
+            for g in store.list_graphs():
+                op(g)
+        return
+    if isinstance(node, GraphCopy):
+        if node.src not in store.list_graphs():
+            if node.silent:
+                return
+            raise ValueError(
+                f"{node.verb.upper()}: source graph <{node.src}> does not "
+                "exist (SILENT suppresses this error)"
+            )
+        fn = {
+            "add": store.add_graph,
+            "copy": store.copy_graph,
+            "move": store.move_graph,
+        }[node.verb]
+        fn(node.src, node.dst)
+        return
+    if isinstance(node, LoadGraph):
+        import os
+
+        from ..sources import read_rdf
+
+        path = node.source
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        if not os.path.exists(path):
+            if node.silent:
+                return
+            raise ValueError(
+                f"LOAD: source {node.source!r} does not exist "
+                "(SILENT suppresses this error)"
+            )
+        store.insert(
+            read_rdf(store.spark, path, node.graph), target_graphs=[node.graph]
+        )
         return
     if isinstance(node, InsertData):
         store.insert_data(_const_quad_rows(node.quads, "INSERT DATA"))

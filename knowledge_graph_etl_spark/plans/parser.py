@@ -221,6 +221,36 @@ class DeleteWhere:
 @dataclass
 class GraphDDL:
     verb: str  # 'clear' | 'drop'
+    graph: str | None  # None when scope != 'graph'
+    silent: bool
+    #: 'graph' (CLEAR GRAPH <g>) | 'named' | 'all'. In a named-graph-
+    #: partitioned store there is no default graph, so NAMED ≡ ALL here;
+    #: DEFAULT is rejected at parse time with a pointer to GRAPH <g>.
+    scope: str = "graph"
+
+
+@dataclass(frozen=True)
+class GraphCopy:
+    """``ADD/MOVE/COPY [SILENT] GRAPH <src> TO GRAPH <dst>`` (SPARQL 1.1
+    Update §3.2.5-7). ADD unions src into dst; COPY replaces dst with src;
+    MOVE is COPY followed by DROP src. DEFAULT operands are rejected (no
+    default graph in this store model)."""
+
+    verb: str  # 'add' | 'move' | 'copy'
+    src: str
+    dst: str
+    silent: bool
+
+
+@dataclass(frozen=True)
+class LoadGraph:
+    """``LOAD [SILENT] <source> INTO GRAPH <g>`` (SPARQL 1.1 Update §3.1.2):
+    source is a file path / file:// IRI read via the format-autodetecting
+    RDF source (sources.read_rdf — N-Triples / Turtle / RDF/XML, mirroring
+    the reference's rdflib parse autodetect, sparql_update.py:124-133).
+    ``INTO GRAPH`` is required — there is no default graph to load into."""
+
+    source: str
     graph: str
     silent: bool
 
@@ -527,6 +557,10 @@ class _Parser:
         self.parse_prologue()
         if self.at_name("CLEAR", "DROP"):
             return self.parse_ddl()
+        if self.at_name("ADD", "MOVE", "COPY"):
+            return self.parse_graph_copy()
+        if self.at_name("LOAD"):
+            return self.parse_load()
         if self.at_name("INSERT"):
             self.next()
             if self.at_name("DATA"):
@@ -607,9 +641,57 @@ class _Parser:
         if self.at_name("SILENT"):
             silent = True
             self.next()
+        if self.at_name("NAMED", "ALL"):
+            scope = self.next().text.lower()
+            return GraphDDL(verb, None, silent, "named" if scope == "named" else "all")
+        if self.at_name("DEFAULT"):
+            raise SyntaxError(
+                f"{verb.upper()} DEFAULT is not supported — this store has no "
+                "default graph (every quad lives in a named graph); use "
+                f"{verb.upper()} GRAPH <g>"
+            )
         self.expect_name("GRAPH")
         graph = self.parse_iri()
         return GraphDDL(verb, graph, silent)
+
+    def _graph_operand(self, verb: str) -> str:
+        """``[GRAPH] <iri>`` operand of ADD/MOVE/COPY; DEFAULT rejected."""
+        if self.at_name("DEFAULT"):
+            raise SyntaxError(
+                f"{verb} DEFAULT is not supported — this store has no default "
+                f"graph; use {verb} GRAPH <g> TO GRAPH <g>"
+            )
+        if self.at_name("GRAPH"):
+            self.next()
+        return self.parse_iri()
+
+    def parse_graph_copy(self) -> GraphCopy:
+        verb = self.next().text.lower()
+        silent = False
+        if self.at_name("SILENT"):
+            silent = True
+            self.next()
+        src = self._graph_operand(verb.upper())
+        self.expect_name("TO")
+        dst = self._graph_operand(verb.upper())
+        return GraphCopy(verb, src, dst, silent)
+
+    def parse_load(self) -> LoadGraph:
+        self.next()  # LOAD
+        silent = False
+        if self.at_name("SILENT"):
+            silent = True
+            self.next()
+        source = self.parse_iri()
+        if not self.at_name("INTO"):
+            raise SyntaxError(
+                "LOAD without INTO GRAPH is not supported — this store has "
+                "no default graph to load into; use LOAD <src> INTO GRAPH <g>"
+            )
+        self.next()
+        self.expect_name("GRAPH")
+        graph = self.parse_iri()
+        return LoadGraph(source, graph, silent)
 
     # -- INSERT DATA ------------------------------------------------------
 

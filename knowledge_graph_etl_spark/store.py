@@ -270,6 +270,55 @@ class GraphStore:
         kept for API fidelity (SURVEY.md §2 ops 11-12)."""
         self._drop_partition(g)
 
+    def _relabeled(self, src: str, dst: str) -> DataFrame:
+        """src graph's quads relabeled to dst (the ADD/MOVE/COPY payload)."""
+        cols = [c for c in QUAD_COLUMNS if c != "g"]
+        return self.graph(src).select(F.lit(dst).alias("g"), *cols)
+
+    def add_graph(self, src: str, dst: str) -> None:
+        """``ADD GRAPH <src> TO GRAPH <dst>`` (SPARQL 1.1 Update §3.2.7):
+        set-union src's quads into dst; src unchanged. One partition scan +
+        the target-pruned set-dedup anti-join — the same write path as any
+        insert."""
+        if src == dst:
+            return
+        self.insert(self._relabeled(src, dst), target_graphs=[dst], batch_distinct=True)
+
+    def copy_graph(self, src: str, dst: str) -> None:
+        """``COPY GRAPH <src> TO GRAPH <dst>`` (§3.2.5): dst becomes an
+        exact copy of src (existing dst data removed first). The batch is
+        checkpointed BEFORE dst is cleared so a src==subset-of-dst read
+        never races the partition delete; src itself is a different
+        partition and is never touched."""
+        if src == dst:
+            return
+        batch = self._relabeled(src, dst)
+        if not self._is_mem:
+            # parquet path: materialize the src read plan only as a plan —
+            # src partition files are untouched by clearing dst, so the
+            # lazy read stays valid; no checkpoint needed
+            self.clear(dst)
+            self.insert(batch, dedup_against_store=False, batch_distinct=True)
+            return
+        batch = batch.localCheckpoint(eager=True)
+        self.clear(dst)
+        self.insert(batch, dedup_against_store=False, batch_distinct=True)
+
+    def move_graph(self, src: str, dst: str) -> None:
+        """``MOVE GRAPH <src> TO GRAPH <dst>`` (§3.2.6): COPY then DROP the
+        source — safe in both backends because copy_graph's insert is an
+        eager action (parquet write / cache materialization), so dropping
+        src afterwards cannot unread the copied data. src==dst is a no-op
+        per the spec."""
+        if src == dst:
+            return
+        self.copy_graph(src, dst)
+        self.drop(src)
+
+    @property
+    def _is_mem(self) -> bool:
+        return not self.path
+
     def optimize(
         self,
         g: str | None = None,

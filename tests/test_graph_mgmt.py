@@ -1,0 +1,130 @@
+"""SPARQL 1.1 Update graph management: ADD / MOVE / COPY, scoped
+CLEAR/DROP (NAMED | ALL), and LOAD ... INTO GRAPH.
+
+The reference workload only uses CLEAR/DROP GRAPH (SURVEY.md §2 ops
+11-12); these complete the Update spec's graph-management section so a
+SPARQL-update user can manage staging graphs the standard way."""
+
+import pytest
+
+from knowledge_graph_etl_spark.engine import Engine
+
+
+def _eng(spark, path=None):
+    eng = Engine(spark) if path is None else Engine(spark, store_path=path)
+    eng.store.insert_data(
+        [
+            ("urn:g:a", "urn:s:1", "iri", "urn:p:v", "x", "literal", None, None),
+            ("urn:g:a", "urn:s:2", "iri", "urn:p:v", "y", "literal", None, None),
+            ("urn:g:b", "urn:s:3", "iri", "urn:p:v", "z", "literal", None, None),
+        ]
+    )
+    return eng
+
+
+def _graph_rows(eng, g):
+    return {
+        (r["s"], r["p"], r["o_value"]) for r in eng.store.graph(g).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["mem", "parquet"])
+def test_add_graph_unions(spark, tmp_path, mode):
+    eng = _eng(spark, None if mode == "mem" else str(tmp_path / "q"))
+    eng.update("ADD GRAPH <urn:g:a> TO GRAPH <urn:g:b>")
+    assert _graph_rows(eng, "urn:g:b") == {
+        ("urn:s:1", "urn:p:v", "x"),
+        ("urn:s:2", "urn:p:v", "y"),
+        ("urn:s:3", "urn:p:v", "z"),
+    }
+    # src unchanged; re-ADD is a set-semantic no-op
+    assert len(_graph_rows(eng, "urn:g:a")) == 2
+    eng.update("ADD GRAPH <urn:g:a> TO GRAPH <urn:g:b>")
+    assert len(_graph_rows(eng, "urn:g:b")) == 3
+
+
+@pytest.mark.parametrize("mode", ["mem", "parquet"])
+def test_copy_graph_replaces(spark, tmp_path, mode):
+    eng = _eng(spark, None if mode == "mem" else str(tmp_path / "q"))
+    eng.update("COPY GRAPH <urn:g:a> TO GRAPH <urn:g:b>")
+    assert _graph_rows(eng, "urn:g:b") == {
+        ("urn:s:1", "urn:p:v", "x"),
+        ("urn:s:2", "urn:p:v", "y"),
+    }
+    assert len(_graph_rows(eng, "urn:g:a")) == 2
+
+
+@pytest.mark.parametrize("mode", ["mem", "parquet"])
+def test_move_graph_drops_source(spark, tmp_path, mode):
+    eng = _eng(spark, None if mode == "mem" else str(tmp_path / "q"))
+    eng.update("MOVE GRAPH <urn:g:a> TO GRAPH <urn:g:b>")
+    assert _graph_rows(eng, "urn:g:b") == {
+        ("urn:s:1", "urn:p:v", "x"),
+        ("urn:s:2", "urn:p:v", "y"),
+    }
+    assert _graph_rows(eng, "urn:g:a") == set()
+    assert "urn:g:a" not in eng.store.list_graphs()
+
+
+def test_move_to_self_is_noop(spark):
+    eng = _eng(spark)
+    eng.update("MOVE GRAPH <urn:g:a> TO GRAPH <urn:g:a>")
+    assert len(_graph_rows(eng, "urn:g:a")) == 2
+
+
+def test_missing_source_errors_unless_silent(spark):
+    eng = _eng(spark)
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.update("COPY GRAPH <urn:g:nope> TO GRAPH <urn:g:b>")
+    eng.update("COPY SILENT GRAPH <urn:g:nope> TO GRAPH <urn:g:b>")
+    assert len(_graph_rows(eng, "urn:g:b")) == 1  # untouched
+
+
+def test_clear_all_and_named(spark):
+    eng = _eng(spark)
+    eng.update("CLEAR ALL")
+    assert eng.store.quads().count() == 0
+    eng2 = _eng(spark)
+    eng2.update("DROP SILENT NAMED")
+    assert eng2.store.quads().count() == 0
+
+
+def test_default_operand_rejected(spark):
+    eng = _eng(spark)
+    for q in (
+        "CLEAR DEFAULT",
+        "ADD DEFAULT TO GRAPH <urn:g:b>",
+        "MOVE GRAPH <urn:g:a> TO DEFAULT",
+    ):
+        with pytest.raises(SyntaxError, match="DEFAULT is not supported"):
+            eng.update(q)
+
+
+def test_load_into_graph(spark, tmp_path):
+    nt = tmp_path / "data.nt"
+    nt.write_text(
+        '<urn:s:9> <urn:p:v> "loaded" .\n'
+        "<urn:s:9> <urn:p:ref> <urn:s:1> .\n"
+        # duplicate line: set semantics collapse it
+        '<urn:s:9> <urn:p:v> "loaded" .\n'
+    )
+    eng = _eng(spark)
+    eng.update(f"LOAD <file://{nt}> INTO GRAPH <urn:g:new>")
+    assert _graph_rows(eng, "urn:g:new") == {
+        ("urn:s:9", "urn:p:v", "loaded"),
+        ("urn:s:9", "urn:p:ref", "urn:s:1"),
+    }
+
+
+def test_load_missing_file(spark):
+    eng = _eng(spark)
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.update("LOAD <file:///nope/missing.nt> INTO GRAPH <urn:g:new>")
+    eng.update("LOAD SILENT <file:///nope/missing.nt> INTO GRAPH <urn:g:new>")
+    assert "urn:g:new" not in eng.store.list_graphs()
+
+
+def test_load_requires_into(spark):
+    eng = _eng(spark)
+    with pytest.raises(SyntaxError, match="INTO GRAPH"):
+        eng.update("LOAD <file:///tmp/x.nt>")
