@@ -1141,6 +1141,32 @@ def kg_select_builtins_q(spark, sf_dir):
     )
 
 
+def kg_graph_var_q(spark, sf_dir):
+    """Variable GRAPH pattern (SPARQL 1.1 §13.3: ``GRAPH ?g`` iterates the
+    named graphs binding ?g) composed with a variable predicate and a
+    two-key GROUP BY — per-(graph, predicate) quad counts over two staged
+    graphs. Compiled by exporting the partition column ``g`` as an
+    ordinary variable from each pattern scan (operators/bgp.py pattern
+    graph_var), so same-graph matching is the plain shared-variable
+    join and the aggregation shuffles on uniform (g, p) keys."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    eng.store.insert(
+        _orders_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    return eng.select(
+        """
+        SELECT ?g ?p (COUNT(*) AS ?n)
+        WHERE { GRAPH ?g { ?s ?p ?v } }
+        GROUP BY ?g ?p
+        """
+    )
+
+
 def kg_path_query_q(spark, sf_dir):
     """SPARQL 1.1 property path: transitive closure (`+`) over an
     order→customer→nation→region parent hierarchy (operators/paths.py
@@ -1499,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
+        "kg_graph_var": kg_graph_var_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2219,6 +2246,24 @@ def oracle_sql() -> dict[str, str]:
             "o_orderpriority AS pri FROM orders "
             "WHERE o_totalprice > 150000 "
             "AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        ),
+        "kg_graph_var": (
+            # per-(graph, predicate) quad counts: quadify emits one quad
+            # per non-null (row, column) — TPC-H columns here are all
+            # non-null, so COUNT(col) spells the rule out anyway
+            "SELECT g, p, n FROM ("
+            "SELECT 'urn:g:customer' AS g, 'urn:p:c_name' AS p, "
+            "COUNT(c_name) AS n FROM customer "
+            "UNION ALL SELECT 'urn:g:customer', 'urn:p:c_mktsegment', "
+            "COUNT(c_mktsegment) FROM customer "
+            "UNION ALL SELECT 'urn:g:customer', 'urn:p:c_nationkey', "
+            "COUNT(c_nationkey) FROM customer "
+            "UNION ALL SELECT 'urn:g:orders', 'urn:p:o_custkey', "
+            "COUNT(o_custkey) FROM orders "
+            "UNION ALL SELECT 'urn:g:orders', 'urn:p:o_orderstatus', "
+            "COUNT(o_orderstatus) FROM orders "
+            "UNION ALL SELECT 'urn:g:orders', 'urn:p:o_orderpriority', "
+            "COUNT(o_orderpriority) FROM orders)"
         ),
         "kg_select_builtins": (
             # ROUND ties toward +inf = floor(x+0.5) on BOTH engines (DuckDB

@@ -105,6 +105,7 @@ def pattern(
     p,
     o,
     keep_object_meta: bool = True,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Compile one triple pattern into a filtered, projected scan.
 
@@ -113,12 +114,28 @@ def pattern(
     how the reference's queries write constants, e.g.
     sparql/ldap_mapping_school.sparql:20 ``?o source:businessCategory
     "School"``).
+
+    ``graph_var`` (``GRAPH ?g { ... }``): export the quad's graph IRI as an
+    ordinary variable column — every pattern in the block exports it, so
+    the BGP's shared-variable equi-join enforces same-graph matching with
+    no special-case join logic, and ``?g`` composes with BIND/FILTER/
+    projection like any other variable.
     """
     for t in (s, p, o):
         _check_var_name(t)
+    if graph_var is not None and any(
+        _is_var(t) and t.name == graph_var for t in (s, p, o)
+    ):
+        raise ValueError(
+            f"GRAPH variable ?{graph_var} cannot also appear as a pattern "
+            "term inside its own block"
+        )
     conds: list[Column] = []
     cols: list[Column] = []
     bound: dict[str, str] = {}  # var name -> role already exporting it
+    if graph_var is not None:
+        cols.append(F.col("g").alias(graph_var))
+        cols.append(F.lit("iri").alias(_companion(graph_var, "type")))
 
     if not _is_var(s):
         sv = s.value if isinstance(s, Term) else s
@@ -172,6 +189,7 @@ def star_scan(
     subject: Var,
     patterns: list[tuple],
     keep_object_meta: bool = True,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Property-table rewrite of a same-subject star (SURVEY.md §4.2's one
     genuinely custom optimization): N patterns sharing ``?subject`` with
@@ -199,6 +217,14 @@ def star_scan(
     _check_var_name(subject)
     for _, o in patterns:
         _check_var_name(o)
+    if graph_var is not None and (
+        graph_var == subject.name
+        or any(_is_var(o) and o.name == graph_var for _, o in patterns)
+    ):
+        raise ValueError(
+            f"GRAPH variable ?{graph_var} cannot also appear as a pattern "
+            "term inside its own block"
+        )
     pvals = []
     for p, _ in patterns:
         if _is_var(p):
@@ -227,10 +253,17 @@ def star_scan(
                 cond = cond & oc
             aggs.append(F.max(F.when(cond, F.lit(1))).alias(f"__has_{i}"))
 
-    df = scan.groupBy(
+    keys = [
         F.col("s").alias(subject.name),
         F.col("s_type").alias(_companion(subject.name, "type")),
-    ).agg(*aggs)
+    ]
+    if graph_var is not None:
+        # GRAPH ?g: the star groups per (graph, subject) — a subject whose
+        # properties straddle graphs must not merge across them
+        keys.append(F.col("g").alias(graph_var))
+    df = scan.groupBy(*keys).agg(*aggs)
+    if graph_var is not None:
+        df = df.withColumn(_companion(graph_var, "type"), F.lit("iri"))
     for i, (_, o) in enumerate(patterns):
         if _is_var(o):
             df = df.where(F.size(F.col(f"__vals_{i}")) > 0)

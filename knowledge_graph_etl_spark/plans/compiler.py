@@ -542,7 +542,12 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
     )
 
 
-def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
+def compile_group(
+    group: Group,
+    dataset: DataFrame,
+    named_dataset: DataFrame | None = None,
+    graph_var: str | None = None,
+) -> DataFrame:
     """Group graph pattern → solution-mapping DataFrame.
 
     Elements evaluate in syntactic order (SPARQL group semantics):
@@ -550,7 +555,18 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
     compiled via the property-table rewrite, the rest reordered by the
     connectivity seed), OPTIONAL left-joins its bottom-up-compiled
     subgroup, BIND extends, FILTER restricts.
+
+    ``named_dataset``: the graphs GRAPH blocks match against (FROM NAMED /
+    USING NAMED); defaults to ``dataset`` — the pragmatic rule when no
+    named-graph clause is given (a conformant reading with an explicit
+    FROM but no FROM NAMED would make every GRAPH block empty, which is
+    never what a user pointing this engine at a quad store wants).
+
+    ``graph_var`` (inside ``GRAPH ?g``): every pattern exports the quad's
+    graph as that variable, so same-graph matching and the ?g binding fall
+    out of the ordinary shared-variable join.
     """
+    named_ds = named_dataset if named_dataset is not None else dataset
     b = BGPBuilder(dataset)
     run: list[TriplePattern] = []
 
@@ -565,14 +581,19 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
                             (_term_to_pattern_arg(tp.p), _term_to_pattern_arg(tp.o))
                             for tp in tps
                         ],
+                        graph_var=graph_var,
                     )
                 )
             else:
                 tp = tps[0]
-                b.pattern(
-                    _term_to_pattern_arg(tp.s),
-                    _term_to_pattern_arg(tp.p),
-                    _term_to_pattern_arg(tp.o),
+                b.join_group(
+                    pattern(
+                        dataset,
+                        _term_to_pattern_arg(tp.s),
+                        _term_to_pattern_arg(tp.p),
+                        _term_to_pattern_arg(tp.o),
+                        graph_var=graph_var,
+                    )
                 )
         run.clear()
 
@@ -587,6 +608,14 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
     for el in group.elements:
         if isinstance(el, TriplePattern):
             if isinstance(el.p, PathT):
+                if graph_var is not None:
+                    # a closure evaluated per named graph would need the
+                    # whole semi-naive iteration keyed by g — not built;
+                    # reject loudly rather than silently merging graphs
+                    raise ValueError(
+                        "property paths inside GRAPH ?var are not supported; "
+                        "use a constant GRAPH or evaluate the path per graph"
+                    )
                 # property-path pattern: evaluates to its own solution
                 # relation (operators/paths.py) and joins like any group —
                 # it never participates in the star rewrite
@@ -604,9 +633,18 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             continue
         flush_run()
         if isinstance(el, GraphGroup):
-            # constant GRAPH block: the subgroup evaluates against that
-            # graph's partition only (pruned scan), then joins as usual
-            sub = compile_group(el.group, dataset.where(F.col("g") == el.graph))
+            if el.var is not None:
+                # variable GRAPH block: patterns scan the NAMED dataset and
+                # export g as the variable — same-graph matching is the
+                # ordinary shared-variable join; ?g then joins/filters/
+                # projects like any variable
+                sub = compile_group(el.group, named_ds, named_ds, el.var)
+            else:
+                # constant GRAPH block: the subgroup evaluates against that
+                # graph's partition only (pruned scan), then joins as usual
+                sub = compile_group(
+                    el.group, named_ds.where(F.col("g") == el.graph), named_ds
+                )
             b.join_group(sub)
             continue
         if isinstance(el, UnionGroup):
@@ -619,12 +657,12 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             parts = [
                 (
                     _select_pipeline(
-                        compile_group(sub.query.where, dataset),
+                        compile_group(sub.query.where, dataset, named_ds, graph_var),
                         sub.query,
                         with_terms=True,
                     )
                     if isinstance(sub, SubSelect)
-                    else compile_group(sub, dataset)
+                    else compile_group(sub, dataset, named_ds, graph_var)
                 )
                 for sub in el.groups
             ]
@@ -685,7 +723,7 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             continue
         if isinstance(el, (ExistsFilter, MinusGroup)):
             ensure_df()
-            sub = compile_group(el.group, dataset)
+            sub = compile_group(el.group, dataset, named_ds, graph_var)
             shared = [
                 c for c in sub.columns if "__" not in c and c in b.df.columns
             ]
@@ -707,7 +745,7 @@ def compile_group(group: Group, dataset: DataFrame) -> DataFrame:
             continue
         if isinstance(el, OptionalGroup):
             ensure_df()
-            sub = compile_group(el.group, dataset)
+            sub = compile_group(el.group, dataset, named_ds, graph_var)
             shared = [
                 c for c in sub.columns if "__" not in c and c in b.df.columns
             ]
@@ -770,7 +808,8 @@ def compile_insert_where(
         dataset = store.graph(node.target_graph)
     else:
         dataset = store.quads()
-    bindings = compile_group(node.where, dataset)
+    named = store.dataset(node.using_named) if node.using_named else None
+    bindings = compile_group(node.where, dataset, named)
     # Materialize the WHERE result once: the template union instantiates
     # one projection per template triple (up to 16, e.g. reference
     # sparql/tl_companies_mapping_org.sparql:13-32) and the store's
@@ -852,7 +891,8 @@ def compile_construct(
     Unbound template variables skip the triple (construct()'s unbound-skip),
     fresh template bnodes mint per solution row exactly as in updates."""
     dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
-    bindings = compile_group(node.where, dataset)
+    named = store.dataset(node.from_named) if node.from_named else None
+    bindings = compile_group(node.where, dataset, named)
     if materialize:
         bindings = bindings.localCheckpoint(eager=True)
     bindings = _mint_template_bnodes(bindings, node.template)
@@ -886,7 +926,8 @@ def compile_delete_insert(
         dataset = store.graph(node.target_graph)
     else:
         dataset = store.quads()
-    bindings = compile_group(node.where, dataset)
+    named = store.dataset(node.using_named) if node.using_named else None
+    bindings = compile_group(node.where, dataset, named)
     if materialize:
         bindings = bindings.localCheckpoint(eager=True)
     del_df = _template_quads(bindings, node.delete_template, node.target_graph)
@@ -918,7 +959,8 @@ def compile_select(
     compiles to TakeOrderedAndProject (a distributed top-k — no global
     sort materialization), which is the plan you want at scale."""
     dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
-    df = compile_group(node.where, dataset)
+    named = store.dataset(node.from_named) if node.from_named else None
+    df = compile_group(node.where, dataset, named)
     return _select_pipeline(df, node, with_terms)
 
 
@@ -1150,7 +1192,8 @@ def compile_describe(node: DescribeQuery, store) -> DataFrame:
     if var_names:
         if node.where is None:
             raise ValueError("DESCRIBE with variables needs a WHERE clause")
-        bindings = compile_group(node.where, dataset)
+        named = store.dataset(node.from_named) if node.from_named else None
+        bindings = compile_group(node.where, dataset, named)
         res = None
         for v in var_names:
             if v not in bindings.columns:
@@ -1187,7 +1230,8 @@ def compile_ask(node: AskQuery, store) -> DataFrame:
     """ASK → a plan whose non-emptiness is the answer (the caller takes 1
     row; Catalyst short-circuits the scan via the limit)."""
     dataset = store.dataset(node.from_graphs) if node.from_graphs else store.quads()
-    return compile_group(node.where, dataset).limit(1)
+    named = store.dataset(node.from_named) if node.from_named else None
+    return compile_group(node.where, dataset, named).limit(1)
 
 
 def _const_quad_rows(quads: list, form: str) -> list[tuple]:

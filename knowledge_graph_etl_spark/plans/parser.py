@@ -127,13 +127,18 @@ class Group:
 
 @dataclass
 class GraphGroup:
-    """``GRAPH <g> { ... }`` in a WHERE clause: the subgroup matches only
-    quads of that graph (within the active dataset). Variable graphs
-    (``GRAPH ?g``) are not supported — the engine's dataset selection is
-    FROM/USING-based; a variable graph raises at parse time."""
+    """``GRAPH <g> { ... }`` / ``GRAPH ?g { ... }`` in a WHERE clause.
 
-    graph: str
+    Constant form: the subgroup matches only quads of that graph (within
+    the named-graph dataset). Variable form (``var`` set, ``graph`` None):
+    the subgroup matches per named graph and binds the graph IRI to the
+    variable — compiled by exporting the quad's ``g`` column as an
+    ordinary variable from every pattern in the block, so same-graph
+    matching is just the BGP's shared-variable join."""
+
+    graph: str | None
     group: "Group"
+    var: str | None = None
 
 
 @dataclass
@@ -190,6 +195,9 @@ class InsertWhere:
     target_graph: str | None  # WITH <g>
     using: list  # graph IRIs
     where: Group
+    #: ``USING NAMED <g>`` graphs — the named-graph dataset GRAPH blocks
+    #: match against (SPARQL 1.1 Update §3.1.3)
+    using_named: list = field(default_factory=list)
 
 
 @dataclass
@@ -216,6 +224,7 @@ class DeleteWhere:
     target_graph: str | None  # WITH <g>
     using: list
     where: Group
+    using_named: list = field(default_factory=list)
 
 
 @dataclass
@@ -283,12 +292,14 @@ class SelectQuery:
     offset: int | None
     group_by: list = None  # [var name] or None
     having: object = None  # expression over projected aggregate aliases
+    from_named: list = field(default_factory=list)  # FROM NAMED <g>
 
 
 @dataclass
 class AskQuery:
     from_graphs: list
     where: Group
+    from_named: list = field(default_factory=list)
 
 
 @dataclass
@@ -311,6 +322,7 @@ class DescribeQuery:
     terms: list  # [IriT | VarT]
     from_graphs: list
     where: object | None  # Group
+    from_named: list = field(default_factory=list)
 
 
 @dataclass
@@ -323,6 +335,7 @@ class ConstructQuery:
     template: list  # [(graph | None, TriplePattern)]
     from_graphs: list
     where: Group
+    from_named: list = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------
@@ -588,10 +601,10 @@ class _Parser:
             return self.parse_select()
         if self.at_name("ASK"):
             self.next()
-            from_graphs = self.parse_from_clauses()
+            from_graphs, from_named = self.parse_from_clauses()
             if self.at_name("WHERE"):
                 self.next()
-            return AskQuery(from_graphs, self.parse_group())
+            return AskQuery(from_graphs, self.parse_group(), from_named)
         if self.at_name("DESCRIBE"):
             self.next()
             terms = []
@@ -606,20 +619,22 @@ class _Parser:
                     break
             if not terms:
                 raise SyntaxError("DESCRIBE needs at least one IRI or variable")
-            from_graphs = self.parse_from_clauses()
+            from_graphs, from_named = self.parse_from_clauses()
             where = None
             if self.at_name("WHERE") or self.at_punct("{"):
                 if self.at_name("WHERE"):
                     self.next()
                 where = self.parse_group()
-            return DescribeQuery(terms, from_graphs, where)
+            return DescribeQuery(terms, from_graphs, where, from_named)
         if self.at_name("CONSTRUCT"):
             self.next()
             template = self.parse_template_block()
-            from_graphs = self.parse_from_clauses()
+            from_graphs, from_named = self.parse_from_clauses()
             if self.at_name("WHERE"):
                 self.next()
-            return ConstructQuery(template, from_graphs, self.parse_group())
+            return ConstructQuery(
+                template, from_graphs, self.parse_group(), from_named
+            )
         t = self.peek()
         raise SyntaxError(f"expected query form, got {t.text if t else 'EOF'!r}")
 
@@ -738,23 +753,25 @@ class _Parser:
         if not insert_consumed:
             self.expect_name("INSERT")
         template = self.parse_template_block()
+        using, using_named = self._parse_using_clauses()
+        self.expect_name("WHERE")
+        where = self.parse_group()
+        return InsertWhere(template, target, using, where, using_named)
+
+    def _parse_using_clauses(self) -> tuple[list[str], list[str]]:
+        """``USING <g>`` (default matching dataset) and ``USING NAMED <g>``
+        (the named-graph set GRAPH blocks match against) — the update-side
+        duals of FROM / FROM NAMED (SPARQL 1.1 Update §3.1.3)."""
         using: list[str] = []
+        named: list[str] = []
         while self.at_name("USING"):
             self.next()
             if self.at_name("NAMED"):
-                # USING NAMED populates named-graph slots reachable only
-                # via GRAPH patterns (unsupported here); merging it into
-                # the default dataset would silently match triples a
-                # conformant store would not — reject loudly instead.
-                raise SyntaxError(
-                    "USING NAMED is not supported (no GRAPH patterns in the "
-                    "WHERE subset); use USING <g> to add g to the default "
-                    "matching dataset"
-                )
-            using.append(self.parse_iri())
-        self.expect_name("WHERE")
-        where = self.parse_group()
-        return InsertWhere(template, target, using, where)
+                self.next()
+                named.append(self.parse_iri())
+            else:
+                using.append(self.parse_iri())
+        return using, named
 
     # -- DELETE forms -----------------------------------------------------
 
@@ -798,19 +815,12 @@ class _Parser:
         if self.at_name("INSERT"):
             self.next()
             insert_template = self.parse_template_block()
-        using: list[str] = []
-        while self.at_name("USING"):
-            self.next()
-            if self.at_name("NAMED"):
-                raise SyntaxError(
-                    "USING NAMED is not supported (no GRAPH patterns in the "
-                    "WHERE subset); use USING <g> to add g to the default "
-                    "matching dataset"
-                )
-            using.append(self.parse_iri())
+        using, using_named = self._parse_using_clauses()
         self.expect_name("WHERE")
         where = self.parse_group()
-        return DeleteWhere(template, insert_template, target, using, where)
+        return DeleteWhere(
+            template, insert_template, target, using, where, using_named
+        )
 
     def _check_no_template_bnodes(self, template: list, form: str) -> None:
         """SPARQL 1.1 Update: blank nodes (incl. ``[...]`` sugar, which the
@@ -827,17 +837,19 @@ class _Parser:
 
     # -- SELECT / ASK -----------------------------------------------------
 
-    def parse_from_clauses(self) -> list[str]:
+    def parse_from_clauses(self) -> tuple[list[str], list[str]]:
+        """``FROM <g>`` (default dataset) and ``FROM NAMED <g>`` (the
+        named-graph set GRAPH blocks match against)."""
         graphs: list[str] = []
+        named: list[str] = []
         while self.at_name("FROM"):
             self.next()
             if self.at_name("NAMED"):
-                raise SyntaxError(
-                    "FROM NAMED is not supported (no GRAPH patterns in the "
-                    "WHERE subset)"
-                )
-            graphs.append(self.parse_iri())
-        return graphs
+                self.next()
+                named.append(self.parse_iri())
+            else:
+                graphs.append(self.parse_iri())
+        return graphs, named
 
     def parse_select(self) -> SelectQuery:
         distinct = False
@@ -875,7 +887,7 @@ class _Parser:
                     break
             if not variables:
                 raise SyntaxError("SELECT needs a projection (vars or *)")
-        from_graphs = self.parse_from_clauses()
+        from_graphs, from_named = self.parse_from_clauses()
         if self.at_name("WHERE"):
             self.next()
         where = self.parse_group()
@@ -940,7 +952,7 @@ class _Parser:
                 break
         return SelectQuery(
             variables, distinct, from_graphs, where, order_by, limit, offset,
-            group_by, having,
+            group_by, having, from_named,
         )
 
     # -- groups -----------------------------------------------------------
@@ -991,12 +1003,14 @@ class _Parser:
                 self.next()
                 t = self.peek()
                 if t is not None and t.kind == "VAR":
-                    raise SyntaxError(
-                        "GRAPH with a variable is not supported; use a "
-                        "constant graph IRI (dataset selection is FROM/USING)"
+                    self.next()
+                    v = self._user_var(t)
+                    g.elements.append(
+                        GraphGroup(None, self.parse_group(), var=v.name)
                     )
-                graph_iri = self.parse_iri()
-                g.elements.append(GraphGroup(graph_iri, self.parse_group()))
+                else:
+                    graph_iri = self.parse_iri()
+                    g.elements.append(GraphGroup(graph_iri, self.parse_group()))
             elif self.at_name("VALUES"):
                 self.next()
                 g.elements.append(self.parse_values())
@@ -1019,7 +1033,7 @@ class _Parser:
         if self.at_name("SELECT"):
             self.next()
             sub = self.parse_select()
-            if sub.from_graphs:
+            if sub.from_graphs or sub.from_named:
                 raise SyntaxError(
                     "FROM is not allowed in a subquery (it inherits the "
                     "enclosing dataset)"

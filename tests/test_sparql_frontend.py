@@ -999,8 +999,101 @@ def test_graph_block_restricts_matching(spark):
              GRAPH <urn:g:two> { ?b <urn:p:v> ?v2 } }"""
     ).collect()}
     assert got2 == {("urn:s:1", "urn:s:2")}
-    with pytest.raises(SyntaxError, match="GRAPH with a variable"):
-        eng.select("SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }")
+
+
+def test_graph_variable_binds_graph(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:one", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
+            ("urn:g:one", "urn:s:1", "iri", "urn:p:w", "c", "literal", None, None),
+            ("urn:g:two", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
+            # s:2 has p:w only in graph one — a same-graph star on s:2
+            # with both predicates must NOT match across graphs
+            ("urn:g:one", "urn:s:2", "iri", "urn:p:w", "d", "literal", None, None),
+        ]
+    )
+    got = {(r["g"], r["s"]) for r in eng.select(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }"
+    ).collect()}
+    assert got == {("urn:g:one", "urn:s:1"), ("urn:g:two", "urn:s:2")}
+    # same-graph enforcement across patterns in one block (star rewrite
+    # groups per (g, s))
+    got2 = {(r["g"], r["s"]) for r in eng.select(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <urn:p:v> ?v ; <urn:p:w> ?w } }"
+    ).collect()}
+    assert got2 == {("urn:g:one", "urn:s:1")}
+    # ?g is an ordinary variable: FILTER over it
+    got3 = {r["s"] for r in eng.select(
+        'SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:v> ?v } '
+        'FILTER(STRENDS(STR(?g), "two")) }'
+    ).collect()}
+    assert got3 == {"urn:s:2"}
+
+
+def test_from_named_scopes_graph_blocks(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:one", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
+            ("urn:g:two", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
+            ("urn:g:three", "urn:s:3", "iri", "urn:p:v", "c", "literal", None, None),
+        ]
+    )
+    got = {(r["g"], r["s"]) for r in eng.select(
+        "SELECT ?g ?s FROM NAMED <urn:g:one> FROM NAMED <urn:g:three> "
+        "WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }"
+    ).collect()}
+    assert got == {("urn:g:one", "urn:s:1"), ("urn:g:three", "urn:s:3")}
+    # default-graph patterns use FROM; GRAPH blocks use FROM NAMED
+    got2 = {(r["a"], r["g"]) for r in eng.select(
+        "SELECT ?a ?g FROM <urn:g:one> FROM NAMED <urn:g:two> "
+        "WHERE { ?a <urn:p:v> ?v . GRAPH ?g { ?s <urn:p:v> ?w } }"
+    ).collect()}
+    assert got2 == {("urn:s:1", "urn:g:two")}
+
+
+def test_using_named_update(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:one", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
+            ("urn:g:two", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
+        ]
+    )
+    eng.update(
+        """
+        WITH <urn:g:out>
+        INSERT { ?s <urn:p:fromGraph> ?g }
+        USING NAMED <urn:g:two>
+        WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }
+        """
+    )
+    got = {
+        (r["s"], r["o_value"]) for r in eng.store.graph("urn:g:out").collect()
+    }
+    assert got == {("urn:s:2", "urn:g:two")}
+
+
+def test_graph_var_rejects_path_and_collision(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [("urn:g:one", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None)]
+    )
+    with pytest.raises(ValueError, match="property paths inside GRAPH"):
+        eng.select(
+            "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:v>+ ?o } }"
+        )
+    with pytest.raises(ValueError, match="cannot also appear"):
+        eng.select("SELECT ?g WHERE { GRAPH ?g { ?g <urn:p:v> ?o } }")
 
 
 # -- third-review regressions -------------------------------------------------
