@@ -1398,6 +1398,20 @@ def sample_per_group_q(spark, sf_dir):
     return sample_per_group(d, "lang", n=20)
 
 
+def gopher_quality_q(spark, sf_dir):
+    """Gopher-rule quality filter (extensions/curation.gopher_quality_flags):
+    the standard pre-training heuristics as one shuffle-free per-row map —
+    word-count band, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, must-have stopword hits, and the
+    conjunctive keep flag. Thresholds loosened to the synthetic corpus's
+    short documents so both keep outcomes appear."""
+    from knowledge_graph_etl_spark.extensions.curation import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _t(spark, sf_dir, "documents"), min_words=10, min_stopword_hits=1
+    )
+
+
 def curation_pipeline_q(spark, sf_dir):
     """Flagship end-to-end curation pipeline — the composition a training
     corpus actually runs, each stage an already-oracled operator:
@@ -1517,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": tfidf_topterms_q,
         "sample_per_group": sample_per_group_q,
         "curation_pipeline": curation_pipeline_q,
+        "gopher_quality": gopher_quality_q,
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
         "kg_path_query": kg_path_query_q,
@@ -2385,6 +2400,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
             "FROM documents) WHERE rk <= 20"
+        ),
+        "gopher_quality": (
+            # mirrors gopher_quality_flags rule-for-rule over the same
+            # lexical conventions as _TOKS; ratios rounded to 6 on both
+            # engines before comparison
+            "WITH s AS (SELECT doc_id, "
+            f"len({_TOKS}) AS n_words, "
+            f"round(CASE WHEN len({_TOKS}) > 0 THEN "
+            f"CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS DOUBLE)"
+            f" / len({_TOKS}) ELSE 0.0 END, 6) AS mean_word_len, "
+            f"round(CASE WHEN len({_TOKS}) > 0 THEN "
+            "CAST(CAST((length(text) - length(replace(text, '#', ''))) + "
+            "(length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS DOUBLE)"
+            f" / len({_TOKS}) ELSE 0.0 END, 6) AS symbol_ratio, "
+            "round(CASE WHEN len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) > 0 THEN "
+            "CAST(len(list_filter(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> ''), "
+            "x -> (starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')))) AS DOUBLE) / "
+            "len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) "
+            "ELSE 0.0 END, 6) AS bullet_frac, "
+            "round(CASE WHEN len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) > 0 THEN "
+            "CAST(len(list_filter(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> ''), "
+            "x -> (ends_with(x, '...') OR ends_with(x, '…')))) AS DOUBLE) / "
+            "len(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) "
+            "ELSE 0.0 END, 6) AS ellipsis_line_frac, "
+            f"round(CASE WHEN len({_TOKS}) > 0 THEN "
+            f"CAST(len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)"
+            f" / len({_TOKS}) ELSE 0.0 END, 6) AS alpha_frac, "
+            "len(list_filter(['the','be','to','of','and','that','have','with'], "
+            f"s -> list_contains({_TOKS}, s))) AS stop_hits "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, "
+            "symbol_ratio, bullet_frac, ellipsis_line_frac, alpha_frac, "
+            "CAST(stop_hits AS BIGINT) AS stop_hits, "
+            "(n_words >= 10 AND n_words <= 100000 AND mean_word_len >= 3.0 "
+            "AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 "
+            "AND bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3 "
+            "AND alpha_frac >= 0.8 AND stop_hits >= 1) AS keep FROM s"
         ),
         "curation_pipeline": (
             "WITH clean AS (SELECT doc_id, trim(regexp_replace(regexp_replace(text, "

@@ -98,6 +98,113 @@ def repetition_signals(
     return docs.select(F.col(id_col), *signal_cols)
 
 
+#: the small "must contain ≥k of these" stopword list of the Gopher rules
+#: (a document with none of these is overwhelmingly non-English or
+#: non-prose; distinct from the larger ratio list in text.STOPWORDS)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality rule filter (Rae et al. 2021 §A1.1):
+    the standard pre-training heuristics — word-count band, mean word
+    length band, symbol-to-word ratio (``#`` and ``...``), bullet-/
+    ellipsis-line fractions, alphabetic-word fraction, and a minimum hit
+    count against a tiny must-have stopword list. Emits one row per
+    document with every signal plus the conjunctive ``keep`` flag, so a
+    pipeline can either filter on ``keep`` or re-threshold the signals.
+
+    Like :func:`repetition_signals`, every rule is a WITHIN-document
+    statistic → a pure per-row map (one pass over the token array per
+    signal, whole-stage codegen, no explode, no shuffle, no Python). At
+    100 TB this operator's cost is exactly one scan of the corpus."""
+    t = F.col(text_col)
+    w = tokens(t)
+    n = F.size(w)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0),
+            6,
+        )
+
+    total_len = F.aggregate(
+        F.transform(w, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    mean_len = frac(total_len, n)
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_cnt = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = frac((hash_cnt + ellipsis_cnt).cast("long"), n)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    nl = F.size(lines)
+    bullet_frac = frac(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ),
+        nl,
+    )
+    ellipsis_line_frac = frac(
+        F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))),
+        nl,
+    )
+    alpha_frac = frac(F.size(F.filter(w, lambda x: x.rlike("[a-z]"))), n)
+    # hits against the must-have list — count LIST words present in the
+    # doc (not intersect sizes, whose dedup rules differ across engines)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+    sig = {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits.cast("long"),
+    }
+    keep = (
+        (sig["n_words"] >= min_words)
+        & (sig["n_words"] <= max_words)
+        & (sig["mean_word_len"] >= min_mean_word_len)
+        & (sig["mean_word_len"] <= max_mean_word_len)
+        & (sig["symbol_ratio"] <= max_symbol_word_ratio)
+        & (sig["bullet_frac"] <= max_bullet_line_frac)
+        & (sig["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (sig["alpha_frac"] >= min_alpha_word_frac)
+        & (sig["stop_hits"] >= min_stopword_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in sig.items()],
+        keep.alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide line dedup (CCNet)
 # ---------------------------------------------------------------------------

@@ -373,3 +373,61 @@ def test_chunk_overlapping_windows(spark):
     ]
     with pytest.raises(ValueError, match="stride"):
         chunk_overlapping(docs, chunk_tokens=2, stride=3)
+
+
+# -- Gopher quality rules -----------------------------------------------------
+
+
+def test_gopher_quality_flags(spark):
+    from knowledge_graph_etl_spark.extensions.curation import gopher_quality_flags
+
+    good = "the quick brown fox jumps over that lazy dog and runs away with joy"
+    bullets = "- one\n- two\n- three"
+    symbols = "the ### and #### that ## have ## with # ## # #"
+    short = "too short"
+    nonalpha = "the 111 222 333 444 555 666 777 888 999 000 101 and that"
+    docs = spark.createDataFrame(
+        [
+            ("good", good),
+            ("bullets", bullets),
+            ("symbols", symbols),
+            ("short", short),
+            ("nonalpha", nonalpha),
+            ("empty", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(docs, min_words=5, min_stopword_hits=2).collect()
+    }
+    assert out["good"]["keep"] is True
+    assert out["good"]["n_words"] == 14
+    assert out["good"]["stop_hits"] >= 4
+    # every line is a bullet -> bullet_frac 1.0 > 0.9
+    assert out["bullets"]["bullet_frac"] == 1.0 and out["bullets"]["keep"] is False
+    # symbol-to-word ratio way past 0.1
+    assert out["symbols"]["symbol_ratio"] > 0.1
+    assert out["symbols"]["keep"] is False
+    assert out["short"]["keep"] is False  # n_words < min_words
+    # alphabetic-word fraction: 2 of 13 words alphabetic
+    assert out["nonalpha"]["alpha_frac"] < 0.8
+    assert out["nonalpha"]["keep"] is False
+    assert out["empty"]["n_words"] == 0 and out["empty"]["keep"] is False
+
+
+def test_gopher_ellipsis_lines_and_mean_len(spark):
+    from knowledge_graph_etl_spark.extensions.curation import gopher_quality_flags
+
+    ell = "the start of it...\nand more of that...\nhave it end with..."
+    tiny_words = "a b c d e f g h i j k l m n o p the of"
+    docs = spark.createDataFrame(
+        [("ell", ell), ("tiny", tiny_words)], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(docs, min_words=3, min_stopword_hits=1).collect()
+    }
+    assert out["ell"]["ellipsis_line_frac"] == 1.0 and out["ell"]["keep"] is False
+    # mean word length ~1.2 < 3.0
+    assert out["tiny"]["mean_word_len"] < 3.0 and out["tiny"]["keep"] is False
