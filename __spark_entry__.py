@@ -1412,6 +1412,21 @@ def gopher_quality_q(spark, sf_dir):
     )
 
 
+def mixture_sample_q(spark, sf_dir):
+    """Deterministic data-mixture sampling (curation.mixture_sample):
+    per-language epoch weights — en upsampled 2.3×, zh dropped to 0.4×,
+    de exactly doubled — resolved by a uniform md5 draw per document, so
+    the 'random' sample is bit-reproducible in DuckDB too."""
+    from knowledge_graph_etl_spark.extensions.curation import mixture_sample
+
+    out = mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 2.3, "zh": 0.4, "de": 2.0},
+        domain_col="lang",
+    )
+    return out.select("doc_id", "lang", "copy_idx")
+
+
 def curation_pipeline_q(spark, sf_dir):
     """Flagship end-to-end curation pipeline — the composition a training
     corpus actually runs, each stage an already-oracled operator:
@@ -1532,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": sample_per_group_q,
         "curation_pipeline": curation_pipeline_q,
         "gopher_quality": gopher_quality_q,
+        "mixture_sample": mixture_sample_q,
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
         "kg_path_query": kg_path_query_q,
@@ -2400,6 +2416,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
             "FROM documents) WHERE rk <= 20"
+        ),
+        "mixture_sample": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "CASE lang WHEN 'en' THEN 2.3 WHEN 'zh' THEN 0.4 "
+            "WHEN 'de' THEN 2.0 ELSE 1.0 END AS w, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT)"
+            " / 1152921504606846976.0 AS u FROM documents), "
+            "c AS (SELECT doc_id, lang, CAST(floor(w) + "
+            "CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INTEGER) AS total FROM t) "
+            "SELECT doc_id, lang, CAST(unnest(range(total)) AS INTEGER) AS copy_idx "
+            "FROM c WHERE total > 0"
         ),
         "gopher_quality": (
             # mirrors gopher_quality_flags rule-for-rule over the same

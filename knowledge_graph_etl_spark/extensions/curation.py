@@ -98,6 +98,52 @@ def repetition_signals(
     return docs.select(F.col(id_col), *signal_cols)
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain reweighting for training-data mixtures
+    (the Pile/DoReMi-style "epochs per domain" knob): a domain with
+    weight ``w < 1`` is downsampled to a ``w`` fraction of its documents;
+    ``w > 1`` repeats every document ``floor(w)`` times plus one more
+    with probability ``frac(w)``. The "probability" is a uniform
+    per-document hash draw (``md5_u60 / 2^60``) — no RNG state, so the
+    sample is REPRODUCIBLE across runs, partitionings, and engines
+    (re-running a 100 TB mixture job yields byte-identical shards, and
+    retried tasks cannot double-sample). Emits ``copy_idx`` 0..k-1 per
+    kept copy so downstream shuffling can separate the epochs.
+
+    Per-row map + explode only — no shuffle; the explode's fan-out is
+    bounded by ``ceil(max(weights))``."""
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight {w} for domain {d!r}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight {default_weight}")
+    w: Column = F.lit(float(default_weight))
+    for d, wd in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == d, F.lit(float(wd))).otherwise(w)
+    u = md5_u60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ).cast("double") / F.lit(float(1 << 60))
+    total = (
+        F.floor(w) + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        docs.withColumn("__total", total)
+        .where(F.col("__total") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("__total") - 1)).alias("copy_idx"),
+        )
+        .drop("__total")
+    )
+
+
 #: the small "must contain ≥k of these" stopword list of the Gopher rules
 #: (a document with none of these is overwhelmingly non-English or
 #: non-prose; distinct from the larger ratio list in text.STOPWORDS)

@@ -431,3 +431,44 @@ def test_gopher_ellipsis_lines_and_mean_len(spark):
     assert out["ell"]["ellipsis_line_frac"] == 1.0 and out["ell"]["keep"] is False
     # mean word length ~1.2 < 3.0
     assert out["tiny"]["mean_word_len"] < 3.0 and out["tiny"]["keep"] is False
+
+
+# -- mixture sampling ---------------------------------------------------------
+
+
+def test_mixture_sample_weights(spark):
+    from knowledge_graph_etl_spark.extensions.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(str(i), "a" if i < 200 else "b") for i in range(400)],
+        "doc_id string, source string",
+    )
+    out = mixture_sample(docs, {"a": 2.0, "b": 0.5}).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    # integer weight: EVERY doc exactly doubled, copy_idx 0 and 1
+    assert len(by_dom["a"]) == 400
+    assert {r["copy_idx"] for r in by_dom["a"]} == {0, 1}
+    # fractional weight: ~half kept (hash draw), single copies
+    assert 60 <= len(by_dom["b"]) <= 140
+    assert all(r["copy_idx"] == 0 for r in by_dom["b"])
+    # deterministic: same output both runs
+    again = mixture_sample(docs, {"a": 2.0, "b": 0.5}).collect()
+    key = lambda rows: sorted((r["doc_id"], r["copy_idx"]) for r in rows)
+    assert key(out) == key(again)
+
+
+def test_mixture_sample_default_and_validation(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [("1", "x"), ("2", "y")], "doc_id string, source string"
+    )
+    # unlisted domain keeps default weight 1.0 (all docs, one copy)
+    out = mixture_sample(docs, {"x": 1.0}).collect()
+    assert sorted(r["doc_id"] for r in out) == ["1", "2"]
+    with _pytest.raises(ValueError, match="negative"):
+        mixture_sample(docs, {"x": -0.5})
