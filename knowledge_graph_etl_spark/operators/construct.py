@@ -61,12 +61,18 @@ def _object_cols(t, df_cols: set[str]) -> tuple[Column, Column, Column, Column]:
 def construct(
     bindings: DataFrame,
     template: list[tuple],
-    target_graph: str | None,
+    target_graph: "str | None | Var",
     materialize: bool | None = None,
 ) -> DataFrame:
     """Instantiate ``template`` (list of (s, p, o) with Var/Term entries)
     against the bindings, returning a deduplicated quads DataFrame for
     ``target_graph``.
+
+    ``target_graph`` may be a :class:`Var` (``INSERT { GRAPH ?g { ... } }``,
+    the per-row routing of SPARQL 1.1 quad templates — e.g. the standard
+    "rewrite every named graph" idiom): the output's ``g`` column reads the
+    binding, rows with it unbound (or bound to a literal — a graph name
+    must be an IRI) are skipped like any other unbound template term.
 
     The template union makes one consumer of ``bindings`` PER template
     triple, and the store's set-dedup anti-join adds another — so a
@@ -82,6 +88,19 @@ def construct(
     if materialize and not bindings.isStreaming:
         bindings = bindings.localCheckpoint(eager=True)
     cols = set(bindings.columns)
+    if isinstance(target_graph, Var):
+        g_col = F.col(target_graph.name)
+        g_type_comp = _companion(target_graph.name, "type")
+        g_guard = g_col.isNotNull()
+        if g_type_comp in cols:
+            g_guard = g_guard & (F.col(g_type_comp) == IRI)
+        # one shared filter on the bindings (the guard references the
+        # companion column, which the quad projection below drops)
+        bindings = bindings.where(g_guard)
+    else:
+        # explicit string cast: target_graph=None (read-side CONSTRUCT
+        # default graph) must yield a typed NULL column, not NullType
+        g_col = F.lit(target_graph).cast("string")
     parts: list[DataFrame] = []
     for s, p, o in template:
         s_val, s_type = _subject_cols(s, cols)
@@ -91,9 +110,7 @@ def construct(
             p_val = F.lit(p.value if isinstance(p, Term) else p)
         o_val, o_type, o_dt, o_lang = _object_cols(o, cols)
         row = bindings.select(
-            # explicit string cast: target_graph=None (read-side CONSTRUCT
-            # default graph) must yield a typed NULL column, not NullType
-            F.lit(target_graph).cast("string").alias("g"),
+            g_col.alias("g"),
             s_val.alias("s"),
             s_type.alias("s_type"),
             p_val.alias("p"),

@@ -861,9 +861,11 @@ def _mint_template_bnodes(bindings: DataFrame, template: list) -> DataFrame:
 
 def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFrame:
     """Instantiate a quad template against a solution mapping — one
-    ``construct`` per target graph, unioned. ``materialize=False``: the
-    caller owns the bindings' materialization policy."""
-    by_graph: dict[str, list] = {}
+    ``construct`` per target graph, unioned. A ``GRAPH ?g`` template block
+    routes per binding row (construct reads the variable's column).
+    ``materialize=False``: the caller owns the bindings' materialization
+    policy."""
+    by_graph: dict[object, list] = {}
     for g, tp in template:
         graph = g or target_graph
         if graph is None:
@@ -872,7 +874,12 @@ def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFr
             (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
         )
     outs = [
-        construct(bindings, triples, target_graph=g, materialize=False)
+        construct(
+            bindings,
+            triples,
+            target_graph=Var(g.name) if isinstance(g, VarT) else g,
+            materialize=False,
+        )
         for g, triples in by_graph.items()
     ]
     result = outs[0]
@@ -896,13 +903,18 @@ def compile_construct(
     if materialize:
         bindings = bindings.localCheckpoint(eager=True)
     bindings = _mint_template_bnodes(bindings, node.template)
-    by_graph: dict[str | None, list] = {}
+    by_graph: dict[object, list] = {}
     for g, tp in node.template:
         by_graph.setdefault(g, []).append(
             (_template_term(tp.s), _template_term(tp.p), _template_term(tp.o))
         )
     outs = [
-        construct(bindings, triples, target_graph=g, materialize=False)
+        construct(
+            bindings,
+            triples,
+            target_graph=Var(g.name) if isinstance(g, VarT) else g,
+            materialize=False,
+        )
         for g, triples in by_graph.items()
     ]
     result = outs[0]
@@ -1264,12 +1276,16 @@ def _const_quad_rows(quads: list, form: str) -> list[tuple]:
     return rows
 
 
-def _delete_graphs(node: DeleteWhere) -> list[str]:
+def _delete_graphs(node: DeleteWhere) -> list[str] | None:
+    """Static delete-target graphs, or None when a GRAPH ?var template
+    routes per row (store.delete then derives the graphs from the batch)."""
     targets = {g or node.target_graph for g, _ in node.delete_template}
     if None in targets:
         raise ValueError(
             "delete template triple has no target graph (no WITH/GRAPH)"
         )
+    if any(isinstance(t, VarT) for t in targets):
+        return None
     return sorted(targets)
 
 
@@ -1342,19 +1358,30 @@ def execute_update(node, store) -> None:
                 raise ValueError(
                     "template triple has no target graph (no WITH/GRAPH)"
                 )
-            store.insert(ins_df, target_graphs=sorted(targets), batch_distinct=True)
+            dynamic = any(isinstance(t, VarT) for t in targets)
+            store.insert(
+                ins_df,
+                target_graphs=None if dynamic else sorted(targets),
+                # a GRAPH ?var construct may overlap a constant-graph one;
+                # only the all-constant case is provably duplicate-free
+                batch_distinct=not dynamic,
+            )
         return
     if isinstance(node, InsertWhere):
         targets = {g or node.target_graph for g, _ in node.template}
         if None in targets:
             raise ValueError("template triple has no target graph (no WITH/GRAPH)")
-        graphs = sorted(targets)
+        dynamic = any(isinstance(t, VarT) for t in targets)
+        graphs = None if dynamic else sorted(targets)
         # batch_distinct: each construct() output is deduped internally and
-        # the per-graph unions are disjoint on g → no second dedup shuffle
+        # the per-graph unions are disjoint on g → no second dedup shuffle.
+        # With a GRAPH ?var block the targets are data-dependent: the
+        # anti-join prunes against the whole store and the batch gets a
+        # full dedup (a variable-graph construct may overlap a constant one)
         store.insert(
             compile_insert_where(node, store),
             target_graphs=graphs,
-            batch_distinct=True,
+            batch_distinct=not dynamic,
         )
         return
     raise TypeError(f"unexpected update node {node!r}")

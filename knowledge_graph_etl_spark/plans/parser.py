@@ -731,13 +731,20 @@ class _Parser:
     # -- INSERT ... WHERE -------------------------------------------------
 
     def parse_template_block(self) -> list:
-        """``{ triples | GRAPH <g> { triples } ... }`` → [(g|None, tp)]."""
+        """``{ triples | GRAPH <g>|?g { triples } ... }`` → [(g|None, tp)];
+        a variable graph (``GRAPH ?g`` — SPARQL 1.1 quad template routing)
+        carries the VarT and reads its binding per solution row."""
         self.expect_punct("{")
-        template: list[tuple[str | None, TriplePattern]] = []
+        template: list[tuple[object, TriplePattern]] = []
         while not self.at_punct("}"):
             if self.at_name("GRAPH"):
                 self.next()
-                g = self.parse_iri()
+                t = self.peek()
+                if t is not None and t.kind == "VAR":
+                    self.next()
+                    g: object = self._user_var(t)
+                else:
+                    g = self.parse_iri()
                 self.expect_punct("{")
                 while not self.at_punct("}"):
                     for tp in self.parse_triples_block(allow_vars=True):
@@ -793,9 +800,10 @@ class _Parser:
             return DeleteData(data.quads)
         if self.at_name("WHERE"):
             # DELETE WHERE { p }: the pattern IS the template. GRAPH blocks
-            # scope both matching and deletion to that graph; WHERE-side
-            # graph scoping beyond one graph needs GRAPH patterns we don't
-            # compile, so allow at most one distinct GRAPH.
+            # scope both matching and deletion to that graph (constant, or
+            # variable — ``DELETE WHERE { GRAPH ?g { p } }`` matches per
+            # named graph and deletes in place); allow at most one
+            # distinct GRAPH.
             self.next()
             template = self.parse_template_block()
             graphs = {g for g, _ in template if g is not None}
@@ -804,8 +812,21 @@ class _Parser:
                     "DELETE WHERE with multiple GRAPH blocks is not supported"
                 )
             self._check_no_template_bnodes(template, "DELETE WHERE")
-            where = Group(elements=[tp for _, tp in template])
             g = next(iter(graphs), None)
+            if isinstance(g, VarT):
+                # wrap the WHERE side so matching is per named graph and
+                # binds the var the delete template routes on
+                where = Group(
+                    elements=[
+                        GraphGroup(
+                            None,
+                            Group(elements=[tp for _, tp in template]),
+                            var=g.name,
+                        )
+                    ]
+                )
+                return DeleteWhere(template, None, target, [], where)
+            where = Group(elements=[tp for _, tp in template])
             return DeleteWhere(
                 template, None, target, [g] if g else [], where
             )

@@ -1298,3 +1298,85 @@ def test_builtin_strdt_and_coalesce_companions(spark):
         f'BIND(DATATYPE(COALESCE(?v, STRDT("7", <{xsd}byte>))) AS ?dt) }}'
     )
     assert df2.collect()[0]["dt"] == xsd + "string"
+
+
+# -- variable-graph templates (quad routing) ----------------------------------
+
+
+def _gv_engine(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:one", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
+            ("urn:g:two", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
+        ]
+    )
+    return eng
+
+
+def test_insert_template_variable_graph(spark):
+    eng = _gv_engine(spark)
+    # the classic "annotate every named graph in place" idiom
+    eng.update(
+        """
+        INSERT { GRAPH ?g { ?s <urn:p:copied> ?v } }
+        WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }
+        """
+    )
+    got = {
+        (r["g"], r["s"], r["p"], r["o_value"])
+        for r in eng.store.quads().where(F.col("p") == "urn:p:copied").collect()
+    }
+    assert got == {
+        ("urn:g:one", "urn:s:1", "urn:p:copied", "a"),
+        ("urn:g:two", "urn:s:2", "urn:p:copied", "b"),
+    }
+
+
+def test_construct_variable_graph(spark):
+    eng = _gv_engine(spark)
+    out = eng.construct_query(
+        """
+        CONSTRUCT { GRAPH ?g { ?s <urn:p:tag> "t" } }
+        WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }
+        """
+    )
+    got = {(r["g"], r["s"]) for r in out.collect()}
+    assert got == {("urn:g:one", "urn:s:1"), ("urn:g:two", "urn:s:2")}
+
+
+def test_delete_where_variable_graph(spark):
+    eng = _gv_engine(spark)
+    eng.store.insert_data(
+        [("urn:g:one", "urn:s:1", "iri", "urn:p:keep", "k", "literal", None, None)]
+    )
+    eng.update("DELETE WHERE { GRAPH ?g { ?s <urn:p:v> ?v } }")
+    left = {
+        (r["g"], r["p"]) for r in eng.store.quads().collect()
+    }
+    assert left == {("urn:g:one", "urn:p:keep")}
+
+
+def test_variable_graph_unbound_rows_skipped(spark):
+    eng = _gv_engine(spark)
+    # ?g bound only when the OPTIONAL matches; unbound rows must emit no quad
+    eng.store.insert_data(
+        [("urn:g:meta", "urn:g:one", "iri", "urn:p:active", "yes", "literal", None, None)]
+    )
+    eng.update(
+        """
+        INSERT { GRAPH ?active_g { ?s <urn:p:flagged> ?v } }
+        WHERE {
+            GRAPH ?g { ?s <urn:p:v> ?v }
+            OPTIONAL { GRAPH <urn:g:meta> { ?g <urn:p:active> "yes" }
+                       BIND(?g AS ?active_g) }
+        }
+        """
+    )
+    got = {
+        (r["g"], r["s"])
+        for r in eng.store.quads().where(F.col("p") == "urn:p:flagged").collect()
+    }
+    assert got == {("urn:g:one", "urn:s:1")}
