@@ -570,6 +570,19 @@ def dedup_resolve_clusters_q(spark, sf_dir):
     return resolve_clusters(pairs, docs=docs)
 
 
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup over the embeddings table (similarity.semantic_dedup):
+    md5-ranked centroids → broadcast-GEMM assignment → cluster-local
+    cosine pairs → connected-components keep/drop. The oracle re-derives
+    centroids, assignment, pairs, AND the transitive components (recursive
+    CTE) in DuckDB — the full semantic-dedup pipeline hash-verified."""
+    from knowledge_graph_etl_spark.extensions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), nlist=16, threshold=0.4
+    )
+
+
 def ann_cosine_topk_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -1548,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "gopher_quality": gopher_quality_q,
         "mixture_sample": mixture_sample_q,
+        "semantic_dedup": semantic_dedup_q,
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
         "kg_path_query": kg_path_query_q,
@@ -2416,6 +2430,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
             "FROM documents) WHERE rk <= 20"
+        ),
+        "semantic_dedup": (
+            "WITH RECURSIVE cents AS (SELECT embedding AS cent, "
+            "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+            "CAST(vec_id AS VARCHAR)) - 1 AS list_id FROM embeddings "
+            "QUALIFY list_id < 16), "
+            "asg AS (SELECT e.vec_id AS id, e.embedding AS vec, t.list_id, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(t.cent AS DOUBLE[])), 6) DESC, t.list_id) AS rn "
+            "FROM embeddings e CROSS JOIN cents t), "
+            "ca AS (SELECT id, vec, list_id FROM asg WHERE rn = 1), "
+            "pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM ca a "
+            "JOIN ca b ON a.list_id = b.list_id AND a.id < b.id "
+            "WHERE round(list_cosine_similarity(CAST(a.vec AS DOUBLE[]), "
+            "CAST(b.vec AS DOUBLE[])), 6) >= 0.4), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "lbl(node, lab) AS (SELECT u, u FROM edges "
+            "UNION SELECT e.u, l.lab FROM edges e JOIN lbl l ON l.node = e.v), "
+            "comp AS (SELECT node, MIN(lab) AS rep FROM lbl GROUP BY node) "
+            "SELECT d.vec_id, COALESCE(c.rep, d.vec_id) AS cluster_rep, "
+            "COUNT(*) OVER (PARTITION BY COALESCE(c.rep, d.vec_id)) AS cluster_size, "
+            "(d.vec_id = COALESCE(c.rep, d.vec_id)) AS keep "
+            "FROM embeddings d LEFT JOIN comp c ON c.node = d.vec_id"
         ),
         "mixture_sample": (
             "WITH t AS (SELECT doc_id, lang, "

@@ -626,3 +626,63 @@ def quantize_int8(
         q.alias("qvec"),
         F.round(F.array_max(deq_err), 6).alias("max_abs_err"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023): cluster the corpus, score pairwise cosine ONLY
+    within each cluster, resolve pairs ≥ ``threshold`` into transitive
+    keep/drop groups. Returns one row per item:
+    ``(id, cluster_rep, cluster_size, keep)`` — ``keep`` marks the
+    representative (minimum id reachable through near-dup edges).
+
+    Composition of the engine's existing verified pieces: deterministic
+    md5-ranked centroids (:func:`sample_centroids` — reproducible in SQL,
+    so the WHOLE pipeline is exact-oracled), broadcast-GEMM assignment
+    (:func:`_nearest_lists_udf`, corpus never shuffled for assignment),
+    JVM-side cosine rescoring, and :func:`..dedup.resolve_clusters`
+    connected components.
+
+    Scale posture: the cluster-local join turns O(N²) scoring into
+    O(Σ n_c²) — the SemDeDup trick — and shuffles on ``list_id``.
+    ``nlist`` must GROW with the corpus (n_c ≈ N/nlist bounds both the
+    join fan-out and the skew of a single list key; N=100 M → nlist≈10⁵
+    keeps clusters ~10³). For corpus-scale runs prefer
+    :func:`kmeans_centroids` init via the same assignment path — the
+    md5-sample default is the oracle-reproducible variant."""
+    from .dedup import resolve_clusters
+
+    cent_rows = sorted(
+        sample_centroids(corpus, nlist, id_col, vec_col).collect(),
+        key=lambda r: r["list_id"],
+    )
+    nearest = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(nearest(F.col(vec_col)), 1).alias("list_id"),
+    )
+    # three consumers (both pair-join sides + nothing else re-derives it);
+    # without this the Arrow assignment UDF runs once per consumer
+    assigned = assigned.localCheckpoint(eager=True)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    res = resolve_clusters(pairs, docs=corpus, id_col=id_col)
+    return res.withColumn("keep", F.col(id_col) == F.col("cluster_rep"))

@@ -596,3 +596,30 @@ def test_ivf_index_reuse_skips_corpus_assignment(spark, tmp_path):
     # left would be the checkpointed query-side RDD scan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert out.count() > 0
+
+
+# -- semantic dedup (SemDeDup) ------------------------------------------------
+
+
+def test_semantic_dedup_transitive_keep_drop(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import semantic_dedup
+
+    # two tight direction-clusters + one loner; within-cluster cosine ≈ 1
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~dup of 1
+        (3, [0.998, 0.02, 0.0]),   # ~dup of 1 and 2 (transitive chain)
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.01]),  # ~dup of 10
+        (20, [0.0, 0.0, 1.0]),     # loner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, nlist=3, threshold=0.95).collect()}
+    assert out[1]["keep"] and out[1]["cluster_size"] == 3
+    assert not out[2]["keep"] and out[2]["cluster_rep"] == 1
+    assert not out[3]["keep"] and out[3]["cluster_rep"] == 1
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[20]["keep"] and out[20]["cluster_size"] == 1
+    # exactly one representative per cluster
+    reps = [r for r in out.values() if r["keep"]]
+    assert len(reps) == 3

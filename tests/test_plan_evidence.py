@@ -176,3 +176,29 @@ def test_ivf_query_prunes_index_partitions(spark, tmp_path):
     plan = _plan(out)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "list_id" in " ".join(pf), plan
+
+
+def test_gopher_quality_has_no_shuffle(spark):
+    """Every Gopher rule is a within-document statistic — one corpus scan,
+    no exchange, no Python."""
+    from knowledge_graph_etl_spark.extensions.curation import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [("1", "the quick brown fox")], "doc_id string, text string"
+    )
+    plan = _plan(gopher_quality_flags(docs))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_has_no_shuffle(spark):
+    """Deterministic mixture sampling is a per-row map + bounded explode —
+    no exchange, no Python."""
+    from knowledge_graph_etl_spark.extensions.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [("1", "a"), ("2", "b")], "doc_id string, source string"
+    )
+    plan = _plan(mixture_sample(docs, {"a": 2.5}))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
