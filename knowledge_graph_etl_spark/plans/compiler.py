@@ -287,6 +287,8 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         )
         return TermExpr.literal_value(F.regexp_like(src, F.lit(pat)))
     if name == "COALESCE":
+        if not args:
+            raise ValueError("COALESCE needs at least one argument")
         terms = [compile_expr(a, cols) for a in args]
 
         def pick(attr: str) -> Column:
