@@ -570,6 +570,22 @@ def dedup_resolve_clusters_q(spark, sf_dir):
     return resolve_clusters(pairs, docs=docs)
 
 
+def ann_pq_topk_q(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_topk): md5-sampled
+    codebooks → Arrow-batched encoding (argmax inner product per
+    subspace) → per-query LUT scoring with 1e-4-quantized INTEGER
+    partials (order-independent sum — bit-reproducible across engines).
+    The oracle re-derives codebooks, assignment, LUT partials, and
+    ranking in DuckDB."""
+    from knowledge_graph_etl_spark.extensions.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, m=8, ksub=16, k=10)
+
+
 def semantic_dedup_q(spark, sf_dir):
     """SemDeDup over the embeddings table (similarity.semantic_dedup):
     md5-ranked centroids → broadcast-GEMM assignment → cluster-local
@@ -1562,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality_q,
         "mixture_sample": mixture_sample_q,
         "semantic_dedup": semantic_dedup_q,
+        "ann_pq_topk": ann_pq_topk_q,
         "kg_construct_query": kg_construct_query_q,
         "graph_pagerank": graph_pagerank_q,
         "kg_path_query": kg_path_query_q,
@@ -2430,6 +2447,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
             "FROM documents) WHERE rk <= 20"
+        ),
+        "ann_pq_topk": (
+            # PQ/ADC re-derived in SQL: same md5-ranked codebook rows, same
+            # argmax-inner-product assignment (round 6, tie -> lower code),
+            # same 1e-4 integer partials (SUM of ints = order-independent)
+            "WITH cents AS (SELECT CAST(embedding AS DOUBLE[]) AS cent, "
+            "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+            "CAST(vec_id AS VARCHAR)) - 1 AS code_id FROM embeddings "
+            "QUALIFY code_id < 16), "
+            "subs AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j), "
+            # assignment = argmin L2² expanded as |v|²-2vc+|c|² (the exact
+            # formula the numpy encoder evaluates), tie -> lower code
+            "enc AS (SELECT e.vec_id, s.j, c.code_id, "
+            "row_number() OVER (PARTITION BY e.vec_id, s.j ORDER BY round("
+            "list_inner_product(CAST(e.embedding AS DOUBLE[])[(s.j*8+1):(s.j*8+8)], "
+            "CAST(e.embedding AS DOUBLE[])[(s.j*8+1):(s.j*8+8)]) "
+            "- 2 * list_inner_product(CAST(e.embedding AS DOUBLE[])[(s.j*8+1):(s.j*8+8)], "
+            "c.cent[(s.j*8+1):(s.j*8+8)]) "
+            "+ list_inner_product(c.cent[(s.j*8+1):(s.j*8+8)], "
+            "c.cent[(s.j*8+1):(s.j*8+8)]), 6) ASC, c.code_id) AS rn "
+            "FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c), "
+            "asg AS (SELECT vec_id, j, code_id FROM enc WHERE rn = 1), "
+            "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "part AS (SELECT q.query_id, a.vec_id AS neighbor_id, "
+            "CAST(floor(list_inner_product(q.qv[(a.j*8+1):(a.j*8+8)], "
+            "c.cent[(a.j*8+1):(a.j*8+8)]) * 10000 + 0.5) AS BIGINT) AS p "
+            "FROM asg a JOIN cents c ON c.code_id = a.code_id CROSS JOIN q), "
+            "sc AS (SELECT query_id, neighbor_id, SUM(p) AS score_q "
+            "FROM part GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, CAST(score_q AS BIGINT) AS score_q, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score_q DESC, neighbor_id) AS INTEGER) AS rank "
+            "FROM sc QUALIFY rank <= 10"
         ),
         "semantic_dedup": (
             "WITH RECURSIVE cents AS (SELECT embedding AS cent, "

@@ -694,3 +694,160 @@ def semantic_dedup(
     )
     res = resolve_clusters(pairs, docs=corpus, id_col=id_col)
     return res.withColumn("keep", F.col(id_col) == F.col("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (dot-product / MIPS flavor)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic PQ codebooks: ``codebooks[j][c]`` is the j-th
+    subvector slice of the ``ksub`` md5-ranked sample rows
+    (:func:`sample_centroids` — the same reproducible-seed trick as IVF,
+    so the whole PQ pipeline is exact-oracle-able). ``m`` subspaces of
+    ``dim/m`` dims each; a k-means-refined codebook can be swapped in for
+    quality the same way :func:`kmeans_centroids` refines IVF."""
+    rows = sorted(
+        sample_centroids(corpus, ksub, id_col, vec_col).collect(),
+        key=lambda r: r["list_id"],
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(rows[0]["cent"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+    sub = dim // m
+    return [
+        [list(r["cent"][j * sub : (j + 1) * sub]) for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_encode_udf(spark_df: DataFrame, codebooks: list):
+    """Arrow-batched PQ encoding: per subspace one (batch × ksub) GEMM
+    against the broadcast codebook; code = argmin squared L2 distance
+    (reconstruction error — the standard PQ assignment; an argmax-dot
+    assignment is magnitude-blind and mis-codes near-zero subvectors onto
+    far-away codes, measured as recall loss). The distance is expanded as
+    ``|v|² − 2 v·c + |c|²`` so the oracle can evaluate the IDENTICAL
+    formula; ties after 6-decimal rounding break toward the lower code id
+    (stable argsort) — mirrored by ``ORDER BY round(d2,6), code_id``."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sc = spark_df.sparkSession.sparkContext
+    bc = sc.broadcast(C)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        Cs = bc.value
+        msub = Cs[0].shape[1]
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if V.size == 0:
+            return pd.Series([])
+        out = np.empty((len(V), len(Cs)), dtype=np.int32)
+        for j, Cj in enumerate(Cs):
+            Vj = V[:, j * msub : (j + 1) * msub]
+            d2 = (
+                (Vj * Vj).sum(axis=1, keepdims=True)
+                - 2.0 * (Vj @ Cj.T)
+                + (Cj * Cj).sum(axis=1)[None, :]
+            )
+            d2 = np.round(d2, 6)
+            out[:, j] = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        return pd.Series([r.tolist() for r in out])
+
+    return enc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → ``(id, codes array<int>)``: m bytes-ish per vector instead
+    of dim floats — the ~``dim*4/m``× compression that makes a 100 TB
+    embedding corpus scannable from memory. One Arrow pass, no shuffle."""
+    enc = _pq_encode_udf(corpus, codebooks)
+    return corpus.select(
+        F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product: encode the corpus once
+    (:func:`pq_encode`), build one lookup table per query
+    (``lut[j][c] = <q_j, code_jc>``), then score every corpus item with m
+    array lookups + an integer sum — no floats touch the corpus-sized
+    loop.
+
+    Scale design: the corpus is scanned exactly once carrying only
+    ``(id, m×int codes)``; queries (with their LUTs) broadcast, so there
+    is NO shuffle of the corpus and no per-pair O(dim) work — per
+    candidate cost is O(m). Partials are quantized to 1e-4 integers so
+    the ADC sum is ORDER-INDEPENDENT (bit-reproducible across partitions
+    and engines — a float sum would not be); ranking ties break on
+    neighbor id. Returns (query_id, neighbor_id, score_q, rank) where
+    ``score_q`` is the quantized approximate inner product ×10⁴."""
+    codebooks = pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    sub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    # LUT per query row: array<array<bigint>> of m × ksub quantized dots —
+    # built with JVM expressions over the (small) query table
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.floor(
+                        _dot(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                        )
+                        * F.lit(10000.0)
+                        + F.lit(0.5)
+                    ).cast("long")
+                    for c in range(ksub)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = queries.select(F.col(query_id_col), lut.alias("lut"))
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score_q", "rank")
+    )

@@ -623,3 +623,58 @@ def test_semantic_dedup_transitive_keep_drop(spark):
     # exactly one representative per cluster
     reps = [r for r in out.values() if r["keep"]]
     assert len(reps) == 3
+
+
+# -- product quantization ------------------------------------------------------
+
+
+def test_pq_topk_recall_and_compression(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    import math
+    # 40 vectors in 4 tight direction clusters (dim 16) — PQ must rank
+    # same-cluster vectors above cross-cluster ones
+    rows = []
+    for i in range(40):
+        c = i % 4
+        base = [0.0] * 16
+        base[c * 4] = 1.0
+        base[c * 4 + 1] = 0.5
+        jitter = [(((i * 31 + j * 7) % 11) - 5) / 200.0 for j in range(16)]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = pq_topk(df, queries, m=4, ksub=8, k=5)
+    exact = cosine_topk(df, queries, k=5)
+    pq_sets = {}
+    for r in pq.collect():
+        pq_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ex_sets = {}
+    for r in exact.collect():
+        ex_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # recall@5 ≥ 3/5 per query on clearly-clustered data
+    for qid in ex_sets:
+        assert len(pq_sets[qid] & ex_sets[qid]) >= 3, (qid, pq_sets[qid], ex_sets[qid])
+    # encoding shape: m int codes per vector, codes < ksub
+    cbs = pq_codebooks(df, m=4, ksub=8)
+    enc = pq_encode(df, cbs).collect()
+    assert all(len(r["codes"]) == 4 and max(r["codes"]) < 8 for r in enc)
+
+
+def test_pq_codebooks_validation(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import pq_codebooks
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(df, m=2, ksub=1)
