@@ -1427,6 +1427,16 @@ def sample_per_group_q(spark, sf_dir):
     return sample_per_group(d, "lang", n=20)
 
 
+def unigram_lm_score_q(spark, sf_dir):
+    """Corpus-trained unigram-LM quality proxy (curation.unigram_logprob_score):
+    per-doc average token surprisal under corpus frequencies — the
+    CCNet-style perplexity filter's deterministic stand-in. Bits are
+    1e-6-quantized integers so the sums hash-match DuckDB exactly."""
+    from knowledge_graph_etl_spark.extensions.curation import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
 def gopher_quality_q(spark, sf_dir):
     """Gopher-rule quality filter (extensions/curation.gopher_quality_flags):
     the standard pre-training heuristics as one shuffle-free per-row map —
@@ -1577,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline_q,
         "gopher_quality": gopher_quality_q,
         "mixture_sample": mixture_sample_q,
+        "unigram_lm_score": unigram_lm_score_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_pq_topk": ann_pq_topk_q,
         "kg_construct_query": kg_construct_query_q,
@@ -2506,6 +2517,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) OVER (PARTITION BY COALESCE(c.rep, d.vec_id)) AS cluster_size, "
             "(d.vec_id = COALESCE(c.rep, d.vec_id)) AS keep "
             "FROM embeddings d LEFT JOIN comp c ON c.node = d.vec_id"
+        ),
+        "unigram_lm_score": (
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "
+            "cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok), "
+            "tot AS (SELECT SUM(c) AS t FROM cnt), "
+            "p AS (SELECT doc_id, CAST(floor(-log2(CAST(c AS DOUBLE) / t) "
+            "* 1000000 + 0.5) AS BIGINT) AS q "
+            "FROM tok JOIN cnt USING (tok) CROSS JOIN tot) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(q) AS BIGINT) AS nll_q, "
+            "round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_nll "
+            "FROM p GROUP BY doc_id"
         ),
         "mixture_sample": (
             "WITH t AS (SELECT doc_id, lang, "

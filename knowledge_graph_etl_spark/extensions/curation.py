@@ -98,6 +98,64 @@ def repetition_signals(
     return docs.select(F.col(id_col), *signal_cols)
 
 
+def unigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy with the LM trained on the
+    corpus itself: per document, the average unigram negative
+    log-likelihood ``-avg log2 p(token)`` where ``p`` is the corpus token
+    frequency. Unusually low = boilerplate/repetitive; unusually high =
+    noise/garbled — the two tails a perplexity filter trims.
+
+    Emits ``(doc_id, n_tokens, nll_q, avg_nll)``; ``nll_q`` is the sum of
+    per-occurrence bits quantized to 1e-6 integers, so the aggregation is
+    ORDER-INDEPENDENT (a float sum would differ across partitionings and
+    engines) and ``avg_nll`` derives from exact integers. Documents with
+    zero tokens are omitted (no distribution to score them under).
+
+    Scale shape: one count aggregate on the token key + one 1:N join of
+    occurrences to counts (the hot stopword keys are 1:N — no fan-out —
+    and land in single partitions AQE handles) + one per-doc aggregate.
+    The token relation is derived twice (count + join); at 100 TB cache
+    or checkpoint it if the tokenize dominates the two scans."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    q = (
+        tok.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.floor(
+                -F.log2(F.col("c").cast("double") / F.col("t")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        q.groupBy(id_col)
+        .agg(
+            F.sum("q").alias("nll_q"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "nll_q",
+            F.round(
+                F.col("nll_q").cast("double") / F.col("n_tokens") / F.lit(1000000.0),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],

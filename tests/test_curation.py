@@ -472,3 +472,32 @@ def test_mixture_sample_default_and_validation(spark):
     assert sorted(r["doc_id"] for r in out) == ["1", "2"]
     with _pytest.raises(ValueError, match="negative"):
         mixture_sample(docs, {"x": -0.5})
+
+
+# -- unigram LM quality proxy --------------------------------------------------
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from knowledge_graph_etl_spark.extensions.curation import unigram_logprob_score
+
+    # corpus: 'common' appears 6x, 'rare' 1x, 'mid' 2x -> total 9 tokens
+    docs = _docs(
+        spark,
+        [
+            ("a", "common common common mid"),
+            ("b", "common common common mid rare"),
+            ("empty", ""),
+        ],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    assert "empty" not in out  # no tokens, no score
+    q = lambda p: math.floor(-math.log2(p) * 1e6 + 0.5)
+    exp_a = 3 * q(6 / 9) + q(2 / 9)
+    exp_b = 3 * q(6 / 9) + q(2 / 9) + q(1 / 9)
+    assert out["a"]["nll_q"] == exp_a and out["a"]["n_tokens"] == 4
+    assert out["b"]["nll_q"] == exp_b and out["b"]["n_tokens"] == 5
+    # the doc containing the rare token is more surprising on average
+    assert out["b"]["avg_nll"] > out["a"]["avg_nll"]
+    assert out["a"]["avg_nll"] == round(exp_a / 4 / 1e6, 6)
