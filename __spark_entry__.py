@@ -1396,6 +1396,22 @@ def streaming_interval_join_q(spark, sf_dir):
     )
 
 
+def streaming_enrich_q(spark, sf_dir):
+    """Stream-static dimension enrichment (streaming/joins.enrich_stream)
+    run in batch mode: events left-joined to the broadcast customer
+    dimension on user_id — the stream side never shuffles;
+    tests/test_streaming.py proves stream==batch on the same operator."""
+    from knowledge_graph_etl_spark.streaming import enrich_stream
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return enrich_stream(ev, dim, key="user_id")
+
+
 def doc_chunking_q(spark, sf_dir):
     """Overlapping token-window chunking (RAG preprocessing,
     extensions/curation.chunk_overlapping): 16-token windows every 8
@@ -1606,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curate": streaming_curate_q,
         "doc_chunking": doc_chunking_q,
         "streaming_interval_join": streaming_interval_join_q,
+        "streaming_enrich": streaming_enrich_q,
     }
 
 
@@ -2394,6 +2411,11 @@ def oracle_sql() -> dict[str, str]:
             + " FROM events GROUP BY user_id"
         ),
         "streaming_curate": _streaming_curate_oracle(),
+        "streaming_enrich": (
+            "SELECT e.event_id, e.user_id, e.event_type, "
+            "c.c_name AS name, c.c_mktsegment AS segment "
+            "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"
+        ),
         "streaming_interval_join": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'purchase'), "

@@ -55,3 +55,26 @@ def interval_join(
         & (F.col(f"{prefix}{right_ts}") <= F.col(left_ts))
     )
     return left.join(r, cond).drop(f"{prefix}{key}")
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the standard dimension-lookup
+    pattern on an event stream. Stateless under Structured Streaming:
+    each micro-batch joins against the current snapshot of the static
+    side, no watermark, no state store. The SAME call works on batch
+    DataFrames, which is what the stream==batch test and the SQL oracle
+    exercise.
+
+    Scale shape: ``broadcast=True`` (default) ships the dimension to every
+    task — the stream side is NEVER shuffled, which is the only acceptable
+    plan when the stream is the 100 TB side; turn it off only for a
+    dimension too large to broadcast (then both sides shuffle on the key
+    per micro-batch)."""
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on=key, how=how)

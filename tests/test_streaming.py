@@ -318,3 +318,36 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_out").collect()
     }
     assert got_stream == got_batch
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    from knowledge_graph_etl_spark.streaming import enrich_stream
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click"), (2, 11, "view"), (3, 99, "click")],
+        "event_id long, user_id long, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "A"), (11, "B")], "user_id long, name string"
+    )
+    batch = {
+        tuple(r) for r in enrich_stream(ev, dim).collect()
+    }
+    # unmatched user keeps the event with name NULL (left join)
+    assert (99, 3, "click", None) in batch and len(batch) == 3
+    src = str(tmp_path / "enr")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string"
+    ).parquet(src)
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("enriched").collect()}
+    assert got == batch
