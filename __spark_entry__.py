@@ -1170,6 +1170,35 @@ def kg_select_builtins_q(spark, sf_dir):
     )
 
 
+def kg_arithmetic_q(spark, sf_dir):
+    """SPARQL numeric operators (+ - * / with precedence, unary minus) in
+    BIND and FILTER (plans/compiler ArithExpr): a discounted-price
+    projection over the quadified orders graph. Double arithmetic is
+    bit-identical across engines (no reassociation), so no rounding is
+    needed for the hash match."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    quads = quadify(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        "urn:ord:",
+        "urn:g:orda",
+        columns=["o_totalprice", "o_orderstatus"],
+        namespace=P,
+    )
+    eng.store.insert(quads, dedup_against_store=False, batch_distinct=True)
+    return eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?o (?tp * 0.9 AS ?discounted) (?tp - ?tp / 4 AS ?three_q)
+               (-?tp AS ?neg)
+        FROM <urn:g:orda>
+        WHERE { ?o p:o_totalprice ?tp FILTER(?tp * 2 > 300000) }
+        """
+    )
+
+
 def kg_graph_var_q(spark, sf_dir):
     """Variable GRAPH pattern (SPARQL 1.1 §13.3: ``GRAPH ?g`` iterates the
     named graphs binding ?g) composed with a variable predicate and a
@@ -1615,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
         "kg_graph_var": kg_graph_var_q,
+        "kg_arithmetic": kg_arithmetic_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2336,6 +2366,13 @@ def oracle_sql() -> dict[str, str]:
             "o_orderpriority AS pri FROM orders "
             "WHERE o_totalprice > 150000 "
             "AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        ),
+        "kg_arithmetic": (
+            "SELECT 'urn:ord:' || CAST(o_orderkey AS VARCHAR) AS o, "
+            "CAST(o_totalprice AS DOUBLE) * 0.9 AS discounted, "
+            "CAST(o_totalprice AS DOUBLE) - CAST(o_totalprice AS DOUBLE) / 4 AS three_q, "
+            "-CAST(o_totalprice AS DOUBLE) AS neg "
+            "FROM orders WHERE CAST(o_totalprice AS DOUBLE) * 2 > 300000"
         ),
         "kg_graph_var": (
             # per-(graph, predicate) quad counts: quadify emits one quad

@@ -44,6 +44,7 @@ from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, XSD_STRING, Term
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 from .parser import (
     AggCall,
+    ArithExpr,
     AskQuery,
     BoolExpr,
     CmpExpr,
@@ -172,6 +173,21 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         return TermExpr(F.lit(node.value), F.lit(IRI), _null_str(), _null_str())
     if isinstance(node, CmpExpr):
         return TermExpr.literal_value(_compile_cmp(node, cols))
+    if isinstance(node, ArithExpr):
+        # SPARQL §17.3 numeric operators on the lexical store: operands
+        # evaluate as doubles (try_cast → non-numeric is a type error →
+        # NULL → unbound); division by zero is likewise an error, not inf
+        l = compile_expr(node.left, cols).value.try_cast("double")
+        r = compile_expr(node.right, cols).value.try_cast("double")
+        if node.op == "+":
+            out = l + r
+        elif node.op == "-":
+            out = l - r
+        elif node.op == "*":
+            out = l * r
+        else:
+            out = F.when(r != 0, l / r)
+        return TermExpr.literal_value(out)
     if isinstance(node, BoolExpr):
         # try_cast: a non-boolean operand is an EBV type error → NULL →
         # the row is dropped; a plain cast would ABORT the query under

@@ -115,6 +115,18 @@ class NotExpr:
 
 
 @dataclass(frozen=True)
+class ArithExpr:
+    """Numeric arithmetic ``l op r`` with op in + - * / (SPARQL §17.3
+    operator mapping, left-associative; unary minus desugars to
+    ``0 - x``). Operands evaluate numerically (try_cast) — a non-numeric
+    operand is a type error → unbound."""
+
+    op: str
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
 class FuncCall:
     name: str
     args: tuple
@@ -358,7 +370,7 @@ _TOKEN_RE = re.compile(
     | (?P<PNAME_NS>(?:[A-Za-z_][\w-]*)?:)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<NAME>[A-Za-z_][\w-]*)
-    | (?P<PUNCT>[{}\[\]();,.*+/^|<>=!&?])
+    | (?P<PUNCT>[{}\[\]();,.*+\-/^|<>=!&?])
     """,
     re.VERBOSE,
 )
@@ -1304,7 +1316,7 @@ class _Parser:
         return self.parse_cmp_expr()
 
     def parse_cmp_expr(self):
-        left = self.parse_primary_expr()
+        left = self.parse_additive_expr()
         op = None
         if self._at_two_puncts("!", "="):
             self.next(); self.next(); op = "!="
@@ -1320,7 +1332,40 @@ class _Parser:
             self.next(); op = ">"
         if op is None:
             return left
-        return CmpExpr(op, left, self.parse_primary_expr())
+        return CmpExpr(op, left, self.parse_additive_expr())
+
+    def parse_additive_expr(self):
+        node = self.parse_mult_expr()
+        while True:
+            if self.at_punct("+") or self.at_punct("-"):
+                op = self.next().text
+                node = ArithExpr(op, node, self.parse_mult_expr())
+                continue
+            # SPARQL AdditiveExpression's signed-literal rule: the
+            # tokenizer folds the sign into the NUMBER (``?x -2``), which
+            # means "node + (-2)"
+            t = self.peek()
+            if t is not None and t.kind == "NUMBER" and t.text[0] in "+-":
+                self.next()
+                node = ArithExpr("+", node, _number_lit(t.text))
+                continue
+            return node
+
+    def parse_mult_expr(self):
+        node = self.parse_unary_arith()
+        while self.at_punct("*") or self.at_punct("/"):
+            op = self.next().text
+            node = ArithExpr(op, node, self.parse_unary_arith())
+        return node
+
+    def parse_unary_arith(self):
+        if self.at_punct("-"):
+            self.next()
+            return ArithExpr("-", LitT("0"), self.parse_unary_arith())
+        if self.at_punct("+"):
+            self.next()
+            return self.parse_unary_arith()
+        return self.parse_primary_expr()
 
     def parse_primary_expr(self):
         if self.at_punct("("):

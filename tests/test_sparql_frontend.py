@@ -1380,3 +1380,29 @@ def test_variable_graph_unbound_rows_skipped(spark):
         for r in eng.store.quads().where(F.col("p") == "urn:p:flagged").collect()
     }
     assert got == {("urn:g:one", "urn:s:1")}
+
+
+# -- arithmetic expressions ----------------------------------------------------
+
+
+def test_arithmetic_in_bind_and_filter(spark):
+    eng = _cmp_engine(spark)  # values 5, 05, 12, abc (urn:p:v)
+    got = {(r["s"], r["d"]) for r in eng.select(
+        "SELECT ?s (?v * 2 + 1 AS ?d) FROM <urn:g:f> "
+        "WHERE { ?s <urn:p:v> ?v FILTER(?v / 2 >= 2.5) }"
+    ).collect()}
+    assert got == {("urn:s:1", 11.0), ("urn:s:2", 11.0), ("urn:s:3", 25.0)}
+    # precedence: * binds tighter than -, unary minus, signed-literal fold
+    assert _filter_sel(eng, "?v - 2 * 3 = -1") == {"urn:s:1", "urn:s:2"}
+    assert _filter_sel(eng, "-?v = -12") == {"urn:s:3"}
+    assert _filter_sel(eng, "?v -7 = 5") == {"urn:s:3"}  # signed literal
+    # non-numeric operand is a type error -> row dropped, not a crash
+    assert _filter_sel(eng, "?v + 1 > 0") == {"urn:s:1", "urn:s:2", "urn:s:3"}
+    # division by zero is an error -> dropped
+    assert _filter_sel(eng, "?v / 0 > 0") == set()
+
+
+def test_arithmetic_with_functions(spark):
+    eng = _fn_engine(spark)
+    assert _bind_one(eng, "urn:s:1", "STRLEN(?v) * 2 - 1") == 21.0
+    assert _bind_one(eng, "urn:s:3", "ABS(?v) + CEIL(?v)") == 0.5
