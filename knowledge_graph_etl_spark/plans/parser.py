@@ -640,6 +640,26 @@ class _Parser:
             return DescribeQuery(terms, from_graphs, where, from_named)
         if self.at_name("CONSTRUCT"):
             self.next()
+            if not self.at_punct("{"):
+                # CONSTRUCT [FROM ...] WHERE { triples } shorthand (SPARQL
+                # 1.1 §10.2.2): the pattern IS the template. Bnode sugar
+                # desugars to shared _anon_ vars, so the constructed
+                # triples reuse the WHERE bindings rather than minting.
+                from_graphs, from_named = self.parse_from_clauses()
+                self.expect_name("WHERE")
+                prev = self._allow_paths  # plain triples only — no paths
+                self._allow_paths = False
+                try:
+                    template = self.parse_template_block()
+                finally:
+                    self._allow_paths = prev
+                if any(g is not None for g, _ in template):
+                    raise SyntaxError(
+                        "GRAPH blocks are not allowed in the CONSTRUCT "
+                        "WHERE shorthand; use the full CONSTRUCT form"
+                    )
+                where = Group(elements=[tp for _, tp in template])
+                return ConstructQuery(template, from_graphs, where, from_named)
             template = self.parse_template_block()
             from_graphs, from_named = self.parse_from_clauses()
             if self.at_name("WHERE"):

@@ -1406,3 +1406,16 @@ def test_arithmetic_with_functions(spark):
     eng = _fn_engine(spark)
     assert _bind_one(eng, "urn:s:1", "STRLEN(?v) * 2 - 1") == 21.0
     assert _bind_one(eng, "urn:s:3", "ABS(?v) + CEIL(?v)") == 0.5
+
+
+def test_construct_where_shorthand(spark):
+    eng = _gv_engine(spark)  # urn:g:one s:1 v a; urn:g:two s:2 v b
+    out = eng.construct_query(
+        "CONSTRUCT FROM <urn:g:one> WHERE { ?s <urn:p:v> ?o }"
+    )
+    got = {(r["s"], r["p"], r["o_value"]) for r in out.collect()}
+    assert got == {("urn:s:1", "urn:p:v", "a")}
+    with pytest.raises(SyntaxError, match="GRAPH blocks"):
+        eng.construct_query(
+            "CONSTRUCT WHERE { GRAPH <urn:g:one> { ?s <urn:p:v> ?o } }"
+        )
