@@ -1349,9 +1349,17 @@ def execute_update(node, store) -> None:
                 f"LOAD: source {node.source!r} does not exist "
                 "(SILENT suppresses this error)"
             )
-        store.insert(
-            read_rdf(store.spark, path, node.graph), target_graphs=[node.graph]
-        )
+        try:
+            store.insert(
+                read_rdf(store.spark, path, node.graph),
+                target_graphs=[node.graph],
+            )
+        except Exception:
+            # SPARQL 1.1 Update §3.1.2: SILENT makes the operation always
+            # succeed — that includes parse/format failures of the
+            # document, not just a missing file
+            if not node.silent:
+                raise
         return
     if isinstance(node, InsertData):
         store.insert_data(_const_quad_rows(node.quads, "INSERT DATA"))

@@ -128,3 +128,15 @@ def test_load_requires_into(spark):
     eng = _eng(spark)
     with pytest.raises(SyntaxError, match="INTO GRAPH"):
         eng.update("LOAD <file:///tmp/x.nt>")
+
+
+def test_load_silent_suppresses_parse_failure(spark, tmp_path):
+    bad = tmp_path / "bad.nt"
+    bad.write_text("this is not valid ntriples at all\n")
+    eng = _eng(spark)
+    with pytest.raises(Exception):
+        eng.update(f"LOAD <file://{bad}> INTO GRAPH <urn:g:new>")
+    # SILENT: the operation always succeeds (SPARQL 1.1 Update §3.1.2),
+    # including on malformed documents
+    eng.update(f"LOAD SILENT <file://{bad}> INTO GRAPH <urn:g:new>")
+    assert len(_graph_rows(eng, "urn:g:a")) == 2  # store untouched
