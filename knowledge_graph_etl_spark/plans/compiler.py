@@ -528,7 +528,12 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
         ld = F.when(l.datatype == xsd_str, _null_str()).otherwise(l.datatype)
         rd = F.when(r.datatype == xsd_str, _null_str()).otherwise(r.datatype)
         term_eq = (
-            (l.value == r.value)
+            # compare LEXICAL forms: one side may be a numeric-typed
+            # expression (arithmetic result) — a bare string==double
+            # comparison would make ANSI mode cast the string side and
+            # ABORT on rows like 'abc' (the very rows this branch exists
+            # for, since both_num is false there)
+            (l.value.cast("string") == r.value.cast("string"))
             & l.type.eqNullSafe(r.type)
             & ld.eqNullSafe(rd)
             & l.lang.eqNullSafe(r.lang)
@@ -555,7 +560,12 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
     # plain literals — the useful semantics over a lexical store.)
     return (
         F.when(both_num, f(ln, rn))
-        .when(ln.isNull() & rn.isNull(), f(l.value, r.value))
+        .when(
+            ln.isNull() & rn.isNull(),
+            # lexical comparison — cast both to string so a typed operand
+            # can never trigger an ANSI string→numeric comparison cast
+            f(l.value.cast("string"), r.value.cast("string")),
+        )
         .otherwise(F.lit(None).cast("boolean"))
     )
 

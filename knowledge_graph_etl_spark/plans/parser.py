@@ -1337,6 +1337,38 @@ class _Parser:
 
     def parse_cmp_expr(self):
         left = self.parse_additive_expr()
+        # IN / NOT IN (SPARQL §17.4.1.9-10): desugar to an =-chain — spec
+        # defines them as shortcuts for || of = / && of !=, so the engine's
+        # comparison semantics (numeric promotion, term equality, error
+        # propagation) carry over for free
+        if self.at_name("IN") or (
+            self.at_name("NOT")
+            and self.peek(1) is not None
+            and self.peek(1).kind == "NAME"
+            and self.peek(1).text.upper() == "IN"
+        ):
+            negated = self.at_name("NOT")
+            self.next()
+            if negated:
+                self.next()
+            self.expect_punct("(")
+            items = []
+            if not self.at_punct(")"):
+                items.append(self.parse_additive_expr())
+                while self.at_punct(","):
+                    self.next()
+                    items.append(self.parse_additive_expr())
+            self.expect_punct(")")
+            if not items:
+                # IN () is false, NOT IN () true for any bound operand —
+                # self-(in)equality expresses exactly that, and an unbound
+                # operand still errors (NULL) as the spec requires
+                return CmpExpr("=" if negated else "!=", left, left)
+            if negated:
+                parts = tuple(CmpExpr("!=", left, it) for it in items)
+                return parts[0] if len(parts) == 1 else BoolExpr("and", parts)
+            parts = tuple(CmpExpr("=", left, it) for it in items)
+            return parts[0] if len(parts) == 1 else BoolExpr("or", parts)
         op = None
         if self._at_two_puncts("!", "="):
             self.next(); self.next(); op = "!="

@@ -1419,3 +1419,17 @@ def test_construct_where_shorthand(spark):
         eng.construct_query(
             "CONSTRUCT WHERE { GRAPH <urn:g:one> { ?s <urn:p:v> ?o } }"
         )
+
+
+def test_in_and_not_in(spark):
+    eng = _cmp_engine(spark)  # values 5, 05, 12, abc
+    assert _filter_sel(eng, "?v IN (5, 12)") == {"urn:s:1", "urn:s:2", "urn:s:3"}
+    assert _filter_sel(eng, '?v IN ("abc")') == {"urn:s:4"}
+    # NOT IN is the &&-of-!= chain: an unequal-but-non-numeric value passes
+    assert _filter_sel(eng, "?v NOT IN (12)") == {"urn:s:1", "urn:s:2", "urn:s:4"}
+    assert _filter_sel(eng, "?v IN ()") == set()
+    assert _filter_sel(eng, "?v NOT IN ()") == {
+        "urn:s:1", "urn:s:2", "urn:s:3", "urn:s:4"
+    }
+    # arithmetic inside the list
+    assert _filter_sel(eng, "?v IN (10 + 2)") == {"urn:s:3"}
