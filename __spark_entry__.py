@@ -572,11 +572,11 @@ def dedup_resolve_clusters_q(spark, sf_dir):
 
 def ann_pq_topk_q(spark, sf_dir):
     """Product-quantization ADC top-k (similarity.pq_topk): md5-sampled
-    codebooks → Arrow-batched encoding (argmax inner product per
-    subspace) → per-query LUT scoring with 1e-4-quantized INTEGER
-    partials (order-independent sum — bit-reproducible across engines).
-    The oracle re-derives codebooks, assignment, LUT partials, and
-    ranking in DuckDB."""
+    codebooks → Arrow-batched encoding (argmin squared-L2 reconstruction
+    error per subspace — the standard PQ assignment) → per-query LUT
+    scoring with 1e-4-quantized INTEGER partials (order-independent sum —
+    bit-reproducible across engines). The oracle re-derives codebooks,
+    assignment, LUT partials, and ranking in DuckDB."""
     from knowledge_graph_etl_spark.extensions.similarity import pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")

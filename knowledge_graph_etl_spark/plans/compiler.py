@@ -36,12 +36,15 @@ from ..functions import (
 from ..operators.bgp import BGPBuilder, Var, _companion, _term_join, pattern, star_scan
 from ..operators.construct import construct
 from ..operators.paths import path_solution
-from ..terms import BNODE, IRI, LITERAL, QUAD_SCHEMA, XSD_STRING, Term
-
-#: rdf:langString — the datatype of language-tagged literals (RDF 1.1);
-#: only ever OBSERVED via DATATYPE(), never stored (the store keeps the
-#: lang tag in its own column and o_datatype NULL for tagged literals).
-RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+from ..terms import (
+    BNODE,
+    IRI,
+    LITERAL,
+    QUAD_SCHEMA,
+    RDF_LANGSTRING,
+    XSD_STRING,
+    Term,
+)
 from .parser import (
     AggCall,
     ArithExpr,
@@ -151,6 +154,24 @@ def _var_term(name: str, cols: set[str]) -> TermExpr:
 def _lit_str(node) -> str | None:
     """Python string of a literal AST node (for regex/separator args)."""
     return node.value if isinstance(node, LitT) else None
+
+
+def _term_eq_cond(l: TermExpr, r: TermExpr) -> Column:
+    """RDF 1.1 same-term equality between two term expressions — the ONE
+    definition shared by FILTER ``=`` (non-numeric branch) and sameTerm():
+    lexical form (compared as STRINGS — one side may be a numeric-typed
+    expression, and a bare string==double comparison would make ANSI mode
+    cast-and-ABORT on non-numeric rows), term type, datatype with
+    xsd:string folded to the plain form (RDF 1.1: they are the same term),
+    and language tag, all null-safe on the companions."""
+    ld = F.when(l.datatype == XSD_STRING, _null_str()).otherwise(l.datatype)
+    rd = F.when(r.datatype == XSD_STRING, _null_str()).otherwise(r.datatype)
+    return (
+        (l.value.cast("string") == r.value.cast("string"))
+        & l.type.eqNullSafe(r.type)
+        & ld.eqNullSafe(rd)
+        & l.lang.eqNullSafe(r.lang)
+    )
 
 
 def compile_expr(node, cols: set[str]) -> TermExpr:
@@ -277,7 +298,10 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
             F.length(compile_expr(args[0], cols).value).cast("long")
         )
     if name == "SUBSTR":
-        # 1-based like SPARQL (fn:substring); Spark substring is 1-based too
+        # fn:substring: 1-based; a start < 1 selects positions p >= 1 with
+        # p < start+length, i.e. the start clamps to 1 and the LENGTH
+        # shrinks by the clamped amount. (Spark alone would count a
+        # negative start from the string's END — different function.)
         src = compile_expr(args[0], cols).value
         start = compile_expr(args[1], cols).value.try_cast("int")
         length = (
@@ -285,7 +309,9 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
             if len(args) > 2
             else F.lit(2147483647)
         )
-        return TermExpr.literal_value(F.substring(src, start, length))
+        eff_start = F.greatest(start, F.lit(1))
+        eff_len = F.when(start < 1, length + start - F.lit(1)).otherwise(length)
+        return TermExpr.literal_value(F.substring(src, eff_start, eff_len))
     if name == "CONTAINS":
         a = compile_expr(args[0], cols).value
         b = compile_expr(args[1], cols).value
@@ -360,7 +386,10 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         if rng is None:
             raise ValueError("LANGMATCHES needs a constant language range")
         if rng == "*":
-            return TermExpr.literal_value(tag.isNotNull() & (tag != ""))
+            # NULL tag (unbound / LANG of a non-literal = type error) must
+            # PROPAGATE as the error, not collapse to false — a negated
+            # filter would otherwise keep rows a conformant engine drops
+            return TermExpr.literal_value(F.when(tag.isNotNull(), tag != ""))
         low = F.lower(tag)
         r = rng.lower()
         return TermExpr.literal_value(
@@ -374,6 +403,10 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
             F.when(t.value.isNotNull(), t.type == target)
         )
     if name == "ISNUMERIC":
+        # Pragmatic divergence, same policy as _compile_cmp: the spec tests
+        # for a NUMERIC DATATYPE, but this lexical store's plain "5" should
+        # count as numeric wherever comparisons already promote it — so the
+        # test is value-parseability, not the datatype companion.
         t = compile_expr(args[0], cols)
         return TermExpr.literal_value(
             F.when(
@@ -385,16 +418,9 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         l = compile_expr(args[0], cols)
         r = compile_expr(args[1], cols)
         # strict term identity — NO numeric promotion ("05" vs "5" differ
-        # here even though FILTER(?a = ?b) would equate them); xsd:string
-        # folds to the plain form (RDF 1.1: they ARE the same term)
-        ld = F.when(l.datatype == XSD_STRING, _null_str()).otherwise(l.datatype)
-        rd = F.when(r.datatype == XSD_STRING, _null_str()).otherwise(r.datatype)
-        eq = (
-            (l.value == r.value)
-            & l.type.eqNullSafe(r.type)
-            & ld.eqNullSafe(rd)
-            & l.lang.eqNullSafe(r.lang)
-        )
+        # here even though FILTER(?a = ?b) would equate them); the rest of
+        # the rule is the shared _term_eq_cond definition
+        eq = _term_eq_cond(l, r)
         bound_both = l.value.isNotNull() & r.value.isNotNull()
         return TermExpr.literal_value(
             F.when(~bound_both, F.lit(None).cast("boolean")).otherwise(eq)
@@ -522,22 +548,9 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
     rn = r.value.try_cast("double")
     both_num = ln.isNotNull() & rn.isNotNull()
     if node.op in ("=", "!="):
-        # RDF 1.1 same-term folding: "x" and "x"^^xsd:string are equal —
-        # match the BGP constant-pattern behavior (bgp._object_conds)
-        xsd_str = "http://www.w3.org/2001/XMLSchema#string"
-        ld = F.when(l.datatype == xsd_str, _null_str()).otherwise(l.datatype)
-        rd = F.when(r.datatype == xsd_str, _null_str()).otherwise(r.datatype)
-        term_eq = (
-            # compare LEXICAL forms: one side may be a numeric-typed
-            # expression (arithmetic result) — a bare string==double
-            # comparison would make ANSI mode cast the string side and
-            # ABORT on rows like 'abc' (the very rows this branch exists
-            # for, since both_num is false there)
-            (l.value.cast("string") == r.value.cast("string"))
-            & l.type.eqNullSafe(r.type)
-            & ld.eqNullSafe(rd)
-            & l.lang.eqNullSafe(r.lang)
-        )
+        # RDF 1.1 same-term equality (shared with sameTerm) — matches
+        # the BGP constant-pattern behavior (bgp._object_conds)
+        term_eq = _term_eq_cond(l, r)
         eq = F.when(both_num, ln == rn).otherwise(term_eq)
         # an UNBOUND operand is a SPARQL type error → NULL, which FILTER
         # drops for BOTH = and != (an explicit guard: the companion
@@ -667,6 +680,16 @@ def compile_group(
                 # ordinary shared-variable join; ?g then joins/filters/
                 # projects like any variable
                 sub = compile_group(el.group, named_ds, named_ds, el.var)
+                if el.var not in sub.columns:
+                    # a group with no direct triple pattern (empty, or only
+                    # nested constant-GRAPH blocks) never exports the var —
+                    # SPARQL would bind ?var to EVERY named graph there;
+                    # reject loudly rather than silently leave it unbound
+                    raise ValueError(
+                        f"GRAPH ?{el.var} group binds nothing to the graph "
+                        "variable; it needs at least one direct triple "
+                        "pattern"
+                    )
             else:
                 # constant GRAPH block: the subgroup evaluates against that
                 # graph's partition only (pruned scan), then joins as usual
@@ -682,6 +705,18 @@ def compile_group(
             # A branch may be a SubSelect: its solution-modifier pipeline
             # runs against the same dataset, companions kept so the outer
             # join stays term-aware.
+            if graph_var is not None and any(
+                isinstance(sub, SubSelect) for sub in el.groups
+            ):
+                # the subquery's projection strips the exported graph
+                # column, silently losing both the ?var binding and the
+                # same-graph constraint — reject loudly (the property-path
+                # precedent) rather than return wrong results
+                raise ValueError(
+                    "subqueries inside GRAPH ?var are not supported; "
+                    "evaluate the subquery outside the GRAPH block or use "
+                    "a constant graph"
+                )
             parts = [
                 (
                     _select_pipeline(

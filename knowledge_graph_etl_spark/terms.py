@@ -26,6 +26,9 @@ XSD_DOUBLE = XSD + "double"
 XSD_DATETIME = XSD + "dateTime"
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+#: datatype of language-tagged literals (RDF 1.1) — only ever OBSERVED
+#: via DATATYPE(); the store keeps the tag in o_lang and o_datatype NULL
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 IRI = "iri"
 BNODE = "bnode"

@@ -1433,3 +1433,41 @@ def test_in_and_not_in(spark):
     }
     # arithmetic inside the list
     assert _filter_sel(eng, "?v IN (10 + 2)") == {"urn:s:3"}
+
+
+# -- review-pass regressions ---------------------------------------------------
+
+
+def test_subquery_inside_graph_var_rejected(spark):
+    eng = _gv_engine(spark)
+    with pytest.raises(ValueError, match="subqueries inside GRAPH"):
+        eng.select(
+            "SELECT ?g WHERE { GRAPH ?g { "
+            "{ SELECT ?s WHERE { ?s <urn:p:v> ?v } } } }"
+        )
+    with pytest.raises(ValueError, match="binds nothing"):
+        eng.select(
+            "SELECT ?g WHERE { GRAPH ?g { "
+            "GRAPH <urn:g:one> { ?s <urn:p:v> ?v } } }"
+        )
+
+
+def test_langmatches_star_propagates_error(spark):
+    eng = _fn_engine(spark)
+    # LANG of an IRI is a type error -> NULL; !LANGMATCHES(NULL, "*") must
+    # stay NULL (row dropped), not become !false = true
+    got = {r["s"] for r in eng.select(
+        "SELECT ?s FROM <urn:g:fn> WHERE { ?s <urn:p:v> ?x "
+        'FILTER(!LANGMATCHES(LANG(?x), "*")) }'
+    ).collect()}
+    assert "urn:s:4" not in got and "urn:s:5" not in got  # IRI and bnode rows
+    assert "urn:s:1" in got  # plain literal: LANG = "" -> matches nothing
+
+
+def test_substr_nonpositive_start(spark):
+    eng = _fn_engine(spark)
+    # fn:substring: start 0/-1 clamps to position 1 with the length window
+    # anchored at the ORIGINAL start (not Spark's count-from-the-end)
+    assert _bind_one(eng, "urn:s:1", 'SUBSTR(?v, 0, 3)') == "He"
+    assert _bind_one(eng, "urn:s:1", 'SUBSTR(?v, -1, 4)') == "He"
+    assert _bind_one(eng, "urn:s:1", 'SUBSTR(?v, -3)') == "Hello World"
