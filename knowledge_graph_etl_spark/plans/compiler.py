@@ -431,6 +431,58 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         return TermExpr.literal_value(
             F.sha2(compile_expr(args[0], cols).value, int(name[3:]))
         )
+    if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        # xsd:dateTime accessors over the LEXICAL form: try_cast keeps the
+        # error semantics (a non-dateTime value → NULL → unbound). SECONDS
+        # is xsd:decimal in the spec (fractional seconds) — extracted from
+        # the lexical string so "…:05.5Z" yields 5.5, not 5.
+        v = compile_expr(args[0], cols).value
+        ts = v.try_cast("timestamp")
+        if name == "SECONDS":
+            return TermExpr.literal_value(
+                F.when(
+                    ts.isNotNull(),
+                    F.regexp_extract(v, r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)", 1)
+                    .try_cast("double"),
+                )
+            )
+        fn = {
+            "YEAR": F.year,
+            "MONTH": F.month,
+            "DAY": F.dayofmonth,
+            "HOURS": F.hour,
+            "MINUTES": F.minute,
+        }[name]
+        return TermExpr.literal_value(fn(ts).cast("long"))
+    if name == "TZ":
+        # timezone designator of the lexical form: "Z", "+02:00", … or ""
+        # when absent; unbound/non-dateTime propagates as NULL
+        v = compile_expr(args[0], cols).value
+        ts = v.try_cast("timestamp")
+        return TermExpr.literal_value(
+            F.when(ts.isNotNull(), F.regexp_extract(v, r"(Z|[+-]\d{2}:\d{2})$", 1))
+        )
+    if name == "NOW":
+        # SPARQL §17.4.5.1: the SAME instant for every row of one query —
+        # captured ONCE at compile time (timezone-stable UTC lexical form)
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        return TermExpr(
+            F.lit(now),
+            F.lit(LITERAL),
+            F.lit("http://www.w3.org/2001/XMLSchema#dateTime"),
+            _null_str(),
+        )
+    if name in ("UUID", "STRUUID"):
+        # fresh per row, NON-deterministic by spec — excluded from the
+        # oracle surface for the same reason rand() would be
+        u = F.expr("uuid()")
+        if name == "UUID":
+            return TermExpr(
+                F.concat(F.lit("urn:uuid:"), u), F.lit(IRI), _null_str(), _null_str()
+            )
+        return TermExpr.literal_value(u)
     if name == "STRDT":
         if not isinstance(args[1], IriT):
             raise ValueError("STRDT needs a constant datatype IRI")

@@ -481,6 +481,16 @@ FUNCTIONS = {
     "SHA384",
     "SHA512",
     "STRDT",
+    "YEAR",
+    "MONTH",
+    "DAY",
+    "HOURS",
+    "MINUTES",
+    "SECONDS",
+    "TZ",
+    "NOW",
+    "UUID",
+    "STRUUID",
 }
 
 

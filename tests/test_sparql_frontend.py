@@ -1471,3 +1471,53 @@ def test_substr_nonpositive_start(spark):
     assert _bind_one(eng, "urn:s:1", 'SUBSTR(?v, 0, 3)') == "He"
     assert _bind_one(eng, "urn:s:1", 'SUBSTR(?v, -1, 4)') == "He"
     assert _bind_one(eng, "urn:s:1", 'SUBSTR(?v, -3)') == "Hello World"
+
+
+def test_datetime_accessors_and_now_uuid(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    xsd_dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g:dt", "urn:s:1", "iri", "urn:p:t",
+             "2024-03-07T14:25:05.5Z", "literal", xsd_dt, None),
+            ("urn:g:dt", "urn:s:2", "iri", "urn:p:t",
+             "not a date", "literal", None, None),
+        ]
+    )
+
+    def one(subject, expr):
+        got = eng.select(
+            "SELECT ?r FROM <urn:g:dt> WHERE { "
+            f"<{subject}> <urn:p:t> ?v. BIND({expr} AS ?r) }}"
+        ).collect()
+        assert len(got) == 1
+        return got[0]["r"]
+
+    assert one("urn:s:1", "YEAR(?v)") == 2024
+    assert one("urn:s:1", "MONTH(?v)") == 3
+    assert one("urn:s:1", "DAY(?v)") == 7
+    assert one("urn:s:1", "HOURS(?v)") == 14
+    assert one("urn:s:1", "MINUTES(?v)") == 25
+    assert one("urn:s:1", "SECONDS(?v)") == 5.5  # fractional, not truncated
+    assert one("urn:s:1", "TZ(?v)") == "Z"
+    # non-dateTime -> type error -> unbound
+    assert one("urn:s:2", "YEAR(?v)") is None
+    assert one("urn:s:2", "TZ(?v)") is None
+    # NOW(): one constant instant for the whole query, xsd:dateTime-typed
+    row = eng.select(
+        "SELECT ?n ?dt FROM <urn:g:dt> WHERE { ?s <urn:p:t> ?v. "
+        "BIND(NOW() AS ?n) BIND(DATATYPE(NOW()) AS ?dt) } LIMIT 1"
+    ).collect()[0]
+    assert row["n"].startswith("20") and row["n"].endswith("Z")
+    assert row["dt"].endswith("dateTime")
+    # UUID(): fresh IRI per row, urn:uuid scheme
+    rows = eng.select(
+        "SELECT ?u FROM <urn:g:dt> WHERE { ?s <urn:p:t> ?v. BIND(UUID() AS ?u) }"
+    ).collect()
+    assert len({r["u"] for r in rows}) == 2
+    assert all(r["u"].startswith("urn:uuid:") for r in rows)
+    assert len(eng.select(
+        "SELECT ?u FROM <urn:g:dt> WHERE { ?s <urn:p:t> ?v. BIND(STRUUID() AS ?u) }"
+    ).collect()) == 2
