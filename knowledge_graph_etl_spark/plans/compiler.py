@@ -662,6 +662,7 @@ def compile_group(
     named_ds = named_dataset if named_dataset is not None else dataset
     b = BGPBuilder(dataset)
     run: list[TriplePattern] = []
+    deferred: list = []  # FILTER / FILTER [NOT] EXISTS constraints
 
     def flush_run():
         for kind, subj, tps, _, _sel in _star_units(run):
@@ -836,27 +837,21 @@ def compile_group(
                 maybe_unbound=undef_vars,
             )
             continue
-        if isinstance(el, (ExistsFilter, MinusGroup)):
+        if isinstance(el, ExistsFilter):
+            # FILTER [NOT] EXISTS is a CONSTRAINT: like plain FILTER it
+            # applies at the END of the group (§5.2.2), so defer it
+            deferred.append(el)
+            continue
+        if isinstance(el, MinusGroup):
             ensure_df()
             sub = compile_group(el.group, dataset, named_ds, graph_var)
             shared = [
                 c for c in sub.columns if "__" not in c and c in b.df.columns
             ]
-            if isinstance(el, MinusGroup):
-                # disjoint-domain rule: no shared vars -> MINUS removes
-                # nothing (SPARQL 1.1 §8.3)
-                if shared:
-                    b.df = _term_join(b.df, sub, shared, "left_anti")
-            elif shared:
-                how = "left_anti" if el.negated else "left_semi"
-                b.df = _term_join(b.df, sub, shared, how)
-            else:
-                # variable-free (or var-disjoint) EXISTS: a global gate —
-                # lazily expressed as a semi/anti join against ONE row of
-                # the subgroup, no driver-side count
-                how = "left_anti" if el.negated else "left_semi"
-                gate = sub.limit(1).select(F.lit(1).alias("__gate"))
-                b.df = b.df.join(gate, F.lit(True), how)
+            # disjoint-domain rule: no shared vars -> MINUS removes
+            # nothing (SPARQL 1.1 §8.3)
+            if shared:
+                b.df = _term_join(b.df, sub, shared, "left_anti")
             continue
         if isinstance(el, OptionalGroup):
             ensure_df()
@@ -877,15 +872,38 @@ def compile_group(
             cols = set(b.df.columns)
             b.bind(el.var, compile_expr(el.expr, cols))
         elif isinstance(el, FilterExpr):
-            ensure_df()
-            b.filter(
-                compile_expr(el.expr, set(b.df.columns)).value.try_cast("boolean")
-            )
+            # constraints evaluate over the WHOLE group (SPARQL §5.2.2) —
+            # a FILTER may syntactically precede the pattern that binds
+            # its variable, so apply them after every other element;
+            # Catalyst pushes the resulting predicate back down to the
+            # earliest legal point, so deferral costs no plan quality
+            deferred.append(el)
         else:
             raise TypeError(f"unexpected group element {el!r}")
     flush_run()
     if b.df is None:
         b.df = dataset.sparkSession.range(1).select(F.lit(1).alias("__unit"))
+    for el in deferred:
+        if isinstance(el, FilterExpr):
+            b.filter(
+                compile_expr(el.expr, set(b.df.columns)).value.try_cast("boolean")
+            )
+            continue
+        # ExistsFilter
+        sub = compile_group(el.group, dataset, named_ds, graph_var)
+        shared = [
+            c for c in sub.columns if "__" not in c and c in b.df.columns
+        ]
+        if shared:
+            how = "left_anti" if el.negated else "left_semi"
+            b.df = _term_join(b.df, sub, shared, how)
+        else:
+            # variable-free (or var-disjoint) EXISTS: a global gate —
+            # lazily expressed as a semi/anti join against ONE row of
+            # the subgroup, no driver-side count
+            how = "left_anti" if el.negated else "left_semi"
+            gate = sub.limit(1).select(F.lit(1).alias("__gate"))
+            b.df = b.df.join(gate, F.lit(True), how)
     return b.df.drop("__unit") if "__unit" in b.df.columns else b.df
 
 

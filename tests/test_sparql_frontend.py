@@ -1521,3 +1521,28 @@ def test_datetime_accessors_and_now_uuid(spark):
     assert len(eng.select(
         "SELECT ?u FROM <urn:g:dt> WHERE { ?s <urn:p:t> ?v. BIND(STRUUID() AS ?u) }"
     ).collect()) == 2
+
+
+def test_filter_applies_to_whole_group(spark):
+    # SPARQL §5.2.2: constraints evaluate over the WHOLE group — a FILTER
+    # may precede the pattern binding its variable
+    eng = eng_with(
+        spark,
+        _quads(("urn:s:1", NS + "v", "7"), ("urn:s:2", NS + "v", "2")),
+    )
+    got = {r["s"] for r in eng.select(
+        f"SELECT ?s WHERE {{ FILTER(?x > 3) ?s <{NS}v> ?x }}"
+    ).collect()}
+    assert got == {"urn:s:1"}
+    # same for FILTER EXISTS written before the binding pattern
+    got2 = {r["s"] for r in eng.select(
+        f"SELECT ?s WHERE {{ FILTER EXISTS {{ ?s <{NS}v> "
+        f'"7" }} ?s <{NS}v> ?x }}'
+    ).collect()}
+    assert got2 == {"urn:s:1"}
+    # and a FILTER referencing a BIND that follows it
+    got3 = {r["s"] for r in eng.select(
+        f"SELECT ?s WHERE {{ ?s <{NS}v> ?x FILTER(?y > 5) "
+        "BIND(?x + 1 AS ?y) }"
+    ).collect()}
+    assert got3 == {"urn:s:1"}
