@@ -870,6 +870,13 @@ def compile_group(
         elif isinstance(el, BindExpr):
             ensure_df()
             cols = set(b.df.columns)
+            if el.var in cols:
+                # SPARQL §10.1: the BIND target must not be already in
+                # scope — withColumn would silently OVERWRITE the binding
+                raise ValueError(
+                    f"BIND target ?{el.var} is already bound in this group "
+                    "(SPARQL forbids re-binding; use a fresh variable)"
+                )
             b.bind(el.var, compile_expr(el.expr, cols))
         elif isinstance(el, FilterExpr):
             # constraints evaluate over the WHOLE group (SPARQL §5.2.2) —

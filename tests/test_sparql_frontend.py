@@ -1546,3 +1546,11 @@ def test_filter_applies_to_whole_group(spark):
         "BIND(?x + 1 AS ?y) }"
     ).collect()}
     assert got3 == {"urn:s:1"}
+
+
+def test_bind_rebind_rejected(spark):
+    eng = eng_with(spark, _quads(("urn:s:1", NS + "v", "7")))
+    with pytest.raises(ValueError, match="already bound"):
+        eng.select(
+            f"SELECT ?x WHERE {{ ?s <{NS}v> ?x BIND(1 AS ?x) }}"
+        )
