@@ -298,6 +298,7 @@ def _term_join(
     on: list[str],
     how: str,
     compat: frozenset = frozenset(),
+    extra_cond_builder=None,
 ) -> DataFrame:
     """Join two solution mappings on shared variables with full TERM
     compatibility: besides value equality, any companion column
@@ -339,6 +340,18 @@ def _term_join(
             # statically flagged maybe-unbound.
             c = F.col(v).isNull() | F.col(f"__r__{v}").isNull() | c
         cond = c if cond is None else (cond & c)
+    if extra_cond_builder is not None:
+        # SPARQL LeftJoin(A, P, C): the constraint is part of the JOIN
+        # condition, evaluated over the merged scope (shared vars resolve
+        # to the left copy; right-only vars keep their names). The builder
+        # runs after the renames so it sees the real column namespace; a
+        # NULL (error) condition fails the match, exactly the spec rule.
+        cols = set(left.columns) | {
+            c for c in r2.columns if not c.startswith("__r__")
+        }
+        extra = extra_cond_builder(cols)
+        if extra is not None:
+            cond = extra if cond is None else (cond & extra)
     out = left.join(r2, on=cond, how=how)
     if how in ("inner", "left") and compat:
         for v in compat:
@@ -439,11 +452,13 @@ class BGPBuilder:
 
     # -- optional / exists ---------------------------------------------------
 
-    def optional(self, group: DataFrame) -> "BGPBuilder":
+    def optional(self, group: DataFrame, extra_cond_builder=None) -> "BGPBuilder":
         """SPARQL OPTIONAL — left outer join; unbound vars flow as NULLs
         into BINDs and templates (op 18). ``group`` is compiled bottom-up
         by the caller (nested OPTIONALs = optional() on a DataFrame that
-        itself was built with optional())."""
+        itself was built with optional()). ``extra_cond_builder`` carries
+        the group's lifted FILTER constraints into the join condition
+        (LeftJoin(A, P, C) — see :func:`_term_join`)."""
         if self.df is None:
             raise ValueError("OPTIONAL requires a preceding required group")
         on = _shared_value_vars(self.df, group)
@@ -457,7 +472,9 @@ class BGPBuilder:
         group = group.drop(*dup)
         if not on:
             raise ValueError("OPTIONAL group shares no variables with the outer group")
-        self.df = _term_join(self.df, group, on, "left")
+        self.df = _term_join(
+            self.df, group, on, "left", extra_cond_builder=extra_cond_builder
+        )
         self.maybe_unbound |= {
             c for c in group.columns if "__" not in c and c not in on
         }

@@ -855,18 +855,53 @@ def compile_group(
             continue
         if isinstance(el, OptionalGroup):
             ensure_df()
-            sub = compile_group(el.group, dataset, named_ds, graph_var)
+            # SPARQL §6.2 translation: OPTIONAL { P FILTER C } is
+            # LeftJoin(A, P, C) — the group's TOP-LEVEL filters join the
+            # LEFT-JOIN CONDITION (evaluated in the merged scope, so they
+            # may reference outer variables; a failing/erroring C drops
+            # the optional bindings but KEEPS the outer row). Inner
+            # filters of nested subgroups stay where they are.
+            top_filters = [
+                e for e in el.group.elements if isinstance(e, FilterExpr)
+            ]
+            sub_src = (
+                Group(
+                    elements=[
+                        e
+                        for e in el.group.elements
+                        if not isinstance(e, FilterExpr)
+                    ]
+                )
+                if top_filters
+                else el.group
+            )
+            sub = compile_group(sub_src, dataset, named_ds, graph_var)
+            builder = None
+            if top_filters:
+
+                def builder(cols, _fs=tuple(top_filters)):
+                    cond = None
+                    for f in _fs:
+                        c = compile_expr(f.expr, cols).value.try_cast("boolean")
+                        cond = c if cond is None else cond & c
+                    return cond
+
             shared = [
                 c for c in sub.columns if "__" not in c and c in b.df.columns
             ]
             if shared:
-                b.optional(sub)
+                b.optional(sub, extra_cond_builder=builder)
             else:
                 # OPTIONAL sharing no variables: left join on the empty key
                 # — every outer row pairs with every subgroup row, and when
                 # the subgroup is EMPTY the outer rows survive with the
                 # optional vars unbound (a crossJoin would drop them all)
-                b.df = b.df.join(sub, F.lit(True), "left")
+                cond = F.lit(True)
+                if builder is not None:
+                    extra = builder(set(b.df.columns) | set(sub.columns))
+                    if extra is not None:
+                        cond = extra
+                b.df = b.df.join(sub, cond, "left")
         elif isinstance(el, BindExpr):
             ensure_df()
             cols = set(b.df.columns)

@@ -1554,3 +1554,29 @@ def test_bind_rebind_rejected(spark):
         eng.select(
             f"SELECT ?x WHERE {{ ?s <{NS}v> ?x BIND(1 AS ?x) }}"
         )
+
+
+def test_optional_filter_is_leftjoin_condition(spark):
+    # SPARQL §6.2: OPTIONAL { P FILTER C } = LeftJoin(A, P, C) — C may
+    # reference OUTER variables; a failing C drops the optional bindings
+    # but KEEPS the outer row
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:s:1", NS + "x", "5"),
+            ("urn:s:1", NS + "y", "9"),
+            ("urn:s:2", NS + "x", "5"),
+            ("urn:s:2", NS + "y", "3"),
+        ),
+    )
+    got = sorted((r["s"], r["y"]) for r in eng.select(
+        f"SELECT ?s ?y WHERE {{ ?s <{NS}x> ?x "
+        f"OPTIONAL {{ ?s <{NS}y> ?y FILTER(?y > ?x) }} }}"
+    ).collect())
+    assert got == [("urn:s:1", "9"), ("urn:s:2", None)]
+    # inner-only filter reference behaves identically either way
+    got2 = sorted((r["s"], r["y"]) for r in eng.select(
+        f"SELECT ?s ?y WHERE {{ ?s <{NS}x> ?x "
+        f"OPTIONAL {{ ?s <{NS}y> ?y FILTER(?y > 4) }} }}"
+    ).collect())
+    assert got2 == [("urn:s:1", "9"), ("urn:s:2", None)]
