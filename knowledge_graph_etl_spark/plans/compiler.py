@@ -1216,9 +1216,18 @@ def _select_pipeline(
     # before the projection supports the general non-DISTINCT case too)
     ord_cols = []
     for i, (expr, desc) in enumerate(node.order_by):
+        # composite sort key: numeric value first (SPARQL orders numeric
+        # literals BY VALUE — a lexical sort would put "10" before "9"),
+        # lexical form as the tiebreak/fallback for non-numeric terms.
+        # Ascending order: unbound first (both keys NULL), then
+        # non-numeric terms (numeric key NULL, lexical ordered), then
+        # numbers by value — a deterministic total order over the
+        # spec's partially-defined one.
         val = compile_expr(expr, set(df.columns)).value
+        ord_cols.append((f"__ordn_{i}", desc))
         ord_cols.append((f"__ord_{i}", desc))
-        df = df.withColumn(f"__ord_{i}", val)
+        df = df.withColumn(f"__ordn_{i}", val.try_cast("double"))
+        df = df.withColumn(f"__ord_{i}", val.cast("string"))
     df = df.select(*proj, *[F.col(c) for c, _ in ord_cols])
     if node.distinct:
         df = df.dropDuplicates(out_cols)

@@ -1580,3 +1580,22 @@ def test_optional_filter_is_leftjoin_condition(spark):
         f"OPTIONAL {{ ?s <{NS}y> ?y FILTER(?y > 4) }} }}"
     ).collect())
     assert got2 == [("urn:s:1", "9"), ("urn:s:2", None)]
+
+
+def test_order_by_numeric_values(spark):
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:s:a", NS + "v", "9"),
+            ("urn:s:b", NS + "v", "10"),
+            ("urn:s:c", NS + "v", "2"),
+        ),
+    )
+    got = [r["v"] for r in eng.select(
+        f"SELECT ?v WHERE {{ ?s <{NS}v> ?v }} ORDER BY ?v"
+    ).collect()]
+    assert got == ["2", "9", "10"]  # numeric, not lexical ("10" < "2" < "9")
+    got_d = [r["v"] for r in eng.select(
+        f"SELECT ?v WHERE {{ ?s <{NS}v> ?v }} ORDER BY DESC(?v)"
+    ).collect()]
+    assert got_d == ["10", "9", "2"]
