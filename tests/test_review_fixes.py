@@ -171,14 +171,17 @@ def test_literal_subject_template_skipped(spark):
     assert out.count() == 0  # literal subject -> instantiation dropped
 
 
-def test_using_named_rejected(spark):
+def test_using_named_parses_into_named_dataset(spark):
+    # r1-review behavior (reject USING NAMED) was superseded when GRAPH
+    # patterns landed: it now scopes the named-graph dataset instead
+    # (semantics pinned in test_sparql_frontend.test_using_named_update)
     from knowledge_graph_etl_spark.plans.parser import parse_update
 
-    with pytest.raises(SyntaxError, match="USING NAMED"):
-        parse_update(
-            "WITH <urn:g:t> INSERT { ?s <urn:p2> ?o } "
-            "USING NAMED <urn:g:n> WHERE { ?s <urn:p> ?o }"
-        )
+    node = parse_update(
+        "WITH <urn:g:t> INSERT { ?s <urn:p2> ?o } "
+        "USING NAMED <urn:g:n> WHERE { ?s <urn:p> ?o }"
+    )
+    assert node.using == [] and node.using_named == ["urn:g:n"]
 
 
 def test_plan_is_side_effect_free(spark):
