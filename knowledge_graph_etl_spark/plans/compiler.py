@@ -228,6 +228,7 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
         raise TypeError(f"unexpected expression node {node!r}")
 
     name, args = node.name, node.args
+    _check_arity(name, args)
 
     if name == "CONCAT":
         vals = [compile_expr(a, cols).value for a in args]
@@ -432,10 +433,12 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
             F.sha2(compile_expr(args[0], cols).value, int(name[3:]))
         )
     if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
-        # xsd:dateTime accessors over the LEXICAL form: try_cast keeps the
-        # error semantics (a non-dateTime value → NULL → unbound). SECONDS
-        # is xsd:decimal in the spec (fractional seconds) — extracted from
-        # the lexical string so "…:05.5Z" yields 5.5, not 5.
+        # xsd:dateTime accessors read the LEXICAL form (XPath semantics:
+        # the value's OWN fields, with its own timezone designator) — a
+        # try_cast-to-timestamp would renormalize to the session timezone
+        # and shift every field of a "+05:00" value (and make results
+        # depend on spark.sql.session.timeZone). try_cast is kept only as
+        # the VALIDITY gate: a non-dateTime value → NULL → unbound.
         v = compile_expr(args[0], cols).value
         ts = v.try_cast("timestamp")
         if name == "SECONDS":
@@ -446,14 +449,14 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
                     .try_cast("double"),
                 )
             )
-        fn = {
-            "YEAR": F.year,
-            "MONTH": F.month,
-            "DAY": F.dayofmonth,
-            "HOURS": F.hour,
-            "MINUTES": F.minute,
-        }[name]
-        return TermExpr.literal_value(fn(ts).cast("long"))
+        dt_re = r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2})"
+        grp = {"YEAR": 1, "MONTH": 2, "DAY": 3, "HOURS": 4, "MINUTES": 5}[name]
+        return TermExpr.literal_value(
+            F.when(
+                ts.isNotNull(),
+                F.regexp_extract(v, dt_re, grp).try_cast("long"),
+            )
+        )
     if name == "TZ":
         # timezone designator of the lexical form: "Z", "+02:00", … or ""
         # when absent; unbound/non-dateTime propagates as NULL
@@ -494,6 +497,69 @@ def compile_expr(node, cols: set[str]) -> TermExpr:
             _null_str(),
         )
     raise ValueError(f"unsupported function {name}")
+
+
+#: (min_args, max_args) per builtin — None = unbounded. Checked at
+#: dispatch so a wrong arity surfaces as a clear error, not an IndexError
+#: (or a silently ignored argument) deep in a Column expression.
+_ARITY = {
+    "CONCAT": (1, None),
+    "MD5": (1, 1),
+    "URI": (1, 1),
+    "STR": (1, 1),
+    "LCASE": (1, 1),
+    "UCASE": (1, 1),
+    "STRLANG": (2, 2),
+    "REPLACE": (3, 4),
+    "STRAFTER": (2, 2),
+    "STRBEFORE": (2, 2),
+    "ENCODE_FOR_URI": (1, 1),
+    "BOUND": (1, 1),
+    "STRSTARTS": (2, 2),
+    "IF": (3, 3),
+    "STRLEN": (1, 1),
+    "SUBSTR": (2, 3),
+    "CONTAINS": (2, 2),
+    "STRENDS": (2, 2),
+    "REGEX": (2, 3),
+    "COALESCE": (1, None),
+    "ABS": (1, 1),
+    "CEIL": (1, 1),
+    "FLOOR": (1, 1),
+    "ROUND": (1, 1),
+    "LANG": (1, 1),
+    "DATATYPE": (1, 1),
+    "LANGMATCHES": (2, 2),
+    "ISIRI": (1, 1),
+    "ISBLANK": (1, 1),
+    "ISLITERAL": (1, 1),
+    "ISNUMERIC": (1, 1),
+    "SAMETERM": (2, 2),
+    "SHA1": (1, 1),
+    "SHA256": (1, 1),
+    "SHA384": (1, 1),
+    "SHA512": (1, 1),
+    "STRDT": (2, 2),
+    "YEAR": (1, 1),
+    "MONTH": (1, 1),
+    "DAY": (1, 1),
+    "HOURS": (1, 1),
+    "MINUTES": (1, 1),
+    "SECONDS": (1, 1),
+    "TZ": (1, 1),
+    "NOW": (0, 0),
+    "UUID": (0, 0),
+    "STRUUID": (0, 0),
+}
+
+
+def _check_arity(name: str, args: tuple) -> None:
+    lo, hi = _ARITY.get(name, (0, None))
+    if len(args) < lo or (hi is not None and len(args) > hi):
+        expect = str(lo) if lo == hi else (f"{lo}+" if hi is None else f"{lo}-{hi}")
+        raise ValueError(
+            f"{name} takes {expect} argument(s), got {len(args)}"
+        )
 
 
 def _regex_with_flags(pat: str | None, flags: str | None, fn: str) -> str:
@@ -585,6 +651,42 @@ def _star_units(run: list[TriplePattern]):
     return ordered
 
 
+def _static_nonnumeric_const(n) -> bool:
+    """AST node is a constant that can never compare numerically."""
+    if isinstance(n, IriT):
+        return True
+    if isinstance(n, LitT):
+        try:
+            float(n.value)
+            return False
+        except (TypeError, ValueError):
+            return True
+    return False
+
+
+def _const_term_eq(var_te: TermExpr, cnode) -> Column:
+    """Term equality against a CONSTANT term as a conjunction of SIMPLE
+    predicates (the constant's companions folded in Python — mirrors
+    bgp._object_conds). Unlike the general CASE-WHEN form, every conjunct
+    here is an EqualTo/IsNull Catalyst can push into the parquet scan —
+    so FILTER(?x = "const") costs the same as a constant-object pattern."""
+    if isinstance(cnode, IriT):
+        return (var_te.value == cnode.value) & (var_te.type == IRI)
+    conds = (var_te.value == cnode.value) & (var_te.type == LITERAL)
+    dt = cnode.datatype
+    if dt is None or dt == XSD_STRING:
+        conds = conds & (
+            var_te.datatype.isNull() | (var_te.datatype == XSD_STRING)
+        )
+    else:
+        conds = conds & (var_te.datatype == dt)
+    if cnode.lang is None:
+        conds = conds & var_te.lang.isNull()
+    else:
+        conds = conds & (var_te.lang == cnode.lang)
+    return conds
+
+
 def _compile_cmp(node: CmpExpr, cols: set) -> Column:
     """SPARQL §17.3 operator mapping, pragmatically typed for a lexical
     store: when BOTH operands cast to double the comparison is numeric
@@ -596,6 +698,17 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
     SPARQL error — which FILTER then drops."""
     l = compile_expr(node.left, cols)
     r = compile_expr(node.right, cols)
+    if node.op in ("=", "!="):
+        # one side a non-numeric CONSTANT: the numeric branch is
+        # statically dead, so emit the simple pushable conjunction
+        # (NULL-propagation through == keeps unbound → dropped for both
+        # = and !=, same as the general form's explicit guard)
+        if _static_nonnumeric_const(node.right):
+            eq = _const_term_eq(l, node.right)
+            return eq if node.op == "=" else ~eq
+        if _static_nonnumeric_const(node.left):
+            eq = _const_term_eq(r, node.left)
+            return eq if node.op == "=" else ~eq
     ln = l.value.try_cast("double")
     rn = r.value.try_cast("double")
     both_num = ln.isNotNull() & rn.isNotNull()
@@ -633,6 +746,26 @@ def _compile_cmp(node: CmpExpr, cols: set) -> Column:
         )
         .otherwise(F.lit(None).cast("boolean"))
     )
+
+
+def _group_pattern_vars(group: Group) -> set[str]:
+    """Every variable a group can bind or reference through its patterns —
+    used to detect outer-correlation that a bottom-up compile would lose."""
+    out: set[str] = set()
+    for e in group.elements:
+        if isinstance(e, TriplePattern):
+            out |= {t.name for t in (e.s, e.p, e.o) if isinstance(t, VarT)}
+        elif isinstance(e, (OptionalGroup, MinusGroup, GraphGroup, ExistsFilter)):
+            out |= _group_pattern_vars(e.group)
+        elif isinstance(e, UnionGroup):
+            for g2 in e.groups:
+                if not isinstance(g2, SubSelect):
+                    out |= _group_pattern_vars(g2)
+        elif isinstance(e, BindExpr):
+            out.add(e.var)
+        elif isinstance(e, ValuesClause):
+            out |= set(e.variables)
+    return out
 
 
 def compile_group(
@@ -851,7 +984,30 @@ def compile_group(
             # disjoint-domain rule: no shared vars -> MINUS removes
             # nothing (SPARQL 1.1 §8.3)
             if shared:
-                b.df = _term_join(b.df, sub, shared, "left_anti")
+                compat = frozenset(v for v in shared if v in b.maybe_unbound)
+                overlap_builder = None
+                if compat:
+                    # §8.3 removes a solution only when the pair's domains
+                    # INTERSECT: with compatible-merge letting unbound vars
+                    # match anything, require at least one shared var
+                    # bound on BOTH sides of the candidate pair
+                    def overlap_builder(cols, _vs=tuple(shared)):
+                        cond = None
+                        for v in _vs:
+                            c = F.col(v).isNotNull() & F.col(
+                                f"__r__{v}"
+                            ).isNotNull()
+                            cond = c if cond is None else cond | c
+                        return cond
+
+                b.df = _term_join(
+                    b.df,
+                    sub,
+                    shared,
+                    "left_anti",
+                    compat=compat,
+                    extra_cond_builder=overlap_builder,
+                )
             continue
         if isinstance(el, OptionalGroup):
             ensure_df()
@@ -876,6 +1032,23 @@ def compile_group(
                 else el.group
             )
             sub = compile_group(sub_src, dataset, named_ds, graph_var)
+            # a FILTER [NOT] EXISTS inside the OPTIONAL that references an
+            # OUTER variable would compile bottom-up with the correlation
+            # silently dropped (the spec's LeftJoin(A,P,C) evaluates C in
+            # the merged scope, but EXISTS-as-join-condition needs a
+            # correlated subquery Column we don't build) — reject loudly,
+            # matching the plain-FILTER case which IS lifted correctly
+            for ef in el.group.elements:
+                if not isinstance(ef, ExistsFilter):
+                    continue
+                for v in _group_pattern_vars(ef.group):
+                    if v in b.df.columns and v not in sub.columns:
+                        raise ValueError(
+                            f"FILTER [NOT] EXISTS inside OPTIONAL references "
+                            f"outer variable ?{v}; move the EXISTS to the "
+                            "outer group or bind the variable inside the "
+                            "OPTIONAL"
+                        )
             builder = None
             if top_filters:
 
@@ -938,7 +1111,13 @@ def compile_group(
         ]
         if shared:
             how = "left_anti" if el.negated else "left_semi"
-            b.df = _term_join(b.df, sub, shared, how)
+            # deferral means OPTIONAL-bound vars are now in scope and may
+            # be NULL-as-unbound: SPARQL compatibility lets an unbound var
+            # match anything, so those join with compatible-merge — a bare
+            # equality key would turn every NULL into a non-match and
+            # silently invert the [NOT] EXISTS outcome for such rows
+            compat = frozenset(v for v in shared if v in b.maybe_unbound)
+            b.df = _term_join(b.df, sub, shared, how, compat=compat)
         else:
             # variable-free (or var-disjoint) EXISTS: a global gate —
             # lazily expressed as a semi/anti join against ONE row of

@@ -503,6 +503,8 @@ class _Parser:
         # property paths are WHERE-only: parse_group flips this on, so a
         # path in an INSERT/DELETE/CONSTRUCT template fails loudly
         self._allow_paths = False
+        # NOW() instant, stamped at first use — one constant per query
+        self._now: str | None = None
 
     # -- token helpers ----------------------------------------------------
 
@@ -1490,6 +1492,22 @@ class _Parser:
             self.expect_punct(")")
             # canonical aliases: IRI≡URI, isURI≡isIRI (SPARQL 1.1 §17.4)
             fname = {"IRI": "URI", "ISURI": "ISIRI"}.get(fname, fname)
+            if fname == "NOW" and not args:
+                # §17.4.5.1: the SAME instant for every NOW() occurrence in
+                # one query — stamp ONCE PER PARSE (two occurrences in one
+                # query must compare equal; a per-compile clock would not)
+                if self._now is None:
+                    import datetime as _dt
+
+                    self._now = (
+                        _dt.datetime.now(_dt.timezone.utc).strftime(
+                            "%Y-%m-%dT%H:%M:%S.%f"
+                        )[:-3]
+                        + "Z"
+                    )
+                return LitT(
+                    self._now, "http://www.w3.org/2001/XMLSchema#dateTime"
+                )
             return FuncCall(fname, tuple(args))
         if t.kind in ("IRIREF", "PNAME", "PNAME_NS"):
             return IriT(self.parse_iri())

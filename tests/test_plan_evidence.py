@@ -204,24 +204,20 @@ def test_mixture_sample_has_no_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_deferred_filter_still_pushes_down(spark):
+def test_deferred_filter_still_pushes_down(pstore, spark):
     """FILTER constraints now apply at group end (SPARQL §5.2.2) — verify
-    Catalyst still pushes the resulting predicate back into the scan, so
-    the conformance fix costs no plan quality."""
+    Catalyst still pushes the resulting predicate INTO THE PARQUET SCAN
+    (PushedFilters on o_value), so the conformance fix costs no plan
+    quality; the filter is written BEFORE the pattern that binds ?x."""
     from knowledge_graph_etl_spark.engine import Engine
 
     eng = Engine(spark)
-    eng.store.insert_data(
-        [
-            ("urn:g", "urn:s:1", "iri", "urn:p:v", "a", "literal", None, None),
-            ("urn:g", "urn:s:2", "iri", "urn:p:v", "b", "literal", None, None),
-        ]
-    )
+    eng.store = pstore
     df = eng.select(
-        'SELECT ?s WHERE { FILTER(?x = "a") ?s <urn:p:v> ?x }'
+        'SELECT ?s FROM <urn:g:one> WHERE { FILTER(?x = "BUILDING") '
+        "?s <urn:p:c_seg> ?x }"
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the equality must appear as a Filter over the scan, not a post-join
-    # residual only — i.e. somewhere below the join in the physical plan
-    assert "a" in plan and "Filter" in plan
-    assert {r["s"] for r in df.collect()} == {"urn:s:1"}
+    plan = _plan(df)
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "o_value" in pushed and "BUILDING" in pushed, plan
+    assert df.count() == 100  # even ids

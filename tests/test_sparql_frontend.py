@@ -1599,3 +1599,93 @@ def test_order_by_numeric_values(spark):
         f"SELECT ?v WHERE {{ ?s <{NS}v> ?v }} ORDER BY DESC(?v)"
     ).collect()]
     assert got_d == ["10", "9", "2"]
+
+
+# -- second-review regressions -------------------------------------------------
+
+
+def test_datetime_accessors_use_lexical_timezone(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    xsd_dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    eng = Engine(spark)
+    eng.store.insert_data(
+        [("urn:g:tz", "urn:s:1", "iri", "urn:p:t",
+          "2024-03-07T01:30:00+05:00", "literal", xsd_dt, None)]
+    )
+    row = eng.select(
+        "SELECT ?h ?d ?tz FROM <urn:g:tz> WHERE { ?s <urn:p:t> ?v. "
+        "BIND(HOURS(?v) AS ?h) BIND(DAY(?v) AS ?d) BIND(TZ(?v) AS ?tz) }"
+    ).collect()[0]
+    # XPath accessor semantics: the value's OWN fields, not the session-tz
+    # normalization (which would give HOURS 20 of the previous day in UTC)
+    assert row["h"] == 1 and row["d"] == 7 and row["tz"] == "+05:00"
+
+
+def test_now_is_one_instant_per_query(spark):
+    eng = eng_with(spark, _quads(("urn:s:1", NS + "v", "7")))
+    got = eng.select(
+        f"SELECT ?s WHERE {{ ?s <{NS}v> ?x "
+        "BIND(NOW() AS ?a) BIND(NOW() AS ?b) FILTER(STR(?a) = STR(?b)) }"
+    ).collect()
+    assert len(got) == 1  # both occurrences are the same instant
+
+
+def test_builtin_arity_errors(spark):
+    eng = eng_with(spark, _quads(("urn:s:1", NS + "v", "7")))
+    with pytest.raises(ValueError, match="YEAR takes 1"):
+        eng.select(f"SELECT ?s WHERE {{ ?s <{NS}v> ?x BIND(YEAR() AS ?y) }}")
+    with pytest.raises(ValueError, match="NOW takes 0"):
+        eng.select(f"SELECT ?s WHERE {{ ?s <{NS}v> ?x BIND(NOW(?x) AS ?y) }}")
+    with pytest.raises(ValueError, match="IF takes 3"):
+        eng.select(f"SELECT ?s WHERE {{ ?s <{NS}v> ?x BIND(IF(?x) AS ?y) }}")
+
+
+def test_deferred_exists_with_optional_unbound_var(spark):
+    # EXISTS written before an OPTIONAL that binds one of its vars: the
+    # deferred semi-join must use compatible-merge for the maybe-unbound
+    # var — an outer row whose ?y is unbound still satisfies EXISTS
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:s:1", NS + "p", "1"),
+            ("urn:s:1", NS + "q", "5"),
+        ),
+    )
+    got = {r["s"] for r in eng.select(
+        f"SELECT ?s WHERE {{ ?s <{NS}p> ?x "
+        f"FILTER EXISTS {{ ?s <{NS}q> ?y }} "
+        f"OPTIONAL {{ ?s <{NS}r> ?y }} }}"
+    ).collect()}
+    assert got == {"urn:s:1"}
+
+
+def test_minus_disjoint_unbound_domains_kept(spark):
+    # MINUS removes only pairs whose BOUND domains intersect (§8.3): a row
+    # whose every shared var is unbound must survive
+    eng = eng_with(
+        spark,
+        _quads(
+            ("urn:s:1", NS + "p", "1"),
+            ("urn:s:2", NS + "p", "2"),
+            ("urn:s:2", NS + "y", "7"),
+            ("urn:x:9", NS + "my", "7"),
+        ),
+    )
+    got = {r["s"] for r in eng.select(
+        f"SELECT ?s WHERE {{ ?s <{NS}p> ?x "
+        f"OPTIONAL {{ ?s <{NS}y> ?y }} "
+        f"MINUS {{ ?m <{NS}my> ?y }} }}"
+    ).collect()}
+    # s:2 (y=7) matches the MINUS solution's y=7 -> removed; s:1 shares
+    # only the UNBOUND ?y -> disjoint bound domains -> kept
+    assert got == {"urn:s:1"}
+
+
+def test_exists_in_optional_outer_correlation_rejected(spark):
+    eng = eng_with(spark, _quads(("urn:s:1", NS + "p", "1")))
+    with pytest.raises(ValueError, match="EXISTS inside OPTIONAL"):
+        eng.select(
+            f"SELECT ?s WHERE {{ ?s <{NS}p> ?x "
+            f"OPTIONAL {{ ?s <{NS}q> ?y FILTER EXISTS {{ ?z <{NS}r> ?x }} }} }}"
+        )
