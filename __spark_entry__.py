@@ -925,6 +925,20 @@ def agg_rollup_q(spark, sf_dir):
     )
 
 
+def agg_cube_q(spark, sf_dir):
+    """CUBE grouping sets (all 4 subtotal combinations in one pass —
+    Spark expands the sets map-side like ROLLUP, one scan)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast(_DEC).alias("price"),
+    )
+    return o.cube("o_year", "o_orderstatus").agg(
+        F.sum("price").cast("double").alias("total_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def embed_quantize_q(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embedding column with
     dequantization-error audit (extensions/similarity.quantize_int8);
@@ -1633,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality_q,
         "mixture_sample": mixture_sample_q,
         "unigram_lm_score": unigram_lm_score_q,
+        "agg_cube": agg_cube_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_pq_topk": ann_pq_topk_q,
         "kg_construct_query": kg_construct_query_q,
@@ -2310,6 +2325,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, "
             "COUNT(*) AS n_orders "
             "FROM orders GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderpriority)"
+        ),
+        "agg_cube": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, "
+            "COUNT(*) AS n_orders "
+            "FROM orders GROUP BY CUBE(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)"
         ),
         "agg_quantiles": (
             "WITH r AS (SELECT l_returnflag, l_extendedprice AS v, "

@@ -1013,6 +1013,19 @@ class _Parser:
                 if t.kind != "NUMBER" or not t.text.isdigit():
                     raise SyntaxError(f"OFFSET needs an integer at {t.pos}")
                 offset = int(t.text)
+            elif self.at_name("VALUES"):
+                # trailing ValuesClause (SPARQL §16.2.2): joins the query's
+                # solutions — compiled by appending to the WHERE group,
+                # which is exact for the modifier-free/aggregate-free case;
+                # under GROUP BY the join point would be ambiguous, so
+                # reject rather than guess
+                self.next()
+                if group_by:
+                    raise SyntaxError(
+                        "trailing VALUES with GROUP BY is not supported; "
+                        "put the VALUES inside the WHERE group"
+                    )
+                where.elements.append(self.parse_values())
             else:
                 break
         return SelectQuery(

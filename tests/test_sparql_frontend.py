@@ -1689,3 +1689,19 @@ def test_exists_in_optional_outer_correlation_rejected(spark):
             f"SELECT ?s WHERE {{ ?s <{NS}p> ?x "
             f"OPTIONAL {{ ?s <{NS}q> ?y FILTER EXISTS {{ ?z <{NS}r> ?x }} }} }}"
         )
+
+
+def test_trailing_values_clause(spark):
+    eng = eng_with(
+        spark,
+        _quads(("urn:s:1", NS + "v", "a"), ("urn:s:2", NS + "v", "b")),
+    )
+    got = {r["s"] for r in eng.select(
+        f'SELECT ?s WHERE {{ ?s <{NS}v> ?x }} VALUES ?x {{ "a" }}'
+    ).collect()}
+    assert got == {"urn:s:1"}
+    with pytest.raises(SyntaxError, match="trailing VALUES with GROUP BY"):
+        eng.select(
+            f"SELECT ?x (COUNT(*) AS ?n) WHERE {{ ?s <{NS}v> ?x }} "
+            f'GROUP BY ?x VALUES ?x {{ "a" }}'
+        )
