@@ -1496,6 +1496,16 @@ def unigram_lm_score_q(spark, sf_dir):
     return unigram_logprob_score(_t(spark, sf_dir, "documents"))
 
 
+def training_order_q(spark, sf_dir):
+    """Deterministic epoch-shuffle ranking (curation.training_order):
+    global md5-permutation position WITHOUT a single-partition sort —
+    range-partition + within-partition rank + bounded offset collect.
+    The oracle is the naive global row_number over the same key."""
+    from knowledge_graph_etl_spark.extensions.curation import training_order
+
+    return training_order(_t(spark, sf_dir, "documents"), partitions=16)
+
+
 def gopher_quality_q(spark, sf_dir):
     """Gopher-rule quality filter (extensions/curation.gopher_quality_flags):
     the standard pre-training heuristics as one shuffle-free per-row map —
@@ -1648,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": mixture_sample_q,
         "unigram_lm_score": unigram_lm_score_q,
         "agg_cube": agg_cube_q,
+        "training_order": training_order_q,
         "semantic_dedup": semantic_dedup_q,
         "ann_pq_topk": ann_pq_topk_q,
         "kg_construct_query": kg_construct_query_q,
@@ -2597,6 +2608,11 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) OVER (PARTITION BY COALESCE(c.rep, d.vec_id)) AS cluster_size, "
             "(d.vec_id = COALESCE(c.rep, d.vec_id)) AS keep "
             "FROM embeddings d LEFT JOIN comp c ON c.node = d.vec_id"
+        ),
+        "training_order": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "md5(CAST(doc_id AS VARCHAR) || ':epoch0'), doc_id) AS BIGINT) "
+            "AS shuffle_rank FROM documents"
         ),
         "unigram_lm_score": (
             f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents), "

@@ -202,6 +202,55 @@ def mixture_sample(
     )
 
 
+def training_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+    partitions: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    ``shuffle_rank`` = its position in the md5(id:salt) permutation — a
+    reproducible epoch ordering (new salt per epoch re-shuffles; re-runs
+    and retried jobs produce byte-identical order, unlike rand()).
+
+    Scale shape — the naive ``row_number() OVER (ORDER BY key)`` is a
+    SINGLE-partition global sort (the one-straggler plan); instead:
+    range-partition on the hash key, rank WITHIN each partition, and add
+    per-partition offsets (one bounded ``partitions``-row collect) — the
+    standard two-pass distributed ranking. Partition boundaries only
+    affect balance, never the output: ranks are exact regardless of where
+    the range sampler cuts."""
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    ranged = (
+        docs.select(F.col(id_col), key.alias("__k"))
+        .repartitionByRange(partitions, "__k", id_col)
+    )
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("__pid").orderBy("__k", id_col)
+    return (
+        part.withColumn(
+            "shuffle_rank",
+            (F.row_number().over(w) + off_expr).cast("long"),
+        )
+        .select(F.col(id_col), "shuffle_rank")
+    )
+
+
 #: the small "must contain ≥k of these" stopword list of the Gopher rules
 #: (a document with none of these is overwhelmingly non-English or
 #: non-prose; distinct from the larger ratio list in text.STOPWORDS)

@@ -501,3 +501,30 @@ def test_unigram_logprob_score(spark):
     # the doc containing the rare token is more surprising on average
     assert out["b"]["avg_nll"] > out["a"]["avg_nll"]
     assert out["a"]["avg_nll"] == round(exp_a / 4 / 1e6, 6)
+
+
+# -- training-order shuffle ----------------------------------------------------
+
+
+def test_training_order_matches_global_sort(spark):
+    import hashlib
+
+    from knowledge_graph_etl_spark.extensions.curation import training_order
+
+    docs = spark.createDataFrame(
+        [(str(i),) for i in range(200)], "doc_id string"
+    )
+    out = {r["doc_id"]: r["shuffle_rank"] for r in
+           training_order(docs, salt="e1", partitions=7).collect()}
+    # oracle: the naive global permutation position
+    key = lambda d: (hashlib.md5(f"{d}:e1".encode()).hexdigest(), d)
+    expect = {d: i + 1 for i, d in enumerate(sorted(out, key=key))}
+    assert out == expect
+    assert sorted(out.values()) == list(range(1, 201))  # dense 1..N
+    # different salt -> different permutation; same salt -> identical
+    out2 = {r["doc_id"]: r["shuffle_rank"] for r in
+            training_order(docs, salt="e2", partitions=7).collect()}
+    assert out2 != out
+    again = {r["doc_id"]: r["shuffle_rank"] for r in
+             training_order(docs, salt="e1", partitions=7).collect()}
+    assert again == out
