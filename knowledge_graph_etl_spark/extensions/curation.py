@@ -226,6 +226,12 @@ def training_order(
     ranged = (
         docs.select(F.col(id_col), key.alias("__k"))
         .repartitionByRange(partitions, "__k", id_col)
+        # Pin the partitioning: the counts collect below and the final
+        # ranked select are two executions, and the range partitioner
+        # samples boundaries per-execution — without this checkpoint the
+        # pid→offset map from pass 1 could be applied to a differently-cut
+        # pass 2 and ranks would stop being a permutation.
+        .localCheckpoint(eager=True)
     )
     part = ranged.withColumn("__pid", F.spark_partition_id())
     counts = sorted(
@@ -385,6 +391,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    out_sep: str | None = None,
 ) -> DataFrame:
     """Corpus-wide line-level deduplication (CCNet-style): every line keeps
     its FIRST occurrence — ordered by (doc id, line position) — and every
@@ -398,8 +405,14 @@ def dedup_lines(
     reassembly. Empty lines are dropped rather than deduped — keeping one
     global empty line is never the wanted semantics.
 
+    ``out_sep`` (default: same as ``sep``) joins the surviving lines back
+    into ``text`` — pass a newline-free sentinel (e.g. ``"\\x1e"``) when the
+    output must round-trip through line-oriented serializers.
+
     Returns ``(id_col, text, n_lines, n_kept)`` — ``text`` empty when every
     line of a document was seen earlier."""
+    if out_sep is None:
+        out_sep = sep
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
@@ -410,7 +423,7 @@ def dedup_lines(
         F.count("*").alias("n_lines"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
         F.concat_ws(
-            sep,
+            out_sep,
             F.transform(
                 F.array_sort(
                     F.collect_list(

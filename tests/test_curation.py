@@ -528,3 +528,23 @@ def test_training_order_matches_global_sort(spark):
     again = {r["doc_id"]: r["shuffle_rank"] for r in
              training_order(docs, salt="e1", partitions=7).collect()}
     assert again == out
+
+
+def test_training_order_partition_count_invariant(spark):
+    """The permutation must not depend on where the range partitioner cuts:
+    any partition count (including 1 and more-partitions-than-rows skew)
+    yields the identical dense 1..N ranking. Also exercises the pinned
+    (localCheckpoint) two-pass path: counts collect and final select must
+    see the SAME partitioning."""
+    from knowledge_graph_etl_spark.extensions.curation import training_order
+
+    docs = spark.createDataFrame(
+        [(str(i),) for i in range(157)], "doc_id string"
+    )
+    base = {r["doc_id"]: r["shuffle_rank"] for r in
+            training_order(docs, salt="e1", partitions=5).collect()}
+    assert sorted(base.values()) == list(range(1, 158))
+    for parts in (1, 3, 32, 200):
+        got = {r["doc_id"]: r["shuffle_rank"] for r in
+               training_order(docs, salt="e1", partitions=parts).collect()}
+        assert got == base, parts
