@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no codec libraries, so the DECODE step is stubbed behind
-a deterministic fake (``fake_decode=True``, default) or
-``NotImplementedError`` — but the Spark-side plumbing (schema, Arrow batch
-shape, ``mapInPandas`` signatures, partition behavior) is real and tested.
+Decode is tiered: ``fake_decode=True`` (default) is a deterministic,
+oracle-able sha256 stand-in; ``fake_decode=False`` runs REAL decoders —
+PIL when importable (any PIL format), else pure-numpy PPM-P6 / 24-bit-BMP
+parsers and stdlib ``wave`` PCM audio (all runnable with zero codec deps,
+and covered by tests on generated payloads); compressed video still needs
+ffmpeg/PyAV and raises ``NotImplementedError`` without it. The Spark-side
+plumbing (schema, Arrow batch shape, ``mapInPandas`` signatures, partition
+behavior) is identical on every path.
 
 Design for 100 TB of media: binary payloads never pass through Python
 row-at-a-time — every transform is an Arrow-batched ``mapInPandas`` whose
@@ -64,6 +68,168 @@ def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# real decoders
+#
+# Tiered: PIL (optional dep) handles any format it knows; without it, pure
+# numpy/stdlib decoders cover PPM (P6), uncompressed 24-bit BMP, and PCM WAV
+# (stdlib `wave`) — genuinely runnable in a codec-free container, and what
+# the real-decode tests exercise. Compressed formats (JPEG/PNG/MP4) still
+# require the optional deps and raise NotImplementedError when absent.
+# ---------------------------------------------------------------------------
+
+
+def _pil_image():
+    try:
+        from PIL import Image  # noqa: PLC0415 - optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to an HxWx3 uint8 numpy array.
+
+    PIL if importable (any PIL-supported format); otherwise pure-numpy
+    parsers for PPM P6 and uncompressed 24-bit BMP. Raises
+    ``NotImplementedError`` for formats that need the optional codec."""
+    import numpy as np
+
+    pil = _pil_image()
+    if pil is not None:
+        import io
+
+        img = pil.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    raise NotImplementedError(
+        "image format not decodable without PIL (pure-python paths: PPM P6, "
+        "uncompressed 24-bit BMP)"
+    )
+
+
+def _decode_ppm(payload: bytes):
+    """PPM P6 (binary RGB): 'P6' <w> <h> <maxval> then raw rows. Handles
+    '#' comments and arbitrary whitespace per the netpbm spec."""
+    import numpy as np
+
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw data
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs PIL")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def _decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): bottom-up BGR
+    rows padded to 4-byte stride."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP without PIL")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM WAV payload with stdlib ``wave``: returns
+    ``(samples, sample_rate)`` — float32 mono in [-1, 1], channels
+    averaged. Supports 8/16/32-bit integer PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch, sampwidth, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sampwidth == 1:  # unsigned 8-bit
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 2:
+        samples = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        samples = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"{sampwidth * 8}-bit PCM WAV unsupported")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples, rate
+
+
+def _image_feature(img, dim: int) -> list[float]:
+    """dim-length image descriptor: grayscale (ITU-R 601 luma) flattened in
+    raster order and mean-pooled into ``dim`` contiguous cells, scaled to
+    [-1, 1] — deterministic, resolution-independent."""
+    import numpy as np
+
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    flat = gray.reshape(-1)
+    cells = np.array_split(flat, dim) if flat.size >= dim else [flat] * dim
+    return [float((c.mean() - 127.5) / 127.5) if c.size else 0.0 for c in cells]
+
+
+def _audio_feature(samples, rate: int, dim: int) -> list[float]:
+    """dim-length audio descriptor: [duration_s, rms, zero-crossing-rate]
+    then the mean-pooled |amplitude| envelope over the remaining cells."""
+    import numpy as np
+
+    n = samples.size
+    head = [
+        float(n / rate if rate else 0.0),
+        float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+        float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8))))) if n > 1 else 0.0,
+    ][:dim]
+    env_cells = dim - len(head)
+    if env_cells > 0 and n:
+        env = [float(c.mean()) if c.size else 0.0 for c in np.array_split(np.abs(samples), env_cells)]
+    else:
+        env = [0.0] * max(env_cells, 0)
+    return head + env
+
+
+def _real_feature(kind: str, payload: bytes, dim: int) -> list[float]:
+    if kind == "image":
+        return _image_feature(decode_image(payload), dim)
+    if kind == "audio":
+        return _audio_feature(*decode_wav(payload), dim)
+    raise NotImplementedError(
+        "real video decode requires ffmpeg/PyAV (optional dependency, not "
+        "present in this environment)"
+    )
+
+
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: bytes of
     repeated sha256, scaled to [-1, 1]. Replace with a real decoder when
@@ -87,9 +253,12 @@ def decode_and_featurize(
 ) -> DataFrame:
     """DECODE → FEATURE-EXTRACT over media rows (Arrow-batched).
 
-    With ``fake_decode=False`` this raises ``NotImplementedError`` where a
-    real codec (PIL/ffmpeg/torchaudio) would be called — the surrounding
-    plumbing is identical either way.
+    ``fake_decode=True`` (default, oracle-able) uses the deterministic
+    sha256 stand-in feature. ``fake_decode=False`` runs the REAL decoders:
+    PIL for any PIL-supported image when importable, else the pure-numpy
+    PPM/BMP parsers; stdlib ``wave`` for PCM audio; video raises
+    ``NotImplementedError`` without ffmpeg/PyAV. The Spark plumbing
+    (schema, Arrow batching, partition behavior) is identical either way.
     """
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,19 +272,19 @@ def decode_and_featurize(
                 if payload is None:
                     rows.append((media_id, kind, None, None, None))
                     continue
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "real media decode requires codec libraries (PIL/ffmpeg); "
-                        "not available in this environment"
-                    )
                 payload = bytes(payload)
+                feature = (
+                    _fake_feature(payload, dim)
+                    if fake_decode
+                    else _real_feature(kind, payload, dim)
+                )
                 rows.append(
                     (
                         media_id,
                         kind,
                         len(payload),
                         hashlib.sha256(payload).hexdigest(),
-                        _fake_feature(payload, dim),
+                        feature,
                     )
                 )
             yield pd.DataFrame(
@@ -127,17 +296,32 @@ def decode_and_featurize(
     )
 
 
+def _resize_real(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode (PIL / pure-numpy PPM / BMP),
+    index-remap rows+cols, re-encode as PPM P6 (the one format writable
+    without codec deps — PIL consumers can transcode downstream)."""
+    import numpy as np
+
+    img = decode_image(payload)
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    resized = img[rows][:, cols]
+    return b"P6\n%d %d\n255\n" % (width, height) + resized.astype(np.uint8).tobytes()
+
+
 def resize_images(
     media: DataFrame,
     width: int,
     height: int,
     fake_decode: bool = True,
 ) -> DataFrame:
-    """Image-resize plumbing: payload → payload transform that rewrites the
-    (width, height) metadata. The pixel work is the documented stub (the
-    fake 'resized' payload is sha256-stretched to a deterministic
-    width·height-dependent length); with a real codec only the inner
-    function changes — schema, Arrow batching, and column flow are real.
+    """Image-resize: payload → payload transform that rewrites the
+    (width, height) metadata. ``fake_decode=True`` (default, oracle-able)
+    emits the sha256-stretched stand-in payload; ``fake_decode=False`` runs
+    the REAL pixel path (`_resize_real`: decode via PIL/PPM/BMP,
+    nearest-neighbor remap, PPM re-encode) — schema, Arrow batching, and
+    column flow are identical on both paths.
 
     The stretch chains over HEX DIGEST STRINGS (h1 = sha256(payload),
     h2 = sha256(h1-hex), …; payload = unhex of the concatenation) rather
@@ -155,9 +339,8 @@ def resize_images(
                     payloads.append(None)
                     continue
                 if not fake_decode:
-                    raise NotImplementedError(
-                        "real image resize requires codec libraries (PIL)"
-                    )
+                    payloads.append(_resize_real(bytes(p), width, height))
+                    continue
                 hx = hashlib.sha256(bytes(p)).hexdigest()
                 buf_hex = hx
                 while len(buf_hex) < 2 * target_len:
