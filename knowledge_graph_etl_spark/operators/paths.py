@@ -3,8 +3,9 @@
 Beyond the reference's workload (its 16 mapping queries use only plain
 predicates) but core to any SPARQL engine surface: ``p/q`` sequence,
 ``^p`` inverse, ``p|q`` alternative, ``p+`` / ``p*`` / ``p?`` closures and
-negated property sets ``!(p|q)`` (SPARQL 1.1 §9; forward-only NPS —
-``!^p`` inverse members are not supported).
+negated property sets including inverse members ``!(p|^q)``
+(SPARQL 1.1 §9.1: forward side bans P on forward edges, inverse side
+bans Pinv on reversed edges, union of both).
 
 A path evaluates to a PAIR RELATION — endpoint terms
 ``(av, at, ad, al, bv, bt, bd, bl)`` (value/type/datatype/lang for each
@@ -185,18 +186,34 @@ def eval_path(dataset: DataFrame, node) -> DataFrame:
             out = out.unionByName(eval_path(dataset, part))
         return out
     if node.op == "nps":
-        # negated property set: any forward edge whose predicate is NOT
-        # in the banned list — one scan with an isin anti-filter
-        return dataset.where(~F.col("p").isin(list(node.parts))).select(
-            F.col("s").alias("av"),
-            F.col("s_type").alias("at"),
-            _nstr().alias("ad"),
-            _nstr().alias("al"),
-            F.col("o_value").alias("bv"),
-            F.col("o_type").alias("bt"),
-            F.col("o_datatype").alias("bd"),
-            F.col("o_lang").alias("bl"),
-        )
+        # negated property set with (iri, inverted) members, SPARQL 1.1
+        # §9.1 / §18.2.2.3: split into forward set P and inverse set Pinv;
+        # !(P|^Pinv) ≡ NPS(P) ∪ inv(NPS(Pinv)) — each side bans only its
+        # own member set, evaluated as one scan with an isin anti-filter
+        fwd = [iri for iri, inverted in node.parts if not inverted]
+        rev = [iri for iri, inverted in node.parts if inverted]
+
+        def edges(banned: list) -> DataFrame:
+            return dataset.where(~F.col("p").isin(banned)).select(
+                F.col("s").alias("av"),
+                F.col("s_type").alias("at"),
+                _nstr().alias("ad"),
+                _nstr().alias("al"),
+                F.col("o_value").alias("bv"),
+                F.col("o_type").alias("bt"),
+                F.col("o_datatype").alias("bd"),
+                F.col("o_lang").alias("bl"),
+            )
+
+        sides = []
+        if fwd or not rev:
+            sides.append(edges(fwd))
+        if rev:
+            sides.append(_swap(edges(rev)))
+        out = sides[0]
+        for extra in sides[1:]:
+            out = out.unionByName(extra)
+        return out
     if node.op == "opt":
         # ZeroOrOnePath: the step's pairs plus every graph term to itself
         return (

@@ -1249,25 +1249,33 @@ class _Parser:
             parts.append(self.parse_path_elt())
         return parts[0] if len(parts) == 1 else PathT("seq", parts)
 
+    def _nps_member(self):
+        """PathOneInPropertySet := iri | '^' iri → (iri, inverted)."""
+        if self.at_punct("^"):
+            self.next()
+            return (self.parse_verb_primary().value, True)
+        return (self.parse_verb_primary().value, False)
+
     def parse_path_elt(self):
         inv = False
         if self.at_punct("^"):
             self.next()
             inv = True
         if self.at_punct("!"):
-            # negated property set (forward predicates only): !iri or
-            # !(iri|iri|...); falls through to the +/*/? modifier handling
+            # negated property set: !iri, !^iri, or !(iri|^iri|...) —
+            # members are (iri, inverted) pairs (SPARQL 1.1 §9.1
+            # PathOneInPropertySet); falls through to the +/*/? modifiers
             self.next()
             banned = []
             if self.at_punct("("):
                 self.next()
-                banned.append(self.parse_verb_primary().value)
+                banned.append(self._nps_member())
                 while self.at_punct("|"):
                     self.next()
-                    banned.append(self.parse_verb_primary().value)
+                    banned.append(self._nps_member())
                 self.expect_punct(")")
             else:
-                banned.append(self.parse_verb_primary().value)
+                banned.append(self._nps_member())
             prim = PathT("nps", banned)
         elif self.at_punct("("):
             self.next()

@@ -125,3 +125,31 @@ def test_zero_or_one_path(spark):
         "SELECT ?o FROM <urn:g:h> WHERE { <urn:n:a> <urn:p:parent>? ?o }"
     ).collect()}
     assert got == {"urn:n:a", "urn:n:b"}  # self (zero) + one hop
+
+
+def test_negated_property_set_inverse_members(spark):
+    """SPARQL 1.1 §9.1 inverse NPS members: !(^p) matches REVERSED edges
+    whose predicate is not p; mixed !(P|^Q) is the union of both sides,
+    each banning only its own member set."""
+    e = _hier(spark)
+    # pure-inverse: all edges reversed except ^parent — i.e. reversed
+    # 'other' and reversed 'name' edges
+    got = _pairs(e.select(
+        "SELECT ?s ?o FROM <urn:g:h> WHERE { ?s !(^<urn:p:parent>) ?o }"
+    ))
+    assert got == {("urn:n:a", "urn:n:x"), ("alpha", "urn:n:a")}
+    # mixed: forward side bans parent+name (leaves forward 'other'),
+    # inverse side bans other+name (leaves reversed 'parent' edges)
+    got = _pairs(e.select(
+        "SELECT ?s ?o FROM <urn:g:h> WHERE "
+        "{ ?s !(<urn:p:parent>|<urn:p:name>|^<urn:p:other>|^<urn:p:name>) ?o }"
+    ))
+    assert got == {
+        ("urn:n:x", "urn:n:a"),  # forward other
+        ("urn:n:b", "urn:n:a"), ("urn:n:c", "urn:n:b"), ("urn:n:d", "urn:n:c"),
+    }
+    # unparenthesised single inverse member: !^iri
+    got = _pairs(e.select(
+        "SELECT ?s ?o FROM <urn:g:h> WHERE { ?s !^<urn:p:parent> ?o }"
+    ))
+    assert got == {("urn:n:a", "urn:n:x"), ("alpha", "urn:n:a")}
