@@ -49,6 +49,17 @@ class Engine:
         self.spark = spark
         self.store = GraphStore(spark, store_path)
 
+    # -- federation -------------------------------------------------------
+
+    def register_service(self, iri: str, target) -> None:
+        """Make ``SERVICE <iri> { ... }`` resolve to ``target`` (another
+        Engine, a GraphStore, or a zero-arg callable returning a quads
+        DataFrame) — local federation over stores in the same
+        SparkSession; see :mod:`.federation`."""
+        from . import federation
+
+        federation.register_service(iri, target)
+
     # -- update path ------------------------------------------------------
 
     @staticmethod

@@ -73,6 +73,7 @@ from .parser import (
     MinusGroup,
     OptionalGroup,
     PathT,
+    ServiceGroup,
     SubSelect,
     UnionGroup,
     ValuesClause,
@@ -755,7 +756,9 @@ def _group_pattern_vars(group: Group) -> set[str]:
     for e in group.elements:
         if isinstance(e, TriplePattern):
             out |= {t.name for t in (e.s, e.p, e.o) if isinstance(t, VarT)}
-        elif isinstance(e, (OptionalGroup, MinusGroup, GraphGroup, ExistsFilter)):
+        elif isinstance(
+            e, (OptionalGroup, MinusGroup, GraphGroup, ExistsFilter, ServiceGroup)
+        ):
             out |= _group_pattern_vars(e.group)
         elif isinstance(e, UnionGroup):
             for g2 in e.groups:
@@ -883,6 +886,23 @@ def compile_group(
                     el.group, named_ds.where(F.col("g") == el.graph), named_ds
                 )
             b.join_group(sub)
+            continue
+        if isinstance(el, ServiceGroup):
+            # SPARQL 1.1 Federated Query §18.6: eval(Service) joins the
+            # remote solution sequence — compile the subgroup against the
+            # registered store's quads (same SparkSession: the "remote"
+            # scan stays inside Catalyst — pushdown/broadcast apply) and
+            # term-join on shared variables. SILENT + unresolvable
+            # endpoint → the unit solution (join nothing), per §2.2.
+            from ..federation import resolve_service
+
+            try:
+                remote = resolve_service(el.endpoint)
+            except KeyError:
+                if el.silent:
+                    continue
+                raise
+            b.join_group(compile_group(el.group, remote, remote))
             continue
         if isinstance(el, UnionGroup):
             # compile each branch, align columns (a var absent from one

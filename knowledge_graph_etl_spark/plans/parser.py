@@ -154,6 +154,19 @@ class GraphGroup:
 
 
 @dataclass
+class ServiceGroup:
+    """``SERVICE [SILENT] <iri> { ... }`` (SPARQL 1.1 Federated Query):
+    the subgroup evaluates against the registered remote store's dataset
+    and joins the outer solutions on shared variables. ``silent``: an
+    unresolvable endpoint yields the unit solution instead of an error
+    (§2.2). Variable endpoints are rejected at parse time."""
+
+    endpoint: str
+    group: "Group"
+    silent: bool = False
+
+
+@dataclass
 class SubSelect:
     """``{ SELECT ... }`` nested query (SPARQL 1.1 §12): evaluated against
     the enclosing dataset (FROM is not allowed inside), its projected
@@ -1089,6 +1102,22 @@ class _Parser:
                 else:
                     graph_iri = self.parse_iri()
                     g.elements.append(GraphGroup(graph_iri, self.parse_group()))
+            elif self.at_name("SERVICE"):
+                self.next()
+                silent = False
+                if self.at_name("SILENT"):
+                    self.next()
+                    silent = True
+                t = self.peek()
+                if t is not None and t.kind == "VAR":
+                    raise SyntaxError(
+                        "SERVICE with a variable endpoint is not supported; "
+                        f"use a constant service IRI (at {t.pos})"
+                    )
+                endpoint = self.parse_iri()
+                g.elements.append(
+                    ServiceGroup(endpoint, self.parse_group(), silent)
+                )
             elif self.at_name("VALUES"):
                 self.next()
                 g.elements.append(self.parse_values())
