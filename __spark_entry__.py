@@ -378,6 +378,39 @@ def kg_sparql_delete(spark, sf_dir):
     )
 
 
+def kg_service_federation_q(spark, sf_dir):
+    """SPARQL 1.1 SERVICE federation (federation.py + compiler ServiceGroup):
+    customers live in the LOCAL store, orders in a separately-registered
+    REMOTE store; the query joins across them with SERVICE <urn:svc:orders>.
+    Both stores share the SparkSession, so the federated join is an ordinary
+    Catalyst equi-join (broadcast/pushdown apply) — not an endpoint fetch."""
+    from knowledge_graph_etl_spark import federation
+    from knowledge_graph_etl_spark.engine import Engine
+
+    local = Engine(spark)
+    local.store.insert(
+        _customer_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    remote = Engine(spark)
+    remote.store.insert(
+        _orders_quads(spark, sf_dir), dedup_against_store=False, batch_distinct=True
+    )
+    federation.register_service("urn:svc:orders", remote)
+    return local.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?name ?ord ?prio
+        WHERE {
+            ?c p:c_mktsegment "MACHINERY"; p:c_name ?name.
+            SERVICE <urn:svc:orders> {
+                ?ord p:o_custkey ?c; p:o_orderpriority ?prio.
+            }
+            FILTER(STRSTARTS(?prio, "1"))
+        }
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational core: aggregation / window / sort-limit (needed by Phase-5 and
 # absent from the reference, SURVEY.md §2.5 — implemented as first-class ops)
@@ -832,6 +865,15 @@ def dedup_lines_q(spark, sf_dir):
         "doc_id", chunk_into_lines(F.col("text"), 10).alias("text")
     )
     return dedup_lines(d, out_sep="\x1e")
+
+
+def dedup_substring_q(spark, sf_dir):
+    """Distributed duplicated-substring removal (Lee et al.-style; k-gram
+    seed + maximal-span merge — extensions/curation.substring_span_dedup).
+    k=8: spans where every 8-token window repeats corpus-wide are cut."""
+    from knowledge_graph_etl_spark.extensions.curation import substring_span_dedup
+
+    return substring_span_dedup(_t(spark, sf_dir, "documents"), k=8)
 
 
 def decontaminate_q(spark, sf_dir):
@@ -1640,6 +1682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": streaming_enrich_q,
         # r03 red (hash) — fixed this round (newline-free out_sep), re-gate:
         "dedup_lines": dedup_lines_q,
+        # new this round (r04):
+        "kg_service_federation": kg_service_federation_q,
+        "dedup_substring": dedup_substring_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
@@ -1993,6 +2038,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE o_orderpriority = '1-URGENT'"
         ),
+        "kg_service_federation": (
+            f"SELECT c_name AS name, {ord_s} AS ord, o_orderpriority AS prio "
+            "FROM customer JOIN orders ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'MACHINERY' AND o_orderpriority LIKE '1%'"
+        ),
         "kg_star_chain7": (
             f"SELECT {ord_s} AS ord, c_name AS name, n_name AS nname, "
             "o_orderstatus AS st FROM orders "
@@ -2323,6 +2373,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(a.text, '') AS text, "
             "coalesce(n_lines, 0) AS n_lines, coalesce(n_kept, 0) AS n_kept "
             "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        ),
+        "dedup_substring": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "nb AS (SELECT doc_id, t, len(t) AS n FROM tok), "
+            "g AS (SELECT doc_id, "
+            "unnest(generate_series(1, greatest(n - 7, 0))) AS pos, "
+            "unnest(list_transform(generate_series(1, greatest(n - 7, 0)), "
+            "i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gram "
+            "FROM nb), "
+            "dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2), "
+            "dp AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + off AS ti FROM dp "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off) offs), "
+            "isl AS (SELECT doc_id, ti, CASE WHEN "
+            "lag(ti) OVER (PARTITION BY doc_id ORDER BY ti) = ti - 1 "
+            "THEN 0 ELSE 1 END AS brk FROM cov), "
+            "agg AS (SELECT doc_id, COUNT(*) AS n_dup_tokens, SUM(brk) AS n_spans "
+            "FROM isl GROUP BY doc_id), "
+            "toks AS (SELECT doc_id, unnest(generate_series(1, n)) AS ti, "
+            "unnest(t) AS tok FROM nb WHERE n > 0), "
+            "kept AS (SELECT toks.doc_id, toks.ti, toks.tok FROM toks "
+            "ANTI JOIN cov ON toks.doc_id = cov.doc_id AND toks.ti = cov.ti), "
+            "ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS cleaned_text "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT nb.doc_id, CAST(nb.n AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens, "
+            "CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans, "
+            "round(CASE WHEN nb.n > 0 THEN "
+            "CAST(coalesce(a.n_dup_tokens, 0) AS DOUBLE) / nb.n ELSE 0.0 END, 6) "
+            "AS dup_token_frac, "
+            "coalesce(ct.cleaned_text, '') AS cleaned_text "
+            "FROM nb LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)"
         ),
         "decontaminate": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "

@@ -369,6 +369,108 @@ def gopher_quality_flags(
 # ---------------------------------------------------------------------------
 
 
+def substring_span_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicated-substring removal — the distributed
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    span is duplicated iff every k-token window inside it occurs ≥
+    ``min_occurrences`` times anywhere in the corpus (including within
+    the same document); maximal such spans are removed from EVERY
+    occurrence — including the first (the order-independent variant: which
+    copy "keep one" retains depends on document order, which a distributed
+    engine should not silently impose; keep-first at line granularity is
+    :func:`dedup_lines`).
+
+    Distributed shape (no suffix array — that is a single-machine
+    structure): (1) k-gram inventory via the arrays_zip shingle form, one
+    hash-agg on md5(gram) — a narrow uniform shuffle key, same shape as
+    exact dedup; (2) duplicated-gram positions back-join (shuffle on the
+    gram hash); (3) coverage expansion gram→k token indices, output-bound
+    ×k, then DISTINCT bounded by corpus token count; (4) per-document
+    gaps-and-islands window merges covered indices into maximal spans;
+    (5) surviving tokens reassemble per document. Every stage is a
+    hash-partitioned agg/join on uniform keys — nothing is quadratic in
+    corpus size, unlike the pairwise dedup families.
+
+    Returns ``(id_col, n_tokens, n_dup_tokens, n_spans, dup_token_frac,
+    cleaned_text)`` — ``cleaned_text`` is the surviving tokens (lowercased
+    by tokenization) space-joined in original order, empty when the whole
+    document is duplicated."""
+    tks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("id"), tks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = base.select(
+        "id", F.posexplode(zip_kgrams(F.col("toks"), k)).alias("pos", "gram")
+    ).select("id", "pos", F.md5("gram").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_occurrences)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_h, "h")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("ti"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("id").orderBy("ti")
+    islands = covered.withColumn(
+        "brk",
+        F.when(F.lag("ti").over(w) == F.col("ti") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("island", F.sum("brk").over(w))
+    per_doc = islands.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_tokens"),
+        F.max("island").alias("n_spans"),
+    )
+    toks_rows = base.select("id", F.posexplode("toks").alias("ti", "tok"))
+    cleaned = (
+        toks_rows.join(covered, ["id", "ti"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("cleaned_text")
+        )
+    )
+    n_dup = F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint")
+    return (
+        base.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .join(cleaned, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            n_dup.alias("n_dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0, n_dup / F.col("n_tokens")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_frac"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def chunk_into_lines(text: Column, tokens_per_line: int = 10) -> Column:
     """Re-chunk running text into fixed-width pseudo-lines of
     ``tokens_per_line`` whitespace tokens, newline-joined. Gives

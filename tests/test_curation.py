@@ -548,3 +548,71 @@ def test_training_order_partition_count_invariant(spark):
         got = {r["doc_id"]: r["shuffle_rank"] for r in
                training_order(docs, salt="e1", partitions=parts).collect()}
         assert got == base, parts
+
+
+# -- substring-span dedup -----------------------------------------------------
+
+
+def test_substring_span_dedup_semantics(spark):
+    """k=3 hand corpus: a 5-token phrase shared by two docs is removed from
+    BOTH (order-independent all-copies variant); unique text survives;
+    within-doc repeats are caught; spans merge maximally."""
+    from knowledge_graph_etl_spark.extensions.curation import substring_span_dedup
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, every 3-gram dup'd
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_dedup(
+            _docs(
+                spark,
+                [
+                    ("a", f"{shared} unique1 unique2 unique3"),
+                    ("b", f"intro1 intro2 {shared} tail1"),
+                    ("c", "totally distinct words nothing repeats here"),
+                    ("d", "loop one two loop one two loop one two"),  # self-repeat
+                ],
+            ),
+            k=3,
+        ).collect()
+    }
+    # the shared phrase vanishes from BOTH docs; surrounding text survives
+    assert out["a"]["cleaned_text"] == "unique1 unique2 unique3"
+    assert out["a"]["n_dup_tokens"] == 5 and out["a"]["n_spans"] == 1
+    assert out["b"]["cleaned_text"] == "intro1 intro2 tail1"
+    # untouched doc: zero spans, full text (lowercased tokens) kept
+    assert out["c"]["n_dup_tokens"] == 0 and out["c"]["n_spans"] == 0
+    assert out["c"]["cleaned_text"] == "totally distinct words nothing repeats here"
+    assert out["c"]["dup_token_frac"] == 0.0
+    # within-document repetition: "loop one two" 3-gram repeats, the whole
+    # 9-token body is one merged span -> empty survivor
+    assert out["d"]["n_dup_tokens"] == 9 and out["d"]["n_spans"] == 1
+    assert out["d"]["cleaned_text"] == "" and out["d"]["dup_token_frac"] == 1.0
+
+
+def test_substring_span_dedup_span_merge_and_threshold(spark):
+    from knowledge_graph_etl_spark.extensions.curation import substring_span_dedup
+
+    # two separate duplicated regions in one doc -> two spans, not one
+    dup1, dup2 = "red green blue", "cyan magenta yellow"
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_dedup(
+            _docs(
+                spark,
+                [
+                    ("x", f"{dup1} gap1 gap2 gap3 {dup2}"),
+                    ("y", f"{dup1} other words entirely {dup2}"),
+                ],
+            ),
+            k=3,
+        ).collect()
+    }
+    assert out["x"]["n_spans"] == 2 and out["x"]["n_dup_tokens"] == 6
+    assert out["x"]["cleaned_text"] == "gap1 gap2 gap3"
+    # min_occurrences above the actual count -> nothing removed
+    full = substring_span_dedup(
+        _docs(spark, [("x", f"{dup1} a b c"), ("y", f"{dup1} d e f")]),
+        k=3,
+        min_occurrences=3,
+    ).collect()
+    assert all(r["n_dup_tokens"] == 0 for r in full)
