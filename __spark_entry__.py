@@ -1540,6 +1540,15 @@ def unigram_lm_score_q(spark, sf_dir):
     return unigram_logprob_score(_t(spark, sf_dir, "documents"))
 
 
+def bigram_lm_score_q(spark, sf_dir):
+    """Interpolated bigram-LM scoring (curation.bigram_logprob_score):
+    λ·p(w|prev) + (1-λ)·p(w), order-independent 1e-6 integer-quantized
+    NLL sums — the CCNet-perplexity analog one order above unigram."""
+    from knowledge_graph_etl_spark.extensions.curation import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
 def training_order_q(spark, sf_dir):
     """Deterministic epoch-shuffle ranking (curation.training_order):
     global md5-permutation position WITHOUT a single-partition sort —
@@ -1685,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (r04):
         "kg_service_federation": kg_service_federation_q,
         "dedup_substring": dedup_substring_q,
+        "bigram_lm_score": bigram_lm_score_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
@@ -2732,6 +2742,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(q) AS BIGINT) AS nll_q, "
             "round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_nll "
             "FROM p GROUP BY doc_id"
+        ),
+        "bigram_lm_score": (
+            f"WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "nb AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0), "
+            "tok AS (SELECT doc_id, unnest(t) AS tok FROM nb), "
+            "uc AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok), "
+            "tot AS (SELECT SUM(cu) AS tt FROM uc), "
+            "bg AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, n - 1), i -> t[i])) AS prev, "
+            "unnest(list_transform(generate_series(1, n - 1), i -> t[i + 1])) AS cur "
+            "FROM nb WHERE n >= 2), "
+            "bc AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY prev, cur), "
+            "pc AS (SELECT prev, COUNT(*) AS cp FROM bg GROUP BY prev), "
+            "qf AS (SELECT f.doc_id, CAST(floor(-log2(CAST(cu AS DOUBLE) / tt) "
+            "* 1000000 + 0.5) AS BIGINT) AS q "
+            "FROM (SELECT doc_id, t[1] AS tok FROM nb) f "
+            "JOIN uc USING (tok) CROSS JOIN tot), "
+            "qb AS (SELECT bg.doc_id, CAST(floor(-log2("
+            "0.7 * CAST(cb AS DOUBLE) / cp + 0.3 * CAST(cu AS DOUBLE) / tt"
+            ") * 1000000 + 0.5) AS BIGINT) AS q "
+            "FROM bg JOIN bc USING (prev, cur) JOIN pc USING (prev) "
+            "JOIN uc ON bg.cur = uc.tok CROSS JOIN tot), "
+            "q AS (SELECT * FROM qf UNION ALL SELECT * FROM qb) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(q) AS BIGINT) AS nll_q, "
+            "round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_nll "
+            "FROM q GROUP BY doc_id"
         ),
         "mixture_sample": (
             "WITH t AS (SELECT doc_id, lang, "

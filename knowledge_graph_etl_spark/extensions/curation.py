@@ -156,6 +156,93 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality proxy (the CCNet-perplexity analog one
+    order up from :func:`unigram_logprob_score`): per document, the average
+    negative log2-likelihood under an interpolated bigram LM trained on the
+    corpus itself — ``p(w_i|w_{i-1}) = λ·c(w_{i-1}w_i)/c_left(w_{i-1}) +
+    (1-λ)·c(w_i)/N``; the first token scores under the unigram model.
+    Interpolation (Jelinek-Mercer) rather than strict MLE so the scorer
+    stays well-defined when applied to held-out text whose bigrams were
+    never seen (the unigram floor keeps p > 0 for known tokens).
+
+    Emits ``(doc_id, n_tokens, nll_q, avg_nll)`` with the same
+    order-independent 1e-6 integer quantization as the unigram scorer
+    (float sums would differ across partitionings/engines). Zero-token
+    documents are omitted.
+
+    Scale shape: two count aggregates (unigram key, bigram pair key — both
+    uniform hash keys) + 1:N joins of occurrences to counts (hot function
+    words are 1:N, no fan-out) + one per-doc aggregate. No Python UDFs."""
+    one_m = 1000000.0
+    tks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), tks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    tok = base.select("id", F.explode("toks").alias("tok"))
+    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uc.agg(F.sum("cu").alias("tt"))
+    z = F.arrays_zip(
+        F.slice(F.col("toks"), 1, n - 1).alias("prev"),
+        F.slice(F.col("toks"), 2, n - 1).alias("cur"),
+    )
+    bi = (
+        base.where(n >= 2)
+        .select("id", F.explode(z).alias("bg"))
+        .select("id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    bc = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    pc = bi.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+
+    def quant(p: Column) -> Column:
+        return (
+            F.floor(-F.log2(p) * F.lit(one_m) + F.lit(0.5)).cast("long").alias("q")
+        )
+
+    qf = (
+        base.select("id", F.col("toks")[0].alias("tok"))
+        .join(uc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("id", quant(F.col("cu").cast("double") / F.col("tt")))
+    )
+    qb = (
+        bi.join(bc, ["prev", "cur"])
+        .join(pc, "prev")
+        .join(uc, bi["cur"] == uc["tok"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            quant(
+                F.lit(lam) * F.col("cb").cast("double") / F.col("cp")
+                + F.lit(1.0 - lam) * F.col("cu").cast("double") / F.col("tt")
+            ),
+        )
+    )
+    return (
+        qf.unionByName(qb)
+        .groupBy("id")
+        .agg(
+            F.sum("q").alias("nll_q"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "nll_q",
+            F.round(
+                F.col("nll_q").cast("double") / F.col("n_tokens") / F.lit(one_m),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],

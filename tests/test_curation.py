@@ -616,3 +616,48 @@ def test_substring_span_dedup_span_merge_and_threshold(spark):
         min_occurrences=3,
     ).collect()
     assert all(r["n_dup_tokens"] == 0 for r in full)
+
+
+# -- bigram LM scoring --------------------------------------------------------
+
+
+def test_bigram_logprob_score_matches_python_reference(spark):
+    """Exact mirror of the interpolated bigram model in pure Python on a
+    hand corpus — verifies counts, interpolation, first-token unigram
+    fallback, and the 1e-6 quantization."""
+    import math
+
+    from knowledge_graph_etl_spark.extensions.curation import bigram_logprob_score
+
+    corpus = {"a": "x y", "b": "x y", "c": "x z", "d": "q"}
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob_score(_docs(spark, list(corpus.items()))).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    uni: dict = {}
+    big: dict = {}
+    prevc: dict = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for p_, c_ in zip(t, t[1:]):
+            big[(p_, c_)] = big.get((p_, c_), 0) + 1
+            prevc[p_] = prevc.get(p_, 0) + 1
+    tt = sum(uni.values())
+
+    def q(p):
+        return math.floor(-math.log2(p) * 1e6 + 0.5)
+
+    for d, t in toks.items():
+        expect = q(uni[t[0]] / tt)
+        for p_, c_ in zip(t, t[1:]):
+            expect += q(0.7 * big[(p_, c_)] / prevc[p_] + 0.3 * uni[c_] / tt)
+        assert out[d]["nll_q"] == expect, d
+        assert out[d]["n_tokens"] == len(t), d
+        assert out[d]["avg_nll"] == round(expect / len(t) / 1e6, 6), d
+    # identical docs score identically; the rarer continuation is more
+    # surprising
+    assert out["a"]["nll_q"] == out["b"]["nll_q"]
+    assert out["c"]["avg_nll"] > out["a"]["avg_nll"]
