@@ -887,6 +887,19 @@ def decontaminate_q(spark, sf_dir):
     return decontaminate(d, bench, n=3)
 
 
+def bloom_decontaminate_q(spark, sf_dir):
+    """Bloom-filter decontamination (curation.bloom_decontaminate): the
+    benchmark's 3-grams fold into a fixed 2^17-bit bitmap (16 KiB
+    broadcast however large the benchmark grows); a doc gram hits iff all
+    4 md5-fold probe bits are set. Deterministic hashing → even the
+    bitmap is exactly oracle-able."""
+    from knowledge_graph_etl_spark.extensions.curation import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where((F.col("doc_id") % 50) == 0)
+    return bloom_decontaminate(d, bench, n=3)
+
+
 def pii_redact_q(spark, sf_dir):
     """Regex PII scrubbing (email → IPv4 → long digit runs, sequential
     counts). PII tokens are synthesized deterministically from doc_id so
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_service_federation": kg_service_federation_q,
         "dedup_substring": dedup_substring_q,
         "bigram_lm_score": bigram_lm_score_q,
+        "bloom_decontaminate": bloom_decontaminate_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
@@ -2428,6 +2442,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits, "
             "coalesce(n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+        ),
+        "bloom_decontaminate": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(generate_series(1, len(t) - 2), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END) AS grams FROM tok), "
+            "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bgr AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0), "
+            "js AS (SELECT unnest(generate_series(0, 3)) AS j), "
+            "bp AS (SELECT DISTINCT "
+            "('0x' || substr(md5(gram || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT "
+            "% 131072 AS pos FROM bgr CROSS JOIN js), "
+            "bw AS (SELECT pos // 32 AS word_idx, "
+            "bit_or((1::BIGINT << CAST(pos % 32 AS INTEGER))) AS word "
+            "FROM bp GROUP BY 1), "
+            "pr AS (SELECT doc_id, gram, "
+            "('0x' || substr(md5(gram || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT "
+            "% 131072 AS pos FROM dg CROSS JOIN js), "
+            "ck AS (SELECT doc_id, gram, "
+            "coalesce((word >> CAST(pos % 32 AS INTEGER)) & 1, 0) AS hit "
+            "FROM pr LEFT JOIN bw ON pr.pos // 32 = bw.word_idx), "
+            "gh AS (SELECT doc_id, gram, MIN(hit) AS all_set FROM ck GROUP BY 1, 2), "
+            "a AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(all_set) AS n_maybe_hits "
+            "FROM gh GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(n_maybe_hits, 0) AS BIGINT) AS n_maybe_hits, "
+            "coalesce(n_maybe_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
         ),
         "pii_redact": _pii_oracle(),
         "data_split_shard": (

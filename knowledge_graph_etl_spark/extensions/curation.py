@@ -687,6 +687,108 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter variant of :func:`decontaminate` — the constant-memory
+    scale path: the benchmark's n-grams are folded into a ``num_bits``
+    bitmap (``num_bits/32`` positive int32-range words — 16 KiB at the
+    2^17 default, FIXED
+    regardless of benchmark size), which broadcasts to every executor
+    where the exact distinct-gram set might not. A document gram counts
+    as a hit iff ALL ``num_hashes`` probe bits are set — the standard
+    Bloom guarantee: no false negatives, false-positive rate
+    ≈ (1 - e^(-k·m_grams/num_bits))^k, so ``n_maybe_hits`` is a SUPERSET
+    signal of the exact join's ``n_hits`` (flag-then-verify, or accept
+    the FP rate when sizing num_bits for the benchmark).
+
+    Hashing is the md5-fold used across this repo's dedup families
+    (deterministic and engine-independent, so even the bitmap contents
+    are exactly oracle-able): probe j of gram g sits at
+    ``int(md5(g ":" j)[:15], 16) % num_bits``.
+
+    Scale shape: bitmap build = one hash-agg (``bit_or``) over ≤
+    num_bits/64 word keys; corpus side = per-row gram expansion joined to
+    the ≤2048-row bitmap relation (broadcast — no shuffle of the corpus),
+    one per-doc agg. Returns ``(id_col, n_grams, n_maybe_hits,
+    contaminated)`` for every document."""
+    def probe(gram: Column, j: int) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit(f":{j}"))), 1, 15), 16, 10
+        ).cast("long")
+        return (h % num_bits).alias(f"p{j}")
+
+    bench_pos = benchmark.select(
+        F.explode(
+            F.array_distinct(zip_kgrams(tokens(F.col(text_col)), n))
+        ).alias("gram")
+    ).distinct()
+    bloom = None
+    for j in range(num_hashes):
+        part = bench_pos.select(probe(F.col("gram"), j).alias("pos"))
+        bloom = part if bloom is None else bloom.unionByName(part)
+    bloom_words = (
+        bloom.select(
+            # 32-bit words: every set-bit value stays positive (< 2^32) in
+            # 64-bit arithmetic, so shift/or/extract behave identically on
+            # Spark and the DuckDB oracle with no sign-bit edge cases
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(zip_kgrams(tokens(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    probes = doc_grams.select(
+        "id",
+        "gram",
+        F.posexplode(
+            F.array(*[probe(F.col("gram"), j) for j in range(num_hashes)])
+        ).alias("j", "pos"),
+    ).select(
+        "id",
+        "gram",
+        F.expr("pos div 32").alias("word_idx"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    checked = probes.join(F.broadcast(bloom_words), "word_idx", "left").select(
+        "id",
+        "gram",
+        # F.shiftright takes a literal shift amount only; the SQL form
+        # accepts a column. Words are positive (32-bit range), so the
+        # arithmetic shift has no sign fill on either engine.
+        F.coalesce(F.expr("shiftright(word, bit) & 1"), F.lit(0)).alias("hit"),
+    )
+    gram_hits = (
+        checked.groupBy("id", "gram")
+        .agg(F.min("hit").alias("all_set"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("all_set").alias("n_maybe_hits"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return spine.join(gram_hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_maybe_hits", F.lit(0)).cast("bigint").alias("n_maybe_hits"),
+        (F.coalesce("n_maybe_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -661,3 +661,47 @@ def test_bigram_logprob_score_matches_python_reference(spark):
     # surprising
     assert out["a"]["nll_q"] == out["b"]["nll_q"]
     assert out["c"]["avg_nll"] > out["a"]["avg_nll"]
+
+
+# -- bloom decontamination ----------------------------------------------------
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom guarantee: NO false negatives — every exact hit is a bloom
+    hit; with a generously sized bitmap on a tiny corpus the two agree
+    exactly."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            ("clean", "totally different words here now"),
+            ("dirty", "the quick brown fox jumps high"),
+            ("partial", "lazy dog quick brown fox runs"),
+        ],
+    )
+    bench = _docs(spark, [("bench", "the quick brown fox sleeps")])
+    exact = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench, n=3, num_bits=1 << 17).collect()
+    }
+    for d in exact:
+        assert bloom[d]["n_maybe_hits"] >= exact[d]["n_hits"], d
+        if exact[d]["contaminated"]:
+            assert bloom[d]["contaminated"], d
+    # ample bits, 10 bench grams: collisions essentially impossible
+    assert {d: r["n_maybe_hits"] for d, r in bloom.items()} == {
+        d: r["n_hits"] for d, r in exact.items()
+    }
+    # no-false-negative holds at ANY filter size, even a pathological one
+    tiny = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench, n=3, num_bits=32).collect()
+    }
+    for d in exact:
+        if exact[d]["contaminated"]:
+            assert tiny[d]["contaminated"], d
