@@ -1056,6 +1056,16 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+def cms_ngram_topk_q(spark, sf_dir):
+    """Count-min-sketch heavy hitters (curation.cms_ngram_topk): the
+    bounded-shuffle alternative to the exact gram groupBy — the corpus-wide
+    shuffle key space is the 4×16384 counter grid, constant in corpus
+    size; candidates from a deterministic 1-in-10 md5 document sample."""
+    from knowledge_graph_etl_spark.extensions.curation import cms_ngram_topk
+
+    return cms_ngram_topk(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
 def corpus_ngram_topk_q(spark, sf_dir):
     """Corpus-wide heavy hitters: global top-20 trigrams, deterministic
     tiebreak (extensions/curation.corpus_ngram_topk)."""
@@ -1709,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": dedup_substring_q,
         "bigram_lm_score": bigram_lm_score_q,
         "bloom_decontaminate": bloom_decontaminate_q,
+        "cms_ngram_topk": cms_ngram_topk_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
@@ -2538,6 +2549,26 @@ def oracle_sql() -> dict[str, str]:
             "greatest(len(t) - 2, 0)), i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram FROM tok) "
             "SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram "
             "ORDER BY n_occurrences DESC, gram ASC LIMIT 20"
+        ),
+        "cms_ngram_topk": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+            "greatest(len(t) - 2, 0)), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS gram FROM tok), "
+            "rs AS (SELECT unnest(generate_series(0, 3)) AS r), "
+            "rows_ AS (SELECT r, "
+            "('0x' || substr(md5(gram || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT "
+            "% 16384 AS col FROM g CROSS JOIN rs), "
+            "sketch AS (SELECT r, col, COUNT(*) AS cnt FROM rows_ GROUP BY 1, 2), "
+            "cand AS (SELECT DISTINCT gram FROM g WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0), "
+            "probes AS (SELECT gram, r, "
+            "('0x' || substr(md5(gram || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT "
+            "% 16384 AS col FROM cand CROSS JOIN rs), "
+            "est AS (SELECT gram, CAST(MIN(cnt) AS BIGINT) AS est_count "
+            "FROM probes JOIN sketch USING (r, col) GROUP BY gram) "
+            "SELECT gram, est_count FROM est "
+            "ORDER BY est_count DESC, gram ASC LIMIT 20"
         ),
         "tfidf_topterms": (
             f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents), "

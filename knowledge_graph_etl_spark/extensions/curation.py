@@ -955,6 +955,75 @@ def corpus_ngram_topk(
     )
 
 
+def cms_ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1 << 14,
+    candidate_mod: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-min-sketch heavy hitters — the sketch-shuffle alternative to
+    :func:`corpus_ngram_topk`: the exact top-k shuffles the gram stream on
+    the gram key (cardinality ∝ corpus); here the only corpus-wide shuffle
+    is the sketch build, whose key space is BOUNDED at ``depth × width``
+    counters (65k at the defaults) — map-side partial aggregation collapses
+    each partition's grams into ≤ d·w rows no matter how many grams flow
+    through, so shuffle volume is constant in corpus size.
+
+    Candidates come from the deterministic document sample
+    ``md5(doc_id) % candidate_mod == 0`` (a true heavy hitter at rate f
+    appears in the sample with overwhelming probability for corpus-scale
+    f·N); each candidate's count estimate is the CMS minimum over its
+    ``depth`` counters (≥ true count always — one-sided error ≤ ε·total
+    with ε = e/width at the standard depth=ln(1/δ) sizing). Everything —
+    probe positions, counters, candidate set — is md5-fold deterministic,
+    so the whole sketch is exactly oracle-able cross-engine.
+
+    Returns ``(gram, est_count)``, top-k by (estimate desc, gram asc)."""
+
+    def col_at(gram: Column, r: int) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit(f":{r}"))), 1, 15), 16, 10
+        ).cast("long")
+        return h % width
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(zip_kgrams(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    rows = grams.select(
+        F.posexplode(
+            F.array(*[col_at(F.col("gram"), r) for r in range(depth)])
+        ).alias("r", "col")
+    )
+    sketch = rows.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    cand = (
+        grams.where(
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % candidate_mod
+            == 0
+        )
+        .select("gram")
+        .distinct()
+    )
+    probes = cand.select(
+        "gram",
+        F.posexplode(
+            F.array(*[col_at(F.col("gram"), r) for r in range(depth)])
+        ).alias("r", "col"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("gram")
+        .agg(F.min("cnt").cast("bigint").alias("est_count"))
+    )
+    return est.orderBy(F.col("est_count").desc(), F.col("gram").asc()).limit(k)
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

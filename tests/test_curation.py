@@ -705,3 +705,38 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     for d in exact:
         if exact[d]["contaminated"]:
             assert tiny[d]["contaminated"], d
+
+
+# -- count-min sketch heavy hitters -------------------------------------------
+
+
+def test_cms_ngram_topk_overestimates_never_under(spark):
+    """CMS one-sided error: every estimate >= the exact count; with an
+    ample sketch on a tiny corpus the top-k matches the exact top-k."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        cms_ngram_topk,
+        corpus_ngram_topk,
+    )
+
+    rows = [(i, "the quick brown fox " + f"filler{i} pad{i}") for i in range(30)]
+    rows += [(100 + i, f"rare one two three unique{i}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r["gram"]: r["n_occurrences"]
+        for r in corpus_ngram_topk(docs, n=3, k=100).collect()
+    }
+    est = {
+        r["gram"]: r["est_count"]
+        for r in cms_ngram_topk(
+            docs, n=3, k=100, width=1 << 14, candidate_mod=1
+        ).collect()
+    }
+    # candidate_mod=1 -> every gram is a candidate; ample width -> exact
+    assert est == exact
+    # undersized sketch: estimates may inflate but NEVER undercount
+    crowded = {
+        r["gram"]: r["est_count"]
+        for r in cms_ngram_topk(docs, n=3, k=100, width=8, candidate_mod=1).collect()
+    }
+    for gram, c in exact.items():
+        assert crowded[gram] >= c, gram
