@@ -221,3 +221,61 @@ def test_deferred_filter_still_pushes_down(pstore, spark):
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "o_value" in pushed and "BUILDING" in pushed, plan
     assert df.count() == 100  # even ids
+
+
+def test_bloom_decontaminate_broadcasts_bitmap(spark):
+    """The corpus side never shuffles before the bitmap check: the only
+    join against the gram stream is a broadcast of the <=num_bits/32-row
+    bitmap relation; the per-doc agg is the sole corpus-keyed exchange."""
+    from knowledge_graph_etl_spark.extensions.curation import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(str(i), "w x y z q r") for i in range(50)], "doc_id string, text string"
+    )
+    plan = _plan(bloom_decontaminate(docs, docs.limit(2), n=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_cms_sketch_aggregates_map_side(spark):
+    """The sketch build must partial-aggregate before its exchange — the
+    bounded-counter-grid claim relies on map-side collapse (HashAggregate
+    below the Exchange on the (r, col) key)."""
+    from knowledge_graph_etl_spark.extensions.curation import cms_ngram_topk
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(cms_ngram_topk(docs, n=3, k=5))
+    # formatted plans list partial aggregates as HashAggregate nodes with
+    # keys=[r, col] appearing both below and above an exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_substring_span_dedup_no_python_and_uniform_joins(spark):
+    """All-JVM: no Python eval nodes anywhere; no nested-loop or cartesian
+    join (every join is a hash equi-join on a uniform key)."""
+    from knowledge_graph_etl_spark.extensions.curation import substring_span_dedup
+
+    docs = spark.createDataFrame(
+        [(str(i), "p q r s t u v w x y") for i in range(10)],
+        "doc_id string, text string",
+    )
+    plan = _plan(substring_span_dedup(docs, k=3))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_score_broadcasts_total_only(spark):
+    """The single-row corpus total joins by broadcast; no nested-loop on
+    the occurrence stream."""
+    from knowledge_graph_etl_spark.extensions.curation import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(str(i), "m n o p q") for i in range(10)], "doc_id string, text string"
+    )
+    plan = _plan(bigram_logprob_score(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
