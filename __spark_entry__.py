@@ -1399,6 +1399,25 @@ def _pagerank_oracle(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def graph_triangles_q(spark, sf_dir):
+    """Exact per-vertex triangle counting with the degree-ordering
+    (compact-forward) orientation (extensions/graph.triangle_count) over
+    the supplier co-supply graph: suppliers are adjacent when some part
+    appears with both in lineitem."""
+    from knowledge_graph_etl_spark.extensions.graph import triangle_count
+
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "l_partkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+    return triangle_count(e)
+
+
 def events_pivot_q(spark, sf_dir):
     """Pivot (long→wide): per-user event counts, one column per event
     type. Spark's ``pivot`` with an EXPLICIT value list — omitting it
@@ -1720,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": bigram_lm_score_q,
         "bloom_decontaminate": bloom_decontaminate_q,
         "cms_ngram_topk": cms_ngram_topk_q,
+        "graph_triangles": graph_triangles_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
@@ -2583,6 +2603,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "graph_triangles": (
+            "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+            "e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM ps x "
+            "JOIN ps y ON x.l_partkey = y.l_partkey AND x.l_suppkey < y.l_suppkey), "
+            "deg AS (SELECT v, COUNT(*) AS d FROM "
+            "(SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY v), "
+            "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) "
+            "THEN a ELSE b END AS src, "
+            "CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst "
+            "FROM e0 JOIN deg da ON e0.a = da.v JOIN deg db ON e0.b = db.v), "
+            "tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z FROM o e1 "
+            "JOIN o e2 ON e1.dst = e2.src "
+            "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst), "
+            "pv AS (SELECT node, COUNT(*) AS n FROM "
+            "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) GROUP BY node) "
+            "SELECT deg.v AS node, CAST(coalesce(pv.n, 0) AS BIGINT) AS n_triangles "
+            "FROM deg LEFT JOIN pv ON deg.v = pv.node"
+        ),
         "kg_filter_compare": (
             "SELECT 'urn:ord:' || CAST(o_orderkey AS VARCHAR) AS o, "
             "o_orderpriority AS pri FROM orders "

@@ -91,3 +91,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle counting over an undirected edge list (self-loops
+    and duplicate/reversed edges tolerated), returning per-vertex triangle
+    counts ``(node, n_triangles)`` for every vertex of the cleaned graph.
+
+    The degree-ordering (compact-forward) formulation: orient every edge
+    from the endpoint that is smaller in the total order (degree, id) to
+    the larger; a triangle {a,b,c} then exists as EXACTLY one oriented
+    path a→b→c closed by a→c, so
+
+        triangles = (e1 ⋈ e2 on e1.dst = e2.src) ⋈ e3 on (e1.src, e2.dst)
+
+    counts each triangle once. Degree ordering is the standard output
+    bound: the path join fans out only on each vertex's HIGHER-ordered
+    neighbors, making join work O(m^{3/2}) on any graph (vs O(Σ deg²)
+    for an arbitrary orientation — the difference between feasible and
+    not on power-law graphs, where hub vertices would otherwise emit
+    deg² wedges). All stages are hash equi-joins/aggs on vertex keys;
+    deterministic, so exactly oracle-able."""
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    canon = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_vertex = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    spine = deg.select(F.col("v").alias("node"))
+    return spine.join(per_vertex, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )

@@ -740,3 +740,43 @@ def test_cms_ngram_topk_overestimates_never_under(spark):
     }
     for gram, c in exact.items():
         assert crowded[gram] >= c, gram
+
+
+# -- triangle counting --------------------------------------------------------
+
+
+def test_triangle_count_known_graph(spark):
+    """Hand graph: K4 on {1,2,3,4} (4 triangles, 3 per vertex) plus a
+    pendant vertex 5 and an isolated edge 6-7; duplicate, reversed, and
+    self-loop input edges must not change counts."""
+    from knowledge_graph_etl_spark.extensions.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (6, 7)]
+    edges += [(b, a) for a, b in k4]  # reversed duplicates
+    edges += [(1, 2), (3, 3)]  # duplicate + self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_count_total_matches_naive(spark):
+    """Random-ish deterministic graph: total triangle count (sum/3) must
+    equal the naive all-triple check."""
+    from itertools import combinations
+
+    from knowledge_graph_etl_spark.extensions.graph import triangle_count
+
+    edges = [(i, (i * i + 1) % 23) for i in range(23)] + [
+        (i, (i + 7) % 23) for i in range(23)
+    ]
+    eset = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in eset for v in e}
+    naive = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= eset
+    )
+    df = spark.createDataFrame(list(eset), "src long, dst long")
+    out = triangle_count(df).agg(F.sum("n_triangles")).collect()[0][0]
+    assert out == naive * 3
