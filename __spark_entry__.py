@@ -1456,6 +1456,17 @@ def events_unpivot_q(spark, sf_dir):
     )
 
 
+def streaming_anomaly_q(spark, sf_dir):
+    """Running-stats anomaly flagging (streaming/anomaly.flag_anomalies,
+    batch path — the streaming path is the applyInPandasWithState twin,
+    stream==batch parity in tests/test_streaming.py): each event judged
+    against its key's PRIOR mean/σ via the cross-multiplied integer z-test
+    — no floats, so the cumulative window is exactly oracle-able."""
+    from knowledge_graph_etl_spark.streaming.anomaly import flag_anomalies
+
+    return flag_anomalies(_events_ts(spark, sf_dir))
+
+
 def streaming_curate_q(spark, sf_dir):
     """Stateless streaming curation (streaming/curate.curate_docs:
     normalize → length filter → PII redact) — executed in batch mode here;
@@ -1740,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": bloom_decontaminate_q,
         "cms_ngram_topk": cms_ngram_topk_q,
         "graph_triangles": graph_triangles_q,
+        "streaming_anomaly": streaming_anomaly_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
         "kg_star_join_bind": kg_star_join_bind,
@@ -2707,6 +2719,21 @@ def oracle_sql() -> dict[str, str]:
                 for t in ["click", "error", "purchase", "signup", "view"]
             )
             + " FROM events GROUP BY user_id"
+        ),
+        "streaming_anomaly": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq FROM events), "
+            "w AS (SELECT event_id, user_id, vq, "
+            "COUNT(vq) OVER win AS n, "
+            "COALESCE(SUM(vq) OVER win, 0) AS s, "
+            "COALESCE(SUM(vq * vq) OVER win, 0) AS q FROM e "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior, "
+            "(n >= 5 AND "
+            "(CAST(vq AS HUGEINT) * n - s) * (CAST(vq AS HUGEINT) * n - s) "
+            "> 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)) "
+            "AS is_anomaly FROM w"
         ),
         "streaming_curate": _streaming_curate_oracle(),
         "streaming_enrich": (

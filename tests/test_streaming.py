@@ -351,3 +351,68 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.table("enriched").collect()}
     assert got == batch
+
+
+# -- running-stats anomaly flagging -------------------------------------------
+
+
+def _anom_rows():
+    # user 7: steady values then a spike; user 8: too few priors to flag
+    rows = []
+    for i in range(8):
+        rows.append((100 + i, 7, f"2024-01-01T10:{i:02d}:00", 10.0 + (i % 2)))
+    rows.append((120, 7, "2024-01-01T10:30:00", 500.0))  # spike
+    rows.append((121, 7, "2024-01-01T10:31:00", 10.0))   # back to normal
+    rows.append((200, 8, "2024-01-01T10:00:00", 1.0))
+    rows.append((201, 8, "2024-01-01T10:01:00", 99.0))   # only 1 prior
+    return rows
+
+
+def _anom_df(spark):
+    df = spark.createDataFrame(
+        _anom_rows(), "event_id bigint, user_id bigint, ts_s string, value double"
+    )
+    return df.select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+
+
+def test_flag_anomalies_batch(spark):
+    from knowledge_graph_etl_spark.streaming.anomaly import flag_anomalies
+
+    out = {r["event_id"]: r for r in flag_anomalies(_anom_df(spark)).collect()}
+    assert len(out) == len(_anom_rows())  # every event judged
+    assert out[120]["is_anomaly"] and out[120]["n_prior"] == 8  # the spike
+    # steady values never flag; early events lack min_prior
+    for eid in list(range(100, 108)) + [200, 201]:
+        assert not out[eid]["is_anomaly"], eid
+    # 121 follows the spike: mean/σ inflated by it, 10.0 not 3σ out
+    assert not out[121]["is_anomaly"]
+
+
+def test_flag_anomalies_stream_matches_batch(spark, tmp_path):
+    from knowledge_graph_etl_spark.streaming.anomaly import flag_anomalies
+
+    batch = {
+        (r["event_id"], r["user_id"], r["n_prior"], r["is_anomaly"])
+        for r in flag_anomalies(_anom_df(spark)).collect()
+    }
+    src = str(tmp_path / "anom")
+    _anom_df(spark).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        flag_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("anom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["user_id"], r["n_prior"], r["is_anomaly"])
+        for r in spark.table("anom").collect()
+    }
+    assert got == batch
