@@ -1364,11 +1364,43 @@ def graph_pagerank_q(spark, sf_dir):
     return pagerank(o.unionByName(c).unionByName(n), iters=5)
 
 
-def _pagerank_oracle(iters: int = 5) -> str:
+def graph_ppr_q(spark, sf_dir):
+    """Personalized PageRank (graph.pagerank(restart=...)): the (1-d)
+    restart mass lands only on the nation seed nodes, so ranks measure
+    proximity to nations rather than global centrality. Same exact
+    unrolled integer oracle, seeded."""
+    from knowledge_graph_etl_spark.extensions.graph import pagerank
+
+    def pfx(tag, col):
+        return F.concat(F.lit(tag), F.col(col).cast("string"))
+
+    o = _t(spark, sf_dir, "orders").select(
+        pfx("o", "o_orderkey").alias("src"), pfx("c", "o_custkey").alias("dst")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        pfx("c", "c_custkey").alias("src"), pfx("n", "c_nationkey").alias("dst")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        pfx("n", "n_nationkey").alias("src"), pfx("r", "n_regionkey").alias("dst")
+    )
+    seeds = _t(spark, sf_dir, "nation").select(
+        pfx("n", "n_nationkey").alias("node")
+    )
+    return pagerank(o.unionByName(c).unionByName(n), iters=5, restart=seeds)
+
+
+def _pagerank_oracle(iters: int = 5, seed_like: str | None = None) -> str:
     """Unrolled-CTE twin of graph_pagerank_q: identical integer fixed-point
     update per iteration (DuckDB ``//`` ≡ Spark ``div`` on positive
     bigints), so the hash compare is exact despite the algorithm being
-    iterative."""
+    iterative. ``seed_like``: personalized variant — restart mass and the
+    initial rank confined to nodes matching the LIKE pattern."""
+    if seed_like is not None:
+        base = f"CASE WHEN node LIKE '{seed_like}' THEN 150000 ELSE 0 END"
+        init = f"CASE WHEN node LIKE '{seed_like}' THEN 1000000 ELSE 0 END"
+    else:
+        base = "150000"
+        init = "1000000"
     parts = [
         "WITH e AS ("
         "SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src, "
@@ -1381,7 +1413,7 @@ def _pagerank_oracle(iters: int = 5) -> str:
         "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
         "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
         "ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)), "
-        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"
+        f"r0 AS (SELECT node, CAST({init} AS BIGINT) AS rank_micro FROM nodes)"
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -1389,7 +1421,7 @@ def _pagerank_oracle(iters: int = 5) -> str:
             f"FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node GROUP BY dst), "
             # overflow-safe split form, identical to graph.pagerank:
             # d*(c//M) + (d*(c%M))//M  ==  (d*c)//M  exactly
-            f"r{i} AS (SELECT n.node, CAST(150000 + "
+            f"r{i} AS (SELECT n.node, CAST(({base}) + "
             f"850000 * (COALESCE(c.contrib, 0) // 1000000) + "
             f"(850000 * (COALESCE(c.contrib, 0) % 1000000)) // 1000000 "
             f"AS BIGINT) AS rank_micro "
@@ -1751,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": bloom_decontaminate_q,
         "cms_ngram_topk": cms_ngram_topk_q,
         "graph_triangles": graph_triangles_q,
+        "graph_ppr": graph_ppr_q,
         "streaming_anomaly": streaming_anomaly_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
@@ -2615,6 +2648,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s QUALIFY rank <= 3"
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
+        "graph_ppr": _pagerank_oracle(iters=5, seed_like="n%"),
         "graph_triangles": (
             "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
             "e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM ps x "

@@ -28,6 +28,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    restart: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, returning
     ``(node, rank_micro)`` for every node appearing as source or target.
@@ -42,6 +43,13 @@ def pagerank(
     tradeoff — ranks are relative scores for downstream filtering, not
     probabilities). ``iters`` is fixed rather than convergence-tested:
     the oracle unrolls the same count.
+
+    ``restart`` (personalized PageRank): a one-column ``node`` DataFrame
+    of seed vertices — the (1-d) restart mass lands ONLY on seeds
+    (``base_v = (1-d)·MICRO·[v∈S]``) and the iteration starts from the
+    seed indicator (``r0 = MICRO·[v∈S]``), so ranks measure proximity to
+    the seed set instead of global centrality. ``None`` = uniform
+    (classic PageRank). Same integer update either way.
 
     Scale shape: out-degrees and the edge list are computed once and
     checkpointed (edges re-partitioned by src carry (src, dst, deg) — 24
@@ -62,7 +70,23 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     edeg = e.join(deg, "src").localCheckpoint(eager=True)
-    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
+    if restart is not None:
+        seeds = restart.select(F.col("node")).distinct().withColumn(
+            "__seed", F.lit(1)
+        )
+        nodes = nodes.join(seeds, "node", "left").localCheckpoint(eager=False)
+        seed_flag = F.col("__seed").isNotNull()
+        base_col = F.when(seed_flag, F.lit(base)).otherwise(F.lit(0))
+        ranks = nodes.select(
+            "node",
+            F.when(seed_flag, F.lit(MICRO))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rank_micro"),
+        )
+    else:
+        base_col = F.lit(base)
+        ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("bigint"))
     for _ in range(iters):
         contrib = (
             edeg.join(ranks, edeg["src"] == ranks["node"])
@@ -81,7 +105,7 @@ def pagerank(
             .select(
                 nodes["node"],
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"CAST({d_micro} AS BIGINT) * (coalesce(contrib, 0) div {MICRO}) "
                         f"+ (CAST({d_micro} AS BIGINT) * (coalesce(contrib, 0) % {MICRO})) div {MICRO}"

@@ -780,3 +780,29 @@ def test_triangle_count_total_matches_naive(spark):
     df = spark.createDataFrame(list(eset), "src long, dst long")
     out = triangle_count(df).agg(F.sum("n_triangles")).collect()[0][0]
     assert out == naive * 3
+
+
+# -- personalized PageRank ----------------------------------------------------
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    """Chain a->b->c->d with seed {a}: mass decays along the chain; nodes
+    unreachable from the seed get rank 0; uniform PageRank unchanged."""
+    from knowledge_graph_etl_spark.extensions.graph import MICRO, pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, iters=10, restart=seeds).collect()
+    }
+    # seed holds the restart mass; downstream decays monotonically
+    assert out["a"] == MICRO - 850000  # no in-edges: base only
+    assert out["b"] > out["c"] > out["d"] > 0
+    # disconnected from the seed set: zero (no restart, no inflow)
+    assert out["x"] == 0 and out["y"] == 0
+    # classic PageRank still gives every node the uniform base
+    uni = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=10).collect()}
+    assert all(v >= 150000 for v in uni.values())
