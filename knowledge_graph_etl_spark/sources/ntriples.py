@@ -163,3 +163,105 @@ def read_ntriples(
     for field in QUAD_SCHEMA.fields:
         out = out.withColumn(field.name, F.col(field.name).cast(field.dataType))
     return out.select(*[f.name for f in QUAD_SCHEMA.fields])
+
+
+# ---------------------------------------------------------------------------
+# N-Quads (the quad-store exchange format: N-Triples + optional graph label)
+# ---------------------------------------------------------------------------
+
+_O_TERM = r"""\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"""
+_NQ_LINE = _S + _P + _O_TERM + r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"
+
+
+def to_nquads_lines(quads: DataFrame) -> DataFrame:
+    """Quads → one-column DataFrame of N-Quads lines: the graph column is
+    serialized as the 4th term (omitted when NULL — the default graph, per
+    the N-Quads grammar), so a quad store round-trips losslessly where
+    N-Triples would flatten the graph structure."""
+    s = _nt_term(
+        F.col("s"), F.col("s_type"), F.lit(None).cast("string"), F.lit(None).cast("string")
+    )
+    p = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    o = _nt_term(F.col("o_value"), F.col("o_type"), F.col("o_datatype"), F.col("o_lang"))
+    g = F.when(
+        F.col("g").isNotNull(), F.concat(F.lit("<"), F.col("g"), F.lit(">"))
+    )
+    return quads.select(F.concat_ws(" ", s, p, o, g, F.lit(".")).alias("value"))
+
+
+def write_nquads(quads: DataFrame, path: str) -> None:
+    """Distributed N-Quads sink — one projection + text write, graph
+    routing preserved in-band (unlike :func:`write_ntriples`, where the
+    caller must partition by graph out-of-band)."""
+    to_nquads_lines(quads).write.mode("overwrite").text(path)
+
+
+def read_nquads(
+    spark: SparkSession,
+    path: str,
+    default_graph: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Distributed N-Quads reader: same line grammar as
+    :func:`read_ntriples` plus the optional 4th graph term (IRI or blank
+    node label); a line without one lands in ``default_graph``. Strict
+    mode raises executor-side on unparseable lines, like the N-Triples
+    reader."""
+    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    lines = lines.where(~F.trim("value").startswith("#"))
+    s_raw = F.regexp_extract("value", _NQ_LINE, 1)
+    p_raw = F.regexp_extract("value", _NQ_LINE, 2)
+    o_raw = F.regexp_extract("value", _NQ_LINE, 3)
+    g_raw = F.regexp_extract("value", _NQ_LINE, 4)
+    if strict:
+        msg = F.concat(
+            F.lit(f"unparseable N-Quads line in {path}: "),
+            F.substring("value", 1, 120),
+        )
+        p_raw = F.when(p_raw == "", F.raise_error(msg).cast("string")).otherwise(p_raw)
+    parsed = lines.select(
+        s_raw.alias("s_raw"),
+        p_raw.alias("p_raw"),
+        o_raw.alias("o_raw"),
+        g_raw.alias("g_raw"),
+    ).where(F.col("p_raw") != "")
+
+    s_is_iri = F.col("s_raw").startswith("<")
+    s_val = F.when(s_is_iri, F.expr("substring(s_raw, 2, length(s_raw)-2)")).otherwise(
+        F.col("s_raw")
+    )
+    s_type = F.when(s_is_iri, F.lit(IRI)).otherwise(F.lit(BNODE))
+
+    o_is_iri = F.col("o_raw").startswith("<")
+    o_is_bnode = F.col("o_raw").startswith("_:")
+    lex = _unescape_udf(F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1))
+    lang = F.nullif(F.regexp_extract("o_raw", r'"@([A-Za-z0-9-]+)$', 1), F.lit(""))
+    dtype = F.nullif(F.regexp_extract("o_raw", r"\^\^<([^>]*)>$", 1), F.lit(""))
+    o_val = (
+        F.when(o_is_iri, F.expr("substring(o_raw, 2, length(o_raw)-2)"))
+        .when(o_is_bnode, F.col("o_raw"))
+        .otherwise(lex)
+    )
+    o_type = (
+        F.when(o_is_iri, F.lit(IRI)).when(o_is_bnode, F.lit(BNODE)).otherwise(F.lit(LITERAL))
+    )
+    g_val = F.when(
+        F.col("g_raw").startswith("<"),
+        F.expr("substring(g_raw, 2, length(g_raw)-2)"),
+    ).when(F.col("g_raw") != "", F.col("g_raw")).otherwise(
+        F.lit(default_graph).cast("string")
+    )
+
+    out = parsed.select(
+        g_val.alias("g"),
+        s_val.alias("s"),
+        s_type.alias("s_type"),
+        F.col("p_raw").alias("p"),
+        o_val.alias("o_value"),
+        o_type.alias("o_type"),
+        F.when(~o_is_iri & ~o_is_bnode, dtype).otherwise(F.lit(None)).alias("o_datatype"),
+        F.when(~o_is_iri & ~o_is_bnode, lang).otherwise(F.lit(None)).alias("o_lang"),
+    )
+    for field in QUAD_SCHEMA.fields:
+        out = out.withColumn(field.name, F.col(field.name).cast(field.dataType))
+    return out.select(*[f.name for f in QUAD_SCHEMA.fields])

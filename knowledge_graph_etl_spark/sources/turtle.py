@@ -311,7 +311,9 @@ def read_rdf(
     """Format-autodetecting RDF file source, mirroring the reference's
     rdflib ``Graph().parse()`` extension autodetect
     (sparql_update.py:124-133): ``.nt``/``.ntriples`` → the line-splittable
-    N-Triples reader, ``.ttl``/``.turtle`` → the per-file Turtle reader,
+    N-Triples reader, ``.nq``/``.nquads`` → the N-Quads reader (graph
+    term read in-band; ``graph`` becomes the default for graph-less
+    lines), ``.ttl``/``.turtle`` → the per-file Turtle reader,
     ``.rdf``/``.owl``/``.xml`` → the per-file RDF/XML reader."""
     from .ntriples import read_ntriples
     from .rdfxml import read_rdfxml
@@ -322,17 +324,23 @@ def read_rdf(
             fmt = "turtle"
         elif low.endswith((".nt", ".ntriples")):
             fmt = "ntriples"
+        elif low.endswith((".nq", ".nquads")):
+            fmt = "nquads"
         elif low.endswith((".rdf", ".owl", ".xml")):
             fmt = "rdfxml"
         else:
             raise ValueError(
                 f"cannot autodetect RDF format of {path!r}; "
-                "pass fmt='turtle'|'ntriples'|'rdfxml'"
+                "pass fmt='turtle'|'ntriples'|'nquads'|'rdfxml'"
             )
     if fmt == "turtle":
         return read_turtle(spark, path, graph)
     if fmt == "ntriples":
         return read_ntriples(spark, path, graph)
+    if fmt == "nquads":
+        from .ntriples import read_nquads
+
+        return read_nquads(spark, path, default_graph=graph)
     if fmt in ("rdfxml", "xml"):
         return read_rdfxml(spark, path, graph)
     raise ValueError(f"unsupported RDF format {fmt!r}")
