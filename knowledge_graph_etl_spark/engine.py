@@ -105,6 +105,15 @@ class Engine:
             raise ValueError("select() needs a SELECT query; use ask()/update()")
         return compile_select(node, self.store, with_terms=with_terms)
 
+    def select_json(self, query: str, params: dict | None = None) -> dict:
+        """SPARQL SELECT → the W3C SPARQL 1.1 Query Results JSON envelope
+        (``{"head": {"vars": [...]}, "results": {"bindings": [...]}}``) —
+        the protocol-level interop format; see :mod:`.results` for the
+        distributed per-solution form."""
+        from .results import sparql_results_json
+
+        return sparql_results_json(self.select(query, params, with_terms=True))
+
     def ask(self, query: str, params: dict | None = None) -> bool:
         """SPARQL ASK → bool (the compiled plan is LIMIT 1 — Catalyst
         short-circuits the scan)."""
