@@ -64,3 +64,40 @@ def test_ask_json(spark):
     assert ask_results_json(
         e.ask("ASK FROM <urn:g:r> { ?s <urn:p:name> 'Nobody' }")
     ) == {"head": {}, "boolean": False}
+
+
+def test_tsv_full_syntax_terms(spark):
+    from knowledge_graph_etl_spark.results import sparql_results_tsv
+
+    e = _engine(spark)
+    doc = sparql_results_tsv(
+        e.select(
+            "SELECT ?s ?o FROM <urn:g:r> WHERE { ?s <urn:p:age> ?o }",
+            with_terms=True,
+        )
+    )
+    lines = doc.strip().split("\n")
+    assert lines[0] == "?s\t?o"
+    assert lines[1] == (
+        '<urn:s1>\t"41"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+
+
+def test_csv_plain_values_and_unbound(spark):
+    from knowledge_graph_etl_spark.results import sparql_results_csv
+
+    e = _engine(spark)
+    doc = sparql_results_csv(
+        e.select(
+            "SELECT ?s ?g FROM <urn:g:r> WHERE { ?s <urn:p:name> ?n . "
+            "OPTIONAL { ?s <urn:p:greet> ?g } } ORDER BY ?s",
+            with_terms=True,
+        )
+    )
+    rows = [r.split(",") for r in doc.strip().split("\r\n")]
+    assert rows[0] == ["s", "g"]
+    body = {tuple(r) for r in rows[1:]}
+    assert ("urn:s1", "bonjour") in body     # IRI bare, literal lexical
+    assert ("urn:s2", "") in body            # unbound -> empty cell
+    # bnode label without the _: prefix
+    assert any(not a.startswith("_:") and b == "" for a, b in body)
