@@ -45,9 +45,27 @@ GRAPH_NS = "https://data.hetarchief.be/graph/"
 class Engine:
     """A quad store plus the SPARQL-Update execution path."""
 
-    def __init__(self, spark: SparkSession, store_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str | None = None,
+        stats: bool = False,
+    ):
         self.spark = spark
         self.store = GraphStore(spark, store_path)
+        #: cost-based BGP join ordering from per-predicate row counts
+        #: (store.predicate_stats — the quad-store 'table sizes'). Opt-in:
+        #: the first compile after a mutation pays one count-aggregate job
+        #: to refresh the cached stats, which only pays off on stores big
+        #: enough that join order matters more than a scan.
+        self.stats = stats
+
+    def _compile_ctx(self):
+        from .plans.compiler import predicate_stats_context
+
+        return predicate_stats_context(
+            self.store.predicate_stats() if self.stats else None
+        )
 
     # -- federation -------------------------------------------------------
 
@@ -77,7 +95,10 @@ class Engine:
         query-construction-time step, not a row expression
         (SURVEY.md §2 op 37; load_knowledge_graph.py:54-57,513-544).
         """
-        execute_update(parse_update(self._substitute(query, params)), self.store)
+        with self._compile_ctx():
+            execute_update(
+                parse_update(self._substitute(query, params)), self.store
+            )
 
     # -- read path --------------------------------------------------------
 
@@ -103,7 +124,8 @@ class Engine:
         node = parse_query(self._substitute(query, params))
         if not isinstance(node, SelectQuery):
             raise ValueError("select() needs a SELECT query; use ask()/update()")
-        return compile_select(node, self.store, with_terms=with_terms)
+        with self._compile_ctx():
+            return compile_select(node, self.store, with_terms=with_terms)
 
     def select_json(self, query: str, params: dict | None = None) -> dict:
         """SPARQL SELECT → the W3C SPARQL 1.1 Query Results JSON envelope
@@ -120,7 +142,8 @@ class Engine:
         node = parse_query(self._substitute(query, params))
         if not isinstance(node, AskQuery):
             raise ValueError("ask() needs an ASK query; use select()/update()")
-        return len(compile_ask(node, self.store).take(1)) > 0
+        with self._compile_ctx():
+            return len(compile_ask(node, self.store).take(1)) > 0
 
     def construct_query(self, query: str, params: dict | None = None) -> DataFrame:
         """SPARQL CONSTRUCT → quads DataFrame (read-side; the triples are
@@ -133,7 +156,8 @@ class Engine:
             raise ValueError(
                 "construct_query() needs a CONSTRUCT query; use select()/ask()/update()"
             )
-        return compile_construct(node, self.store)
+        with self._compile_ctx():
+            return compile_construct(node, self.store)
 
     def describe(self, query: str, params: dict | None = None) -> DataFrame:
         """SPARQL DESCRIBE → quads DataFrame (outgoing arcs of the
@@ -141,7 +165,8 @@ class Engine:
         node = parse_query(self._substitute(query, params))
         if not isinstance(node, DescribeQuery):
             raise ValueError("describe() needs a DESCRIBE query")
-        return compile_describe(node, self.store)
+        with self._compile_ctx():
+            return compile_describe(node, self.store)
 
     def plan(self, query: str) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without

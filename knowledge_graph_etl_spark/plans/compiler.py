@@ -24,6 +24,8 @@ of the quads table whose g/p/o constants reach the parquet reader.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,20 +100,55 @@ def _pattern_vars(tp: TriplePattern) -> set[str]:
     return {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, VarT)}
 
 
+#: per-predicate row counts active during a compile (cost-based join
+#: ordering) — set via predicate_stats_context by Engine(stats=True);
+#: None = structural heuristics only (behavior identical to pre-stats).
+_ACTIVE_STATS: dict[str, int] | None = None
+
+
+@contextmanager
+def predicate_stats_context(stats: dict[str, int] | None):
+    """Activate per-predicate row counts for every BGP compiled inside the
+    block: same-structural-class patterns then seed on ascending predicate
+    cardinality (the one statistic a quad store can keep cheaply — its
+    'table sizes', since predicates play the role tables do in a
+    relational catalog). Join RESULTS are order-independent; only the
+    plan changes."""
+    global _ACTIVE_STATS
+    prev = _ACTIVE_STATS
+    _ACTIVE_STATS = stats
+    try:
+        yield
+    finally:
+        _ACTIVE_STATS = prev
+
+
+def _pred_count(tp: TriplePattern) -> float:
+    """Secondary selectivity key: the pattern's predicate cardinality
+    under the active stats (variable predicate = the whole store = +inf);
+    0.0 when no stats are active, preserving the original stable order."""
+    if _ACTIVE_STATS is None:
+        return 0.0
+    if isinstance(tp.p, IriT):
+        return float(_ACTIVE_STATS.get(tp.p.value, 0))
+    return float("inf")
+
+
 def _order_patterns(patterns: list[TriplePattern]) -> list[TriplePattern]:
     """Greedy connectivity order seeded on selectivity (see module doc)."""
     remaining = list(patterns)
     ordered: list[TriplePattern] = []
     bound: set[str] = set()
 
-    def selectivity(tp: TriplePattern) -> int:
+    def selectivity(tp: TriplePattern) -> tuple:
         # lower = more selective: constant object beats constant-subject
-        # beats all-var (predicates are almost always constant here)
+        # beats all-var (predicates are almost always constant here);
+        # within a class, rarer predicates first when stats are active
         if not isinstance(tp.o, VarT):
-            return 0
+            return (0, _pred_count(tp))
         if not isinstance(tp.s, VarT):
-            return 1
-        return 2
+            return (1, _pred_count(tp))
+        return (2, _pred_count(tp))
 
     while remaining:
         if not ordered:
@@ -628,12 +665,18 @@ def _star_units(run: list[TriplePattern]):
             star_vars = {subj} | {
                 tp.o.name for tp in keep if isinstance(tp.o, VarT)
             }
-            sel = 0 if any(not isinstance(tp.o, VarT) for tp in keep) else 1
+            sel = (
+                0 if any(not isinstance(tp.o, VarT) for tp in keep) else 1,
+                min(_pred_count(tp) for tp in keep),
+            )
             units.append(("star", subj, keep, star_vars, sel))
         else:
             singles.extend(keep)
     for tp in _order_patterns(singles):
-        sel = 0 if not isinstance(tp.o, VarT) else (1 if not isinstance(tp.s, VarT) else 2)
+        sel = (
+            0 if not isinstance(tp.o, VarT) else (1 if not isinstance(tp.s, VarT) else 2),
+            _pred_count(tp),
+        )
         units.append(("single", None, [tp], _pattern_vars(tp), sel))
     # greedy connectivity over units, seeded on selectivity (same policy
     # as _order_patterns, lifted to star granularity)

@@ -77,6 +77,9 @@ class GraphStore:
         # clear/drop/close can unpersist them (CacheManager holds JVM-side
         # references; dropping the Python objects frees nothing)
         self._mem_pieces: list[DataFrame] = []
+        # per-predicate row counts (the catalog statistic cost-based BGP
+        # ordering consumes) — computed lazily, invalidated on mutation
+        self._pred_stats: dict[str, int] | None = None
         if path:
             os.makedirs(path, exist_ok=True)
             # finish (or roll back) any compaction a previous process died in
@@ -97,6 +100,24 @@ class GraphStore:
         if self._mem is None:
             return self.spark.createDataFrame([], QUAD_SCHEMA)
         return self._mem
+
+    def predicate_stats(self, refresh: bool = False) -> dict[str, int]:
+        """Per-predicate row counts — the quad-store analog of relational
+        table-size statistics (predicates are the 'tables' a pattern
+        scans), consumed by the compiler's cost-based BGP join ordering
+        (``Engine(stats=True)``). One count-aggregate job; the result is
+        bounded by the predicate vocabulary (thousands, not rows) so a
+        driver-side dict is the right representation. Cached until the
+        next mutation (insert/delete/clear/drop)."""
+        if self._pred_stats is None or refresh:
+            self._pred_stats = {
+                r["p"]: r["c"]
+                for r in self.quads()
+                .groupBy("p")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+        return self._pred_stats
 
     def graph(self, g: str) -> DataFrame:
         return self.quads().where(F.col("g") == g)
@@ -132,6 +153,7 @@ class GraphStore:
         in-batch ``dropDuplicates`` shuffle. Set semantics are unchanged:
         the guarantee is the caller's, exactly like the reference trusting
         its per-record INSERT DATA batches to be duplicate-free."""
+        self._pred_stats = None
         batch = new_quads.select(*QUAD_COLUMNS)
         if not batch_distinct:
             batch = batch.dropDuplicates(QUAD_COLUMNS)
@@ -199,6 +221,7 @@ class GraphStore:
         sees a half-deleted graph, and a crash at any point recovers to
         either the old or the new complete generation. ``target_graphs``
         bounds the rewrite exactly like ``insert``'s anti-join pruning."""
+        self._pred_stats = None
         batch = del_quads.select(*QUAD_COLUMNS)
         if self.path:
             self._recover_compactions()
@@ -467,6 +490,7 @@ class GraphStore:
         return any(n.startswith("g=") for n in os.listdir(self.path))
 
     def _drop_partition(self, g: str) -> None:
+        self._pred_stats = None
         if self.path:
             part = os.path.join(self.path, f"g={_escape_partition_value(g)}")
             shutil.rmtree(part, ignore_errors=True)
