@@ -168,6 +168,27 @@ class Engine:
         with self._compile_ctx():
             return compile_describe(node, self.store)
 
+    def explain(self, query: str, params: dict | None = None) -> str:
+        """Formatted physical plan of a read query (SELECT/ASK/CONSTRUCT/
+        DESCRIBE) without executing it — the EXPLAIN surface: shows the
+        partition pruning, pushed filters, join strategies, and (with
+        ``stats=True``) the statistics-seeded join order the engine chose."""
+        node = parse_query(self._substitute(query, params))
+        with self._compile_ctx():
+            if isinstance(node, SelectQuery):
+                df = compile_select(node, self.store)
+            elif isinstance(node, AskQuery):
+                df = compile_ask(node, self.store)
+            elif isinstance(node, ConstructQuery):
+                df = compile_construct(node, self.store)
+            elif isinstance(node, DescribeQuery):
+                df = compile_describe(node, self.store)
+            else:
+                raise ValueError(f"cannot explain {type(node).__name__}")
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
     def plan(self, query: str) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without
         executing the insert (for EXPLAIN/testing)."""

@@ -1766,3 +1766,19 @@ def test_stats_engine_same_results(spark):
         [("urn:g:s", "urn:s9", "iri", "urn:p:common", "w", "literal", None, None)]
     )
     assert stat.store.predicate_stats()["urn:p:common"] == 51  # invalidated
+
+
+def test_engine_explain_surface(spark):
+    from knowledge_graph_etl_spark.engine import Engine
+
+    e = Engine(spark)
+    e.store.insert_data(
+        [("urn:g:ex", "urn:s", "iri", "urn:p", "v", "literal", None, None)]
+    )
+    txt = e.explain("SELECT ?s FROM <urn:g:ex> WHERE { ?s <urn:p> 'v' }")
+    assert "Physical Plan" in txt
+    import pytest as _pytest
+
+    # updates are not a query form: parse_query rejects them
+    with _pytest.raises((ValueError, SyntaxError)):
+        e.explain("INSERT DATA { <urn:a> <urn:b> 'c' }")
