@@ -1,0 +1,101 @@
+"""Property-based tests for the corpus-curation dedup operators: random
+small corpora over a tiny vocabulary (forcing heavy n-gram collisions)
+checked against structural invariants the DuckDB oracles can't express
+as universally (they verify one fixed corpus; these verify the CLASS).
+
+Invariants:
+  * substring_span_dedup — coverage accounting is exact: removed-token
+    count equals n_tokens - len(cleaned); spans are maximal runs so
+    n_spans <= n_dup_tokens // k; cleaned text is a subsequence of the
+    tokenization; a corpus with globally unique k-grams loses nothing;
+  * dedup_lines — corpus-wide kept-line total equals the number of
+    DISTINCT non-empty lines (first occurrence keeps exactly one copy);
+  * bloom_decontaminate — never a false negative vs the exact join, at
+    any bitmap size.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from knowledge_graph_etl_spark.extensions.curation import (
+    bloom_decontaminate,
+    decontaminate,
+    dedup_lines,
+    substring_span_dedup,
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+_texts = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+_corpora = st.lists(_texts, min_size=1, max_size=6)
+
+
+def _df(spark, corpus):
+    return spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(corpus)], "doc_id string, text string"
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpus=_corpora)
+def test_substring_dedup_accounting(spark, corpus):
+    k = 3
+    out = substring_span_dedup(_df(spark, corpus), k=k).collect()
+    assert len(out) == len(corpus)  # every document survives as a row
+    for r in out:
+        toks = corpus[int(r["doc_id"])].split()
+        assert r["n_tokens"] == len(toks)
+        assert 0 <= r["n_dup_tokens"] <= r["n_tokens"]
+        assert r["n_spans"] <= (r["n_dup_tokens"] // k if k else 0) or (
+            r["n_spans"] == 0 and r["n_dup_tokens"] == 0
+        )
+        cleaned = r["cleaned_text"].split() if r["cleaned_text"] else []
+        assert len(cleaned) == r["n_tokens"] - r["n_dup_tokens"]
+        # cleaned is a subsequence of the original tokens
+        it = iter(toks)
+        assert all(any(t == x for x in it) for t in cleaned)
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpus=_corpora)
+def test_dedup_lines_distinct_accounting(spark, corpus):
+    # re-chunk into 2-token pseudo-lines so most corpora have >1 line
+    docs = _df(spark, corpus)
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_etl_spark.extensions.curation import chunk_into_lines
+
+    chunked = docs.select(
+        "doc_id", chunk_into_lines(F.col("text"), 2).alias("text")
+    )
+    out = dedup_lines(chunked).collect()
+    distinct_lines = {
+        ln
+        for t in corpus
+        for ln in _chunk(t, 2)
+        if ln.strip()
+    }
+    assert sum(r["n_kept"] for r in out) == len(distinct_lines)
+    assert all(0 <= r["n_kept"] <= r["n_lines"] for r in out)
+
+
+def _chunk(text, width):
+    toks = text.split()
+    return [
+        " ".join(toks[i : i + width]) for i in range(0, len(toks), width)
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpora, bits=st.sampled_from([64, 4096, 1 << 17]))
+def test_bloom_never_false_negative(spark, corpus, bits):
+    docs = _df(spark, corpus)
+    bench = docs.limit(1)
+    exact = {r["doc_id"]: r for r in decontaminate(docs, bench, n=2).collect()}
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, bench, n=2, num_bits=bits).collect()
+    }
+    for d, ex in exact.items():
+        assert bloom[d]["n_maybe_hits"] >= ex["n_hits"], (d, bits)
+        if ex["contaminated"]:
+            assert bloom[d]["contaminated"], (d, bits)
