@@ -1450,6 +1450,52 @@ def graph_triangles_q(spark, sf_dir):
     return triangle_count(e)
 
 
+def graph_communities_q(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (extensions/graph.label_propagation): majority neighbor label with
+    min-label tie-break per round — the tie-break makes classic LPA
+    reproducible, so the 4 unrolled rounds verify exactly vs DuckDB."""
+    from knowledge_graph_etl_spark.extensions.graph import label_propagation
+
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "l_partkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+    return label_propagation(e, iters=4)
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled twin of graph_communities_q: per round, (node, label)
+    neighbor-vote counts → row_number over (count desc, label asc) → top-1
+    adoption with keep-own fallback — identical tie-break, so exact."""
+    parts = [
+        "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+        "raw AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM ps x "
+        "JOIN ps y ON x.l_partkey = y.l_partkey AND x.l_suppkey < y.l_suppkey), "
+        "e AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw), "
+        "nodes AS (SELECT DISTINCT a AS node FROM "
+        "(SELECT a FROM raw UNION ALL SELECT b FROM raw)), "
+        "l0 AS (SELECT node, node AS label FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.b AS node, l.label, COUNT(*) AS c "
+            f"FROM e JOIN l{i - 1} l ON e.a = l.node GROUP BY 1, 2), "
+            f"b{i} AS (SELECT node, label FROM (SELECT node, label, "
+            f"row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn "
+            f"FROM c{i}) t WHERE rn = 1), "
+            f"l{i} AS (SELECT n.node, COALESCE(b.label, n.node) AS label "
+            f"FROM nodes n LEFT JOIN b{i} b USING (node))"
+        )
+    parts.append(f" SELECT node, label AS community FROM l{iters}")
+    return "".join(parts)
+
+
 def events_pivot_q(spark, sf_dir):
     """Pivot (long→wide): per-user event counts, one column per event
     type. Spark's ``pivot`` with an EXPLICIT value list — omitting it
@@ -1784,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_ngram_topk": cms_ngram_topk_q,
         "graph_triangles": graph_triangles_q,
         "graph_ppr": graph_ppr_q,
+        "graph_communities": graph_communities_q,
         "streaming_anomaly": streaming_anomaly_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
@@ -2649,6 +2696,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_pagerank": _pagerank_oracle(iters=5),
         "graph_ppr": _pagerank_oracle(iters=5, seed_like="n%"),
+        "graph_communities": _lpa_oracle(iters=4),
         "graph_triangles": (
             "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
             "e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM ps x "

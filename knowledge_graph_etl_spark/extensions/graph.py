@@ -180,3 +180,69 @@ def triangle_count(
         "node",
         F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label propagation
+    over an undirected edge list: every node starts labeled with itself;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken by minimum label — the tie-break plus synchronous rounds
+    makes the classic (notoriously run-to-run unstable) LPA exactly
+    reproducible, and therefore SQL-oracle-able like :func:`pagerank`
+    (the oracle unrolls the same rounds; asynchronous/randomized LPA
+    could never be cross-engine verified). Isolated vertices (including
+    self-loop-only ones) keep their own label. Fixed ``iters``; returns
+    ``(node, community)``.
+
+    Scale shape: per round one edges⋈labels equi-join, one (node, label)
+    count aggregate (map-side combinable), one per-node top-1 window, one
+    left join back to the node spine — all shuffles on uniform node keys,
+    plans severed per round by lazy localCheckpoint."""
+    from pyspark.sql import Window
+
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (
+        raw.where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .unionByName(
+            raw.where(F.col("a") != F.col("b")).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

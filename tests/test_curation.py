@@ -806,3 +806,41 @@ def test_personalized_pagerank_seed_proximity(spark):
     # classic PageRank still gives every node the uniform base
     uni = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=10).collect()}
     assert all(v >= 150000 for v in uni.values())
+
+
+# -- label propagation --------------------------------------------------------
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Exact mirror of the deterministic sync-LPA rounds in pure Python on
+    two triangles joined by one bridge, plus an isolated self-loop node."""
+    from knowledge_graph_etl_spark.extensions.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (9, 9)]
+    iters = 4
+
+    sym = {(a, b) for a, b in edges if a != b}
+    sym |= {(b, a) for a, b in sym}
+    nodes = sorted({v for e in edges for v in e})
+    labels = {v: v for v in nodes}
+    for _ in range(iters):
+        new = {}
+        for v in nodes:
+            votes: dict = {}
+            for a, b in sym:
+                if b == v:
+                    lbl = labels[a]
+                    votes[lbl] = votes.get(lbl, 0) + 1
+            if votes:
+                new[v] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[v] = v  # isolated keeps its own label
+        labels = new
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == labels
+    assert got[9] == 9  # self-loop-only vertex: isolated, keeps itself
