@@ -1671,6 +1671,15 @@ def unigram_lm_score_q(spark, sf_dir):
     return unigram_logprob_score(_t(spark, sf_dir, "documents"))
 
 
+def corpus_report_q(spark, sf_dir):
+    """Per-(source, lang) corpus datasheet (curation.corpus_report):
+    doc/token/empty counts + 1e-6-quantized-exact mean stopword/punct
+    ratios — the snapshot summary a curation pipeline publishes."""
+    from knowledge_graph_etl_spark.extensions.curation import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def bigram_lm_score_q(spark, sf_dir):
     """Interpolated bigram-LM scoring (curation.bigram_logprob_score):
     λ·p(w|prev) + (1-λ)·p(w), order-independent 1e-6 integer-quantized
@@ -1831,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles_q,
         "graph_ppr": graph_ppr_q,
         "graph_communities": graph_communities_q,
+        "corpus_report": corpus_report_q,
         "streaming_anomaly": streaming_anomaly_q,
         # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
         "kg_pattern_scan": kg_pattern_scan,
@@ -2963,6 +2973,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(q) AS BIGINT) AS nll_q, "
             "round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_nll "
             "FROM p GROUP BY doc_id"
+        ),
+        "corpus_report": (
+            f"WITH per AS (SELECT source, lang, {ntok} AS ntok, "
+            f"CAST(floor({_sw_ratio('en')} * 1000000 + 0.5) AS BIGINT) AS swq, "
+            f"CAST(floor((CASE WHEN length(text) > 0 THEN {punct} / length(text) "
+            "ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS pq, "
+            "CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS empty "
+            "FROM documents) "
+            "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ntok) AS BIGINT) AS total_tokens, "
+            "CAST(SUM(empty) AS BIGINT) AS n_empty, "
+            "round(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 2) AS avg_tokens, "
+            "round(CAST(SUM(swq) AS DOUBLE) / COUNT(*) / 1000000, 6) "
+            "AS avg_stopword_ratio, "
+            "round(CAST(SUM(pq) AS DOUBLE) / COUNT(*) / 1000000, 6) "
+            "AS avg_punct_ratio "
+            "FROM per GROUP BY source, lang"
         ),
         "bigram_lm_score": (
             f"WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents), "

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import md5_u60
-from .text import tokens, zip_kgrams
+from .text import punct_ratio, stopword_ratio, token_count, tokens, zip_kgrams
 
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher quality filters)
@@ -1183,4 +1183,49 @@ def chunk_overlapping(
             F.col("c.chunk_text").alias("chunk_text"),
             F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+def corpus_report(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus datasheet ("datasheets for datasets"): document
+    and token counts, share of empty documents, and mean stopword/punct
+    ratios per grouping slice — the summary a curation pipeline publishes
+    alongside each corpus snapshot so drift between snapshots is a diff,
+    not an investigation.
+
+    Exactness discipline: per-document ratios are 1e-6-quantized to
+    integers BEFORE summing (a float mean is partition-order-dependent
+    and engine-dependent), so every reported mean derives from exact
+    integer sums — the same trick as the LM scorers, making the whole
+    report hash-verifiable cross-engine. The stopword ratio uses the
+    English list for every row (a fixed probe lexicon, not per-row
+    language dispatch — comparable across slices by construction).
+
+    One map-side-combinable aggregate on the (typically tiny) slice key;
+    per-row signals are pure Column expressions."""
+    one_m = 1000000.0
+    ntok = token_count(F.col(text_col))
+    swq = F.floor(stopword_ratio(F.col(text_col)) * one_m + F.lit(0.5)).cast("long")
+    pq = F.floor(punct_ratio(F.col(text_col)) * one_m + F.lit(0.5)).cast("long")
+    empty = F.when(F.length(F.trim(F.col(text_col))) == 0, 1).otherwise(0)
+    agg = docs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.sum(empty).cast("bigint").alias("n_empty"),
+        F.sum(swq).alias("_sw"),
+        F.sum(pq).alias("_pq"),
+    )
+    n = F.col("n_docs")
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        "n_empty",
+        F.round(F.col("total_tokens") / n, 2).alias("avg_tokens"),
+        F.round(F.col("_sw") / n / F.lit(one_m), 6).alias("avg_stopword_ratio"),
+        F.round(F.col("_pq") / n / F.lit(one_m), 6).alias("avg_punct_ratio"),
     )

@@ -844,3 +844,35 @@ def test_label_propagation_matches_python_reference(spark):
     }
     assert got == labels
     assert got[9] == 9  # self-loop-only vertex: isolated, keeps itself
+
+
+# -- corpus datasheet ---------------------------------------------------------
+
+
+def test_corpus_report_values(spark):
+    from knowledge_graph_etl_spark.extensions.curation import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat", "web", "en"),
+            ("b", "dog runs!", "web", "en"),
+            ("c", "", "web", "en"),
+            ("d", "une seule ligne ici", "books", "fr"),
+        ],
+        "doc_id string, text string, source string, lang string",
+    )
+    out = {
+        (r["source"], r["lang"]): r for r in corpus_report(docs).collect()
+    }
+    web = out[("web", "en")]
+    assert web["n_docs"] == 3 and web["total_tokens"] == 5 and web["n_empty"] == 1
+    assert web["avg_tokens"] == round(5 / 3, 2)
+    # 'the' is the only stopword hit: ratios (1/3 + 0 + 0)/3, quantized
+    import math
+
+    q = math.floor((1 / 3) * 1e6 + 0.5)
+    assert web["avg_stopword_ratio"] == round(q / 3 / 1e6, 6)
+    # punctuation: '!' in 9-char doc b only
+    qp = math.floor((1 / 9) * 1e6 + 0.5)
+    assert web["avg_punct_ratio"] == round(qp / 3 / 1e6, 6)
+    assert out[("books", "fr")]["n_docs"] == 1
