@@ -595,12 +595,26 @@ def dedup_resolve_clusters_q(spark, sf_dir):
     graph, with the full corpus supplying singleton clusters. The DuckDB
     oracle recomputes the same components via a recursive CTE, so the
     ENTIRE fuzzy-dedup pipeline — signature → banding → candidate join →
-    estimate filter → transitive cluster resolution — is hash-verified."""
+    estimate filter → transitive cluster resolution — is hash-verified.
+
+    Scoped checkpoint release: resolve_clusters frees its own superseded
+    per-round checkpoints; the scope wrapper additionally frees the
+    upstream minhash signature checkpoint (severed from the result by the
+    component solver's eager edge checkpoint), so the query leaves only
+    the final labels table persisted."""
+    from knowledge_graph_etl_spark.extensions.ckpt import (
+        persistent_rdd_ids,
+        release_new_checkpoints,
+    )
+
+    before = persistent_rdd_ids(spark)
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, num_hashes=32, bands=4, threshold=0.8, hash_fn="md5"
     )
-    return resolve_clusters(pairs, docs=docs)
+    out = resolve_clusters(pairs, docs=docs)
+    release_new_checkpoints(spark, before, keep=out)
+    return out
 
 
 def ann_pq_topk_q(spark, sf_dir):
@@ -853,9 +867,15 @@ def text_repetition_q(spark, sf_dir):
 def dedup_lines_q(spark, sf_dir):
     """CCNet-style corpus-wide line dedup (first occurrence wins) over
     documents re-chunked into 10-token pseudo-lines — the synthetic corpus
-    has no newlines (extensions/curation.dedup_lines). Surviving lines are
-    rejoined with \\x1e (record separator) so no output cell contains an
-    embedded newline — line-oriented row serializers hash it stably."""
+    has no newlines (extensions/curation.dedup_lines).
+
+    The driver-checked output carries ``text_md5`` — md5 hex of the
+    reassembled text — instead of the raw text: the rejoined cell contains
+    a \\x1e separator, and two rounds of driver hash mismatches (r03, r04)
+    with rows/schema green and local exact-value comparison green showed
+    the driver's row serializer diverges on control characters in text
+    cells. Hex-only cells cannot. Full-text exact comparison stays in
+    tests/test_curation.py and tools/check_oracle local runs."""
     from knowledge_graph_etl_spark.extensions.curation import (
         chunk_into_lines,
         dedup_lines,
@@ -864,7 +884,13 @@ def dedup_lines_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", chunk_into_lines(F.col("text"), 10).alias("text")
     )
-    return dedup_lines(d, out_sep="\x1e")
+    out = dedup_lines(d, out_sep="\x1e")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_lines",
+        "n_kept",
+    )
 
 
 def dedup_substring_q(spark, sf_dir):
@@ -1775,6 +1801,155 @@ def curation_pipeline_q(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# new in r05: k-core / bounded betweenness / prefix dedup / end-to-end
+# corpus dedup / contamination report
+# --------------------------------------------------------------------------
+
+
+def graph_kcore_q(spark, sf_dir):
+    """k-core decomposition (k=3) of the part–supplier bipartite graph
+    (extensions/graph.kcore): iterative degree peeling to a fixed point,
+    one job per round, convergence detected by the monotone edge count.
+    The oracle unrolls the same peeling rounds (peeling is deterministic
+    and idempotent past the fixed point, so a generous unroll count is
+    exact)."""
+    from knowledge_graph_etl_spark.extensions.graph import kcore
+
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    e = ps.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return kcore(e, k=3)
+
+
+def graph_betweenness_q(spark, sf_dir):
+    """Bounded-depth (2-hop) Brandes betweenness in integer micro-units
+    (extensions/graph.betweenness) over the part–supplier bipartite graph
+    sampled on parts (l_partkey % 50 = 0 keeps the 2-hop frontier state
+    bounded): suppliers score as brokers between the parts they co-supply.
+    Forward σ counting + backward integer-quantized δ accumulation — both
+    phases exactly reproduced by the SQL oracle."""
+    from knowledge_graph_etl_spark.extensions.graph import betweenness
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_partkey") % 50) == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    e = ps.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return betweenness(e, max_depth=2)
+
+
+def dedup_suffix_prefix_q(spark, sf_dir):
+    """Truncation-duplicate pairs (extensions/dedup.prefix_duplicate_pairs):
+    documents whose token sequence is a prefix of another's — anchor-
+    blocked on the md5 of the first 5 tokens, never all-pairs. The
+    synthetic corpus's seeded exact duplicates surface as relation='exact'
+    rows; real truncations would be 'prefix'."""
+    from knowledge_graph_etl_spark.extensions.dedup import prefix_duplicate_pairs
+
+    return prefix_duplicate_pairs(_t(spark, sf_dir, "documents"), anchor_tokens=5)
+
+
+def doc_minhash_cluster_dedup_q(spark, sf_dir):
+    """End-to-end fuzzy corpus dedup (extensions/dedup.corpus_dedup):
+    MinHash+LSH pairs → transitive components → per-document keep flag,
+    the single-call API a training pipeline uses. Same md5 hash family /
+    banding / threshold as dedup_resolve_clusters, so the oracle is that
+    query's recursive-CTE components wrapped with the keep decision."""
+    from knowledge_graph_etl_spark.extensions.ckpt import (
+        persistent_rdd_ids,
+        release_new_checkpoints,
+    )
+    from knowledge_graph_etl_spark.extensions.dedup import corpus_dedup
+
+    before = persistent_rdd_ids(spark)
+    out = corpus_dedup(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=4,
+        threshold=0.8,
+        hash_fn="md5",
+    )
+    release_new_checkpoints(spark, before, keep=out)
+    return out
+
+
+def contamination_report_q(spark, sf_dir):
+    """Per-source contamination summary (extensions/curation.
+    contamination_report): decontaminate (3-grams, every 50th doc as the
+    benchmark stand-in) rolled up by the documents table's source column,
+    with the contaminated rate in integer ppm (exact cross-engine)."""
+    from knowledge_graph_etl_spark.extensions.curation import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where((F.col("doc_id") % 50) == 0)
+    return contamination_report(d, bench, n=3, group_col="source")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled-CTE twin of graph_kcore_q: each round recomputes degrees
+    over the surviving edge set and keeps edges whose BOTH endpoints have
+    degree >= k. Peeling is idempotent at the fixed point, so ``rounds``
+    only needs to be >= the true peeling depth (asserted in tests)."""
+    # MATERIALIZED: each round references the previous edge set three
+    # times (degree agg + both semi-join sides); DuckDB's default CTE
+    # inlining would re-expand the chain 3^rounds times (observed as "too
+    # many open files" from thousands of duplicated parquet scans)
+    parts = [
+        "WITH ps AS MATERIALIZED (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS pu, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS su FROM lineitem), "
+        "e0 AS MATERIALIZED (SELECT pu AS u, su AS v FROM ps UNION ALL SELECT su, pu FROM ps)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e{i - 1} GROUP BY u), "
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e "
+            f"JOIN d{i} a ON a.u = e.u JOIN d{i} b ON b.u = e.v "
+            f"WHERE a.d >= {k} AND b.d >= {k})"
+        )
+    parts.append(
+        f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree "
+        f"FROM e{rounds} GROUP BY u"
+    )
+    return "".join(parts)
+
+
+_BETWEENNESS_ORACLE = (
+    # forward: σ per (source, node) at depths 1 and 2 (simple symmetrized
+    # graph → depth-1 σ is the edge multiplicity = 1); depth-2 candidates
+    # anti-join depth-1 and exclude the source (shortest-path DAG only).
+    # backward: δ_micro(s,v) = Σ_w (σ_v·MICRO) // σ_w over depth-2
+    # successors; betweenness = Σ_s δ // 2 (each unordered pair walked
+    # from both endpoints). Integer arithmetic throughout — identical to
+    # extensions/graph.betweenness.
+    "WITH ps AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS pu, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS su FROM lineitem WHERE l_partkey % 50 = 0), "
+    "e AS (SELECT pu AS u, su AS v FROM ps UNION ALL SELECT su, pu FROM ps), "
+    "nodes AS (SELECT DISTINCT u AS node FROM e), "
+    "f1 AS (SELECT e.u AS s, e.v AS node, CAST(COUNT(*) AS BIGINT) AS sigma "
+    "FROM e GROUP BY 1, 2), "
+    "f2 AS (SELECT g.s, g.node, g.sigma FROM "
+    "(SELECT f1.s, e.v AS node, SUM(f1.sigma) AS sigma "
+    "FROM f1 JOIN e ON e.u = f1.node GROUP BY 1, 2) g "
+    "ANTI JOIN f1 ON f1.s = g.s AND f1.node = g.node "
+    "WHERE g.node <> g.s), "
+    "d1 AS (SELECT q.s, q.node, SUM((q.sigma * 1000000) // f2.sigma) AS delta "
+    "FROM f1 q JOIN e ON e.u = q.node "
+    "JOIN f2 ON f2.s = q.s AND f2.node = e.v "
+    "GROUP BY 1, 2), "
+    "bet AS (SELECT node, SUM(delta) // 2 AS bm FROM d1 GROUP BY node) "
+    "SELECT n.node, CAST(COALESCE(b.bm, 0) AS BIGINT) AS bet_micro "
+    "FROM nodes n LEFT JOIN bet b ON b.node = n.node"
+)
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -1786,67 +1961,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate: the driver's correctness gate walks the
-    dict in order with a bounded window, so entries that have never appeared
-    in a CORRECTNESS_r*.json (everything before the `--- r03-green ---`
-    marker) come first; the r01–r03 driver-green block rotates to the back
-    (still regression-guarded locally by tools/check_oracle.py, which always
-    runs the full registry)."""
+    """Registry order is deliberate — ROTATION POLICY: the driver's
+    correctness gate walks the dict in order with a bounded (~50-entry)
+    window, so each round the front of the dict holds (a) entries changed
+    or added this round, then (b) the block whose most recent driver-green
+    row is oldest; the block driver-checked last round rotates to the back.
+    This keeps every query's driver row at most 2 rounds stale. The full
+    registry is always regression-guarded locally by tools/check_oracle.py
+    (exact values, all entries), which is the required pre-commit gate.
+
+    r05 front = dedup_lines (output changed to text_md5 this round) + new
+    r05 entries + the 43 entries whose latest driver row is
+    CORRECTNESS_r03; back = the r04-green block."""
     return {
-        # --- never driver-checked (added r03) + this round's fixes/additions
-        "asof_join_events": asof_join_events_q,
-        "agg_rollup": agg_rollup_q,
-        "embed_quantize": embed_quantize_q,
-        "agg_quantiles": agg_quantiles_q,
-        "text_normalize": text_normalize_q,
-        "pack_sequences": pack_sequences_q,
-        "corpus_ngram_topk": corpus_ngram_topk_q,
-        "tfidf_topterms": tfidf_topterms_q,
-        "sample_per_group": sample_per_group_q,
-        "curation_pipeline": curation_pipeline_q,
-        "gopher_quality": gopher_quality_q,
-        "mixture_sample": mixture_sample_q,
-        "unigram_lm_score": unigram_lm_score_q,
-        "agg_cube": agg_cube_q,
-        "training_order": training_order_q,
-        "semantic_dedup": semantic_dedup_q,
-        "ann_pq_topk": ann_pq_topk_q,
-        "kg_construct_query": kg_construct_query_q,
-        "graph_pagerank": graph_pagerank_q,
-        "kg_path_query": kg_path_query_q,
-        "kg_not_exists": kg_not_exists_q,
-        "kg_union_values": kg_union_values_q,
-        "kg_group_agg": kg_group_agg_q,
-        "kg_filter_compare": kg_filter_compare_q,
-        "kg_select_builtins": kg_select_builtins_q,
-        "kg_graph_var": kg_graph_var_q,
-        "kg_arithmetic": kg_arithmetic_q,
-        "events_pivot": events_pivot_q,
-        "events_unpivot": events_unpivot_q,
-        "sketch_kmv_distinct": sketch_kmv_distinct_q,
-        "multimodal_resize": multimodal_resize_q,
-        "streaming_curate": streaming_curate_q,
-        "doc_chunking": doc_chunking_q,
-        "streaming_interval_join": streaming_interval_join_q,
-        "streaming_enrich": streaming_enrich_q,
-        # r03 red (hash) — fixed this round (newline-free out_sep), re-gate:
+        # --- changed this round: driver-checked output now text_md5 ---
         "dedup_lines": dedup_lines_q,
-        # new this round (r04):
-        "kg_service_federation": kg_service_federation_q,
-        "dedup_substring": dedup_substring_q,
-        "bigram_lm_score": bigram_lm_score_q,
-        "bloom_decontaminate": bloom_decontaminate_q,
-        "cms_ngram_topk": cms_ngram_topk_q,
-        "graph_triangles": graph_triangles_q,
-        "graph_ppr": graph_ppr_q,
-        "graph_communities": graph_communities_q,
-        "corpus_report": corpus_report_q,
-        "streaming_anomaly": streaming_anomaly_q,
-        # --- r03-green --- (driver-green in CORRECTNESS_r01–r03, rotated back)
-        "kg_pattern_scan": kg_pattern_scan,
-        "kg_star_join_bind": kg_star_join_bind,
-        "kg_chain_join": kg_chain_join,
-        "kg_star_chain7": kg_star_chain7,
+        # --- new this round (r05) ---
+        "graph_kcore": graph_kcore_q,
+        "graph_betweenness": graph_betweenness_q,
+        "dedup_suffix_prefix": dedup_suffix_prefix_q,
+        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
+        "contamination_report": contamination_report_q,
+        # --- latest driver row is r03 — rotate back into the window ---
         "kg_optional": kg_optional,
         "kg_exists_semijoin": kg_exists_semijoin,
         "kg_construct": kg_construct,
@@ -1890,6 +2026,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate_q,
         "pii_redact": pii_redact_q,
         "data_split_shard": data_split_shard_q,
+        # --- r04-green block (driver-checked last round, rotated back) ---
+        "kg_pattern_scan": kg_pattern_scan,
+        "kg_star_join_bind": kg_star_join_bind,
+        "kg_chain_join": kg_chain_join,
+        "kg_star_chain7": kg_star_chain7,
+        "asof_join_events": asof_join_events_q,
+        "agg_rollup": agg_rollup_q,
+        "embed_quantize": embed_quantize_q,
+        "agg_quantiles": agg_quantiles_q,
+        "text_normalize": text_normalize_q,
+        "pack_sequences": pack_sequences_q,
+        "corpus_ngram_topk": corpus_ngram_topk_q,
+        "tfidf_topterms": tfidf_topterms_q,
+        "sample_per_group": sample_per_group_q,
+        "curation_pipeline": curation_pipeline_q,
+        "gopher_quality": gopher_quality_q,
+        "mixture_sample": mixture_sample_q,
+        "unigram_lm_score": unigram_lm_score_q,
+        "agg_cube": agg_cube_q,
+        "training_order": training_order_q,
+        "semantic_dedup": semantic_dedup_q,
+        "ann_pq_topk": ann_pq_topk_q,
+        "kg_construct_query": kg_construct_query_q,
+        "graph_pagerank": graph_pagerank_q,
+        "kg_path_query": kg_path_query_q,
+        "kg_not_exists": kg_not_exists_q,
+        "kg_union_values": kg_union_values_q,
+        "kg_group_agg": kg_group_agg_q,
+        "kg_filter_compare": kg_filter_compare_q,
+        "kg_select_builtins": kg_select_builtins_q,
+        "kg_graph_var": kg_graph_var_q,
+        "kg_arithmetic": kg_arithmetic_q,
+        "events_pivot": events_pivot_q,
+        "events_unpivot": events_unpivot_q,
+        "sketch_kmv_distinct": sketch_kmv_distinct_q,
+        "multimodal_resize": multimodal_resize_q,
+        "streaming_curate": streaming_curate_q,
+        "doc_chunking": doc_chunking_q,
+        "streaming_interval_join": streaming_interval_join_q,
+        "streaming_enrich": streaming_enrich_q,
+        "kg_service_federation": kg_service_federation_q,
+        "dedup_substring": dedup_substring_q,
+        "bigram_lm_score": bigram_lm_score_q,
+        "bloom_decontaminate": bloom_decontaminate_q,
+        "cms_ngram_topk": cms_ngram_topk_q,
+        "graph_triangles": graph_triangles_q,
+        "graph_ppr": graph_ppr_q,
+        "graph_communities": graph_communities_q,
+        "corpus_report": corpus_report_q,
+        "streaming_anomaly": streaming_anomaly_q,
     }
 
 
@@ -2527,7 +2713,7 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, "
             "string_agg(CASE WHEN rn = 1 THEN line END, chr(30) ORDER BY pos) AS text "
             "FROM r GROUP BY doc_id) "
-            "SELECT d.doc_id, coalesce(a.text, '') AS text, "
+            "SELECT d.doc_id, md5(coalesce(a.text, '')) AS text_md5, "
             "coalesce(n_lines, 0) AS n_lines, coalesce(n_kept, 0) AS n_kept "
             "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
         ),
@@ -2707,6 +2893,46 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(iters=5),
         "graph_ppr": _pagerank_oracle(iters=5, seed_like="n%"),
         "graph_communities": _lpa_oracle(iters=4),
+        "graph_kcore": _kcore_oracle(k=3, rounds=10),
+        "graph_betweenness": _BETWEENNESS_ORACLE,
+        "dedup_suffix_prefix": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "b AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 5), "
+            "k AS (SELECT doc_id, t, n, "
+            "md5(array_to_string(list_slice(t, 1, 5), ' ')) AS anchor FROM b) "
+            "SELECT a.doc_id AS id_a, c.doc_id AS id_b, "
+            "CAST(a.n AS BIGINT) AS n_tokens_a, CAST(c.n AS BIGINT) AS n_tokens_b, "
+            "CASE WHEN a.n < c.n THEN 'prefix' ELSE 'exact' END AS relation "
+            "FROM k a JOIN k c ON a.anchor = c.anchor "
+            "AND (a.n < c.n OR (a.n = c.n AND a.doc_id < c.doc_id)) "
+            "WHERE array_to_string(list_slice(c.t, 1, a.n), ' ') "
+            "= array_to_string(a.t, ' ')"
+        ),
+        "doc_minhash_cluster_dedup": (
+            "SELECT doc_id, cluster_rep, cluster_size, "
+            "doc_id = cluster_rep AS is_kept FROM ("
+            + _resolve_clusters_oracle(
+                _minhash_oracle(num_hashes=32, bands=4, threshold=0.8)
+            )
+            + ")"
+        ),
+        "contamination_report": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+            "list_transform(generate_series(1, len(t) - 2), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END) AS grams FROM tok), "
+            "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0), "
+            "h AS (SELECT dg.doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (gram) "
+            "GROUP BY dg.doc_id), "
+            "f AS (SELECT d.doc_id, d.source, coalesce(h.n_hits, 0) AS n_hits "
+            "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, "
+            "CAST(SUM(n_hits) AS BIGINT) AS total_hits, "
+            "CAST((1000000 * SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS rate_ppm "
+            "FROM f GROUP BY source"
+        ),
         "graph_triangles": (
             "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
             "e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM ps x "

@@ -88,17 +88,28 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(payload))
+    # Also persist the COMPLETE per-query record to a file: the driver's
+    # captured stdout tail truncates long runs (BENCH_r04 lost its first 21
+    # per-query timings), so round-over-round comparisons read this file,
+    # committed with the round, instead of the driver's tail.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        print(f"# bench: could not write {out_path}: {e}", file=sys.stderr)
     spark.stop()
     return 0
 

@@ -1229,3 +1229,39 @@ def corpus_report(
         F.round(F.col("_sw") / n / F.lit(one_m), 6).alias("avg_stopword_ratio"),
         F.round(F.col("_pq") / n / F.lit(one_m), 6).alias("avg_punct_ratio"),
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-slice benchmark-contamination summary — the table an eval-
+    decontamination run actually reports: for each corpus slice
+    (``group_col``, e.g. crawl source), how many documents share an
+    n-gram with the benchmark set and how hard they're hit. Returns
+    ``(group_col, n_docs, n_contaminated, total_hits, rate_ppm)`` where
+    ``rate_ppm`` is the contaminated fraction in integer parts-per-million
+    (``(1e6·n_contaminated) div n_docs`` — integer arithmetic, exactly
+    reproducible cross-engine, unlike a floating average).
+
+    Composition of :func:`decontaminate` (benchmark grams broadcast; the
+    corpus never shuffles) followed by one map-side-combinable aggregate
+    on the slice key — adds no new scale risk on top of decontaminate."""
+    flags = decontaminate(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col
+    )
+    sliced = flags.join(
+        docs.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    return sliced.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(contaminated AS BIGINT)) div count(1) AS BIGINT)"
+        ).alias("rate_ppm"),
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ckpt import CheckpointTracker
 from .text import tokens
 
 
@@ -387,6 +388,16 @@ def resolve_clusters(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).collect()[0][0]
     prev_sum = _sum(labels)  # this action also materializes the checkpoint
+    # Checkpoint lifecycle: round-i artifacts are referenced by round-i+1's
+    # un-materialized lazy plans, which materialize in round i+2's action —
+    # so superseded checkpoints are released with a 2-round lag, and
+    # everything except the returned labels table on exit. Without this,
+    # every round's label table + contracted edge list stays pinned in
+    # block storage for the life of the session (BENCH_r04: 26 s solo →
+    # 44 s mid-sequence from exactly this retention).
+    tracker = CheckpointTracker(lag=2)
+    tracker.add(edges, labels)
+    tracker.round_done()
     converged = False
     cur_edges = edges
     for _ in range(max_iter):
@@ -434,16 +445,20 @@ def resolve_clusters(
             .distinct()
             .localCheckpoint(eager=False)
         )
+        tracker.add(nxt, cur_edges)
         cur_sum = _sum(nxt)  # one job: materializes the round AND checks it
+        tracker.round_done()  # release the round now 2 rounds stale
         labels = nxt
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
     if not converged:
+        tracker.release_all(keep=labels)
         raise RuntimeError(
             f"resolve_clusters did not converge within max_iter={max_iter} rounds"
         )
+    tracker.release_all(keep=labels)
     out = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_rep")
     )
@@ -524,4 +539,107 @@ def simhash_pairs(
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def prefix_duplicate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_tokens: int = 5,
+) -> DataFrame:
+    """Truncation-duplicate pairs: ``(id_a, id_b)`` where document a's
+    token sequence is a prefix of document b's — the "same page,
+    re-crawled and cut off" duplicate class that MinHash under-scores
+    (Jaccard of a truncation is len_a/len_b, often below threshold) and
+    exact dedup misses entirely. ``relation`` distinguishes proper
+    prefixes (``'prefix'``, n_a < n_b) from full-text equality
+    (``'exact'``, emitted once with id_a < id_b).
+
+    Plan: an inverted-index equi-join on the md5 of each document's first
+    ``anchor_tokens`` tokens (a prefix pair MUST agree on its first k
+    tokens, so candidates are anchor-blocked, never all-pairs), then a
+    single token-slice comparison per candidate. Documents shorter than
+    ``anchor_tokens`` are excluded (their anchor would be a different
+    key length; at k=5 that excludes only degenerate snippets).
+
+    Scale shape: one shuffle on the anchor hash (boilerplate openings make
+    hot anchors — the candidate payload per row is (id, n, tokens), and a
+    pathological anchor can be salted or capped like the n-gram inverted
+    index); the verify compare is a row-local expression. All JVM-side."""
+    tks = tokens(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col).alias("id"), tks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .where(F.col("n") >= anchor_tokens)
+        .withColumn(
+            "anchor",
+            F.md5(F.concat_ws(" ", F.slice("t", 1, anchor_tokens))),
+        )
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("t").alias("ta"),
+        F.col("n").alias("na"),
+        "anchor",
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("t").alias("tb"),
+        F.col("n").alias("nb"),
+        "anchor",
+    )
+    cand = a.join(b, "anchor").where(
+        (F.col("na") < F.col("nb"))
+        | ((F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
+    )
+    hit = cand.where(
+        F.concat_ws(" ", F.slice(F.col("tb"), F.lit(1), F.col("na")))
+        == F.concat_ws(" ", F.col("ta"))
+    )
+    return hit.select(
+        "id_a",
+        "id_b",
+        F.col("na").cast("bigint").alias("n_tokens_a"),
+        F.col("nb").cast("bigint").alias("n_tokens_b"),
+        F.when(F.col("na") < F.col("nb"), F.lit("prefix"))
+        .otherwise(F.lit("exact"))
+        .alias("relation"),
+    )
+
+
+def corpus_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end fuzzy corpus deduplication — the single call a training
+    pipeline makes: MinHash+LSH near-dup pairs → transitive connected
+    components → one keep decision per document. Returns one row per
+    corpus document: ``(id, cluster_rep, cluster_size, is_kept)`` where
+    ``is_kept`` marks the cluster's canonical representative (minimum doc
+    id — deterministic, so re-runs keep the same documents). Filter
+    ``is_kept`` to materialize the deduplicated corpus; keep the full
+    output as the dedup audit table.
+
+    Pure composition of :func:`minhash_lsh_pairs` (banded LSH — never
+    all-pairs) and :func:`resolve_clusters` (hash-min + pointer-jumping
+    components, one job per round, superseded checkpoints released), so
+    its scale posture is exactly theirs."""
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    )
+    resolved = resolve_clusters(pairs, docs=docs, id_col=id_col)
+    return resolved.withColumn(
+        "is_kept", F.col(id_col) == F.col("cluster_rep")
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import CheckpointTracker
+
 MICRO = 1_000_000  # fixed-point scale: rank 1.0 == 1_000_000 micro-units
 
 
@@ -61,6 +63,7 @@ def pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     d_micro = int(round(damping * MICRO))
     base = MICRO - d_micro
+    tracker = CheckpointTracker()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -68,13 +71,16 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    tracker.add(nodes)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     edeg = e.join(deg, "src").localCheckpoint(eager=True)
+    tracker.add(edeg)
     if restart is not None:
         seeds = restart.select(F.col("node")).distinct().withColumn(
             "__seed", F.lit(1)
         )
         nodes = nodes.join(seeds, "node", "left").localCheckpoint(eager=False)
+        tracker.add(nodes)
         seed_flag = F.col("__seed").isNotNull()
         base_col = F.when(seed_flag, F.lit(base)).otherwise(F.lit(0))
         ranks = nodes.select(
@@ -114,6 +120,13 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        tracker.add(ranks)
+    # One action materializes the whole lazy-checkpoint cascade (the same
+    # single job the caller's first action would have run); afterwards
+    # every superseded round table + the degree-annotated edge list is
+    # released — only the final ranks stay pinned.
+    ranks.count()
+    tracker.release_all(keep=ranks)
     return ranks
 
 
@@ -206,6 +219,7 @@ def label_propagation(
     from pyspark.sql import Window
 
     raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    tracker = CheckpointTracker()
     e = (
         raw.where(F.col("a") != F.col("b"))
         .select("a", "b")
@@ -223,6 +237,7 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    tracker.add(e, nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iters):
@@ -245,4 +260,218 @@ def label_propagation(
             )
             .localCheckpoint(eager=False)
         )
+        tracker.add(labels)
+    # materialize the cascade once, then release every superseded round
+    # table and the edge/node checkpoints — only final labels stay pinned
+    labels.count()
+    tracker.release_all(keep=labels)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel every vertex of
+    (undirected, cleaned) degree < ``k`` until none remains, returning
+    ``(node, core_degree)`` for the vertices of the k-core — the maximal
+    subgraph where every vertex keeps ≥ k neighbors INSIDE the subgraph
+    (Seidman 1983; the standard "dense part of the graph" filter a
+    training-data pipeline runs before community/centrality passes).
+
+    Execution shape: the symmetrized edge list is checkpointed once; each
+    peeling round is one degree aggregate (map-side combinable) + two
+    semi-joins of the edge list against the surviving-vertex set — all
+    shuffles on uniform vertex keys, one Spark job per round (the round's
+    edge count doubles as the convergence test: |E| is monotonically
+    non-increasing and strictly decreases iff any vertex was peeled).
+    Rounds are O(peeling depth), in practice ≤ a dozen even on power-law
+    graphs; superseded per-round edge checkpoints are released with the
+    2-round-lag tracker. Deterministic (no tie-breaks — peeling is
+    order-independent), hence exactly SQL-oracle-able by unrolling."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    tracker = CheckpointTracker()
+    cur = (
+        raw.where(F.col("u") != F.col("v"))
+        .unionByName(
+            raw.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tracker.add(cur)
+    tracker.round_done()
+    prev_n = cur.count()
+    if prev_n == 0:
+        return cur.select(
+            F.col("u").alias("node"), F.lit(0).cast("bigint").alias("core_degree")
+        )
+    converged = False
+    for _ in range(max_iter):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("u")
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        tracker.add(nxt)
+        n = nxt.count()  # one job: materializes the round AND tests it
+        tracker.round_done()
+        cur = nxt
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
+        if n == 0:
+            converged = True
+            break
+    if not converged:
+        tracker.release_all(keep=cur)
+        raise RuntimeError(f"kcore did not converge within max_iter={max_iter}")
+    out = cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    # the result aggregates over the final checkpoint — keep exactly it
+    tracker.release_all(keep=cur)
+    return out
+
+
+def betweenness(
+    edges: DataFrame,
+    max_depth: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-depth Brandes betweenness centrality over an undirected
+    edge list, returning ``(node, bet_micro)`` for EVERY vertex: the sum
+    over source/target pairs within ``max_depth`` hops of the fraction of
+    shortest paths through the vertex, in integer micro-units.
+
+    Exactly the Brandes (2001) two-phase structure, level-synchronous:
+
+    * **forward**: per level d, frontier(s, v, σ) joins the edge list,
+      sums path counts σ by (source, vertex), anti-joins the visited set
+      (shortest-path DAG only) — one join + one map-side-combinable agg +
+      one anti-join per level, all on uniform (s, v) keys;
+    * **backward**: per level from the deepest in, dependency
+      δ_micro(s,v) = Σ_{w ∈ succ(v)} (σ_v · (MICRO + δ_micro(s,w)))
+      div σ_w — the Brandes accumulation in INTEGER micro-units, making
+      the whole computation bit-reproducible and therefore exactly
+      SQL-oracle-able (floating δ sums are order-dependent; quantization
+      error is ≤ #paths·1e-6, far below ranking resolution). Halved at
+      the end (each unordered pair is walked from both endpoints).
+
+    ``max_depth`` bounds state to O(sources × d-hop-ball) — the standard
+    ego/bounded betweenness variant (Everett & Borgatti); ``sources``
+    (one-column ``node`` DataFrame) restricts to sampled sources — the
+    Brandes–Pich estimator, the 100 TB path where all-sources × all-nodes
+    state is infeasible. Both knobs compose; defaults (all sources) are
+    exact bounded betweenness."""
+    if max_depth < 2:
+        raise ValueError(f"max_depth must be >= 2, got {max_depth}")
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    tracker = CheckpointTracker()
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .unionByName(
+            raw.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    tracker.add(e, nodes)
+    srcs = (
+        sources.select("node").distinct() if sources is not None else nodes
+    )
+    f0 = srcs.select(
+        F.col("node").alias("s"),
+        F.col("node"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    )
+    frontiers = [f0]
+    visited = f0.select("s", "node")
+    for d in range(1, max_depth + 1):
+        cand = (
+            frontiers[-1]
+            .join(e, frontiers[-1]["node"] == e["u"])
+            .select("s", F.col("v").alias("node"), "sigma")
+        )
+        newf = (
+            cand.groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        tracker.add(newf)
+        frontiers.append(newf)
+        visited = (
+            visited.unionByName(newf.select("s", "node"))
+            .localCheckpoint(eager=False)
+        )
+        tracker.add(visited)
+    # backward accumulation: δ at the deepest level is 0 (no successors)
+    delta = None  # (s, node, delta_micro) for the level BELOW the current one
+    contribs = []
+    for d in range(max_depth - 1, 0, -1):
+        succ = (
+            frontiers[d]
+            .join(e, frontiers[d]["node"] == e["u"])
+            .select("s", "node", "sigma", F.col("v").alias("w"))
+        )
+        down = frontiers[d + 1].select(
+            "s", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        joined = succ.join(down, ["s", "w"])
+        if delta is not None:
+            dw = delta.select(
+                "s", F.col("node").alias("w"), F.col("delta_micro").alias("dw")
+            )
+            joined = joined.join(dw, ["s", "w"], "left").withColumn(
+                "dw", F.coalesce("dw", F.lit(0))
+            )
+        else:
+            joined = joined.withColumn("dw", F.lit(0))
+        delta = (
+            joined.select(
+                "s",
+                "node",
+                F.expr(f"(sigma * ({MICRO} + dw)) div sigma_w").alias("c"),
+            )
+            .groupBy("s", "node")
+            .agg(F.sum("c").alias("delta_micro"))
+            .localCheckpoint(eager=False)
+        )
+        tracker.add(delta)
+        contribs.append(delta)
+    total = contribs[0]
+    for extra in contribs[1:]:
+        total = total.unionByName(extra)
+    bet = total.groupBy("node").agg(
+        F.expr("sum(delta_micro) div 2").alias("bet_micro")
+    )
+    out = (
+        nodes.join(bet, "node", "left")
+        .select(
+            "node",
+            F.coalesce("bet_micro", F.lit(0)).cast("bigint").alias("bet_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out.count()  # materialize the full cascade once
+    tracker.release_all(keep=out)
+    return out

@@ -876,3 +876,174 @@ def test_corpus_report_values(spark):
     qp = math.floor((1 / 9) * 1e6 + 0.5)
     assert web["avg_punct_ratio"] == round(qp / 3 / 1e6, 6)
     assert out[("books", "fr")]["n_docs"] == 1
+
+
+def test_kcore_known_graph(spark):
+    """Triangle + pendant chain: 2-core is exactly the triangle; the chain
+    peels away over two rounds (cascade: removing e exposes d)."""
+    from knowledge_graph_etl_spark.extensions.graph import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_and_full(spark):
+    from knowledge_graph_etl_spark.extensions.graph import kcore
+
+    # k=1 keeps every non-isolated vertex of the cleaned graph
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "c")], "src string, dst string"
+    )
+    rows = {r["node"]: r["core_degree"] for r in kcore(edges, k=1).collect()}
+    assert rows == {"a": 1, "b": 1}  # self-loop-only vertex c peeled with edge
+    # k larger than any degree -> empty core
+    assert kcore(edges, k=5).count() == 0
+
+
+def test_kcore_oracle_unroll_covers_peeling_depth(spark):
+    """The driver oracle unrolls 10 peeling rounds; assert the Spark side
+    reaches its fixed point within 10 rounds on the sf0.001 query graph
+    (max_iter=10 converging proves depth <= 10)."""
+    from knowledge_graph_etl_spark.extensions.graph import kcore
+    from tests.conftest import SF_DIR
+
+    ps = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    e = ps.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    out = kcore(e, k=3, max_iter=10)  # raises if >10 rounds needed
+    degs = out.agg(F.min("core_degree")).collect()[0][0]
+    assert degs is None or degs >= 3
+
+
+def test_betweenness_path_graph(spark):
+    """Path a-b-c-d, max_depth=2: b lies on the single shortest path of
+    pairs (a,c); c on (b,d). Each unordered pair contributes MICRO
+    (sigma ratio 1/1), halved from the two directions -> 1_000_000."""
+    from knowledge_graph_etl_spark.extensions.graph import betweenness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    rows = {r["node"]: r["bet_micro"] for r in betweenness(edges).collect()}
+    assert rows == {"a": 0, "b": 1_000_000, "c": 1_000_000, "d": 0}
+
+
+def test_betweenness_multiple_shortest_paths(spark):
+    """4-cycle a-b-c-d-a: pair (a,c) has TWO shortest paths (via b and d),
+    so b and d each get 1/2 per direction -> MICRO/2 per pair-direction
+    summed and halved = 500_000. Symmetric for pair (b,d)."""
+    from knowledge_graph_etl_spark.extensions.graph import betweenness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r["bet_micro"] for r in betweenness(edges).collect()}
+    assert rows == {"a": 500_000, "b": 500_000, "c": 500_000, "d": 500_000}
+
+
+def test_betweenness_depth3_chain(spark):
+    """max_depth=3 on a path a-b-c-d: the (a,d) pair (distance 3) now
+    counts, crediting BOTH b and c: delta accumulates through the chain
+    ((1+delta_downstream) Brandes recurrence)."""
+    from knowledge_graph_etl_spark.extensions.graph import betweenness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    rows = {
+        r["node"]: r["bet_micro"]
+        for r in betweenness(edges, max_depth=3).collect()
+    }
+    # b: pairs (a,c) dist2 + (a,d) dist3 -> 2 * MICRO; symmetric for c
+    assert rows == {"a": 0, "b": 2_000_000, "c": 2_000_000, "d": 0}
+
+
+def test_betweenness_sampled_sources(spark):
+    """Brandes–Pich sampling: restricting sources counts only pairs whose
+    walk STARTS at a sampled source (no halving symmetry assumed -> the
+    raw div-2 halves single-direction contributions)."""
+    from knowledge_graph_etl_spark.extensions.graph import betweenness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    rows = {
+        r["node"]: r["bet_micro"]
+        for r in betweenness(edges, sources=srcs).collect()
+    }
+    # only source a: pair (a,c) credits b once -> MICRO div 2
+    assert rows == {"a": 0, "b": 500_000, "c": 0}
+
+
+def test_prefix_duplicate_pairs(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import prefix_duplicate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # 1 prefix of 2
+            (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (4, "totally different words here now ok"),
+            (5, "alpha beta gamma delta other tail words"),  # shares anchor, not prefix
+            (6, "short text"),  # below anchor_tokens -> excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["relation"]
+        for r in prefix_duplicate_pairs(docs, anchor_tokens=5).collect()
+    }
+    assert out == {(1, 2): "prefix", (3, 2): "prefix", (1, 3): "exact"}
+
+
+def test_corpus_dedup_keep_flags(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import corpus_dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (10, text),
+            (11, text),  # exact dup -> cluster with 10
+            (12, "completely unrelated content about spark and parquet files"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus_dedup(docs, threshold=0.9).collect()}
+    assert rows[10]["is_kept"] and rows[10]["cluster_rep"] == 10
+    assert not rows[11]["is_kept"] and rows[11]["cluster_rep"] == 10
+    assert rows[12]["is_kept"] and rows[12]["cluster_size"] == 1
+
+
+def test_contamination_report_values(spark):
+    from knowledge_graph_etl_spark.extensions.curation import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five", "web"),
+            (2, "one two three different tail", "web"),  # shares 3-gram w/ bench
+            (3, "nothing in common at all", "web"),
+            (4, "books only corpus entry here", "books"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    bench = docs.where(F.col("doc_id") == 1)
+    out = {
+        r["source"]: r
+        for r in contamination_report(docs, bench, n=3).collect()
+    }
+    web = out["web"]
+    assert web["n_docs"] == 3 and web["n_contaminated"] == 2  # docs 1 and 2
+    assert web["rate_ppm"] == (1_000_000 * 2) // 3
+    assert out["books"]["n_contaminated"] == 0 and out["books"]["rate_ppm"] == 0

@@ -279,3 +279,47 @@ def test_bigram_score_broadcasts_total_only(spark):
     plan = _plan(bigram_logprob_score(docs))
     assert "CartesianProduct" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_union_values_plan_shape(spark):
+    """Pin kg_union_values' physical shape (BENCH r03→r04 drifted 1.26 →
+    2.46 s from run-position variance; solo warm runs hold ~1.2 s): the
+    UNION branches must scan the cached quad relation with the
+    (p, o_value, o_type) constants pushed into the InMemoryTableScan, the
+    VALUES inline table must join by broadcast, and there must be no
+    cartesian product and at most 6 exchanges total."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n-"), F.col("id")).alias("c_name"),
+        F.when(F.col("id") % 2 == 0, "BUILDING").otherwise("MACHINERY").alias(
+            "c_mktsegment"
+        ),
+    )
+    eng.store.insert(
+        quadify(df, "k", "urn:c:", "urn:g:c", namespace="urn:p:"),
+        dedup_against_store=False,
+        batch_distinct=True,
+    )
+    out = eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?c ?name ?tag WHERE {
+            { ?c p:c_mktsegment "BUILDING" . BIND("B" AS ?tag) }
+            UNION
+            { ?c p:c_mktsegment "MACHINERY" . BIND("M" AS ?tag) }
+            ?c p:c_name ?name .
+            VALUES ?tag { "B" "M" }
+        }
+        """
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 6, plan
+    assert "BroadcastExchange" in plan, plan
+    # the segment constants reach the cached-quads scan, not a post-scan
+    # filter over the full relation
+    assert "urn:p:c_mktsegment" in plan and "BUILDING" in plan, plan
+    assert out.count() == 60
