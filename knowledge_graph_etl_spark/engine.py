@@ -51,8 +51,12 @@ class Engine:
         store_path: str | None = None,
         stats: bool = False,
     ):
+        from .federation import ServiceRegistry
+
         self.spark = spark
         self.store = GraphStore(spark, store_path)
+        #: engine-scoped SERVICE registry (see register_service)
+        self._services = ServiceRegistry()
         #: cost-based BGP join ordering from per-predicate row counts
         #: (store.predicate_stats — the quad-store 'table sizes'). Opt-in:
         #: the first compile after a mutation pays one count-aggregate job
@@ -61,22 +65,34 @@ class Engine:
         self.stats = stats
 
     def _compile_ctx(self):
+        from contextlib import ExitStack
+
+        from .federation import active_registry
         from .plans.compiler import predicate_stats_context
 
-        return predicate_stats_context(
-            self.store.predicate_stats() if self.stats else None
+        stack = ExitStack()
+        stack.enter_context(
+            predicate_stats_context(
+                self.store.predicate_stats() if self.stats else None
+            )
         )
+        stack.enter_context(active_registry(self._services))
+        return stack
 
     # -- federation -------------------------------------------------------
 
     def register_service(self, iri: str, target) -> None:
         """Make ``SERVICE <iri> { ... }`` resolve to ``target`` (another
         Engine, a GraphStore, or a zero-arg callable returning a quads
-        DataFrame) — local federation over stores in the same
-        SparkSession; see :mod:`.federation`."""
-        from . import federation
+        DataFrame) in THIS engine's queries only — the registration is
+        engine-scoped (the process-global fallback is
+        :func:`.federation.register_service`); see :mod:`.federation`."""
+        self._services.register(iri, target)
 
-        federation.register_service(iri, target)
+    def unregister_service(self, iri: str) -> None:
+        """Remove an engine-scoped SERVICE registration (no-op if the IRI
+        was never registered on this engine)."""
+        self._services.unregister(iri)
 
     # -- update path ------------------------------------------------------
 

@@ -628,12 +628,29 @@ def quantize_int8(
     )
 
 
+def auto_nlist(n: int, target_cluster_size: int = 32) -> int:
+    """The ``nlist ∝ N`` sizing rule: ``max(16, ceil(N /
+    target_cluster_size))``. Keeping expected cluster size constant keeps
+    the cluster-local O(Σ n_c²) pair join LINEAR in corpus size; a fixed
+    nlist makes it quadratic (BASELINE §4: 14× cost blowup at 10× corpus
+    with nlist frozen). Pure function of N → auto-sized runs stay exactly
+    oracle-able."""
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    import math
+
+    return max(16, math.ceil(n / target_cluster_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
-    nlist: int = 16,
+    nlist: int | None = None,
     threshold: float = 0.85,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 32,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023): cluster the corpus, score pairwise cosine ONLY
@@ -653,11 +670,19 @@ def semantic_dedup(
     O(Σ n_c²) — the SemDeDup trick — and shuffles on ``list_id``.
     ``nlist`` must GROW with the corpus (n_c ≈ N/nlist bounds both the
     join fan-out and the skew of a single list key; N=100 M → nlist≈10⁵
-    keeps clusters ~10³). For corpus-scale runs prefer
-    :func:`kmeans_centroids` init via the same assignment path — the
-    md5-sample default is the oracle-reproducible variant."""
+    keeps clusters ~10³), so by DEFAULT it is sized from the data:
+    ``nlist = max(16, ceil(N / target_cluster_size))`` via one cheap
+    count — the fixed-nlist misuse mode (measured 14× blowup at 10×
+    corpus in BASELINE §4 r03) cannot happen silently. Pass ``nlist``
+    explicitly only to pin a benchmark configuration. The rule is a pure
+    function of N, so results stay exactly oracle-able (the oracle knows
+    N). For corpus-scale runs prefer :func:`kmeans_centroids` init via
+    the same assignment path — the md5-sample default is the
+    oracle-reproducible variant."""
     from .dedup import resolve_clusters
 
+    if nlist is None:
+        nlist = auto_nlist(corpus.count(), target_cluster_size)
     cent_rows = sorted(
         sample_centroids(corpus, nlist, id_col, vec_col).collect(),
         key=lambda r: r["list_id"],

@@ -24,6 +24,7 @@ of the quads table whose g/p/o constants reach the parquet reader.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -102,35 +103,42 @@ def _pattern_vars(tp: TriplePattern) -> set[str]:
 
 #: per-predicate row counts active during a compile (cost-based join
 #: ordering) — set via predicate_stats_context by Engine(stats=True);
-#: None = structural heuristics only (behavior identical to pre-stats).
-_ACTIVE_STATS: dict[str, int] | None = None
+#: unset = structural heuristics only (behavior identical to pre-stats).
+#: threading.local: concurrent compiles from multiple driver threads (a
+#: normal Spark pattern — e.g. two Engines submitting in parallel) each
+#: carry their own stats instead of clobbering a process global.
+_ACTIVE = threading.local()
+
+
+def _active_stats() -> dict[str, int] | None:
+    return getattr(_ACTIVE, "stats", None)
 
 
 @contextmanager
 def predicate_stats_context(stats: dict[str, int] | None):
     """Activate per-predicate row counts for every BGP compiled inside the
-    block: same-structural-class patterns then seed on ascending predicate
-    cardinality (the one statistic a quad store can keep cheaply — its
-    'table sizes', since predicates play the role tables do in a
-    relational catalog). Join RESULTS are order-independent; only the
-    plan changes."""
-    global _ACTIVE_STATS
-    prev = _ACTIVE_STATS
-    _ACTIVE_STATS = stats
+    block ON THIS THREAD: same-structural-class patterns then seed on
+    ascending predicate cardinality (the one statistic a quad store can
+    keep cheaply — its 'table sizes', since predicates play the role
+    tables do in a relational catalog). Join RESULTS are
+    order-independent; only the plan changes."""
+    prev = _active_stats()
+    _ACTIVE.stats = stats
     try:
         yield
     finally:
-        _ACTIVE_STATS = prev
+        _ACTIVE.stats = prev
 
 
 def _pred_count(tp: TriplePattern) -> float:
     """Secondary selectivity key: the pattern's predicate cardinality
     under the active stats (variable predicate = the whole store = +inf);
     0.0 when no stats are active, preserving the original stable order."""
-    if _ACTIVE_STATS is None:
+    stats = _active_stats()
+    if stats is None:
         return 0.0
     if isinstance(tp.p, IriT):
-        return float(_ACTIVE_STATS.get(tp.p.value, 0))
+        return float(stats.get(tp.p.value, 0))
     return float("inf")
 
 

@@ -183,7 +183,13 @@ def to_nquads_lines(quads: DataFrame) -> DataFrame:
     )
     p = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
     o = _nt_term(F.col("o_value"), F.col("o_type"), F.col("o_datatype"), F.col("o_lang"))
+    # a blank-node graph label (N-Quads grammar allows BLANK_NODE_LABEL as
+    # the 4th term) is emitted verbatim, mirroring the subject/object
+    # serializers — wrapping it in <> would re-serialize it as the invalid
+    # IRI <_:g> and break the graph-preserving round-trip
     g = F.when(
+        F.col("g").isNotNull() & F.col("g").startswith("_:"), F.col("g")
+    ).when(
         F.col("g").isNotNull(), F.concat(F.lit("<"), F.col("g"), F.lit(">"))
     )
     return quads.select(F.concat_ws(" ", s, p, o, g, F.lit(".")).alias("value"))

@@ -66,11 +66,35 @@ def flag_anomalies(
         flag = (n >= min_prior) & (
             lhs * lhs > F.lit(z * z).cast(_DEC) * (nd * qd - sd * sd)
         )
+        # decimal(38,0) overflow guard: with ANSI off, an overflowing
+        # product (|vq|·n past ~1e19 milli-units — extreme value
+        # magnitudes × deep histories) yields NULL, and silently mapping
+        # that to is_anomaly=false would diverge from the streaming
+        # path's unbounded Python ints. flag is NULL exactly when
+        # n ≥ min_prior and a product overflowed (false & NULL = false in
+        # 3VL, so short histories can't trip this) — raise loudly with
+        # the remediation instead of emitting a wrong verdict.
+        overflow_err = F.raise_error(
+            F.concat(
+                F.lit(
+                    "flag_anomalies: decimal(38,0) overflow in the z-test "
+                    "for key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    " (quantized |value*1000| x history length exceeds "
+                    "~1e19); rescale the value column or window the "
+                    "history"
+                ),
+            )
+        ).cast("boolean")
         return df.select(
             F.col(id_col),
             F.col(key_col),
             F.coalesce(n, F.lit(0)).cast("bigint").alias("n_prior"),
-            F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
+            F.when((n >= min_prior) & flag.isNull(), overflow_err)
+            .otherwise(F.coalesce(flag, F.lit(False)))
+            .alias("is_anomaly"),
         )
 
     import pandas as pd

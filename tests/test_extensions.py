@@ -801,3 +801,46 @@ def test_real_resize_nearest_neighbor(spark):
     rows = (np.arange(2) * 4) // 2
     cols = (np.arange(3) * 6) // 3
     assert np.array_equal(got, img[rows][:, cols])
+
+
+def test_auto_nlist_scales_with_corpus():
+    """The nlist ∝ N default keeps expected cluster size constant as the
+    corpus grows — the misuse mode (fixed nlist, quadratic cluster-local
+    join) cannot happen silently."""
+    from knowledge_graph_etl_spark.extensions.similarity import auto_nlist
+
+    small, large = auto_nlist(1_000), auto_nlist(10_000)
+    # expected cluster size stays ~target at both scales (10x corpus ->
+    # ~10x lists, NOT 10x cluster size)
+    assert 16 <= 1_000 / small <= 32
+    assert 16 <= 10_000 / large <= 32
+    assert 8 <= large / small <= 12
+    # floor for tiny corpora
+    assert auto_nlist(10) == 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        auto_nlist(100, target_cluster_size=0)
+
+
+def test_semantic_dedup_auto_default_matches_explicit(spark):
+    """Default (auto-sized) semantic_dedup equals an explicit nlist equal
+    to the rule's output — proves the default wiring, and that results
+    remain a pure function of (corpus, rule)."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        auto_nlist,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 640  # auto_nlist -> ceil(640/32) = 20
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    auto = semantic_dedup(df, threshold=0.9)
+    explicit = semantic_dedup(df, nlist=auto_nlist(n), threshold=0.9)
+    assert auto_nlist(n) == 20
+    a = sorted(map(tuple, auto.collect()))
+    e = sorted(map(tuple, explicit.collect()))
+    assert a == e

@@ -52,6 +52,9 @@ def test_nquads_roundtrip_preserves_graphs(spark, tmp_path):
          "http://www.w3.org/2001/XMLSchema#integer", None),
         ("urn:g:b", "urn:s2", "iri", "urn:p:l", "bonjour", "literal", None, "fr"),
         (None, "urn:s3", "iri", "urn:p:d", "default graph row", "literal", None, None),
+        # blank-node GRAPH LABEL (N-Quads grammar: 4th term may be a
+        # BLANK_NODE_LABEL) — must serialize verbatim, not as <_:g>
+        ("_:g7", "urn:s4", "iri", "urn:p:e", "bnode graph row", "literal", None, None),
     ]
     quads = spark.createDataFrame(rows, QUAD_SCHEMA)
     path = str(tmp_path / "out.nq")

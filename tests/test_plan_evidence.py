@@ -323,3 +323,49 @@ def test_union_values_plan_shape(spark):
     # filter over the full relation
     assert "urn:p:c_mktsegment" in plan and "BUILDING" in plan, plan
     assert out.count() == 60
+
+
+def test_optional_star_uses_property_table_rewrite(spark):
+    """VERDICT r04 item 7: OPTIONAL groups that are themselves stars must
+    compile through star_scan (compile_group recurses into the OPTIONAL
+    subgroup, so the property-table rewrite applies) — the
+    ldap_mapping_org shape (required star + multi-pattern OPTIONAL star +
+    single-pattern OPTIONAL) must plan 1 scan + 1 aggregate shuffle per
+    star, NOT a self-join per pattern."""
+    from knowledge_graph_etl_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        *[
+            F.concat(F.lit(f"{c}-"), F.col("id")).alias(f"p{i}")
+            for i, c in enumerate("abcde", start=1)
+        ],
+    )
+    eng.store.insert(
+        quadify(df, "k", "urn:c:", "urn:g:x", namespace="urn:p:"),
+        dedup_against_store=False,
+        batch_distinct=True,
+    )
+    out = eng.select(
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?a ?b ?c ?d ?e WHERE {
+            ?s p:p1 ?a .
+            OPTIONAL { ?s p:p2 ?b . ?s p:p3 ?c . ?s p:p4 ?d }
+            OPTIONAL { ?s p:p5 ?e }
+        }
+        """
+    )
+    plan = _plan(out)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    # one aggregate shuffle for the 3-pattern OPTIONAL star + one for the
+    # (single-pattern, non-star) sides at most; per-pattern self-joins
+    # would add a shuffle per extra pattern
+    assert shuffles <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert out.count() == 100
+    row = out.where(F.col("s") == "urn:c:7").collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"], row["e"]) == (
+        "a-7", "b-7", "c-7", "d-7", "e-7",
+    )

@@ -416,3 +416,37 @@ def test_flag_anomalies_stream_matches_batch(spark, tmp_path):
         for r in spark.table("anom").collect()
     }
     assert got == batch
+
+
+def test_flag_anomalies_overflow_raises_not_false(spark):
+    """ADVICE r04: a decimal(38,0) overflow in the batch z-test must raise
+    (with the rescale remediation), never silently report
+    is_anomaly=false — the streaming path's unbounded Python ints would
+    disagree."""
+    import datetime
+
+    import pytest
+
+    from knowledge_graph_etl_spark.streaming.anomaly import flag_anomalies
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), "u1", 1.0) for i in range(5)
+    ]
+    # 6th event: value quantizes to 2e18 milli-units -> (vq*n)^2 ~ 1e38
+    # overflows decimal(38,0)
+    rows.append((5, t0 + datetime.timedelta(minutes=5), "u1", 2.0e15))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id string, value double"
+    )
+    with pytest.raises(Exception, match="overflow|USER_RAISED"):
+        flag_anomalies(df).collect()
+    # sane magnitudes keep working and flag the obvious spike
+    ok_rows = [
+        (i, t0 + datetime.timedelta(minutes=i), "u1", 1.0) for i in range(5)
+    ] + [(5, t0 + datetime.timedelta(minutes=5), "u1", 100.0)]
+    ok = spark.createDataFrame(
+        ok_rows, "event_id bigint, ts timestamp, user_id string, value double"
+    )
+    got = {r["event_id"]: r["is_anomaly"] for r in flag_anomalies(ok).collect()}
+    assert got[5] is True and not any(got[i] for i in range(5))
