@@ -1949,6 +1949,173 @@ _BETWEENNESS_ORACLE = (
 )
 
 
+def sketch_hll_distinct_q(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count sketch per event type
+    (extensions/stats.hll_distinct, p=6 → 64 registers): md5-derived
+    register indexes/ranks and an integer micro-unit estimate, so even
+    the APPROXIMATE answer is hash-exact verifiable — the KMV sketch's
+    fixed-size sibling."""
+    from knowledge_graph_etl_spark.extensions.stats import hll_distinct
+
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    return hll_distinct(e, "event_type", "user_id", p=6)
+
+
+def dedup_verify_lev_q(spark, sf_dir):
+    """Two-stage fuzzy dedup: n-gram-Jaccard candidates (threshold 0.5)
+    verified by exact Levenshtein over 120-char prefixes
+    (extensions/dedup.neardup_verify_pairs) — the confirm-before-drop
+    stage of a production dedup pipeline, integer-permille scored."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        neardup_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = ngram_jaccard_pairs(docs, threshold=0.5)
+    return neardup_verify_pairs(docs, cands, max_lev_permille=500)
+
+
+def ann_knn_graph_q(spark, sf_dir):
+    """Cluster-restricted k-NN graph over the embeddings table
+    (extensions/similarity.knn_graph, k=5): every vector's top-5 cosine
+    neighbors within its IVF list, nlist auto-sized by the nlist∝N rule —
+    the oracle re-derives nlist from COUNT(*), so the auto-sizing itself
+    is under the correctness gate."""
+    from knowledge_graph_etl_spark.extensions.similarity import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, "embeddings"), k=5, target_cluster_size=64
+    )
+
+
+def graph_closeness_q(spark, sf_dir):
+    """Bounded-depth (2-hop) closeness centrality in integer micro-units
+    (extensions/graph.closeness) over the sampled part–supplier bipartite
+    graph — same forward-BFS machinery and sampling knobs as
+    graph_betweenness, per-vertex reach/distance sums exactly oracled."""
+    from knowledge_graph_etl_spark.extensions.graph import closeness
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_partkey") % 50) == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    e = ps.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return closeness(e, max_depth=2)
+
+
+def _hll_oracle(p: int = 6) -> str:
+    """SQL twin of stats.hll_distinct: identical md5 register derivation
+    (idx/base via integer div, trailing-zero rank via bit_count of the
+    lowest set bit) and the same integer micro-unit estimator, with the
+    α_micro·m²·2^32 numerator imported from the operator module so the
+    constant cannot drift."""
+    from knowledge_graph_etl_spark.extensions.stats import hll_alpha_micro
+
+    m = 1 << p
+    cap = 32
+    num = hll_alpha_micro(m) * m * m * (1 << cap)
+    return (
+        "WITH h AS (SELECT event_type, "
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM events), "
+        f"v AS (SELECT event_type, h % {m} AS idx, h // {m} AS base FROM h), "
+        f"r AS (SELECT event_type, idx, CASE WHEN base = 0 THEN {cap} "
+        f"ELSE least(bit_count((base & -base) - 1) + 1, {cap}) END AS rank "
+        "FROM v), "
+        "regs AS (SELECT event_type, idx, MAX(rank) AS m FROM r GROUP BY 1, 2) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers_set, "
+        f"CAST({num}::HUGEINT // (SUM(1::BIGINT << ({cap} - m))::HUGEINT "
+        f"+ ({m} - COUNT(*))::HUGEINT * {1 << cap}::HUGEINT) AS BIGINT) "
+        "AS est_micro "
+        "FROM regs GROUP BY event_type"
+    )
+
+
+def _verify_lev_oracle() -> str:
+    # the ngram_jaccard candidate CTE (threshold 0.5) + the verify stage:
+    # levenshtein over 120-char prefixes, integer permille of the longer
+    # prefix, keep <= 500 — identical to dedup.neardup_verify_pairs
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+        "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+        "ELSE [] END) AS shingles FROM tok), "
+        "f AS (SELECT doc_id, len(shingles) AS ss, unnest(shingles) AS shingle FROM sh), "
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb, "
+        "COUNT(*) AS common FROM f a JOIN f b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), "
+        "cand AS (SELECT id_a, id_b FROM p "
+        "WHERE round(CAST(common AS DOUBLE) / (sa + sb - common), 6) >= 0.5), "
+        "t AS (SELECT doc_id, substr(text, 1, 120) AS pt FROM documents), "
+        "sc AS (SELECT c.id_a, c.id_b, "
+        "CAST(levenshtein(ta.pt, tb.pt) AS BIGINT) AS lev, "
+        "CAST(greatest(len(ta.pt), len(tb.pt)) AS BIGINT) AS mx "
+        "FROM cand c JOIN t ta ON ta.doc_id = c.id_a "
+        "JOIN t tb ON tb.doc_id = c.id_b) "
+        "SELECT id_a, id_b, lev, "
+        "CASE WHEN mx = 0 THEN 0 ELSE (1000 * lev) // mx END AS lev_permille "
+        "FROM sc WHERE (CASE WHEN mx = 0 THEN 0 ELSE (1000 * lev) // mx END) <= 500"
+    )
+
+
+_KNN_GRAPH_ORACLE = (
+    # nlist re-derived from COUNT(*) by the same max(16, ceil(N/64)) rule
+    # the operator defaults to — the auto-sizing is inside the oracle
+    "WITH n AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 64.0) AS INT)) "
+    "AS nlist FROM embeddings), "
+    "cents AS (SELECT embedding AS cent, "
+    "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+    "CAST(vec_id AS VARCHAR)) - 1 AS list_id FROM embeddings "
+    "QUALIFY list_id < (SELECT nlist FROM n)), "
+    "asg AS (SELECT e.vec_id AS id, e.embedding AS vec, t.list_id, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "CAST(t.cent AS DOUBLE[])), 6) DESC, t.list_id) AS rn "
+    "FROM embeddings e CROSS JOIN cents t), "
+    "ca AS (SELECT id, vec, list_id FROM asg WHERE rn = 1), "
+    "s AS (SELECT a.id AS id, b.id AS neighbor_id, "
+    "round(list_cosine_similarity(CAST(a.vec AS DOUBLE[]), "
+    "CAST(b.vec AS DOUBLE[])), 6) AS cosine_sim "
+    "FROM ca a JOIN ca b ON a.list_id = b.list_id AND a.id <> b.id) "
+    "SELECT id, neighbor_id, cosine_sim, "
+    "CAST(row_number() OVER (PARTITION BY id "
+    "ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank "
+    "FROM s QUALIFY rank <= 5"
+)
+
+
+_CLOSENESS_ORACLE = (
+    # forward BFS to depth 2 (distinct frontier, anti-join visited, source
+    # excluded), then per-source reach/distance sums — integer closeness
+    "WITH ps AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS pu, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS su FROM lineitem WHERE l_partkey % 50 = 0), "
+    "e AS (SELECT pu AS u, su AS v FROM ps UNION ALL SELECT su, pu FROM ps), "
+    "nodes AS (SELECT DISTINCT u AS node FROM e), "
+    "f1 AS (SELECT DISTINCT e.u AS s, e.v AS node FROM e), "
+    "f2 AS (SELECT g.s, g.node FROM "
+    "(SELECT DISTINCT f1.s, e.v AS node FROM f1 JOIN e ON e.u = f1.node) g "
+    "ANTI JOIN f1 ON f1.s = g.s AND f1.node = g.node "
+    "WHERE g.node <> g.s), "
+    "allr AS (SELECT s, node, 1 AS dist FROM f1 "
+    "UNION ALL SELECT s, node, 2 FROM f2), "
+    "agg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS n_reached, "
+    "CAST(SUM(dist) AS BIGINT) AS dist_sum FROM allr GROUP BY s) "
+    "SELECT n.node, COALESCE(a.n_reached, 0) AS n_reached, "
+    "COALESCE(a.dist_sum, 0) AS dist_sum, "
+    "CASE WHEN COALESCE(a.dist_sum, 0) > 0 "
+    "THEN CAST((a.n_reached * 1000000) // a.dist_sum AS BIGINT) "
+    "ELSE 0 END AS closeness_micro "
+    "FROM nodes n LEFT JOIN agg a ON a.node = n.node"
+)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2076,6 +2243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": graph_communities_q,
         "corpus_report": corpus_report_q,
         "streaming_anomaly": streaming_anomaly_q,
+        # --- new in r05, added after the window filled (the ~50-entry
+        # driver gate already holds dedup_lines + 5 new entries + the 43
+        # r03-rotated ones): these enter the driver window in r06; until
+        # then tools/check_oracle.py is their exact-value gate ---
+        "sketch_hll_distinct": sketch_hll_distinct_q,
+        "dedup_verify_lev": dedup_verify_lev_q,
+        "ann_knn_graph": ann_knn_graph_q,
+        "graph_closeness": graph_closeness_q,
     }
 
 
@@ -2916,6 +3091,10 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "sketch_hll_distinct": _hll_oracle(p=6),
+        "dedup_verify_lev": _verify_lev_oracle(),
+        "ann_knn_graph": _KNN_GRAPH_ORACLE,
+        "graph_closeness": _CLOSENESS_ORACLE,
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "

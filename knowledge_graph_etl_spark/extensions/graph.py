@@ -213,11 +213,13 @@ def label_propagation(
     ``(node, community)``.
 
     Scale shape: per round one edges⋈labels equi-join, one (node, label)
-    count aggregate (map-side combinable), one per-node top-1 window, one
-    left join back to the node spine — all shuffles on uniform node keys,
-    plans severed per round by lazy localCheckpoint."""
-    from pyspark.sql import Window
-
+    count aggregate (map-side combinable), one per-node top-1 — computed
+    as ``min(struct(-count, label))``, a HASH aggregate (struct
+    comparison is lexicographic, so the min is exactly "count desc, label
+    asc"), not a sort-based window: map-side combinable and no per-node
+    sort, which matters when a hub node collects millions of votes — then
+    one left join back to the node spine. All shuffles on uniform node
+    keys, plans severed per round by lazy localCheckpoint."""
     raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     tracker = CheckpointTracker()
     e = (
@@ -239,7 +241,6 @@ def label_propagation(
     )
     tracker.add(e, nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iters):
         votes = (
             e.join(labels.withColumnRenamed("node", "a"), "a")
@@ -247,10 +248,16 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # top-1 by (c desc, label asc) as min(struct(-c, label)) — same
+        # total order, hash aggregate instead of a sort window
         best = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("top")
+            )
+            .select("node", F.col("top.label").alias("new_label"))
         )
         labels = (
             nodes.join(best, "node", "left")
@@ -473,5 +480,95 @@ def betweenness(
         .localCheckpoint(eager=False)
     )
     out.count()  # materialize the full cascade once
+    tracker.release_all(keep=out)
+    return out
+
+
+def closeness(
+    edges: DataFrame,
+    max_depth: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-depth closeness centrality over an undirected edge list:
+    for every vertex, how many vertices it reaches within ``max_depth``
+    hops and how close they are —
+
+        closeness_micro(v) = (n_reached(v) · MICRO) div dist_sum(v)
+
+    (harmonic-free bounded variant; integer micro-units, exactly
+    SQL-oracle-able — a float 1/Σd would not be). Returns ``(node,
+    n_reached, dist_sum, closeness_micro)`` for every vertex of the
+    cleaned graph; isolated-in-ball vertices report zeros.
+
+    Same level-synchronous machinery as :func:`betweenness`' forward
+    phase (per level: frontier⋈edges join, σ-free count, anti-join
+    visited), with the same two scale knobs: ``max_depth`` bounds the
+    per-source ball, ``sources`` (one-column ``node`` DataFrame)
+    restricts to a sampled subset — the standard estimator when
+    all-pairs distance state is infeasible. All shuffles on uniform
+    (source, vertex) keys."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    tracker = CheckpointTracker()
+    e = (
+        raw.where(F.col("u") != F.col("v"))
+        .unionByName(
+            raw.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    tracker.add(e, nodes)
+    srcs = sources.select("node").distinct() if sources is not None else nodes
+    frontier = srcs.select(F.col("node").alias("s"), F.col("node"))
+    visited = frontier
+    reached = []  # (s, node, dist) per level
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["s", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        tracker.add(nxt)
+        reached.append(nxt.withColumn("dist", F.lit(d)))
+        frontier = nxt
+        visited = (
+            visited.unionByName(nxt).localCheckpoint(eager=False)
+        )
+        tracker.add(visited)
+    allr = reached[0]
+    for extra in reached[1:]:
+        allr = allr.unionByName(extra)
+    per_src = allr.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.sum("dist").cast("bigint").alias("dist_sum"),
+    )
+    out = (
+        nodes.join(per_src, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_reached", F.lit(0)).cast("bigint").alias("n_reached"),
+            F.coalesce("dist_sum", F.lit(0)).cast("bigint").alias("dist_sum"),
+            F.when(
+                F.coalesce("dist_sum", F.lit(0)) > 0,
+                F.expr("(n_reached * 1000000) div dist_sum"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("closeness_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out.count()
     tracker.release_all(keep=out)
     return out

@@ -876,3 +876,71 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "score_q", "rank")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 64,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over an embedding column —
+    the all-nodes ANN query that seeds semantic clustering, diversity
+    sampling, and graph-based curation (e.g. SemDeDup's sibling methods):
+    for EVERY corpus vector, its top-k cosine neighbors among the vectors
+    sharing its IVF list. Returns ``(id, neighbor_id, cosine_sim, rank)``
+    with the deterministic tie-break (sim desc 6-dp, neighbor id asc).
+
+    Cluster-restricted search (assign every vector to its nearest of
+    ``nlist`` md5-sampled centroids, score only within lists) is the
+    O(Σ n_c²) SemDeDup-style scale shape, never all-pairs; ``nlist``
+    auto-sizes by :func:`auto_nlist` (clusters ~``target_cluster_size``),
+    so the within-list work stays linear as the corpus grows. Vectors in
+    sparse lists may return fewer than k neighbors — the standard recall
+    trade; raise ``target_cluster_size`` (or use multi-probe
+    :func:`ivf_query`) for recall-critical uses.
+
+    Exactly oracle-able: deterministic centroids + integer tie-breaks,
+    like the rest of the ANN family."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nlist is None:
+        nlist = auto_nlist(corpus.count(), target_cluster_size)
+    cent_rows = sorted(
+        sample_centroids(corpus, nlist, id_col, vec_col).collect(),
+        key=lambda r: r["list_id"],
+    )
+    nearest = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        F.element_at(nearest(F.col(vec_col)), 1).alias("list_id"),
+    ).localCheckpoint(eager=True)  # both join sides reuse one assignment
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(
+        _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+    )

@@ -107,3 +107,85 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
     )
+
+
+def hll_alpha_micro(m: int) -> int:
+    """HLL bias-correction constant α_m in integer micro-units —
+    ``round(1e6 · 0.7213 / (1 + 1.079/m))`` (Flajolet et al. 2007, the
+    m ≥ 128 closed form applied uniformly; the constant is part of the
+    operator's DEFINITION here, shared verbatim with the SQL oracle, so
+    the estimate is bit-reproducible)."""
+    return round(1_000_000 * 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with DETERMINISTIC
+    md5 registers — the fixed-size (2^p registers ≈ bytes, vs KMV's k
+    hashes) cardinality sketch, reproducible run-to-run and across
+    engines, unlike ``approx_count_distinct`` whose xxhash/HLL++ innards
+    are Spark-private.
+
+    Register construction (all integer, one md5 per value):
+
+        h    = md5_u60(value)                  (uniform 60-bit)
+        idx  = h mod m                         (register, m = 2^p)
+        base = h div m
+        rank = base = 0 → 32
+               else least(bit_count((base & -base) - 1) + 1, 32)
+                                               (trailing-zeros + 1)
+        M[idx] = max rank seen
+
+    Estimate (raw HLL estimator, integer micro-units):
+
+        Z_num     = Σ_present 2^(32 - M[j]) + (m - present)·2^32
+        est_micro = (α_micro · m² · 2^32) div Z_num    (decimal(38,0))
+
+    The small-range linear-counting correction is deliberately omitted
+    (it needs ln(), which is not bit-reproducible): below ~2.5·m distinct
+    values the raw estimator over-reads — documented bias, use
+    :func:`kmv_distinct` (exact under k) for small groups.
+
+    Scale shape: one (group, idx) max-aggregate — map-side combinable,
+    bounded at m rows per group — then a per-group sum; the sketch for a
+    100 TB group is 2^p integers. Returns
+    ``(group_col, n_registers_set, est_micro)``."""
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    cap = 32
+    alpha_micro = hll_alpha_micro(m)
+    num = alpha_micro * m * m * (1 << cap)  # fits decimal(38,0) for p<=12
+    # integer div (not /): float division of a 60-bit hash loses the low
+    # bits past 2^53 — exactly the bits the rank reads
+    vals = df.select(
+        F.col(group_col),
+        md5_u60(F.col(value_col).cast("string")).alias("__h"),
+    ).select(
+        F.col(group_col),
+        F.expr(f"__h % {m}").alias("__idx"),
+        F.expr(f"__h div {m}").alias("__base"),
+    )
+    rank = F.when(F.col("__base") == 0, F.lit(cap)).otherwise(
+        F.least(
+            F.expr("bit_count((__base & -__base) - 1) + 1"), F.lit(cap)
+        )
+    )
+    regs = (
+        vals.withColumn("__rank", rank)
+        .groupBy(group_col, "__idx")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    return regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers_set"),
+        F.expr(
+            f"CAST('{num}' AS DECIMAL(38,0)) div CAST("
+            f"sum(shiftleft(CAST(1 AS BIGINT), {cap} - __m)) "
+            f"+ CAST({m} - count(1) AS BIGINT) * CAST({1 << cap} AS BIGINT) "
+            "AS DECIMAL(38,0))"
+        ).cast("bigint").alias("est_micro"),
+    )

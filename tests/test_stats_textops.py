@@ -121,3 +121,132 @@ def test_kmv_distinct_exact_and_estimate(spark):
     assert again["big"] == out["big"]["est_distinct"]
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, "g", "v", k=1)
+
+
+def test_hll_distinct_determinism_and_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_etl_spark.extensions.stats import hll_distinct
+
+    df = spark.range(30000).select(
+        (F.col("id") % 2).alias("g"),
+        F.concat(
+            (F.col("id") % 2).cast("string"),
+            F.lit(":"),
+            (F.col("id") % ((F.col("id") % 2) * 4000 + 3000)).cast("string"),
+        ).alias("v"),
+    )
+    a = sorted(map(tuple, hll_distinct(df, "g", "v").collect()))
+    b = sorted(map(tuple, hll_distinct(df, "g", "v").collect()))
+    assert a == b  # deterministic sketch — identical estimate on re-run
+    exact = {
+        r["g"]: r["c"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("c")).collect()
+    }
+    for g, nregs, est_micro in a:
+        est = est_micro / 1e6
+        # raw estimator at m=64: ~13% stderr; allow 3 sigma + small-range bias
+        assert abs(est - exact[g]) / exact[g] < 0.5, (g, est, exact[g])
+        assert nregs <= 64
+
+
+def test_hll_distinct_validates_p(spark):
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.stats import hll_distinct
+
+    df = spark.range(5).selectExpr("'a' AS g", "CAST(id AS STRING) AS v")
+    with pytest.raises(ValueError):
+        hll_distinct(df, "g", "v", p=3)
+
+
+def test_neardup_verify_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_etl_spark.extensions.dedup import neardup_verify_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # 3 edits
+            (3, "completely different text with nothing shared at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["lev_permille"])
+        for r in neardup_verify_pairs(
+            docs, pairs, max_lev_permille=300
+        ).collect()
+    }
+    assert (1, 2) in out and (1, 3) not in out  # dissimilar pair rejected
+    lev, permille = out[(1, 2)]
+    assert lev == 3 and permille == (1000 * 3) // 43
+    # permissive threshold keeps both
+    all_out = neardup_verify_pairs(docs, pairs, max_lev_permille=1000)
+    assert all_out.count() == 2
+
+
+def test_knn_graph_exact_when_single_list(spark):
+    """nlist=1 puts every vector in one list → the knn graph IS exact
+    brute-force kNN; verify ranks against a manual cosine computation."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import knn_graph
+
+    vecs = {
+        0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0], 3: [0.1, 0.9],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    out = knn_graph(df, k=2, nlist=1)
+    got = {
+        (r["id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for i in vecs:
+        ranked = sorted(
+            ((cos(vecs[i], vecs[j]), j) for j in vecs if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got[(i, 1)] == ranked[0][1]
+        assert got[(i, 2)] == ranked[1][1]
+
+
+def test_closeness_path_graph(spark):
+    from knowledge_graph_etl_spark.extensions.graph import closeness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    rows = {
+        r["node"]: (r["n_reached"], r["dist_sum"], r["closeness_micro"])
+        for r in closeness(edges, max_depth=2).collect()
+    }
+    # a: reaches b@1, c@2 -> (2, 3, 2M div 3); b: a@1, c@1, d@2 -> (3, 4)
+    assert rows["a"] == (2, 3, 2_000_000 // 3)
+    assert rows["b"] == (3, 4, 3_000_000 // 4)
+    assert rows["c"] == rows["b"] and rows["d"] == rows["a"]
+
+
+def test_closeness_sampled_sources(spark):
+    from knowledge_graph_etl_spark.extensions.graph import closeness
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    rows = {
+        r["node"]: (r["n_reached"], r["dist_sum"])
+        for r in closeness(edges, sources=srcs).collect()
+    }
+    assert rows["a"] == (2, 3)  # only the sampled source scores
+    assert rows["b"] == (0, 0) and rows["c"] == (0, 0)
