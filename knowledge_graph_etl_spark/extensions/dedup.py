@@ -191,7 +191,18 @@ def minhash_lsh_pairs(
     (see :func:`minhash_signature`) so the whole pipeline — banding,
     candidate join, signature-agreement estimate — is verifiable against
     an ANSI-SQL oracle; the LSH machinery is identical in both modes.
-    """
+
+    Refinement join strategy (evaluated r05, shuffle kept deliberately):
+    broadcasting the signature table onto the raw candidate stream looks
+    like it should save the dedup + two join shuffles, but measured 7×
+    SLOWER — the tiny signature relation AQE-coalesces to one partition
+    and the broadcast path inherits that layout for the whole 7M-row
+    refinement (one task, zero parallelism), while the shuffle joins
+    re-exchange to full parallelism and the band self-join reuses ONE
+    exchange for both sides (ReusedExchange). Narrow-pairs-first +
+    shuffle joins is also the only shape that works when signatures
+    exceed executor memory, so the two paths would diverge at scale
+    anyway."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # bands > num_hashes would make every band bucket a constant (one
         # global bucket -> O(N²) cross join); non-divisible values would
