@@ -2116,6 +2116,51 @@ _CLOSENESS_ORACLE = (
 )
 
 
+def data_token_budget_q(spark, sf_dir):
+    """Global token-budget fill (curation.select_token_budget): documents
+    taken in the md5 shuffle order until 20k cumulative tokens — computed
+    with the two-pass range-partition running sum, never a single-task
+    global window."""
+    from knowledge_graph_etl_spark.extensions.curation import select_token_budget
+
+    return select_token_budget(_t(spark, sf_dir, "documents"), 20_000)
+
+
+def data_curriculum_q(spark, sf_dir):
+    """Curriculum ordering (curation.curriculum_order): 4 equal-size
+    stages by ascending n_chars, shuffled within stage — two chained
+    two-pass distributed rankings."""
+    from knowledge_graph_etl_spark.extensions.curation import curriculum_order
+
+    return curriculum_order(
+        _t(spark, sf_dir, "documents"), "n_chars", n_stages=4
+    )
+
+
+_TOKEN_BUDGET_ORACLE_TMPL = (
+    "WITH t AS (SELECT doc_id, len({toks}) AS n, "
+    "md5(CAST(doc_id AS VARCHAR) || ':select0') AS k FROM documents), "
+    "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+    "CAST(SUM(n) OVER (ORDER BY k, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_tokens FROM t) "
+    "SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000"
+)
+
+
+_CURRICULUM_ORACLE = (
+    "WITH b AS (SELECT doc_id, n_chars AS s, "
+    "md5(CAST(doc_id AS VARCHAR) || ':cur0') AS k FROM documents), "
+    "r AS (SELECT doc_id, k, "
+    "row_number() OVER (ORDER BY s, doc_id) - 1 AS r, "
+    "COUNT(*) OVER () AS n FROM b), "
+    "st AS (SELECT doc_id, k, CAST((r * 4) // n AS BIGINT) AS stage FROM r) "
+    "SELECT doc_id, stage, "
+    "CAST(row_number() OVER (ORDER BY stage, k, doc_id) - 1 AS BIGINT) "
+    "AS curriculum_rank FROM st"
+)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2251,6 +2296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verify_lev": dedup_verify_lev_q,
         "ann_knn_graph": ann_knn_graph_q,
         "graph_closeness": graph_closeness_q,
+        "data_token_budget": data_token_budget_q,
+        "data_curriculum": data_curriculum_q,
     }
 
 
@@ -3095,6 +3142,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verify_lev": _verify_lev_oracle(),
         "ann_knn_graph": _KNN_GRAPH_ORACLE,
         "graph_closeness": _CLOSENESS_ORACLE,
+        "data_token_budget": _TOKEN_BUDGET_ORACLE_TMPL.format(toks=_TOKS),
+        "data_curriculum": _CURRICULUM_ORACLE,
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "

@@ -1265,3 +1265,132 @@ def contamination_report(
             "CAST(1000000 * sum(CAST(contaminated AS BIGINT)) div count(1) AS BIGINT)"
         ).alias("rate_ppm"),
     )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "select0",
+    partitions: int = 64,
+) -> DataFrame:
+    """Fill a global TOKEN budget deterministically — "give me the first
+    N tokens' worth of corpus" that every training run performs: documents
+    are taken in the reproducible md5(id:salt) shuffle order until the
+    cumulative token count reaches ``budget_tokens`` (a document is
+    selected iff its INCLUSIVE cumulative count fits). Returns the
+    selected rows as ``(id_col, n_tokens, cum_tokens)``.
+
+    Scale shape — the cumulative-sum twin of :func:`training_order`'s
+    two-pass ranking: a naive ``SUM() OVER (ORDER BY ...)`` is a
+    single-partition global window (one straggler task owns the corpus);
+    instead range-partition on the order key, per-partition token totals
+    (one bounded ``partitions``-row collect), prefix-offsets driver-side,
+    then a partition-LOCAL running sum plus the offset. Exact regardless
+    of where the range sampler cuts; the budget filter prunes partitions
+    wholesale once an entire partition's offset exceeds the budget."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    base = docs.select(
+        F.col(id_col),
+        key.alias("__k"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    ranged = base.repartitionByRange(
+        partitions, "__k", id_col
+    ).localCheckpoint(eager=True)  # pin the cut (see training_order)
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    sums = sorted(
+        (r["__pid"], r["s"])
+        for r in part.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, s in sums:
+        offsets[pid] = acc
+        acc += int(s or 0)
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum("n_tokens").over(w) + off_expr).cast("long")
+    return (
+        part.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(F.col(id_col), "n_tokens", "cum_tokens")
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "cur0",
+    partitions: int = 64,
+) -> DataFrame:
+    """Curriculum training order: documents are bucketed into
+    ``n_stages`` equal-size stages by ascending ``score_col`` (stage 0 =
+    lowest scores first — point the score at difficulty/quality as the
+    curriculum requires) and SHUFFLED within each stage by the md5(id:salt)
+    permutation, yielding one deterministic global ``curriculum_rank``:
+    easy examples first, hard last, no intra-stage ordering bias.
+
+    Both passes use the two-pass distributed ranking (range-partition +
+    per-partition offsets — never a single-task global window): pass 1
+    ranks by (score, id) to cut exact equal-size stage boundaries
+    (``stage = (rank·n_stages) div N`` — rank-based, so ties split
+    deterministically and stages are balanced even on constant scores);
+    pass 2 ranks by (stage, shuffle-key, id). Returns
+    ``(id_col, stage, curriculum_rank)``."""
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+
+    def two_pass_rank(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
+        ranged = df.repartitionByRange(
+            partitions, *[F.col(c) for c in order_cols]
+        ).localCheckpoint(eager=True)
+        part = ranged.withColumn("__pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__pid"], r["c"])
+            for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid, c in counts:
+            offsets[pid] = acc
+            acc += c
+        off_expr = F.lit(0)
+        for pid, off in offsets.items():
+            if off:
+                off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(
+                    off_expr
+                )
+        w = Window.partitionBy("__pid").orderBy(*order_cols)
+        return part.withColumn(
+            out, (F.row_number().over(w) - 1 + off_expr).cast("long")
+        ).drop("__pid")
+
+    n = docs.count()
+    base = docs.select(
+        F.col(id_col),
+        F.col(score_col).alias("__score"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+        ).alias("__k"),
+    )
+    staged = two_pass_rank(base, ["__score", id_col], "__r").withColumn(
+        "stage",
+        F.expr(f"CAST((__r * {n_stages}) div {max(n, 1)} AS BIGINT)"),
+    )
+    ranked = two_pass_rank(staged, ["stage", "__k", id_col], "curriculum_rank")
+    return ranked.select(F.col(id_col), "stage", "curriculum_rank")

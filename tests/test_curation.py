@@ -1047,3 +1047,75 @@ def test_contamination_report_values(spark):
     assert web["n_docs"] == 3 and web["n_contaminated"] == 2  # docs 1 and 2
     assert web["rate_ppm"] == (1_000_000 * 2) // 3
     assert out["books"]["n_contaminated"] == 0 and out["books"]["rate_ppm"] == 0
+
+
+def test_select_token_budget(spark):
+    from knowledge_graph_etl_spark.extensions.curation import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    total = sum(i + 1 for i in range(20))
+    # full budget selects everything; cum of the order's last row == total
+    all_sel = select_token_budget(docs, total, partitions=4)
+    assert all_sel.count() == 20
+    assert all_sel.agg(F.max("cum_tokens")).collect()[0][0] == total
+    # cum_tokens is a proper running sum in the md5 order: sorted cums
+    # equal the prefix sums of n_tokens in that order
+    rows = sorted(all_sel.collect(), key=lambda r: r["cum_tokens"])
+    acc = 0
+    for r in rows:
+        acc += r["n_tokens"]
+        assert r["cum_tokens"] == acc
+    # half budget: maximal prefix, inclusive semantics
+    half = select_token_budget(docs, total // 2, partitions=4)
+    hr = sorted(half.collect(), key=lambda r: r["cum_tokens"])
+    assert hr and hr[-1]["cum_tokens"] <= total // 2
+    assert [r["doc_id"] for r in hr] == [r["doc_id"] for r in rows[: len(hr)]]
+    # the NEXT doc in order would have crossed the budget
+    nxt = rows[len(hr)]
+    assert hr[-1]["cum_tokens"] + nxt["n_tokens"] > total // 2
+    assert select_token_budget(docs, 0, partitions=4).count() == 0
+
+
+def test_select_token_budget_partition_invariant(spark):
+    from knowledge_graph_etl_spark.extensions.curation import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * (i % 7 + 1))) for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, select_token_budget(docs, 200, partitions=3).collect()))
+    b = sorted(map(tuple, select_token_budget(docs, 200, partitions=17).collect()))
+    assert a == b  # partition count affects balance, never the output
+
+
+def test_curriculum_order(spark):
+    from knowledge_graph_etl_spark.extensions.curation import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(40)],
+        "doc_id bigint, score double",
+    )
+    out = curriculum_order(docs, "score", n_stages=4, partitions=3).collect()
+    assert len(out) == 40
+    by_id = {r["doc_id"]: r for r in out}
+    # equal-size stages
+    from collections import Counter
+
+    sizes = Counter(r["stage"] for r in out)
+    assert sizes == {0: 10, 1: 10, 2: 10, 3: 10}
+    # curriculum_rank is a permutation ordered by stage
+    ranks = sorted(r["curriculum_rank"] for r in out)
+    assert ranks == list(range(40))
+    ordered = sorted(out, key=lambda r: r["curriculum_rank"])
+    stages = [r["stage"] for r in ordered]
+    assert stages == sorted(stages)  # all of stage s before stage s+1
+    # low scores land in low stages (rank-based bucketing on score)
+    for r in out:
+        if r["stage"] == 0:
+            assert by_id[r["doc_id"]] is r
+            assert docs.where(F.col("doc_id") == r["doc_id"]).collect()[0][
+                "score"
+            ] <= 4.0
