@@ -2148,6 +2148,65 @@ _TOKEN_BUDGET_ORACLE_TMPL = (
 )
 
 
+def streaming_neardup_q(spark, sf_dir):
+    """Online near-dup flagging, batch twin (streaming/neardup.
+    flag_neardups): per-LSH-bucket first-arrival memory — each document
+    flagged against the minimum-id document sharing one of its buckets,
+    confirmed by signature agreement. The applyInPandasWithState
+    streaming path is stream==batch parity-tested in
+    tests/test_streaming.py (cross-micro-batch state)."""
+    from knowledge_graph_etl_spark.streaming.neardup import flag_neardups
+
+    return flag_neardups(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _neardup_first_oracle(
+    num_hashes: int = 32, bands: int = 4, threshold: float = 0.8
+) -> str:
+    """Bucket-first variant of _minhash_oracle: per (band, bucket) the
+    minimum doc id is the remembered 'first'; later ids in the bucket are
+    flagged against it when full-signature agreement passes."""
+    from knowledge_graph_etl_spark.extensions.dedup import _MERSENNE31, _mh_coeffs
+
+    p = _MERSENNE31
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * hb + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    sig_arr = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(array_to_string(list_transform("
+        f"list_slice(sig, {bi * rpb + 1}, {bi * rpb + rpb}), "
+        f"x -> CAST(x AS VARCHAR)), '|')) AS bucket FROM oksig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = f"round(({agree}) / {num_hashes}.0, 6)"
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok "
+        "FROM documents), "
+        "hb AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) "
+        f"% {p} AS hb FROM tok), "
+        f"agg AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
+        f"oksig AS (SELECT doc_id, {sig_arr} AS sig FROM agg), "
+        f"bands AS ({band_rows}), "
+        "firsts AS (SELECT band, bucket, MIN(doc_id) AS dup_of "
+        "FROM bands GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT b.doc_id AS doc_id, f.dup_of "
+        "FROM bands b JOIN firsts f USING (band, bucket) "
+        "WHERE b.doc_id <> f.dup_of) "
+        f"SELECT DISTINCT cand.doc_id, cand.dup_of, {est} AS est_jaccard "
+        "FROM cand "
+        "JOIN oksig sa ON sa.doc_id = cand.doc_id "
+        "JOIN oksig sb ON sb.doc_id = cand.dup_of "
+        f"WHERE {est} >= {threshold}"
+    )
+
+
 _CURRICULUM_ORACLE = (
     "WITH b AS (SELECT doc_id, n_chars AS s, "
     "md5(CAST(doc_id AS VARCHAR) || ':cur0') AS k FROM documents), "
@@ -2298,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness": graph_closeness_q,
         "data_token_budget": data_token_budget_q,
         "data_curriculum": data_curriculum_q,
+        "streaming_neardup": streaming_neardup_q,
     }
 
 
@@ -3144,6 +3204,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _CLOSENESS_ORACLE,
         "data_token_budget": _TOKEN_BUDGET_ORACLE_TMPL.format(toks=_TOKS),
         "data_curriculum": _CURRICULUM_ORACLE,
+        "streaming_neardup": _neardup_first_oracle(),
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "

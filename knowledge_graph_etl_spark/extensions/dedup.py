@@ -160,7 +160,9 @@ def minhash_signature(
         sig = F.aggregate(
             F.transform(tks, _md5_base),
             F.array(*[F.lit(_MERSENNE31)] * num_hashes).cast("array<bigint>"),
-            lambda acc, x: F.zip_with(acc, hashes_of(x), F.least),
+            # F.least itself is varargs — PySpark rejects it as a
+            # higher-order-function lambda; wrap in a binary lambda
+            lambda acc, x: F.zip_with(acc, hashes_of(x), lambda a, b: F.least(a, b)),
         )
         return F.when(F.size(tks) > 0, sig)
     return F.array(

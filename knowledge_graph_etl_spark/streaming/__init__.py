@@ -1,9 +1,11 @@
 from .ingest import stream_insert_into_store, stream_json_to_quads
 from .curate import curate_docs
 from .joins import enrich_stream, interval_join
+from .neardup import flag_neardups
 from .windows import dedup_events, sessionize, windowed_event_counts
 
 __all__ = [
+    "flag_neardups",
     "curate_docs",
     "enrich_stream",
     "interval_join",

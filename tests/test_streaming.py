@@ -450,3 +450,68 @@ def test_flag_anomalies_overflow_raises_not_false(spark):
     )
     got = {r["event_id"]: r["is_anomaly"] for r in flag_anomalies(ok).collect()}
     assert got[5] is True and not any(got[i] for i in range(5))
+
+
+def _neardup_docs():
+    text_a = "the quick brown fox jumps over the lazy dog while the band plays on"
+    return [
+        (1, text_a),
+        (2, "completely different content about parquet files and shuffles"),
+        (3, text_a + " tonight"),  # near-dup of 1
+        (4, text_a),  # exact dup of 1
+    ]
+
+
+def test_flag_neardups_batch(spark):
+    from knowledge_graph_etl_spark.streaming.neardup import flag_neardups
+
+    docs = spark.createDataFrame(_neardup_docs(), "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["dup_of"]): r["est_jaccard"]
+        for r in flag_neardups(docs, threshold=0.7).collect()
+    }
+    assert (4, 1) in got and got[(4, 1)] == 1.0
+    assert (3, 1) in got and got[(3, 1)] >= 0.7
+    assert all(k[0] != 2 for k in got)  # unrelated doc never flagged
+
+
+def test_flag_neardups_stream_matches_batch(spark, tmp_path):
+    """Cross-batch state: docs 1-2 arrive in micro-batch 1, docs 3-4 in
+    micro-batch 2 — the later batch's dups are flagged against the
+    REMEMBERED firsts. Output set (deduped across bucket groups) equals
+    the batch twin's."""
+    from knowledge_graph_etl_spark.streaming.neardup import flag_neardups
+
+    rows = _neardup_docs()
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    expect = {
+        (r["doc_id"], r["dup_of"], r["est_jaccard"])
+        for r in flag_neardups(docs, threshold=0.7).collect()
+    }
+    src = str(tmp_path / "nd")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(rows[:2], "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    spark.createDataFrame(rows[2:], "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = flag_neardups(stream, threshold=0.7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardups")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["dup_of"], r["est_jaccard"])
+        for r in spark.table("neardups").collect()
+    }
+    assert got == expect
