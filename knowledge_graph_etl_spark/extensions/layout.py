@@ -146,3 +146,74 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
             if lo is not None:
                 out.append((lo, hi))
     return sorted(out)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on a Z-ORDER (Morton) curve over two or
+    more numeric columns — the multi-dimensional version of
+    :func:`write_sorted`: a single sort key can only prune filters on its
+    leading column, while interleaving the bits of several columns makes
+    every file cover a bounded HYPER-RECTANGLE of the key space, so
+    footer min/max stats prune selective filters on ANY of the z-columns
+    (the technique Delta/Iceberg expose as OPTIMIZE ZORDER BY).
+
+    Construction (all JVM expressions): each column is affinely scaled to
+    ``bits`` unsigned bits using its global min/max (one tiny 2-value
+    aggregate per column — the only extra pass), then the scaled values'
+    bits are interleaved MSB-first into the Morton key the write range-
+    partitions and sorts on. Ties and NULLs (mapped to 0) only affect
+    placement, never correctness — the layout is advisory; readers rely
+    on footer stats, not on the key."""
+    if len(zorder_by) < 2:
+        raise ValueError("zorder_by needs >= 2 columns (use write_sorted for 1)")
+    if not 4 <= bits <= 21:
+        raise ValueError(f"bits must be in [4, 21], got {bits}")
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in zorder_by:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) if mx is not None and mn is not None and mx > mn else 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn or 0.0))
+                        / F.lit(span)
+                        * F.lit(float(top))
+                    ).cast("long"),
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    # standard Morton interleave: bit b of column i lands at output
+    # position b*ncols + i, so higher-order bits of every column dominate
+    # the curve equally — one |-chain, whole-stage codegen friendly
+    n = len(zorder_by)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    nf = num_files or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(nf, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -88,3 +88,39 @@ def test_compact_files_with_recluster(spark, tmp_path):
     assert len(ranges) >= 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # compaction re-clustered while resizing
+
+
+def test_write_zordered_bounds_both_columns(spark, tmp_path):
+    """Z-order over (x, y): every file must cover a bounded rectangle —
+    per-file spans on BOTH columns far narrower than the global range,
+    unlike a single-column sort where the trailing column spans ~all."""
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        (F.col("id") * 7919 % 1000).alias("y"),
+    )
+    shuffled = df.orderBy(
+        F.md5(F.concat(F.col("x").cast("string"), F.col("y").cast("string")))
+    )
+    zpath = str(tmp_path / "zord")
+    from knowledge_graph_etl_spark.extensions.layout import write_zordered
+
+    write_zordered(shuffled, zpath, zorder_by=["x", "y"], num_files=16)
+    rx = file_key_ranges(zpath, "x")
+    ry = file_key_ranges(zpath, "y")
+    assert len(rx) == 16 and len(ry) == 16
+    # average per-file span on each dimension clearly below the 1000-wide
+    # global range (16 files over a 2-D curve -> ~1/4 span per dimension)
+    avg_span_x = sum(hi - lo for lo, hi in rx) / len(rx)
+    avg_span_y = sum(hi - lo for lo, hi in ry) / len(ry)
+    assert avg_span_x < 600 and avg_span_y < 600, (avg_span_x, avg_span_y)
+    # control: single-column sort leaves y unclustered
+    spath = str(tmp_path / "sorted1d")
+    write_sorted(shuffled, spath, sort_by=["x"], num_files=16)
+    ry1 = file_key_ranges(spath, "y")
+    avg_span_y1 = sum(hi - lo for lo, hi in ry1) / len(ry1)
+    assert avg_span_y1 > 900  # every file spans ~the whole y range
+    # data integrity
+    assert spark.read.parquet(zpath).count() == n
+    with pytest.raises(ValueError):
+        write_zordered(df, zpath, zorder_by=["x"])
