@@ -399,3 +399,87 @@ def sample_frames(
     return media.where(F.col("kind") == "video").select(
         "media_id", "payload", "duration_ms"
     ).mapInPandas(run, schema=out_schema)
+
+
+def _encode_wav16(samples, rate: int) -> bytes:
+    """Mono float [-1, 1] → 16-bit PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    clipped = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(clipped * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _resample_linear(samples, src_rate: int, dst_rate: int):
+    """Deterministic linear-interpolation resampling (numpy.interp over
+    the time grid) — the codec-free baseline resampler; band-limited
+    (sinc/polyphase) resampling needs scipy, an optional dep this
+    environment doesn't have, and linear is adequate for the feature /
+    dedup paths these payloads feed."""
+    import numpy as np
+
+    n = samples.size
+    if n == 0 or src_rate == dst_rate:
+        return np.asarray(samples, dtype=np.float64)
+    duration = n / src_rate
+    m = max(1, int(round(duration * dst_rate)))
+    src_t = np.arange(n, dtype=np.float64) / src_rate
+    dst_t = np.arange(m, dtype=np.float64) / dst_rate
+    return np.interp(dst_t, src_t, np.asarray(samples, dtype=np.float64))
+
+
+def resample_audio(
+    media: DataFrame,
+    target_rate: int = 16_000,
+) -> DataFrame:
+    """Audio-resample operator: every ``kind='audio'`` payload is decoded
+    (stdlib PCM WAV), linearly resampled to ``target_rate``, and
+    re-encoded as 16-bit mono WAV — the normalize-everything-to-16kHz
+    step ASR/audio-LM pipelines run before feature extraction. Metadata
+    columns ``sample_rate`` (if present) and payload bytes are rewritten;
+    non-audio rows are filtered (mirror of ``resize_images``' kind
+    filter).
+
+    Arrow-batched ``mapInPandas``: decode + interp + re-encode are
+    per-row numpy with no cross-row state, so the operator scales as a
+    pure map — no shuffle, executor-local CPU."""
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+
+    has_rate = "sample_rate" in media.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads = []
+            for p in pdf["payload"]:
+                if p is None:
+                    payloads.append(None)
+                    continue
+                samples, rate = decode_wav(bytes(p))
+                payloads.append(
+                    _encode_wav16(
+                        _resample_linear(samples, rate, target_rate),
+                        target_rate,
+                    )
+                )
+            out["payload"] = payloads
+            if has_rate:
+                out["sample_rate"] = [
+                    target_rate if p is not None else r
+                    for p, r in zip(payloads, pdf["sample_rate"])
+                ]
+            yield out
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        run, schema=media.schema
+    )

@@ -844,3 +844,49 @@ def test_semantic_dedup_auto_default_matches_explicit(spark):
     a = sorted(map(tuple, auto.collect()))
     e = sorted(map(tuple, explicit.collect()))
     assert a == e
+
+
+def test_resample_audio_roundtrip(spark):
+    """Real DSP path: an 8 kHz sine resampled to 16 kHz must preserve
+    duration and frequency (zero-crossing count) and match the numpy
+    linear-interp reference sample-for-sample (within int16 quantization)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        _resample_linear,
+        decode_wav,
+        resample_audio,
+    )
+
+    src_rate, freq, dur = 8000, 440.0, 0.5
+    t = np.arange(int(src_rate * dur)) / src_rate
+    sig = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float64)
+    pcm = np.round(sig * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(src_rate)
+        wf.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(wav), src_rate), ("v1", "video", None, 0)],
+        "media_id string, kind string, payload binary, sample_rate int",
+    )
+    out = {r["media_id"]: r for r in resample_audio(media, 16_000).collect()}
+    assert list(out) == ["a1"]  # non-audio filtered
+    assert out["a1"]["sample_rate"] == 16_000
+    samples, rate = decode_wav(bytes(out["a1"]["payload"]))
+    assert rate == 16_000
+    assert abs(samples.size - 16_000 * dur) <= 2  # duration preserved
+    # frequency preserved: a 440 Hz tone has 2*440*dur zero crossings
+    zc = int(np.sum(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    assert abs(zc - 2 * freq * dur) <= 4
+    # matches the numpy reference within int16 quantization
+    ref_src, _ = decode_wav(wav)
+    ref = _resample_linear(ref_src, src_rate, 16_000)
+    assert float(np.max(np.abs(samples - np.clip(ref, -1, 1)))) < 2.0 / 32767
