@@ -2207,6 +2207,38 @@ def _neardup_first_oracle(
     )
 
 
+def blocklist_flag_q(spark, sf_dir):
+    """Blocklist/safety flagging (curation.blocklist_filter, word mode):
+    the term set is derived deterministically from the corpus itself (the
+    5 alphabetically-first distinct tokens of doc 0), so hits exist at
+    every SF; the corpus tokenizes once and equi-joins the term set."""
+    from knowledge_graph_etl_spark.extensions.curation import blocklist_filter
+    from knowledge_graph_etl_spark.extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    terms = (
+        d.where(F.col("doc_id") == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .orderBy("term")
+        .limit(5)
+    )
+    return blocklist_filter(d, terms)
+
+
+_BLOCKLIST_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, {{toks}} AS t FROM documents), "
+    "bl AS (SELECT DISTINCT unnest(t) AS term FROM tok WHERE doc_id = 0 "
+    "ORDER BY term LIMIT 5), "
+    "dt AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM tok), "
+    "h AS (SELECT dt.doc_id, COUNT(*) AS n FROM dt JOIN bl USING (term) "
+    "GROUP BY 1) "
+    "SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits, "
+    "coalesce(h.n, 0) > 0 AS blocked "
+    "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"
+)
+
+
 _CURRICULUM_ORACLE = (
     "WITH b AS (SELECT doc_id, n_chars AS s, "
     "md5(CAST(doc_id AS VARCHAR) || ':cur0') AS k FROM documents), "
@@ -2358,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_token_budget": data_token_budget_q,
         "data_curriculum": data_curriculum_q,
         "streaming_neardup": streaming_neardup_q,
+        "blocklist_flag": blocklist_flag_q,
     }
 
 
@@ -3205,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
         "data_token_budget": _TOKEN_BUDGET_ORACLE_TMPL.format(toks=_TOKS),
         "data_curriculum": _CURRICULUM_ORACLE,
         "streaming_neardup": _neardup_first_oracle(),
+        "blocklist_flag": _BLOCKLIST_ORACLE.format(toks=_TOKS),
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "

@@ -1394,3 +1394,82 @@ def curriculum_order(
     )
     ranked = two_pass_rank(staged, ["stage", "__k", id_col], "curriculum_rank")
     return ranked.select(F.col(id_col), "stage", "curriculum_rank")
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: DataFrame | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "word",
+) -> DataFrame:
+    """Blocklist/safety filtering — flag documents containing any of a set
+    of blocked terms, the standard pre-training safety pass (URL/word
+    blocklists à la UT1/Dolma). Returns one row per document:
+    ``(id_col, n_hits, blocked)`` with ``n_hits`` = DISTINCT blocked
+    terms present.
+
+    ``mode='word'`` (default): token-level exact match — the corpus
+    tokenizes once and equi-joins the term set on the token value, so a
+    100 TB corpus streams map-side against any size blocklist (the join
+    shuffles on the uniform token key; Catalyst broadcasts the term side
+    automatically when it is small). ``mode='phrase'``: multi-word
+    phrases matched as token n-grams — each phrase's token count groups
+    the corpus grams it must join (grams are generated only for the
+    lengths present in the blocklist, never all n).
+
+    ``terms``: a one-column DataFrame (``term``) or a Python list.
+    Terms are lowercased/tokenized with the corpus tokenizer so matching
+    is consistent with every other text operator."""
+    spark = docs.sparkSession
+    if isinstance(terms, list):
+        if not terms:
+            raise ValueError("terms must be non-empty")
+        terms = spark.createDataFrame([(t,) for t in terms], "term string")
+    if mode not in ("word", "phrase"):
+        raise ValueError(f"mode must be 'word' or 'phrase', got {mode}")
+    tset = (
+        terms.select(tokens(F.col("term")).alias("tt"))
+        .where(F.size("tt") > 0)
+        .select(
+            F.concat_ws(" ", F.col("tt")).alias("term"),
+            F.size("tt").alias("tn"),
+        )
+        .distinct()
+    )
+    if mode == "word":
+        tset = tset.where(F.col("tn") == 1)
+        corpus = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+        )
+        hits = corpus.join(tset.select("term"), "term").groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+    else:
+        lengths = [r["tn"] for r in tset.select("tn").distinct().collect()]
+        tks = docs.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        )
+        from .text import zip_kgrams
+
+        gram_parts = None
+        for n in sorted(lengths):
+            part = tks.select(
+                "id",
+                F.explode(
+                    F.array_distinct(zip_kgrams(F.col("t"), n))
+                ).alias("term"),
+            )
+            gram_parts = part if gram_parts is None else gram_parts.unionByName(part)
+        hits = (
+            gram_parts.join(tset.select("term"), "term")
+            .groupBy("id")
+            .agg(F.countDistinct("term").alias("n_hits"))
+        )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return spine.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("blocked"),
+    )

@@ -38,17 +38,48 @@ def _banded_signatures(
     """(id, band, bucket, sig) — one row per document per band; bucket is
     the md5 of the band's signature slice (same formula as
     ``extensions.dedup.minhash_lsh_pairs``, so buckets agree across the
-    batch and streaming operators). Row-level expressions only — legal on
-    streaming DataFrames."""
+    batch and streaming operators).
+
+    Signature path is mode-dependent but VALUE-identical: batch uses the
+    explode→min-aggregate form (tokenizes each document once — the
+    per-row array fold re-walks the token array per hash seed, measured
+    ~4× slower on the bench corpus); streams use the per-row
+    :func:`..extensions.dedup.minhash_signature` expression, the only
+    form legal without a pre-state aggregation."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rpb = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(
-            F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
-        ).alias("sig"),
-    ).where(F.col("sig").isNotNull())
+    if docs.isStreaming:
+        sig = docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(
+                F.col(text_col), num_hashes=num_hashes, hash_fn=hash_fn
+            ).alias("sig"),
+        ).where(F.col("sig").isNotNull())
+    else:
+        from ..extensions.dedup import _MERSENNE31, _mh_coeffs
+        from ..extensions.hashing import md5_base
+        from ..extensions.text import tokens
+
+        tok = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        if hash_fn == "md5":
+            coeffs = _mh_coeffs(num_hashes)
+            tok = tok.select("id", md5_base(F.col("tok")).alias("hb"))
+            hash_i = lambda i: (
+                F.lit(coeffs[i][0]) * F.col("hb") + F.lit(coeffs[i][1])
+            ) % _MERSENNE31
+        else:
+            hash_i = lambda i: F.xxhash64("tok", F.lit(i))
+        agg = tok.groupBy("id").agg(
+            *[F.min(hash_i(i)).alias(f"m{i}") for i in range(num_hashes)]
+        )
+        sig = agg.select(
+            "id",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     bucket_of = lambda bi: F.md5(
         F.concat_ws(
             "|",

@@ -1119,3 +1119,52 @@ def test_curriculum_order(spark):
             assert docs.where(F.col("doc_id") == r["doc_id"]).collect()[0][
                 "score"
             ] <= 4.0
+
+
+def test_blocklist_filter_word_mode(spark):
+    from knowledge_graph_etl_spark.extensions.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly Clean document here"),
+            (2, "contains the BADWORD in the middle"),
+            (3, "badword badword twice but one distinct hit"),
+            (4, "has badword and also verboten term"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["blocked"])
+        for r in blocklist_filter(docs, ["BadWord", "verboten"]).collect()
+    }
+    assert out[1] == (0, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, True)  # distinct terms, not occurrences
+    assert out[4] == (2, True)
+    assert out[5] == (0, False)
+
+
+def test_blocklist_filter_phrase_mode(spark):
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the forbidden phrase appears right here"),
+            (2, "forbidden words but not the phrase together"),
+            (3, "single banned token and the forbidden phrase"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["forbidden phrase", "banned"]
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in blocklist_filter(docs, terms, mode="phrase").collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 2}
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, [], mode="phrase")
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, ["x"], mode="regex")
