@@ -2239,6 +2239,60 @@ _BLOCKLIST_ORACLE = (
 )
 
 
+def events_funnel_q(spark, sf_dir):
+    """Ordered funnel view→click→purchase (extensions/events.
+    funnel_conversion): sequential-minimum-time semantics, one filtered
+    min-aggregate per step on the user key, conversion in integer ppm."""
+    from knowledge_graph_etl_spark.extensions.events import funnel_conversion
+
+    return funnel_conversion(
+        _events_ts(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def events_retention_q(spark, sf_dir):
+    """Weekly retention cohort matrix (extensions/events.
+    retention_cohorts): integer period indexes from epoch microseconds —
+    no calendar arithmetic to diverge across engines."""
+    from knowledge_graph_etl_spark.extensions.events import retention_cohorts
+
+    return retention_cohorts(_events_ts(spark, sf_dir))
+
+
+_FUNNEL_ORACLE = (
+    "WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t "
+    "FROM events), "
+    "s1 AS (SELECT u, MIN(t) AS t1 FROM e WHERE et = 'view' GROUP BY u), "
+    "s2 AS (SELECT e.u, MIN(e.t) AS t2 FROM e JOIN s1 USING (u) "
+    "WHERE e.et = 'click' AND e.t >= s1.t1 GROUP BY e.u), "
+    "s3 AS (SELECT e.u, MIN(e.t) AS t3 FROM e JOIN s2 USING (u) "
+    "WHERE e.et = 'purchase' AND e.t >= s2.t2 GROUP BY e.u), "
+    "c AS (SELECT 1 AS step_index, 'view' AS step, COUNT(*) AS n FROM s1 "
+    "UNION ALL SELECT 2, 'click', COUNT(*) FROM s2 "
+    "UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3) "
+    "SELECT CAST(step_index AS INT) AS step_index, step, "
+    "CAST(n AS BIGINT) AS n_users, "
+    "CAST((1000000 * n) // (SELECT n FROM c WHERE step_index = 1) AS BIGINT) "
+    "AS conversion_ppm FROM c"
+)
+
+
+_RETENTION_ORACLE = (
+    "WITH e AS (SELECT user_id AS u, "
+    "epoch_us(ts) // 604800000000 AS pd FROM events), "
+    "f AS (SELECT u, MIN(pd) AS cohort FROM e GROUP BY u), "
+    "c AS (SELECT DISTINCT e.u, f.cohort, e.pd - f.cohort AS off "
+    "FROM e JOIN f USING (u) WHERE e.pd - f.cohort BETWEEN 0 AND 8), "
+    "a AS (SELECT cohort, off, COUNT(*) AS n_active FROM c GROUP BY 1, 2), "
+    "s AS (SELECT cohort, COUNT(*) AS n_cohort FROM f GROUP BY 1) "
+    "SELECT CAST(a.cohort AS BIGINT) AS cohort_period, "
+    "CAST(off AS BIGINT) AS period_offset, "
+    "CAST(n_active AS BIGINT) AS n_active, "
+    "CAST((1000000 * n_active) // n_cohort AS BIGINT) AS retention_ppm "
+    "FROM a JOIN s USING (cohort)"
+)
+
+
 _CURRICULUM_ORACLE = (
     "WITH b AS (SELECT doc_id, n_chars AS s, "
     "md5(CAST(doc_id AS VARCHAR) || ':cur0') AS k FROM documents), "
@@ -2391,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_curriculum": data_curriculum_q,
         "streaming_neardup": streaming_neardup_q,
         "blocklist_flag": blocklist_flag_q,
+        "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
     }
 
 
@@ -3239,6 +3295,8 @@ def oracle_sql() -> dict[str, str]:
         "data_curriculum": _CURRICULUM_ORACLE,
         "streaming_neardup": _neardup_first_oracle(),
         "blocklist_flag": _BLOCKLIST_ORACLE.format(toks=_TOKS),
+        "events_funnel": _FUNNEL_ORACLE,
+        "events_retention": _RETENTION_ORACLE,
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "

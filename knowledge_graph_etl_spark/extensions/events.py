@@ -1,0 +1,141 @@
+"""Event-sequence analytics: funnel conversion and retention cohorts.
+
+The event-stream side of the engine (windowed counts, sessionization,
+interval joins live in :mod:`..streaming`) plus the two batch analyses
+every product/behavior pipeline runs. Both are built on integer time
+arithmetic (epoch microseconds / integer period indexes) so the
+notoriously float-and-timezone-fragile funnel/cohort numbers are exactly
+reproducible — and SQL-oracle-able — across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed step 1, then
+    step 2 at-or-after their step-1 time, then step 3 after that, … —
+    the sequential-minimum-time formulation (a user's step-k time is the
+    EARLIEST step-k event at/after their step-(k-1) time; ties on the
+    same timestamp count, matching "same-batch" events). Returns one row
+    per step: ``(step_index, step, n_users, conversion_ppm)`` with
+    conversion in integer parts-per-million of the step-1 population.
+
+    ``within_seconds`` bounds the whole funnel to a window after the
+    user's step-1 time (the usual "converted within 7 days" form).
+
+    Scale shape: one filtered min-aggregate per step, each keyed on the
+    uniform user id (map-side combinable) joined to the previous step's
+    per-user time — k steps cost k bounded shuffles on the same key, and
+    Catalyst reuses the partitioning across them; the final counts
+    reduce k tiny rows. Never a self-join of the event log."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), us.alias("t")
+    )
+    cur = base.where(F.col("et") == steps[0]).groupBy("u").agg(
+        F.min("t").alias("t1")
+    )
+    if within_seconds is not None:
+        cur = cur.withColumn(
+            "deadline", F.col("t1") + F.lit(int(within_seconds) * 1_000_000)
+        )
+    reached = [cur.select("u", F.col("t1").alias("tk"))]
+    prev = cur
+    for step in steps[1:]:
+        ev = base.where(F.col("et") == step)
+        j = ev.join(prev, "u").where(F.col("t") >= F.col(f"t{len(reached)}"))
+        if within_seconds is not None:
+            j = j.where(F.col("t") <= F.col("deadline"))
+        agg_cols = [F.min("t").alias(f"t{len(reached) + 1}")] + [
+            F.first(f"t{i + 1}").alias(f"t{i + 1}") for i in range(len(reached))
+        ]
+        if within_seconds is not None:
+            agg_cols.append(F.first("deadline").alias("deadline"))
+        nxt = j.groupBy("u").agg(*agg_cols)
+        reached.append(nxt.select("u", F.col(f"t{len(reached) + 1}").alias("tk")))
+        prev = nxt
+    tagged = None
+    for i, df in enumerate(reached):
+        part = df.select(
+            F.lit(i + 1).alias("step_index"),
+            F.lit(steps[i]).alias("step"),
+            "u",
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    counts = tagged.groupBy("step_index", "step").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    first_n = counts.where(F.col("step_index") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    # one-row broadcast; an empty step-1 population yields an empty funnel
+    return counts.join(F.broadcast(first_n)).select(
+        "step_index",
+        "step",
+        "n_users",
+        F.expr("CAST(1000000 * n_users div __n1 AS BIGINT)").alias(
+            "conversion_ppm"
+        ),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_seconds: int = 7 * 86_400,
+    max_offset: int | None = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention cohort matrix: users are cohorted by the period of their
+    FIRST event (``floor(epoch_us / period)`` — integer period indexes,
+    no calendar/timezone arithmetic to diverge across engines), and each
+    (cohort, offset) cell counts the cohort's users active ``offset``
+    periods later. Returns ``(cohort_period, period_offset, n_active,
+    retention_ppm)`` — offset 0 is the cohort size by construction.
+
+    Scale shape: one min-aggregate on the user key (first event), one
+    join back (uniform key), one distinct on (cohort, offset, user) —
+    map-side combinable — and the final count; the matrix is
+    O(cohorts × offsets) rows however big the log."""
+    if period_seconds < 1:
+        raise ValueError(f"period_seconds must be >= 1, got {period_seconds}")
+    p_us = int(period_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(F.col(user_col).alias("u"), us.alias("t")).withColumn(
+        "pd", F.expr(f"t div {p_us}")
+    )
+    first = base.groupBy("u").agg(F.min("pd").alias("cohort"))
+    cells = (
+        base.join(first, "u")
+        .select("u", "cohort", (F.col("pd") - F.col("cohort")).alias("off"))
+        .where(F.col("off") >= 0)
+    )
+    if max_offset is not None:
+        cells = cells.where(F.col("off") <= max_offset)
+    active = cells.distinct().groupBy("cohort", "off").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        active.join(size, "cohort")
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort_period"),
+            F.col("off").cast("bigint").alias("period_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.expr("CAST(1000000 * n_active div n_cohort AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+    )

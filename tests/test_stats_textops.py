@@ -250,3 +250,90 @@ def test_closeness_sampled_sources(spark):
     }
     assert rows["a"] == (2, 3)  # only the sampled source scores
     assert rows["b"] == (0, 0) and rows["c"] == (0, 0)
+
+
+def _funnel_events(spark):
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def e(uid, typ, minutes):
+        return (uid, typ, t0 + datetime.timedelta(minutes=minutes))
+
+    rows = [
+        # u1 completes view -> click -> buy in order
+        e(1, "view", 0), e(1, "click", 10), e(1, "buy", 20),
+        # u2: click BEFORE view -> click step not reached after view
+        e(2, "click", 0), e(2, "view", 5),
+        # u3: view + click, no buy
+        e(3, "view", 0), e(3, "click", 1),
+        # u4: never views
+        e(4, "buy", 0),
+        # u5: completes but click is slow (2 hours after view)
+        e(5, "view", 0), e(5, "click", 120), e(5, "buy", 121),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_conversion_ordering(spark):
+    from knowledge_graph_etl_spark.extensions.events import funnel_conversion
+
+    out = {
+        r["step_index"]: (r["step"], r["n_users"], r["conversion_ppm"])
+        for r in funnel_conversion(
+            _funnel_events(spark), ["view", "click", "buy"]
+        ).collect()
+    }
+    assert out[1] == ("view", 4, 1_000_000)  # u1,u2,u3,u5
+    assert out[2] == ("click", 3, 750_000)  # u2's click precedes its view
+    assert out[3] == ("buy", 2, 500_000)  # u1, u5
+
+
+def test_funnel_conversion_within_window(spark):
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.events import funnel_conversion
+
+    out = {
+        r["step_index"]: r["n_users"]
+        for r in funnel_conversion(
+            _funnel_events(spark), ["view", "click", "buy"], within_seconds=3600
+        ).collect()
+    }
+    assert out[2] == 2 and out[3] == 1  # u5's 2-hour click falls outside
+    with pytest.raises(ValueError):
+        funnel_conversion(_funnel_events(spark), ["view"])
+
+
+def test_retention_cohorts(spark):
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.events import retention_cohorts
+
+    day = 86_400
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        # u1 first day 0, active day 0 and day 2
+        (1, t0), (1, t0 + datetime.timedelta(days=2)),
+        # u2 first day 0 only
+        (2, t0 + datetime.timedelta(hours=3)),
+        # u3 first day 2, active days 2 and 3
+        (3, t0 + datetime.timedelta(days=2)),
+        (3, t0 + datetime.timedelta(days=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {
+        (r["cohort_period"], r["period_offset"]): (
+            r["n_active"],
+            r["retention_ppm"],
+        )
+        for r in retention_cohorts(df, period_seconds=day).collect()
+    }
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == (2, 1_000_000)
+    assert out[(c0, 2)] == (1, 500_000)
+    assert out[(c0 + 2, 0)] == (1, 1_000_000)  # cohort day-2 = u3 only
+    assert out[(c0 + 2, 1)] == (1, 1_000_000)
+    assert (c0, 1) not in out  # nobody from cohort 0 active on day 1
