@@ -337,3 +337,54 @@ def test_retention_cohorts(spark):
     assert out[(c0 + 2, 0)] == (1, 1_000_000)  # cohort day-2 = u3 only
     assert out[(c0 + 2, 1)] == (1, 1_000_000)
     assert (c0, 1) not in out  # nobody from cohort 0 active on day 1
+
+
+def test_bpe_train_classic_example(spark):
+    """Sennrich's canonical corpus: 'low'x5 'lower'x2 'newest'x6
+    'widest'x3 — the first merges must assemble the frequent subwords
+    ('es'+'t' from newest+widest before anything 'low'-specific)."""
+    from knowledge_graph_etl_spark.extensions.tokenize import bpe_train
+
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id bigint, text string"
+    )
+    merges = bpe_train(docs, num_merges=4)
+    assert merges[0] == ("e", "s")  # 9 occurrences, the clear winner
+    assert merges[1] == ("es", "t")
+    # merges are deterministic across runs
+    assert merges == bpe_train(docs, num_merges=4)
+
+
+def test_bpe_encode_roundtrip_and_invariants(spark):
+    from knowledge_graph_etl_spark.extensions.tokenize import (
+        _EOW,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the catalog of the category"),
+            (3, "unrelated words entirely different"),
+        ],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_train(docs, num_merges=50)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for i, text in [(1, "the cat sat on the mat"), (2, "the catalog of the category")]:
+        toks = out[i]["bpe_tokens"]
+        # reassembling tokens gives back the words (EOW markers internal
+        # to the pipeline never leak into output tokens as suffixes)
+        joined = "".join(t.replace(_EOW, " ") for t in toks)
+        # a word may be split across tokens; concatenation per word must
+        # reconstruct the whitespace-tokenized text
+        assert joined.split() == text.lower().split()
+        assert out[i]["n_bpe_tokens"] == len(toks)
+        # subword tokenization never exceeds character count
+        assert len(toks) <= len(text.replace(" ", ""))
+    # 'the' occurs 4x -> trained into a single token (marker-suffixed)
+    assert "the" + _EOW in out[1]["bpe_tokens"]
