@@ -369,3 +369,50 @@ def test_optional_star_uses_property_table_rewrite(spark):
     assert (row["a"], row["b"], row["c"], row["d"], row["e"]) == (
         "a-7", "b-7", "c-7", "d-7", "e-7",
     )
+
+
+def test_blocklist_word_mode_no_python_no_cartesian(spark):
+    """Word-mode blocklist: tokenized corpus equi-joins the term set —
+    no Python eval in the plan, no cartesian, term side broadcastable."""
+    from knowledge_graph_etl_spark.extensions.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} maybe bad") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    plan = _plan(blocklist_filter(docs, ["bad", "worse"]))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_never_self_joins_event_log(spark):
+    """The funnel is k filtered min-aggregates chained on the user key —
+    the event log must appear as a scan per step, never in a cartesian or
+    a log-x-log join condition."""
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.events import funnel_conversion
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i % 7, t, t0 + datetime.timedelta(minutes=i))
+        for i, t in enumerate(["view", "click", "buy"] * 20)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    plan = _plan(funnel_conversion(df, ["view", "click", "buy"]))
+    assert "CartesianProduct" not in plan, plan
+    # the conversion denominator joins a 1-row broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bpe_encode_is_pure_map(spark):
+    """BPE encoding must be a shuffle-free Arrow map: no Exchange in the
+    plan (broadcast ranks ride the closure, not a join)."""
+    from knowledge_graph_etl_spark.extensions.tokenize import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, "ab ab")], "doc_id bigint, text string"
+    )
+    plan = _plan(bpe_encode(docs, [("a", "a"), ("a", "b")]))
+    assert plan.count("Exchange") == 0, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
