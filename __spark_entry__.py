@@ -2293,6 +2293,82 @@ _RETENTION_ORACLE = (
 )
 
 
+def curation_pipeline_v2_q(spark, sf_dir):
+    """End-to-end r05 pipeline composition — the order a pretraining run
+    executes: blocklist filter (word mode; the synthetic corpus's tiny
+    vocabulary makes ANY real term block ~everything, so the pipeline
+    blocks saturated matches — docs hitting ALL 3 blocked terms, n_hits
+    >= 3) → fuzzy corpus dedup keeps (MinHash+LSH → components →
+    canonical reps) → deterministic token-budget fill over the
+    survivors. Every stage is an already-oracled operator; this query
+    pins that they COMPOSE (the budget's cumulative order runs over the
+    filtered corpus, not the raw one)."""
+    from knowledge_graph_etl_spark.extensions.ckpt import (
+        persistent_rdd_ids,
+        release_new_checkpoints,
+    )
+    from knowledge_graph_etl_spark.extensions.curation import (
+        blocklist_filter,
+        select_token_budget,
+    )
+    from knowledge_graph_etl_spark.extensions.dedup import corpus_dedup
+    from knowledge_graph_etl_spark.extensions.text import tokens
+
+    before = persistent_rdd_ids(spark)
+    d = _t(spark, sf_dir, "documents")
+    terms = (
+        d.where(F.col("doc_id") == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .orderBy(F.length("term").desc(), F.asc("term"))
+        .limit(3)
+    )
+    clean = (
+        blocklist_filter(d, terms).where(F.col("n_hits") < 3).select("doc_id")
+    )
+    keeps = (
+        corpus_dedup(d, num_hashes=32, bands=4, threshold=0.8, hash_fn="md5")
+        .where(F.col("is_kept"))
+        .select("doc_id")
+    )
+    survivors = d.join(clean, "doc_id", "left_semi").join(
+        keeps, "doc_id", "left_semi"
+    )
+    out = select_token_budget(survivors, 15_000)
+    release_new_checkpoints(spark, before, keep=out)
+    return out
+
+
+def _pipeline_v2_oracle() -> str:
+    dd = _resolve_clusters_oracle(
+        _minhash_oracle(num_hashes=32, bands=4, threshold=0.8)
+    )
+    return (
+        "WITH dd AS (SELECT doc_id, cluster_rep FROM (" + dd + ")), "
+        "blh AS (SELECT h.doc_id, h.n FROM ("
+        f"WITH tok2 AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "bl AS (SELECT term FROM (SELECT DISTINCT unnest(t) AS term "
+        "FROM tok2 WHERE doc_id = 0) "
+        "ORDER BY length(term) DESC, term LIMIT 3), "
+        "dt AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM tok2) "
+        "SELECT dt.doc_id, COUNT(*) AS n FROM dt JOIN bl USING (term) GROUP BY 1"
+        ") h), "
+        "keep AS (SELECT d.doc_id FROM documents d "
+        "JOIN dd ON dd.doc_id = d.doc_id AND dd.doc_id = dd.cluster_rep "
+        "LEFT JOIN blh ON blh.doc_id = d.doc_id "
+        "WHERE COALESCE(blh.n, 0) < 3), "
+        f"tok AS (SELECT doc_id, len({_TOKS}) AS n FROM documents), "
+        "t AS (SELECT k.doc_id, tok.n, "
+        "md5(CAST(k.doc_id AS VARCHAR) || ':select0') AS key "
+        "FROM keep k JOIN tok USING (doc_id)), "
+        "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+        "CAST(SUM(n) OVER (ORDER BY key, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_tokens FROM t) "
+        "SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000"
+    )
+
+
 _CURRICULUM_ORACLE = (
     "WITH b AS (SELECT doc_id, n_chars AS s, "
     "md5(CAST(doc_id AS VARCHAR) || ':cur0') AS k FROM documents), "
@@ -2447,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_flag": blocklist_flag_q,
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
+        "curation_pipeline_v2": curation_pipeline_v2_q,
     }
 
 
@@ -3297,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_flag": _BLOCKLIST_ORACLE.format(toks=_TOKS),
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
+        "curation_pipeline_v2": _pipeline_v2_oracle(),
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
