@@ -2527,19 +2527,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def tokenize_bpe_q(spark, sf_dir):
+    """BPE train (100 merges on the corpus word-frequency table) + encode
+    (broadcast ranks, Arrow map) + per-doc token counts — bench-only:
+    iterative merge application has no SQL twin; correctness is pinned by
+    tests/test_stats_textops.py (Sennrich canonical corpus, round-trip
+    reconstruction, determinism)."""
+    from knowledge_graph_etl_spark.extensions.tokenize import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=100)
+    return bpe_encode(d, merges).select("doc_id", "n_bpe_tokens")
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Throughput-only variants with no DuckDB-expressible oracle (DuckDB has
-    no xxhash64): excluded from queries() so the driver's correctness gate
-    records zero `err` rows, benched by bench.py alongside the registry.
-    Correctness of the machinery is covered by the exact-oracled md5-path
-    twins (dedup_minhash_lsh / dedup_simhash — identical banding/blocking
-    code, only the hash column differs) plus
+    """Throughput-only entries with no DuckDB-expressible oracle: the
+    xxhash64 scale-path variants (DuckDB has no xxhash64) and the BPE
+    tokenizer (iterative merge application is not SQL). Excluded from
+    queries() so the driver's correctness gate records zero `err` rows,
+    benched by bench.py alongside the registry. Correctness: the hash
+    variants are covered by their exact-oracled md5-path twins
+    (dedup_minhash_lsh / dedup_simhash — identical banding/blocking code,
+    only the hash column differs) plus
     tests/test_extensions.py::test_minhash_both_hash_fns_find_duplicates /
-    test_simhash_both_hash_fns, which assert both hash families find the
-    seeded exact+near duplicates and reject unrelated docs."""
+    test_simhash_both_hash_fns; BPE by the pytest suite's canonical-corpus
+    and round-trip checks."""
     return {
         "dedup_minhash_lsh_x64": dedup_minhash_lsh_x64_q,
         "dedup_simhash_x64": dedup_simhash_x64_q,
+        "tokenize_bpe": tokenize_bpe_q,
     }
 
 
