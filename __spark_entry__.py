@@ -870,11 +870,13 @@ def dedup_lines_q(spark, sf_dir):
     has no newlines (extensions/curation.dedup_lines).
 
     The driver-checked output carries ``text_md5`` — md5 hex of the
-    reassembled text — instead of the raw text: the rejoined cell contains
-    a \\x1e separator, and two rounds of driver hash mismatches (r03, r04)
-    with rows/schema green and local exact-value comparison green showed
-    the driver's row serializer diverges on control characters in text
-    cells. Hex-only cells cannot. Full-text exact comparison stays in
+    reassembled text — instead of the raw text. Root cause of the r03-r05
+    driver hash reds (found r06): the oracle's ``SUM(CASE...)`` returned
+    DuckDB HUGEINT, which duckdb's pandas conversion renders as float64
+    (``12.0`` vs Spark's ``12``) — local ``fetchall()`` comparisons pass
+    because Python ints compare equal. The oracle now CASTs every integer
+    aggregate to BIGINT; tests/test_oracle_types.py forbids HUGEINT /
+    DECIMAL in any oracle output. Full-text exact comparison stays in
     tests/test_curation.py and tools/check_oracle local runs."""
     from knowledge_graph_etl_spark.extensions.curation import (
         chunk_into_lines,
@@ -1892,7 +1894,15 @@ def contamination_report_q(spark, sf_dir):
     return contamination_report(d, bench, n=3, group_col="source")
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+#: unroll depth of the k-core oracle — shared with
+#: tests/test_curation.py::test_kcore_oracle_unroll_covers_peeling_depth,
+#: which asserts the Spark side converges within this many rounds at the
+#: ORACLE-GATED SF (sf0.01), not just sf0.001, so the unrolled CTE is a
+#: true fixed point wherever the driver compares it.
+KCORE_ORACLE_ROUNDS = 10
+
+
+def _kcore_oracle(k: int = 3, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     """Unrolled-CTE twin of graph_kcore_q: each round recomputes degrees
     over the surviving edge set and keeps edges whose BOTH endpoints have
     degree >= k. Peeling is idempotent at the fixed point, so ``rounds``
@@ -2383,6 +2393,48 @@ _CURRICULUM_ORACLE = (
 
 
 # --------------------------------------------------------------------------
+# r06 additions: quality classifier, DSIR importance, link prediction
+# --------------------------------------------------------------------------
+
+
+def quality_classifier_q(spark, sf_dir):
+    """fastText-shaped hashed linear quality scorer — a pure map, no
+    shuffle (extensions/curation.quality_classifier)."""
+    from knowledge_graph_etl_spark.extensions.curation import quality_classifier
+
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def dsir_importance_q(spark, sf_dir):
+    """DSIR-shaped importance weights vs the doc_id%50==0 target sample
+    (extensions/curation.dsir_importance)."""
+    from knowledge_graph_etl_spark.extensions.curation import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, d.where((F.col("doc_id") % 50) == 0))
+
+
+def graph_linkpred_q(spark, sf_dir):
+    """Jaccard + resource-allocation link prediction over the
+    supplier–part bipartite graph; top 200 pairs by RA score with a total
+    deterministic order (extensions/graph.linkpred_scores)."""
+    from knowledge_graph_etl_spark.extensions.graph import linkpred_scores
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    return (
+        linkpred_scores(e, min_common=2)
+        .orderBy(F.desc("ra_ppm"), "src_a", "src_b")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -2403,64 +2455,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r05 front = dedup_lines (output changed to text_md5 this round) + new
-    r05 entries + the 43 entries whose latest driver row is
-    CORRECTNESS_r03; back = the r04-green block."""
+    r06 front = dedup_lines + text_features (oracle SQL changed this round:
+    integer aggregates cast to BIGINT / DOUBLE so duckdb's pandas
+    conversion cannot render them as float — the root cause of the
+    r03-r05 dedup_lines hash reds), then the 11 late-r05 entries that have
+    never had a driver row, then the r04-green block (2 rounds stale) as
+    far as the ~50-entry window reaches. The r04-block tail that misses
+    the window this round is queued immediately after it, first in line
+    for the r07 front. Back = the r05-green block (dedup_lines window)."""
     return {
-        # --- changed this round: driver-checked output now text_md5 ---
+        # --- changed this round (r06): oracle type casts ---
         "dedup_lines": dedup_lines_q,
-        # --- new this round (r05) ---
-        "graph_kcore": graph_kcore_q,
-        "graph_betweenness": graph_betweenness_q,
-        "dedup_suffix_prefix": dedup_suffix_prefix_q,
-        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
-        "contamination_report": contamination_report_q,
-        # --- latest driver row is r03 — rotate back into the window ---
-        "kg_optional": kg_optional,
-        "kg_exists_semijoin": kg_exists_semijoin,
-        "kg_construct": kg_construct,
-        "kg_direct_mapping": kg_direct_mapping,
-        "kg_functions": kg_functions,
-        "kg_dedup_union": kg_dedup_union,
-        "kg_dataset_union": kg_dataset_union,
-        "kg_sparql_update": kg_sparql_update,
-        "kg_select": kg_select,
-        "kg_sparql_delete": kg_sparql_delete,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "streaming_dedup": streaming_dedup,
-        "streaming_sessionize": streaming_sessionize,
-        "agg_pricing_summary": agg_pricing_summary,
-        "join_topn_revenue": join_topn_revenue,
-        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
-        "window_running_total": window_running_total,
-        "window_topk_per_user": window_topk_per_user,
-        "json_extract_events": json_extract_events,
-        "dedup_exact": dedup_exact_q,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-        "dedup_minhash_lsh": dedup_minhash_lsh_q,
-        "dedup_resolve_clusters": dedup_resolve_clusters_q,
-        "ann_cosine_topk": ann_cosine_topk_q,
-        "ann_embedding_neardup": ann_embedding_neardup_q,
-        "ann_lsh_topk": ann_lsh_topk_q,
-        "ann_ivf_topk": ann_ivf_topk_q,
-        "ann_ivf_query": ann_ivf_query_q,
-        "ann_neardup_lsh": ann_neardup_lsh_q,
-        "dedup_simhash": dedup_simhash_q,
         "text_features": text_features_q,
-        "text_langid": text_langid_q,
-        "text_fingerprint": text_fingerprint_q,
-        "text_winnow_fp": text_winnow_fp_q,
-        "multimodal_binary_meta": multimodal_binary_meta_q,
-        "multimodal_features": multimodal_features_q,
-        "multimodal_frame_sample": multimodal_frame_sample_q,
-        "skew_salted_join": skew_salted_join_q,
-        "skew_distinct_users": skew_distinct_users_q,
-        "text_repetition": text_repetition_q,
-        "decontaminate": decontaminate_q,
-        "pii_redact": pii_redact_q,
-        "data_split_shard": data_split_shard_q,
-        # --- r04-green block (driver-checked last round, rotated back) ---
-        "kg_pattern_scan": kg_pattern_scan,
+        # --- new this round (r06) ---
+        "quality_classifier": quality_classifier_q,
+        "dsir_importance": dsir_importance_q,
+        "graph_linkpred": graph_linkpred_q,
+        # --- late-r05 additions: never driver-checked yet ---
+        "sketch_hll_distinct": sketch_hll_distinct_q,
+        "dedup_verify_lev": dedup_verify_lev_q,
+        "ann_knn_graph": ann_knn_graph_q,
+        "graph_closeness": graph_closeness_q,
+        "data_token_budget": data_token_budget_q,
+        "data_curriculum": data_curriculum_q,
+        "streaming_neardup": streaming_neardup_q,
+        "blocklist_flag": blocklist_flag_q,
+        "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
+        "curation_pipeline_v2": curation_pipeline_v2_q,
+        # --- r04-green block (latest driver row is r04) ---
         "kg_star_join_bind": kg_star_join_bind,
         "kg_chain_join": kg_chain_join,
         "kg_star_chain7": kg_star_chain7,
@@ -2495,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
         "multimodal_resize": multimodal_resize_q,
+        # ~window boundary (entry #50). r04-block tail below missed the
+        # r06 window — FIRST IN LINE for the r07 front.
         "streaming_curate": streaming_curate_q,
         "doc_chunking": doc_chunking_q,
         "streaming_interval_join": streaming_interval_join_q,
@@ -2509,21 +2534,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": graph_communities_q,
         "corpus_report": corpus_report_q,
         "streaming_anomaly": streaming_anomaly_q,
-        # --- new in r05, added after the window filled (the ~50-entry
-        # driver gate already holds dedup_lines + 5 new entries + the 43
-        # r03-rotated ones): these enter the driver window in r06; until
-        # then tools/check_oracle.py is their exact-value gate ---
-        "sketch_hll_distinct": sketch_hll_distinct_q,
-        "dedup_verify_lev": dedup_verify_lev_q,
-        "ann_knn_graph": ann_knn_graph_q,
-        "graph_closeness": graph_closeness_q,
-        "data_token_budget": data_token_budget_q,
-        "data_curriculum": data_curriculum_q,
-        "streaming_neardup": streaming_neardup_q,
-        "blocklist_flag": blocklist_flag_q,
-        "events_funnel": events_funnel_q,
-        "events_retention": events_retention_q,
-        "curation_pipeline_v2": curation_pipeline_v2_q,
+        # --- r05-green block (driver-checked last round, rotated back) ---
+        "graph_kcore": graph_kcore_q,
+        "graph_betweenness": graph_betweenness_q,
+        "dedup_suffix_prefix": dedup_suffix_prefix_q,
+        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
+        "contamination_report": contamination_report_q,
+        "kg_optional": kg_optional,
+        "kg_exists_semijoin": kg_exists_semijoin,
+        "kg_construct": kg_construct,
+        "kg_direct_mapping": kg_direct_mapping,
+        "kg_functions": kg_functions,
+        "kg_dedup_union": kg_dedup_union,
+        "kg_dataset_union": kg_dataset_union,
+        "kg_sparql_update": kg_sparql_update,
+        "kg_select": kg_select,
+        "kg_sparql_delete": kg_sparql_delete,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_dedup": streaming_dedup,
+        "streaming_sessionize": streaming_sessionize,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_topn_revenue": join_topn_revenue,
+        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
+        "window_running_total": window_running_total,
+        "window_topk_per_user": window_topk_per_user,
+        "json_extract_events": json_extract_events,
+        "dedup_exact": dedup_exact_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "dedup_resolve_clusters": dedup_resolve_clusters_q,
+        "ann_cosine_topk": ann_cosine_topk_q,
+        "ann_embedding_neardup": ann_embedding_neardup_q,
+        "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "ann_ivf_query": ann_ivf_query_q,
+        "ann_neardup_lsh": ann_neardup_lsh_q,
+        "dedup_simhash": dedup_simhash_q,
+        "text_langid": text_langid_q,
+        "text_fingerprint": text_fingerprint_q,
+        "text_winnow_fp": text_winnow_fp_q,
+        "multimodal_binary_meta": multimodal_binary_meta_q,
+        "multimodal_features": multimodal_features_q,
+        "multimodal_frame_sample": multimodal_frame_sample_q,
+        "skew_salted_join": skew_salted_join_q,
+        "skew_distinct_users": skew_distinct_users_q,
+        "text_repetition": text_repetition_q,
+        "decontaminate": decontaminate_q,
+        "pii_redact": pii_redact_q,
+        "data_split_shard": data_split_shard_q,
+        "kg_pattern_scan": kg_pattern_scan,
     }
 
 
@@ -3068,10 +3127,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens, "
             f"round(CASE WHEN length(text) > 0 THEN {punct} / length(text) ELSE 0.0 END, 6) "
             "AS p_ratio, "
-            f"round((CASE WHEN {ntok} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) + "
+            f"CAST(round((CASE WHEN {ntok} BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) + "
             f"(CASE WHEN (CASE WHEN length(text) > 0 THEN {punct} / length(text) "
             "ELSE 0.0 END) <= 0.2 THEN 0.3 ELSE 0.0 END) + "
-            f"(CASE WHEN {_sw_ratio('en')} >= 0.01 THEN 0.3 ELSE 0.0 END), 2) AS quality "
+            f"(CASE WHEN {_sw_ratio('en')} >= 0.01 THEN 0.3 ELSE 0.0 END), 2) "
+            "AS DOUBLE) AS quality "
             "FROM documents"
         ),
         "text_langid": (
@@ -3178,8 +3238,64 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(CASE WHEN rn = 1 THEN line END, chr(30) ORDER BY pos) AS text "
             "FROM r GROUP BY doc_id) "
             "SELECT d.doc_id, md5(coalesce(a.text, '')) AS text_md5, "
-            "coalesce(n_lines, 0) AS n_lines, coalesce(n_kept, 0) AS n_kept "
+            "CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines, "
+            "CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept "
             "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        ),
+        "quality_classifier": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_concat(t, "
+            "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS grams FROM tok), "
+            "s AS (SELECT doc_id, len(grams) AS n_feats, "
+            "CASE WHEN len(grams) > 0 THEN "
+            "CAST(list_sum(list_transform(grams, x -> "
+            "('0x' || substr(md5('qw:' || x), 1, 15))::BIGINT % 2000001)) "
+            "AS BIGINT) // len(grams) - 1000000 "
+            "ELSE -1000000 END AS score_micro FROM g) "
+            "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, "
+            "CAST(score_micro AS BIGINT) AS score_micro, "
+            "score_micro >= 0 AS quality_pass FROM s"
+        ),
+        "dsir_importance": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS gram FROM tok), "
+            "gb AS (SELECT doc_id, "
+            "('0x' || substr(md5('dsir:' || gram), 1, 15))::BIGINT % 4096 "
+            "AS bucket FROM g), "
+            "tgt AS (SELECT bucket, COUNT(*) AS cnt_tgt FROM gb "
+            "WHERE doc_id % 50 = 0 GROUP BY bucket), "
+            "raw AS (SELECT bucket, COUNT(*) AS cnt_raw FROM gb GROUP BY bucket), "
+            "w AS (SELECT r.bucket, "
+            "CAST((coalesce(cnt_tgt, 0) + 1) * 1000000 // (cnt_raw + 1) AS BIGINT) "
+            "AS w_ppm FROM raw r LEFT JOIN tgt USING (bucket)), "
+            "pd AS (SELECT gb.doc_id, COUNT(*) AS n_grams, "
+            "CAST(SUM(w_ppm) AS BIGINT) AS sum_ppm "
+            "FROM gb JOIN w USING (bucket) GROUP BY gb.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(sum_ppm // n_grams, 0) AS BIGINT) AS importance_ppm, "
+            "coalesce(sum_ppm // n_grams, 0) >= 1000000 AS selected "
+            "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+        ),
+        "graph_linkpred": (
+            "WITH e AS (SELECT DISTINCT "
+            "'s' || CAST(l_suppkey AS VARCHAR) AS s, "
+            "'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem), "
+            "dd AS (SELECT d, COUNT(*) AS deg_d FROM e GROUP BY d), "
+            "keep AS (SELECT d, deg_d FROM dd WHERE deg_d <= 1000), "
+            "ec AS (SELECT e.s, e.d, keep.deg_d FROM e JOIN keep USING (d)), "
+            "sd AS (SELECT s, COUNT(*) AS deg_s FROM ec GROUP BY s), "
+            "p AS (SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS common, "
+            "CAST(SUM(1000000 // a.deg_d) AS BIGINT) AS ra_ppm "
+            "FROM ec a JOIN ec b ON a.d = b.d AND a.s < b.s "
+            "GROUP BY a.s, b.s HAVING COUNT(*) >= 2) "
+            "SELECT src_a, src_b, CAST(common AS BIGINT) AS common, "
+            "CAST(common * 1000000 // (da.deg_s + db.deg_s - common) AS BIGINT) "
+            "AS jaccard_ppm, ra_ppm "
+            "FROM p JOIN sd da ON p.src_a = da.s JOIN sd db ON p.src_b = db.s "
+            "ORDER BY ra_ppm DESC, src_a, src_b LIMIT 200"
         ),
         "dedup_substring": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
@@ -3357,7 +3473,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(iters=5),
         "graph_ppr": _pagerank_oracle(iters=5, seed_like="n%"),
         "graph_communities": _lpa_oracle(iters=4),
-        "graph_kcore": _kcore_oracle(k=3, rounds=10),
+        "graph_kcore": _kcore_oracle(k=3, rounds=KCORE_ORACLE_ROUNDS),
         "graph_betweenness": _BETWEENNESS_ORACLE,
         "dedup_suffix_prefix": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
