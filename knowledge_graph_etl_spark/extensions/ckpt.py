@@ -14,7 +14,18 @@ BENCH_r04).
 
 The fix is bookkeeping: a :class:`CheckpointTracker` that records each
 round's checkpointed DataFrames and unpersists them once they can no
-longer be referenced. The safety rule for the one-job-per-round pattern
+longer be referenced.
+
+Accepted pinned-RDD budget: operators whose RETURNED plan references an
+eager checkpoint (``knn_graph``, ``select_token_budget``,
+``curriculum_order``) cannot release it before the caller consumes the
+result — each such call leaves 1-2 RDDs pinned until the consumer
+releases them. Both harnesses do: ``bench.py`` and
+``tools/check_oracle.py`` unpersist every persistent RDD after
+consuming each query's result. Library callers embedding these
+operators in a long-lived session should do the same
+(:func:`persistent_rdd_ids` + :func:`release_new_checkpoints`, or a
+blanket ``getPersistentRDDs`` sweep once results are materialized). The safety rule for the one-job-per-round pattern
 used here (a LAZY checkpoint's plan may reference the previous rounds'
 checkpoints and only materializes during the NEXT round's action) is a
 **lag of two rounds**: artifacts created in round *i* are released after

@@ -84,8 +84,15 @@ def compact_files(
     from the MEASURED directory bytes, so row width doesn't skew it;
     ``sort_by`` re-clusters while compacting (one pass doing both).
 
-    Writes to ``path + '.compact'`` then atomically swaps via rename —
-    readers see the old layout or the new one, never a partial mix.
+    Writes to ``path + '.compact'`` then swaps via two ``os.rename``
+    calls. Each rename is atomic but the PAIR is not: a reader between
+    them sees no table at that path, and a crash between them would
+    leave the data stranded in ``.old`` — the swap is wrapped so a
+    failed second rename restores ``.old`` back to ``path``. For
+    serving tables that need a truly atomic swap, point readers at a
+    symlink/manifest and flip that instead. Local-filesystem only
+    (``os.rename``/``os.walk`` — not object stores, where rename is a
+    copy and a transactional table format is the right tool).
     Returns ``{"files_before", "files_after", "bytes"}``."""
     before_bytes = _dir_bytes(path)
     files_before = sum(
@@ -105,7 +112,11 @@ def compact_files(
     out.write.mode("overwrite").parquet(tmp)
     old = path.rstrip("/") + ".old"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # restore — leave .compact for inspection
+        raise
     import shutil
 
     shutil.rmtree(old)
@@ -217,3 +228,40 @@ def write_zordered(
         .drop("__z")
     )
     out.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED managed table: rows are hash-routed into
+    ``num_buckets`` files per partition by ``bucket_by`` (Spark's
+    ``bucketBy``, metastore-backed — bucketing metadata only survives
+    through ``saveAsTable``, not plain ``.parquet(path)``).
+
+    Why this is a first-class layout operator at 100 TB: two tables
+    bucketed on the SAME keys into the SAME bucket count join with ZERO
+    shuffle — the scan itself is the exchange. For a fact table joined on
+    the same key by every downstream query (quads on ``s``, lineitem on
+    ``l_orderkey``, gram/posting tables on their id), bucketing pays the
+    one-time shuffle at WRITE time and amortizes it over every subsequent
+    join and aggregation on that key; ``sort_by`` additionally pre-sorts
+    within buckets so sort-merge joins skip their sort. Verified by plan
+    evidence in tests/test_layout.py: a join of two co-bucketed tables
+    contains no Exchange on either side.
+
+    The table lands in the session's warehouse dir; pair with
+    ``spark.sql.sources.bucketing.enabled`` (default true) and read back
+    via ``spark.table(table)`` — ``spark.read.parquet`` on the files
+    bypasses the metastore and loses the bucket spec.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(
+        int(num_buckets), *bucket_by
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-_EOW = ""  # end-of-word marker (SOH control char: never in tokenized text)
+_EOW = "\x01"  # end-of-word marker (SOH control char: never in tokenized text)
 
 
 def bpe_train(

@@ -904,15 +904,22 @@ def test_kcore_empty_and_full(spark):
     assert kcore(edges, k=5).count() == 0
 
 
-def test_kcore_oracle_unroll_covers_peeling_depth(spark):
-    """The driver oracle unrolls 10 peeling rounds; assert the Spark side
-    reaches its fixed point within 10 rounds on the sf0.001 query graph
-    (max_iter=10 converging proves depth <= 10)."""
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_kcore_oracle_unroll_covers_peeling_depth(spark, sf_dir):
+    """The driver oracle unrolls KCORE_ORACLE_ROUNDS peeling rounds;
+    assert the Spark side reaches its fixed point within that many rounds
+    on the query graph at BOTH sf0.001 and sf0.01 — the latter is the SF
+    the driver's oracle gate actually compares at (converging under
+    max_iter=rounds proves depth <= rounds, since kcore raises past
+    max_iter)."""
     from knowledge_graph_etl_spark.extensions.graph import kcore
-    from tests.conftest import SF_DIR
+
+    from __spark_entry__ import KCORE_ORACLE_ROUNDS
 
     ps = (
-        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
@@ -920,7 +927,7 @@ def test_kcore_oracle_unroll_covers_peeling_depth(spark):
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    out = kcore(e, k=3, max_iter=10)  # raises if >10 rounds needed
+    out = kcore(e, k=3, max_iter=KCORE_ORACLE_ROUNDS)
     degs = out.agg(F.min("core_degree")).collect()[0][0]
     assert degs is None or degs >= 3
 

@@ -64,6 +64,49 @@ def test_read_warc_records_and_filter(spark, tmp_path):
     assert all_recs.where(F.col("record_type") == "warcinfo").count() == 1
 
 
+def test_payload_mentioning_warc_version_does_not_split(spark, tmp_path):
+    # a page ABOUT the WARC format: contains the literal version line
+    # bytes mid-payload — under boundary framing this must stay one record
+    body = "Each record starts with WARC/1.0\r\nand then headers follow."
+    rec = _record("conversion", "https://example.org/doc", "warc-doc", body)
+    p = str(tmp_path / "m.warc")
+    with open(p, "w", newline="") as f:
+        f.write(rec)
+    rows = read_warc(spark, p).collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == body
+
+
+def test_embedded_record_collision_drops_typeless_fragment(spark, tmp_path):
+    # a payload embedding a verbatim CRLF-framed record boundary DOES
+    # split (line-separator framing can't avoid it — documented); the
+    # leading fragment keeps its headers, the mid-payload tail has no
+    # WARC-Type and must be dropped, and the embedded record parses
+    inner = _record("response", "https://inner.example/x", "inner-1", "IN")
+    body = "quoting a record:\r\n\r\n" + inner + "tail text after"
+    rec = _record("metadata", "https://example.org/q", "quoter", body)
+    ok = _record("conversion", "https://example.org/ok", "ok-1", "fine")
+    p = str(tmp_path / "e.warc")
+    with open(p, "w", newline="") as f:
+        f.write(rec + ok)
+    rows = read_warc(spark, p, record_types=None).collect()
+    ids = {r["record_id"] for r in rows}
+    assert "urn:uuid:quoter" in ids and "urn:uuid:ok-1" in ids
+    assert "urn:uuid:inner-1" in ids  # embedded frame parses as a record
+    # no typeless payload-tail fragments survive
+    assert all(r["record_type"] != "" for r in rows)
+
+
+def test_warc_1_1_records_parse(spark, tmp_path):
+    rec = _record("conversion", "https://example.org/v11", "v11-1", "text")
+    rec = rec.replace("WARC/1.0\r\n", "WARC/1.1\r\n")
+    p = str(tmp_path / "v11.warc")
+    with open(p, "w", newline="") as f:
+        f.write(rec + _fixture())
+    rows = {r["record_id"] for r in read_warc(spark, p).collect()}
+    assert "urn:uuid:v11-1" in rows and len(rows) == 4
+
+
 def test_read_warc_gzip_member(spark, tmp_path):
     p = str(tmp_path / "crawl.warc.gz")
     with gzip.open(p, "wt", newline="") as f:

@@ -79,6 +79,15 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # release caches + localCheckpoint RDDs the query pinned (the
+            # result is consumed as pandas): without this, operators whose
+            # returned plan references an eager checkpoint (knn_graph,
+            # select_token_budget, curriculum_order) leak 1-2 pinned RDDs
+            # each across the 109-query run — same hygiene as bench.py
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
         t1 = time.time()
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {t1-t0:.1f}s)")
