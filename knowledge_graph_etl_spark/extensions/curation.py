@@ -1473,3 +1473,164 @@ def blocklist_filter(
         F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-free quality classifier (fastText-shaped hashed linear scorer)
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_bigrams: bool = True,
+    threshold_micro: int = 0,
+    salt: str = "qw",
+) -> DataFrame:
+    """Linear text classifier in the fastText / DCLM-quality-filter SHAPE:
+    hash every word n-gram into a weight, average the weights, threshold.
+    Real deployments load trained weights; this engine-side operator uses
+    a deterministic hash-derived weight table (``md5_u60(salt:gram) %
+    2e6+1 - 1e6`` micro-units, i.e. a reproducible random projection) so
+    the *execution shape* — the thing that matters at 100 TB — is exactly
+    the production one while remaining oracle-verifiable. Swapping in
+    trained weights = replacing the hash expression with a broadcast map
+    lookup; nothing else changes.
+
+    Execution shape: ONE narrow projection — n-grams, per-gram weights,
+    and the average are all array expressions inside whole-stage codegen
+    (``transform`` + ``aggregate``); no explode, no shuffle, no UDF. At
+    100 TB this is a pure map over the corpus, the cheapest possible
+    plan.
+
+    Integer exactness: weights are summed in OFFSET space (each offset
+    weight in [0, 2e6]) so the cross-engine integer division
+    (Spark ``div`` ≡ DuckDB ``//`` on non-negatives) never sees a
+    negative numerator; the offset is subtracted back after the divide.
+    Documents with zero features score the worst possible value
+    (−1e6 micro) — blank docs must never pass a quality filter.
+
+    Returns ``(id_col, n_feats, score_micro, quality_pass)``.
+    """
+    tks = tokens(F.col(text_col))
+    grams = tks
+    if use_bigrams:
+        grams = F.concat(tks, zip_kgrams(tks, 2))
+    off_w = lambda g: (  # noqa: E731 - local expression builder
+        md5_u60(F.concat(F.lit(salt + ":"), g)) % F.lit(2_000_001)
+    ).cast("bigint")
+    sum_off = F.aggregate(
+        F.transform(grams, off_w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(grams).cast("bigint")
+    score = F.when(
+        F.col("__n") > 0, F.expr("__sum_off div __n") - F.lit(1_000_000)
+    ).otherwise(F.lit(-1_000_000))
+    return (
+        docs.select(
+            F.col(id_col),
+            sum_off.alias("__sum_off"),
+            n.alias("__n"),
+        )
+        .select(
+            id_col,
+            F.col("__n").alias("n_feats"),
+            score.cast("bigint").alias("score_micro"),
+        )
+        .withColumn("quality_pass", F.col("score_micro") >= F.lit(threshold_micro))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance weighting (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    select_ppm: int = 1_000_000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance weights for target-distribution data selection, in the
+    shape of DSIR (Xie et al. 2023, arXiv:2302.03169): featurize text as
+    HASHED word-bigram buckets, estimate a target and a raw (corpus)
+    bucket distribution, and weight every corpus document by how much
+    more target-like than corpus-like its features are. The paper's
+    log-likelihood ratio is float; for cross-engine exactness this uses
+    the quantized per-feature ratio ``(cnt_target[b]+1)·1e6 div
+    (cnt_raw[b]+1)`` (add-one smoothing) and averages it over the
+    document's gram occurrences — monotone in the same direction,
+    integer-exact. ``selected`` flags docs whose average ratio clears
+    ``select_ppm`` (1e6 = the corpus-neutral point scaled by
+    |target|/|corpus| mass; callers tune it like the paper tunes its
+    resampling temperature).
+
+    Execution shape at 100 TB: the corpus explodes once into gram rows;
+    both distribution tables are ``buckets``-row aggregates (map-side
+    partials, then a tiny shuffle) that BROADCAST back onto the gram
+    stream; one final groupBy(doc) sums. The target set is an eval-suite
+    or curated sample — small by construction — and never shuffles the
+    corpus.
+
+    Returns ``(id_col, n_grams, importance_ppm, selected)``.
+    """
+    def grams_of(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(zip_kgrams(tokens(F.col(text_col)), 2)).alias("gram"),
+        ).select(
+            "id",
+            (
+                md5_u60(F.concat(F.lit(salt + ":"), F.col("gram")))
+                % F.lit(int(buckets))
+            ).alias("bucket"),
+        )
+
+    corpus_grams = grams_of(docs)
+    raw_counts = corpus_grams.groupBy("bucket").agg(
+        F.count("*").alias("cnt_raw")
+    )
+    tgt_counts = grams_of(target).groupBy("bucket").agg(
+        F.count("*").alias("cnt_tgt")
+    )
+    weights = (
+        raw_counts.join(tgt_counts, "bucket", "outer")
+        .select(
+            "bucket",
+            F.expr(
+                "CAST((coalesce(cnt_tgt, 0) + 1) * 1000000 "
+                "div (coalesce(cnt_raw, 0) + 1) AS BIGINT)"
+            ).alias("w_ppm"),
+        )
+    )
+    per_doc = (
+        corpus_grams.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("w_ppm").alias("sum_ppm"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            F.expr("CAST(sum_ppm div n_grams AS BIGINT)").alias("importance_ppm"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return spine.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("importance_ppm", F.lit(0)).cast("bigint").alias(
+            "importance_ppm"
+        ),
+        (F.coalesce("importance_ppm", F.lit(0)) >= F.lit(int(select_ppm))).alias(
+            "selected"
+        ),
+    )

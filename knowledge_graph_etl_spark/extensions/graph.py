@@ -572,3 +572,75 @@ def closeness(
     out.count()
     tracker.release_all(keep=out)
     return out
+
+
+def linkpred_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hub_degree: int = 1000,
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighbor-overlap link prediction for SRC-node pairs of a bipartite
+    (or directed) edge list: two src nodes sharing many dst neighbors are
+    likely-linked. Scores both classic indices in integer units:
+
+    - ``jaccard_ppm`` = |N(a)∩N(b)|·1e6 div |N(a)∪N(b)|
+    - ``ra_ppm``      = Σ_{d∈N(a)∩N(b)} 1e6 div deg(d) — the
+      resource-allocation index (Zhou, Lü, Zhang 2009), the
+      integer-friendly sibling of Adamic-Adar (1/deg instead of
+      1/log deg; same ranking behavior on power-law graphs, exact in
+      cross-engine integer arithmetic).
+
+    Scale shape — the inverted-index pattern shared with
+    ``dedup.ngram_jaccard_pairs``: pair generation goes through a
+    self-join keyed on dst, so a HUB dst with degree h contributes
+    h·(h−1)/2 pairs; ``max_hub_degree`` caps that quadratic term by
+    dropping hubs first (a dst shared by thousands of srcs carries ~no
+    link-prediction signal — standard practice, and the cap is applied
+    BEFORE every degree count so all three statistics are consistent on
+    the capped graph). ``min_common`` prunes the pair tail early, inside
+    the first aggregation. Degree tables are node-count-sized — small
+    enough for AQE to broadcast at bench scale, but NOT force-broadcast
+    here: at 100 TB a per-dst degree table is itself large, and its
+    joins are plain equi-joins on the very keys the edge stream is
+    already partitioned by. The only large shuffles are the dst-keyed
+    self-join and the (a,b) pair aggregation — both on uniform keys
+    after the cap.
+
+    Returns ``(src_a, src_b, common, jaccard_ppm, ra_ppm)`` with
+    ``src_a < src_b``.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    dst_deg = e.groupBy("d").agg(F.count("*").alias("deg_d"))
+    keep = dst_deg.where(F.col("deg_d") <= int(max_hub_degree))
+    e_capped = e.join(keep, "d")
+    src_deg = e_capped.groupBy("s").agg(F.count("*").alias("deg_s"))
+
+    a = e_capped.select(F.col("d"), F.col("s").alias("src_a"), "deg_d")
+    b = e_capped.select(F.col("d"), F.col("s").alias("src_b"))
+    pairs = (
+        a.join(b, "d")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.expr("1000000 div deg_d")).alias("ra_ppm"),
+        )
+        .where(F.col("common") >= int(min_common))
+    )
+    da = src_deg.select(F.col("s").alias("src_a"), F.col("deg_s").alias("deg_a"))
+    db = src_deg.select(F.col("s").alias("src_b"), F.col("deg_s").alias("deg_b"))
+    return (
+        pairs.join(da, "src_a")
+        .join(db, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("common").cast("bigint").alias("common"),
+            F.expr(
+                "CAST(common * 1000000 div (deg_a + deg_b - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.col("ra_ppm").cast("bigint").alias("ra_ppm"),
+        )
+    )

@@ -124,3 +124,52 @@ def test_write_zordered_bounds_both_columns(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == n
     with pytest.raises(ValueError):
         write_zordered(df, zpath, zorder_by=["x"])
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the same key/count must sort-merge join with
+    ZERO Exchange (the write paid the shuffle); a control join of the
+    same data as plain DataFrames must show an Exchange."""
+    from knowledge_graph_etl_spark.extensions.layout import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+    try:
+        write_bucketed(a, "t_bkt_a", ["k"], 4, sort_by=["k"])
+        write_bucketed(b, "t_bkt_b", ["k"], 4, sort_by=["k"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == 1000
+            # control: the same join without bucket metadata shuffles
+            cj = a.join(b, "k")
+            cplan = cj._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in cplan
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    """Aggregation on the bucket key of a bucketed table needs no
+    shuffle either — the bucket layout IS the required distribution."""
+    from knowledge_graph_etl_spark.extensions.layout import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS t_bkt_g")
+    try:
+        df = spark.range(0, 500).selectExpr("id % 50 AS k", "id AS v")
+        write_bucketed(df, "t_bkt_g", ["k"], 4)
+        g = spark.table("t_bkt_g").groupBy("k").count()
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert g.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_g")
