@@ -2434,6 +2434,44 @@ def graph_linkpred_q(spark, sf_dir):
     )
 
 
+def dedup_incremental_q(spark, sf_dir):
+    """New-batch admission control vs the existing corpus (batch =
+    doc_id%10==0, corpus = the rest; extensions/dedup.incremental_dedup,
+    md5 hash family for the oracle). Nullable outputs are coalesced
+    (dup_of → -1, est_jaccard → 0.0) so the driver's pandas path never
+    sees a NULL-holed integer column (int64+NaN → float64 rendering)."""
+    from knowledge_graph_etl_spark.extensions.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        d.where((F.col("doc_id") % 10) != 0),
+        d.where((F.col("doc_id") % 10) == 0),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id",
+        "n_dups",
+        F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.coalesce("est_jaccard", F.lit(0.0)).alias("est_jaccard"),
+        "admitted",
+    )
+
+
+def ann_range_search_q(spark, sf_dir):
+    """Radius query: all corpus vectors within cosine >= 0.2 of the first
+    5 embeddings (extensions/similarity.range_search)."""
+    from knowledge_graph_etl_spark.extensions.similarity import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return range_search(emb, queries, threshold=0.2)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2471,6 +2509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": quality_classifier_q,
         "dsir_importance": dsir_importance_q,
         "graph_linkpred": graph_linkpred_q,
+        "dedup_incremental": dedup_incremental_q,
+        "ann_range_search": ann_range_search_q,
         # --- late-r05 additions: never driver-checked yet ---
         "sketch_hll_distinct": sketch_hll_distinct_q,
         "dedup_verify_lev": dedup_verify_lev_q,
@@ -2516,10 +2556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_arithmetic": kg_arithmetic_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
-        "sketch_kmv_distinct": sketch_kmv_distinct_q,
-        "multimodal_resize": multimodal_resize_q,
         # ~window boundary (entry #50). r04-block tail below missed the
         # r06 window — FIRST IN LINE for the r07 front.
+        "sketch_kmv_distinct": sketch_kmv_distinct_q,
+        "multimodal_resize": multimodal_resize_q,
         "streaming_curate": streaming_curate_q,
         "doc_chunking": doc_chunking_q,
         "streaming_interval_join": streaming_interval_join_q,
@@ -2744,6 +2784,62 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
         f"SELECT id_a, id_b, {est} AS est_jaccard FROM cand "
         "JOIN oksig sa ON sa.doc_id = id_a JOIN oksig sb ON sb.doc_id = id_b "
         f"WHERE {est} >= {threshold}"
+    )
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Twin of dedup_incremental_q: the _minhash_oracle signature/banding
+    machinery, but candidates probe batch (doc_id%10==0) against corpus
+    (the rest) instead of self-pairing."""
+    from knowledge_graph_etl_spark.extensions.dedup import _MERSENNE31, _mh_coeffs
+
+    p = _MERSENNE31
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * hb + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    sig_arr = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(array_to_string(list_transform("
+        f"list_slice(sig, {bi * rpb + 1}, {bi * rpb + rpb}), "
+        f"x -> CAST(x AS VARCHAR)), '|')) AS bucket FROM oksig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = f"round(({agree}) / {num_hashes}.0, 6)"
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok "
+        "FROM documents), "
+        "hb AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) "
+        f"% {p} AS hb FROM tok), "
+        f"agg AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
+        f"oksig AS (SELECT doc_id, {sig_arr} AS sig FROM agg), "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id "
+        "FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket "
+        "WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0), "
+        f"scored AS (SELECT batch_id, corpus_id, {est} AS est_jaccard "
+        "FROM cand JOIN oksig sa ON sa.doc_id = batch_id "
+        "JOIN oksig sb ON sb.doc_id = corpus_id "
+        f"WHERE {est} >= {threshold}), "
+        "r AS (SELECT batch_id, corpus_id, est_jaccard, "
+        "row_number() OVER (PARTITION BY batch_id "
+        "ORDER BY est_jaccard DESC, corpus_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY batch_id) AS n FROM scored), "
+        "best AS (SELECT batch_id, CAST(n AS BIGINT) AS n_dups, "
+        "corpus_id AS dup_of, est_jaccard FROM r WHERE rn = 1) "
+        "SELECT d.doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups, "
+        "CAST(coalesce(dup_of, -1) AS BIGINT) AS dup_of, "
+        "coalesce(est_jaccard, 0.0) AS est_jaccard, "
+        "n_dups IS NULL AS admitted "
+        "FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id "
+        "WHERE d.doc_id % 10 = 0"
     )
 
 
@@ -3278,6 +3374,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(sum_ppm // n_grams, 0) AS BIGINT) AS importance_ppm, "
             "coalesce(sum_ppm // n_grams, 0) >= 1000000 AS selected "
             "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+        ),
+        "dedup_incremental": _incremental_dedup_oracle(
+            num_hashes=32, bands=8, threshold=0.5
+        ),
+        "ann_range_search": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM embeddings c CROSS JOIN q) "
+            "SELECT query_id, neighbor_id, cosine_sim FROM s "
+            "WHERE cosine_sim >= 0.2"
         ),
         "graph_linkpred": (
             "WITH e AS (SELECT DISTINCT "

@@ -170,6 +170,97 @@ def minhash_signature(
     )
 
 
+def _signature_table(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    hash_fn: str,
+    materialize: bool,
+) -> DataFrame:
+    """``(id, sig)`` MinHash signature table via explode → ONE
+    min-aggregate: the document is tokenized once (vs num_hashes times if
+    the signature were built as a per-row array expression — Catalyst
+    does not eliminate the common tokenize+distinct subtree across array
+    elements, a measured ~30× slowdown), and the mins combine map-side
+    before the shuffle on id. Token-less docs never reach the aggregate
+    (explode of an empty array). Materialization (localCheckpoint) is for
+    multi-consumer plans — a signature is ``num_hashes × 8`` bytes per
+    doc regardless of document size (sf-independent width)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    if hash_fn == "md5":
+        coeffs = _mh_coeffs(num_hashes)
+        base = _md5_base(F.col("tok"))
+        tok = tok.select("id", base.alias("hb"))
+        hash_i = lambda i: (
+            F.lit(coeffs[i][0]) * F.col("hb") + F.lit(coeffs[i][1])
+        ) % _MERSENNE31
+    else:
+        hash_i = lambda i: F.xxhash64("tok", F.lit(i))
+    agg = tok.groupBy("id").agg(
+        *[F.min(hash_i(i)).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    sig = agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    if materialize and not docs.isStreaming:
+        sig = sig.localCheckpoint(eager=True)
+    return sig
+
+
+def _band_table(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """``(id, band, bucket)`` banded-LSH bucket rows from a signature
+    table. md5 mode buckets by md5 of the '|'-joined decimal strings
+    (injective, reproducible in SQL via array_to_string); xxhash mode by
+    ``F.hash`` of the band slice. Rows are NARROW (id, band, bucket) so a
+    mega-bucket of k docs emits k² 16-byte candidate rows downstream, not
+    k² signature pairs."""
+    rows_per_band = num_hashes // bands
+    if hash_fn == "md5":
+        bucket_of = lambda bi: F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        )
+    else:
+        bucket_of = lambda bi: F.hash(
+            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+        )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _sig_agreement(num_hashes: int):
+    """Estimated Jaccard from two signature columns ``sig_a``/``sig_b``:
+    one zip_with pass (vectorized, stays in whole-stage codegen; a flat
+    32-term add-chain of array accesses measured 2× SLOWER — the giant
+    expression tree falls out of codegen)."""
+    return F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -212,71 +303,14 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
-    rows_per_band = num_hashes // bands
-    # Signature via explode → ONE min-aggregate: the document is tokenized
-    # once (vs num_hashes times if the signature were built as a per-row
-    # array expression — Catalyst does not eliminate the common
-    # tokenize+distinct subtree across array elements, a measured ~30×
-    # slowdown), and the mins combine map-side before the shuffle on id.
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    )
-    if hash_fn == "md5":
-        coeffs = _mh_coeffs(num_hashes)
-        base = _md5_base(F.col("tok"))
-        tok = tok.select("id", base.alias("hb"))
-        hash_i = lambda i: (
-            F.lit(coeffs[i][0]) * F.col("hb") + F.lit(coeffs[i][1])
-        ) % _MERSENNE31
-    else:
-        hash_i = lambda i: F.xxhash64("tok", F.lit(i))
-    agg = tok.groupBy("id").agg(
-        *[F.min(hash_i(i)).alias(f"m{i}") for i in range(num_hashes)]
-    )
-    # token-less docs never reach the aggregate (explode of an empty array)
-    sig = agg.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
-    )
     # sig feeds THREE consumers (banding + both sides of the refinement
     # join); without materialization the tokenize→hash→32-way-min subtree —
-    # the most expensive stage — re-executes each time. Checkpointing is
-    # scale-safe: a signature is num_hashes × 8 bytes per doc regardless of
-    # document size (sf-independent width). ``materialize=False`` keeps
-    # plan construction fully lazy (no job at build time) for callers that
-    # only want the plan — same contract as ``construct(materialize=)``.
-    if materialize and not docs.isStreaming:
-        sig = sig.localCheckpoint(eager=True)
-    if hash_fn == "md5":
-        # sig is array<bigint> in both modes now; band bucket = md5 of the
-        # '|'-joined decimal strings (injective, reproducible in SQL via
-        # array_to_string)
-        bucket_of = lambda bi: F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        )
-    else:
-        bucket_of = lambda bi: F.hash(
-            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
-        )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    # Candidate generation joins NARROW rows (id, band, bucket) only — a
-    # mega-bucket of k docs emits k² 16-byte rows, not k² signature pairs;
+    # the most expensive stage — re-executes each time. ``materialize=False``
+    # keeps plan construction fully lazy (no job at build time) for callers
+    # that only want the plan — same contract as ``construct(materialize=)``.
+    sig = _signature_table(docs, text_col, id_col, num_hashes, hash_fn, materialize)
+    banded = _band_table(sig, num_hashes, bands, hash_fn)
+    # Candidate generation joins NARROW rows (id, band, bucket) only;
     # signatures are joined back after dedup, when the pair set is small.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -292,19 +326,101 @@ def minhash_lsh_pairs(
     cand = cand.join(
         sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-    # agreement via one zip_with pass (vectorized, stays in whole-stage
-    # codegen; a flat 32-term add-chain of array accesses measured 2×
-    # SLOWER — the giant expression tree falls out of codegen)
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(num_hashes))
+    est = _sig_agreement(num_hashes)
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    materialize: bool = True,
+) -> DataFrame:
+    """Admission control for a growing corpus: flag each document of a
+    NEW ``batch`` that near-duplicates the EXISTING ``corpus`` (MinHash
+    banded LSH, same machinery and parameters as
+    :func:`minhash_lsh_pairs`). This is how dedup actually runs in a
+    production ingestion pipeline — the 100 TB corpus is not re-paired
+    against itself on every arrival; only the new batch is hashed and
+    probed against the corpus's band index.
+
+    Scale shape: the corpus side reduces to its ``(id, band, bucket)``
+    index plus its ``(id, sig)`` table — in steady state BOTH are
+    precomputed once at admission time and stored bucketed on their join
+    keys (see ``layout.write_bucketed``), so admitting a batch shuffles
+    ONLY batch-sized data: batch signatures (one aggregate over the
+    batch), a probe join into the bucket index, and a signature
+    refinement on the candidate pairs. Nothing in this plan scales with
+    corpus size except the (pre-built, pruned-by-bucket) index probe.
+    Batch-internal duplicates are NOT flagged here — run
+    :func:`minhash_lsh_pairs` on the batch for that; the two compose.
+
+    Returns one row per batch document:
+    ``(id_col, n_dups, dup_of, est_jaccard, admitted)`` — ``dup_of`` the
+    best-matching corpus id (highest agreement, ties to the smallest id),
+    NULL when admitted; ``admitted`` = no corpus match ≥ ``threshold``."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    csig = _signature_table(corpus, text_col, id_col, num_hashes, hash_fn, materialize)
+    bsig = _signature_table(batch, text_col, id_col, num_hashes, hash_fn, materialize)
+    cband = _band_table(csig, num_hashes, bands, hash_fn)
+    bband = _band_table(bsig, num_hashes, bands, hash_fn)
+    cand = (
+        bband.alias("b")
+        .join(
+            cband.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("b.id").alias("batch_id"), F.col("c.id").alias("corpus_id")
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    scored = (
+        cand.join(
+            bsig.select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_a")),
+            "batch_id",
+        )
+        .join(
+            csig.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b")),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", F.round(_sig_agreement(num_hashes), 6))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("batch_id")))
+        .where(F.col("__rn") == 1)
+        .select(
+            "batch_id",
+            F.col("__n").cast("bigint").alias("n_dups"),
+            F.col("corpus_id").alias("dup_of"),
+            F.col("est_jaccard"),
+        )
+    )
+    spine = batch.select(F.col(id_col).alias("batch_id"))
+    return spine.join(best, "batch_id", "left").select(
+        F.col("batch_id").alias(id_col),
+        F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        "dup_of",
+        "est_jaccard",
+        F.col("dup_of").isNull().alias("admitted"),
     )
 
 

@@ -75,6 +75,42 @@ def cosine_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Radius (range) query: ALL corpus vectors with cosine ≥
+    ``threshold`` per query — the other half of a vector store's read API
+    next to top-k (:func:`cosine_topk`). Exact brute force: the query set
+    broadcasts, the corpus is scanned once and never shuffled, and unlike
+    top-k there is no window — the filter happens inside the scan
+    projection, so the plan is a single map stage (scan → broadcast
+    nested-loop → filter) with output proportional to matches, not to
+    corpus × queries. At 100 TB this is the shape you want for "find
+    everything similar to these N probes"; for sub-scan latency layer the
+    IVF index (:func:`ivf_build` / :func:`ivf_query`) in front.
+
+    Returns ``(query_id, neighbor_id, cosine_sim)`` — set semantics, no
+    rank column."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= float(threshold))
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

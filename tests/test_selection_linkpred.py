@@ -176,3 +176,115 @@ def test_linkpred_hub_cap_drops_hot_dst(spark):
     # capped graph degrees: N(A)={d1,d4} N(B)={d1,d3} N(C)={d3}
     assert ab["common"] == 1 and ab["ra_ppm"] == 1_000_000 // 2
     assert ab["jaccard_ppm"] == 1_000_000 // (2 + 2 - 1)
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_flags_and_admits(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (11, "novel content that matches nothing in the corpus"),
+            (12, ""),  # token-less: no signature, trivially admitted
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(corpus, batch, threshold=0.5).collect()
+    }
+    assert not out[10]["admitted"]
+    assert out[10]["dup_of"] == 1 and out[10]["est_jaccard"] == 1.0
+    assert out[11]["admitted"] and out[11]["dup_of"] is None
+    assert out[12]["admitted"] and out[12]["n_dups"] == 0
+    # batch-internal duplicates are NOT this operator's job
+    assert set(out) == {10, 11, 12}
+
+
+def test_incremental_dedup_best_match_tiebreak(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import incremental_dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(5, text), (3, text)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame([(100, text)], ["doc_id", "text"])
+    row = incremental_dedup(corpus, batch, threshold=0.5).collect()[0]
+    # two perfect matches: n_dups counts both, dup_of ties to smaller id
+    assert row["n_dups"] == 2 and row["dup_of"] == 3
+
+
+def test_incremental_matches_selfpair_semantics(spark):
+    """incremental(corpus, batch) must agree with the cross-subset pairs
+    of minhash_lsh_pairs run on the union (same machinery guarantee)."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        incremental_dedup,
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (i, f"shared common prefix tokens {'x' * (i % 3)} tail {i % 4}")
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.where("doc_id % 2 = 1")
+    batch = df.where("doc_id % 2 = 0")
+    pairs = minhash_lsh_pairs(df, threshold=0.5).collect()
+    cross = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in pairs
+        if (r["id_a"] % 2) != (r["id_b"] % 2)
+    }
+    inc = incremental_dedup(corpus, batch, threshold=0.5).collect()
+    flagged = {r["doc_id"] for r in inc if not r["admitted"]}
+    expect_flagged = {x for p in cross for x in p if x % 2 == 0}
+    assert flagged == expect_flagged
+
+
+# ---------------------------------------------------------------------------
+# range_search
+# ---------------------------------------------------------------------------
+
+
+def test_range_search_exact_matches_bruteforce(spark):
+    import math
+
+    from knowledge_graph_etl_spark.extensions.similarity import range_search
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.9, 0.1, 0.0],
+        3: [0.0, 1.0, 0.0],
+        4: [-1.0, 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    q = df.where("vec_id = 1").selectExpr("vec_id AS query_id", "embedding")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in range_search(df, q, threshold=0.5).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expect = {
+        (1, k): round(cos(vecs[1], v), 6)
+        for k, v in vecs.items()
+        if cos(vecs[1], v) >= 0.5
+    }
+    assert got == expect  # {1: itself, 2: ~0.993} and NOT 3 (0.0) or 4 (-1)
