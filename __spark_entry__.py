@@ -2460,6 +2460,49 @@ def dedup_incremental_q(spark, sf_dir):
     )
 
 
+#: unroll depth of the k-truss oracle — tests assert Spark converges
+#: within this many rounds at the gated SF (sf0.01, measured depth 8 for
+#: k=16; sf0.1 empties in 2), same contract as KCORE_ORACLE_ROUNDS.
+KTRUSS_ORACLE_ROUNDS = 10
+
+
+def graph_ktruss_q(spark, sf_dir):
+    """16-truss backbone of the supplier co-purchase graph: edges = the
+    top-2000 link-prediction pairs by RA score (bounded at every SF),
+    then iterative triangle-support peeling (extensions/graph.ktruss).
+    k=16 peels for real at the oracle-gated SF (sf0.01 support median
+    ~24, so need=14 cuts the tail and cascades); at sf0.1 the top-RA
+    graph is triangle-sparse and the truss empties in two rounds — both
+    regimes converge well inside KTRUSS_ORACLE_ROUNDS."""
+    from knowledge_graph_etl_spark.extensions.graph import (
+        ktruss,
+        linkpred_scores,
+    )
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    top = (
+        linkpred_scores(e, min_common=2)
+        .orderBy(F.desc("ra_ppm"), "src_a", "src_b")
+        .limit(2000)
+        .select(F.col("src_a").alias("src"), F.col("src_b").alias("dst"))
+    )
+    return ktruss(top, k=16, max_iter=KTRUSS_ORACLE_ROUNDS)
+
+
+def source_reputation_q(spark, sf_dir):
+    """Per-source reputation rollup of the hashed quality classifier
+    (extensions/curation.source_reputation)."""
+    from knowledge_graph_etl_spark.extensions.curation import source_reputation
+
+    return source_reputation(_t(spark, sf_dir, "documents"))
+
+
 def ann_range_search_q(spark, sf_dir):
     """Radius query: all corpus vectors within cosine >= 0.2 of the first
     5 embeddings (extensions/similarity.range_search)."""
@@ -2511,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_linkpred": graph_linkpred_q,
         "dedup_incremental": dedup_incremental_q,
         "ann_range_search": ann_range_search_q,
+        "graph_ktruss": graph_ktruss_q,
+        "source_reputation": source_reputation_q,
         # --- late-r05 additions: never driver-checked yet ---
         "sketch_hll_distinct": sketch_hll_distinct_q,
         "dedup_verify_lev": dedup_verify_lev_q,
@@ -2554,10 +2599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_select_builtins": kg_select_builtins_q,
         "kg_graph_var": kg_graph_var_q,
         "kg_arithmetic": kg_arithmetic_q,
-        "events_pivot": events_pivot_q,
-        "events_unpivot": events_unpivot_q,
         # ~window boundary (entry #50). r04-block tail below missed the
         # r06 window — FIRST IN LINE for the r07 front.
+        "events_pivot": events_pivot_q,
+        "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
         "multimodal_resize": multimodal_resize_q,
         "streaming_curate": streaming_curate_q,
@@ -2841,6 +2886,65 @@ def _incremental_dedup_oracle(
         "FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id "
         "WHERE d.doc_id % 10 = 0"
     )
+
+
+def _linkpred_oracle(limit: int = 200) -> str:
+    """Twin of linkpred_scores over the supplier–part bipartite graph
+    (top-``limit`` by RA score, total deterministic order)."""
+    return (
+        "WITH e AS (SELECT DISTINCT "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS s, "
+        "'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem), "
+        "dd AS (SELECT d, COUNT(*) AS deg_d FROM e GROUP BY d), "
+        "keep AS (SELECT d, deg_d FROM dd WHERE deg_d <= 1000), "
+        "ec AS (SELECT e.s, e.d, keep.deg_d FROM e JOIN keep USING (d)), "
+        "sd AS (SELECT s, COUNT(*) AS deg_s FROM ec GROUP BY s), "
+        "p AS (SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS common, "
+        "CAST(SUM(1000000 // a.deg_d) AS BIGINT) AS ra_ppm "
+        "FROM ec a JOIN ec b ON a.d = b.d AND a.s < b.s "
+        "GROUP BY a.s, b.s HAVING COUNT(*) >= 2) "
+        "SELECT src_a, src_b, CAST(common AS BIGINT) AS common, "
+        "CAST(common * 1000000 // (da.deg_s + db.deg_s - common) AS BIGINT) "
+        "AS jaccard_ppm, ra_ppm "
+        "FROM p JOIN sd da ON p.src_a = da.s JOIN sd db ON p.src_b = db.s "
+        f"ORDER BY ra_ppm DESC, src_a, src_b LIMIT {limit}"
+    )
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 10) -> str:
+    """Unrolled-CTE twin of graph_ktruss_q: top-2000 linkpred edges, then
+    ``rounds`` triangle-support peeling rounds (each a MATERIALIZED CTE —
+    DuckDB inlines plain CTEs, and a CTE referenced 3× per round would
+    otherwise explode 3^rounds). Peeling is idempotent at the fixed
+    point, so a generous unroll count is exact; the paired test asserts
+    Spark converges within ``rounds`` at the gated SF."""
+    need = k - 2
+    parts = [
+        "WITH lp AS MATERIALIZED (SELECT src_a AS u, src_b AS v FROM ("
+        + _linkpred_oracle(2000)
+        + ")), er0 AS MATERIALIZED (SELECT u, v FROM lp)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", nb{i} AS MATERIALIZED (SELECT u AS a, v AS b FROM er{i} "
+            f"UNION ALL SELECT v AS a, u AS b FROM er{i}), "
+            f"s{i} AS MATERIALIZED (SELECT e.u, e.v, COUNT(*) AS sup "
+            f"FROM er{i} e JOIN nb{i} x ON x.a = e.u "
+            f"JOIN nb{i} y ON y.a = e.v AND y.b = x.b "
+            "GROUP BY e.u, e.v), "
+            f"er{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM er{i} e "
+            f"JOIN s{i} s ON s.u = e.u AND s.v = e.v WHERE s.sup >= {need})"
+        )
+    r = rounds
+    parts.append(
+        f", nbf AS MATERIALIZED (SELECT u AS a, v AS b FROM er{r} "
+        f"UNION ALL SELECT v AS a, u AS b FROM er{r}) "
+        f"SELECT e.u AS src, e.v AS dst, CAST(COUNT(*) AS BIGINT) AS support "
+        f"FROM er{r} e JOIN nbf x ON x.a = e.u "
+        "JOIN nbf y ON y.a = e.v AND y.b = x.b "
+        "GROUP BY e.u, e.v"
+    )
+    return "".join(parts)
 
 
 def _simhash_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
@@ -3387,23 +3491,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, cosine_sim FROM s "
             "WHERE cosine_sim >= 0.2"
         ),
-        "graph_linkpred": (
-            "WITH e AS (SELECT DISTINCT "
-            "'s' || CAST(l_suppkey AS VARCHAR) AS s, "
-            "'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem), "
-            "dd AS (SELECT d, COUNT(*) AS deg_d FROM e GROUP BY d), "
-            "keep AS (SELECT d, deg_d FROM dd WHERE deg_d <= 1000), "
-            "ec AS (SELECT e.s, e.d, keep.deg_d FROM e JOIN keep USING (d)), "
-            "sd AS (SELECT s, COUNT(*) AS deg_s FROM ec GROUP BY s), "
-            "p AS (SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS common, "
-            "CAST(SUM(1000000 // a.deg_d) AS BIGINT) AS ra_ppm "
-            "FROM ec a JOIN ec b ON a.d = b.d AND a.s < b.s "
-            "GROUP BY a.s, b.s HAVING COUNT(*) >= 2) "
-            "SELECT src_a, src_b, CAST(common AS BIGINT) AS common, "
-            "CAST(common * 1000000 // (da.deg_s + db.deg_s - common) AS BIGINT) "
-            "AS jaccard_ppm, ra_ppm "
-            "FROM p JOIN sd da ON p.src_a = da.s JOIN sd db ON p.src_b = db.s "
-            "ORDER BY ra_ppm DESC, src_a, src_b LIMIT 200"
+        "graph_linkpred": _linkpred_oracle(limit=200),
+        "graph_ktruss": _ktruss_oracle(k=16, rounds=KTRUSS_ORACLE_ROUNDS),
+        "source_reputation": (
+            f"WITH tok AS (SELECT source, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT source, len(t) AS ntok, list_concat(t, "
+            "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS grams FROM tok), "
+            "s AS (SELECT source, ntok, "
+            "CASE WHEN len(grams) > 0 THEN "
+            "CAST(list_sum(list_transform(grams, x -> "
+            "('0x' || substr(md5('qw:' || x), 1, 15))::BIGINT % 2000001)) "
+            "AS BIGINT) // len(grams) - 1000000 "
+            "ELSE -1000000 END AS score_micro FROM g) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ntok) AS BIGINT) AS total_tokens, "
+            "CAST(CAST(SUM(score_micro + 1000000) AS BIGINT) // COUNT(*) "
+            "- 1000000 AS BIGINT) AS mean_score_micro, "
+            "CAST(1000000 * CAST(SUM(CASE WHEN score_micro >= 0 THEN 1 "
+            "ELSE 0 END) AS BIGINT) // COUNT(*) AS BIGINT) AS pass_rate_ppm "
+            "FROM s GROUP BY source"
         ),
         "dedup_substring": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "

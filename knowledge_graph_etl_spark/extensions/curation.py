@@ -1513,6 +1513,27 @@ def quality_classifier(
 
     Returns ``(id_col, n_feats, score_micro, quality_pass)``.
     """
+    scored = _hashed_quality_scores(
+        docs, [F.col(id_col)], text_col, use_bigrams, salt
+    )
+    return scored.withColumn(
+        "quality_pass", F.col("score_micro") >= F.lit(threshold_micro)
+    )
+
+
+def _hashed_quality_scores(
+    docs: DataFrame,
+    keep: list[Column],
+    text_col: str,
+    use_bigrams: bool,
+    salt: str,
+) -> DataFrame:
+    """Shared scorer core of :func:`quality_classifier` /
+    :func:`source_reputation`: ``keep`` passthrough columns +
+    ``(n_feats, score_micro)``. The integer division runs in OFFSET space
+    (non-negative numerator) through named intermediate columns — ``div``
+    needs column names, and negatives would diverge between Spark
+    (truncate) and DuckDB (floor)."""
     tks = tokens(F.col(text_col))
     grams = tks
     if use_bigrams:
@@ -1529,18 +1550,15 @@ def quality_classifier(
     score = F.when(
         F.col("__n") > 0, F.expr("__sum_off div __n") - F.lit(1_000_000)
     ).otherwise(F.lit(-1_000_000))
-    return (
-        docs.select(
-            F.col(id_col),
-            sum_off.alias("__sum_off"),
-            n.alias("__n"),
-        )
-        .select(
-            id_col,
-            F.col("__n").alias("n_feats"),
-            score.cast("bigint").alias("score_micro"),
-        )
-        .withColumn("quality_pass", F.col("score_micro") >= F.lit(threshold_micro))
+    kept_names = docs.select(*keep).columns
+    return docs.select(
+        *keep,
+        sum_off.alias("__sum_off"),
+        n.alias("__n"),
+    ).select(
+        *kept_names,
+        F.col("__n").alias("n_feats"),
+        score.cast("bigint").alias("score_micro"),
     )
 
 
@@ -1633,4 +1651,65 @@ def dsir_importance(
         (F.coalesce("importance_ppm", F.lit(0)) >= F.lit(int(select_ppm))).alias(
             "selected"
         ),
+    )
+
+
+def source_reputation(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold_micro: int = 0,
+    use_bigrams: bool = True,
+    salt: str = "qw",
+) -> DataFrame:
+    """Per-source (host / domain / crawl-seed) corpus reputation — the
+    aggregation behind CCNet/RefinedWeb-style host filtering: score every
+    document with the hashed linear classifier
+    (:func:`quality_classifier`'s scorer core, same salt → identical
+    scores), then roll up per source. A source whose documents are
+    consistently low-quality gets dropped wholesale at crawl-frontier
+    time — far cheaper than per-document filtering ever after.
+
+    Integer exactness: the mean re-enters OFFSET space before dividing
+    (``score+1e6 ∈ [0, 2e6]``) so the cross-engine integer division never
+    sees a negative numerator; the pass rate is ``1e6·passes div docs``.
+
+    Execution shape: the zero-shuffle per-row scorer followed by ONE
+    map-side-combinable aggregate keyed on source — group count is
+    host-count-sized, orders of magnitude under row count. Hot hosts are
+    hot keys, but the per-key payload is four counters, combined
+    map-side.
+
+    Returns ``(source_col, n_docs, total_tokens, mean_score_micro,
+    pass_rate_ppm)``."""
+    scored = _hashed_quality_scores(
+        docs,
+        [F.col(source_col), token_count(F.col(text_col)).alias("__ntok")],
+        text_col,
+        use_bigrams,
+        salt,
+    )
+    return (
+        scored.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__ntok").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("score_micro") + F.lit(1_000_000)).alias("__sum_off"),
+            F.sum(
+                F.when(
+                    F.col("score_micro") >= F.lit(threshold_micro), 1
+                ).otherwise(0)
+            ).alias("__passes"),
+        )
+        .select(
+            source_col,
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_tokens",
+            (F.expr("__sum_off div n_docs") - F.lit(1_000_000))
+            .cast("bigint")
+            .alias("mean_score_micro"),
+            F.expr("1000000 * __passes div n_docs")
+            .cast("bigint")
+            .alias("pass_rate_ppm"),
+        )
     )

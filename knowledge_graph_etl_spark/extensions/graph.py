@@ -644,3 +644,114 @@ def linkpred_scores(
             F.col("ra_ppm").cast("bigint").alias("ra_ppm"),
         )
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-truss decomposition membership: iteratively remove every edge
+    that sits in fewer than ``k-2`` triangles of the SURVIVING subgraph,
+    until none does (Cohen 2008). The truss is the edge-level analog of
+    the k-core — the standard "cohesive community backbone" extractor —
+    and strictly stronger: every edge of the k-truss joins two vertices
+    of the (k-1)-core.
+
+    Execution shape (per round, ONE Spark job): triangle support comes
+    from the wedge join — the symmetrized neighbor list joined to the
+    canonical (u<v) edge list on BOTH endpoints (common neighbor w of u
+    and v closes edge (u,w) and (v,w)) — then a support aggregate and a
+    filter; the survivor edge list is lazily checkpointed and its count
+    doubles as the convergence test (|E| monotone non-increasing).
+    Shuffles key on vertices/edge pairs — uniform after any hub capping
+    the caller applies upstream (compose with
+    :func:`linkpred_scores`-style degree caps for power-law inputs: a
+    hub of degree h contributes h² wedge rows). Deterministic — edge
+    removal is order-independent within a round — hence exactly
+    SQL-oracle-able by unrolling rounds into MATERIALIZED CTEs.
+
+    Returns the surviving canonical edge list ``(src, dst, support)``
+    with ``src < dst`` and ``support`` counted in the final subgraph."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    need = k - 2
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    canon = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    tracker = CheckpointTracker()
+    cur = canon.localCheckpoint(eager=True)
+    tracker.add(cur)
+    tracker.round_done()
+    prev_n = cur.count()
+    empty = cur.select(
+        "u", "v", F.lit(0).cast("bigint").alias("support")
+    ).limit(0)
+    if prev_n == 0:
+        return empty
+
+    def support_of(e: DataFrame) -> DataFrame:
+        nb = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        x = nb.select(F.col("u").alias("eu"), F.col("v").alias("w"))
+        y = nb.select(F.col("u").alias("ev"), F.col("v").alias("w"))
+        return (
+            e.join(x, F.col("u") == F.col("eu"))
+            .join(y, (F.col("v") == F.col("ev")) & (x["w"] == y["w"]))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    if need == 0:
+        # 2-truss: every edge survives trivially (support >= 0); report
+        # support without peeling
+        out = (
+            cur.join(support_of(cur), ["u", "v"], "left")
+            .select(
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tracker.release_all(keep=out)
+        return out
+    converged = False
+    for _ in range(max_iter):
+        sup = support_of(cur)
+        # edges in zero triangles are absent from sup and correctly
+        # drop out here (0 < need)
+        nxt = (
+            sup.where(F.col("support") >= need)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        tracker.add(nxt)
+        n = nxt.count()  # one job: materializes the round AND tests it
+        tracker.round_done()
+        cur = nxt
+        if n == prev_n or n == 0:
+            converged = True  # fixed point, or nothing left to peel
+            prev_n = n
+            break
+        prev_n = n
+    if not converged:
+        tracker.release_all(keep=cur)
+        raise RuntimeError(f"ktruss did not converge within max_iter={max_iter}")
+    if prev_n == 0:
+        tracker.release_all()
+        return empty
+    out = support_of(cur).select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+    out = out.localCheckpoint(eager=True)
+    tracker.release_all(keep=out)
+    return out
