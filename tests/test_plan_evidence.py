@@ -416,3 +416,48 @@ def test_bpe_encode_is_pure_map(spark):
     plan = _plan(bpe_encode(docs, [("a", "a"), ("a", "b")]))
     assert plan.count("Exchange") == 0, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """dsir_importance's bucket-weight table (bounded at `buckets` rows)
+    must broadcast onto the corpus gram stream — the corpus side never
+    re-shuffles for the weight join."""
+    from knowledge_graph_etl_spark.extensions.curation import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    plan = _plan(dsir_importance(docs, docs.where("doc_id % 5 = 0")))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_source_reputation_single_aggregate_no_extra_shuffle(spark):
+    """source_reputation = zero-shuffle scorer + ONE hash aggregate on
+    source: exactly one hashpartitioning Exchange in the plan."""
+    from knowledge_graph_etl_spark.extensions.curation import source_reputation
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", f"host{i % 3}") for i in range(30)],
+        ["doc_id", "text", "source"],
+    )
+    plan = _plan(source_reputation(docs))
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) == 1, plan
+    assert "partial" in plan.lower(), plan  # map-side combine present
+
+
+def test_range_search_is_scan_filter_no_window(spark):
+    """range_search must stay a broadcast nested-loop scan+filter: no
+    Exchange, no Window/Sort (top-k's machinery) in the plan."""
+    from knowledge_graph_etl_spark.extensions.similarity import range_search
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    q = emb.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    plan = _plan(range_search(emb, q, threshold=0.5))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
