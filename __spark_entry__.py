@@ -2515,6 +2515,22 @@ def ann_range_search_q(spark, sf_dir):
     return range_search(emb, queries, threshold=0.2)
 
 
+def doc_cdc_chunks_q(spark, sf_dir):
+    """Content-defined chunking: rolling-hash boundaries + max-cut
+    (extensions/curation.cdc_chunks)."""
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"), mask_bits=4, max_tokens=64)
+
+
+def doc_cdc_stats_q(spark, sf_dir):
+    """Corpus chunk-dedup yield of CDC chunking
+    (extensions/curation.cdc_dedup_stats)."""
+    from knowledge_graph_etl_spark.extensions.curation import cdc_dedup_stats
+
+    return cdc_dedup_stats(_t(spark, sf_dir, "documents"), mask_bits=4, max_tokens=64)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2556,6 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range_search": ann_range_search_q,
         "graph_ktruss": graph_ktruss_q,
         "source_reputation": source_reputation_q,
+        "doc_cdc_chunks": doc_cdc_chunks_q,
+        "doc_cdc_stats": doc_cdc_stats_q,
         # --- late-r05 additions: never driver-checked yet ---
         "sketch_hll_distinct": sketch_hll_distinct_q,
         "dedup_verify_lev": dedup_verify_lev_q,
@@ -2597,10 +2615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
-        "kg_graph_var": kg_graph_var_q,
-        "kg_arithmetic": kg_arithmetic_q,
         # ~window boundary (entry #50). r04-block tail below missed the
         # r06 window — FIRST IN LINE for the r07 front.
+        "kg_graph_var": kg_graph_var_q,
+        "kg_arithmetic": kg_arithmetic_q,
         "events_pivot": events_pivot_q,
         "events_unpivot": events_unpivot_q,
         "sketch_kmv_distinct": sketch_kmv_distinct_q,
@@ -2710,6 +2728,33 @@ _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _TOKS = (
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 )
+
+#: shared WITH-prefix of the two CDC oracles: tokens → 0-based positions
+#: → boundary flags (low 4 hash bits zero) → running boundary count →
+#: max-cut sub-chunks → per-chunk aggregate (mask_bits=4, max_tokens=64,
+#: mirroring doc_cdc_chunks_q's parameters)
+_CDC_CHUNKS_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    + _TOKS
+    + " AS t FROM documents), "
+    "e AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos, "
+    "unnest(t) AS tok FROM tok WHERE len(t) > 0), "
+    "f AS (SELECT doc_id, pos, tok, CASE WHEN "
+    "('0x' || substr(md5('cdc:' || tok), 1, 15))::BIGINT % 16 = 0 "
+    "THEN 1 ELSE 0 END AS cut_after FROM e), "
+    "c AS (SELECT doc_id, pos, tok, coalesce(SUM(cut_after) OVER ("
+    "PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c FROM f), "
+    "s AS (SELECT doc_id, pos, tok, c, "
+    "CAST((row_number() OVER (PARTITION BY doc_id, c ORDER BY pos) - 1) "
+    "// 64 AS BIGINT) AS sub FROM c), "
+    "ch AS (SELECT doc_id, c, sub, MIN(pos) AS start_pos, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 "
+    "FROM s GROUP BY doc_id, c, sub) "
+)
+
+
 
 
 def _sw_ratio(lang: str) -> str:
@@ -3490,6 +3535,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings c CROSS JOIN q) "
             "SELECT query_id, neighbor_id, cosine_sim FROM s "
             "WHERE cosine_sim >= 0.2"
+        ),
+        "doc_cdc_chunks": _CDC_CHUNKS_ORACLE + (
+            "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY start_pos) - 1 AS BIGINT) AS chunk_idx, "
+            "n_tokens, chunk_md5 FROM ch"
+        ),
+        "doc_cdc_stats": _CDC_CHUNKS_ORACLE + (
+            ", per AS (SELECT chunk_md5, COUNT(*) AS cnt, "
+            "MIN(n_tokens) AS nt FROM ch GROUP BY chunk_md5) "
+            "SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks, "
+            "CAST(COUNT(*) AS BIGINT) AS n_unique_chunks, "
+            "CAST(SUM(cnt * nt) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(nt) AS BIGINT) AS unique_tokens, "
+            "CAST(1000000 * CAST(SUM(nt) AS BIGINT) "
+            "// CAST(SUM(cnt * nt) AS BIGINT) AS BIGINT) AS dedup_ratio_ppm "
+            "FROM per"
         ),
         "graph_linkpred": _linkpred_oracle(limit=200),
         "graph_ktruss": _ktruss_oracle(k=16, rounds=KTRUSS_ORACLE_ROUNDS),

@@ -61,7 +61,13 @@ def main() -> int:
     # throughput-only variants (no DuckDB oracle — e.g. xxhash64 scale
     # paths) are benched but deliberately absent from the correctness gate
     all_queries.update(getattr(entrymod, "bench_only_queries", dict)())
-    for name, fn in all_queries.items():
+    # ALPHABETICAL bench order, decoupled from the registry's rotating
+    # correctness-window order: run position shifts measured 1.5-2x swings
+    # on heavy compositions (curation_pipeline_v2 16.9 -> 31.2 s when its
+    # position moved, r06), so a stable order is a precondition for
+    # meaningful round-over-round comparison
+    for name in sorted(all_queries):
+        fn = all_queries[name]
         t0 = time.time()
         try:
             fn(spark, sf_dir).count()

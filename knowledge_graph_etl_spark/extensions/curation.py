@@ -1713,3 +1713,109 @@ def source_reputation(
             .alias("pass_rate_ppm"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 4,
+    max_tokens: int = 64,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking (LBFS/FastCDC lineage): split each
+    document into variable-size token chunks whose boundaries follow the
+    CONTENT — a cut lands after every token whose hash has its low
+    ``mask_bits`` bits zero (expected chunk length ``2^mask_bits``
+    tokens), plus a hard ``max_tokens`` cut. Fixed-size chunking shifts
+    every boundary after any insertion; content-defined boundaries
+    re-align immediately, which is what makes chunk-level dedup of
+    near-identical documents (crawl re-fetches, versioned docs) actually
+    hit. Production CDC also enforces a MIN chunk size via a stateful
+    scan; that variant needs sequential state (mapInPandas) and is
+    deliberately out of scope for the exact-oracle path — the max-cut is
+    expressed as an integer division, so the whole operator stays in
+    window + aggregate expressions.
+
+    Execution shape: one posexplode, one window over (doc, pos) — the
+    running boundary count — and one (doc, chunk) aggregate; all keys
+    uniform, everything map-side combinable except the ordered window,
+    which partitions by document (bounded by document length).
+
+    Returns ``(id_col, chunk_idx, n_tokens, chunk_md5)`` — ``chunk_md5``
+    the md5 of the space-rejoined chunk tokens, the key chunk-level
+    dedup joins on."""
+    tks = tokens(F.col(text_col))
+    mask = (1 << int(mask_bits)) - 1
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tks).alias("pos", "tok"),
+    ).withColumn(
+        "cut_after",
+        (
+            md5_u60(F.concat(F.lit(salt + ":"), F.col("tok"))) % F.lit(mask + 1)
+            == 0
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("c", F.coalesce(F.sum("cut_after").over(w), F.lit(0)))
+    t = t.withColumn(
+        "sub", F.expr(f"CAST((row_number() OVER (PARTITION BY id, c ORDER BY pos) - 1) div {int(max_tokens)} AS BIGINT)")
+    )
+    chunks = t.groupBy("id", "c", "sub").agg(
+        F.min("pos").alias("start_pos"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    wd = Window.partitionBy("id").orderBy("start_pos")
+    return chunks.select(
+        F.col("id").alias(id_col),
+        (F.row_number().over(wd) - 1).cast("bigint").alias("chunk_idx"),
+        "n_tokens",
+        "chunk_md5",
+    )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 4,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Corpus-level chunk-dedup yield of :func:`cdc_chunks`: how much
+    storage/compute chunk-level dedup would save. One extra hash
+    aggregate over the chunk table. Returns a single row
+    ``(n_chunks, n_unique_chunks, n_tokens, unique_tokens,
+    dedup_ratio_ppm)`` — ratio = unique token mass over total token mass
+    (integer ppm)."""
+    ch = cdc_chunks(docs, text_col, id_col, mask_bits, max_tokens)
+    per = ch.groupBy("chunk_md5").agg(
+        F.count("*").alias("cnt"), F.first("n_tokens").alias("nt")
+    )
+    return per.agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_unique_chunks"),
+        F.sum(F.col("cnt") * F.col("nt")).cast("bigint").alias("n_tokens"),
+        F.sum("nt").cast("bigint").alias("unique_tokens"),
+    ).select(
+        "n_chunks",
+        "n_unique_chunks",
+        "n_tokens",
+        "unique_tokens",
+        F.expr("CAST(1000000 * unique_tokens div n_tokens AS BIGINT)").alias(
+            "dedup_ratio_ppm"
+        ),
+    )

@@ -387,3 +387,57 @@ def test_source_reputation_matches_python_reference(spark):
         assert r["total_tokens"] == total_tokens
         assert r["mean_score_micro"] == mean
         assert r["pass_rate_ppm"] == 1_000_000 * passes // n_docs
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks / cdc_dedup_stats
+# ---------------------------------------------------------------------------
+
+
+_CDC_TEXT = " ".join(f"w{i % 97}x{i % 13}" for i in range(400))
+
+
+def test_cdc_chunks_roundtrip_and_maxcut(spark):
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks
+
+    df = spark.createDataFrame([(1, _CDC_TEXT)], ["doc_id", "text"])
+    rows = sorted(
+        cdc_chunks(df, mask_bits=4, max_tokens=64).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert sum(r["n_tokens"] for r in rows) == 400  # partition, no loss
+    assert all(1 <= r["n_tokens"] <= 64 for r in rows)
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    # boundaries are content-driven: expected chunk length ~2^4, so a
+    # 400-token doc must split into many chunks, not hit only max-cuts
+    assert len(rows) > 400 // 64
+
+
+def test_cdc_boundaries_realign_after_prefix_insertion(spark):
+    """THE content-defined property: prepending tokens shifts every
+    fixed-size chunk, but CDC boundaries re-align at the first
+    content-cut after the insertion — later chunks hash identically."""
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, _CDC_TEXT), (2, "inserted prefix tokens here " + _CDC_TEXT)],
+        ["doc_id", "text"],
+    )
+    out = cdc_chunks(df, mask_bits=4, max_tokens=64).collect()
+    a = [r["chunk_md5"] for r in out if r["doc_id"] == 1]
+    b = [r["chunk_md5"] for r in out if r["doc_id"] == 2]
+    shared = set(a) & set(b)
+    # all but the first few chunks must be identical between the docs
+    assert len(shared) >= len(a) - 3, (len(shared), len(a))
+
+
+def test_cdc_dedup_stats_counts_duplicate_chunks(spark):
+    from knowledge_graph_etl_spark.extensions.curation import cdc_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, _CDC_TEXT), (2, _CDC_TEXT)], ["doc_id", "text"]
+    )
+    r = cdc_dedup_stats(df).collect()[0]
+    assert r["n_tokens"] == 800 and r["unique_tokens"] == 400
+    assert r["n_chunks"] == 2 * r["n_unique_chunks"]
+    assert r["dedup_ratio_ppm"] == 500_000
