@@ -2417,20 +2417,31 @@ def dsir_importance_q(spark, sf_dir):
 def graph_linkpred_q(spark, sf_dir):
     """Jaccard + resource-allocation link prediction over the
     supplier–part bipartite graph; top 200 pairs by RA score with a total
-    deterministic order (extensions/graph.linkpred_scores)."""
+    deterministic order (extensions/graph.linkpred_scores).
+
+    Keys stay INTEGER through every shuffle (join/agg on bigint beats
+    concatenated strings on both hash cost and exchange width — the same
+    rows at 100 TB move markedly less data); the 's<id>' labels the
+    oracle compares against are minted on the 200 output rows only.
+    NOTE the ordering subtlety this introduces: ties on ra_ppm break by
+    NUMERIC suppkey here, so the oracle orders by the same numeric key
+    re-extracted from the label, not by the label string."""
     from knowledge_graph_etl_spark.extensions.graph import linkpred_scores
 
-    e = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-        )
+    e = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return (
         linkpred_scores(e, min_common=2)
         .orderBy(F.desc("ra_ppm"), "src_a", "src_b")
         .limit(200)
+        .select(
+            F.concat(F.lit("s"), F.col("src_a").cast("string")).alias("src_a"),
+            F.concat(F.lit("s"), F.col("src_b").cast("string")).alias("src_b"),
+            "common",
+            "jaccard_ppm",
+            "ra_ppm",
+        )
     )
 
 
@@ -2479,12 +2490,8 @@ def graph_ktruss_q(spark, sf_dir):
         linkpred_scores,
     )
 
-    e = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-        )
+    e = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     top = (
         linkpred_scores(e, min_common=2)
@@ -2492,7 +2499,12 @@ def graph_ktruss_q(spark, sf_dir):
         .limit(2000)
         .select(F.col("src_a").alias("src"), F.col("src_b").alias("dst"))
     )
-    return ktruss(top, k=16, max_iter=KTRUSS_ORACLE_ROUNDS)
+    out = ktruss(top, k=16, max_iter=KTRUSS_ORACLE_ROUNDS)
+    return out.select(
+        F.concat(F.lit("s"), F.col("src").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("dst").cast("string")).alias("dst"),
+        "support",
+    )
 
 
 def source_reputation_q(spark, sf_dir):
@@ -2933,13 +2945,14 @@ def _incremental_dedup_oracle(
     )
 
 
-def _linkpred_oracle(limit: int = 200) -> str:
-    """Twin of linkpred_scores over the supplier–part bipartite graph
-    (top-``limit`` by RA score, total deterministic order)."""
+def _linkpred_inner(limit: int) -> str:
+    """Numeric-key twin of linkpred_scores over the supplier–part
+    bipartite graph (top-``limit`` by RA score, total deterministic
+    order on NUMERIC suppkeys — the Spark side keeps integer keys
+    through every shuffle and stringifies only at output)."""
     return (
         "WITH e AS (SELECT DISTINCT "
-        "'s' || CAST(l_suppkey AS VARCHAR) AS s, "
-        "'p' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem), "
+        "l_suppkey AS s, l_partkey AS d FROM lineitem), "
         "dd AS (SELECT d, COUNT(*) AS deg_d FROM e GROUP BY d), "
         "keep AS (SELECT d, deg_d FROM dd WHERE deg_d <= 1000), "
         "ec AS (SELECT e.s, e.d, keep.deg_d FROM e JOIN keep USING (d)), "
@@ -2948,11 +2961,19 @@ def _linkpred_oracle(limit: int = 200) -> str:
         "CAST(SUM(1000000 // a.deg_d) AS BIGINT) AS ra_ppm "
         "FROM ec a JOIN ec b ON a.d = b.d AND a.s < b.s "
         "GROUP BY a.s, b.s HAVING COUNT(*) >= 2) "
-        "SELECT src_a, src_b, CAST(common AS BIGINT) AS common, "
+        "SELECT p.src_a, p.src_b, CAST(common AS BIGINT) AS common, "
         "CAST(common * 1000000 // (da.deg_s + db.deg_s - common) AS BIGINT) "
         "AS jaccard_ppm, ra_ppm "
         "FROM p JOIN sd da ON p.src_a = da.s JOIN sd db ON p.src_b = db.s "
-        f"ORDER BY ra_ppm DESC, src_a, src_b LIMIT {limit}"
+        f"ORDER BY ra_ppm DESC, p.src_a, p.src_b LIMIT {limit}"
+    )
+
+
+def _linkpred_oracle(limit: int = 200) -> str:
+    return (
+        "SELECT 's' || CAST(src_a AS VARCHAR) AS src_a, "
+        "'s' || CAST(src_b AS VARCHAR) AS src_b, "
+        "common, jaccard_ppm, ra_ppm FROM (" + _linkpred_inner(limit) + ")"
     )
 
 
@@ -2966,7 +2987,7 @@ def _ktruss_oracle(k: int = 4, rounds: int = 10) -> str:
     need = k - 2
     parts = [
         "WITH lp AS MATERIALIZED (SELECT src_a AS u, src_b AS v FROM ("
-        + _linkpred_oracle(2000)
+        + _linkpred_inner(2000)
         + ")), er0 AS MATERIALIZED (SELECT u, v FROM lp)"
     ]
     for i in range(rounds):
@@ -2984,7 +3005,9 @@ def _ktruss_oracle(k: int = 4, rounds: int = 10) -> str:
     parts.append(
         f", nbf AS MATERIALIZED (SELECT u AS a, v AS b FROM er{r} "
         f"UNION ALL SELECT v AS a, u AS b FROM er{r}) "
-        f"SELECT e.u AS src, e.v AS dst, CAST(COUNT(*) AS BIGINT) AS support "
+        "SELECT 's' || CAST(e.u AS VARCHAR) AS src, "
+        "'s' || CAST(e.v AS VARCHAR) AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS support "
         f"FROM er{r} e JOIN nbf x ON x.a = e.u "
         "JOIN nbf y ON y.a = e.v AND y.b = x.b "
         "GROUP BY e.u, e.v"

@@ -692,7 +692,9 @@ def ktruss(
     tracker.round_done()
     prev_n = cur.count()
     empty = cur.select(
-        "u", "v", F.lit(0).cast("bigint").alias("support")
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.lit(0).cast("bigint").alias("support"),
     ).limit(0)
     if prev_n == 0:
         return empty

@@ -317,7 +317,12 @@ def test_ktruss_known_graph(spark):
         ("c", "d"): 1,
     }
     # 4-truss: only b-c has support 2; removing the rest cascades to empty
-    assert ktruss(_truss_edges(spark), k=4).count() == 0
+    out4 = ktruss(_truss_edges(spark), k=4)
+    assert out4.count() == 0
+    # the empty path must keep the contract schema (src, dst, support) —
+    # regression: it returned (u, v, support) and broke downstream
+    # projections at SFs where the truss empties
+    assert out4.columns == ["src", "dst", "support"]
 
 
 def test_ktruss_k2_keeps_triangle_free_edges(spark):
