@@ -99,3 +99,42 @@ def test_bloom_never_false_negative(spark, corpus, bits):
         assert bloom[d]["n_maybe_hits"] >= ex["n_hits"], (d, bits)
         if ex["contaminated"]:
             assert bloom[d]["contaminated"], (d, bits)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpora)
+def test_cdc_chunks_partition_property(spark, corpus):
+    """CDC chunks are a PARTITION of each doc's token sequence: per-doc
+    chunk token counts sum to the tokenization length, chunk indexes are
+    dense from 0, and no chunk exceeds max_tokens."""
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks
+
+    out = cdc_chunks(_df(spark, corpus), mask_bits=2, max_tokens=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        rows = sorted(by_doc.get(str(i), []), key=lambda r: r["chunk_idx"])
+        assert sum(r["n_tokens"] for r in rows) == len(toks)
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert all(1 <= r["n_tokens"] <= 5 for r in rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpora)
+def test_quality_scores_are_corpus_independent(spark, corpus):
+    """quality_classifier is a pure per-row map: a document's score must
+    not depend on what else is in the corpus (scored alone == scored
+    together)."""
+    from knowledge_graph_etl_spark.extensions.curation import quality_classifier
+
+    together = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"])
+        for r in quality_classifier(_df(spark, corpus)).collect()
+    }
+    alone = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"])
+        for r in quality_classifier(_df(spark, corpus[:1])).collect()
+    }
+    assert together["0"] == alone["0"]
