@@ -2349,6 +2349,130 @@ def curation_pipeline_v2_q(spark, sf_dir):
     return out
 
 
+def search_bm25_topk_q(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (Lucene +1-idf variant) over the
+    documents corpus via an inverted-index join — top-10 docs per query,
+    queries derived deterministically from the corpus itself (docs 1-5
+    each contribute their first 3 tokens as a query). Per-term
+    contributions quantized to integer micro-units BEFORE the per-doc
+    sum, so the aggregation is order-independent and exactly matches the
+    DuckDB oracle."""
+    from knowledge_graph_etl_spark.extensions.search import bm25_topk
+    from knowledge_graph_etl_spark.extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    queries = d.where(F.col("doc_id").between(1, 5)).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3)).alias("query"),
+    )
+    return bm25_topk(d, queries, k=10)
+
+
+def search_hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 top-20
+    (lexical, over documents) and embedding-cosine top-20 (semantic,
+    over embeddings; vec_id aligns 1:1 with doc_id in the corpus) for
+    queries 1-5, fused to a final top-10 per query. Contributions are
+    exact integers (1000000 div (60+rank)), so the fused scores are
+    engine-exact."""
+    from knowledge_graph_etl_spark.extensions.search import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from knowledge_graph_etl_spark.extensions.similarity import cosine_topk
+    from knowledge_graph_etl_spark.extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = d.where(F.col("doc_id").between(1, 5)).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3)).alias("query"),
+    )
+    lex = bm25_topk(d, queries, k=20).select("qid", "doc_id", "rank")
+    sem = cosine_topk(
+        emb,
+        emb.where(F.col("vec_id").between(1, 5)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=20,
+        query_id_col="query_id",
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return rrf_fuse([lex, sem], k=60, topk=10)
+
+
+def _bm25_ctes() -> str:
+    """The BM25 CTE chain (through ranked relation ``r``), shared by the
+    standalone BM25 oracle and the hybrid-RRF oracle."""
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "q AS (SELECT DISTINCT doc_id AS qid, unnest(t[1:3]) AS term "
+        "FROM tok WHERE doc_id BETWEEN 1 AND 5), "
+        "e AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok), "
+        "tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e "
+        "GROUP BY 1, 2, 3), "
+        "hits AS (SELECT tf.* FROM tf "
+        "JOIN (SELECT DISTINCT term FROM q) qt USING (term)), "
+        "dft AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "SUM(CAST(dl AS DOUBLE)) / COUNT(*) AS avgdl FROM "
+        "(SELECT len(t) AS dl FROM tok WHERE len(t) > 0)), "
+        # idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)); k1=1.2 b=0.75.
+        # Parenthesization mirrors extensions/search.py exactly so the
+        # float64 paths agree bit-for-bit before micro-quantization.
+        "c AS (SELECT q.qid, h.doc_id, CAST(FLOOR("
+        "ln(1.0::DOUBLE + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) "
+        "+ 0.5::DOUBLE) / (CAST(df AS DOUBLE) + 0.5::DOUBLE)) "
+        "* CAST(tf AS DOUBLE) * 2.2::DOUBLE / (CAST(tf AS DOUBLE) "
+        "+ 1.2::DOUBLE * (0.25::DOUBLE "
+        "+ 0.75::DOUBLE * CAST(dl AS DOUBLE) / avgdl)) "
+        "* 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS c_micro "
+        "FROM hits h JOIN dft USING (term) JOIN q ON q.term = h.term "
+        "CROSS JOIN st), "
+        "s AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms, "
+        "CAST(SUM(c_micro) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2), "
+        "r AS (SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, n_hit_terms, score_micro FROM s)"
+    )
+
+
+def _bm25_oracle() -> str:
+    return _bm25_ctes() + (
+        " SELECT qid, rank, doc_id, n_hit_terms, score_micro FROM r "
+        "WHERE rank <= 10"
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    # Extends the BM25 chain with the semantic ranking (same cosine
+    # rounding + tie-break as extensions/similarity.cosine_topk) and the
+    # integer RRF fusion mirroring extensions/search.rrf_fuse.
+    return _bm25_ctes() + (
+        ", sq AS (SELECT vec_id AS qid, embedding FROM embeddings "
+        "WHERE vec_id BETWEEN 1 AND 5), "
+        "ss AS (SELECT sq.qid, c.vec_id AS doc_id, "
+        "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(sq.embedding AS DOUBLE[])), 6) AS sim "
+        "FROM embeddings c CROSS JOIN sq), "
+        "sem AS (SELECT qid, doc_id, CAST(row_number() OVER "
+        "(PARTITION BY qid ORDER BY sim DESC, doc_id) AS BIGINT) AS rank "
+        "FROM ss QUALIFY rank <= 20), "
+        "u AS (SELECT qid, doc_id, "
+        "CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM "
+        "(SELECT qid, doc_id, rank FROM r WHERE rank <= 20 "
+        "UNION ALL SELECT qid, doc_id, rank FROM sem)), "
+        "f AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems, "
+        "CAST(SUM(c) AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) "
+        "SELECT qid, CAST(row_number() OVER (PARTITION BY qid "
+        "ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank, "
+        "doc_id, n_systems, rrf_micro FROM f QUALIFY rank <= 10"
+    )
+
+
 def _pipeline_v2_oracle() -> str:
     dd = _resolve_clusters_oracle(
         _minhash_oracle(num_hashes=32, bands=4, threshold=0.8)
@@ -2586,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_reputation": source_reputation_q,
         "doc_cdc_chunks": doc_cdc_chunks_q,
         "doc_cdc_stats": doc_cdc_stats_q,
+        "search_bm25_topk": search_bm25_topk_q,
+        "search_hybrid_rrf": search_hybrid_rrf_q,
         # --- late-r05 additions: never driver-checked yet ---
         "sketch_hll_distinct": sketch_hll_distinct_q,
         "dedup_verify_lev": dedup_verify_lev_q,
@@ -3559,6 +3685,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, cosine_sim FROM s "
             "WHERE cosine_sim >= 0.2"
         ),
+        "search_bm25_topk": _bm25_oracle(),
+        "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "doc_cdc_chunks": _CDC_CHUNKS_ORACLE + (
             "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
             "ORDER BY start_pos) - 1 AS BIGINT) AS chunk_idx, "

@@ -1,0 +1,231 @@
+"""Full-text retrieval over a document corpus: BM25 ranking via an
+inverted-index join.
+
+The reference's workload stops at SPARQL-shaped graph queries
+(`/root/reference/airflow_files/dags/sparql/`), but a training-data
+pipeline needs lexical retrieval for decontamination triage, eval-set
+mining, and seed-query corpus exploration.  This module implements the
+standard Okapi BM25 scoring function as a pure DataFrame composition —
+no UDFs, no driver-side loops — in the shape that scales: the corpus
+side is touched once (tokenize → per-(doc, term) frequencies), the
+query side is tiny and broadcast, and only documents containing at
+least one query term ever reach the scoring join.
+
+Determinism/oracle contract: per-(query, doc, term) contributions are
+quantized to integer micro-units (``floor(x * 1e6 + 0.5)``) BEFORE the
+per-document sum, so the aggregation is order-independent and matches
+the DuckDB oracle exactly regardless of partitioning (same pattern as
+``curation.unigram_logprob_score``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """Score every (query, document) pair that shares at least one term.
+
+    Okapi BM25 with the +1 idf variant (Lucene's, never negative)::
+
+        idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+        score(q, d) = sum_{t in q} idf(t) * tf * (k1+1)
+                                   / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Query-term multiplicity is ignored (terms are deduplicated), the
+    conventional choice for short queries.  Documents with zero tokens
+    never appear (no term rows).  ``df(t)`` counts documents over the
+    WHOLE corpus, but is only computed for query terms.
+
+    Returns ``(qid, doc_id, n_hit_terms, score_micro)`` where
+    ``score_micro`` is the BM25 score in integer micro-units.
+
+    Scale shape: one tokenize+explode scan of the corpus feeding a
+    map-side-combinable (doc, term) count; the query-term set joins in
+    BROADCAST so the corpus never shuffles on anything but the
+    (doc, term) aggregation key; df/N/avgdl are tiny aggregates also
+    broadcast back.  Per-query cost is proportional to the posting
+    lists of its terms, not corpus size.
+    """
+    # tiny side: distinct (qid, term)
+    qterm = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(tokens(F.col(qtext_col))).alias("term"),
+        )
+        .distinct()
+    )
+    # corpus side: per-(doc, term) tf with doc length carried through
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # restrict the corpus to query terms BEFORE computing df
+    hits = tf.join(
+        F.broadcast(qterm.select("term").distinct()), "term", "inner"
+    )
+    df_t = hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # corpus scalars: N docs with >=1 token, average doc length
+    stats = docs.select(
+        F.size(tokens(F.col(text_col))).alias("dl")
+    ).where(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum(F.col("dl").cast("double")) / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    idf = (
+        F.log(
+            F.lit(1.0)
+            + (
+                F.col("n_docs").cast("double")
+                - F.col("df").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * tf_d * F.lit(float(k1) + 1.0) / denom
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterm), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.floor(contrib * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    return scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 score.
+
+    Deterministic tie-break: higher ``score_micro`` first, then lower
+    ``doc_id``.  Returns ``(qid, rank, doc_id, n_hit_terms,
+    score_micro)`` with dense 1-based ranks.
+
+    Scale shape: the ranking window partitions by ``qid`` — per-query
+    candidate sets (union of posting lists) are orders of magnitude
+    smaller than the corpus, so the single window never sees a
+    corpus-sized partition.  For a huge batch of queries the shuffle
+    key is ``qid`` and balances across them.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = bm25_scores(
+        docs,
+        queries,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        text_col=text_col,
+        qid_col=qid_col,
+        qtext_col=qtext_col,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "n_hit_terms", "score_micro")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings —
+    the standard way to combine lexical (BM25) and semantic (embedding
+    cosine) retrieval into one hybrid list.
+
+    Each input DataFrame must have columns ``(qid, doc_id, rank)`` with
+    1-based ranks and at most one row per (qid, doc_id).  A document's
+    fused score is ``sum over systems of 1/(k + rank)``; here each term
+    is the exact integer ``1000000 div (k + rank)`` so the sum is
+    order-independent and engine-exact (Spark ``div`` ≡ DuckDB ``//``
+    on positive integers).  Documents appearing in only some systems
+    simply receive fewer terms (standard RRF).
+
+    Returns ``(qid, rank, doc_id, n_systems, rrf_micro)`` — fused
+    1-based rank per query (ties: lower ``doc_id`` first), the number
+    of input systems that returned the doc, and the fused score in
+    integer micro-units.  ``topk=None`` keeps all fused candidates.
+
+    Scale shape: inputs are already per-query top-k lists (bounded —
+    systems × k rows per query), so the union + (qid, doc_id) sum +
+    per-qid window all operate on data proportional to the number of
+    queries, never to corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col("qid"),
+            F.col("doc_id"),
+            F.expr(f"CAST(1000000 DIV ({int(k)} + rank) AS BIGINT)").alias(
+                "c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+        F.sum("c").alias("rrf_micro"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("long"))
+    if topk is not None:
+        out = out.where(F.col("rank") <= int(topk))
+    return out.select("qid", "rank", "doc_id", "n_systems", "rrf_micro")

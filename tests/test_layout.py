@@ -139,7 +139,11 @@ def test_bucketed_join_has_no_exchange(spark):
     try:
         write_bucketed(a, "t_bkt_a", ["k"], 4, sort_by=["k"])
         write_bucketed(b, "t_bkt_b", ["k"], 4, sort_by=["k"])
-        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        # get WITHOUT a default: the default-arg form returns the
+        # fallback (not the effective built-in value) when the key was
+        # never explicitly set, which made this restore a silent no-op
+        # and leaked -1 into every later test in the shared session.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
@@ -151,8 +155,7 @@ def test_bucketed_join_has_no_exchange(spark):
             cplan = cj._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" in cplan
         finally:
-            if prev is not None:
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")

@@ -446,3 +446,177 @@ def test_cdc_dedup_stats_counts_duplicate_chunks(spark):
     assert r["n_tokens"] == 800 and r["unique_tokens"] == 400
     assert r["n_chunks"] == 2 * r["n_unique_chunks"]
     assert r["dedup_ratio_ppm"] == 500_000
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk / bm25_scores
+# ---------------------------------------------------------------------------
+
+
+def _bm25_reference(docs, queries, k1=1.2, b=0.75):
+    """Pure-python BM25 mirror (Lucene +1-idf), micro-quantized like the
+    operator: floor(contrib * 1e6 + 0.5) per term, summed as ints."""
+    import math
+
+    toked = {d: t.lower().split() for d, t in docs}
+    lens = {d: len(t) for d, t in toked.items() if t}
+    n = len(lens)
+    avgdl = sum(lens.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        terms = set(qtext.lower().split())
+        scores = {}
+        for t in terms:
+            df = sum(1 for tk in toked.values() if t in tk)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, tk in toked.items():
+                tf = tk.count(t)
+                if tf == 0:
+                    continue
+                contrib = (
+                    idf
+                    * tf
+                    * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * lens[d] / avgdl))
+                )
+                nh, s = scores.get(d, (0, 0))
+                scores[d] = (nh + 1, s + math.floor(contrib * 1e6 + 0.5))
+        out[qid] = scores
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    from knowledge_graph_etl_spark.extensions.search import bm25_topk
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cats and dogs and cats"),
+        (4, "a completely different document about spark"),
+        (5, "the the the the the the the the"),
+        (6, ""),
+    ]
+    queries = [(100, "the cat"), (101, "spark"), (102, "zzz_absent")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame(queries, ["qid", "query"])
+    got = bm25_topk(ddf, qdf, k=10).collect()
+    ref = _bm25_reference(docs, queries)
+    # every returned row matches the reference score exactly
+    for r in got:
+        nh, s = ref[r["qid"]][r["doc_id"]]
+        assert (r["n_hit_terms"], r["score_micro"]) == (nh, s), dict(r)
+    # zero-hit query produces no rows; others return all matching docs
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert 102 not in by_q
+    assert {r["doc_id"] for r in by_q[100]} == set(ref[100])
+    assert {r["doc_id"] for r in by_q[101]} == set(ref[101])
+    # ranks are dense from 1 and ordered by (-score, doc_id)
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        key = [(-r["score_micro"], r["doc_id"]) for r in rows]
+        assert key == sorted(key)
+
+
+def test_bm25_prefers_rarer_term_and_shorter_doc(spark):
+    """Directional sanity: a doc matching a rare term outranks one
+    matching only a ubiquitous term; among equal-tf docs the shorter
+    wins (length normalization)."""
+    from knowledge_graph_etl_spark.extensions.search import bm25_topk
+
+    docs = [
+        (1, "common rare"),
+        (2, "common common common common common common"),
+        (3, "common"),
+        (4, "common filler filler filler"),
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame([(1, "rare common")], ["qid", "query"])
+    rows = sorted(
+        bm25_topk(ddf, qdf, k=4).collect(), key=lambda r: r["rank"]
+    )
+    assert rows[0]["doc_id"] == 1  # rare-term doc on top
+    docs_by_rank = [r["doc_id"] for r in rows]
+    assert docs_by_rank.index(3) < docs_by_rank.index(4)  # shorter wins
+
+
+def test_bm25_k_truncation_and_validation(spark):
+    from knowledge_graph_etl_spark.extensions.search import bm25_topk
+
+    ddf = spark.createDataFrame(
+        [(i, "term filler%d" % i) for i in range(8)], ["doc_id", "text"]
+    )
+    qdf = spark.createDataFrame([(1, "term")], ["qid", "query"])
+    assert bm25_topk(ddf, qdf, k=3).count() == 3
+    with pytest.raises(ValueError):
+        bm25_topk(ddf, qdf, k=0)
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from knowledge_graph_etl_spark.extensions.search import rrf_fuse
+
+    # qid 1: doc 10 ranked 1st by A and 2nd by B; doc 20 only in A (2nd);
+    # doc 30 only in B (1st).
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], ["qid", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 30, 1), (1, 10, 2)], ["qid", "doc_id", "rank"]
+    )
+    rows = {
+        r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()
+    }
+    c1, c2 = 1_000_000 // 61, 1_000_000 // 62
+    assert rows[10]["rrf_micro"] == c1 + c2 and rows[10]["n_systems"] == 2
+    assert rows[20]["rrf_micro"] == c2 and rows[20]["n_systems"] == 1
+    assert rows[30]["rrf_micro"] == c1 and rows[30]["n_systems"] == 1
+    # two-system doc on top, then the two single-system docs by their
+    # contribution; tie impossible here, ranks dense from 1
+    assert rows[10]["rank"] == 1 and rows[30]["rank"] == 2
+    assert rows[20]["rank"] == 3
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id_and_topk(spark):
+    from knowledge_graph_etl_spark.extensions.search import rrf_fuse
+
+    # docs 5 and 7 get identical contributions -> tie broken by doc_id
+    a = spark.createDataFrame(
+        [(1, 7, 1), (1, 5, 2), (1, 9, 3)], ["qid", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 5, 1), (1, 7, 2)], ["qid", "doc_id", "rank"]
+    )
+    rows = sorted(
+        rrf_fuse([a, b], k=60).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in rows[:2]] == [5, 7]
+    assert rows[0]["rrf_micro"] == rows[1]["rrf_micro"]
+    # topk truncation keeps only the fused head
+    top1 = rrf_fuse([a, b], k=60, topk=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with _pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
+
+
+def test_rrf_fuse_single_system_preserves_order(spark):
+    from knowledge_graph_etl_spark.extensions.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 30, 1)], ["qid", "doc_id", "rank"]
+    )
+    rows = rrf_fuse([a], k=60).collect()
+    got = {(r["qid"], r["doc_id"]): r["rank"] for r in rows}
+    assert got == {(1, 10): 1, (1, 20): 2, (2, 30): 1}
