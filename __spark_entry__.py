@@ -2404,6 +2404,71 @@ def search_hybrid_rrf_q(spark, sf_dir):
     return rrf_fuse([lex, sem], k=60, topk=10)
 
 
+def events_gapfill_locf_q(spark, sf_dir):
+    """Hypertable-style gap-filled rollup: daily buckets per user over the
+    global observed range, COUNT + MAX per bucket, empty buckets flagged
+    and filled by last-observation-carried-forward (sentinel -1.0 before a
+    user's first observation). The grid is built distributed (distinct
+    keys x exploded sequence from broadcast bounds), never a driver loop."""
+    from knowledge_graph_etl_spark.extensions.temporal import gapfill_locf
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return gapfill_locf(
+        e, "user_id", "ts_us", "value", bucket_width=86_400_000_000
+    )
+
+
+def _changelog(spark, sf_dir):
+    """Events reinterpreted as a CDC changelog: 'error' events are deletes,
+    everything else upserts; (ts_us, event_id) is the total change order."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+
+
+_CHANGELOG_SQL = (
+    "WITH cl AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, "
+    "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op, "
+    "event_type, value FROM events)"
+)
+
+
+def changelog_snapshot_q(spark, sf_dir):
+    """CDC compaction to current state: newest surviving row per user_id
+    (MERGE INTO semantics in one key-shuffle window pass; final deletes
+    drop the key)."""
+    from knowledge_graph_etl_spark.extensions.changelog import latest_snapshot
+
+    return latest_snapshot(
+        _changelog(spark, sf_dir), ["user_id"], ["ts_us", "event_id"]
+    )
+
+
+def changelog_scd2_q(spark, sf_dir):
+    """CDC history materialized as SCD type-2 validity intervals
+    [valid_from, valid_to) per upsert version; deletes close their
+    predecessor's interval without emitting one; open intervals use the
+    max-int64 sentinel (never NULL -> exact cross-engine ints)."""
+    from knowledge_graph_etl_spark.extensions.changelog import scd2_intervals
+
+    return scd2_intervals(
+        _changelog(spark, sf_dir),
+        ["user_id"],
+        "ts_us",
+        tiebreak_cols=["event_id"],
+    )
+
+
 def _bm25_ctes() -> str:
     """The BM25 CTE chain (through ranked relation ``r``), shared by the
     standalone BM25 oracle and the hybrid-RRF oracle."""
@@ -2712,6 +2777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cdc_stats": doc_cdc_stats_q,
         "search_bm25_topk": search_bm25_topk_q,
         "search_hybrid_rrf": search_hybrid_rrf_q,
+        "events_gapfill_locf": events_gapfill_locf_q,
+        "changelog_snapshot": changelog_snapshot_q,
+        "changelog_scd2": changelog_scd2_q,
         # --- late-r05 additions: never driver-checked yet ---
         "sketch_hll_distinct": sketch_hll_distinct_q,
         "dedup_verify_lev": dedup_verify_lev_q,
@@ -3687,6 +3755,43 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_bm25_topk": _bm25_oracle(),
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
+        "events_gapfill_locf": (
+            "WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value "
+            "FROM events), "
+            "a AS (SELECT user_id, "
+            "(ts_us // 86400000000) * 86400000000 AS ts_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS v "
+            "FROM ev GROUP BY 1, 2), "
+            "bounds AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM a), "
+            "g AS (SELECT u.user_id, gs.b AS ts_us FROM "
+            "(SELECT DISTINCT user_id FROM a) u CROSS JOIN "
+            "(SELECT unnest(generate_series(lo, hi, 86400000000)) AS b "
+            "FROM bounds) gs), "
+            "j AS (SELECT g.user_id, g.ts_us, a.n_events, a.v "
+            "FROM g LEFT JOIN a USING (user_id, ts_us)) "
+            "SELECT user_id, ts_us, "
+            "CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events, "
+            "COALESCE(last_value(v IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) "
+            "AS filled_value, "
+            "n_events IS NULL AS is_gap FROM j"
+        ),
+        "changelog_snapshot": _CHANGELOG_SQL + (
+            ", r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts_us DESC, event_id DESC) AS rn FROM cl) "
+            "SELECT user_id, ts_us, event_id, event_type, value FROM r "
+            "WHERE rn = 1 AND op <> 'delete'"
+        ),
+        "changelog_scd2": _CHANGELOG_SQL + (
+            ", w AS (SELECT *, CAST(COALESCE(lead(ts_us) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id), "
+            "9223372036854775807) AS BIGINT) AS valid_to FROM cl) "
+            "SELECT user_id, ts_us, event_id, event_type, value, "
+            "CAST(ts_us AS BIGINT) AS valid_from, valid_to, "
+            "valid_to = 9223372036854775807 AS is_current "
+            "FROM w WHERE op <> 'delete'"
+        ),
         "doc_cdc_chunks": _CDC_CHUNKS_ORACLE + (
             "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
             "ORDER BY start_pos) - 1 AS BIGINT) AS chunk_idx, "

@@ -1,0 +1,107 @@
+"""Change-data-capture materialization: turn an append-only changelog
+(upserts + deletes, Debezium/stream shape) into warehouse tables.
+
+The reference pipeline rebuilds its graph store from full re-extractions
+(`/root/reference/airflow_files/dags/load_knowledge_graph.py` reloads
+whole named graphs per run); an incremental engine instead consumes a
+changelog.  These are the two standard materializations:
+
+* :func:`latest_snapshot` — current state: the newest surviving row per
+  key (what a Delta/Hudi/Iceberg MERGE or a Debezium snapshot produces).
+* :func:`scd2_intervals` — full history as slowly-changing-dimension
+  type-2 validity intervals ``[valid_from, valid_to)`` per key version.
+
+Both are single-shuffle window compositions — no UDFs, no collect, and
+the shuffle key is the changelog key, so they scale with key cardinality
+exactly like the MERGE they replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["latest_snapshot", "scd2_intervals", "VALID_TO_OPEN"]
+
+#: Sentinel for "still current" in :func:`scd2_intervals` — max int64,
+#: used instead of NULL so integer columns stay NULL-free (exact
+#: cross-engine comparison; NULL-holed int64 degrades to float64 in
+#: pandas/Arrow paths).
+VALID_TO_OPEN = 9223372036854775807
+
+
+def latest_snapshot(
+    changelog: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Materialize the CURRENT state from a changelog: for each key keep
+    only the row with the greatest ``order_cols`` (e.g. ``[ts, seq]`` —
+    supply enough columns to make the order total, else the winner among
+    exact ties is unspecified), then drop keys whose final operation is
+    ``delete_op``.
+
+    Returns the surviving rows with all changelog columns except
+    ``op_col``.
+
+    Scale shape: ONE shuffle on the key (the window partition); the
+    rank-1 filter is evaluated per partition with no second pass, and
+    deletes never leave the executor.  This is the standard "compact a
+    CDC stream" plan — equivalent to MERGE INTO semantics at a fraction
+    of the cost because no target table is rewritten.
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    out_cols = [c for c in changelog.columns if c != op_col]
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .select(*out_cols)
+    )
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Materialize the FULL history as SCD type-2 validity intervals:
+    every upsert version of a key is valid from its own timestamp until
+    the next change of that key (upsert or delete); the latest surviving
+    version is open-ended (``valid_to = VALID_TO_OPEN``).  Delete rows
+    close their predecessor's interval but emit no interval themselves.
+
+    ``ts_col`` must be an integer timestamp (e.g. epoch micros);
+    ``tiebreak_cols`` extend the ordering to a total order within equal
+    timestamps.  Returns the upsert rows (all columns except ``op_col``)
+    plus ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    Scale shape: identical to :func:`latest_snapshot` — one shuffle on
+    the key, one ``lead()`` window pass.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out_cols = [c for c in changelog.columns if c != op_col]
+    nxt = F.lead(F.col(ts_col).cast("long")).over(w)
+    return (
+        changelog.withColumn("valid_to", F.coalesce(nxt, F.lit(VALID_TO_OPEN)))
+        .where(F.col(op_col) != F.lit(delete_op))
+        .select(
+            *out_cols,
+            F.col(ts_col).cast("long").alias("valid_from"),
+            F.col("valid_to"),
+            (F.col("valid_to") == F.lit(VALID_TO_OPEN)).alias("is_current"),
+        )
+    )

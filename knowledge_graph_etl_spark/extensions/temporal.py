@@ -8,8 +8,11 @@
 * :func:`range_join_events` — event-to-interval assignment via a
   bucketized equi-join, avoiding the O(N·M) theta-join Spark would
   otherwise plan for ``start <= ts < end``.
+* :func:`gapfill_locf` — dense time-bucket grid per key with
+  last-observation-carried-forward, the hypertable
+  ``time_bucket_gapfill(...) + locf(...)`` rollup shape.
 
-Both are compositions of existing DataFrame ops — no UDFs, no collect.
+All are compositions of existing DataFrame ops — no UDFs, no collect.
 """
 
 from __future__ import annotations
@@ -120,4 +123,86 @@ def range_join_events(
         ev.join(iv, "__bucket")
         .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bucket")
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_width: int,
+    fill_default: float = -1.0,
+) -> DataFrame:
+    """Time-bucket rollup over a DENSE per-key grid with
+    last-observation-carried-forward — the time-series engine primitive
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``, InfluxDB
+    ``fill(previous)``) that Spark has no built-in for.
+
+    ``ts_col`` must be an integer timestamp (e.g. epoch micros);
+    buckets are ``(ts div width) * width``.  Per (key, bucket) the
+    rollup keeps ``COUNT(*)`` and ``MAX(value)``; then every key is
+    expanded to the FULL bucket range observed anywhere in the input
+    (the global ``[min, max]`` grid, like gapfilling a query window),
+    empty buckets get ``n_events = 0`` / ``is_gap = true``, and
+    ``filled_value`` carries the last non-null ``bucket_max`` forward
+    within the key (``fill_default`` before the key's first
+    observation — a sentinel rather than NULL so integer/float columns
+    stay NULL-free for exact cross-engine comparison).
+
+    Returns ``(key, bucket, n_events, filled_value, is_gap)`` with the
+    original key/ts column names preserved.
+
+    Scale shape: one map-side-combinable aggregation on (key, bucket);
+    the grid is built distributed — distinct keys × an exploded
+    ``sequence(min, max, width)`` from a broadcast one-row bounds
+    relation, never a driver loop — and sized time_range/width per key,
+    which is the result's own cardinality; LOCF is one window per key
+    ordered by bucket.  Nothing is proportional to input × keys.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    width = F.lit(int(bucket_width))
+    bucket = (F.expr(f"CAST({ts_col} AS BIGINT) DIV {int(bucket_width)}") * width).alias(
+        ts_col
+    )
+    agg = (
+        df.select(F.col(key_col), bucket, F.col(value_col).alias("_v"))
+        .groupBy(key_col, ts_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("_v").alias("_bucket_max"),
+        )
+    )
+    bounds = agg.agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = (
+        agg.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), width.cast("long"))
+            ).alias(ts_col),
+        )
+    )
+    filled = grid.join(agg, [key_col, ts_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias(
+            "n_events"
+        ),
+        F.coalesce(
+            F.last("_bucket_max", ignorenulls=True).over(w),
+            F.lit(float(fill_default)),
+        ).alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
     )
