@@ -2753,76 +2753,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r06 front = dedup_lines + text_features (oracle SQL changed this round:
-    integer aggregates cast to BIGINT / DOUBLE so duckdb's pandas
-    conversion cannot render them as float — the root cause of the
-    r03-r05 dedup_lines hash reds), then the 11 late-r05 entries that have
-    never had a driver row, then the r04-green block (2 rounds stale) as
-    far as the ~50-entry window reaches. The r04-block tail that misses
-    the window this round is queued immediately after it, first in line
-    for the r07 front. Back = the r05-green block (dedup_lines window)."""
+    r07 front = the r04-block tail (kg_graph_var..streaming_anomaly) whose
+    newest driver row is r04 — 3 rounds stale, oldest in the registry —
+    then the r05-green block as far as the window reaches. New r07 entries
+    are inserted at the very front as they land. Back = the r06-checked
+    window (dedup_lines..kg_select_builtins)."""
     return {
-        # --- changed this round (r06): oracle type casts ---
-        "dedup_lines": dedup_lines_q,
-        "text_features": text_features_q,
-        # --- new this round (r06) ---
-        "quality_classifier": quality_classifier_q,
-        "dsir_importance": dsir_importance_q,
-        "graph_linkpred": graph_linkpred_q,
-        "dedup_incremental": dedup_incremental_q,
-        "ann_range_search": ann_range_search_q,
-        "graph_ktruss": graph_ktruss_q,
-        "source_reputation": source_reputation_q,
-        "doc_cdc_chunks": doc_cdc_chunks_q,
-        "doc_cdc_stats": doc_cdc_stats_q,
-        "search_bm25_topk": search_bm25_topk_q,
-        "search_hybrid_rrf": search_hybrid_rrf_q,
-        "events_gapfill_locf": events_gapfill_locf_q,
-        "changelog_snapshot": changelog_snapshot_q,
-        "changelog_scd2": changelog_scd2_q,
-        # --- late-r05 additions: never driver-checked yet ---
-        "sketch_hll_distinct": sketch_hll_distinct_q,
-        "dedup_verify_lev": dedup_verify_lev_q,
-        "ann_knn_graph": ann_knn_graph_q,
-        "graph_closeness": graph_closeness_q,
-        "data_token_budget": data_token_budget_q,
-        "data_curriculum": data_curriculum_q,
-        "streaming_neardup": streaming_neardup_q,
-        "blocklist_flag": blocklist_flag_q,
-        "events_funnel": events_funnel_q,
-        "events_retention": events_retention_q,
-        "curation_pipeline_v2": curation_pipeline_v2_q,
-        # --- r04-green block (latest driver row is r04) ---
-        "kg_star_join_bind": kg_star_join_bind,
-        "kg_chain_join": kg_chain_join,
-        "kg_star_chain7": kg_star_chain7,
-        "asof_join_events": asof_join_events_q,
-        "agg_rollup": agg_rollup_q,
-        "embed_quantize": embed_quantize_q,
-        "agg_quantiles": agg_quantiles_q,
-        "text_normalize": text_normalize_q,
-        "pack_sequences": pack_sequences_q,
-        "corpus_ngram_topk": corpus_ngram_topk_q,
-        "tfidf_topterms": tfidf_topterms_q,
-        "sample_per_group": sample_per_group_q,
-        "curation_pipeline": curation_pipeline_q,
-        "gopher_quality": gopher_quality_q,
-        "mixture_sample": mixture_sample_q,
-        "unigram_lm_score": unigram_lm_score_q,
-        "agg_cube": agg_cube_q,
-        "training_order": training_order_q,
-        "semantic_dedup": semantic_dedup_q,
-        "ann_pq_topk": ann_pq_topk_q,
-        "kg_construct_query": kg_construct_query_q,
-        "graph_pagerank": graph_pagerank_q,
-        "kg_path_query": kg_path_query_q,
-        "kg_not_exists": kg_not_exists_q,
-        "kg_union_values": kg_union_values_q,
-        "kg_group_agg": kg_group_agg_q,
-        "kg_filter_compare": kg_filter_compare_q,
-        "kg_select_builtins": kg_select_builtins_q,
-        # ~window boundary (entry #50). r04-block tail below missed the
-        # r06 window — FIRST IN LINE for the r07 front.
+        # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
         "kg_arithmetic": kg_arithmetic_q,
         "events_pivot": events_pivot_q,
@@ -2843,7 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": graph_communities_q,
         "corpus_report": corpus_report_q,
         "streaming_anomaly": streaming_anomaly_q,
-        # --- r05-green block (driver-checked last round, rotated back) ---
+        # --- r05-green block (driver rows from r05, next-oldest) ---
         "graph_kcore": graph_kcore_q,
         "graph_betweenness": graph_betweenness_q,
         "dedup_suffix_prefix": dedup_suffix_prefix_q,
@@ -2892,6 +2829,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact_q,
         "data_split_shard": data_split_shard_q,
         "kg_pattern_scan": kg_pattern_scan,
+        # --- r06-checked window (driver rows from r06, newest — rotated back) ---
+        "dedup_lines": dedup_lines_q,
+        "text_features": text_features_q,
+        "quality_classifier": quality_classifier_q,
+        "dsir_importance": dsir_importance_q,
+        "graph_linkpred": graph_linkpred_q,
+        "dedup_incremental": dedup_incremental_q,
+        "ann_range_search": ann_range_search_q,
+        "graph_ktruss": graph_ktruss_q,
+        "source_reputation": source_reputation_q,
+        "doc_cdc_chunks": doc_cdc_chunks_q,
+        "doc_cdc_stats": doc_cdc_stats_q,
+        "search_bm25_topk": search_bm25_topk_q,
+        "search_hybrid_rrf": search_hybrid_rrf_q,
+        "events_gapfill_locf": events_gapfill_locf_q,
+        "changelog_snapshot": changelog_snapshot_q,
+        "changelog_scd2": changelog_scd2_q,
+        "sketch_hll_distinct": sketch_hll_distinct_q,
+        "dedup_verify_lev": dedup_verify_lev_q,
+        "ann_knn_graph": ann_knn_graph_q,
+        "graph_closeness": graph_closeness_q,
+        "data_token_budget": data_token_budget_q,
+        "data_curriculum": data_curriculum_q,
+        "streaming_neardup": streaming_neardup_q,
+        "blocklist_flag": blocklist_flag_q,
+        "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
+        "curation_pipeline_v2": curation_pipeline_v2_q,
+        "kg_star_join_bind": kg_star_join_bind,
+        "kg_chain_join": kg_chain_join,
+        "kg_star_chain7": kg_star_chain7,
+        "asof_join_events": asof_join_events_q,
+        "agg_rollup": agg_rollup_q,
+        "embed_quantize": embed_quantize_q,
+        "agg_quantiles": agg_quantiles_q,
+        "text_normalize": text_normalize_q,
+        "pack_sequences": pack_sequences_q,
+        "corpus_ngram_topk": corpus_ngram_topk_q,
+        "tfidf_topterms": tfidf_topterms_q,
+        "sample_per_group": sample_per_group_q,
+        "curation_pipeline": curation_pipeline_q,
+        "gopher_quality": gopher_quality_q,
+        "mixture_sample": mixture_sample_q,
+        "unigram_lm_score": unigram_lm_score_q,
+        "agg_cube": agg_cube_q,
+        "training_order": training_order_q,
+        "semantic_dedup": semantic_dedup_q,
+        "ann_pq_topk": ann_pq_topk_q,
+        "kg_construct_query": kg_construct_query_q,
+        "graph_pagerank": graph_pagerank_q,
+        "kg_path_query": kg_path_query_q,
+        "kg_not_exists": kg_not_exists_q,
+        "kg_union_values": kg_union_values_q,
+        "kg_group_agg": kg_group_agg_q,
+        "kg_filter_compare": kg_filter_compare_q,
+        "kg_select_builtins": kg_select_builtins_q,
     }
 
 
