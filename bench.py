@@ -54,6 +54,23 @@ def main() -> int:
     warm.groupBy("k").count().join(
         F.broadcast(spark.range(97).withColumnRenamed("id", "k")), "k"
     ).count()
+    # OS page-cache warm-up: touch every test-table parquet once so the
+    # FIRST query to read a table doesn't absorb its cold-read cost (r06
+    # measured ann_embedding_neardup 3.20 s cold-front vs 0.86 s warm —
+    # purely the embeddings.parquet cold read landing on whichever query
+    # sorts first alphabetically in its table's family)
+    import glob as _glob
+
+    for pq in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            spark.read.parquet(pq).count()
+        except Exception:
+            # nanosecond-timestamp tables (events.parquet) need the
+            # legacy read flag the queries set themselves; raw byte touch
+            # is enough to pull the file into page cache
+            with open(pq, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     spark._jvm.System.gc()
 
     timings: dict[str, float] = {}
