@@ -14,13 +14,18 @@ generated here with the same parameter substitution the reference does
 with Jinja (constants per run, SURVEY.md §2 op 37).
 
 Upstream HTTP sync triggering/polling (reference
-load_knowledge_graph.py:206-267) is an orchestration concern outside the
-engine; callers do it before invoking the pipeline.
+load_knowledge_graph.py:206-267) is an orchestration concern, not a Spark
+operator — it is provided here as the driver-side helper
+:func:`trigger_and_wait` (sensor → POST full_sync → sensor), to be called
+before :func:`run_pipeline`.
 """
 
 from __future__ import annotations
 
+import json as _json
 import os
+import time
+import urllib.request
 from urllib.parse import quote_plus
 
 from ..engine import GRAPH_NS, SOURCE_NS, Engine
@@ -132,6 +137,76 @@ def add_ldap_logo_update(env: str) -> str:
         """,
         asset_prefix(env),
     )
+
+
+def _get_json(url: str, timeout: float) -> dict:
+    req = urllib.request.Request(url, headers={"Accept": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return _json.loads(resp.read().decode("utf-8"))
+
+
+def wait_until_idle(
+    url: str,
+    poke_interval: float = 5.0,
+    timeout: float = 300.0,
+    _sleep=time.sleep,
+) -> dict:
+    """Poll ``url`` (GET) until the JSON body reports ``job_running`` false.
+
+    The HttpSensor half of the reference's upstream-sync tasks
+    (load_knowledge_graph.py:206-214 h0 / :232-240 h2 — ``response_check =
+    not response.json()["job_running"]``, ``poke_interval=5``). Returns the
+    final (idle) JSON body; raises TimeoutError past ``timeout`` seconds.
+    """
+    deadline = time.monotonic() + timeout
+    while True:
+        body = _get_json(url, timeout=max(poke_interval, 1.0))
+        if not body.get("job_running"):
+            return body
+        if time.monotonic() >= deadline:
+            raise TimeoutError(f"sync job at {url} still running after {timeout}s")
+        _sleep(poke_interval)
+
+
+def trigger_sync(url: str, full_sync: bool = True, timeout: float = 30.0) -> dict:
+    """POST ``{"full_sync": <bool>}`` to start an upstream *2db sync job.
+
+    The SimpleHttpOperator half (load_knowledge_graph.py:216-230 h1):
+    JSON POST, and the reference's ``sync_response_check`` — HTTP 200 with
+    the body echoing ``full_sync`` — enforced here by raising ValueError
+    on a mismatched echo (urllib already raises on non-2xx status).
+    """
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps({"full_sync": full_sync}).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        body = _json.loads(resp.read().decode("utf-8"))
+    if body.get("full_sync") != bool(full_sync):
+        raise ValueError(f"sync trigger at {url} did not echo full_sync={full_sync}: {body}")
+    return body
+
+
+def trigger_and_wait(
+    url: str,
+    full_sync: bool = True,
+    poke_interval: float = 5.0,
+    timeout: float = 300.0,
+    _sleep=time.sleep,
+) -> dict:
+    """Idle-check → trigger → completion-poll for one upstream sync service.
+
+    The h0→h1→h2 / h3→h4→h5 chains of the reference DAG
+    (load_knowledge_graph.py:206-267): wait for the service to be idle,
+    POST the full_sync trigger, then poll until the job finishes. Returns
+    the final idle JSON body. Pure driver-side orchestration — no Spark
+    involvement, by design (SURVEY.md §2 op 9).
+    """
+    wait_until_idle(url, poke_interval=poke_interval, timeout=timeout, _sleep=_sleep)
+    trigger_sync(url, full_sync=full_sync, timeout=max(poke_interval, 30.0))
+    return wait_until_idle(url, poke_interval=poke_interval, timeout=timeout, _sleep=_sleep)
 
 
 def run_pipeline(
