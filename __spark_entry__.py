@@ -2594,6 +2594,42 @@ def quality_classifier_q(spark, sf_dir):
     return quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+#: deterministic trained-weight fixture for quality_classifier_trained —
+#: unigrams + space-joined bigrams over the synthetic documents vocabulary,
+#: micro-units in [-1e6, 1e6]; the oracle inlines the SAME list as a VALUES
+#: CTE, so the two sides share one source of truth via _weights_values_sql()
+QUALITY_WEIGHTS_FIXTURE = [
+    ("data", 350_000),
+    ("query", 500_000),
+    ("spark", 750_000),
+    ("join", 250_000),
+    ("merge", 200_000),
+    ("window", 150_000),
+    ("table scan", 400_000),
+    ("hash scan", 300_000),
+    ("batch batch", -600_000),
+    ("dup", -900_000),
+    ("slow", -450_000),
+    ("the", -50_000),
+    ("a", -100_000),
+]
+
+
+def _weights_values_sql() -> str:
+    rows = ", ".join(f"('{t}', {w})" for t, w in QUALITY_WEIGHTS_FIXTURE)
+    return f"w(term, weight_micro) AS (VALUES {rows})"
+
+
+def quality_classifier_trained_q(spark, sf_dir):
+    """Trained-weights path of the quality classifier: broadcast map-join
+    of a (term, weight_micro) table on the exploded grams, one shuffle on
+    doc_id (extensions/curation.quality_classifier with weights=...)."""
+    from knowledge_graph_etl_spark.extensions.curation import quality_classifier
+
+    w = spark.createDataFrame(QUALITY_WEIGHTS_FIXTURE, "term string, weight_micro long")
+    return quality_classifier(_t(spark, sf_dir, "documents"), weights=w)
+
+
 def dsir_importance_q(spark, sf_dir):
     """DSIR-shaped importance weights vs the doc_id%50==0 target sample
     (extensions/curation.dsir_importance)."""
@@ -2759,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are inserted at the very front as they land. Back = the r06-checked
     window (dedup_lines..kg_select_builtins)."""
     return {
+        # --- new this round (r07) ---
+        "quality_classifier_trained": quality_classifier_trained_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
         "kg_arithmetic": kg_arithmetic_q,
@@ -3710,6 +3748,22 @@ def oracle_sql() -> dict[str, str]:
             "ELSE -1000000 END AS score_micro FROM g) "
             "SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, "
             "CAST(score_micro AS BIGINT) AS score_micro, "
+            "score_micro >= 0 AS quality_pass FROM s"
+        ),
+        "quality_classifier_trained": (
+            f"WITH {_weights_values_sql()}, "
+            f"tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_concat(t, "
+            "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> t[i] || ' ' || t[i + 1]))) AS term FROM tok), "
+            "pd AS (SELECT g.doc_id, COUNT(*) AS n, "
+            "CAST(SUM(coalesce(w.weight_micro, 0) + 1000000) AS BIGINT) AS sum_off "
+            "FROM g LEFT JOIN w USING (term) GROUP BY g.doc_id), "
+            "s AS (SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_feats, "
+            "CAST(CASE WHEN coalesce(n, 0) > 0 THEN sum_off // n - 1000000 "
+            "ELSE -1000000 END AS BIGINT) AS score_micro "
+            "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id) "
+            "SELECT doc_id, n_feats, score_micro, "
             "score_micro >= 0 AS quality_pass FROM s"
         ),
         "dsir_importance": (

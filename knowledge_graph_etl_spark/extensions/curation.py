@@ -1487,6 +1487,8 @@ def quality_classifier(
     use_bigrams: bool = True,
     threshold_micro: int = 0,
     salt: str = "qw",
+    weights: DataFrame | None = None,
+    default_weight_micro: int = 0,
 ) -> DataFrame:
     """Linear text classifier in the fastText / DCLM-quality-filter SHAPE:
     hash every word n-gram into a weight, average the weights, threshold.
@@ -1511,11 +1513,56 @@ def quality_classifier(
     Documents with zero features score the worst possible value
     (−1e6 micro) — blank docs must never pass a quality filter.
 
+    TRAINED-WEIGHTS PATH: pass ``weights`` — a ``(term, weight_micro)``
+    DataFrame (weights in micro-units, each ≥ −1e6 and ≤ 1e6, unigrams
+    and/or space-joined bigrams) — and the scorer becomes a broadcast
+    map-join: explode the grams, left-join the weight table (grams absent
+    from it contribute ``default_weight_micro``), average per document.
+    This is how production fastText/DCLM weights plug in. Execution
+    shape: explode → broadcast hash join → map-side-combinable sum — ONE
+    shuffle on ``id_col``; a fastText bucket table (~2 M rows ≈ tens of
+    MB) broadcasts comfortably, and for a vocabulary too large to
+    broadcast the same code minus the hint becomes a shuffle join. The
+    average again runs in offset space (+1e6 per gram) so the
+    cross-engine integer division never sees a negative numerator.
+
     Returns ``(id_col, n_feats, score_micro, quality_pass)``.
     """
-    scored = _hashed_quality_scores(
-        docs, [F.col(id_col)], text_col, use_bigrams, salt
-    )
+    if weights is None:
+        scored = _hashed_quality_scores(
+            docs, [F.col(id_col)], text_col, use_bigrams, salt
+        )
+    else:
+        tks = tokens(F.col(text_col))
+        grams = F.concat(tks, zip_kgrams(tks, 2)) if use_bigrams else tks
+        ex = docs.select(F.col(id_col).alias("__qid"), F.explode(grams).alias("term"))
+        w = weights.select("term", F.col("weight_micro").cast("bigint").alias("__w"))
+        per = (
+            ex.join(F.broadcast(w), "term", "left")
+            .groupBy("__qid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(
+                    F.coalesce(F.col("__w"), F.lit(default_weight_micro))
+                    + F.lit(1_000_000)
+                ).alias("__sum_off"),
+            )
+        )
+        spine = docs.select(F.col(id_col).alias("__qid"))
+        scored = (
+            spine.join(per, "__qid", "left")
+            .select(
+                F.col("__qid").alias(id_col),
+                F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_feats"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.expr("__sum_off div __n") - F.lit(1_000_000),
+                )
+                .otherwise(F.lit(-1_000_000))
+                .cast("bigint")
+                .alias("score_micro"),
+            )
+        )
     return scored.withColumn(
         "quality_pass", F.col("score_micro") >= F.lit(threshold_micro)
     )

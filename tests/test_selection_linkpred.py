@@ -72,6 +72,49 @@ def test_quality_classifier_threshold_and_unigram_mode(spark):
     assert not hard["quality_pass"]
 
 
+def test_quality_classifier_trained_weights(spark):
+    """Trained-weights path: known weights average exactly; OOV grams take
+    default_weight_micro; empty docs keep the worst score."""
+    w = spark.createDataFrame(
+        [("good", 600_000), ("bad", -400_000), ("good bad", 100_000)],
+        "term string, weight_micro long",
+    )
+    df = spark.createDataFrame(
+        [(1, "good bad"), (2, "unseen words"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"], r["quality_pass"])
+        for r in quality_classifier(df, weights=w).collect()
+    }
+    # doc 1: grams good, bad, "good bad" -> (600000 - 400000 + 100000) // 3
+    assert got[1] == (3, 100_000, True)
+    # doc 2: 3 grams, all OOV at default 0
+    assert got[2] == (3, 0, True)
+    # doc 3: no grams -> worst score
+    assert got[3] == (0, -1_000_000, False)
+    # non-zero OOV default shifts doc 2's average
+    got2 = {
+        r["doc_id"]: r["score_micro"]
+        for r in quality_classifier(df, weights=w, default_weight_micro=-300_000).collect()
+    }
+    assert got2[2] == -300_000
+    assert got2[1] == 100_000  # fully in-vocabulary doc unaffected
+
+
+def test_quality_classifier_trained_broadcasts_weights(spark):
+    """The weight join must be a broadcast hash join (no shuffle on the
+    corpus side for the join itself)."""
+    w = spark.createDataFrame([("x", 1000)], "term string, weight_micro long")
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    plan = (
+        quality_classifier(df, weights=w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # dsir_importance
 # ---------------------------------------------------------------------------
