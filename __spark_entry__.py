@@ -2696,6 +2696,49 @@ def dedup_incremental_q(spark, sf_dir):
     )
 
 
+def dedup_incremental_steady_q(spark, sf_dir):
+    """STEADY-STATE admission control: same batch/corpus split and
+    parameters as dedup_incremental, but probing a PREBUILT bucketed
+    corpus index (extensions/dedup.build_dedup_index +
+    incremental_dedup_steady). The index is built once per sf_dir (managed
+    tables in the session warehouse) and reused by every later call — so
+    a first run pays the one-time corpus indexing and subsequent runs
+    measure the true steady state: only batch-sized data is hashed and
+    shuffled; the corpus side is a bucketed scan with no Exchange."""
+    import re as _re
+
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        incremental_dedup_steady,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    prefix = "steady_idx_" + _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower().strip("/"))
+    if not spark.catalog.tableExists(prefix + "_bands"):
+        build_dedup_index(
+            d.where((F.col("doc_id") % 10) != 0),
+            prefix,
+            num_hashes=32,
+            bands=8,
+            hash_fn="md5",
+        )
+    out = incremental_dedup_steady(
+        d.where((F.col("doc_id") % 10) == 0),
+        prefix,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id",
+        "n_dups",
+        F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.coalesce("est_jaccard", F.lit(0.0)).alias("est_jaccard"),
+        "admitted",
+    )
+
+
 #: unroll depth of the k-truss oracle — tests assert Spark converges
 #: within this many rounds at the gated SF (sf0.01, measured depth 8 for
 #: k=16; sf0.1 empties in 2), same contract as KCORE_ORACLE_ROUNDS.
@@ -2797,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (r07) ---
         "quality_classifier_trained": quality_classifier_trained_q,
+        "dedup_incremental_steady": dedup_incremental_steady_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
         "kg_arithmetic": kg_arithmetic_q,
@@ -3789,6 +3833,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
         ),
         "dedup_incremental": _incremental_dedup_oracle(
+            num_hashes=32, bands=8, threshold=0.5
+        ),
+        # steady-state probe is semantically identical to the one-shot
+        # form — same split, same parameters, same oracle; only the
+        # physical plan (prebuilt bucketed corpus index) differs
+        "dedup_incremental_steady": _incremental_dedup_oracle(
             num_hashes=32, bands=8, threshold=0.5
         ),
         "ann_range_search": (

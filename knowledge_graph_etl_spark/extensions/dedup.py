@@ -376,6 +376,24 @@ def incremental_dedup(
     bsig = _signature_table(batch, text_col, id_col, num_hashes, hash_fn, materialize)
     cband = _band_table(csig, num_hashes, bands, hash_fn)
     bband = _band_table(bsig, num_hashes, bands, hash_fn)
+    return _probe_admission(
+        batch, bband, bsig, cband, csig, num_hashes, threshold, id_col
+    )
+
+
+def _probe_admission(
+    batch: DataFrame,
+    bband: DataFrame,
+    bsig: DataFrame,
+    cband: DataFrame,
+    csig: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared probe of :func:`incremental_dedup` /
+    :func:`incremental_dedup_steady`: band-bucket candidate join, signature
+    refinement, best-match pick, batch-spine left join."""
     cand = (
         bband.alias("b")
         .join(
@@ -421,6 +439,75 @@ def incremental_dedup(
         "dup_of",
         "est_jaccard",
         F.col("dup_of").isNull().alias("admitted"),
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 16,
+    mode: str = "overwrite",
+) -> tuple[str, str]:
+    """One-time admission-index build for :func:`incremental_dedup_steady`:
+    persist the corpus's ``(id, band, bucket)`` band index — BUCKETED on
+    ``(band, bucket)``, the probe join's key — and its ``(id, sig)``
+    signature table, bucketed on ``id``, as managed tables
+    ``{table_prefix}_bands`` / ``{table_prefix}_sigs``.
+
+    This is the steady-state half of the 100 TB admission-control story
+    (``incremental_dedup`` docstring): the corpus is hashed ONCE at this
+    write, and every subsequent batch admission shuffles only batch-sized
+    data — the bucketed scan IS the corpus side's exchange, so the probe
+    join plans with no Exchange over the corpus index (plan-pinned in
+    tests/test_plan_evidence.py). After admitting a batch, append its
+    band/sig rows to these tables (saveAsTable append preserves the
+    bucket spec) so the index tracks the corpus."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    from .layout import write_bucketed
+
+    # materialize: sig feeds BOTH writes — without it the tokenize→min
+    # subtree (the expensive stage) runs twice, once per saveAsTable
+    sig = _signature_table(corpus, text_col, id_col, num_hashes, hash_fn, True)
+    band = _band_table(sig, num_hashes, bands, hash_fn)
+    bands_table, sigs_table = f"{table_prefix}_bands", f"{table_prefix}_sigs"
+    write_bucketed(band, bands_table, ["band", "bucket"], num_buckets, mode=mode)
+    write_bucketed(sig.select("id", "sig"), sigs_table, ["id"], num_buckets, mode=mode)
+    return bands_table, sigs_table
+
+
+def incremental_dedup_steady(
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    materialize: bool = True,
+) -> DataFrame:
+    """Steady-state batch admission against a PREBUILT corpus index
+    (:func:`build_dedup_index`): hash only the batch, probe the bucketed
+    band index, refine against the stored signatures. Semantically
+    identical to :func:`incremental_dedup` on the same corpus/parameters
+    (pytest-pinned equivalence); the difference is the plan — the corpus
+    is never re-tokenized or re-shuffled, only its pre-bucketed index is
+    scanned."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    spark = batch.sparkSession
+    cband = spark.table(f"{table_prefix}_bands")
+    csig = spark.table(f"{table_prefix}_sigs")
+    bsig = _signature_table(batch, text_col, id_col, num_hashes, hash_fn, materialize)
+    bband = _band_table(bsig, num_hashes, bands, hash_fn)
+    return _probe_admission(
+        batch, bband, bsig, cband, csig, num_hashes, threshold, id_col
     )
 
 

