@@ -1779,10 +1779,10 @@ def cdc_chunks(
     re-align immediately, which is what makes chunk-level dedup of
     near-identical documents (crawl re-fetches, versioned docs) actually
     hit. Production CDC also enforces a MIN chunk size via a stateful
-    scan; that variant needs sequential state (mapInPandas) and is
-    deliberately out of scope for the exact-oracle path — the max-cut is
-    expressed as an integer division, so the whole operator stays in
-    window + aggregate expressions.
+    scan; that sequential variant is :func:`cdc_chunks_min`
+    (Arrow-batched ``mapInPandas``) — this form stays oracle-exact
+    because the max-cut is expressed as an integer division, so the
+    whole operator stays in window + aggregate expressions.
 
     Execution shape: one posexplode, one window over (doc, pos) — the
     running boundary count — and one (doc, chunk) aggregate; all keys
@@ -1832,6 +1832,97 @@ def cdc_chunks(
         (F.row_number().over(wd) - 1).cast("bigint").alias("chunk_idx"),
         "n_tokens",
         "chunk_md5",
+    )
+
+
+def cdc_chunks_min(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 4,
+    max_tokens: int = 64,
+    min_tokens: int = 1,
+    salt: str = "cdc",
+) -> DataFrame:
+    """FastCDC-style content-defined chunking WITH a minimum chunk size —
+    the stateful twin of :func:`cdc_chunks`. A content boundary (token
+    hash with low ``mask_bits`` bits zero) only takes effect once the
+    current chunk holds at least ``min_tokens`` tokens; the hard
+    ``max_tokens`` cut always applies. Suppressing a boundary shifts
+    every later boundary, so the scan is inherently SEQUENTIAL per
+    document — no window/aggregate rewrite exists (which is why
+    :func:`cdc_chunks` documents this variant as out of scope for its
+    exact-oracle path). With ``min_tokens=1`` no boundary is ever
+    suppressed and the output equals :func:`cdc_chunks` exactly
+    (pytest-pinned parity).
+
+    Execution shape: tokens and per-token boundary flags are computed
+    JVM-side (same md5 family as the window form); only the O(n) cut
+    scan crosses into Python, as an Arrow-batched ``mapInPandas`` whose
+    state never spans rows — each document is one row, so there is no
+    grouping, no shuffle, and the operator remains a pure map over the
+    corpus. Chunk hashes are computed back JVM-side (``F.md5``) on the
+    emitted chunk text.
+
+    Returns ``(id_col, chunk_idx, n_tokens, chunk_md5)`` — the schema of
+    :func:`cdc_chunks`."""
+    if not (1 <= min_tokens <= max_tokens):
+        raise ValueError(
+            f"need 1 <= min_tokens ({min_tokens}) <= max_tokens ({max_tokens})"
+        )
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    mask = (1 << int(mask_bits)) - 1
+    prep = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).withColumn(
+        "cuts",
+        F.transform(
+            F.col("toks"),
+            lambda t: md5_u60(F.concat(F.lit(salt + ":"), t)) % F.lit(mask + 1)
+            == 0,
+        ),
+    )
+    id_type = prep.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("chunk_idx", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("chunk_text", StringType()),
+        ]
+    )
+    mn, mx = int(min_tokens), int(max_tokens)
+
+    def scan(batches):
+        for pdf in batches:
+            ids, idxs, lens, texts = [], [], [], []
+            for did, toks, cuts in zip(pdf["id"], pdf["toks"], pdf["cuts"]):
+                start, n, ci = 0, 0, 0
+                for i in range(len(toks)):
+                    n += 1
+                    if (cuts[i] and n >= mn) or n == mx:
+                        ids.append(did)
+                        idxs.append(ci)
+                        lens.append(n)
+                        texts.append(" ".join(toks[start : i + 1]))
+                        start, n, ci = i + 1, 0, ci + 1
+                if n > 0:
+                    ids.append(did)
+                    idxs.append(ci)
+                    lens.append(n)
+                    texts.append(" ".join(toks[start:]))
+            yield pd.DataFrame(
+                {"id": ids, "chunk_idx": idxs, "n_tokens": lens, "chunk_text": texts}
+            )
+
+    return prep.mapInPandas(scan, out_schema).select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
     )
 
 

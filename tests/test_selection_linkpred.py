@@ -545,6 +545,94 @@ def test_cdc_boundaries_realign_after_prefix_insertion(spark):
     assert len(shared) >= len(a) - 3, (len(shared), len(a))
 
 
+def test_cdc_chunks_min_parity_without_min(spark):
+    """min_tokens=1 suppresses nothing: the stateful scan must reproduce
+    the window form EXACTLY (same chunks, indices, lengths, hashes)."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        cdc_chunks,
+        cdc_chunks_min,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _CDC_TEXT), (2, "short doc"), (3, ""), (4, "one")],
+        ["doc_id", "text"],
+    )
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_md5"])  # noqa: E731
+    win = sorted(map(key, cdc_chunks(df, mask_bits=4, max_tokens=64).collect()))
+    seq = sorted(
+        map(key, cdc_chunks_min(df, mask_bits=4, max_tokens=64, min_tokens=1).collect())
+    )
+    assert seq == win and len(seq) > 5
+
+
+def test_cdc_chunks_min_enforces_minimum(spark):
+    """With min_tokens=m every chunk except a document's LAST holds >= m
+    tokens; the partition (no token loss) and max-cut invariants hold."""
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks_min
+
+    df = spark.createDataFrame([(1, _CDC_TEXT)], ["doc_id", "text"])
+    rows = sorted(
+        cdc_chunks_min(df, mask_bits=2, max_tokens=16, min_tokens=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert sum(r["n_tokens"] for r in rows) == 400
+    assert all(r["n_tokens"] <= 16 for r in rows)
+    assert all(r["n_tokens"] >= 8 for r in rows[:-1])
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    # mask_bits=2 -> expected content-chunk ~4 tokens, so the min MUST
+    # actually suppress boundaries (chunks differ from the min-free form)
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks
+
+    free = cdc_chunks(df, mask_bits=2, max_tokens=16).collect()
+    assert any(r["n_tokens"] < 8 for r in free)  # min-free form has short chunks
+    assert len(rows) < len(free)
+
+
+def test_cdc_chunks_min_matches_python_mirror(spark):
+    """Exact per-token mirror of the scan rule in plain Python."""
+    import hashlib
+
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks_min
+
+    text = " ".join(f"t{i % 37}" for i in range(100))
+    mask_bits, mx, mn = 3, 10, 4
+
+    def cut(tok):
+        h = int(hashlib.md5(f"cdc:{tok}".encode()).hexdigest()[:15], 16)
+        return h % (1 << mask_bits) == 0
+
+    toks = text.split()
+    expect, start, n, ci = [], 0, 0, 0
+    for i, tk in enumerate(toks):
+        n += 1
+        if (cut(tk) and n >= mn) or n == mx:
+            expect.append((ci, n, hashlib.md5(" ".join(toks[start : i + 1]).encode()).hexdigest()))
+            start, n, ci = i + 1, 0, ci + 1
+    if n:
+        expect.append((ci, n, hashlib.md5(" ".join(toks[start:]).encode()).hexdigest()))
+
+    df = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    got = sorted(
+        (
+            (r["chunk_idx"], r["n_tokens"], r["chunk_md5"])
+            for r in cdc_chunks_min(
+                df, mask_bits=mask_bits, max_tokens=mx, min_tokens=mn
+            ).collect()
+        )
+    )
+    assert got == expect
+
+
+def test_cdc_chunks_min_rejects_bad_params(spark):
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks_min
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        cdc_chunks_min(df, min_tokens=0)
+    with pytest.raises(ValueError):
+        cdc_chunks_min(df, max_tokens=8, min_tokens=9)
+
+
 def test_cdc_dedup_stats_counts_duplicate_chunks(spark):
     from knowledge_graph_etl_spark.extensions.curation import cdc_dedup_stats
 
