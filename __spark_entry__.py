@@ -2375,10 +2375,15 @@ def search_hybrid_rrf_q(spark, sf_dir):
     queries 1-5, fused to a final top-10 per query. Contributions are
     exact integers (1000000 div (60+rank)), so the fused scores are
     engine-exact."""
-    from knowledge_graph_etl_spark.extensions.search import (
-        bm25_topk,
-        rrf_fuse,
-    )
+    from knowledge_graph_etl_spark.extensions.search import rrf_fuse
+
+    lex, sem = _hybrid_rankings(spark, sf_dir)
+    return rrf_fuse([lex, sem], k=60, topk=10)
+
+
+def _hybrid_rankings(spark, sf_dir):
+    """Shared lexical/semantic top-20 rankings of the two rrf entries."""
+    from knowledge_graph_etl_spark.extensions.search import bm25_topk
     from knowledge_graph_etl_spark.extensions.similarity import cosine_topk
     from knowledge_graph_etl_spark.extensions.text import tokens
 
@@ -2401,7 +2406,41 @@ def search_hybrid_rrf_q(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("rank"),
     )
-    return rrf_fuse([lex, sem], k=60, topk=10)
+    return lex, sem
+
+
+def search_rrf_weighted_q(spark, sf_dir):
+    """Weighted RRF fusion: lexical 0.7 / semantic 0.3 (ppm weights
+    700000/300000) over the same two top-20 rankings as
+    search_hybrid_rrf — each system's term is weight_ppm div (60+rank),
+    exact on both engines (extensions/search.rrf_fuse weights_ppm)."""
+    from knowledge_graph_etl_spark.extensions.search import rrf_fuse
+
+    lex, sem = _hybrid_rankings(spark, sf_dir)
+    return rrf_fuse([lex, sem], k=60, topk=10, weights_ppm=[700_000, 300_000])
+
+
+#: the boolean-search query batch — Lucene-lite strings over the synthetic
+#: corpus vocabulary; the oracle mirrors each as DuckDB list/string
+#: predicates (AND, phrase adjacency, OR-group, negation)
+BOOLEAN_QUERIES = [
+    (1, "spark query"),
+    (2, '"table scan"'),
+    (3, "merge OR window -dup"),
+    (4, "the -slow"),
+]
+
+
+def search_boolean_q(spark, sf_dir):
+    """Batch boolean/phrase retrieval: all four queries evaluate in ONE
+    corpus scan — per-query boolean expressions over (distinct-token
+    set, token-boundary rejoined text), no shuffle at all
+    (extensions/search.boolean_search)."""
+    from knowledge_graph_etl_spark.extensions.search import boolean_search
+
+    d = _t(spark, sf_dir, "documents")
+    out = boolean_search(d, BOOLEAN_QUERIES)
+    return out.select(F.col("qid").cast("long").alias("qid"), "doc_id")
 
 
 def events_gapfill_locf_q(spark, sf_dir):
@@ -2512,10 +2551,11 @@ def _bm25_oracle() -> str:
     )
 
 
-def _hybrid_rrf_oracle() -> str:
+def _hybrid_rrf_oracle(w_lex: int = 1_000_000, w_sem: int = 1_000_000) -> str:
     # Extends the BM25 chain with the semantic ranking (same cosine
     # rounding + tie-break as extensions/similarity.cosine_topk) and the
-    # integer RRF fusion mirroring extensions/search.rrf_fuse.
+    # integer RRF fusion mirroring extensions/search.rrf_fuse; per-system
+    # ppm weights mirror the weights_ppm parameter (default unweighted).
     return _bm25_ctes() + (
         ", sq AS (SELECT vec_id AS qid, embedding FROM embeddings "
         "WHERE vec_id BETWEEN 1 AND 5), "
@@ -2527,9 +2567,10 @@ def _hybrid_rrf_oracle() -> str:
         "(PARTITION BY qid ORDER BY sim DESC, doc_id) AS BIGINT) AS rank "
         "FROM ss QUALIFY rank <= 20), "
         "u AS (SELECT qid, doc_id, "
-        "CAST(1000000 // (60 + rank) AS BIGINT) AS c FROM "
-        "(SELECT qid, doc_id, rank FROM r WHERE rank <= 20 "
-        "UNION ALL SELECT qid, doc_id, rank FROM sem)), "
+        f"CAST({int(w_lex)} // (60 + rank) AS BIGINT) AS c "
+        "FROM r WHERE rank <= 20 "
+        "UNION ALL SELECT qid, doc_id, "
+        f"CAST({int(w_sem)} // (60 + rank) AS BIGINT) AS c FROM sem), "
         "f AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems, "
         "CAST(SUM(c) AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) "
         "SELECT qid, CAST(row_number() OVER (PARTITION BY qid "
@@ -2841,6 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r07) ---
         "quality_classifier_trained": quality_classifier_trained_q,
         "dedup_incremental_steady": dedup_incremental_steady_q,
+        "search_boolean": search_boolean_q,
+        "search_rrf_weighted": search_rrf_weighted_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
         "kg_arithmetic": kg_arithmetic_q,
@@ -3852,6 +3895,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_bm25_topk": _bm25_oracle(),
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
+        "search_rrf_weighted": _hybrid_rrf_oracle(w_lex=700_000, w_sem=300_000),
+        "search_boolean": (
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            "p AS (SELECT doc_id, t, "
+            "' ' || array_to_string(t, ' ') || ' ' AS jt FROM tok) "
+            "SELECT CAST(1 AS BIGINT) AS qid, doc_id FROM p "
+            "WHERE list_contains(t, 'spark') AND list_contains(t, 'query') "
+            "UNION ALL SELECT CAST(2 AS BIGINT), doc_id FROM p "
+            "WHERE contains(jt, ' table scan ') "
+            "UNION ALL SELECT CAST(3 AS BIGINT), doc_id FROM p "
+            "WHERE (list_contains(t, 'merge') OR list_contains(t, 'window')) "
+            "AND NOT list_contains(t, 'dup') "
+            "UNION ALL SELECT CAST(4 AS BIGINT), doc_id FROM p "
+            "WHERE list_contains(t, 'the') AND NOT list_contains(t, 'slow')"
+        ),
         "events_gapfill_locf": (
             "WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value "
             "FROM events), "

@@ -25,7 +25,114 @@ from pyspark.sql.window import Window
 
 from .text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse", "boolean_search", "parse_boolean_query"]
+
+
+def parse_boolean_query(q: str) -> tuple[list[list[tuple[str, ...]]], list[str]]:
+    """Parse a Lucene-lite boolean query string.
+
+    Syntax: whitespace-separated atoms are ANDed; ``OR`` between atoms
+    groups them into one disjunctive clause (``a OR b c`` = (a∨b)∧c);
+    ``"quoted tokens"`` is an exact-adjacency phrase atom; ``-term``
+    excludes documents containing the term (top-level NOT only — no
+    negated phrases, no nesting, no parentheses; that's the tractable
+    slice real filter workloads use). Atoms are lowercased to match
+    :func:`..text.tokens`.
+
+    Returns ``(clauses, excluded)``: clauses is a list of OR-groups,
+    each a list of atoms ``("term", t)`` or ``("phrase", t1, t2, ...)``;
+    excluded is a list of plain terms."""
+    import re
+
+    raw = re.findall(r'"[^"]*"|\S+', q)
+    clauses: list[list[tuple[str, ...]]] = []
+    excluded: list[str] = []
+    pending_or = False
+    for tokstr in raw:
+        if tokstr.upper() == "OR":
+            if not clauses:
+                raise ValueError(f"query starts with OR: {q!r}")
+            pending_or = True
+            continue
+        if tokstr.startswith("-") and len(tokstr) > 1:
+            if tokstr[1] == '"':
+                raise ValueError(f"negated phrases are not supported: {tokstr!r}")
+            if pending_or:
+                raise ValueError(f"OR before a negated term: {q!r}")
+            excluded.append(tokstr[1:].lower())
+            continue
+        if tokstr.startswith('"'):
+            words = tokstr.strip('"').lower().split()
+            if not words:
+                raise ValueError(f"empty phrase in query: {q!r}")
+            atom = ("term", words[0]) if len(words) == 1 else ("phrase", *words)
+        else:
+            atom = ("term", tokstr.lower())
+        if pending_or:
+            clauses[-1].append(atom)
+            pending_or = False
+        else:
+            clauses.append([atom])
+    if pending_or:
+        raise ValueError(f"query ends with OR: {q!r}")
+    if not clauses and not excluded:
+        raise ValueError(f"empty query: {q!r}")
+    return clauses, excluded
+
+
+def boolean_search(
+    docs: DataFrame,
+    queries: list[tuple[object, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch boolean/phrase retrieval: evaluate every query of a bounded
+    batch in ONE corpus scan. Each query string uses the
+    :func:`parse_boolean_query` syntax (AND / OR / ``-not`` /
+    ``"exact phrase"``).
+
+    Execution shape: the corpus is projected once to ``(id, distinct
+    token set, ' '+joined-tokens+' ')``; every query compiles to a pure
+    boolean expression over that row (``array_contains`` for terms,
+    token-boundary substring for phrases) and all B queries evaluate in
+    the same whole-stage-codegen pass — the scan is shared, cost is one
+    corpus read regardless of batch size, and no shuffle exists at all
+    (the output is a filter+explode of the scan). This is the right
+    shape for batch filtering at 100 TB; for a standing high-QPS query
+    service you would instead materialize the (term, doc) posting table
+    (`bm25_scores` machinery) and probe it. Phrase adjacency is exact on
+    token boundaries (single-space rejoin of the tokenizer's output).
+
+    Returns ``(qid, doc_id)`` — one row per (query, matching document).
+    """
+    if not queries:
+        raise ValueError("boolean_search needs at least one query")
+    tks = tokens(F.col(text_col))
+    prep = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tks).alias("__ts"),
+        F.concat(F.lit(" "), F.array_join(tks, " "), F.lit(" ")).alias("__jt"),
+    )
+
+    def atom_expr(atom):
+        if atom[0] == "term":
+            return F.array_contains(F.col("__ts"), atom[1])
+        return F.instr(F.col("__jt"), " " + " ".join(atom[1:]) + " ") > 0
+
+    hits = []
+    for qid, q in queries:
+        clauses, excluded = parse_boolean_query(q)
+        cond = F.lit(True)
+        for group in clauses:
+            g = atom_expr(group[0])
+            for a in group[1:]:
+                g = g | atom_expr(a)
+            cond = cond & g
+        for t in excluded:
+            cond = cond & ~F.array_contains(F.col("__ts"), t)
+        hits.append(F.when(cond, F.lit(qid)))
+    matched = F.filter(F.array(*hits), lambda x: x.isNotNull())
+    return prep.select(F.explode(matched).alias("qid"), "doc_id")
 
 
 def bm25_scores(
@@ -178,6 +285,7 @@ def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 60,
     topk: int | None = None,
+    weights_ppm: list[int] | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings —
     the standard way to combine lexical (BM25) and semantic (embedding
@@ -205,15 +313,24 @@ def rrf_fuse(
         raise ValueError(f"k must be >= 1, got {k}")
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    if weights_ppm is None:
+        weights_ppm = [1_000_000] * len(rankings)
+    if len(weights_ppm) != len(rankings) or any(w < 0 for w in weights_ppm):
+        raise ValueError(
+            f"weights_ppm needs one non-negative weight per ranking, got {weights_ppm}"
+        )
+    # weighted variant: each system's term is weight_ppm DIV (k + rank) —
+    # still an exact positive-integer division on both engines; the
+    # default (1e6 ppm each) reproduces unweighted RRF bit-for-bit
     parts = [
         r.select(
             F.col("qid"),
             F.col("doc_id"),
-            F.expr(f"CAST(1000000 DIV ({int(k)} + rank) AS BIGINT)").alias(
+            F.expr(f"CAST({int(w)} DIV ({int(k)} + rank) AS BIGINT)").alias(
                 "c"
             ),
         )
-        for r in rankings
+        for r, w in zip(rankings, weights_ppm)
     ]
     u = parts[0]
     for p in parts[1:]:

@@ -817,3 +817,102 @@ def test_rrf_fuse_single_system_preserves_order(spark):
     rows = rrf_fuse([a], k=60).collect()
     got = {(r["qid"], r["doc_id"]): r["rank"] for r in rows}
     assert got == {(1, 10): 1, (1, 20): 2, (2, 30): 1}
+
+
+def test_rrf_fuse_weighted(spark):
+    from knowledge_graph_etl_spark.extensions.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 20, 2)], ["qid", "doc_id", "rank"])
+    b = spark.createDataFrame([(1, 20, 1), (1, 10, 2)], ["qid", "doc_id", "rank"])
+    # heavily weight system a: doc 10 (a-rank 1) must beat doc 20 (b-rank 1)
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse([a, b], k=60, weights_ppm=[900_000, 100_000]).collect()
+    }
+    assert rows[10]["rrf_micro"] == 900_000 // 61 + 100_000 // 62
+    assert rows[20]["rrf_micro"] == 900_000 // 62 + 100_000 // 61
+    assert rows[10]["rank"] == 1 and rows[20]["rank"] == 2
+    # default weights reproduce the unweighted form bit-for-bit
+    unw = sorted(map(tuple, rrf_fuse([a, b], k=60).collect()))
+    expl = sorted(
+        map(tuple, rrf_fuse([a, b], k=60, weights_ppm=[1_000_000, 1_000_000]).collect())
+    )
+    assert unw == expl
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], k=60, weights_ppm=[1_000_000])
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], k=60, weights_ppm=[1_000_000, -1])
+
+
+# ---------------------------------------------------------------------------
+# boolean_search
+# ---------------------------------------------------------------------------
+
+
+def test_parse_boolean_query_forms():
+    from knowledge_graph_etl_spark.extensions.search import parse_boolean_query
+
+    assert parse_boolean_query("a b") == ([[("term", "a")], [("term", "b")]], [])
+    assert parse_boolean_query('A OR b c -D "x y z"') == (
+        [
+            [("term", "a"), ("term", "b")],
+            [("term", "c")],
+            [("phrase", "x", "y", "z")],
+        ],
+        ["d"],
+    )
+    # single-token phrase degrades to a term atom
+    assert parse_boolean_query('"solo"') == ([[("term", "solo")]], [])
+    import pytest as _pytest
+
+    for bad in ["OR a", "a OR", "a OR -b", '-"x y"', "", '""']:
+        with _pytest.raises(ValueError):
+            parse_boolean_query(bad)
+
+
+def test_boolean_search_matches_semantics(spark):
+    from knowledge_graph_etl_spark.extensions.search import boolean_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta alpha"),          # has both terms, not the phrase
+            (3, "alpha beta"),          # phrase hit
+            (4, "gamma delta"),
+            (5, "alpha beta gamma dup"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = boolean_search(
+        docs,
+        [
+            (1, "alpha beta"),            # AND
+            (2, '"alpha beta"'),          # phrase adjacency
+            (3, "gamma OR delta -dup"),   # OR group + negation
+            (4, "-alpha"),                # pure negation
+        ],
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], set()).add(r["doc_id"])
+    assert got[1] == {1, 2, 3, 5}
+    assert got[2] == {1, 3, 5}
+    assert got[3] == {1, 4}
+    assert got[4] == {4}
+
+
+def test_boolean_search_single_scan_no_shuffle(spark):
+    """All queries evaluate in one scan: the physical plan has no
+    Exchange (filter + project + generate only)."""
+    from knowledge_graph_etl_spark.extensions.search import boolean_search
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        boolean_search(docs, [(1, "a"), (2, '"b c"')])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError):
+        boolean_search(docs, [])
