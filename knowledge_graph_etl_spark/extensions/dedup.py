@@ -481,6 +481,40 @@ def build_dedup_index(
     return bands_table, sigs_table
 
 
+def append_to_dedup_index(
+    admitted: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+    num_buckets: int = 16,
+) -> None:
+    """Admit a batch into the steady-state index: append the ADMITTED
+    documents' band/signature rows to the tables
+    :func:`build_dedup_index` wrote. The append restates the bucket spec
+    (Spark requires it and rejects a mismatch against the existing
+    table's metadata — the guard that keeps the index consistent), so
+    new rows hash-route into the same bucket scheme and the index keeps
+    its zero-shuffle probe property as the corpus grows. This is the
+    write half of each steady-state admission cycle: probe → filter to
+    ``admitted`` → append. Hash parameters must match the build call
+    (the tables carry no hash metadata; a mismatch silently degrades
+    recall — pass the same constants); ``num_buckets`` IS checked by the
+    metastore."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    sig = _signature_table(admitted, text_col, id_col, num_hashes, hash_fn, True)
+    band = _band_table(sig, num_hashes, bands, hash_fn)
+    band.write.mode("append").format("parquet").bucketBy(
+        int(num_buckets), "band", "bucket"
+    ).saveAsTable(f"{table_prefix}_bands")
+    sig.select("id", "sig").write.mode("append").format("parquet").bucketBy(
+        int(num_buckets), "id"
+    ).saveAsTable(f"{table_prefix}_sigs")
+
+
 def incremental_dedup_steady(
     batch: DataFrame,
     table_prefix: str,

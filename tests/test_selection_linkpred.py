@@ -916,3 +916,47 @@ def test_boolean_search_single_scan_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     with pytest.raises(ValueError):
         boolean_search(docs, [])
+
+
+def test_append_to_dedup_index_grows_corpus(spark):
+    """Admission cycle: build → probe → append admitted → a later batch
+    duplicating an appended doc is flagged against it; the appended
+    table keeps its bucket spec (probe plan still bucket-pruned)."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup_steady,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    novel = "totally different content about spark engines here"
+    spark.sql("DROP TABLE IF EXISTS t_grow_bands")
+    spark.sql("DROP TABLE IF EXISTS t_grow_sigs")
+    try:
+        build_dedup_index(corpus, "t_grow", num_buckets=4)
+        b1 = spark.createDataFrame([(10, novel)], ["doc_id", "text"])
+        r1 = incremental_dedup_steady(b1, "t_grow", threshold=0.5).collect()[0]
+        assert r1["admitted"]
+        append_to_dedup_index(b1.where("doc_id = 10"), "t_grow", num_buckets=4)
+        # a re-submission of the admitted text must now be rejected vs doc 10
+        b2 = spark.createDataFrame([(20, novel)], ["doc_id", "text"])
+        r2 = incremental_dedup_steady(b2, "t_grow", threshold=0.5).collect()[0]
+        assert not r2["admitted"] and r2["dup_of"] == 10
+        # bucket spec survived the append
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                incremental_dedup_steady(b2, "t_grow", threshold=0.5)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_grow_bands")
+        spark.sql("DROP TABLE IF EXISTS t_grow_sigs")
