@@ -2756,6 +2756,15 @@ def dedup_incremental_steady_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     prefix = "steady_idx_" + _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower().strip("/"))
     if not spark.catalog.tableExists(prefix + "_bands"):
+        # a managed table's warehouse directory can outlive its metastore
+        # entry (fresh session, same warehouse dir) — saveAsTable refuses
+        # to create over a leftover location, so clear ours first
+        import os as _os
+        import shutil as _shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for suffix in ("_bands", "_sigs"):
+            _shutil.rmtree(_os.path.join(wh, prefix + suffix), ignore_errors=True)
         build_dedup_index(
             d.where((F.col("doc_id") % 10) != 0),
             prefix,
