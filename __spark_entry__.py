@@ -2431,6 +2431,63 @@ BOOLEAN_QUERIES = [
 ]
 
 
+#: the phrase-search batch: exact-adjacency occurrence counting over the
+#: posting index (incl. a repeated-token phrase — overlapping occurrences
+#: count — and a single-term degenerate case = term frequency)
+PHRASE_QUERIES = [
+    (1, "table scan"),
+    (2, "batch batch"),
+    (3, "join order batch"),
+    (4, "spark"),
+]
+
+
+def search_phrase_q(spark, sf_dir):
+    """Positional-index phrase search: corpus posexploded once, filtered
+    to the phrase vocabulary broadcast-side, each phrase a k-way
+    posting-list equi-join on (doc_id, pos − token_index)
+    (extensions/search.phrase_search)."""
+    from knowledge_graph_etl_spark.extensions.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    out = phrase_search(d, PHRASE_QUERIES)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "doc_id", "n_occurrences"
+    )
+
+
+def _phrase_oracle() -> str:
+    parts = []
+    for qid, phrase in PHRASE_QUERIES:
+        ws = phrase.split()
+        if len(ws) == 1:
+            parts.append(
+                f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id, "
+                "CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+                f"FROM e WHERE term = '{ws[0]}' GROUP BY doc_id"
+            )
+            continue
+        frm = "e a0"
+        conds = [f"a0.term = '{ws[0]}'"]
+        for i in range(1, len(ws)):
+            frm += (
+                f" JOIN e a{i} ON a{i}.doc_id = a0.doc_id "
+                f"AND a{i}.pos = a0.pos + {i}"
+            )
+            conds.append(f"a{i}.term = '{ws[i]}'")
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, a0.doc_id AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+            f"FROM {frm} WHERE {' AND '.join(conds)} GROUP BY a0.doc_id"
+        )
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "e AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos, "
+        "unnest(t) AS term FROM tok WHERE len(t) > 0) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def search_boolean_q(spark, sf_dir):
     """Batch boolean/phrase retrieval: all four queries evaluate in ONE
     corpus scan — per-query boolean expressions over (distinct-token
@@ -2892,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_trained": quality_classifier_trained_q,
         "dedup_incremental_steady": dedup_incremental_steady_q,
         "search_boolean": search_boolean_q,
+        "search_phrase": search_phrase_q,
         "search_rrf_weighted": search_rrf_weighted_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
@@ -3905,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": _bm25_oracle(),
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "search_rrf_weighted": _hybrid_rrf_oracle(w_lex=700_000, w_sem=300_000),
+        "search_phrase": _phrase_oracle(),
         "search_boolean": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "p AS (SELECT doc_id, t, "

@@ -25,7 +25,14 @@ from pyspark.sql.window import Window
 
 from .text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse", "boolean_search", "parse_boolean_query"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
+    "boolean_search",
+    "parse_boolean_query",
+    "phrase_search",
+]
 
 
 def parse_boolean_query(q: str) -> tuple[list[list[tuple[str, ...]]], list[str]]:
@@ -279,6 +286,70 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "n_hit_terms", "score_micro")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[tuple[object, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional-index phrase search: exact-adjacency occurrence counts
+    for a bounded batch of phrases — the POSTING-LIST twin of
+    :func:`boolean_search`'s phrase atoms (which re-scan the corpus text).
+    This is how a standing retrieval service executes phrases: per-term
+    position lists, aligned and intersected.
+
+    Execution shape: the corpus is position-exploded ONCE and immediately
+    filtered to the phrase batch's vocabulary (broadcast ``isin`` before
+    any shuffle — only posting rows for queried terms survive the scan);
+    a k-token phrase is then a k-way equi-join on
+    ``(doc_id, pos - token_index)``: a position that survives all k joins
+    is the start of one exact occurrence. Everything is posting-list
+    sized, never corpus sized; each join key is uniform (doc_id +
+    aligned offset). Repeated tokens in a phrase ("batch batch") work
+    unchanged — both joins read the same term's postings at different
+    alignments, and overlapping occurrences each count.
+
+    Returns ``(qid, doc_id, n_occurrences)`` — one row per document
+    containing the phrase at least once."""
+    if not phrases:
+        raise ValueError("phrase_search needs at least one phrase")
+    parsed = []
+    for qid, p in phrases:
+        words = p.lower().split()
+        if not words:
+            raise ValueError(f"empty phrase for qid {qid!r}")
+        parsed.append((qid, words))
+    vocab = sorted({w for _, ws in parsed for w in ws})
+    post = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(vocab))
+        # referenced once per phrase token across the batch — materialize
+        # the (tiny, vocabulary-filtered) posting table instead of
+        # re-scanning the corpus k×B times
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for qid, words in parsed:
+        starts = None
+        for i, w in enumerate(words):
+            p = post.where(F.col("term") == w).select(
+                "doc_id", (F.col("pos") - F.lit(i)).alias("base")
+            )
+            starts = p if starts is None else starts.join(p, ["doc_id", "base"])
+        parts.append(
+            starts.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences")
+            ).select(F.lit(qid).alias("qid"), "doc_id", "n_occurrences")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def rrf_fuse(

