@@ -138,3 +138,101 @@ def test_quality_scores_are_corpus_independent(spark, corpus):
         for r in quality_classifier(_df(spark, corpus[:1])).collect()
     }
     assert together["0"] == alone["0"]
+
+
+# ---------------------------------------------------------------------------
+# r07 additions: boolean_search / phrase_search / cdc_chunks_min
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpora)
+def test_boolean_search_matches_python_reference(spark, corpus):
+    """boolean_search over random corpora equals the obvious per-doc
+    python evaluation of the same queries."""
+    from knowledge_graph_etl_spark.extensions.search import boolean_search
+
+    queries = [
+        (1, "alpha beta"),
+        (2, '"alpha beta"'),
+        (3, "gamma OR delta -eps"),
+        (4, "-zeta"),
+    ]
+
+    def py_match(qid, text):
+        toks = text.split()
+        ts, jt = set(toks), " " + " ".join(toks) + " "
+        if qid == 1:
+            return "alpha" in ts and "beta" in ts
+        if qid == 2:
+            return " alpha beta " in jt
+        if qid == 3:
+            return ("gamma" in ts or "delta" in ts) and "eps" not in ts
+        return "zeta" not in ts
+
+    expect = {
+        (q, i)
+        for q, _ in queries
+        for i, t in enumerate(corpus)
+        if py_match(q, t)
+    }
+    got = {
+        (r["qid"], int(r["doc_id"]))
+        for r in boolean_search(_df(spark, corpus), queries).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpora)
+def test_phrase_search_matches_python_reference(spark, corpus):
+    """phrase_search occurrence counts equal a sliding-window python
+    count on every document, including overlapping occurrences."""
+    from knowledge_graph_etl_spark.extensions.search import phrase_search
+
+    phrases = [(1, "alpha beta"), (2, "alpha alpha"), (3, "gamma")]
+
+    def py_count(words, text):
+        toks = text.split()
+        k = len(words)
+        return sum(1 for i in range(len(toks) - k + 1) if toks[i : i + k] == words)
+
+    expect = {
+        (q, i): py_count(p.split(), t)
+        for q, p in phrases
+        for i, t in enumerate(corpus)
+        if py_count(p.split(), t) > 0
+    }
+    got = {
+        (r["qid"], int(r["doc_id"])): r["n_occurrences"]
+        for r in phrase_search(_df(spark, corpus), phrases).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus=_corpora,
+    mask_bits=st.integers(min_value=1, max_value=3),
+    mn=st.integers(min_value=1, max_value=4),
+)
+def test_cdc_chunks_min_partition_property(spark, corpus, mask_bits, mn):
+    """For any corpus/params: chunks partition each doc's tokens exactly
+    (no loss, no overlap), every chunk <= max_tokens, every non-final
+    chunk >= min_tokens, indices dense from 0."""
+    from knowledge_graph_etl_spark.extensions.curation import cdc_chunks_min
+
+    mx = max(mn, 5)
+    rows = cdc_chunks_min(
+        _df(spark, corpus), mask_bits=mask_bits, max_tokens=mx, min_tokens=mn
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(corpus):
+        toks = text.split()
+        chunks = sorted(by_doc.get(str(i), []), key=lambda r: r["chunk_idx"])
+        assert sum(c["n_tokens"] for c in chunks) == len(toks)
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_tokens"] <= mx for c in chunks)
+        assert all(c["n_tokens"] >= mn for c in chunks[:-1])
