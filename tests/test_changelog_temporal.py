@@ -1,0 +1,101 @@
+"""Unit tests for the CDC materializations (extensions/changelog.py) and
+the gap-fill + LOCF rollup (extensions/temporal.gapfill_locf) — oracled in
+the driver gate since r06, pinned here on hand-built changelogs covering
+the behavior-rich edges: deletes, out-of-order arrival, re-insert after
+delete, ties, pre-first-observation gaps."""
+
+import pytest
+
+from knowledge_graph_etl_spark.extensions.changelog import (
+    VALID_TO_OPEN,
+    latest_snapshot,
+    scd2_intervals,
+)
+from knowledge_graph_etl_spark.extensions.temporal import gapfill_locf
+
+
+def _log(spark):
+    # (key, ts, val, op) — key 1: two upserts; key 2: upsert then delete;
+    # key 3: upsert, delete, re-insert; rows deliberately out of order
+    rows = [
+        (1, 10, "a1", "upsert"),
+        (2, 10, "b1", "upsert"),
+        (1, 30, "a2", "upsert"),
+        (3, 40, "c2", "upsert"),
+        (2, 20, "b?", "delete"),
+        (3, 10, "c1", "upsert"),
+        (3, 20, "c?", "delete"),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "val", "op"])
+
+
+def test_latest_snapshot_applies_deletes_and_order(spark):
+    out = {
+        r["k"]: (r["ts"], r["val"])
+        for r in latest_snapshot(_log(spark), ["k"], ["ts"]).collect()
+    }
+    # key 1: newest upsert wins; key 2: final op is delete -> gone;
+    # key 3: re-inserted after delete -> present with the newest version
+    assert out == {1: (30, "a2"), 3: (40, "c2")}
+
+
+def test_latest_snapshot_validates_args(spark):
+    with pytest.raises(ValueError):
+        latest_snapshot(_log(spark), [], ["ts"])
+    with pytest.raises(ValueError):
+        latest_snapshot(_log(spark), ["k"], [])
+
+
+def test_scd2_intervals_history(spark):
+    rows = {
+        (r["k"], r["valid_from"]): (r["valid_to"], r["is_current"], r["val"])
+        for r in scd2_intervals(_log(spark), ["k"], "ts").collect()
+    }
+    # key 1: [10,30) closed by the next upsert, [30, open)
+    assert rows[(1, 10)] == (30, False, "a1")
+    assert rows[(1, 30)] == (VALID_TO_OPEN, True, "a2")
+    # key 2: the delete closes the interval; no row for the delete itself
+    assert rows[(2, 10)] == (20, False, "b1")
+    assert (2, 20) not in rows
+    # key 3: upsert closed by delete, re-insert open-ended
+    assert rows[(3, 10)] == (20, False, "c1")
+    assert rows[(3, 40)] == (VALID_TO_OPEN, True, "c2")
+    assert len(rows) == 5
+
+
+def test_scd2_tiebreak_totalizes_equal_timestamps(spark):
+    rows = [
+        (1, 10, 1, "v1", "upsert"),
+        (1, 10, 2, "v2", "upsert"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "val", "op"])
+    out = sorted(
+        scd2_intervals(df, ["k"], "ts", tiebreak_cols=["seq"]).collect(),
+        key=lambda r: r["seq"],
+    )
+    # same-ts versions chain: seq 1 closed AT ts 10 by seq 2, seq 2 open
+    assert (out[0]["valid_to"], out[0]["is_current"]) == (10, False)
+    assert (out[1]["valid_to"], out[1]["is_current"]) == (VALID_TO_OPEN, True)
+
+
+def test_gapfill_locf_grid_and_carry_forward(spark):
+    # key "x": buckets 0 and 30; key "y": only bucket 20 — global grid
+    # spans [0, 30], so x gaps at 10/20 carry 5.0, y gaps before its
+    # first observation take the fill_default
+    rows = [("x", 3, 5.0), ("x", 31, 7.0), ("y", 25, 9.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        (r["k"], r["ts"]): (r["n_events"], r["filled_value"], r["is_gap"])
+        for r in gapfill_locf(df, "k", "ts", "v", bucket_width=10).collect()
+    }
+    assert out[("x", 0)] == (1, 5.0, False)
+    assert out[("x", 10)] == (0, 5.0, True)
+    assert out[("x", 20)] == (0, 5.0, True)
+    assert out[("x", 30)] == (1, 7.0, False)
+    assert out[("y", 0)] == (0, -1.0, True)
+    assert out[("y", 10)] == (0, -1.0, True)
+    assert out[("y", 20)] == (1, 9.0, False)
+    assert out[("y", 30)] == (0, 9.0, True)
+    assert len(out) == 8  # 2 keys x dense 4-bucket grid
+    with pytest.raises(ValueError):
+        gapfill_locf(df, "k", "ts", "v", bucket_width=0)
