@@ -2420,6 +2420,29 @@ def search_rrf_weighted_q(spark, sf_dir):
     return rrf_fuse([lex, sem], k=60, topk=10, weights_ppm=[700_000, 300_000])
 
 
+def corpus_snapshot_diff_q(spark, sf_dir):
+    """Snapshot regression diff between two corpus versions derived
+    deterministically from documents: doc_id%11==0 removed, %7==0 (and
+    not removed) content-changed, %13==0 re-added under shifted ids.
+    One full-outer join on (id, md5(text)) projections
+    (extensions/changelog.snapshot_diff)."""
+    from knowledge_graph_etl_spark.extensions.changelog import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where((F.col("doc_id") % 11) != 0).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.where((F.col("doc_id") % 13) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return snapshot_diff(d, base.unionByName(added))
+
+
 #: the boolean-search query batch — Lucene-lite strings over the synthetic
 #: corpus vocabulary; the oracle mirrors each as DuckDB list/string
 #: predicates (AND, phrase adjacency, OR-group, negation)
@@ -2950,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_steady": dedup_incremental_steady_q,
         "search_boolean": search_boolean_q,
         "search_phrase": search_phrase_q,
+        "corpus_snapshot_diff": corpus_snapshot_diff_q,
         "search_rrf_weighted": search_rrf_weighted_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
@@ -3964,6 +3988,21 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "search_rrf_weighted": _hybrid_rrf_oracle(w_lex=700_000, w_sem=300_000),
         "search_phrase": _phrase_oracle(),
+        "corpus_snapshot_diff": (
+            "WITH nw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' v2' ELSE text END AS text FROM documents "
+            "WHERE doc_id % 11 <> 0 "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 13 = 0), "
+            "o AS (SELECT doc_id AS id, md5(text) AS h FROM documents), "
+            "n AS (SELECT doc_id AS id, md5(text) AS h FROM nw) "
+            "SELECT coalesce(o.id, n.id) AS doc_id, "
+            "CASE WHEN o.h IS NULL THEN 'added' "
+            "WHEN n.h IS NULL THEN 'removed' "
+            "WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status, "
+            "coalesce(o.h, '') AS old_md5, coalesce(n.h, '') AS new_md5 "
+            "FROM o FULL OUTER JOIN n ON o.id = n.id"
+        ),
         "search_boolean": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "p AS (SELECT doc_id, t, "

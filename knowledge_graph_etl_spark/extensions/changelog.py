@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_snapshot", "scd2_intervals", "VALID_TO_OPEN"]
+__all__ = ["latest_snapshot", "scd2_intervals", "snapshot_diff", "VALID_TO_OPEN"]
 
 #: Sentinel for "still current" in :func:`scd2_intervals` — max int64,
 #: used instead of NULL so integer columns stay NULL-free (exact
@@ -104,4 +104,48 @@ def scd2_intervals(
             F.col("valid_to"),
             (F.col("valid_to") == F.lit(VALID_TO_OPEN)).alias("is_current"),
         )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two materialized corpus snapshots — the between-crawl-versions
+    regression primitive for pipelines WITHOUT an op log (the changelog
+    materializations above need one; two parquet snapshots are what teams
+    usually have). Classifies every id as ``added`` (new side only),
+    ``removed`` (old side only), ``changed`` (both sides, content hash
+    differs) or ``unchanged``.
+
+    Returns ``(id_col, status, old_md5, new_md5)`` — absent-side hashes
+    are '' rather than NULL (exact cross-engine comparison; NULL-holed
+    columns degrade through pandas).
+
+    Scale shape: each snapshot is reduced to ``(id, md5(text))`` in its
+    scan projection, then ONE full-outer join on the id — the only
+    shuffle, on a uniform unique key. Two snapshots written bucketed on
+    the id (``layout.write_bucketed``) diff with zero shuffle: the scans
+    are the exchange.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_new")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        status.alias("status"),
+        F.coalesce("_old", F.lit("")).alias("old_md5"),
+        F.coalesce("_new", F.lit("")).alias("new_md5"),
     )

@@ -99,3 +99,23 @@ def test_gapfill_locf_grid_and_carry_forward(spark):
     assert len(out) == 8  # 2 keys x dense 4-bucket grid
     with pytest.raises(ValueError):
         gapfill_locf(df, "k", "ts", "v", bucket_width=0)
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    from knowledge_graph_etl_spark.extensions.changelog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert out[1]["status"] == "unchanged"
+    assert out[2]["status"] == "changed" and out[2]["old_md5"] != out[2]["new_md5"]
+    assert out[3]["status"] == "removed" and out[3]["new_md5"] == ""
+    assert out[4]["status"] == "added" and out[4]["old_md5"] == ""
+    assert len(out) == 4
+    # identical snapshots -> everything unchanged
+    same = snapshot_diff(old, old).collect()
+    assert all(r["status"] == "unchanged" for r in same) and len(same) == 3
