@@ -3464,21 +3464,38 @@ def _simhash_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
     )
 
 
-def _resolve_clusters_oracle(pairs_sql: str) -> str:
-    """Connected components over a near-dup pair query as a DuckDB
-    recursive CTE: symmetrize edges, propagate every reachable label to
-    every node (the recursive UNION dedups, so it terminates), then take
-    MIN per node — exactly resolve_clusters' min-reachable-id semantics.
-    Singletons come from a left join against the full documents table."""
-    return (
-        "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (" + pairs_sql + ")), "
-        "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+def _resolve_clusters_oracle(pairs_sql: str, rounds: int = 10) -> str:
+    """Connected components over a near-dup pair query as UNROLLED
+    hash-min label propagation with pointer jumping (MATERIALIZED CTE per
+    half-round — the kcore-oracle lesson: DuckDB inlines CTEs referenced
+    twice, so an un-materialized unroll explodes combinatorially, and the
+    earlier recursive-UNION form enumerated every (node, reachable label)
+    pair, which is quadratic per dense cluster and infeasible at sf0.1's
+    3.16 M-pair graph). Each round: every node takes the min of its own
+    and its neighbors' labels, then relabels through the label table
+    (pointer jump), so reachable-label distance at least doubles per
+    round — ``rounds``=10 covers any component diameter < 2^10, and extra
+    rounds are no-ops at the fixed point. MIN-reachable-id semantics of
+    resolve_clusters exactly; singletons from a left join against the
+    full documents table."""
+    sql = (
+        "WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM (" + pairs_sql + ")), "
+        "edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs "
         "UNION SELECT id_b, id_a FROM pairs), "
-        "lbl(node, lab) AS ("
-        "SELECT u, u FROM edges "
-        "UNION "
-        "SELECT e.u, l.lab FROM edges e JOIN lbl l ON l.node = e.v), "
-        "comp AS (SELECT node, MIN(lab) AS rep FROM lbl GROUP BY node) "
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM edges)"
+    )
+    for i in range(rounds):
+        sql += (
+            f", p{i} AS MATERIALIZED ("
+            f"SELECT l.node, least(l.lab, coalesce(MIN(l2.lab), l.lab)) AS lab "
+            f"FROM l{i} l LEFT JOIN edges e ON e.u = l.node "
+            f"LEFT JOIN l{i} l2 ON l2.node = e.v GROUP BY l.node, l.lab)"
+            f", l{i + 1} AS MATERIALIZED ("
+            f"SELECT p.node, least(p.lab, coalesce(q.lab, p.lab)) AS lab "
+            f"FROM p{i} p LEFT JOIN p{i} q ON q.node = p.lab)"
+        )
+    return sql + (
+        f", comp AS (SELECT node, lab AS rep FROM l{rounds}) "
         "SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS cluster_rep, "
         "COUNT(*) OVER (PARTITION BY COALESCE(c.rep, d.doc_id)) AS cluster_size "
         "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
