@@ -2420,6 +2420,36 @@ def search_rrf_weighted_q(spark, sf_dir):
     return rrf_fuse([lex, sem], k=60, topk=10, weights_ppm=[700_000, 300_000])
 
 
+def agg_hist_quantiles_q(spark, sf_dir):
+    """Mergeable histogram quantiles (p50/p95/p99 of event value per
+    type, 256 bins over [0, 500)): one map-side-combinable count
+    aggregate regardless of data size — the deterministic,
+    oracle-verifiable stand-in for t-digest/percentile_approx
+    (extensions/stats.histogram_quantiles)."""
+    from knowledge_graph_etl_spark.extensions.stats import histogram_quantiles
+
+    e = _events(spark, sf_dir)
+    return histogram_quantiles(
+        e,
+        "value",
+        lo=0.0,
+        hi=500.0,
+        bins=256,
+        fracs=(0.5, 0.95, 0.99),
+        group_col="event_type",
+    )
+
+
+def skew_report_q(spark, sf_dir):
+    """Shuffle-key skew diagnosis over events.user_id: per-key combiner
+    counts → broadcast totals → distributed sort-limit top-10 with
+    integer-ppm imbalance stats and the suggested salt factor
+    (extensions/skew.skew_report)."""
+    from knowledge_graph_etl_spark.extensions.skew import skew_report
+
+    return skew_report(_events(spark, sf_dir), ["user_id"], top_k=10)
+
+
 def corpus_snapshot_diff_q(spark, sf_dir):
     """Snapshot regression diff between two corpus versions derived
     deterministically from documents: doc_id%11==0 removed, %7==0 (and
@@ -2974,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boolean": search_boolean_q,
         "search_phrase": search_phrase_q,
         "corpus_snapshot_diff": corpus_snapshot_diff_q,
+        "agg_hist_quantiles": agg_hist_quantiles_q,
+        "skew_report": skew_report_q,
         "search_rrf_weighted": search_rrf_weighted_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
@@ -4005,6 +4037,34 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": _hybrid_rrf_oracle(),
         "search_rrf_weighted": _hybrid_rrf_oracle(w_lex=700_000, w_sem=300_000),
         "search_phrase": _phrase_oracle(),
+        "agg_hist_quantiles": (
+            "WITH e AS (SELECT event_type, CAST(greatest(0, least(255, "
+            "floor((value - 0.0) * 256 / 500.0))) AS BIGINT) AS b "
+            "FROM events WHERE value IS NOT NULL), "
+            "h AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2), "
+            "cum AS (SELECT event_type, b, "
+            "SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum, "
+            "SUM(c) OVER (PARTITION BY event_type) AS n FROM h) "
+            "SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_rows, "
+            "MIN(CASE WHEN cum >= ceil(0.5 * n) THEN 0.0 + b * 1.953125 END) AS p0_5, "
+            "MIN(CASE WHEN cum >= ceil(0.95 * n) THEN 0.0 + b * 1.953125 END) AS p0_95, "
+            "MIN(CASE WHEN cum >= ceil(0.99 * n) THEN 0.0 + b * 1.953125 END) AS p0_99 "
+            "FROM cum GROUP BY event_type"
+        ),
+        "skew_report": (
+            "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS key_count "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(key_count) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys FROM c), "
+            "top AS (SELECT c.user_id, c.key_count, t.n_rows, t.n_keys "
+            "FROM c, t ORDER BY key_count DESC, user_id LIMIT 10) "
+            "SELECT CAST(row_number() OVER (ORDER BY key_count DESC, user_id) "
+            "AS BIGINT) AS rank, user_id, key_count, "
+            "CAST(key_count * 1000000 // n_rows AS BIGINT) AS share_ppm, "
+            "CAST(key_count * n_keys * 1000000 // n_rows AS BIGINT) AS skew_ratio_ppm, "
+            "CAST((key_count * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salt, "
+            "n_keys, n_rows FROM top"
+        ),
         "corpus_snapshot_diff": (
             "WITH nw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
             "THEN text || ' v2' ELSE text END AS text FROM documents "

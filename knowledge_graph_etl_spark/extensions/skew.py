@@ -86,3 +86,67 @@ def two_phase_distinct(
     # count(col), not count(*): COUNT(DISTINCT x) ignores NULL x, so the
     # surviving (group, NULL) row must not be counted
     return uniq.groupBy(*groups).agg(F.count(F.col(distinct_col)).alias(out_col))
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the measurement that tells you WHETHER
+    :func:`salted_join` / AQE skew handling is needed, and how big a salt
+    to pick, before burning a cluster run on a skewed shuffle. Per-key
+    row counts → global heavy hitters plus imbalance statistics.
+
+    Returns the ``top_k`` heaviest keys:
+    ``(rank, <key_cols>, key_count, share_ppm, skew_ratio_ppm,
+    suggested_salt, n_keys, n_rows)`` — ``share_ppm`` the key's fraction
+    of all rows, ``skew_ratio_ppm`` its count over the mean per-key count
+    (1e6 = perfectly uniform), ``suggested_salt`` that ratio rounded up
+    (replicating the small side this many times levels the hot key to
+    ~average task size). All ratios are integer ppm (exact cross-engine
+    division). Ties break on the key columns ascending.
+
+    Scale shape: one map-side-combinable count on the key (the same
+    shuffle being diagnosed, but with combiners — per-partition partial
+    counts mean the hot key ships one row per upstream partition, not
+    its full row set), a broadcast 1-row totals aggregate, and a
+    distributed sort-limit (TakeOrdered) for the top-k — no single-task
+    stage anywhere.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("key_count")
+    )
+    totals = counts.agg(
+        F.sum("key_count").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    order = [F.col("key_count").desc()] + [F.col(c).asc() for c in key_cols]
+    top = counts.orderBy(*order).limit(int(top_k))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)  # top_k rows only — the window is tiny
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            *key_cols,
+            "key_count",
+            F.expr("CAST(key_count * 1000000 DIV n_rows AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "CAST(key_count * n_keys * 1000000 DIV n_rows AS BIGINT)"
+            ).alias("skew_ratio_ppm"),
+            F.expr(
+                "CAST((key_count * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
+            ).alias("suggested_salt"),
+            "n_keys",
+            "n_rows",
+        )
+    )

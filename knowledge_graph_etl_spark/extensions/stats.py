@@ -64,6 +64,78 @@ def group_quantiles(
     return ranked.groupBy(group_col).agg(*aggs)
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    fracs: list[float] = (0.5, 0.95, 0.99),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-bin histogram — the MERGEABLE
+    scale path for percentiles. :func:`group_quantiles` is exact but
+    sorts each group in one task; this is a single map-side-combinable
+    count aggregate regardless of data size (the histogram of a 100 TB
+    column is ``bins`` longs per partition, merged associatively), at
+    the cost of quantization: each quantile is the LOWER EDGE of the
+    first bin whose cumulative count reaches ``ceil(p*n)``, so the error
+    is bounded by one bin width ``(hi-lo)/bins``. Unlike t-digest /
+    ``percentile_approx`` the result is DETERMINISTIC and
+    engine-reproducible (bin assignment is a fixed arithmetic
+    expression — the same association order on both engines makes even
+    the float edge cases identical), which is what lets it be
+    oracle-verified exactly.
+
+    Values outside ``[lo, hi)`` clamp into the edge bins (standard
+    histogram-sketch behavior — callers pick bounds from domain
+    knowledge or a prior pass); NULLs are dropped.
+
+    Returns one row (per group if ``group_col``) with ``n_rows`` and one
+    ``p<frac>`` column per fraction, named like :func:`group_quantiles`.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if not fracs:
+        raise ValueError("fracs must be non-empty")
+    if any(not 0.0 < f <= 1.0 for f in fracs):
+        raise ValueError(f"fractions must be in (0, 1], got {fracs}")
+    v = F.col(value_col).cast("double")
+    # identical association order to the DuckDB oracle: ((v-lo)*bins)/(hi-lo)
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(int(bins)) / F.lit(float(hi - lo)))
+    b = F.greatest(F.lit(0), F.least(F.lit(int(bins) - 1), raw)).cast("long")
+    keys = [group_col] if group_col else []
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, b.alias("__b"))
+        .groupBy(*keys, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*keys).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        "__b",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    width = (float(hi) - float(lo)) / int(bins)
+    aggs = [F.min("__n").alias("n_rows")]
+    for f in fracs:
+        target = F.ceil(F.lit(float(f)) * F.col("__n"))
+        name = "p" + str(f).replace(".", "_").rstrip("0").rstrip("_")
+        edge = F.lit(float(lo)) + F.col("__b").cast("double") * F.lit(width)
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= target, edge)).alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,

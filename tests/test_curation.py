@@ -1175,3 +1175,68 @@ def test_blocklist_filter_phrase_mode(spark):
         blocklist_filter(docs, [], mode="phrase")
     with pytest.raises(ValueError):
         blocklist_filter(docs, ["x"], mode="regex")
+
+
+def test_histogram_quantiles_accuracy_and_clamp(spark):
+    """Quantiles land on bin lower edges within one bin width of the
+    exact answer; out-of-range values clamp to edge bins; NULLs drop."""
+    from knowledge_graph_etl_spark.extensions.stats import histogram_quantiles
+
+    vals = [float(i) for i in range(100)]  # 0..99 uniform
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,), (-5.0,), (1000.0,)], ["v"]
+    )
+    r = histogram_quantiles(
+        df, "v", lo=0.0, hi=100.0, bins=100, fracs=(0.5, 0.99)
+    ).collect()[0]
+    assert r["n_rows"] == 102  # clamped rows count, NULL does not
+    # with bin width 1.0 the p50 edge is within 1.0 of the exact median
+    assert abs(r["p0_5"] - 50.0) <= 1.0
+    assert abs(r["p0_99"] - 99.0) <= 2.0  # clamped 1000.0 sits in top bin
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=1.0, hi=1.0)
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=0.0, hi=1.0, bins=0)
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "v", lo=0.0, hi=1.0, fracs=())
+
+
+def test_histogram_quantiles_single_bin_and_groups(spark):
+    from knowledge_graph_etl_spark.extensions.stats import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0)], ["g", "v"]
+    )
+    out = {
+        r["g"]: r
+        for r in histogram_quantiles(
+            df, "v", lo=0.0, hi=10.0, bins=1, fracs=(0.5,), group_col="g"
+        ).collect()
+    }
+    # one bin: every quantile is the lower bound
+    assert out["a"]["p0_5"] == 0.0 and out["a"]["n_rows"] == 2
+    assert out["b"]["p0_5"] == 0.0 and out["b"]["n_rows"] == 1
+
+
+def test_skew_report_stats_and_tiebreak(spark):
+    from knowledge_graph_etl_spark.extensions.skew import skew_report
+
+    # key 1: 6 rows, keys 2 and 3: 2 rows each, key 4: 2 rows -> 12 rows, 4 keys
+    rows = [(1,)] * 6 + [(2,)] * 2 + [(3,)] * 2 + [(4,)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    out = sorted(skew_report(df, ["k"], top_k=3).collect(), key=lambda r: r["rank"])
+    assert [r["k"] for r in out] == [1, 2, 3]  # ties break on key asc
+    top = out[0]
+    assert top["key_count"] == 6 and top["n_rows"] == 12 and top["n_keys"] == 4
+    assert top["share_ppm"] == 6 * 1_000_000 // 12
+    assert top["skew_ratio_ppm"] == 6 * 4 * 1_000_000 // 12  # 2x the mean
+    assert top["suggested_salt"] == 2
+    assert out[1]["skew_ratio_ppm"] == 2 * 4 * 1_000_000 // 12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_report(df, [])
+    with _pytest.raises(ValueError):
+        skew_report(df, ["k"], top_k=0)
