@@ -4046,9 +4046,12 @@ def oracle_sql() -> dict[str, str]:
             "SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum, "
             "SUM(c) OVER (PARTITION BY event_type) AS n FROM h) "
             "SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_rows, "
-            "MIN(CASE WHEN cum >= ceil(0.5 * n) THEN 0.0 + b * 1.953125 END) AS p0_5, "
-            "MIN(CASE WHEN cum >= ceil(0.95 * n) THEN 0.0 + b * 1.953125 END) AS p0_95, "
-            "MIN(CASE WHEN cum >= ceil(0.99 * n) THEN 0.0 + b * 1.953125 END) AS p0_99 "
+            "MIN(CASE WHEN cum >= ceil(0.5 * n) "
+            "THEN 0.0 + b * CAST(1.953125 AS DOUBLE) END) AS p0_5, "
+            "MIN(CASE WHEN cum >= ceil(0.95 * n) "
+            "THEN 0.0 + b * CAST(1.953125 AS DOUBLE) END) AS p0_95, "
+            "MIN(CASE WHEN cum >= ceil(0.99 * n) "
+            "THEN 0.0 + b * CAST(1.953125 AS DOUBLE) END) AS p0_99 "
             "FROM cum GROUP BY event_type"
         ),
         "skew_report": (
