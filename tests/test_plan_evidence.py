@@ -461,3 +461,40 @@ def test_range_search_is_scan_filter_no_window(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_skew_report_uses_distributed_topk(spark):
+    """skew_report's heavy-hitter selection must plan as a distributed
+    TakeOrdered (per-partition top-k then merge), never a global sort;
+    the per-key count must partial-aggregate (combiners) so a hot key
+    ships one row per upstream partition."""
+    from knowledge_graph_etl_spark.extensions.skew import skew_report
+
+    df = spark.range(0, 1000).selectExpr("id % 37 AS k")
+    plan = _plan(skew_report(df, ["k"], top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan.lower(), plan
+    # no global Sort node outside the bounded top-k machinery
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_histogram_quantiles_is_one_combining_aggregate(spark):
+    """The histogram itself must be ONE map-side-combining aggregate on
+    (group, bin) — the property that makes it the 100 TB quantile path;
+    downstream cumulation/selection operate on <= bins rows per group."""
+    import re
+
+    from knowledge_graph_etl_spark.extensions.stats import histogram_quantiles
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 7 AS STRING) AS g", "CAST(id % 100 AS DOUBLE) AS v"
+    )
+    plan = _plan(
+        histogram_quantiles(df, "v", lo=0.0, hi=100.0, bins=50, group_col="g")
+    )
+    assert "partial" in plan.lower(), plan
+    # shuffles: the (g, bin) histogram aggregate + the per-group window/
+    # final agg reusing the g partitioning — never more than 3, and none
+    # proportional to row count (all post-histogram data is bins-bounded)
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert 1 <= len(exchanges) <= 3, plan
