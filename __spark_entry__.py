@@ -2450,6 +2450,32 @@ def skew_report_q(spark, sf_dir):
     return skew_report(_events(spark, sf_dir), ["user_id"], top_k=10)
 
 
+def curation_manifest_q(spark, sf_dir):
+    """Per-document audit manifest (Dolma-attributes shape): blocklist
+    hits (3 longest doc-0 terms, saturated-match block at >= 3, the
+    pipeline-v2 convention), exact-dup representative, hashed quality
+    score, Gopher keep (gopher_quality's relaxed thresholds) — final
+    keep + first-failing-rule reason
+    (extensions/curation.curation_manifest)."""
+    from knowledge_graph_etl_spark.extensions.curation import curation_manifest
+    from knowledge_graph_etl_spark.extensions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    terms = (
+        d.where(F.col("doc_id") == 0)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .orderBy(F.length("term").desc(), F.asc("term"))
+        .limit(3)
+    )
+    return curation_manifest(
+        d,
+        terms=terms,
+        blocklist_min_hits=3,
+        gopher_kwargs={"min_words": 10, "min_stopword_hits": 1},
+    )
+
+
 def corpus_snapshot_diff_q(spark, sf_dir):
     """Snapshot regression diff between two corpus versions derived
     deterministically from documents: doc_id%11==0 removed, %7==0 (and
@@ -3006,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": corpus_snapshot_diff_q,
         "agg_hist_quantiles": agg_hist_quantiles_q,
         "skew_report": skew_report_q,
+        "curation_manifest": curation_manifest_q,
         "search_rrf_weighted": search_rrf_weighted_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
@@ -3613,7 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
-    return {
+    d = {
         "kg_pattern_scan": f"SELECT {cust_s} AS s FROM customer WHERE c_mktsegment = 'BUILDING'",
         "kg_star_join_bind": (
             f"SELECT {org} AS org, c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk "
@@ -4805,3 +4832,40 @@ def oracle_sql() -> dict[str, str]:
             "AS max_abs_err FROM q"
         ),
     }
+    # curation_manifest composes three already-oracled signals as
+    # subqueries of THEIR dict entries — one source of truth per rule set
+    # (gopher entry uses min_words=10/min_stopword_hits=1; the manifest's
+    # Spark side passes the same gopher_kwargs)
+    d["curation_manifest"] = (
+        f"WITH tokm AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "blm AS (SELECT term FROM (SELECT DISTINCT unnest(t) AS term "
+        "FROM tokm WHERE doc_id = 0) ORDER BY length(term) DESC, term LIMIT 3), "
+        "hm AS (SELECT dt.doc_id, COUNT(*) AS n FROM "
+        "(SELECT doc_id, unnest(list_distinct(t)) AS term FROM tokm) dt "
+        "JOIN blm USING (term) GROUP BY 1), "
+        "edm AS (SELECT md5(text) AS m, MIN(doc_id) AS keep_id "
+        "FROM documents GROUP BY 1), "
+        "qcm AS (SELECT doc_id, score_micro, quality_pass FROM ("
+        + d["quality_classifier"]
+        + ")), gqm AS (SELECT doc_id, keep FROM ("
+        + d["gopher_quality"]
+        + ")) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(hm.n, 0) AS BIGINT) AS n_blocklist_hits, "
+        "d.doc_id <> e.keep_id AS is_exact_dup, "
+        "CAST(CASE WHEN d.doc_id <> e.keep_id THEN e.keep_id ELSE -1 END "
+        "AS BIGINT) AS dup_of, "
+        "q.score_micro, q.quality_pass, g.keep AS gopher_pass, "
+        "(coalesce(hm.n, 0) < 3 AND d.doc_id = e.keep_id "
+        "AND q.quality_pass AND g.keep) AS keep, "
+        "CASE WHEN coalesce(hm.n, 0) >= 3 THEN 'blocklist' "
+        "WHEN d.doc_id <> e.keep_id THEN 'exact_dup' "
+        "WHEN NOT q.quality_pass THEN 'quality' "
+        "WHEN NOT g.keep THEN 'gopher' ELSE 'kept' END AS reason "
+        "FROM documents d "
+        "JOIN edm e ON e.m = md5(d.text) "
+        "JOIN qcm q ON q.doc_id = d.doc_id "
+        "JOIN gqm g ON g.doc_id = d.doc_id "
+        "LEFT JOIN hm ON hm.doc_id = d.doc_id"
+    )
+    return d

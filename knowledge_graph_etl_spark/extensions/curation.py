@@ -1835,6 +1835,103 @@ def cdc_chunks(
     )
 
 
+def curation_manifest(
+    docs: DataFrame,
+    terms: DataFrame | list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_threshold_micro: int = 0,
+    blocklist_min_hits: int = 1,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Per-document curation AUDIT manifest — the Dolma-attributes shape:
+    one row per document carrying every cheap filter signal plus the
+    final decision and the FIRST failing rule, so a pipeline can answer
+    "why was this document dropped?" without re-running any stage.
+    Production corpora ship exactly this artifact next to the data
+    (Dolma's attributes files, RefinedWeb's judgment records).
+
+    Signals (all already-oracled operators, composed by id joins):
+    blocklist hits (:func:`blocklist_filter`, skipped when ``terms`` is
+    None), exact-duplicate representative (``dedup.exact_dedup``),
+    hashed quality score (:func:`quality_classifier`), and the Gopher
+    rule conjunction (:func:`gopher_quality_flags`, parameterized by
+    ``gopher_kwargs``). ``keep`` is their conjunction; ``reason`` is the
+    first failure in the fixed precedence blocklist → exact_dup →
+    quality → gopher, else ``'kept'``. ``dup_of`` is −1 for
+    representatives/uniques (never NULL — driver-serializer-safe ints).
+
+    Scale shape: every signal is a per-row map or one uniform-key
+    aggregate; the manifest is their join on the unique document id —
+    4 shuffles total, none proportional to anything but corpus row
+    count, no window over more than one document's data."""
+    from .dedup import exact_dedup
+
+    spine = docs.select(F.col(id_col).alias("__mid"), F.col(text_col).alias("__mtext"))
+    if terms is not None:
+        bl = blocklist_filter(docs, terms, text_col=text_col, id_col=id_col).select(
+            F.col(id_col).alias("__mid"), F.col("n_hits").alias("n_blocklist_hits")
+        )
+    else:
+        bl = spine.select("__mid", F.lit(0).cast("bigint").alias("n_blocklist_hits"))
+    ed = exact_dedup(docs, text_col=text_col, id_col=id_col)
+    dup = (
+        spine.withColumn("__m", F.md5(F.col("__mtext")))
+        .join(ed, F.col("__m") == ed["text_md5"])
+        .select(
+            "__mid",
+            (F.col("__mid") != F.col("keep_id")).alias("is_exact_dup"),
+            F.when(F.col("__mid") != F.col("keep_id"), F.col("keep_id"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("dup_of"),
+        )
+    )
+    qc = quality_classifier(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold_micro=quality_threshold_micro,
+    ).select(
+        F.col(id_col).alias("__mid"), "score_micro", "quality_pass"
+    )
+    gq = gopher_quality_flags(
+        docs, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})
+    ).select(F.col(id_col).alias("__mid"), F.col("keep").alias("gopher_pass"))
+    m = (
+        spine.select("__mid")
+        .join(bl, "__mid")
+        .join(dup, "__mid")
+        .join(qc, "__mid")
+        .join(gq, "__mid")
+    )
+    blocked = F.col("n_blocklist_hits") >= F.lit(int(blocklist_min_hits))
+    keep = (
+        ~blocked
+        & ~F.col("is_exact_dup")
+        & F.col("quality_pass")
+        & F.col("gopher_pass")
+    )
+    reason = (
+        F.when(blocked, F.lit("blocklist"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(~F.col("quality_pass"), F.lit("quality"))
+        .when(~F.col("gopher_pass"), F.lit("gopher"))
+        .otherwise(F.lit("kept"))
+    )
+    return m.select(
+        F.col("__mid").alias(id_col),
+        "n_blocklist_hits",
+        "is_exact_dup",
+        "dup_of",
+        "score_micro",
+        "quality_pass",
+        "gopher_pass",
+        keep.alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def cdc_chunks_min(
     docs: DataFrame,
     text_col: str = "text",

@@ -1240,3 +1240,46 @@ def test_skew_report_stats_and_tiebreak(spark):
         skew_report(df, [])
     with _pytest.raises(ValueError):
         skew_report(df, ["k"], top_k=0)
+
+
+def test_curation_manifest_reasons_and_precedence(spark):
+    """Hand-built corpus hitting every reason; precedence is
+    blocklist > exact_dup > quality > gopher > kept."""
+    from knowledge_graph_etl_spark.extensions.curation import curation_manifest
+
+    good = ("the data and that with have be to of word " * 3).strip()  # passes gopher (relaxed)
+    rows = [
+        (1, good),                      # kept
+        (2, good),                      # exact dup of 1
+        (3, "bad bad bad"),             # blocklist (3 distinct? no...) -> see terms below
+        (4, "tiny"),                    # gopher fail (word count), maybe quality too
+        (5, ""),                        # quality fail (empty -> worst score)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curation_manifest(
+            df,
+            terms=["bad"],
+            blocklist_min_hits=1,
+            quality_threshold_micro=-999_999,  # only empty docs (-1e6) fail
+            gopher_kwargs={"min_words": 5, "min_stopword_hits": 1},
+        ).collect()
+    }
+    assert out[1]["reason"] == "kept" and out[1]["keep"]
+    assert out[2]["reason"] == "exact_dup" and out[2]["dup_of"] == 1
+    assert out[3]["reason"] == "blocklist" and out[3]["n_blocklist_hits"] == 1
+    assert out[4]["reason"] == "gopher" and not out[4]["gopher_pass"]
+    assert out[5]["reason"] == "quality" and out[5]["score_micro"] == -1_000_000
+    assert all(not out[i]["keep"] for i in (2, 3, 4, 5))
+    assert all(out[i]["dup_of"] == -1 for i in (1, 3, 4, 5))
+    # precedence: a blocked doc that is ALSO a dup reports blocklist
+    df2 = spark.createDataFrame([(1, "bad x"), (2, "bad x")], ["doc_id", "text"])
+    out2 = {
+        r["doc_id"]: r["reason"]
+        for r in curation_manifest(df2, terms=["bad"], blocklist_min_hits=1).collect()
+    }
+    assert out2[2] == "blocklist"
+    # no terms -> blocklist signal inert
+    out3 = curation_manifest(df, terms=None).collect()
+    assert all(r["n_blocklist_hits"] == 0 for r in out3)
