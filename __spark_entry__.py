@@ -2891,7 +2891,13 @@ def dedup_incremental_steady_q(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     prefix = "steady_idx_" + _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower().strip("/"))
-    if not spark.catalog.tableExists(prefix + "_bands"):
+    # BOTH halves must exist: a run killed between the two index writes
+    # leaves _bands committed without _sigs, and a bands-only guard would
+    # skip the rebuild forever and fail at spark.table(_sigs)
+    if not (
+        spark.catalog.tableExists(prefix + "_bands")
+        and spark.catalog.tableExists(prefix + "_sigs")
+    ):
         # a managed table's warehouse directory can outlive its metastore
         # entry (fresh session, same warehouse dir) — saveAsTable refuses
         # to create over a leftover location, so clear ours first
@@ -4090,9 +4096,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t ORDER BY key_count DESC, user_id LIMIT 10) "
             "SELECT CAST(row_number() OVER (ORDER BY key_count DESC, user_id) "
             "AS BIGINT) AS rank, user_id, key_count, "
-            "CAST(key_count * 1000000 // n_rows AS BIGINT) AS share_ppm, "
-            "CAST(key_count * n_keys * 1000000 // n_rows AS BIGINT) AS skew_ratio_ppm, "
-            "CAST((key_count * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salt, "
+            "CAST(CAST(key_count AS HUGEINT) * 1000000 // n_rows AS BIGINT) "
+            "AS share_ppm, "
+            "CAST(CAST(key_count AS HUGEINT) * n_keys * 1000000 // n_rows "
+            "AS BIGINT) AS skew_ratio_ppm, "
+            "CAST((CAST(key_count AS HUGEINT) * n_keys + n_rows - 1) // n_rows "
+            "AS BIGINT) AS suggested_salt, "
             "n_keys, n_rows FROM top"
         ),
         "corpus_snapshot_diff": (
@@ -4101,8 +4110,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 11 <> 0 "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents "
             "WHERE doc_id % 13 = 0), "
-            "o AS (SELECT doc_id AS id, md5(text) AS h FROM documents), "
-            "n AS (SELECT doc_id AS id, md5(text) AS h FROM nw) "
+            "o AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h "
+            "FROM documents), "
+            "n AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h FROM nw) "
             "SELECT coalesce(o.id, n.id) AS doc_id, "
             "CASE WHEN o.h IS NULL THEN 'added' "
             "WHEN n.h IS NULL THEN 'removed' "

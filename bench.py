@@ -61,16 +61,13 @@ def main() -> int:
     # sorts first alphabetically in its table's family)
     import glob as _glob
 
+    # raw byte read for every file: a Spark count() is served from the
+    # parquet FOOTER (empty projection, no data pages), so it would warm
+    # nothing — only a full byte read actually pulls contents into cache
     for pq in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        try:
-            spark.read.parquet(pq).count()
-        except Exception:
-            # nanosecond-timestamp tables (events.parquet) need the
-            # legacy read flag the queries set themselves; raw byte touch
-            # is enough to pull the file into page cache
-            with open(pq, "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
+        with open(pq, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     # codegen warm-up for the minhash machinery: the tokenize→32-way-min→
     # band→self-join pipeline compiles ~10 s of whole-stage-codegen classes
     # the first time it runs in a session; without this, whichever dedup-

@@ -122,7 +122,9 @@ def snapshot_diff(
 
     Returns ``(id_col, status, old_md5, new_md5)`` — absent-side hashes
     are '' rather than NULL (exact cross-engine comparison; NULL-holed
-    columns degrade through pandas).
+    columns degrade through pandas). NULL text hashes as the empty
+    string, so a row PRESENT with NULL text is never misread as an
+    absent row ('added'/'removed'); only genuinely one-sided ids get ''.
 
     Scale shape: each snapshot is reduced to ``(id, md5(text))`` in its
     scan projection, then ONE full-outer join on the id — the only
@@ -131,10 +133,12 @@ def snapshot_diff(
     are the exchange.
     """
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_old")
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_old"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_new")
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_new"),
     )
     j = o.join(n, "id", "full_outer")
     status = (

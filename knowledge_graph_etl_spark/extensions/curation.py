@@ -1489,6 +1489,7 @@ def quality_classifier(
     salt: str = "qw",
     weights: DataFrame | None = None,
     default_weight_micro: int = 0,
+    broadcast_weights: bool = True,
 ) -> DataFrame:
     """Linear text classifier in the fastText / DCLM-quality-filter SHAPE:
     hash every word n-gram into a weight, average the weights, threshold.
@@ -1522,9 +1523,13 @@ def quality_classifier(
     shape: explode → broadcast hash join → map-side-combinable sum — ONE
     shuffle on ``id_col``; a fastText bucket table (~2 M rows ≈ tens of
     MB) broadcasts comfortably, and for a vocabulary too large to
-    broadcast the same code minus the hint becomes a shuffle join. The
-    average again runs in offset space (+1e6 per gram) so the
-    cross-engine integer division never sees a negative numerator.
+    broadcast pass ``broadcast_weights=False`` to plan a shuffle join
+    instead. Duplicate terms in the weight table deterministically
+    resolve to their MAX weight (a duplicated term must not fan out the
+    join — it would inflate both the feature count and the sum).
+    ``default_weight_micro`` must stay within [−1e6, 1e6] like every
+    weight: the average again runs in offset space (+1e6 per gram) so
+    the cross-engine integer division never sees a negative numerator.
 
     Returns ``(id_col, n_feats, score_micro, quality_pass)``.
     """
@@ -1533,12 +1538,23 @@ def quality_classifier(
             docs, [F.col(id_col)], text_col, use_bigrams, salt
         )
     else:
+        if not -1_000_000 <= default_weight_micro <= 1_000_000:
+            raise ValueError(
+                "default_weight_micro must be in [-1e6, 1e6] (offset-space "
+                f"exactness contract), got {default_weight_micro}"
+            )
         tks = tokens(F.col(text_col))
         grams = F.concat(tks, zip_kgrams(tks, 2)) if use_bigrams else tks
         ex = docs.select(F.col(id_col).alias("__qid"), F.explode(grams).alias("term"))
-        w = weights.select("term", F.col("weight_micro").cast("bigint").alias("__w"))
+        w = (
+            weights.select("term", F.col("weight_micro").cast("bigint").alias("__w"))
+            .groupBy("term")
+            .agg(F.max("__w").alias("__w"))
+        )
+        if broadcast_weights:
+            w = F.broadcast(w)
         per = (
-            ex.join(F.broadcast(w), "term", "left")
+            ex.join(w, "term", "left")
             .groupBy("__qid")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
@@ -1860,6 +1876,11 @@ def curation_manifest(
     first failure in the fixed precedence blocklist → exact_dup →
     quality → gopher, else ``'kept'``. ``dup_of`` is −1 for
     representatives/uniques (never NULL — driver-serializer-safe ints).
+    NULL text is normalized to '' up front so every document gets a
+    manifest row (a NULL md5 join key would silently drop exactly the
+    degenerate documents the audit exists to explain); NULL-text docs
+    therefore group as exact duplicates of each other and fail the
+    quality rule.
 
     Scale shape: every signal is a per-row map or one uniform-key
     aggregate; the manifest is their join on the unique document id —
@@ -1867,6 +1888,7 @@ def curation_manifest(
     count, no window over more than one document's data."""
     from .dedup import exact_dedup
 
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     spine = docs.select(F.col(id_col).alias("__mid"), F.col(text_col).alias("__mtext"))
     if terms is not None:
         bl = blocklist_filter(docs, terms, text_col=text_col, id_col=id_col).select(

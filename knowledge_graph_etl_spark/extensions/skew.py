@@ -137,14 +137,21 @@ def skew_report(
             "rank",
             *key_cols,
             "key_count",
-            F.expr("CAST(key_count * 1000000 DIV n_rows AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            # decimal(38,0) intermediates: key_count * n_keys * 1e6 in
+            # int64 overflows at ~1e7 rows x 1e6 keys — exactly the scale
+            # this diagnostic targets; the final ratios fit BIGINT
+            # (bounded by n_keys * 1e6)
             F.expr(
-                "CAST(key_count * n_keys * 1000000 DIV n_rows AS BIGINT)"
+                "CAST(CAST(key_count AS DECIMAL(38,0)) * 1000000 "
+                "DIV n_rows AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(key_count AS DECIMAL(38,0)) * n_keys * 1000000 "
+                "DIV n_rows AS BIGINT)"
             ).alias("skew_ratio_ppm"),
             F.expr(
-                "CAST((key_count * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
+                "CAST((CAST(key_count AS DECIMAL(38,0)) * n_keys + n_rows - 1) "
+                "DIV n_rows AS BIGINT)"
             ).alias("suggested_salt"),
             "n_keys",
             "n_rows",

@@ -160,7 +160,10 @@ def wait_until_idle(
     """
     deadline = time.monotonic() + timeout
     while True:
-        body = _get_json(url, timeout=max(poke_interval, 1.0))
+        # per-request timeout is independent of the poll cadence: a
+        # healthy-but-slow service (answering in, say, 8 s) must not
+        # crash a 5 s-cadence sensor that has minutes of budget left
+        body = _get_json(url, timeout=min(30.0, max(timeout, 1.0)))
         if not body.get("job_running"):
             return body
         if time.monotonic() >= deadline:

@@ -119,3 +119,14 @@ def test_snapshot_diff_classifies_all_four(spark):
     # identical snapshots -> everything unchanged
     same = snapshot_diff(old, old).collect()
     assert all(r["status"] == "unchanged" for r in same) and len(same) == 3
+
+
+def test_snapshot_diff_null_text_is_present_not_absent(spark):
+    """Review-pinned: NULL text on a PRESENT row must not read as an
+    added/removed row — it hashes as the empty string."""
+    from knowledge_graph_etl_spark.extensions.changelog import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "x"), (2, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "changed", 2: "unchanged"}

@@ -1283,3 +1283,18 @@ def test_curation_manifest_reasons_and_precedence(spark):
     # no terms -> blocklist signal inert
     out3 = curation_manifest(df, terms=None).collect()
     assert all(r["n_blocklist_hits"] == 0 for r in out3)
+
+
+def test_curation_manifest_null_text_gets_a_row(spark):
+    """Review-pinned: NULL-text documents keep their manifest row
+    (normalized to '' — they group as dups of each other / fail quality)."""
+    from knowledge_graph_etl_spark.extensions.curation import curation_manifest
+
+    df = spark.createDataFrame(
+        [(1, "the data and that with"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation_manifest(df, terms=None).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["reason"] == "exact_dup" and out[3]["dup_of"] == 2
+    assert not out[2]["quality_pass"]

@@ -1011,3 +1011,20 @@ def test_phrase_search_posting_table_is_vocab_filtered(spark):
     )
     pplan = pre._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in pplan, pplan
+
+
+def test_quality_classifier_trained_edge_contracts(spark):
+    """Review-pinned edges: duplicate weight terms resolve to MAX (no
+    join fan-out), out-of-range OOV default rejected, broadcast optional."""
+    from knowledge_graph_etl_spark.extensions.curation import quality_classifier
+
+    w = spark.createDataFrame(
+        [("x", 100_000), ("x", 700_000)], "term string, weight_micro long"
+    )
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    r = quality_classifier(df, weights=w).collect()[0]
+    assert r["n_feats"] == 1 and r["score_micro"] == 700_000
+    with pytest.raises(ValueError):
+        quality_classifier(df, weights=w, default_weight_micro=-2_000_000)
+    r2 = quality_classifier(df, weights=w, broadcast_weights=False).collect()[0]
+    assert (r2["n_feats"], r2["score_micro"]) == (1, 700_000)
