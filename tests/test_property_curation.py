@@ -236,3 +236,94 @@ def test_cdc_chunks_min_partition_property(spark, corpus, mask_bits, mn):
         assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
         assert all(c["n_tokens"] <= mx for c in chunks)
         assert all(c["n_tokens"] >= mn for c in chunks[:-1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    bins=st.integers(min_value=1, max_value=16),
+)
+def test_histogram_quantiles_matches_python_reference(spark, vals, bins):
+    """Exact mirror of the bin/cumulate/select rule in plain Python,
+    including clamping, for arbitrary value sets and bin counts."""
+    from knowledge_graph_etl_spark.extensions.stats import histogram_quantiles
+
+    lo, hi = 0.0, 100.0
+    fracs = (0.5, 0.9)
+
+    import math
+    from collections import Counter
+
+    def bucket(v):
+        return max(0, min(bins - 1, math.floor(((v - lo) * bins) / (hi - lo))))
+
+    cnt = Counter(bucket(v) for v in vals)
+    n = len(vals)
+    width = (hi - lo) / bins
+
+    def quant(f):
+        target = math.ceil(f * n)
+        cum = 0
+        for b in sorted(cnt):
+            cum += cnt[b]
+            if cum >= target:
+                return lo + b * width
+        raise AssertionError
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = histogram_quantiles(df, "v", lo=lo, hi=hi, bins=bins, fracs=fracs).collect()[0]
+    assert r["n_rows"] == n
+    assert r["p0_5"] == quant(0.5) and r["p0_9"] == quant(0.9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=40),
+    top_k=st.integers(min_value=1, max_value=5),
+)
+def test_skew_report_matches_python_reference(spark, keys, top_k):
+    from collections import Counter
+
+    from knowledge_graph_etl_spark.extensions.skew import skew_report
+
+    cnt = Counter(keys)
+    n_rows, n_keys = len(keys), len(cnt)
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(skew_report(df, ["k"], top_k=top_k).collect(), key=lambda r: r["rank"])
+    assert [(r["k"], r["key_count"]) for r in got] == order
+    for r in got:
+        assert r["share_ppm"] == r["key_count"] * 1_000_000 // n_rows
+        assert r["skew_ratio_ppm"] == r["key_count"] * n_keys * 1_000_000 // n_rows
+        assert r["suggested_salt"] == -((-r["key_count"] * n_keys) // n_rows)
+        assert (r["n_keys"], r["n_rows"]) == (n_keys, n_rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    old_texts=st.lists(st.sampled_from(["a", "b", "c", None]), min_size=0, max_size=8),
+    new_texts=st.lists(st.sampled_from(["a", "b", "c", None]), min_size=0, max_size=8),
+)
+def test_snapshot_diff_matches_python_reference(spark, old_texts, new_texts):
+    from knowledge_graph_etl_spark.extensions.changelog import snapshot_diff
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(list(enumerate(old_texts)), schema)
+    new = spark.createDataFrame(list(enumerate(new_texts)), schema)
+    o = {i: (t or "") for i, t in enumerate(old_texts)}
+    nn = {i: (t or "") for i, t in enumerate(new_texts)}
+
+    def status(i):
+        if i not in o:
+            return "added"
+        if i not in nn:
+            return "removed"
+        return "unchanged" if o[i] == nn[i] else "changed"
+
+    expect = {i: status(i) for i in set(o) | set(nn)}
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == expect
