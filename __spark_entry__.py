@@ -2476,6 +2476,45 @@ def curation_manifest_q(spark, sf_dir):
     )
 
 
+#: weights of the stratified-split entry; the oracle accumulates the SAME
+#: python floats (repr-exact literals) so the floor boundaries are
+#: bit-identical — 0.8 + 0.1 is 0.9000000000000001 in IEEE double, and a
+#: hand-written 0.9 literal could floor differently at integer boundaries
+STRAT_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def data_stratified_split_q(spark, sf_dir):
+    """Exact-quota stratified split by language: per-stratum hash-order
+    ranking cut at floor(cum_weight * n) boundaries — every language
+    contributes exactly its proportional share
+    (extensions/curation.stratified_exact_split)."""
+    from knowledge_graph_etl_spark.extensions.curation import stratified_exact_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_split(d, "lang", weights=STRAT_SPLIT_WEIGHTS)
+
+
+def _stratified_split_oracle() -> str:
+    names = list(STRAT_SPLIT_WEIGHTS)
+    case = "CASE"
+    cum = 0.0
+    for name in names[:-1]:
+        cum += STRAT_SPLIT_WEIGHTS[name]
+        case += (
+            f" WHEN stratum_rank <= floor({cum!r} * stratum_n) THEN '{name}'"
+        )
+    case += f" ELSE '{names[-1]}' END AS split"
+    return (
+        "WITH r AS (SELECT doc_id, lang, "
+        "CAST(row_number() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS BIGINT) "
+        "AS stratum_rank, "
+        "CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS stratum_n "
+        "FROM documents) "
+        f"SELECT doc_id, lang, stratum_rank, stratum_n, {case} FROM r"
+    )
+
+
 def corpus_snapshot_diff_q(spark, sf_dir):
     """Snapshot regression diff between two corpus versions derived
     deterministically from documents: doc_id%11==0 removed, %7==0 (and
@@ -3039,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hist_quantiles": agg_hist_quantiles_q,
         "skew_report": skew_report_q,
         "curation_manifest": curation_manifest_q,
+        "data_stratified_split": data_stratified_split_q,
         "search_rrf_weighted": search_rrf_weighted_q,
         # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
         "kg_graph_var": kg_graph_var_q,
@@ -4104,6 +4144,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS suggested_salt, "
             "n_keys, n_rows FROM top"
         ),
+        "data_stratified_split": _stratified_split_oracle(),
         "corpus_snapshot_diff": (
             "WITH nw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
             "THEN text || ' v2' ELSE text END AS text FROM documents "

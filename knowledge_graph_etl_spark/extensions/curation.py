@@ -868,6 +868,58 @@ def assign_split(
     return docs.withColumn("split", expr)
 
 
+def stratified_exact_split(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "strat",
+) -> DataFrame:
+    """Train/val/test assignment with EXACT per-stratum quotas:
+    within every ``group_col`` stratum (language, source, domain), rank
+    documents in the deterministic md5(id:salt) shuffle order and cut at
+    ``floor(cum_weight * n_stratum)`` boundaries — each stratum gets
+    exactly its proportional share (to rounding), unlike
+    :func:`assign_split` whose hash buckets give the proportions only in
+    expectation. This is how balanced eval sets are carved: a 1k-doc
+    language must contribute exactly its quota, not a binomial sample of
+    it. Assignment stays deterministic and engine-reproducible (hash
+    order, never ``rand()``), and the two operators compose — the same
+    document can never migrate across re-runs.
+
+    Returns ``docs`` + ``(split, stratum_rank, stratum_n)``.
+
+    Scale shape: one shuffle on the stratum key; the per-stratum window
+    (rank + count share one partition pass) serializes a single stratum
+    into one task — fine for the many-moderate-strata shape this is for
+    (languages, sources). For a corpus-sized single stratum use
+    :func:`assign_split` (per-row map, exact-in-expectation) or the
+    two-pass range-partitioned ranking of :func:`training_order`."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = docs.withColumn("stratum_rank", F.row_number().over(w)).withColumn(
+        "stratum_n", F.count(F.lit(1)).over(wn)
+    )
+    # integer boundaries: rank <= floor(cum * n) — exact, engine-identical
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        hi = F.floor(F.lit(cum) * F.col("stratum_n"))
+        cond = F.col("stratum_rank") <= hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return ranked.withColumn("split", expr).withColumn(
+        "stratum_rank", F.col("stratum_rank").cast("bigint")
+    ).withColumn("stratum_n", F.col("stratum_n").cast("bigint"))
+
+
 def assign_shards(
     docs: DataFrame, id_col: str = "doc_id", num_shards: int = 64, salt: str = "shard"
 ) -> DataFrame:

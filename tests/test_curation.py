@@ -1298,3 +1298,32 @@ def test_curation_manifest_null_text_gets_a_row(spark):
     assert set(out) == {1, 2, 3}
     assert out[3]["reason"] == "exact_dup" and out[3]["dup_of"] == 2
     assert not out[2]["quality_pass"]
+
+
+def test_stratified_exact_split_quotas(spark):
+    """Every stratum hits its exact floor quotas; assignment is
+    deterministic; bad weights rejected."""
+    from knowledge_graph_etl_spark.extensions.curation import stratified_exact_split
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(130)]  # strata 100 + 30
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = stratified_exact_split(df, "g", weights=w).collect()
+    from collections import Counter
+
+    by = Counter((r["g"], r["split"]) for r in out)
+    assert by[("a", "train")] == 80 and by[("a", "val")] == 10 and by[("a", "test")] == 10
+    # stratum b: floor(.8*30)=24 train, floor(.9*30)=27 -> 3 val, 3 test
+    assert by[("b", "train")] == 24 and by[("b", "val")] == 3 and by[("b", "test")] == 3
+    # deterministic across invocations
+    a1 = {r["doc_id"]: r["split"] for r in out}
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in stratified_exact_split(df, "g", weights=w).collect()
+    }
+    assert a1 == a2
+    # ranks are a permutation of 1..n within each stratum
+    ranks_a = sorted(r["stratum_rank"] for r in out if r["g"] == "a")
+    assert ranks_a == list(range(1, 101))
+    with pytest.raises(ValueError, match="sum to 1"):
+        stratified_exact_split(df, "g", weights={"x": 0.5})
