@@ -1999,6 +1999,120 @@ def ann_knn_graph_q(spark, sf_dir):
     )
 
 
+def ann_beam_topk_q(spark, sf_dir):
+    """HNSW-shaped beam-search probe over the prebuilt k-NN graph
+    (extensions/similarity.beam_search_topk): 8 md5-rank entry points,
+    2 rounds of top-5-beam expansion through ann_knn_graph's k=5
+    adjacency, exact cosine re-scoring of every visited node, final
+    top-10 per query — the graph-traversal ANN path that completes the
+    family beyond IVF/PQ/LSH. Oracle: unrolled-CTE twin (the knn-graph
+    CTEs rebuild the same adjacency, rounds unrolled exactly)."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        beam_search_topk,
+        knn_graph,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    adjacency = knn_graph(emb, k=5, target_cluster_size=64).select(
+        "id", "neighbor_id"
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return beam_search_topk(
+        emb, qs, adjacency, k=10, beam=5, rounds=2, n_entry=8
+    )
+
+
+def contamination_drift_q(spark, sf_dir):
+    """Per-source contamination drift between two crawl snapshots
+    (extensions/curation.contamination_drift): contamination_report
+    (3-grams, every-50th-doc benchmark) on the documents table vs the
+    same derived second crawl corpus_snapshot_diff uses (doc_id%11
+    removed, %7 content-changed, %13 re-added under shifted ids),
+    full-outer joined on source with integer-ppm deltas and a rising
+    flag — the between-crawls eval-decontamination regression check."""
+    from knowledge_graph_etl_spark.extensions.curation import contamination_drift
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text", "source")
+    base = old.where((F.col("doc_id") % 11) != 0).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    added = old.where((F.col("doc_id") % 13) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text", "source"
+    )
+    bench = old.where((F.col("doc_id") % 50) == 0)
+    return contamination_drift(
+        old, base.unionByName(added), bench, n=3, group_col="source"
+    )
+
+
+def _contam_gram_ctes(sfx: str, corpus: str) -> str:
+    """3-gram extraction CTE chain (tok/g/dg) over a corpus CTE — the
+    shared prefix of both snapshots' contamination passes."""
+    return (
+        f"tok{sfx} AS (SELECT doc_id, {_TOKS} AS t FROM {corpus}), "
+        f"g{sfx} AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "
+        "list_transform(generate_series(1, len(t) - 2), "
+        "i -> array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END) "
+        f"AS grams FROM tok{sfx}), "
+        f"dg{sfx} AS (SELECT doc_id, unnest(grams) AS gram FROM g{sfx})"
+    )
+
+
+def _contam_rate_ctes(sfx: str, corpus: str) -> str:
+    """Per-source hit-count + ppm-rate CTE chain (h/f/r) against the
+    shared benchmark-gram set ``bg``."""
+    return (
+        f"h{sfx} AS (SELECT dg{sfx}.doc_id, COUNT(*) AS n_hits "
+        f"FROM dg{sfx} JOIN bg USING (gram) GROUP BY dg{sfx}.doc_id), "
+        f"f{sfx} AS (SELECT d.doc_id, d.source, "
+        f"coalesce(h{sfx}.n_hits, 0) AS n_hits "
+        f"FROM {corpus} d LEFT JOIN h{sfx} ON d.doc_id = h{sfx}.doc_id), "
+        f"r{sfx} AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST((1000000 * SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)) "
+        "// COUNT(*) AS BIGINT) AS rate_ppm "
+        f"FROM f{sfx} GROUP BY source)"
+    )
+
+
+def _contam_drift_oracle() -> str:
+    """SQL twin of contamination_drift_q: the same derived second crawl
+    as corpus_snapshot_diff, benchmark grams from the OLD snapshot's
+    every-50th doc, contamination_report's ppm arithmetic on both sides,
+    full-outer joined on source."""
+    return (
+        "WITH oldc AS MATERIALIZED (SELECT doc_id, text, source FROM documents), "
+        "newc AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        "THEN text || ' v2' ELSE text END AS text, source "
+        "FROM documents WHERE doc_id % 11 <> 0 "
+        "UNION ALL SELECT doc_id + 1000000, text, source "
+        "FROM documents WHERE doc_id % 13 = 0), "
+        + _contam_gram_ctes("o", "oldc") + ", "
+        "bg AS MATERIALIZED (SELECT DISTINCT gram FROM dgo "
+        "WHERE doc_id % 50 = 0), "
+        + _contam_rate_ctes("o", "oldc") + ", "
+        + _contam_gram_ctes("nw", "newc") + ", "
+        + _contam_rate_ctes("nw", "newc") + " "
+        "SELECT COALESCE(ro.source, rnw.source) AS source, "
+        "COALESCE(ro.n_docs, 0) AS old_n_docs, "
+        "COALESCE(rnw.n_docs, 0) AS new_n_docs, "
+        "COALESCE(ro.rate_ppm, 0) AS old_rate_ppm, "
+        "COALESCE(rnw.rate_ppm, 0) AS new_rate_ppm, "
+        "CAST(COALESCE(rnw.rate_ppm, 0) - COALESCE(ro.rate_ppm, 0) "
+        "AS BIGINT) AS delta_ppm, "
+        "(COALESCE(rnw.rate_ppm, 0) > COALESCE(ro.rate_ppm, 0)) AS rising "
+        "FROM ro FULL OUTER JOIN rnw ON ro.source = rnw.source"
+    )
+
+
 def graph_closeness_q(spark, sf_dir):
     """Bounded-depth (2-hop) closeness centrality in integer micro-units
     (extensions/graph.closeness) over the sampled part–supplier bipartite
@@ -2075,10 +2189,12 @@ def _verify_lev_oracle() -> str:
     )
 
 
-_KNN_GRAPH_ORACLE = (
+#: shared CTE body of the k-NN-graph oracle — also the adjacency-building
+#: prefix of the beam-search oracle (ann_beam_topk probes the SAME graph)
+_KNN_GRAPH_CTES = (
     # nlist re-derived from COUNT(*) by the same max(16, ceil(N/64)) rule
     # the operator defaults to — the auto-sizing is inside the oracle
-    "WITH n AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 64.0) AS INT)) "
+    "n AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 64.0) AS INT)) "
     "AS nlist FROM embeddings), "
     "cents AS (SELECT embedding AS cent, "
     "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
@@ -2093,12 +2209,66 @@ _KNN_GRAPH_ORACLE = (
     "s AS (SELECT a.id AS id, b.id AS neighbor_id, "
     "round(list_cosine_similarity(CAST(a.vec AS DOUBLE[]), "
     "CAST(b.vec AS DOUBLE[])), 6) AS cosine_sim "
-    "FROM ca a JOIN ca b ON a.list_id = b.list_id AND a.id <> b.id) "
+    "FROM ca a JOIN ca b ON a.list_id = b.list_id AND a.id <> b.id)"
+)
+
+_KNN_GRAPH_ORACLE = (
+    "WITH " + _KNN_GRAPH_CTES + " "
     "SELECT id, neighbor_id, cosine_sim, "
     "CAST(row_number() OVER (PARTITION BY id "
     "ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank "
     "FROM s QUALIFY rank <= 5"
 )
+
+
+def _beam_round_ctes(r: int, beam: int) -> str:
+    """One unrolled beam-search round: top-``beam`` of the visited set →
+    expand through adj → anti-join already-visited → exact re-score."""
+    p, c = r - 1, r
+    return (
+        f"b{p} AS MATERIALIZED (SELECT query_id, cand_id FROM "
+        f"(SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY sim DESC, cand_id) AS rn FROM v{p}) WHERE rn <= {beam}), "
+        f"n{c} AS (SELECT DISTINCT b.query_id, a.neighbor_id AS cand_id "
+        f"FROM b{p} b JOIN adj a ON a.id = b.cand_id "
+        f"WHERE a.neighbor_id <> b.query_id), "
+        f"n{c}f AS (SELECT n{c}.* FROM n{c} ANTI JOIN v{p} "
+        f"ON v{p}.query_id = n{c}.query_id AND v{p}.cand_id = n{c}.cand_id), "
+        f"v{c} AS MATERIALIZED (SELECT * FROM v{p} UNION ALL "
+        f"SELECT f.query_id, f.cand_id, "
+        f"round(list_cosine_similarity(q.qv, c.cv), 6) AS sim "
+        f"FROM n{c}f f JOIN q ON q.query_id = f.query_id "
+        f"JOIN emb2 c ON c.cand_id = f.cand_id)"
+    )
+
+
+def _beam_oracle(k: int = 10, beam: int = 5, rounds: int = 2, n_entry: int = 8) -> str:
+    """SQL twin of ann_beam_topk_q: the knn-graph CTEs build the SAME
+    k=5 adjacency, entry points are the same md5-rank sample, and each
+    round is unrolled exactly as similarity.beam_search_topk iterates."""
+    rounds_sql = ", ".join(_beam_round_ctes(r, beam) for r in range(1, rounds + 1))
+    return (
+        "WITH " + _KNN_GRAPH_CTES + ", "
+        "adj AS MATERIALIZED (SELECT id, neighbor_id FROM "
+        "(SELECT id, neighbor_id, row_number() OVER (PARTITION BY id "
+        "ORDER BY cosine_sim DESC, neighbor_id) AS rk FROM s) WHERE rk <= 5), "
+        "q AS MATERIALIZED (SELECT vec_id AS query_id, "
+        "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), "
+        "emb2 AS MATERIALIZED (SELECT vec_id AS cand_id, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+        "entry AS (SELECT vec_id AS cand_id FROM embeddings "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) "
+        f"LIMIT {n_entry}), "
+        "v0 AS MATERIALIZED (SELECT q.query_id, en.cand_id, "
+        "round(list_cosine_similarity(q.qv, c.cv), 6) AS sim "
+        "FROM q CROSS JOIN entry en JOIN emb2 c ON c.cand_id = en.cand_id "
+        "WHERE en.cand_id <> q.query_id), "
+        + rounds_sql + " "
+        "SELECT query_id, cand_id AS neighbor_id, sim AS cosine_sim, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, cand_id) AS BIGINT) AS rank "
+        f"FROM v{rounds} QUALIFY rank <= {k}"
+    )
 
 
 _CLOSENESS_ORACLE = (
@@ -2912,24 +3082,38 @@ def dedup_incremental_q(spark, sf_dir):
     )
 
 
-def dedup_incremental_steady_q(spark, sf_dir):
-    """STEADY-STATE admission control: same batch/corpus split and
-    parameters as dedup_incremental, but probing a PREBUILT bucketed
-    corpus index (extensions/dedup.build_dedup_index +
-    incremental_dedup_steady). The index is built once per sf_dir (managed
-    tables in the session warehouse) and reused by every later call — so
-    a first run pays the one-time corpus indexing and subsequent runs
-    measure the true steady state: only batch-sized data is hashed and
-    shuffled; the corpus side is a bucketed scan with no Exchange."""
+#: steady-state index parameters, defined ONCE so the table prefix and
+#: both build/probe calls cannot drift apart
+_STEADY_PARAMS = {"num_hashes": 32, "bands": 8, "hash_fn": "md5"}
+#: bump when the index SCHEMA or build code changes incompatibly — part
+#: of the table-name fingerprint, so an index built by an older revision
+#: (or with different constants) is never silently probed
+_STEADY_SCHEMA_V = 1
+
+
+def _steady_prefix(sf_dir: str) -> str:
+    """Fingerprinted table prefix: sf_dir slug + schema version + hash
+    params, so a params/code change rebuilds instead of reusing a stale
+    but identically-named index."""
     import re as _re
 
-    from knowledge_graph_etl_spark.extensions.dedup import (
-        build_dedup_index,
-        incremental_dedup_steady,
+    slug = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower().strip("/"))
+    p = _STEADY_PARAMS
+    return (
+        f"steady_idx_v{_STEADY_SCHEMA_V}_{p['hash_fn']}"
+        f"_h{p['num_hashes']}_b{p['bands']}_{slug}"
     )
 
-    d = _t(spark, sf_dir, "documents")
-    prefix = "steady_idx_" + _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower().strip("/"))
+
+def ensure_steady_index(spark, sf_dir: str) -> str:
+    """Build the steady-state dedup corpus index iff absent; returns the
+    table prefix. Split out of dedup_incremental_steady_q so bench.py can
+    run the one-time corpus indexing as an UNTIMED setup phase — the
+    timed entry then measures the probe (the operator's whole point),
+    not the rebuild."""
+    from knowledge_graph_etl_spark.extensions.dedup import build_dedup_index
+
+    prefix = _steady_prefix(sf_dir)
     # BOTH halves must exist: a run killed between the two index writes
     # leaves _bands committed without _sigs, and a bands-only guard would
     # skip the rebuild forever and fail at spark.table(_sigs)
@@ -2946,20 +3130,34 @@ def dedup_incremental_steady_q(spark, sf_dir):
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         for suffix in ("_bands", "_sigs"):
             _shutil.rmtree(_os.path.join(wh, prefix + suffix), ignore_errors=True)
+        d = _t(spark, sf_dir, "documents")
         build_dedup_index(
-            d.where((F.col("doc_id") % 10) != 0),
-            prefix,
-            num_hashes=32,
-            bands=8,
-            hash_fn="md5",
+            d.where((F.col("doc_id") % 10) != 0), prefix, **_STEADY_PARAMS
         )
+    return prefix
+
+
+def dedup_incremental_steady_q(spark, sf_dir):
+    """STEADY-STATE admission control: same batch/corpus split and
+    parameters as dedup_incremental, but probing a PREBUILT bucketed
+    corpus index (extensions/dedup.build_dedup_index +
+    incremental_dedup_steady). The index is built once per sf_dir+params
+    fingerprint (managed tables in the session warehouse, see
+    ensure_steady_index) and reused by every later call — so a first run
+    pays the one-time corpus indexing and subsequent runs measure the
+    true steady state: only batch-sized data is hashed and shuffled; the
+    corpus side is a bucketed scan with no Exchange. bench.py runs
+    ensure_steady_index in its untimed setup, so the benched number IS
+    the probe."""
+    from knowledge_graph_etl_spark.extensions.dedup import incremental_dedup_steady
+
+    d = _t(spark, sf_dir, "documents")
+    prefix = ensure_steady_index(spark, sf_dir)
     out = incremental_dedup_steady(
         d.where((F.col("doc_id") % 10) == 0),
         prefix,
-        num_hashes=32,
-        bands=8,
         threshold=0.5,
-        hash_fn="md5",
+        **_STEADY_PARAMS,
     )
     return out.select(
         "doc_id",
@@ -3063,65 +3261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r07 front = the r04-block tail (kg_graph_var..streaming_anomaly) whose
-    newest driver row is r04 — 3 rounds stale, oldest in the registry —
-    then the r05-green block as far as the window reaches. New r07 entries
-    are inserted at the very front as they land. Back = the r06-checked
-    window (dedup_lines..kg_select_builtins)."""
+    r08 front = new r08 entries, then the r05-stale block
+    (multi_join_revenue_by_nation..kg_pattern_scan) whose newest driver
+    rows are r05 — 3 rounds stale, oldest in the registry — then the
+    r06-checked block as far as the window reaches. Back = the
+    r07-checked window (quality_classifier_trained..join_topn_revenue)."""
     return {
-        # --- new this round (r07) ---
-        "quality_classifier_trained": quality_classifier_trained_q,
-        "dedup_incremental_steady": dedup_incremental_steady_q,
-        "search_boolean": search_boolean_q,
-        "search_phrase": search_phrase_q,
-        "corpus_snapshot_diff": corpus_snapshot_diff_q,
-        "agg_hist_quantiles": agg_hist_quantiles_q,
-        "skew_report": skew_report_q,
-        "curation_manifest": curation_manifest_q,
-        "data_stratified_split": data_stratified_split_q,
-        "search_rrf_weighted": search_rrf_weighted_q,
-        # --- r04-block tail: oldest driver rows (r04), leads the r07 window ---
-        "kg_graph_var": kg_graph_var_q,
-        "kg_arithmetic": kg_arithmetic_q,
-        "events_pivot": events_pivot_q,
-        "events_unpivot": events_unpivot_q,
-        "sketch_kmv_distinct": sketch_kmv_distinct_q,
-        "multimodal_resize": multimodal_resize_q,
-        "streaming_curate": streaming_curate_q,
-        "doc_chunking": doc_chunking_q,
-        "streaming_interval_join": streaming_interval_join_q,
-        "streaming_enrich": streaming_enrich_q,
-        "kg_service_federation": kg_service_federation_q,
-        "dedup_substring": dedup_substring_q,
-        "bigram_lm_score": bigram_lm_score_q,
-        "bloom_decontaminate": bloom_decontaminate_q,
-        "cms_ngram_topk": cms_ngram_topk_q,
-        "graph_triangles": graph_triangles_q,
-        "graph_ppr": graph_ppr_q,
-        "graph_communities": graph_communities_q,
-        "corpus_report": corpus_report_q,
-        "streaming_anomaly": streaming_anomaly_q,
-        # --- r05-green block (driver rows from r05, next-oldest) ---
-        "graph_kcore": graph_kcore_q,
-        "graph_betweenness": graph_betweenness_q,
-        "dedup_suffix_prefix": dedup_suffix_prefix_q,
-        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
-        "contamination_report": contamination_report_q,
-        "kg_optional": kg_optional,
-        "kg_exists_semijoin": kg_exists_semijoin,
-        "kg_construct": kg_construct,
-        "kg_direct_mapping": kg_direct_mapping,
-        "kg_functions": kg_functions,
-        "kg_dedup_union": kg_dedup_union,
-        "kg_dataset_union": kg_dataset_union,
-        "kg_sparql_update": kg_sparql_update,
-        "kg_select": kg_select,
-        "kg_sparql_delete": kg_sparql_delete,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "streaming_dedup": streaming_dedup,
-        "streaming_sessionize": streaming_sessionize,
-        "agg_pricing_summary": agg_pricing_summary,
-        "join_topn_revenue": join_topn_revenue,
+        # --- new this round (r08) ---
+        "ann_beam_topk": ann_beam_topk_q,
+        "contamination_drift": contamination_drift_q,
+        # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
         "window_topk_per_user": window_topk_per_user,
@@ -3150,7 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact_q,
         "data_split_shard": data_split_shard_q,
         "kg_pattern_scan": kg_pattern_scan,
-        # --- r06-checked window (driver rows from r06, newest — rotated back) ---
+        # --- r06-checked block (driver rows from r06, next-oldest) ---
         "dedup_lines": dedup_lines_q,
         "text_features": text_features_q,
         "quality_classifier": quality_classifier_q,
@@ -3206,6 +3355,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
+        # --- r07-checked window (driver rows from r07, newest — rotated back) ---
+        "quality_classifier_trained": quality_classifier_trained_q,
+        "dedup_incremental_steady": dedup_incremental_steady_q,
+        "search_boolean": search_boolean_q,
+        "search_phrase": search_phrase_q,
+        "corpus_snapshot_diff": corpus_snapshot_diff_q,
+        "agg_hist_quantiles": agg_hist_quantiles_q,
+        "skew_report": skew_report_q,
+        "curation_manifest": curation_manifest_q,
+        "data_stratified_split": data_stratified_split_q,
+        "search_rrf_weighted": search_rrf_weighted_q,
+        "kg_graph_var": kg_graph_var_q,
+        "kg_arithmetic": kg_arithmetic_q,
+        "events_pivot": events_pivot_q,
+        "events_unpivot": events_unpivot_q,
+        "sketch_kmv_distinct": sketch_kmv_distinct_q,
+        "multimodal_resize": multimodal_resize_q,
+        "streaming_curate": streaming_curate_q,
+        "doc_chunking": doc_chunking_q,
+        "streaming_interval_join": streaming_interval_join_q,
+        "streaming_enrich": streaming_enrich_q,
+        "kg_service_federation": kg_service_federation_q,
+        "dedup_substring": dedup_substring_q,
+        "bigram_lm_score": bigram_lm_score_q,
+        "bloom_decontaminate": bloom_decontaminate_q,
+        "cms_ngram_topk": cms_ngram_topk_q,
+        "graph_triangles": graph_triangles_q,
+        "graph_ppr": graph_ppr_q,
+        "graph_communities": graph_communities_q,
+        "corpus_report": corpus_report_q,
+        "streaming_anomaly": streaming_anomaly_q,
+        "graph_kcore": graph_kcore_q,
+        "graph_betweenness": graph_betweenness_q,
+        "dedup_suffix_prefix": dedup_suffix_prefix_q,
+        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
+        "contamination_report": contamination_report_q,
+        "kg_optional": kg_optional,
+        "kg_exists_semijoin": kg_exists_semijoin,
+        "kg_construct": kg_construct,
+        "kg_direct_mapping": kg_direct_mapping,
+        "kg_functions": kg_functions,
+        "kg_dedup_union": kg_dedup_union,
+        "kg_dataset_union": kg_dataset_union,
+        "kg_sparql_update": kg_sparql_update,
+        "kg_select": kg_select,
+        "kg_sparql_delete": kg_sparql_delete,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_dedup": streaming_dedup,
+        "streaming_sessionize": streaming_sessionize,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_topn_revenue": join_topn_revenue,
     }
 
 
@@ -3222,10 +3422,50 @@ def tokenize_bpe_q(spark, sf_dir):
     return bpe_encode(d, merges).select("doc_id", "n_bpe_tokens")
 
 
+def kg_pipeline_full_q(spark, sf_dir):
+    """The reference pipeline's FULL DAG lifecycle as one timed entry
+    (mappings/pipeline.run_pipeline over the reference's 13 .sparql
+    mapping files + the fixture sources, reference
+    load_knowledge_graph.py:269-545): CLEAR staging → JSON→triples load
+    → 13 mapping updates → provenance → DROP staging → store optimize;
+    returns the organizations graph. Bench-only: the lifecycle is
+    side-effecting (store writes), so there is no single-SELECT oracle —
+    semantics are pytest-pinned quad-by-quad in tests/test_pipeline.py;
+    this entry regression-guards the end-to-end COST (BASELINE.md's r02
+    101.5 s figure predates four rounds of engine changes)."""
+    import shutil
+    import tempfile
+
+    from knowledge_graph_etl_spark.engine import Engine
+    from knowledge_graph_etl_spark.mappings import fixture_documents, run_pipeline
+
+    sparql_dir = "/root/reference/airflow_files/dags/sparql"
+    if not os.path.isdir(sparql_dir):
+        raise RuntimeError(f"reference sparql dir not available: {sparql_dir}")
+    store_path = tempfile.mkdtemp(prefix="kg_pipeline_full_")
+    eng = Engine(spark, store_path=store_path)
+    run_pipeline(
+        eng,
+        fixture_documents(),
+        sparql_dir,
+        run_id="bench-run",
+        ts="2024-01-01T00:00:00+00:00",
+        env="qas",
+        optimize=True,
+    )
+    out = eng.store.graph(
+        "https://data.hetarchief.be/graph/organizations"
+    ).localCheckpoint(eager=True)  # detach from the store files...
+    shutil.rmtree(store_path, ignore_errors=True)  # ...so cleanup is safe
+    return out
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Throughput-only entries with no DuckDB-expressible oracle: the
-    xxhash64 scale-path variants (DuckDB has no xxhash64) and the BPE
-    tokenizer (iterative merge application is not SQL). Excluded from
+    xxhash64 scale-path variants (DuckDB has no xxhash64), the BPE
+    tokenizer (iterative merge application is not SQL), and the full
+    reference-pipeline lifecycle (side-effecting store writes; semantics
+    pytest-pinned in tests/test_pipeline.py). Excluded from
     queries() so the driver's correctness gate records zero `err` rows,
     benched by bench.py alongside the registry. Correctness: the hash
     variants are covered by their exact-oracled md5-path twins
@@ -3238,6 +3478,7 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_x64": dedup_minhash_lsh_x64_q,
         "dedup_simhash_x64": dedup_simhash_x64_q,
         "tokenize_bpe": tokenize_bpe_q,
+        "kg_pipeline_full": kg_pipeline_full_q,
     }
 
 
@@ -4451,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_distinct": _hll_oracle(p=6),
         "dedup_verify_lev": _verify_lev_oracle(),
         "ann_knn_graph": _KNN_GRAPH_ORACLE,
+        "ann_beam_topk": _beam_oracle(k=10, beam=5, rounds=2, n_entry=8),
         "graph_closeness": _CLOSENESS_ORACLE,
         "data_token_budget": _TOKEN_BUDGET_ORACLE_TMPL.format(toks=_TOKS),
         "data_curriculum": _CURRICULUM_ORACLE,
@@ -4459,6 +4701,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
         "curation_pipeline_v2": _pipeline_v2_oracle(),
+        "contamination_drift": _contam_drift_oracle(),
         "contamination_report": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
             "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3 THEN "

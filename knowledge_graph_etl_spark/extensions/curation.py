@@ -1582,6 +1582,11 @@ def quality_classifier(
     ``default_weight_micro`` must stay within [−1e6, 1e6] like every
     weight: the average again runs in offset space (+1e6 per gram) so
     the cross-engine integer division never sees a negative numerator.
+    Weights in the TABLE are clamped to that range (greatest/least —
+    cheap per-row expressions; a distributed table can't be validated
+    like the scalar default, and an unclamped out-of-range negative
+    would make Spark's truncating ``div`` and DuckDB's flooring ``//``
+    silently diverge).
 
     Returns ``(id_col, n_feats, score_micro, quality_pass)``.
     """
@@ -1598,8 +1603,22 @@ def quality_classifier(
         tks = tokens(F.col(text_col))
         grams = F.concat(tks, zip_kgrams(tks, 2)) if use_bigrams else tks
         ex = docs.select(F.col(id_col).alias("__qid"), F.explode(grams).alias("term"))
+        # clamp to the documented [-1e6, 1e6] contract: a distributed
+        # weights table can't be validated like the scalar default, and
+        # an out-of-range negative weight would push the offset-space sum
+        # negative — where Spark div (truncate toward zero) and DuckDB //
+        # (floor) silently diverge
         w = (
-            weights.select("term", F.col("weight_micro").cast("bigint").alias("__w"))
+            weights.select(
+                "term",
+                F.greatest(
+                    F.lit(-1_000_000).cast("bigint"),
+                    F.least(
+                        F.lit(1_000_000).cast("bigint"),
+                        F.col("weight_micro").cast("bigint"),
+                    ),
+                ).alias("__w"),
+            )
             .groupBy("term")
             .agg(F.max("__w").alias("__w"))
         )
@@ -2045,9 +2064,12 @@ def cdc_chunks_min(
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     mask = (1 << int(mask_bits)) - 1
+    # NULL text coalesces to '' (empty token array → no chunks), matching
+    # cdc_chunks's silent drop of NULL-text docs — without this, a NULL
+    # array arrives in the Arrow scan as None and len(toks) raises
     prep = docs.select(
         F.col(id_col).alias("id"),
-        tokens(F.col(text_col)).alias("toks"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
     ).withColumn(
         "cuts",
         F.transform(
@@ -2127,4 +2149,57 @@ def cdc_dedup_stats(
         F.expr("CAST(1000000 * unique_tokens div n_tokens AS BIGINT)").alias(
             "dedup_ratio_ppm"
         ),
+    )
+
+
+def contamination_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source contamination DRIFT between two crawl snapshots — the
+    between-versions regression check an eval-decontamination pipeline
+    runs on every new crawl: compute :func:`contamination_report` against
+    the same benchmark on both snapshots and flag sources whose
+    benchmark-overlap rate is rising. Returns ``(group_col, old_n_docs,
+    new_n_docs, old_rate_ppm, new_rate_ppm, delta_ppm, rising)`` with
+    absent-side counts/rates coalesced to 0 (a source present in only one
+    snapshot still reports) and ``rising = new_rate > old_rate``.
+
+    Scale shape: two independent contamination_report passes (benchmark
+    grams broadcast, corpus never shuffles, one map-side-combinable agg
+    per pass) followed by a full-outer join on the source key — the
+    source dimension is tiny (one row per crawl source), so the final
+    join is a broadcast no-op at any corpus size."""
+    ro = contamination_report(
+        old_docs, benchmark, n=n, text_col=text_col,
+        id_col=id_col, group_col=group_col,
+    ).select(
+        F.col(group_col).alias("_g_old"),
+        F.col("n_docs").alias("old_n_docs"),
+        F.col("rate_ppm").alias("old_rate_ppm"),
+    )
+    rn = contamination_report(
+        new_docs, benchmark, n=n, text_col=text_col,
+        id_col=id_col, group_col=group_col,
+    ).select(
+        F.col(group_col).alias("_g_new"),
+        F.col("n_docs").alias("new_n_docs"),
+        F.col("rate_ppm").alias("new_rate_ppm"),
+    )
+    j = ro.join(rn, ro["_g_old"] == rn["_g_new"], "full_outer")
+    old_rate = F.coalesce("old_rate_ppm", F.lit(0).cast("bigint"))
+    new_rate = F.coalesce("new_rate_ppm", F.lit(0).cast("bigint"))
+    return j.select(
+        F.coalesce("_g_old", "_g_new").alias(group_col),
+        F.coalesce("old_n_docs", F.lit(0).cast("bigint")).alias("old_n_docs"),
+        F.coalesce("new_n_docs", F.lit(0).cast("bigint")).alias("new_n_docs"),
+        old_rate.alias("old_rate_ppm"),
+        new_rate.alias("new_rate_ppm"),
+        (new_rate - old_rate).cast("bigint").alias("delta_ppm"),
+        (new_rate > old_rate).alias("rising"),
     )

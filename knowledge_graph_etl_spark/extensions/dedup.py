@@ -464,7 +464,9 @@ def build_dedup_index(
     write, and every subsequent batch admission shuffles only batch-sized
     data — the bucketed scan IS the corpus side's exchange, so the probe
     join plans with no Exchange over the corpus index (plan-pinned in
-    tests/test_plan_evidence.py). After admitting a batch, append its
+    tests/test_selection_linkpred.py::
+    test_incremental_steady_corpus_side_is_bucketed_scan). After
+    admitting a batch, append its
     band/sig rows to these tables (saveAsTable append preserves the
     bucket spec) so the index tracks the corpus."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:

@@ -312,7 +312,16 @@ def phrase_search(
     alignments, and overlapping occurrences each count.
 
     Returns ``(qid, doc_id, n_occurrences)`` — one row per document
-    containing the phrase at least once."""
+    containing the phrase at least once.
+
+    Caveats of the posting-table ``localCheckpoint`` (deliberate trade):
+    its RDD stays registered for the SESSION lifetime — a caller issuing
+    many phrase batches in one long-lived session should clear residue
+    between batches (``for r in sc._jsc.getPersistentRDDs().values():
+    r.unpersist()``, as bench.py does); and checkpoint blocks are not
+    recomputable on executor loss (executor-local storage, no lineage) —
+    acceptable for an interactive/batch query, use ``persist()`` +
+    re-derivation in a long-running service."""
     if not phrases:
         raise ValueError("phrase_search needs at least one phrase")
     parsed = []

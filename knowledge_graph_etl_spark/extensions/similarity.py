@@ -980,3 +980,117 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("bigint"))
     )
+
+
+def beam_search_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    adjacency: DataFrame,
+    k: int = 10,
+    beam: int = 5,
+    rounds: int = 2,
+    n_entry: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Greedy best-first (beam) probe over a prebuilt k-NN graph — the
+    HNSW-shaped traversal that completes the ANN family beyond IVF/PQ:
+    instead of scanning IVF lists, each query starts from ``n_entry``
+    deterministic entry points (smallest ``md5(id)``, the same
+    pseudo-random rank :func:`sample_centroids` uses) and for ``rounds``
+    iterations expands the current top-``beam`` candidates through the
+    graph's out-edges, exactly re-scoring every newly visited node
+    against the query. Returns ``(query_id, neighbor_id, cosine_sim,
+    rank)`` — the top-``k`` of ALL visited nodes; the query's own id is
+    never a candidate.
+
+    Scale shape: the corpus is touched only by id-equi-joins on the
+    visited set, which is |Q|·(n_entry + rounds·beam·degree) rows —
+    bounded and tiny relative to the corpus, so an adjacency table
+    bucketed on ``id`` (``layout.write_bucketed``) makes every expansion
+    a shuffle-free bucket probe. The query side broadcasts; no GEMM, no
+    full-corpus scoring pass — per-query cost is O(visited·dim), the
+    whole point of graph ANN at 100 TB. Exactly oracle-able: fixed
+    rounds, deterministic entry points, 6-dp rounded cosine, ties broken
+    on neighbor id (unrolled-CTE SQL twin, like the graph family).
+    """
+    if min(k, beam, rounds, n_entry) < 1:
+        raise ValueError("k, beam, rounds, n_entry must all be >= 1")
+    cand = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnrm"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
+    )
+    # one materialization; every round's expansion re-reads it locally
+    adj = adjacency.select("id", "neighbor_id").localCheckpoint(eager=True)
+    entry = (
+        corpus.select(
+            F.col(id_col).cast("string").alias("cid"),
+            F.col(id_col).alias("cand_id"),
+        )
+        .withColumn("rk", F.md5("cid"))
+        .orderBy("rk", "cid")
+        .limit(n_entry)
+        .select("cand_id")
+    )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(cand, "cand_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                F.round(
+                    _dot(F.col("cvec"), F.col("qvec"))
+                    / (F.col("cnrm") * F.col("qnrm")),
+                    6,
+                ).alias("sim"),
+            )
+        )
+
+    seeds = (
+        q.select("query_id")
+        .crossJoin(F.broadcast(entry))
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    visited = _score(seeds).localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    for _ in range(rounds):
+        beam_df = (
+            visited.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= beam)
+            .select("query_id", "cand_id")
+        )
+        new_pairs = (
+            beam_df.join(adj, beam_df["cand_id"] == adj["id"])
+            .select("query_id", F.col("neighbor_id").alias("cand_id"))
+            .where(F.col("cand_id") != F.col("query_id"))
+            .distinct()
+            .join(
+                visited.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+        )
+        # beam + anti-join both re-read `visited`; the checkpoint keeps
+        # each round's plan a flat local scan instead of 3^rounds lineage
+        visited = visited.unionByName(_score(new_pairs)).localCheckpoint(
+            eager=True
+        )
+    return (
+        visited.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("sim").alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -1327,3 +1327,44 @@ def test_stratified_exact_split_quotas(spark):
     assert ranks_a == list(range(1, 101))
     with pytest.raises(ValueError, match="sum to 1"):
         stratified_exact_split(df, "g", weights={"x": 0.5})
+
+
+def test_contamination_drift_rates_and_sides(spark):
+    """Hand-checked drift: source A's rate rises 500000→1000000 ppm,
+    source B exists only in the old snapshot (absent side coalesced to
+    0), source C only in the new one (rising from nothing)."""
+    from knowledge_graph_etl_spark.extensions.curation import contamination_drift
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta secret eval gamma", "A"),
+            (2, "plain text nothing here", "A"),
+            (3, "other words entirely", "B"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "secret eval question inside", "A"),
+            (12, "eval question also here", "A"),
+            (31, "secret eval now in c", "C"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "secret eval question")], ["doc_id", "text"]
+    )
+    rows = {
+        r["source"]: r
+        for r in contamination_drift(old, new, bench, n=2).collect()
+    }
+    a, b, c = rows["A"], rows["B"], rows["C"]
+    assert (a["old_n_docs"], a["new_n_docs"]) == (2, 2)
+    assert (a["old_rate_ppm"], a["new_rate_ppm"]) == (500000, 1000000)
+    assert a["delta_ppm"] == 500000 and a["rising"]
+    assert (b["old_n_docs"], b["new_n_docs"]) == (1, 0)
+    assert (b["old_rate_ppm"], b["new_rate_ppm"], b["delta_ppm"]) == (0, 0, 0)
+    assert not b["rising"]
+    assert (c["old_n_docs"], c["new_n_docs"]) == (0, 1)
+    assert c["new_rate_ppm"] == 1000000 and c["delta_ppm"] == 1000000
+    assert c["rising"]

@@ -99,6 +99,18 @@ def test_quality_classifier_trained_weights(spark):
     }
     assert got2[2] == -300_000
     assert got2[1] == 100_000  # fully in-vocabulary doc unaffected
+    # out-of-contract weights CLAMP to [-1e6, 1e6] instead of silently
+    # breaking offset-space exactness (advice r07): -5e6 behaves as -1e6,
+    # +9e6 as +1e6
+    w_oob = spark.createDataFrame(
+        [("good", 9_000_000), ("bad", -5_000_000), ("good bad", 100_000)],
+        "term string, weight_micro long",
+    )
+    got3 = {
+        r["doc_id"]: r["score_micro"]
+        for r in quality_classifier(df, weights=w_oob).collect()
+    }
+    assert got3[1] == (1_000_000 - 1_000_000 + 100_000) // 3
 
 
 def test_quality_classifier_trained_broadcasts_weights(spark):
@@ -553,9 +565,11 @@ def test_cdc_chunks_min_parity_without_min(spark):
         cdc_chunks_min,
     )
 
+    # doc 5's NULL text must behave as the window form does (silently
+    # dropped), not crash the Arrow scan (advice r07)
     df = spark.createDataFrame(
-        [(1, _CDC_TEXT), (2, "short doc"), (3, ""), (4, "one")],
-        ["doc_id", "text"],
+        [(1, _CDC_TEXT), (2, "short doc"), (3, ""), (4, "one"), (5, None)],
+        "doc_id bigint, text string",
     )
     key = lambda r: (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_md5"])  # noqa: E731
     win = sorted(map(key, cdc_chunks(df, mask_bits=4, max_tokens=64).collect()))
@@ -960,6 +974,72 @@ def test_append_to_dedup_index_grows_corpus(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_grow_bands")
         spark.sql("DROP TABLE IF EXISTS t_grow_sigs")
+
+
+def test_steady_admission_multi_batch_cycle(spark):
+    """The full steady-state admission CYCLE over two batches: probe →
+    filter to admitted → append_to_dedup_index → probe the next batch.
+    Batch-2 rejections must include batch-1 ADMITS (the index tracks the
+    corpus, dedup.py append contract), corpus dups must still reject,
+    index row growth must equal the admitted count, and the appended
+    tables must keep their bucket spec (probe plan still bucket-pruned)."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup_steady,
+    )
+
+    c1 = "alpha beta gamma delta epsilon zeta eta theta"
+    c2 = "one two three four five six seven eight"
+    n1 = "spark engine shuffles partitions across executors tonight"
+    n2 = "ducks swim quietly under the old stone bridge"
+    n3 = "fresh novel content nobody has ever indexed before"
+    corpus = spark.createDataFrame(
+        [(1, c1), (2, c2)], ["doc_id", "text"]
+    )
+    spark.sql("DROP TABLE IF EXISTS t_cycle_bands")
+    spark.sql("DROP TABLE IF EXISTS t_cycle_sigs")
+    try:
+        build_dedup_index(corpus, "t_cycle", num_buckets=4)
+        b1 = spark.createDataFrame(
+            [(10, c1), (11, n1), (12, n2)], ["doc_id", "text"]
+        )
+        r1 = {r["doc_id"]: r for r in
+              incremental_dedup_steady(b1, "t_cycle", threshold=0.5).collect()}
+        assert not r1[10]["admitted"] and r1[10]["dup_of"] == 1
+        assert r1[11]["admitted"] and r1[12]["admitted"]
+        admitted_ids = [i for i, r in r1.items() if r["admitted"]]
+        sigs_before = spark.table("t_cycle_sigs").count()
+        append_to_dedup_index(
+            b1.where(F.col("doc_id").isin(admitted_ids)), "t_cycle",
+            num_buckets=4,
+        )
+        # index grew by exactly the admitted rows
+        assert spark.table("t_cycle_sigs").count() == sigs_before + 2
+        b2 = spark.createDataFrame(
+            [(20, n1), (21, c2), (22, n3)], ["doc_id", "text"]
+        )
+        r2 = {r["doc_id"]: r for r in
+              incremental_dedup_steady(b2, "t_cycle", threshold=0.5).collect()}
+        # batch-2 rejection against a batch-1 ADMIT — the cycle's point
+        assert not r2[20]["admitted"] and r2[20]["dup_of"] == 11
+        # corpus dups still reject after the append
+        assert not r2[21]["admitted"] and r2[21]["dup_of"] == 2
+        assert r2[22]["admitted"]
+        # bucket spec survived the append: probe still bucket-pruned
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                incremental_dedup_steady(b2, "t_cycle", threshold=0.5)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SelectedBucketsCount" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cycle_bands")
+        spark.sql("DROP TABLE IF EXISTS t_cycle_sigs")
 
 
 def test_phrase_search_occurrences_and_overlap(spark):

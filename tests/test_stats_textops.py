@@ -388,3 +388,104 @@ def test_bpe_encode_roundtrip_and_invariants(spark):
         assert len(toks) <= len(text.replace(" ", ""))
     # 'the' occurs 4x -> trained into a single token (marker-suffixed)
     assert "the" + _EOW in out[1]["bpe_tokens"]
+
+
+def test_beam_search_equals_bruteforce_with_full_reach(spark):
+    """With every node an entry point, one round of beam search has
+    visited the whole corpus — the result must equal brute-force cosine
+    top-k (self excluded), ranks tie-broken on neighbor id."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        beam_search_topk,
+        knn_graph,
+    )
+
+    vecs = {
+        0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0],
+        3: [0.1, 0.9], 4: [0.7, 0.7], 5: [-1.0, 0.2],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    adj = knn_graph(df, k=2, nlist=1).select("id", "neighbor_id")
+    qs = df.where("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = beam_search_topk(
+        df, qs, adj, k=3, beam=2, rounds=1, n_entry=len(vecs)
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in out.collect()
+    }
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for qi in (0, 1):
+        ranked = sorted(
+            ((cos(vecs[qi], vecs[j]), j) for j in vecs if j != qi),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank in (1, 2, 3):
+            sim, j = ranked[rank - 1]
+            assert got[(qi, rank)] == (j, sim)
+
+
+def test_beam_search_expands_beyond_entry_points(spark):
+    """n_entry=1 with a star adjacency from the (md5-computed) single
+    entry point: the traversal must reach nodes NOT in the entry set —
+    the expansion through graph edges is what's under test."""
+    import hashlib
+
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import beam_search_topk
+
+    vecs = {i: [float(np.cos(i)), float(np.sin(i))] for i in range(6)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    entry = min(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), str(i)))
+    # star: the entry point links to every other node
+    adj = spark.createDataFrame(
+        [(entry, j) for j in vecs if j != entry], "id bigint, neighbor_id bigint"
+    )
+    qs = df.where("vec_id = 3").selectExpr("vec_id AS query_id", "embedding")
+    out = beam_search_topk(df, qs, adj, k=5, beam=1, rounds=1, n_entry=1)
+    rows = out.collect()
+    # all 5 non-query nodes visited (entry + its 4-or-5 star neighbors)
+    got_ids = {r["neighbor_id"] for r in rows}
+    assert got_ids == {j for j in vecs if j != 3}
+    # ranks follow exact cosine order
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    ranked = sorted(
+        ((cos(vecs[3], vecs[j]), j) for j in vecs if j != 3),
+        key=lambda t: (-t[0], t[1]),
+    )
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in by_rank] == [j for _, j in ranked]
+
+
+def test_beam_search_param_validation(spark):
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import beam_search_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    adj = spark.createDataFrame([], "id bigint, neighbor_id bigint")
+    qs = df.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError):
+        beam_search_topk(df, qs, adj, k=0)
+    with pytest.raises(ValueError):
+        beam_search_topk(df, qs, adj, rounds=0)
