@@ -633,6 +633,39 @@ def ann_pq_topk_q(spark, sf_dir):
     return pq_topk(emb, queries, m=8, ksub=16, k=10)
 
 
+def ann_ivfpq_topk_q(spark, sf_dir):
+    """Combined IVF-PQ probe (similarity.ivfpq_topk, FAISS IVF16,PQ8
+    shape): one Arrow pass routes every corpus vector to its IVF list
+    AND PQ-encodes it; queries probe their 4 nearest of 16 lists and
+    ADC-score only the codes found there (integer 1e-4 partials). The
+    oracle re-derives IVF assignment, PQ codes, probed lists, LUT
+    partials, and ranking — both parents' oracles composed."""
+    from knowledge_graph_etl_spark.extensions.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, qs, k=10, m=8, ksub=16, nlist=16, nprobe=4)
+
+
+def embed_decontaminate_q(spark, sf_dir):
+    """Embedding-space decontamination (similarity.embedding_decontaminate):
+    every 50th embedding stands in for the eval benchmark (mirroring
+    contamination_report's convention); one broadcast-GEMM corpus scan
+    flags vectors within cosine 0.3 of any benchmark vector, with the
+    nearest benchmark id. Benchmark rows flag themselves at cosine 1.0
+    — the deterministic self-match, kept in (and mirrored by) the
+    oracle."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where((F.col("vec_id") % 50) == 0)
+    return embedding_decontaminate(emb, bench, threshold=0.3)
+
+
 def semantic_dedup_q(spark, sf_dir):
     """SemDeDup over the embeddings table (similarity.semantic_dedup):
     md5-ranked centroids → broadcast-GEMM assignment → cluster-local
@@ -3270,6 +3303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
         "contamination_drift": contamination_drift_q,
+        "ann_ivfpq_topk": ann_ivfpq_topk_q,
+        "embed_decontaminate": embed_decontaminate_q,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -4937,6 +4972,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(list_inner_product(q.qv[(a.j*8+1):(a.j*8+8)], "
             "c.cent[(a.j*8+1):(a.j*8+8)]) * 10000 + 0.5) AS BIGINT) AS p "
             "FROM asg a JOIN cents c ON c.code_id = a.code_id CROSS JOIN q), "
+            "sc AS (SELECT query_id, neighbor_id, SUM(p) AS score_q "
+            "FROM part GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, CAST(score_q AS BIGINT) AS score_q, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY score_q DESC, neighbor_id) AS INTEGER) AS rank "
+            "FROM sc QUALIFY rank <= 10"
+        ),
+        "embed_decontaminate": (
+            "WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv "
+            "FROM embeddings WHERE vec_id % 50 = 0), "
+            "s AS (SELECT e.vec_id, b.bid, "
+            "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv), 6) AS cs, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv), 6) "
+            "DESC, b.bid) AS rn FROM embeddings e CROSS JOIN b) "
+            "SELECT vec_id, cs AS max_cos, bid AS nearest_bench_id, "
+            "cs >= 0.3 AS contaminated FROM s WHERE rn = 1"
+        ),
+        "ann_ivfpq_topk": (
+            # IVF-PQ composed from both parents' oracles: ONE md5-ranked
+            # 16-row sample serves as IVF centroids AND PQ codebook rows
+            # (nlist = ksub = 16 — the same deterministic sample by
+            # construction); corpus rows score only against queries
+            # probing their list
+            "WITH cents AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS cent, "
+            "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+            "CAST(vec_id AS VARCHAR)) - 1 AS cid FROM embeddings "
+            "QUALIFY cid < 16), "
+            "subs AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j), "
+            "ca AS MATERIALIZED (SELECT vec_id, cid AS list_id FROM ("
+            "SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            "ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "c.cent), 6) DESC, c.cid) AS rn FROM embeddings e CROSS JOIN cents c) "
+            "WHERE rn = 1), "
+            "enc AS (SELECT e.vec_id, s.j, c.cid AS code_id, "
+            "row_number() OVER (PARTITION BY e.vec_id, s.j ORDER BY round("
+            "list_inner_product(CAST(e.embedding AS DOUBLE[])[(s.j*8+1):(s.j*8+8)], "
+            "CAST(e.embedding AS DOUBLE[])[(s.j*8+1):(s.j*8+8)]) "
+            "- 2 * list_inner_product(CAST(e.embedding AS DOUBLE[])[(s.j*8+1):(s.j*8+8)], "
+            "c.cent[(s.j*8+1):(s.j*8+8)]) "
+            "+ list_inner_product(c.cent[(s.j*8+1):(s.j*8+8)], "
+            "c.cent[(s.j*8+1):(s.j*8+8)]), 6) ASC, c.cid) AS rn "
+            "FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c), "
+            "asg AS MATERIALIZED (SELECT vec_id, j, code_id FROM enc WHERE rn = 1), "
+            "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "qp AS (SELECT query_id, cid AS list_id FROM ("
+            "SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY round(list_cosine_similarity(q.qv, c.cent), 6) DESC, c.cid) "
+            "AS rn FROM q CROSS JOIN cents c) WHERE rn <= 4), "
+            "part AS (SELECT q.query_id, a.vec_id AS neighbor_id, "
+            "CAST(floor(list_inner_product(q.qv[(a.j*8+1):(a.j*8+8)], "
+            "c.cent[(a.j*8+1):(a.j*8+8)]) * 10000 + 0.5) AS BIGINT) AS p "
+            "FROM asg a JOIN ca ON ca.vec_id = a.vec_id "
+            "JOIN qp ON qp.list_id = ca.list_id "
+            "JOIN q ON q.query_id = qp.query_id "
+            "JOIN cents c ON c.cid = a.code_id), "
             "sc AS (SELECT query_id, neighbor_id, SUM(p) AS score_q "
             "FROM part GROUP BY 1, 2) "
             "SELECT query_id, neighbor_id, CAST(score_q AS BIGINT) AS score_q, "

@@ -1094,3 +1094,179 @@ def beam_search_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the combined coarse-quantize + ADC
+    shape production ANN indexes (FAISS ``IVFx,PQy``) actually run at
+    corpus scale: vectors are routed to ``nlist`` IVF lists AND
+    compressed to ``m`` PQ codes in ONE Arrow pass; a query probes only
+    its ``nprobe`` nearest lists and ADC-scores the codes found there.
+    Returns ``(query_id, neighbor_id, score_q, rank)`` with ``score_q``
+    the 1e-4-quantized integer approximate inner product, exactly as
+    :func:`pq_topk`.
+
+    Scale shape — the multiplicative win over either half alone: PQ
+    shrinks every candidate to m ints (the corpus never moves its float
+    vectors), IVF shrinks the candidate SET to ~``nprobe/nlist`` of the
+    corpus. The corpus side is one scan carrying ``(id, list_id, m
+    codes)``; queries broadcast with their LUTs exploded per probed
+    list, so the probe is a broadcast-hash join on ``list_id`` — no
+    corpus shuffle, no per-pair O(dim) work. Integer partials keep the
+    ADC sum order-independent (bit-reproducible cross-engine); exactly
+    oracle-able like both parents (same md5-ranked sample for IVF
+    centroids and PQ codebooks, same argmin-L2² assignment, same
+    round-6 tie-breaks)."""
+    if min(k, m, ksub, nlist, nprobe) < 1 or nprobe > nlist:
+        raise ValueError(
+            f"need k,m,ksub,nlist,nprobe >= 1 and nprobe <= nlist, got "
+            f"k={k} m={m} ksub={ksub} nlist={nlist} nprobe={nprobe}"
+        )
+    cent_rows = sorted(
+        sample_centroids(corpus, nlist, id_col, vec_col).collect(),
+        key=lambda r: r["list_id"],
+    )
+    codebooks = pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    sub = len(codebooks[0][0])
+    nearest1 = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
+    enc = _pq_encode_udf(corpus, codebooks)
+    # ONE corpus pass: IVF route + PQ encode together
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(nearest1(F.col(vec_col)), 1).alias("list_id"),
+        enc(F.col(vec_col)).alias("codes"),
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.floor(
+                        _dot(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                        )
+                        * F.lit(10000.0)
+                        + F.lit(0.5)
+                    ).cast("long")
+                    for c in range(ksub)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    probes = _nearest_lists_udf(queries, cent_rows, vec_col, nprobe)
+    q = queries.select(
+        F.col(query_id_col),
+        lut.alias("lut"),
+        F.explode(probes(F.col(vec_col))).alias("list_id"),
+    )
+    scored = coded.join(F.broadcast(q), "list_id").select(
+        F.col(query_id_col),
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "score_q", "rank")
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram :func:`curation.decontaminate`: flag every corpus document
+    whose embedding lies within cosine ``threshold`` of ANY benchmark
+    embedding (paraphrased eval leakage that token overlap misses).
+    Returns ``(id_col, max_cos, nearest_bench_id, contaminated)`` —
+    ``max_cos`` is the 6-dp rounded best benchmark similarity,
+    ``nearest_bench_id`` the benchmark row achieving it (ties toward the
+    lower benchmark id), ``contaminated = max_cos >= threshold``.
+
+    Scale shape: the benchmark set is small by definition (an eval
+    suite), so its matrix broadcasts and the corpus is ONE Arrow-batched
+    scan — a single GEMM per batch against the (bench × dim) matrix, no
+    shuffle, no pairs materialized. Per-row cost is O(bench·dim)
+    regardless of corpus size; the same posture as
+    :func:`_nearest_lists_udf` assignment. Exactly oracle-able (round-6
+    + stable ties, as the whole ANN family)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    rows = sorted(
+        benchmark.select(
+            F.col(bench_id_col).alias("bid"), F.col(vec_col).alias("bv")
+        ).collect(),
+        key=lambda r: r["bid"],
+    )
+    if not rows:
+        raise ValueError("embedding_decontaminate: empty benchmark")
+    bid_type = benchmark.select(F.col(bench_id_col)).schema[0].dataType
+    B = np.asarray([list(r["bv"]) for r in rows], dtype=np.float64)
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+    bids = [r["bid"] for r in rows]
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((Bn, bids))
+    out_t = StructType(
+        [
+            StructField("max_cos", DoubleType()),
+            StructField("nearest_bench_id", bid_type),
+            StructField("contaminated", BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def score(vecs: pd.Series) -> pd.DataFrame:
+        Bm, ids = bc.value
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if V.size == 0:
+            return pd.DataFrame(
+                {"max_cos": [], "nearest_bench_id": [], "contaminated": []}
+            )
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = np.round(Vn @ Bm.T, 6)
+        # stable argsort: ties break toward the lower bench id (ids sorted)
+        best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        mc = sims[np.arange(len(V)), best]
+        return pd.DataFrame(
+            {
+                "max_cos": mc,
+                "nearest_bench_id": [ids[i] for i in best],
+                "contaminated": mc >= threshold,
+            }
+        )
+
+    s = score(F.col(vec_col)).alias("s")
+    return corpus.select(F.col(id_col), s).select(
+        id_col, "s.max_cos", "s.nearest_bench_id", "s.contaminated"
+    )

@@ -489,3 +489,103 @@ def test_beam_search_param_validation(spark):
         beam_search_topk(df, qs, adj, k=0)
     with pytest.raises(ValueError):
         beam_search_topk(df, qs, adj, rounds=0)
+
+
+def test_ivfpq_equals_pq_when_probing_all_lists(spark):
+    """nprobe = nlist probes every list, so IVF-PQ must reproduce plain
+    PQ/ADC bit-for-bit (same codebooks, codes, LUT partials, ranking)."""
+    from knowledge_graph_etl_spark.extensions.similarity import ivfpq_topk, pq_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).round(3).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["score_q"])  # noqa: E731
+    full = sorted(map(key, pq_topk(df, qs, m=4, ksub=8, k=5).collect()))
+    ivf = sorted(
+        map(
+            key,
+            ivfpq_topk(
+                df, qs, k=5, m=4, ksub=8, nlist=4, nprobe=4
+            ).collect(),
+        )
+    )
+    assert ivf == full and len(ivf) == 15
+
+
+def test_ivfpq_probe_is_broadcast_join_and_subset(spark):
+    """nprobe < nlist: the probe joins corpus codes to a BROADCAST query
+    side (no corpus shuffle), and every returned neighbor lies in one of
+    the query's probed lists."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import ivfpq_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).round(3).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    out = ivfpq_topk(df, qs, k=50, m=4, ksub=8, nlist=6, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rows_out = out.collect()
+    assert rows_out
+    # fewer candidates than the corpus: probing 2/6 lists prunes
+    per_q = {}
+    for r in rows_out:
+        per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert all(len(v) < 60 for v in per_q.values())
+
+
+def test_ivfpq_param_validation(spark):
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import ivfpq_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    qs = df.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError):
+        ivfpq_topk(df, qs, nprobe=8, nlist=4)
+    with pytest.raises(ValueError):
+        ivfpq_topk(df, qs, k=0)
+
+
+def test_embedding_decontaminate_known_vectors(spark):
+    """Hand-checked semantic decontamination: exact cosines, self-match
+    at 1.0, nearest-benchmark tie toward the lower bench id, empty
+    benchmark rejected."""
+    import numpy as np
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # benchmark row: self-match 1.0
+            (1, [0.0, 1.0]),   # orthogonal to bid 0, aligned with bid 10
+            (2, [1.0, 1.0]),   # cos 0.707107 to both -> tie -> bid 0
+            (3, [-1.0, 0.0]),  # cos -1 / 0 -> max 0.0 with bid 10
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["max_cos"], r["nearest_bench_id"], r["contaminated"])
+        for r in embedding_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert got[0] == (1.0, 0, True)
+    assert got[1] == (1.0, 10, True)
+    c = round(float(1 / np.sqrt(2)), 6)
+    assert got[2] == (c, 0, False)  # tie at 0.707107 -> lower bench id
+    assert got[3] == (0.0, 10, False)
+    with pytest.raises(ValueError):
+        embedding_decontaminate(corpus, bench.where("vec_id < 0"))
