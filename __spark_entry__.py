@@ -732,6 +732,36 @@ def ann_ivf_query_q(spark, sf_dir):
     return ivf_query(idx, queries, k=10, nprobe=4)
 
 
+def ann_ivf_append_q(spark, sf_dir):
+    """IVF admission cycle (similarity.ivf_append): the index is BUILT on
+    90% of the corpus (centroid geometry frozen there), the remaining
+    10% batch is ADMITTED by assigning to the existing centroids and
+    appending into the same list_id-partitioned parquet, and the probe
+    then reads old and new rows alike through the static partition
+    filter — the ANN twin of the steady-state dedup admission cycle.
+    Oracle: the one-shot IVF oracle with centroids drawn from the build
+    subset only."""
+    import tempfile
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_append_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_build(emb.where((F.col("vec_id") % 10) != 0), nlist=16, path=path)
+    idx = ivf_append(spark, path, emb.where((F.col("vec_id") % 10) == 0))
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_query(idx, qs, k=10, nprobe=4)
+
+
 def ann_neardup_lsh_q(spark, sf_dir):
     # LSH-prefiltered near-dup: linear candidate generation + exact
     # rescoring; by construction a subset of ann_embedding_neardup
@@ -3305,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
         "embed_decontaminate": embed_decontaminate_q,
+        "ann_ivf_append": ann_ivf_append_q,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -3883,7 +3914,13 @@ def _resolve_clusters_oracle(pairs_sql: str, rounds: int = 10) -> str:
     )
 
 
-def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
+def _ivf_oracle(
+    nlist: int = 16, nprobe: int = 4, k: int = 10, cent_where: str = ""
+) -> str:
+    """``cent_where``: optional WHERE clause on the centroid SOURCE rows —
+    the append-cycle oracle draws centroids from the build subset only
+    (index geometry frozen at build time) while assignment and probe run
+    over the full corpus."""
     cos = (
         "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
         "CAST({b} AS DOUBLE[])), 6)"
@@ -3891,7 +3928,8 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
     return (
         "WITH cents AS (SELECT embedding AS cent, "
         "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
-        f"CAST(vec_id AS VARCHAR)) - 1 AS list_id FROM embeddings QUALIFY list_id < {nlist}), "
+        f"CAST(vec_id AS VARCHAR)) - 1 AS list_id FROM embeddings {cent_where} "
+        f"QUALIFY list_id < {nlist}), "
         "asg AS (SELECT c.vec_id AS neighbor_id, c.embedding AS cvec, t.list_id, "
         "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
         + cos.format(a="c.embedding", b="t.cent")
@@ -4235,6 +4273,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(max_hamming=3, blocks=4),
         "ann_ivf_topk": _ivf_oracle(nlist=16, nprobe=4, k=10),
         "ann_ivf_query": _ivf_oracle(nlist=16, nprobe=4, k=10),
+        "ann_ivf_append": _ivf_oracle(
+            nlist=16, nprobe=4, k=10, cent_where="WHERE vec_id % 10 <> 0"
+        ),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
         "ann_neardup_lsh": _ann_neardup_lsh_oracle(),
         # skew entries: the oracle is the UNSALTED equivalent — identical

@@ -1270,3 +1270,40 @@ def embedding_decontaminate(
     return corpus.select(F.col(id_col), s).select(
         id_col, "s.max_cos", "s.nearest_bench_id", "s.contaminated"
     )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Admit new vectors into a PERSISTED IVF index — the ANN twin of
+    :func:`dedup.append_to_dedup_index`'s admission cycle: assign each
+    new vector to its nearest EXISTING centroid (the index's geometry is
+    frozen at build time, as in every production IVF service; re-train
+    by rebuilding) and append the rows into the same
+    ``list_id``-partitioned parquet layout, so later probes read old and
+    new rows alike through the static partition filter. Returns the
+    reopened index.
+
+    Scale shape: one broadcast-GEMM Arrow pass over the (batch-sized)
+    new rows + a partitioned append — the corpus already in the index is
+    never read or moved. The repartition-on-list_id before the write
+    keeps one file per touched list per append (probe-side layout);
+    periodic :func:`layout.compact_files` absorbs long append chains."""
+    cent_rows = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    assign1 = _nearest_lists_udf(new_vectors, cent_rows, vec_col, 1)
+    assigned = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+    )
+    assigned.repartition("list_id").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(path + "/assigned")
+    return IvfIndex(cent_rows, spark.read.parquet(path + "/assigned"))

@@ -589,3 +589,58 @@ def test_embedding_decontaminate_known_vectors(spark):
     assert got[3] == (0.0, 10, False)
     with pytest.raises(ValueError):
         embedding_decontaminate(corpus, bench.where("vec_id < 0"))
+
+
+def test_ivf_append_admission_cycle(spark, tmp_path):
+    """Build on half the corpus, admit the other half via ivf_append:
+    probes must return appended vectors (exact same results as an index
+    whose assignment covers the union with the BUILD half's centroids),
+    and the appended rows land in the existing list_id partition
+    layout."""
+    import os
+
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        IvfIndex,
+        ivf_append,
+        ivf_build,
+        ivf_query,
+        _nearest_lists_udf,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).round(3).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    build_half = df.where("vec_id % 2 = 0")
+    batch = df.where("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf_idx")
+    idx0 = ivf_build(build_half, nlist=4, path=path)
+    idx = ivf_append(spark, path, batch)
+    qs = df.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in ivf_query(idx, qs, k=8, nprobe=4).collect()
+    )
+    # reference: same centroids, assignment recomputed over the union
+    assign1 = _nearest_lists_udf(df, idx0.cent_rows, "embedding", 1)
+    ref_assigned = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("list_id"),
+    )
+    ref = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in ivf_query(
+            IvfIndex(idx0.cent_rows, ref_assigned), qs, k=8, nprobe=4
+        ).collect()
+    )
+    assert got == ref
+    # nprobe=4 of nlist=4 probes everything: odd (appended) ids appear
+    assert any(nid % 2 == 1 for (_, _, nid, _) in got)
+    # appended rows live inside the existing partition layout
+    dirs = {
+        d for d in os.listdir(path + "/assigned") if d.startswith("list_id=")
+    }
+    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
