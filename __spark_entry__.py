@@ -649,6 +649,17 @@ def ann_ivfpq_topk_q(spark, sf_dir):
     return ivfpq_topk(emb, qs, k=10, m=8, ksub=16, nlist=16, nprobe=4)
 
 
+def dedup_softweight_q(spark, sf_dir):
+    """Count-aware soft dedup (extensions/dedup.exact_softweight): every
+    document keeps a 1e6-div-n_copies ppm training weight so each
+    exact-content group contributes one document's worth of mass — the
+    keep-but-downweight alternative to hard dropping. One content-hash
+    shuffle; integer ppm weights are exact cross-engine."""
+    from knowledge_graph_etl_spark.extensions.dedup import exact_softweight
+
+    return exact_softweight(_t(spark, sf_dir, "documents"))
+
+
 def embed_decontaminate_q(spark, sf_dir):
     """Embedding-space decontamination (similarity.embedding_decontaminate):
     every 50th embedding stands in for the eval benchmark (mirroring
@@ -3336,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
         "embed_decontaminate": embed_decontaminate_q,
         "ann_ivf_append": ann_ivf_append_q,
+        "dedup_softweight": dedup_softweight_q,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5019,6 +5031,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY query_id "
             "ORDER BY score_q DESC, neighbor_id) AS INTEGER) AS rank "
             "FROM sc QUALIFY rank <= 10"
+        ),
+        "dedup_softweight": (
+            "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS content_md5 "
+            "FROM documents), "
+            "g AS (SELECT content_md5, CAST(COUNT(*) AS BIGINT) AS n_copies, "
+            "MIN(doc_id) AS rep FROM h GROUP BY 1) "
+            "SELECT h.doc_id, h.content_md5, g.n_copies, "
+            "CAST(1000000 // g.n_copies AS BIGINT) AS weight_ppm, "
+            "h.doc_id = g.rep AS is_canonical "
+            "FROM h JOIN g USING (content_md5)"
         ),
         "embed_decontaminate": (
             "WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv "

@@ -960,3 +960,39 @@ def neardup_verify_pairs(
         .alias("lev_permille"),
     )
     return scored.where(F.col("lev_permille") <= max_lev_permille)
+
+
+def exact_softweight(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-aware SOFT deduplication — the keep-but-downweight
+    alternative to dropping duplicates (the standard trade when exact
+    copies carry signal about content importance but repeating them at
+    full weight overtrains): every document keeps a training weight of
+    ``1e6 div n_copies`` ppm, so each exact-content group contributes
+    ~one document's worth of mass regardless of its multiplicity.
+    Returns ``(id_col, content_md5, n_copies, weight_ppm,
+    is_canonical)`` — ``is_canonical`` marks the minimum-id copy (the
+    row hard dedup would keep), NULL text hashes as ''.
+
+    Scale shape: ONE shuffle on the content hash (uniform key) for the
+    group aggregate, then a same-key join back — map-side combinable on
+    the count, no window, no driver state. Integer ppm weights are
+    exact cross-engine (a float 1/n is not)."""
+    h = docs.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"),
+    )
+    g = h.groupBy("content_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min(id_col).alias("__rep"),
+    )
+    return h.join(g, "content_md5").select(
+        F.col(id_col),
+        "content_md5",
+        "n_copies",
+        F.expr("CAST(1000000 div n_copies AS BIGINT)").alias("weight_ppm"),
+        (F.col(id_col) == F.col("__rep")).alias("is_canonical"),
+    )

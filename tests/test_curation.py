@@ -1368,3 +1368,26 @@ def test_contamination_drift_rates_and_sides(spark):
     assert (c["old_n_docs"], c["new_n_docs"]) == (0, 1)
     assert c["new_rate_ppm"] == 1000000 and c["delta_ppm"] == 1000000
     assert c["rising"]
+
+
+def test_exact_softweight_counts_and_canonical(spark):
+    """Hand-checked soft dedup: triplicate group weights 333333 ppm each,
+    the min-id copy is canonical, unique docs keep full weight, NULL
+    text groups with '' text."""
+    from knowledge_graph_etl_spark.extensions.dedup import exact_softweight
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "same"), (2, "solo"), (4, None), (6, "")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_copies"], r["weight_ppm"], r["is_canonical"])
+        for r in exact_softweight(docs).collect()
+    }
+    assert got[1] == (3, 333333, True)
+    assert got[3] == (3, 333333, False) and got[5] == (3, 333333, False)
+    assert got[2] == (1, 1000000, True)
+    # NULL and '' hash identically -> one group of 2, min id 4 canonical
+    assert got[4] == (2, 500000, True) and got[6] == (2, 500000, False)
+    # group mass ~1e6 per content group
+    assert sum(w for _, w, _ in got.values()) == 333333 * 3 + 1000000 + 500000 * 2
