@@ -1062,7 +1062,7 @@ def beam_search_topk(
     )
     visited = _score(seeds).localCheckpoint(eager=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    for _ in range(rounds):
+    for r in range(rounds):
         beam_df = (
             visited.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= beam)
@@ -1079,11 +1079,15 @@ def beam_search_topk(
                 "left_anti",
             )
         )
-        # beam + anti-join both re-read `visited`; the checkpoint keeps
-        # each round's plan a flat local scan instead of 3^rounds lineage
-        visited = visited.unionByName(_score(new_pairs)).localCheckpoint(
-            eager=True
-        )
+        visited = visited.unionByName(_score(new_pairs))
+        # beam + anti-join of the NEXT round re-read `visited` 3x; the
+        # checkpoint keeps each round's plan a flat local scan instead of
+        # 3^rounds lineage. The LAST round's result feeds only the final
+        # window — left lazy (one fewer blocking job, and the probe's
+        # broadcast-join shape stays visible in the returned plan, pinned
+        # in tests)
+        if r < rounds - 1:
+            visited = visited.localCheckpoint(eager=True)
     return (
         visited.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)

@@ -644,3 +644,23 @@ def test_ivf_append_admission_cycle(spark, tmp_path):
         d for d in os.listdir(path + "/assigned") if d.startswith("list_id=")
     }
     assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+
+
+def test_beam_search_visited_side_broadcasts(spark):
+    """Scale posture pin: the per-round scoring join must BROADCAST the
+    bounded visited/query side — the corpus is only ever probed by
+    id-equi-joins, never shuffled for the traversal."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import beam_search_topk
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(8).round(3).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    adj = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "id bigint, neighbor_id bigint"
+    )
+    qs = df.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    out = beam_search_topk(df, qs, adj, k=5, beam=2, rounds=1, n_entry=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
