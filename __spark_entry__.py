@@ -649,6 +649,44 @@ def ann_ivfpq_topk_q(spark, sf_dir):
     return ivfpq_topk(emb, qs, k=10, m=8, ksub=16, nlist=16, nprobe=4)
 
 
+def table_profile_q(spark, sf_dir):
+    """Per-column profiling report over orders (extensions/stats.
+    profile_table): exact null/distinct counts + double-cast min/max in
+    ONE aggregation pass (multi-distinct expand, map-side partials),
+    exploded to one row per column — the Deequ-style quality gate an
+    ingestion pipeline runs before trusting a new data drop."""
+    from knowledge_graph_etl_spark.extensions.stats import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+def _profile_oracle() -> str:
+    """SQL twin of table_profile_q: one SELECT per orders column,
+    UNION ALLed — same exact distinct counts, same double-cast min/max
+    (timestamps via epoch_us/1e6, bit-identical to Spark's
+    cast-to-double µs division)."""
+    cols = [
+        ("o_orderkey", "bigint", "CAST({m}({c}) AS DOUBLE)"),
+        ("o_custkey", "bigint", "CAST({m}({c}) AS DOUBLE)"),
+        ("o_orderstatus", "string", "CAST(NULL AS DOUBLE)"),
+        ("o_totalprice", "double", "CAST({m}({c}) AS DOUBLE)"),
+        ("o_orderdate", "timestamp_ntz", "epoch_us({m}({c})) / 1000000.0"),
+        ("o_orderpriority", "string", "CAST(NULL AS DOUBLE)"),
+    ]
+    parts = []
+    for name, dtype, mmx in cols:
+        parts.append(
+            f"SELECT '{name}' AS col_name, '{dtype}' AS dtype, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            + mmx.format(m="MIN", c=name) + " AS min_num, "
+            + mmx.format(m="MAX", c=name) + " AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def dedup_softweight_q(spark, sf_dir):
     """Count-aware soft dedup (extensions/dedup.exact_softweight): every
     document keeps a 1e6-div-n_copies ppm training weight so each
@@ -3348,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_decontaminate": embed_decontaminate_q,
         "ann_ivf_append": ann_ivf_append_q,
         "dedup_softweight": dedup_softweight_q,
+        "table_profile": table_profile_q,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5032,6 +5071,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_q DESC, neighbor_id) AS INTEGER) AS rank "
             "FROM sc QUALIFY rank <= 10"
         ),
+        "table_profile": _profile_oracle(),
         "dedup_softweight": (
             "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS content_md5 "
             "FROM documents), "

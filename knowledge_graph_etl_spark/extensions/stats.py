@@ -261,3 +261,101 @@ def hll_distinct(
             "AS DECIMAL(38,0))"
         ).cast("bigint").alias("est_micro"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-profiling report — the dbt/Deequ-style quality
+    primitive every ingestion pipeline runs before trusting a new drop:
+    for each (selected) column, ``(col_name, dtype, n_rows, n_nulls,
+    n_distinct, min_num, max_num)``. ``n_distinct`` is the EXACT non-null
+    distinct count; ``min_num``/``max_num`` are cast to double for
+    numeric/timestamp/date columns (a min/max is an existing value — no
+    arithmetic, so the double is engine-exact) and NULL for strings,
+    keeping one uniform output schema.
+
+    Scale shape: ONE aggregation pass over the table produces a single
+    wide row (count/sum/min/max are map-side combinable; the distinct
+    counts expand the input ``n_cols``-way — the standard
+    multi-distinct plan, each stream partial-aggregated before its
+    shuffle), which then explodes driver-free into one row per column.
+    Unsupported dtypes (arrays, structs, binary) are skipped unless
+    explicitly requested via ``columns`` (then: counts only)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    fields = [
+        f
+        for f in df.schema.fields
+        if (columns is None and isinstance(
+            f.dataType,
+            (NumericType, StringType, TimestampType, TimestampNTZType,
+             DateType, BooleanType),
+        ))
+        or (columns is not None and f.name in columns)
+    ]
+    if not fields:
+        raise ValueError("profile_table: no profilable columns selected")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__nulls_{f.name}")
+        )
+        aggs.append(
+            F.countDistinct(c).cast("bigint").alias(f"__nd_{f.name}")
+        )
+        # per-dtype min/max-to-double, all TIMEZONE-FREE: NTZ via pure
+        # wall-clock timestampdiff µs (cast-to-double is illegal for NTZ
+        # and a cast through TimestampType would shift by session tz),
+        # tz-aware timestamps via unix_micros, dates via epoch-day diff
+        if isinstance(f.dataType, NumericType) or isinstance(
+            f.dataType, BooleanType
+        ):
+            conv = lambda agg: agg.cast("int").cast("double") if isinstance(  # noqa: E731
+                f.dataType, BooleanType
+            ) else agg.cast("double")
+        elif isinstance(f.dataType, TimestampNTZType):
+            conv = lambda agg: (  # noqa: E731
+                F.timestamp_diff(
+                    "MICROSECOND",
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                    agg,
+                ).cast("double")
+                / F.lit(1000000.0)
+            )
+        elif isinstance(f.dataType, TimestampType):
+            conv = lambda agg: F.unix_micros(agg).cast("double") / F.lit(  # noqa: E731
+                1000000.0
+            )
+        elif isinstance(f.dataType, DateType):
+            conv = lambda agg: F.datediff(  # noqa: E731
+                agg, F.lit("1970-01-01").cast("date")
+            ).cast("double")
+        else:
+            conv = lambda agg: F.lit(None).cast("double")  # noqa: E731
+        aggs.append(conv(F.min(c)).alias(f"__min_{f.name}"))
+        aggs.append(conv(F.max(c)).alias(f"__max_{f.name}"))
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("col_name"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{f.name}").alias("n_nulls"),
+                F.col(f"__nd_{f.name}").alias("n_distinct"),
+                F.col(f"__min_{f.name}").alias("min_num"),
+                F.col(f"__max_{f.name}").alias("max_num"),
+            )
+            for f in fields
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

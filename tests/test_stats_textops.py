@@ -664,3 +664,45 @@ def test_beam_search_visited_side_broadcasts(spark):
     out = beam_search_topk(df, qs, adj, k=5, beam=2, rounds=1, n_entry=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_profile_table_known_values(spark):
+    """Hand-checked profiling: exact null/distinct counts, double min/max
+    for numerics, NULL min/max for strings, NTZ timestamps converted
+    tz-free (wall-clock µs), unsupported columns skipped by default but
+    countable on request."""
+    import datetime
+
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.stats import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.5, datetime.datetime(1970, 1, 1, 0, 0, 1), [1]),
+            (2, "b", None, datetime.datetime(1970, 1, 2, 0, 0, 0), [2]),
+            (2, None, -1.0, None, None),
+        ],
+        "k bigint, s string, v double, ts timestamp_ntz, arr array<int>",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v", "ts"}  # arr skipped by default
+    k = rows["k"]
+    assert (k["dtype"], k["n_rows"], k["n_nulls"], k["n_distinct"]) == (
+        "bigint", 3, 0, 2,
+    )
+    assert (k["min_num"], k["max_num"]) == (1.0, 2.0)
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_num"], s["max_num"]) == (
+        1, 2, None, None,
+    )
+    v = rows["v"]
+    assert (v["n_nulls"], v["min_num"], v["max_num"]) == (1, -1.0, 2.5)
+    ts = rows["ts"]
+    assert (ts["dtype"], ts["n_nulls"]) == ("timestamp_ntz", 1)
+    assert (ts["min_num"], ts["max_num"]) == (1.0, 86400.0)
+    # explicit request profiles the array column (counts; NULL min/max)
+    arr = {r["col_name"]: r for r in profile_table(df, ["arr"]).collect()}["arr"]
+    assert (arr["n_nulls"], arr["n_distinct"], arr["min_num"]) == (1, 2, None)
+    with pytest.raises(ValueError):
+        profile_table(df, [])
