@@ -476,6 +476,29 @@ def multi_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def customer_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape — customer distribution by order count INCLUDING
+    zero-order customers: LEFT OUTER join customer→(filtered) orders,
+    count per customer, then the histogram of those counts. The
+    left-join-then-double-aggregate pattern Catalyst plans as two
+    shuffles (custkey, then order count) with map-side partials; the
+    zero bucket only exists because the join is outer — the shape that
+    catches engines silently turning outer joins inner."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != F.lit("1-URGENT")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
 def window_running_total(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -3387,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_append": ann_ivf_append_q,
         "dedup_softweight": dedup_softweight_q,
         "table_profile": table_profile_q,
+        "customer_order_dist": customer_order_dist,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5072,6 +5096,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc QUALIFY rank <= 10"
         ),
         "table_profile": _profile_oracle(),
+        "customer_order_dist": (
+            "WITH pc AS (SELECT c.c_custkey, "
+            "CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer c LEFT OUTER JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' "
+            "GROUP BY c.c_custkey) "
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+            "FROM pc GROUP BY c_count"
+        ),
         "dedup_softweight": (
             "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS content_md5 "
             "FROM documents), "

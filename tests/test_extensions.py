@@ -890,3 +890,29 @@ def test_resample_audio_roundtrip(spark):
     ref_src, _ = decode_wav(wav)
     ref = _resample_linear(ref_src, src_rate, 16_000)
     assert float(np.max(np.abs(samples - np.clip(ref, -1, 1)))) < 2.0 / 32767
+
+
+def test_customer_order_dist_zero_bucket(spark):
+    """The Q13 shape's point: customers with NO (surviving) orders land
+    in the c_count=0 bucket — an engine silently planning the outer join
+    as inner loses them."""
+    import __spark_entry__ as m
+
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in m.customer_order_dist(spark, "/root/testdata/sf0.001").collect()
+    }
+    c = m._t(spark, "/root/testdata/sf0.001", "customer")
+    o = m._t(spark, "/root/testdata/sf0.001", "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    # independent outer-join pin: the 0 bucket must equal the anti-join
+    # count (customers with no surviving orders) — an inner-join plan
+    # would drop them from the histogram entirely
+    expected_zero = c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).count()
+    assert rows.get(0, 0) == expected_zero
+    assert sum(rows.values()) == c.count()  # partition of the customer set
