@@ -476,6 +476,37 @@ def multi_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def dormant_customer_value(spark, sf_dir):
+    """TPC-H Q22 shape — per-nation count and balance mass of ABOVE-
+    AVERAGE-balance customers with NO orders at all: a global scalar
+    aggregate (avg positive balance) applied as an in-plan broadcast
+    filter, then an anti join against orders, then the rollup. Three
+    distinct Catalyst shapes in one query — scalar-aggregate broadcast,
+    LeftAnti, partial-agg rollup. The above-average test runs as integer
+    CENTS cross-multiplication (``cents·n > sum_cents`` — no division,
+    no float average), so the filter boundary is exact cross-engine;
+    balances report as bigint cents for the same reason."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("bigint").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    rich = (
+        c.withColumn("__c", cents)
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("__c") * F.col("__n") > F.col("__s"))
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.sum("__c").cast("bigint").alias("total_cents"),
+    )
+
+
 def customer_order_dist(spark, sf_dir):
     """TPC-H Q13 shape — customer distribution by order count INCLUDING
     zero-order customers: LEFT OUTER join customer→(filtered) orders,
@@ -3411,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_softweight": dedup_softweight_q,
         "table_profile": table_profile_q,
         "customer_order_dist": customer_order_dist,
+        "dormant_customer_value": dormant_customer_value,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5096,6 +5128,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc QUALIFY rank <= 10"
         ),
         "table_profile": _profile_oracle(),
+        "dormant_customer_value": (
+            "WITH s AS (SELECT "
+            "CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 0), "
+            "r AS (SELECT c_custkey, c_nationkey, "
+            "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM customer, s "
+            "WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * s.n > s.s), "
+            "d AS (SELECT r.* FROM r ANTI JOIN ("
+            "SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2000-01-01') o "
+            "ON o.o_custkey = r.c_custkey) "
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(cents) AS BIGINT) AS total_cents "
+            "FROM d GROUP BY c_nationkey"
+        ),
         "customer_order_dist": (
             "WITH pc AS (SELECT c.c_custkey, "
             "CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count "

@@ -916,3 +916,29 @@ def test_customer_order_dist_zero_bucket(spark):
     ).count()
     assert rows.get(0, 0) == expected_zero
     assert sum(rows.values()) == c.count()  # partition of the customer set
+
+
+def test_dormant_customer_value_semantics(spark):
+    """Q22-shape pins: every reported customer group consists of
+    above-average-balance customers with no post-cutoff orders —
+    verified against an independent recomputation."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["c_nationkey"]: (r["numcust"], r["total_cents"])
+           for r in m.dormant_customer_value(spark, sf).collect()}
+    c = m._t(spark, sf, "customer")
+    o = m._t(spark, sf, "orders").where(F.col("o_orderdate") >= "2000-01-01")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    rows = c.select("c_custkey", "c_nationkey", cents.alias("cents")).collect()
+    pos = [r["cents"] for r in rows if r["cents"] > 0]
+    s, n = sum(pos), len(pos)
+    active = {r["o_custkey"] for r in o.select("o_custkey").distinct().collect()}
+    exp = {}
+    for r in rows:
+        if r["cents"] * n > s and r["c_custkey"] not in active:
+            cnt, tot = exp.get(r["c_nationkey"], (0, 0))
+            exp[r["c_nationkey"]] = (cnt + 1, tot + r["cents"])
+    assert out == exp and sum(v[0] for v in out.values()) >= 1
