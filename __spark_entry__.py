@@ -3633,6 +3633,48 @@ def kg_pipeline_full_q(spark, sf_dir):
     return out
 
 
+def multimodal_phash_dedup_q(spark, sf_dir):
+    """Perceptual-hash image dedup at corpus scale, bench-only: every
+    document becomes a synthesized 16×16 PPM (pixels = repeated sha256
+    of its text, so exact text duplicates render identical images), then
+    REAL decode → aHash → hash-group dedup (multimodal.image_ahash /
+    ahash_dedup). No SQL oracle by design (binary image parsing);
+    correctness is pytest-pinned (decode round-trips, brightness/
+    re-encode invariance, poisoned-blob guard)."""
+    import hashlib as _hl
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from knowledge_graph_etl_spark.extensions.multimodal import ahash_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        header = b"P6\n16 16\n255\n"
+        need = 16 * 16 * 3
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = _hl.sha256((text or "").encode()).digest()
+                px = (seed * (need // len(seed) + 1))[:need]
+                ids.append(did)
+                payloads.append(header + px)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(render, schema)
+    return ahash_dedup(media)
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Throughput-only entries with no DuckDB-expressible oracle: the
     xxhash64 scale-path variants (DuckDB has no xxhash64), the BPE
@@ -3652,6 +3694,7 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_x64": dedup_simhash_x64_q,
         "tokenize_bpe": tokenize_bpe_q,
         "kg_pipeline_full": kg_pipeline_full_q,
+        "multimodal_phash_dedup": multimodal_phash_dedup_q,
     }
 
 

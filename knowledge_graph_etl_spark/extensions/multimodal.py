@@ -483,3 +483,105 @@ def resample_audio(
     return media.where(F.col("kind") == "audio").mapInPandas(
         run, schema=media.schema
     )
+
+
+def image_ahash(
+    media: DataFrame,
+    hash_size: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image — the image
+    modality's MinHash: decode (REAL decoders — PIL when importable,
+    else the pure-numpy PPM/BMP parsers), grayscale, block-average down
+    to ``hash_size²`` cells, one bit per cell (cell mean > global mean),
+    packed row-major into a signed 64-bit ``ahash``. Identical pixels,
+    re-encodes, and GLOBAL brightness shifts hash identically (the
+    threshold is the image's own mean); crops/rotations do not — the
+    standard aHash trade. Returns ``(id_col, ahash, ok)`` with
+    ``ok=false`` (ahash NULL) for undecodable payloads — a poisoned blob
+    must not kill the corpus scan.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` over ``(id,
+    payload)`` — a pure map, no shuffle; dedup on the hash afterwards is
+    :func:`dedup.exact_softweight`'s uniform-key group-by shape (see
+    :func:`ahash_dedup`). No SQL oracle by design (binary image parsing
+    is not SQL) — decode and hash are pytest-pinned against synthesized
+    PPM/BMP fixtures."""
+    if not 1 <= hash_size * hash_size <= 64:
+        raise ValueError(f"hash_size² must be in [1, 64], got {hash_size}²")
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = media.select(F.col(id_col)).schema[0].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("ahash", LongType()),
+            StructField("ok", BooleanType()),
+        ]
+    )
+    hs = int(hash_size)
+
+    def run(batches):
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    arr = decode_image(bytes(payload))
+                    gray = np.asarray(arr, dtype=np.float64)
+                    if gray.ndim == 3:
+                        gray = gray.mean(axis=2)
+                    cells = np.asarray(
+                        [
+                            [b.mean() for b in np.array_split(row_blk, hs, axis=1)]
+                            for row_blk in np.array_split(gray, hs, axis=0)
+                        ]
+                    )
+                    bits = (cells > cells.mean()).flatten()
+                    h = 0
+                    for b in bits:
+                        h = (h << 1) | int(b)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    hashes.append(h)
+                    oks.append(True)
+                except Exception:  # noqa: BLE001 - poisoned blob guard
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({id_col: ids, "ahash": hashes, "ok": oks})
+
+    return media.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def ahash_dedup(
+    media: DataFrame,
+    hash_size: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-duplicate grouping by perceptual hash: every decodable
+    image keyed by its :func:`image_ahash`, grouped exactly (aHash is
+    already invariant to re-encode/resize/brightness, so hamming-0
+    grouping IS the near-dup match at this fingerprint's resolution).
+    Returns ``(id_col, ahash, n_copies, is_canonical)`` — min-id copy
+    canonical, undecodable rows excluded. One uniform 8-byte-key
+    shuffle, exactly :func:`dedup.exact_softweight`'s shape."""
+    h = image_ahash(media, hash_size, id_col, payload_col).where(F.col("ok"))
+    g = h.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min(id_col).alias("__rep"),
+    )
+    return h.join(g, "ahash").select(
+        F.col(id_col),
+        "ahash",
+        "n_copies",
+        (F.col(id_col) == F.col("__rep")).alias("is_canonical"),
+    )

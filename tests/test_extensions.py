@@ -942,3 +942,55 @@ def test_dormant_customer_value_semantics(spark):
             cnt, tot = exp.get(r["c_nationkey"], (0, 0))
             exp[r["c_nationkey"]] = (cnt + 1, tot + r["cents"])
     assert out == exp and sum(v[0] for v in out.values()) >= 1
+
+
+def test_image_ahash_invariances_and_dedup(spark):
+    """Perceptual aHash over REAL decodes: a global brightness shift and
+    a BMP re-encode hash identically to the PPM original; a different
+    pattern hashes differently; undecodable payloads survive as ok=false;
+    ahash_dedup groups the perceptual trio with the min-id canonical."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        ahash_dedup,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(2)
+    img = (rng.rand(16, 16, 3) * 150).astype(np.uint8)  # headroom for +40
+    ppm = b"P6\n16 16\n255\n" + img.tobytes()
+    brighter = b"P6\n16 16\n255\n" + (img + 40).astype(np.uint8).tobytes()
+    bmp = _bmp_bytes(img)
+    other = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    ppm_other = b"P6\n16 16\n255\n" + other.tobytes()
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(ppm)),
+            (2, bytearray(brighter)),
+            (3, bytearray(bmp)),
+            (4, bytearray(ppm_other)),
+            (5, bytearray(b"not an image at all")),
+        ],
+        "media_id bigint, payload binary",
+    )
+    got = {r["media_id"]: r for r in image_ahash(media).collect()}
+    assert got[1]["ok"] and got[1]["ahash"] == got[2]["ahash"] == got[3]["ahash"]
+    assert got[4]["ok"] and got[4]["ahash"] != got[1]["ahash"]
+    assert not got[5]["ok"] and got[5]["ahash"] is None
+    d = {r["media_id"]: r for r in ahash_dedup(media).collect()}
+    assert set(d) == {1, 2, 3, 4}  # undecodable excluded
+    assert d[1]["n_copies"] == 3 and d[1]["is_canonical"]
+    assert not d[2]["is_canonical"] and not d[3]["is_canonical"]
+    assert d[4]["n_copies"] == 1 and d[4]["is_canonical"]
+
+
+def test_image_ahash_validation(spark):
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.multimodal import image_ahash
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "media_id bigint, payload binary"
+    )
+    with pytest.raises(ValueError):
+        image_ahash(media, hash_size=9)  # 81 bits > 64
