@@ -476,6 +476,45 @@ def multi_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def copurchase_topk(spark, sf_dir):
+    """Market-basket co-occurrence: the top-20 part PAIRS by number of
+    orders containing both — the pairwise-association shape (FP-growth's
+    candidate floor) every recommender bootstrap runs. Self-join of the
+    per-order distinct part set on the order key (per-order fan-out is
+    C(parts_per_order, 2) — bounded by basket size, never corpus-
+    quadratic), count per pair, deterministic top-k (count desc, then
+    pair). One orderkey shuffle feeding both join sides (ReusedExchange)
+    + one pair-key aggregate."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    from pyspark.sql import Window
+
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    # global top-k: Catalyst turns filter-on-row_number into
+    # TakeOrderedAndProject, so the single-task window only ever sees the
+    # 20 surviving rows (plan-pinned in tests)
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+    )
+
+
 def dormant_customer_value(spark, sf_dir):
     """TPC-H Q22 shape — per-nation count and balance mass of ABOVE-
     AVERAGE-balance customers with NO orders at all: a global scalar
@@ -3443,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile_q,
         "customer_order_dist": customer_order_dist,
         "dormant_customer_value": dormant_customer_value,
+        "copurchase_topk": copurchase_topk,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5171,6 +5211,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc QUALIFY rank <= 10"
         ),
         "table_profile": _profile_oracle(),
+        "copurchase_topk": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2) "
+            "SELECT part_a, part_b, n_orders, "
+            "CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) "
+            "AS BIGINT) AS rank FROM p QUALIFY rank <= 20"
+        ),
         "dormant_customer_value": (
             "WITH s AS (SELECT "
             "CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s, "

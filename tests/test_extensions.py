@@ -994,3 +994,30 @@ def test_image_ahash_validation(spark):
     )
     with pytest.raises(ValueError):
         image_ahash(media, hash_size=9)  # 81 bits > 64
+
+
+def test_copurchase_topk_reused_exchange_and_bound(spark):
+    """Scale pins for the basket self-join: both join sides read ONE
+    orderkey exchange (ReusedExchange — the per-order part set is
+    shuffled once, not twice) and the result is the deterministic
+    top-20."""
+    import __spark_entry__ as m
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the scale regime: broadcast off forces the SMJ path, where both
+    # join sides must read ONE orderkey exchange (at small scale Catalyst
+    # rightly broadcasts the build side instead — also fine)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = m.copurchase_topk(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
+        # the global top-k must prune BEFORE the single-task window
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert len(rows) == 20
+    counts = [r["n_orders"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["part_a"] < r["part_b"] for r in rows)
