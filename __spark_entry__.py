@@ -476,6 +476,39 @@ def multi_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental rollup maintenance (stats.aggregate_partials /
+    merge_partials): the orders table split at 1997-01-01 into a "base"
+    partial table and a "delta" batch, each reduced to per-status
+    (n_rows, sum/min/max cents) partials and MERGED — never re-scanning
+    the base rows. The oracle is the one-shot aggregate over ALL orders,
+    so the gate verifies the merge algebra itself (count/sum/min/max
+    monoids compose to the direct answer)."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        aggregate_partials,
+        merge_partials,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = aggregate_partials(
+        o.where(F.col("o_orderdate") < F.lit("1997-01-01")),
+        ["o_orderstatus"],
+        "cents",
+    )
+    delta = aggregate_partials(
+        o.where(F.col("o_orderdate") >= F.lit("1997-01-01")),
+        ["o_orderstatus"],
+        "cents",
+    )
+    return merge_partials(base, delta, ["o_orderstatus"])
+
+
 def copurchase_topk(spark, sf_dir):
     """Market-basket co-occurrence: the top-20 part PAIRS by number of
     orders containing both — the pairwise-association shape (FP-growth's
@@ -3483,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_dist": customer_order_dist,
         "dormant_customer_value": dormant_customer_value,
         "copurchase_topk": copurchase_topk,
+        "agg_incremental_merge": agg_incremental_merge,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5211,6 +5245,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc QUALIFY rank <= 10"
         ),
         "table_profile": _profile_oracle(),
+        "agg_incremental_merge": (
+            # the ONE-SHOT aggregate: if the Spark side's base+delta
+            # partial merge differs anywhere, the gate goes red — the
+            # strongest possible check of the merge algebra
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_v, "
+            "CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS min_v, "
+            "CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS max_v "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
         "copurchase_topk": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
             "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "

@@ -359,3 +359,39 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def aggregate_partials(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Keyed aggregation PARTIALS — the mergeable state a materialized
+    view / lambda-architecture rollup persists instead of raw rows:
+    per key group, ``(n_rows, sum_v, min_v, max_v)`` over a BIGINT
+    measure (convert money to cents first — integer partials merge
+    exactly on any engine; float sums do not). Merge two partial tables
+    with :func:`merge_partials`; by the aggregate algebra
+    (count/sum/min/max are commutative monoids) any merge tree equals
+    the one-shot aggregate over the union — which is exactly what the
+    correctness oracle checks."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(v).cast("bigint").alias("sum_v"),
+        F.min(v).cast("bigint").alias("min_v"),
+        F.max(v).cast("bigint").alias("max_v"),
+    )
+
+
+def merge_partials(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two :func:`aggregate_partials` tables: union then ONE
+    re-aggregate with the monoid ops (sum of counts/sums, min of mins,
+    max of maxes). Keys present in only one side pass through. This is
+    the maintenance step of an incremental rollup: yesterday's partials
+    + today's delta batch, never a re-scan of the base table."""
+    u = a.unionByName(b)
+    return u.groupBy(*keys).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_v").cast("bigint").alias("sum_v"),
+        F.min("min_v").cast("bigint").alias("min_v"),
+        F.max("max_v").cast("bigint").alias("max_v"),
+    )

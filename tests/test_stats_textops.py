@@ -706,3 +706,28 @@ def test_profile_table_known_values(spark):
     assert (arr["n_nulls"], arr["n_distinct"], arr["min_num"]) == (1, 2, None)
     with pytest.raises(ValueError):
         profile_table(df, [])
+
+
+def test_merge_partials_equals_oneshot_and_one_sided_keys(spark):
+    """Merge algebra: partials over any split merge to the one-shot
+    aggregate; keys present in only one side pass through."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        aggregate_partials,
+        merge_partials,
+    )
+
+    rows = [("a", 1), ("a", 5), ("b", 3), ("b", -2), ("c", 7)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    oneshot = {
+        r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in aggregate_partials(df, ["k"], "v").collect()
+    }
+    a = aggregate_partials(df.where("v >= 3"), ["k"], "v")   # a:5 b:3 c:7
+    b = aggregate_partials(df.where("v < 3"), ["k"], "v")    # a:1 b:-2
+    merged = {
+        r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in merge_partials(a, b, ["k"]).collect()
+    }
+    assert merged == oneshot
+    assert merged["c"] == (1, 7, 7, 7)  # one-sided key passes through
+    assert merged["b"] == (2, 1, -2, 3)
