@@ -1137,12 +1137,26 @@ def ivfpq_topk(
             f"need k,m,ksub,nlist,nprobe >= 1 and nprobe <= nlist, got "
             f"k={k} m={m} ksub={ksub} nlist={nlist} nprobe={nprobe}"
         )
-    cent_rows = sorted(
-        sample_centroids(corpus, nlist, id_col, vec_col).collect(),
+    # ONE collect serves both halves: IVF centroids and PQ codebook rows
+    # are prefixes of the same md5-ranked sample (sample_centroids takes
+    # the first n rows of one deterministic ordering), so collecting
+    # max(nlist, ksub) rows once replaces two identical sample jobs
+    all_rows = sorted(
+        sample_centroids(corpus, max(nlist, ksub), id_col, vec_col).collect(),
         key=lambda r: r["list_id"],
     )
-    codebooks = pq_codebooks(corpus, m, ksub, id_col, vec_col)
-    sub = len(codebooks[0][0])
+    cent_rows = all_rows[:nlist]
+    pq_rows = all_rows[:ksub]
+    if not pq_rows:
+        raise ValueError("ivfpq_topk: empty corpus")
+    dim = len(pq_rows[0]["cent"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m}")
+    sub = dim // m
+    codebooks = [
+        [list(r["cent"][j * sub : (j + 1) * sub]) for r in pq_rows]
+        for j in range(m)
+    ]
     nearest1 = _nearest_lists_udf(corpus, cent_rows, vec_col, 1)
     enc = _pq_encode_udf(corpus, codebooks)
     # ONE corpus pass: IVF route + PQ encode together
