@@ -476,6 +476,24 @@ def multi_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def events_winsorize(spark, sf_dir):
+    """Per-event-type winsorization at exact p05/p95 rank quantiles in
+    integer cents (stats.winsorize_by_group): value-histogram running
+    sums (window rows = distinct values per group, never the raw
+    table), rank-selected bounds, broadcast clip join — the robust
+    outlier-clipping step before feature scaling."""
+    from knowledge_graph_etl_spark.extensions.stats import winsorize_by_group
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return winsorize_by_group(e, "event_type", "cents").select(
+        "event_id", "event_type", "cents", "clipped"
+    )
+
+
 def agg_incremental_merge(spark, sf_dir):
     """Incremental rollup maintenance (stats.aggregate_partials /
     merge_partials): the orders table split at 1997-01-01 into a "base"
@@ -3517,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customer_value": dormant_customer_value,
         "copurchase_topk": copurchase_topk,
         "agg_incremental_merge": agg_incremental_merge,
+        "events_winsorize": events_winsorize,
         # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
         "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
@@ -5245,6 +5264,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc QUALIFY rank <= 10"
         ),
         "table_profile": _profile_oracle(),
+        "events_winsorize": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+            "h AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM e GROUP BY 1, 2), "
+            "r AS (SELECT event_type, cents, "
+            "SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "SUM(cnt) OVER (PARTITION BY event_type) AS n FROM h), "
+            "b AS (SELECT event_type, "
+            "MIN(CASE WHEN cum >= (n - 1) * 5 // 100 + 1 THEN cents END) AS lo, "
+            "MIN(CASE WHEN cum >= (n - 1) * 95 // 100 + 1 THEN cents END) AS hi "
+            "FROM r GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.cents, "
+            "CAST(GREATEST(b.lo, LEAST(b.hi, e.cents)) AS BIGINT) AS clipped "
+            "FROM e JOIN b USING (event_type)"
+        ),
         "agg_incremental_merge": (
             # the ONE-SHOT aggregate: if the Spark side's base+delta
             # partial merge differs anywhere, the gate goes red — the

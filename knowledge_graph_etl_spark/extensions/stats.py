@@ -395,3 +395,61 @@ def merge_partials(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
         F.min("min_v").cast("bigint").alias("min_v"),
         F.max("max_v").cast("bigint").alias("max_v"),
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo_pct: int = 5,
+    p_hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization (outlier clipping) at EXACT rank
+    quantiles — the robust-normalization step feature pipelines run
+    before scaling: each row's BIGINT ``value_col`` is clipped into
+    [q_lo, q_hi] of its group, where q_p is the value at 1-based rank
+    ``(n-1)·p div 100 + 1`` (lower interpolation — a value that EXISTS
+    in the group, integer-exact on any engine; no float percentile
+    interpolation). Returns the input's columns plus ``clipped``.
+
+    Scale shape: quantiles come from the group's VALUE HISTOGRAM —
+    ``groupBy(group, value)`` counts (map-side combinable), a running
+    sum over the histogram rows (the window partition holds one row per
+    DISTINCT value, bounded, not one per input row), then rank-select
+    and a broadcast join of the tiny (group, lo, hi) bounds table back
+    onto the rows. The raw table is never window-partitioned by the
+    (low-cardinality, skew-prone) group key."""
+    if not 0 <= p_lo_pct <= p_hi_pct <= 100:
+        raise ValueError(
+            f"need 0 <= p_lo ({p_lo_pct}) <= p_hi ({p_hi_pct}) <= 100"
+        )
+    g, v = F.col(group_col), F.col(value_col)
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    ranked = hist.select(
+        g,
+        v,
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    r_lo = F.expr(f"(__n - 1) * {int(p_lo_pct)} div 100") + F.lit(1)
+    r_hi = F.expr(f"(__n - 1) * {int(p_hi_pct)} div 100") + F.lit(1)
+    bounds = ranked.groupBy(group_col).agg(
+        F.min(F.when(F.col("__cum") >= r_lo, v)).alias("__lo"),
+        F.min(F.when(F.col("__cum") >= r_hi, v)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "clipped",
+            F.greatest(F.col("__lo"), F.least(F.col("__hi"), v)).cast("bigint"),
+        )
+        .drop("__lo", "__hi")
+    )

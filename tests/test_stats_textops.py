@@ -731,3 +731,25 @@ def test_merge_partials_equals_oneshot_and_one_sided_keys(spark):
     assert merged == oneshot
     assert merged["c"] == (1, 7, 7, 7)  # one-sided key passes through
     assert merged["b"] == (2, 1, -2, 3)
+
+
+def test_winsorize_by_group_exact_rank_bounds(spark):
+    """Hand-checked rank quantiles: n=20 values 1..20 per group, p05/p95
+    → ranks (19*5 div 100)+1=1 and (19*95 div 100)+1=19, so bounds are
+    1 and 19 (value 20 clips to 19); a one-row group clips to itself;
+    the bounds join must broadcast."""
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.stats import winsorize_by_group
+
+    rows = [(i, "a", i) for i in range(1, 21)] + [(100, "b", 7)]
+    df = spark.createDataFrame(rows, "event_id bigint, g string, v bigint")
+    out = winsorize_by_group(df, "g", "v")
+    got = {r["event_id"]: r["clipped"] for r in out.collect()}
+    assert got[20] == 19  # above hi clips down
+    assert got[1] == 1 and got[19] == 19 and got[10] == 10
+    assert got[100] == 7  # singleton group: lo = hi = the value
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    with pytest.raises(ValueError):
+        winsorize_by_group(df, "g", "v", p_lo_pct=60, p_hi_pct=40)
