@@ -943,9 +943,12 @@ def ann_ivf_append_q(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Keyed on pid + full sf_dir slug so concurrent sessions (or two
+    # sf_dirs sharing a basename) never race on the overwrite-then-
+    # append sequence against one shared index path.
+    slug = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"ivf_append_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+        tempfile.gettempdir(), f"ivf_append_idx_{os.getpid()}_{slug}"
     )
     ivf_build(emb.where((F.col("vec_id") % 10) != 0), nlist=16, path=path)
     idx = ivf_append(spark, path, emb.where((F.col("vec_id") % 10) == 0))

@@ -539,6 +539,13 @@ def image_ahash(
                     gray = np.asarray(arr, dtype=np.float64)
                     if gray.ndim == 3:
                         gray = gray.mean(axis=2)
+                    if gray.shape[0] < hs or gray.shape[1] < hs:
+                        # Images smaller than the hash grid would yield
+                        # empty np.array_split blocks (mean = NaN → all
+                        # bits False → hash 0), silently grouping every
+                        # tiny/flat image as one duplicate cluster.
+                        # Treat them as undecodable instead.
+                        raise ValueError("image smaller than hash grid")
                     cells = np.asarray(
                         [
                             [b.mean() for b in np.array_split(row_blk, hs, axis=1)]

@@ -1130,8 +1130,10 @@ def ivfpq_topk(
     corpus shuffle, no per-pair O(dim) work. Integer partials keep the
     ADC sum order-independent (bit-reproducible cross-engine); exactly
     oracle-able like both parents (same md5-ranked sample for IVF
-    centroids and PQ codebooks, same argmin-L2² assignment, same
-    round-6 tie-breaks)."""
+    centroids and PQ codebooks; round-6 cosine list routing as in
+    :func:`ivf_build`, argmin-L2² PQ code assignment as in
+    :func:`pq_topk`, same round-6 tie-breaks — the oracle mirrors
+    both rules)."""
     if min(k, m, ksub, nlist, nprobe) < 1 or nprobe > nlist:
         raise ValueError(
             f"need k,m,ksub,nlist,nprobe >= 1 and nprobe <= nlist, got "

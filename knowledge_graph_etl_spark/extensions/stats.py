@@ -411,6 +411,11 @@ def winsorize_by_group(
     ``(n-1)·p div 100 + 1`` (lower interpolation — a value that EXISTS
     in the group, integer-exact on any engine; no float percentile
     interpolation). Returns the input's columns plus ``clipped``.
+    NULL values are excluded from the quantile histogram and pass
+    through with ``clipped`` NULL (they are missing data, not
+    outliers — clipping them to a bound would fabricate values, and
+    Spark's NULLS-FIRST vs DuckDB's NULLS-LAST histogram ordering
+    would otherwise shift the cumulative ranks).
 
     Scale shape: quantiles come from the group's VALUE HISTOGRAM —
     ``groupBy(group, value)`` counts (map-side combinable), a running
@@ -424,8 +429,10 @@ def winsorize_by_group(
             f"need 0 <= p_lo ({p_lo_pct}) <= p_hi ({p_hi_pct}) <= 100"
         )
     g, v = F.col(group_col), F.col(value_col)
-    hist = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
     w_cum = (
         Window.partitionBy(group_col)
@@ -446,10 +453,13 @@ def winsorize_by_group(
         F.min(F.when(F.col("__cum") >= r_hi, v)).alias("__hi"),
     )
     return (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(F.broadcast(bounds), group_col, "left")
         .withColumn(
             "clipped",
-            F.greatest(F.col("__lo"), F.least(F.col("__hi"), v)).cast("bigint"),
+            F.when(
+                v.isNotNull(),
+                F.greatest(F.col("__lo"), F.least(F.col("__hi"), v)),
+            ).cast("bigint"),
         )
         .drop("__lo", "__hi")
     )

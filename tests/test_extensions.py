@@ -970,6 +970,9 @@ def test_image_ahash_invariances_and_dedup(spark):
             (3, bytearray(bmp)),
             (4, bytearray(ppm_other)),
             (5, bytearray(b"not an image at all")),
+            # 4x4 image: smaller than the 8x8 hash grid — must be
+            # rejected (ok=false), not silently hashed to 0
+            (6, bytearray(b"P6\n4 4\n255\n" + bytes(48))),
         ],
         "media_id bigint, payload binary",
     )
@@ -977,6 +980,7 @@ def test_image_ahash_invariances_and_dedup(spark):
     assert got[1]["ok"] and got[1]["ahash"] == got[2]["ahash"] == got[3]["ahash"]
     assert got[4]["ok"] and got[4]["ahash"] != got[1]["ahash"]
     assert not got[5]["ok"] and got[5]["ahash"] is None
+    assert not got[6]["ok"] and got[6]["ahash"] is None
     d = {r["media_id"]: r for r in ahash_dedup(media).collect()}
     assert set(d) == {1, 2, 3, 4}  # undecodable excluded
     assert d[1]["n_copies"] == 3 and d[1]["is_canonical"]

@@ -742,13 +742,19 @@ def test_winsorize_by_group_exact_rank_bounds(spark):
 
     from knowledge_graph_etl_spark.extensions.stats import winsorize_by_group
 
-    rows = [(i, "a", i) for i in range(1, 21)] + [(100, "b", 7)]
+    rows = (
+        [(i, "a", i) for i in range(1, 21)]
+        + [(100, "b", 7), (200, "a", None), (300, "c", None)]
+    )
     df = spark.createDataFrame(rows, "event_id bigint, g string, v bigint")
     out = winsorize_by_group(df, "g", "v")
     got = {r["event_id"]: r["clipped"] for r in out.collect()}
     assert got[20] == 19  # above hi clips down
     assert got[1] == 1 and got[19] == 19 and got[10] == 10
     assert got[100] == 7  # singleton group: lo = hi = the value
+    assert got[200] is None  # NULL passes through, not clipped to a bound
+    assert got[300] is None  # all-NULL group survives the left bounds join
+    assert len(got) == 23
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     with pytest.raises(ValueError):
