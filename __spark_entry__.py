@@ -3526,7 +3526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r06-checked block as far as the window reaches. Back = the
     r07-checked window (quality_classifier_trained..join_topn_revenue)."""
     return {
-        # --- new this round (r08) ---
+        # --- new this round (r09) ---
+        "multimodal_ahash_banded": multimodal_ahash_banded_q,
+        # --- new last round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
@@ -3769,6 +3771,38 @@ def multimodal_phash_dedup_q(spark, sf_dir):
 
     media = d.mapInPandas(render, schema)
     return ahash_dedup(media)
+
+
+def multimodal_ahash_banded_q(spark, sf_dir):
+    """Banded hamming-radius perceptual-hash near-dup
+    (multimodal.hamming_neardup_pairs) — the LSH shape that catches
+    re-encodes hamming-0 grouping misses. Hashes are PRECOMPUTED
+    cross-engine (md5_u60 of the text — the SQL-reproducible stand-in
+    for an image aHash column, which binary decode can't give DuckDB),
+    and every 7th doc gets a 'noisy twin' with one deterministic bit
+    flipped, so the result contains real hamming-1 pairs, not just
+    exact-duplicate hamming-0 ones. The banding + pigeonhole candidate
+    join + exact bit_count(xor) verify — the whole operator — is what
+    the oracle reproduces bit-for-bit; the image-decode composition
+    (ahash_neardup) is pytest-pinned."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        hamming_neardup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), md5_u60(F.col("text")).alias("h")
+    )
+    twins = d.where(F.col("id") % 7 == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.expr("h ^ shiftleft(cast(1 as bigint), cast(id % 59 as int))").alias(
+            "h"
+        ),
+    )
+    hs = d.unionByName(twins)
+    return hamming_neardup_pairs(
+        hs, id_col="id", hash_col="h", max_hamming=3, bands=4
+    )
 
 
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4247,6 +4281,21 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "multimodal_ahash_banded": (
+            "WITH h0 AS (SELECT doc_id AS id, "
+            "CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) AS h FROM documents), "
+            "tw AS (SELECT id + 10000000 AS id, "
+            "xor(h, CAST(1 AS BIGINT) << CAST(id % 59 AS INTEGER)) AS h "
+            "FROM h0 WHERE id % 7 = 0), "
+            "hs AS (SELECT * FROM h0 UNION ALL SELECT * FROM tw), "
+            "b AS (SELECT id, h, blk, (h >> CAST(16*blk AS INTEGER)) & 65535 AS segv "
+            "FROM hs, range(4) t(blk)), "
+            "cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, "
+            "a.h AS ha, c.h AS hb FROM b a "
+            "JOIN b c ON a.blk = c.blk AND a.segv = c.segv AND a.id < c.id) "
+            "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
+            "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
         "kg_pattern_scan": f"SELECT {cust_s} AS s FROM customer WHERE c_mktsegment = 'BUILDING'",
         "kg_star_join_bind": (
             f"SELECT {org} AS org, c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk "

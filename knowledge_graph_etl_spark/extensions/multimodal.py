@@ -568,6 +568,105 @@ def image_ahash(
     return media.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded hamming-radius near-dup pairs over a PRECOMPUTED 64-bit
+    perceptual hash column — the LSH shape that catches the re-encodes
+    hamming-0 grouping misses: the hash is split into ``bands`` 16-bit
+    segments; by pigeonhole any pair within ``max_hamming < bands``
+    matches exactly on at least one segment, so candidates come from a
+    segment-equality self-join (never all-pairs) and are verified with
+    the exact ``bit_count(xor)`` distance on the full hash. Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+
+    Works on any integer hash ≤ 64 bits (arithmetic-shift sign bits are
+    masked off by ``& 0xFFFF``, so negative 64-bit hashes band
+    identically on any engine). Same machinery as
+    :func:`..dedup.simhash_pairs` but over an externally-supplied hash
+    column — which makes THIS operator exactly SQL-oracle-able (the
+    banding and verify are pure integer ops; DuckDB reproduces them
+    bit-for-bit), while the image-decode composition
+    (:func:`ahash_neardup`) is pytest-pinned.
+
+    Scale shape: explode to ``bands`` rows per hash (bounded fan-out),
+    one shuffle on the uniform (band, segment) key, dropDuplicates on
+    the candidate pair, integer verify in whole-stage codegen. The
+    self-join consumes one exchange twice (ReusedExchange, as in
+    simhash_pairs — deliberately not checkpointed)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for "
+            "the pigeonhole candidate generation to be complete"
+        )
+    if not 1 <= bands <= 4:
+        raise ValueError(f"bands must be in [1, 4] (16-bit segments), got {bands}")
+    h = F.col(hash_col)
+    blocked = hashes.select(
+        F.col(id_col).alias("id"),
+        h.alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftright(h, 16 * bi)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("segv"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "__h", "b.blk", "b.segv")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.segv") == F.col("b.segv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ahash_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_size: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-duplicate PAIRS within a hamming radius: real
+    :func:`image_ahash` decode, then :func:`hamming_neardup_pairs`
+    banding — catches re-encode/noise variants whose aHash differs in a
+    few bits, which :func:`ahash_dedup`'s hamming-0 grouping misses.
+    Undecodable payloads are excluded. Returns ``(id_a, id_b,
+    hamming)``."""
+    h = image_ahash(media, hash_size, id_col, payload_col).where(F.col("ok"))
+    return hamming_neardup_pairs(
+        h, id_col=id_col, hash_col="ahash", max_hamming=max_hamming, bands=bands
+    )
+
+
 def ahash_dedup(
     media: DataFrame,
     hash_size: int = 8,

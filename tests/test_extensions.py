@@ -988,6 +988,95 @@ def test_image_ahash_invariances_and_dedup(spark):
     assert d[4]["n_copies"] == 1 and d[4]["is_canonical"]
 
 
+def test_hamming_neardup_pairs_banding_exact(spark):
+    """Hand-built 64-bit hashes with known hamming distances: pairs
+    within the radius are found via some shared 16-bit band (pigeonhole),
+    a candidate pair above the radius is verified away, a pair differing
+    in all 4 bands is never even a candidate, and negative (sign-bit-set)
+    hashes band correctly under arithmetic shift + mask."""
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        hamming_neardup_pairs,
+    )
+
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 5)),  # hamming 1 vs 1
+        (3, base ^ (1 | (1 << 20) | (1 << 40))),  # hamming 3 vs 1, 3 bands hit
+        (4, base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))),  # all 4 bands
+        (5, (1 << 64) - 1),  # all 64 bits set (signed -1)
+        (6, ((1 << 64) - 1) ^ (1 << 63)),  # hamming 1 vs 5, sign bit off
+    ]
+    signed = [(i, h - (1 << 64) if h >= (1 << 63) else h) for i, h in rows]
+    df = spark.createDataFrame(signed, "media_id bigint, ahash bigint")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(df, max_hamming=3).collect()
+    }
+    # python-int ground truth over all pairs
+    exp = {}
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1 :]:
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                exp[(ia, ib)] = d
+    assert exp[(1, 2)] == 1 and exp[(1, 3)] == 3 and exp[(5, 6)] == 1
+    assert (1, 4) not in exp  # distance 4: candidate via no shared band? —
+    assert got == exp
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, bands=5)
+
+
+def test_ahash_neardup_image_path(spark):
+    """Real decode composition: an 8x8-block checkerboard and the same
+    image with ONE block flipped are hamming-1 aHash neighbors — found
+    by the banded radius search, missed by hamming-0 grouping; an
+    unrelated pattern and an undecodable payload produce no pairs."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.multimodal import (
+        ahash_dedup,
+        ahash_neardup,
+    )
+
+    def checker(flip=None):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for r in range(8):
+            for c in range(8):
+                if (r + c) % 2 == 0:
+                    img[2 * r : 2 * r + 2, 2 * c : 2 * c + 2] = 255
+        if flip is not None:
+            r, c = flip
+            v = img[2 * r, 2 * c]
+            img[2 * r : 2 * r + 2, 2 * c : 2 * c + 2] = 255 - int(v)
+        rgb = np.stack([img] * 3, axis=2)
+        return b"P6\n16 16\n255\n" + rgb.tobytes()
+
+    rng = np.random.RandomState(7)
+    other = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(checker())),
+            (2, bytearray(checker(flip=(3, 4)))),
+            (3, bytearray(b"P6\n16 16\n255\n" + other.tobytes())),
+            (4, bytearray(b"garbage")),
+        ],
+        "media_id bigint, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_neardup(media, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 1}
+    # hamming-0 grouping misses exactly this near-pair
+    d = {r["media_id"]: r["n_copies"] for r in ahash_dedup(media).collect()}
+    assert d[1] == 1 and d[2] == 1
+
+
 def test_image_ahash_validation(spark):
     import pytest
 
