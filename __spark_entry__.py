@@ -3528,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (r09) ---
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
+        "kg_incremental_remap": kg_incremental_remap_q,
         # --- new last round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
         "contamination_drift": contamination_drift_q,
@@ -3803,6 +3804,76 @@ def multimodal_ahash_banded_q(spark, sf_dir):
     return hamming_neardup_pairs(
         hs, id_col="id", hash_col="h", max_hamming=3, bands=4
     )
+
+
+def kg_incremental_remap_q(spark, sf_dir):
+    """Incremental target-graph maintenance (incremental.incremental_remap):
+    the beyond-reference capability a 100 TB deployment needs — given an
+    old and a new corpus snapshot, recompute ONLY the derived quads of
+    changed documents instead of the reference's CLEAR + full remap.
+    The new snapshot is built deterministically from documents (every
+    13th doc removed, every 11th text-edited, every 17th cloned as a new
+    doc), the old derived graph is the provenance-carrying direct
+    mapping (ingest.quadify src_col), snapshot_diff classifies the delta
+    over a content hash covering ALL mapped columns, and the maintained
+    result must equal a full refresh over the new snapshot — which is
+    exactly what the oracle computes independently in SQL. Deletes are a
+    broadcast anti-join on provenance; the mapping recomputes delta docs
+    only (plan-pinned in tests/test_incremental.py)."""
+    from knowledge_graph_etl_spark.extensions.changelog import snapshot_diff
+    from knowledge_graph_etl_spark.incremental import incremental_remap
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mapped_cols = ["text", "lang", "source", "n_chars"]
+    new = (
+        docs.where(did % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                did % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.where(did % 17 == 0).select(
+                (did + 20000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+
+    def map_fn(d):
+        return quadify(
+            d,
+            "doc_id",
+            "urn:doc:",
+            "urn:g:docs",
+            columns=mapped_cols,
+            namespace=P,
+            src_col="src_id",
+        )
+
+    # \x1f separator + \x01 NULL sentinel: the hash must distinguish
+    # ("ab","") from ("a","b") and NULL from '' (quadify emits no
+    # triple for NULL but an empty-literal triple for ''). Spark-
+    # internal only -- this string never crosses to the DuckDB side.
+    content = F.concat_ws(
+        "",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in mapped_cols
+        ],
+    )
+    diff = snapshot_diff(
+        docs.select("doc_id", content.alias("__c")),
+        new.select("doc_id", content.alias("__c")),
+        "doc_id",
+        "__c",
+    )
+    return incremental_remap(map_fn(docs), new, diff, map_fn)
 
 
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4295,6 +4366,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b c ON a.blk = c.blk AND a.segv = c.segv AND a.id < c.id) "
             "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
             "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
+        "kg_incremental_remap": (
+            # full refresh over the new snapshot, computed independently:
+            # the strongest check of the incremental maintenance — any
+            # stale quad kept, fresh quad missed, or double-mapped doc
+            # diverges the multiset
+            "WITH nd AS ("
+            "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' "
+            "ELSE text END AS text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 13 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id + 20000000 AS doc_id, 'new ' || text AS text, "
+            "lang, source, n_chars FROM documents WHERE doc_id % 17 = 0), "
+            "tri AS ("
+            "SELECT doc_id, 'urn:p:text' AS p, text AS o_value, "
+            "CAST(NULL AS VARCHAR) AS o_datatype FROM nd WHERE text IS NOT NULL "
+            "UNION ALL SELECT doc_id, 'urn:p:lang', lang, NULL FROM nd "
+            "WHERE lang IS NOT NULL "
+            "UNION ALL SELECT doc_id, 'urn:p:source', source, NULL FROM nd "
+            "WHERE source IS NOT NULL "
+            "UNION ALL SELECT doc_id, 'urn:p:n_chars', "
+            "CAST(n_chars AS VARCHAR), "
+            "'http://www.w3.org/2001/XMLSchema#integer' FROM nd "
+            "WHERE n_chars IS NOT NULL) "
+            "SELECT 'urn:g:docs' AS g, "
+            "'urn:doc:' || CAST(doc_id AS VARCHAR) AS s, 'iri' AS s_type, "
+            "p, o_value, 'literal' AS o_type, o_datatype, "
+            "CAST(NULL AS VARCHAR) AS o_lang, "
+            "CAST(doc_id AS VARCHAR) AS src_id FROM tri"
         ),
         "kg_pattern_scan": f"SELECT {cust_s} AS s FROM customer WHERE c_mktsegment = 'BUILDING'",
         "kg_star_join_bind": (

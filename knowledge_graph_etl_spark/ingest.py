@@ -171,6 +171,7 @@ def json_to_quads(
     id_col: str = "doc_id",
     namespace: str = DEFAULT_NAMESPACE,
     instance_ns: str | None = None,
+    src_col: str | None = None,
 ) -> DataFrame:
     """Distributed direct mapping: DataFrame of (id, json-text) rows →
     DataFrame of quads in named graph ``graph``.
@@ -178,12 +179,24 @@ def json_to_quads(
     Arrow-batched via ``mapInPandas`` (the reference's per-record Python
     generator, parallelized per partition; SURVEY.md §3 entry point 1).
     ``id_col`` must be unique per document — it scopes the deterministic
-    blank-node labels. Scale: one pass, no shuffle; output partitioning
-    follows the input's.
+    blank-node labels. ``src_col`` (optional) appends a provenance column
+    holding the source document id as a string, the deletion linkage for
+    :func:`..incremental.incremental_remap`. Scale: one pass, no shuffle;
+    output partitioning follows the input's.
     """
     ns = namespace
     ins = instance_ns
     jc, ic = json_col, id_col
+    cols = QUAD_COLUMNS + ([src_col] if src_col else [])
+    if src_col:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # copy — StructType.add would mutate the shared QUAD_SCHEMA
+        schema = StructType(
+            list(QUAD_SCHEMA.fields) + [StructField(src_col, StringType())]
+        )
+    else:
+        schema = QUAD_SCHEMA
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,10 +205,12 @@ def json_to_quads(
                 if text is None:
                     continue
                 for t in parse_json_text(text, str(did), ns, ins):
-                    rows.append((graph, *t))
-            yield pd.DataFrame(rows, columns=QUAD_COLUMNS)
+                    rows.append(
+                        (graph, *t, str(did)) if src_col else (graph, *t)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select(ic, jc).mapInPandas(run, schema=QUAD_SCHEMA)
+    return docs.select(ic, jc).mapInPandas(run, schema=schema)
 
 
 def quadify(
@@ -206,6 +221,7 @@ def quadify(
     columns: list[str] | None = None,
     namespace: str = DEFAULT_NAMESPACE,
     iri_columns: dict[str, str] | None = None,
+    src_col: str | None = None,
 ) -> DataFrame:
     """Relational table → quads: subject ``subject_prefix + key``, one
     triple per non-null column value (the SQL "direct mapping" of a wide
@@ -213,6 +229,9 @@ def quadify(
 
     ``iri_columns`` maps column → object-IRI prefix, turning foreign keys
     into IRI objects so BGP chain joins (SURVEY.md §2 op 16) traverse them.
+    ``src_col`` (optional) appends a provenance column holding the source
+    key as a string — the linkage :func:`..incremental.incremental_remap`
+    needs to delete exactly the derived quads of changed documents.
     Implemented as a single projection + explode — no shuffle, fully
     column-pruned at the parquet scan.
     """
@@ -248,8 +267,11 @@ def quadify(
                 ),
             )
         )
+    src = (
+        [F.col(key_col).cast("string").alias(src_col)] if src_col else []
+    )
     exploded = df.select(
-        subj.alias("s"), F.explode(F.array(*entries)).alias("t")
+        subj.alias("s"), *src, F.explode(F.array(*entries)).alias("t")
     ).where(F.col("t").isNotNull())
     return exploded.select(
         F.lit(graph).alias("g"),
@@ -260,4 +282,5 @@ def quadify(
         F.col("t.o_type").alias("o_type"),
         F.col("t.o_datatype").alias("o_datatype"),
         F.lit(None).cast("string").alias("o_lang"),
+        *([F.col(src_col)] if src_col else []),
     )
