@@ -193,3 +193,172 @@ def fixture_documents() -> dict[str, list[tuple[str, str]]]:
         ("mediahaven_tenants-0", json.dumps(mediahaven_tenants()))
     ]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Volume corpus: the same document shapes at parametric scale
+# ---------------------------------------------------------------------------
+
+
+def _volume_company(i: int, n_users: int) -> dict:
+    """One tl_companies doc shaped exactly like the fixtures (same field
+    paths the 13 mappings match), parameterized: ~10% CP-status 'nee'
+    (semi-join excluded), alternating www/https website branches,
+    alternating watermark booleans."""
+    orid = f"OR-vol{i:06d}"
+    status = "nee" if i % 10 == 9 else "ja"
+    website = (
+        f"www.volumeorg{i}.be" if i % 2 == 0 else f"https://volumeorg{i}.be"
+    )
+    return {
+        "name": f"Volume Organisatie {i}",
+        "website": website,
+        "addresses": [
+            {
+                "type": "primary",
+                "address": {
+                    "line_1": f"Volumestraat {i % 97 + 1}",
+                    "postal_code": f"{9000 + i % 800}",
+                    "city": "Gent" if i % 3 else "Antwerpen",
+                    "country": "BE",
+                },
+            }
+        ],
+        "emails": [
+            {"type": "primary", "email": f"info{i}@volumeorg.be"},
+            {"type": "support", "email": f"help{i}@volumeorg.be"},
+        ],
+        "telephones": [{"type": "primary", "number": f"+329{i:07d}"}],
+        "responsible_user": {"id": f"vol-user-{i % max(n_users, 1)}"},
+        "custom_fields": [
+            _cf(orid, CF["5.1 - OR-ID"]),
+            _cf(status, CF["2.2 - CP status"]),
+            _cf("1 - Cultuur organisatie", CF["1.1 - Type organisatie"]),
+            _cf(i % 2 == 0, CF["4.2 - Watermerk"]),
+            _cf(i % 4 == 0, CF["4.1 - Bezoekertool"]),
+            _cf(f"Beschrijving volume organisatie {i}", CF["CP - Omschrijving (200 tek.)"]),
+            _cf(f"ontsluiting{i}@volumeorg.be", CF["E-mail Ontsluiting"]),
+            _cf(f"+328{i:07d}", CF["Telefoon Ontsluiting"]),
+            _cf(f"facturatie{i}@volumeorg.be", CF["E-mail Facturatie"]),
+            _cf(f"https://forms.volumeorg.be/{i}", CF["CP - Link aanvraagformulier"]),
+        ],
+    }
+
+
+def _volume_ldap(i: int) -> dict:
+    """One ldap_organizations doc for every SECOND company's OR-ID (the
+    cross-graph join in the org mappings must hit and miss); every 10th
+    org carries two organizational units."""
+    orid = f"OR-vol{2 * i:06d}"
+    units = ()
+    if i % 10 == 0:
+        units = (
+            {
+                "objectClass": ["organizationalUnit"],
+                "ou": f"{orid}-unit1",
+                "description": f"Volume Unit {i}",
+                "street": f"Unitstraat {i % 50 + 1}",
+                "postalCode": "9050",
+                "l": "Gentbrugge",
+                "st": "Oost-Vlaanderen",
+                "x-be-viaa-sector": "Cultuur",
+            },
+        )
+    return _ldap_org(
+        orid,
+        f"Volume Organisatie {2 * i}",
+        "Content Partner" if i % 3 else "Customer",
+        sector="Cultuur" if i % 2 else "Media",
+        address={
+            "street": f"Ldapstraat {i % 80 + 1}",
+            "postalCode": "9000",
+            "l": "Gent",
+            "st": "Oost-Vlaanderen",
+        },
+        units=units,
+    )
+
+
+def _volume_user(i: int) -> dict:
+    u = {
+        "id": f"vol-user-{i}",
+        "first_name": f"Voornaam{i}",
+        "last_name": f"Achternaam{i}",
+        "email": f"user{i}@meemoo.be",
+    }
+    if i % 3:
+        u["function"] = f"Account manager {i}"
+        u["telephones"] = [{"type": "mobile", "number": f"+3247{i:07d}"}]
+    return u
+
+
+def volume_documents(spark, n_companies: int = 30000):
+    """Generated staging corpus at parametric volume: source name →
+    DataFrame of (doc_id, json), document shapes identical to the
+    fixtures but scaled — n companies, n/2 ldap orgs, n/6 users, the
+    11-row custom-field lookup, and one whole-file tenants doc per 100
+    companies. Generation is DISTRIBUTED (mapInPandas over spark.range;
+    the driver never holds the corpus) so the pipeline's data-dependent
+    cost — not corpus materialization — is what a caller times.
+
+    The custom-field definitions stay a bounded lookup while companies
+    scale, which is exactly the shape that makes the mapping's
+    definition-id join broadcastable at any corpus size (SURVEY.md §2
+    op 17; asserted in tests/test_pipeline.py)."""
+    import pandas as pd
+
+    n_users = max(n_companies // 6, 1)
+    n_ldap = max(n_companies // 2, 1)
+
+    def gen(builder, prefix):
+        def run(batches):
+            for pdf in batches:
+                ids, docs = [], []
+                for i in pdf["id"]:
+                    ids.append(f"{prefix}-{i}")
+                    docs.append(json.dumps(builder(int(i))))
+                yield pd.DataFrame({"doc_id": ids, "json": docs})
+
+        return run
+
+    schema = "doc_id string, json string"
+    companies = spark.range(n_companies).mapInPandas(
+        gen(lambda i: _volume_company(i, n_users), "tl_companies"), schema
+    )
+    ldap = spark.range(n_ldap).mapInPandas(
+        gen(_volume_ldap, "ldap_organizations"), schema
+    )
+    users = spark.range(n_users).mapInPandas(
+        gen(_volume_user, "tl_users"), schema
+    )
+    cfs = spark.createDataFrame(
+        [
+            (f"tl_custom_fields-{i}", json.dumps(d))
+            for i, d in enumerate(tl_custom_fields())
+        ],
+        schema,
+    )
+    tenants = spark.createDataFrame(
+        [
+            (
+                "mediahaven_tenants-0",
+                json.dumps(
+                    [
+                        {
+                            "Name": f"Tenant Volume {i}",
+                            "ExternalId": f"OR-vol{i:06d}",
+                        }
+                        for i in range(0, n_companies, 100)
+                    ]
+                ),
+            )
+        ],
+        schema,
+    )
+    return {
+        "ldap_organizations": ldap,
+        "tl_users": users,
+        "tl_companies": companies,
+        "tl_custom_fields": cfs,
+        "mediahaven_tenants": tenants,
+    }

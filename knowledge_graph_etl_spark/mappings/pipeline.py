@@ -224,9 +224,14 @@ def run_pipeline(
     """Full-refresh run (CLEAR → load → map → provenance → DROP → optimize).
 
     ``documents``: source name → [(doc_id, json_text)] (see
-    :mod:`.fixtures`). ``sparql_dir``: directory containing the 13 mapping
-    files (:data:`MAPPING_FILES`).
+    :mod:`.fixtures`) OR an already-distributed DataFrame of
+    ``(doc_id, json)`` (see :func:`.fixtures.volume_documents` — at
+    volume the corpus must never pass through the driver).
+    ``sparql_dir``: directory containing the 13 mapping files
+    (:data:`MAPPING_FILES`).
     """
+    from pyspark.sql import DataFrame
+
     spark = engine.spark
 
     # c1-c4 (+ the target clear c): full-refresh staging
@@ -236,7 +241,11 @@ def run_pipeline(
 
     # e1-e5: extract & insert (reference load_knowledge_graph.py:269-334)
     for source, docs in documents.items():
-        df = spark.createDataFrame(docs, "doc_id string, json string")
+        df = (
+            docs
+            if isinstance(docs, DataFrame)
+            else spark.createDataFrame(docs, "doc_id string, json string")
+        )
         engine.load_json(df, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
 
     engine.update(f"CLEAR SILENT GRAPH <{GRAPH_NS}organizations>")

@@ -231,3 +231,78 @@ def test_provenance(pipeline_store):
         s == result and p == "http://www.w3.org/ns/prov#wasDerivedFrom" for s, p, _ in prov
     )
     assert any(p == "http://www.w3.org/ns/prov#startedAtTime" for _, p, _ in prov)
+
+
+# ---------------------------------------------------------------------------
+# Volume corpus (fixtures.volume_documents): the same lifecycle with a
+# data-dependent term, deterministic derived counts, and the scale plan pin
+# ---------------------------------------------------------------------------
+
+N_VOL = 150
+
+
+@pytest.fixture(scope="module")
+def volume_engine(spark, tmp_path_factory):
+    from knowledge_graph_etl_spark.mappings.fixtures import volume_documents
+
+    eng = Engine(spark, store_path=str(tmp_path_factory.mktemp("volstore")))
+    run_pipeline(
+        eng,
+        volume_documents(spark, n_companies=N_VOL),
+        REF_SPARQL_DIR,
+        run_id="run-vol",
+        ts="2024-01-01T00:00:00+00:00",
+        env="qas",
+        optimize=True,
+    )
+    return eng
+
+
+@needs_ref
+def test_volume_pipeline_derived_counts(volume_engine):
+    """Deterministic derived-count checks at parametric volume: the
+    ContentPartner set is the union of tl companies with CP status 'ja'
+    (i % 10 != 9) and ldap orgs with businessCategory 'Content Partner'
+    (orid 2i, i % 3 != 0); every company derives exactly one
+    foaf:homepage triple. Generator drift or a volume-only mapping bug
+    (lost join rows, dropped partitions) shifts these counts."""
+    orgs = volume_engine.store.graph(GRAPH_NS + "organizations")
+    cp = {
+        r["s"]
+        for r in orgs.where(
+            (F.col("p") == RDF_TYPE)
+            & (F.col("o_value") == MEEMOO + "ContentPartner")
+        ).collect()
+    }
+    exp = {f"{ORG}OR-vol{i:06d}" for i in range(N_VOL) if i % 10 != 9}
+    exp |= {
+        f"{ORG}OR-vol{2 * i:06d}"
+        for i in range(N_VOL // 2)
+        if i % 3 != 0
+    }
+    assert cp == exp
+    hp = orgs.where(F.col("p") == "http://xmlns.com/foaf/0.1/homepage")
+    assert hp.count() == N_VOL
+    # www.* and https:// website branches both taken
+    vals = [r["o_value"] for r in hp.collect()]
+    assert any(v.startswith("http://www.") for v in vals)
+    assert any(v.startswith("https://") for v in vals)
+
+
+@needs_ref
+def test_volume_custom_field_lookup_broadcasts(spark, tmp_path_factory):
+    """SURVEY §2 op 17 at volume: with a 2000-company staging corpus
+    loaded, the compiled tl_companies_mapping_org plan joins the
+    ~30-quad tl_custom_fields lookup via BroadcastHashJoin — the shape
+    that keeps the mapping shuffle-light when companies scale 1000x
+    while the definition lookup stays bounded."""
+    from knowledge_graph_etl_spark.engine import SOURCE_NS
+    from knowledge_graph_etl_spark.mappings.fixtures import volume_documents
+
+    eng = Engine(spark, store_path=str(tmp_path_factory.mktemp("volplan")))
+    docs = volume_documents(spark, n_companies=2000)
+    for source in ("tl_companies", "tl_custom_fields", "tl_users"):
+        eng.load_json(docs[source], f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
+    df = eng.plan(os.path.join(REF_SPARQL_DIR, "tl_companies_mapping_org.sparql"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
