@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    loadavg_launch = tuple(round(x, 2) for x in os.getloadavg())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -142,12 +143,63 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Drift tripwire (r08 verdict item 7): compare the shared-entry sum
+    # against the newest committed BENCH_r{N}.json at measurement time,
+    # alongside the launch load average — so "machine state vs real
+    # regression" is decided from evidence recorded WITH the run, not
+    # reconstructed afterwards. > ~1.15x on a settled box (low loadavg)
+    # means bisect, don't attribute.
+    loadavg = loadavg_launch
+    shared_sum_vs_prev = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    # the previous run's full record is the on-disk BENCH_local.json as
+    # of launch (read before this run overwrites it) — the driver's
+    # BENCH_r{N}.json wrappers hold only a truncated stdout tail
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV", os.path.join(here, "BENCH_local.json")
+    )
+    if os.path.isfile(prev_path):
+        prev_file = os.path.basename(prev_path)
+        try:
+            with open(prev_path) as fh:
+                prev_payload = json.load(fh)
+            prev_q = (
+                prev_payload.get("queries", {})
+                if prev_payload.get("sf") == sf_val
+                else {}  # different scale factor: nothing comparable
+            )
+            shared = [
+                q
+                for q in timings
+                if timings[q] >= 0 and prev_q.get(q, -1) >= 0
+            ]
+            cur_sum = sum(timings[q] for q in shared)
+            prev_sum = sum(prev_q[q] for q in shared)
+            if prev_sum > 0:
+                shared_sum_vs_prev = {
+                    "ratio": round(cur_sum / prev_sum, 3),
+                    "n_shared": len(shared),
+                    "cur_sum": round(cur_sum, 1),
+                    "prev_sum": round(prev_sum, 1),
+                    "prev_file": prev_file,
+                }
+                print(
+                    f"# drift: shared-entry sum {cur_sum:.1f}s vs "
+                    f"{prev_sum:.1f}s in {prev_file} "
+                    f"({cur_sum / prev_sum:.3f}x over {len(shared)} "
+                    f"shared entries); loadavg at launch {loadavg}",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError, KeyError) as e:
+            print(f"# drift tripwire skipped: {e}", file=sys.stderr)
     payload = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "loadavg": loadavg,
+        "shared_sum_vs_prev": shared_sum_vs_prev,
     }
     print(json.dumps(payload))
     # Also persist the COMPLETE per-query record to a file: the driver's
