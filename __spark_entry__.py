@@ -2258,28 +2258,67 @@ def ann_knn_graph_q(spark, sf_dir):
     )
 
 
-def ann_beam_topk_q(spark, sf_dir):
-    """HNSW-shaped beam-search probe over the prebuilt k-NN graph
-    (extensions/similarity.beam_search_topk): 8 md5-rank entry points,
-    2 rounds of top-5-beam expansion through ann_knn_graph's k=5
-    adjacency, exact cosine re-scoring of every visited node, final
-    top-10 per query — the graph-traversal ANN path that completes the
-    family beyond IVF/PQ/LSH. Oracle: unrolled-CTE twin (the knn-graph
-    CTEs rebuild the same adjacency, rounds unrolled exactly)."""
-    from knowledge_graph_etl_spark.extensions.similarity import (
-        beam_search_topk,
-        knn_graph,
+#: knn-graph build params shared by the adjacency index and its oracle
+_KNN_PARAMS = {"k": 5, "target_cluster_size": 64}
+_KNN_SCHEMA_V = 1
+
+
+def _knn_adj_table(sf_dir: str) -> str:
+    import re as _re
+
+    slug = _re.sub(r"[^0-9a-z]+", "_", sf_dir.lower().strip("/"))
+    p = _KNN_PARAMS
+    return (
+        f"knn_adj_v{_KNN_SCHEMA_V}_k{p['k']}_c{p['target_cluster_size']}_{slug}"
     )
 
+
+def ensure_knn_adjacency(spark, sf_dir: str) -> str:
+    """Build + persist the k-NN graph adjacency BUCKETED on id iff
+    absent; returns the table name. The graph-ANN twin of
+    ensure_steady_index: the adjacency pays its shuffle once at build
+    time (layout.write_bucketed), and every beam_search_topk probe then
+    reads it as a bucket-pruned point lookup — bench.py runs this in its
+    untimed setup so the benched ann_beam_topk number is the PROBE, not
+    the per-run graph rebuild (r08 verdict stretch item 8)."""
+    from knowledge_graph_etl_spark.extensions.layout import write_bucketed
+    from knowledge_graph_etl_spark.extensions.similarity import knn_graph
+
+    table = _knn_adj_table(sf_dir)
+    if not spark.catalog.tableExists(table):
+        import os as _os
+        import shutil as _shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        _shutil.rmtree(_os.path.join(wh, table), ignore_errors=True)
+        adj = knn_graph(
+            _t(spark, sf_dir, "embeddings"), **_KNN_PARAMS
+        ).select("id", "neighbor_id")
+        write_bucketed(adj, table, bucket_by=["id"], num_buckets=8)
+    return table
+
+
+def ann_beam_topk_q(spark, sf_dir):
+    """HNSW-shaped beam-search probe over the PERSISTED k-NN graph
+    (extensions/similarity.beam_search_topk, table mode): 8 md5-rank
+    entry points, 2 rounds of top-5-beam expansion through
+    ann_knn_graph's k=5 adjacency — read as a bucket-pruned point
+    lookup from the id-bucketed index ensure_knn_adjacency builds once
+    per sf_dir+params fingerprint — exact cosine re-scoring of every
+    visited node, final top-10 per query. Table mode is
+    result-identical to rebuilding the adjacency inline (pytest-pinned)
+    so the unrolled-CTE oracle (knn-graph CTEs + rounds unrolled) is
+    unchanged; bench.py prebuilds the index untimed, making this
+    entry's number the probe-only cost."""
+    from knowledge_graph_etl_spark.extensions.similarity import beam_search_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    adjacency = knn_graph(emb, k=5, target_cluster_size=64).select(
-        "id", "neighbor_id"
-    )
+    table = ensure_knn_adjacency(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return beam_search_topk(
-        emb, qs, adjacency, k=10, beam=5, rounds=2, n_entry=8
+        emb, qs, table, k=10, beam=5, rounds=2, n_entry=8
     )
 
 

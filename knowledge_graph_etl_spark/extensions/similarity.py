@@ -985,7 +985,7 @@ def knn_graph(
 def beam_search_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    adjacency: DataFrame,
+    adjacency: DataFrame | str,
     k: int = 10,
     beam: int = 5,
     rounds: int = 2,
@@ -1007,16 +1007,26 @@ def beam_search_topk(
 
     Scale shape: the corpus is touched only by id-equi-joins on the
     visited set, which is |Q|·(n_entry + rounds·beam·degree) rows —
-    bounded and tiny relative to the corpus, so an adjacency table
-    bucketed on ``id`` (``layout.write_bucketed``) makes every expansion
-    a shuffle-free bucket probe. The query side broadcasts; no GEMM, no
-    full-corpus scoring pass — per-query cost is O(visited·dim), the
-    whole point of graph ANN at 100 TB. Exactly oracle-able: fixed
-    rounds, deterministic entry points, 6-dp rounded cosine, ties broken
-    on neighbor id (unrolled-CTE SQL twin, like the graph family).
+    bounded and tiny relative to the corpus. ``adjacency`` is either a
+    ``(id, neighbor_id)`` DataFrame (rebuilt lineage, checkpointed once)
+    or the NAME of a PERSISTED managed table bucketed on ``id``
+    (``layout.write_bucketed`` — the steady-state index shape): in table
+    mode each round collects the current beam's candidate ids (bounded:
+    ≤ |Q|·beam rows by construction) and pushes them down as an IN
+    filter, so the expansion is a bucket-PRUNED point lookup
+    (``SelectedBucketsCount`` < total in the scan, plan-pinned) — the
+    adjacency store is probed, never rescanned, and never shuffled (it
+    paid its one shuffle at index-build time). The query side
+    broadcasts; no GEMM, no full-corpus scoring pass — per-query cost
+    is O(visited·dim), the whole point of graph ANN at 100 TB. Exactly
+    oracle-able: fixed rounds, deterministic entry points, 6-dp rounded
+    cosine, ties broken on neighbor id (unrolled-CTE SQL twin, like the
+    graph family); table mode is result-identical to DataFrame mode
+    (the IN filter only restricts to ids the equi-join would keep).
     """
     if min(k, beam, rounds, n_entry) < 1:
         raise ValueError("k, beam, rounds, n_entry must all be >= 1")
+    indexed = isinstance(adjacency, str)
     cand = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
@@ -1027,8 +1037,11 @@ def beam_search_topk(
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnrm"),
     )
-    # one materialization; every round's expansion re-reads it locally
-    adj = adjacency.select("id", "neighbor_id").localCheckpoint(eager=True)
+    if indexed:
+        spark = corpus.sparkSession
+    else:
+        # one materialization; every round's expansion re-reads it locally
+        adj = adjacency.select("id", "neighbor_id").localCheckpoint(eager=True)
     entry = (
         corpus.select(
             F.col(id_col).cast("string").alias("cid"),
@@ -1068,6 +1081,20 @@ def beam_search_topk(
             .where(F.col("rn") <= beam)
             .select("query_id", "cand_id")
         )
+        if indexed:
+            # bounded collect (≤ |Q|·beam ids): the literal IN list is
+            # what lets Spark prune the bucketed adjacency scan to the
+            # touched buckets — a join predicate alone cannot
+            beam_ids = sorted(
+                {r["cand_id"] for r in beam_df.select("cand_id").collect()}
+            )
+            if not beam_ids:  # nothing visited → nothing to expand
+                break
+            adj = (
+                spark.table(adjacency)
+                .where(F.col("id").isin(beam_ids))
+                .select("id", "neighbor_id")
+            )
         new_pairs = (
             beam_df.join(adj, beam_df["cand_id"] == adj["id"])
             .select("query_id", F.col("neighbor_id").alias("cand_id"))

@@ -666,6 +666,48 @@ def test_beam_search_visited_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_beam_search_table_mode_equals_dataframe_mode(spark):
+    """Persisted-adjacency probe (r08 verdict stretch 8): with the
+    adjacency written as an id-bucketed managed table, table-mode
+    beam_search_topk returns EXACTLY the DataFrame-mode result, and the
+    expansion reads the table as a bucket-PRUNED point lookup —
+    SelectedBucketsCount strictly below the bucket count in the plan
+    (the literal IN pushdown of the bounded beam ids), no Exchange paid
+    by the adjacency side."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.layout import write_bucketed
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        beam_search_topk,
+        knn_graph,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).round(3).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    adj = knn_graph(df, k=3, nlist=4).select("id", "neighbor_id")
+    spark.sql("DROP TABLE IF EXISTS t_beam_adj")
+    try:
+        write_bucketed(adj, "t_beam_adj", bucket_by=["id"], num_buckets=8)
+        qs = df.where("vec_id < 3").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        kw = dict(k=5, beam=3, rounds=2, n_entry=4)
+        ref = beam_search_topk(df, qs, adj, **kw)
+        out = beam_search_topk(df, qs, "t_beam_adj", **kw)
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[3])) == \
+            sorted(map(tuple, ref.collect()), key=lambda t: (t[0], t[3]))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_beam_adj")
+
+
 def test_profile_table_known_values(spark):
     """Hand-checked profiling: exact null/distinct counts, double min/max
     for numerics, NULL min/max for strings, NTZ timestamps converted
