@@ -904,6 +904,26 @@ def ann_ivf_topk_q(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4, query_id_col="query_id")
 
 
+def ann_recall_eval_q(spark, sf_dir):
+    """ANN recall harness (extensions/similarity.recall_at_k): recall@10
+    of the IVF probe (nlist=16, nprobe=4) against brute-force cosine
+    ground truth, per query, in integer ppm — the measurement operator
+    that turns nprobe/nlist tuning from guesswork into a recall-vs-cost
+    curve. Both result tables and the intersection/ratio are
+    independently recomputed by the oracle."""
+    from knowledge_graph_etl_spark.extensions.similarity import recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(
+        emb, qs, k=10, nlist=16, nprobe=4, query_id_col="query_id"
+    )
+    exact = cosine_topk(emb, qs, k=10, query_id_col="query_id")
+    return recall_at_k(approx, exact, k=10)
+
+
 def ann_ivf_query_q(spark, sf_dir):
     """Index-then-probe IVF (extensions/similarity.ivf_build/ivf_query):
     the corpus assignment is persisted ONCE as parquet partitioned by
@@ -3568,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r09) ---
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
+        "ann_recall_eval": ann_recall_eval_q,
         # --- new last round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
         "contamination_drift": contamination_drift_q,
@@ -4448,6 +4469,48 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b c ON a.blk = c.blk AND a.segv = c.segv AND a.id < c.id) "
             "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
             "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
+        "ann_recall_eval": (
+            # IVF result and brute-force ground truth recomputed
+            # independently, then the intersection and integer-ppm ratio
+            "WITH cents AS (SELECT embedding AS cent, row_number() OVER "
+            "(ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 "
+            "AS list_id FROM embeddings QUALIFY list_id < 16), "
+            "asg AS (SELECT c.vec_id AS neighbor_id, c.embedding AS cvec, "
+            "t.list_id, row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+            "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+            "CAST(t.cent AS DOUBLE[])), 6) DESC, t.list_id) AS rn "
+            "FROM embeddings c CROSS JOIN cents t), "
+            "ca AS (SELECT neighbor_id, cvec, list_id FROM asg WHERE rn = 1), "
+            "qa AS (SELECT q.vec_id AS query_id, q.embedding AS qvec, "
+            "t.list_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(t.cent AS DOUBLE[])), 6) DESC, t.list_id) AS rn "
+            "FROM embeddings q CROSS JOIN cents t WHERE q.vec_id < 5), "
+            "qp AS (SELECT query_id, qvec, list_id FROM qa WHERE rn <= 4), "
+            "s_ivf AS (SELECT qp.query_id, ca.neighbor_id, "
+            "round(list_cosine_similarity(CAST(qp.qvec AS DOUBLE[]), "
+            "CAST(ca.cvec AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM ca JOIN qp ON ca.list_id = qp.list_id), "
+            "a AS (SELECT query_id, neighbor_id FROM (SELECT query_id, "
+            "neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY "
+            "cosine_sim DESC, neighbor_id) AS rank FROM s_ivf) WHERE rank <= 10), "
+            "qx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), "
+            "s_ex AS (SELECT qx.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+            "CAST(qx.embedding AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM embeddings c CROSS JOIN qx), "
+            "e AS (SELECT query_id, neighbor_id FROM (SELECT query_id, "
+            "neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY "
+            "cosine_sim DESC, neighbor_id) AS rank FROM s_ex) WHERE rank <= 10), "
+            "t2 AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth "
+            "FROM e GROUP BY 1), "
+            "h AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits "
+            "FROM e JOIN a ON e.query_id = a.query_id "
+            "AND e.neighbor_id = a.neighbor_id GROUP BY 1) "
+            "SELECT t2.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "t2.n_truth, COALESCE(h.n_hits, 0) * 1000000 // t2.n_truth "
+            "AS recall_ppm FROM t2 LEFT JOIN h ON t2.query_id = h.query_id"
         ),
         "kg_incremental_remap": (
             # full refresh over the new snapshot, computed independently:

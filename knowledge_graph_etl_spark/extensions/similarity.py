@@ -1354,3 +1354,54 @@ def ivf_append(
         "list_id"
     ).parquet(path + "/assigned")
     return IvfIndex(cent_rows, spark.read.parquet(path + "/assigned"))
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k evaluation of an approximate ANN result against exact
+    ground truth — the measurement operator every ANN deployment runs
+    before trusting an index (nprobe/nlist/codebook tuning is a recall-
+    vs-cost curve; without this op the curve is guesswork). Both inputs
+    are ``(query_id, neighbor_id, ..., rank)`` result tables (any of the
+    family: ivf/pq/ivfpq/lsh/beam vs :func:`cosine_topk`). Returns one
+    row per ground-truth query: ``(query_id, n_hits, n_truth,
+    recall_ppm)`` with ``recall_ppm = n_hits * 1_000_000 div n_truth``
+    — integer parts-per-million, bit-exact cross-engine (no float
+    division), the project's standard for oracle-able ratios.
+
+    Scale shape: both sides are pre-filtered to rank ≤ k (≤ |Q|·k rows
+    each — bounded, tiny), hit counting is one LEFT SEMI join on
+    (query_id, neighbor_id) and a groupBy on query_id; the ground-truth
+    side is the spine so queries the index missed entirely still report
+    recall 0, not absence."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qid, nid, rk = query_id_col, neighbor_col, rank_col
+    a = approx.where(F.col(rk) <= k).select(
+        F.col(qid).alias("query_id"), F.col(nid).alias("neighbor_id")
+    )
+    e = exact.where(F.col(rk) <= k).select(
+        F.col(qid).alias("query_id"), F.col(nid).alias("neighbor_id")
+    )
+    truth = e.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        "n_truth",
+        F.expr("coalesce(n_hits, 0) * 1000000 div n_truth").alias(
+            "recall_ppm"
+        ),
+    )

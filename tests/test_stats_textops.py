@@ -801,3 +801,43 @@ def test_winsorize_by_group_exact_rank_bounds(spark):
     assert "BroadcastHashJoin" in plan, plan
     with pytest.raises(ValueError):
         winsorize_by_group(df, "g", "v", p_lo_pct=60, p_hi_pct=40)
+
+
+def test_recall_at_k_known_values(spark):
+    """Hand-built approx/exact result tables: full hit, partial hit with
+    exact integer-ppm value, a query the index missed entirely (spine
+    keeps it at recall 0), rank>k rows ignored on both sides, and an
+    approx-only query absent from the output (no ground truth, nothing
+    to measure)."""
+    import pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        # q1 truth {10,11,12}; q2 truth {20,21,22}; q3 truth {30}
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (3, 30, 1),
+         (1, 99, 4)],  # rank 4 > k: not ground truth at k=3
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    approx = spark.createDataFrame(
+        # q1 finds all 3; q2 finds 2 of 3 (one wrong); q3 absent;
+        # q4 has no ground truth; one rank-4 approx row must not count
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 77, 3),
+         (4, 40, 1),
+         (2, 22, 4)],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["n_truth"], r["recall_ppm"])
+        for r in recall_at_k(approx, exact, k=3).collect()
+    }
+    assert got == {
+        1: (3, 3, 1000000),
+        2: (2, 3, 666666),  # integer div: 2_000_000 // 3
+        3: (0, 1, 0),
+    }
+    with pytest.raises(ValueError):
+        recall_at_k(approx, exact, k=0)
