@@ -984,6 +984,28 @@ def ann_neardup_lsh_q(spark, sf_dir):
     return cosine_neardup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def dedup_lsh_eval_q(spark, sf_dir):
+    """Pair-level precision/recall of MinHash+LSH against exact n-gram
+    Jaccard ground truth at the same 0.8 threshold
+    (extensions/dedup.pair_eval) — the measurement harness for the LSH
+    operating point: banding (bands=4, r=8 → s-curve knee ≈0.84) trades
+    recall for candidate volume, and this entry pins the resulting
+    recall/precision ppm per round so a banding or signature regression
+    shows up as a VALUE change, not just a timing one. Candidates and
+    truth reuse the exact parameters of dedup_minhash_lsh /
+    dedup_ngram_jaccard; the oracle recomputes both pipelines AND the
+    intersection independently (nested-CTE composition of their
+    oracles)."""
+    from knowledge_graph_etl_spark.extensions.dedup import pair_eval
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        d, num_hashes=32, bands=4, threshold=0.8, hash_fn="md5"
+    )
+    truth = ngram_jaccard_pairs(d, n=3, threshold=0.8)
+    return pair_eval(cand, truth)
+
+
 def dedup_simhash_q(spark, sf_dir):
     # hash_fn="md5": cross-engine token hash → the whole SimHash pipeline
     # (per-bit majority, pigeonhole blocking, Hamming filter) is oracled
@@ -3589,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
+        "dedup_lsh_eval": dedup_lsh_eval_q,
         # --- new last round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
         "contamination_drift": contamination_drift_q,
@@ -5912,5 +5935,26 @@ def oracle_sql() -> dict[str, str]:
         "JOIN qcm q ON q.doc_id = d.doc_id "
         "JOIN gqm g ON g.doc_id = d.doc_id "
         "LEFT JOIN hm ON hm.doc_id = d.doc_id"
+    )
+    # LSH-vs-exact pair eval: both pipelines recomputed verbatim (nested
+    # CTE composition of the two existing oracles), then the pair
+    # intersection and integer-ppm ratios
+    d["dedup_lsh_eval"] = (
+        "WITH cand0 AS (" + d["dedup_minhash_lsh"] + "), "
+        "truth0 AS (" + d["dedup_ngram_jaccard"] + "), "
+        "c AS (SELECT DISTINCT least(id_a, id_b) AS id_a, "
+        "greatest(id_a, id_b) AS id_b FROM cand0), "
+        "t AS (SELECT DISTINCT least(id_a, id_b) AS id_a, "
+        "greatest(id_a, id_b) AS id_b FROM truth0), "
+        "h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM t "
+        "JOIN c ON t.id_a = c.id_a AND t.id_b = c.id_b), "
+        "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM c), "
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM t) "
+        "SELECT n_candidates, n_truth, n_hits, "
+        "CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 // n_truth END "
+        "AS BIGINT) AS recall_ppm, "
+        "CAST(CASE WHEN n_candidates > 0 THEN n_hits * 1000000 // "
+        "n_candidates END AS BIGINT) AS precision_ppm "
+        "FROM nc, nt, h"
     )
     return d

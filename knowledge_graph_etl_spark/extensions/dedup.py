@@ -996,3 +996,52 @@ def exact_softweight(
         F.expr("CAST(1000000 div n_copies AS BIGINT)").alias("weight_ppm"),
         (F.col(id_col) == F.col("__rep")).alias("is_canonical"),
     )
+
+
+def pair_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Pair-level precision/recall of an approximate near-dup method
+    against exact ground truth — the dedup twin of
+    :func:`..similarity.recall_at_k` ("measure, don't guess"): LSH
+    banding parameters (bands × rows-per-band) trade recall against
+    candidate volume, and this operator is what turns that trade into
+    numbers. Inputs are two pair tables (e.g.
+    :func:`minhash_lsh_pairs` candidates vs :func:`ngram_jaccard_pairs`
+    exact pairs at the same threshold). Returns ONE row:
+    ``(n_candidates, n_truth, n_hits, recall_ppm, precision_ppm)`` —
+    integer parts-per-million (NULL when the denominator is 0), exactly
+    oracle-able.
+
+    Scale shape: both inputs are already bounded pair sets (banded /
+    blocked, never all-pairs); the intersection is one LEFT SEMI join on
+    the normalized (min, max) pair key and three count aggregates —
+    a single job over data far smaller than the corpus."""
+    a_col, b_col = pair_cols
+
+    def norm(df: DataFrame) -> DataFrame:
+        lo = F.least(F.col(a_col), F.col(b_col))
+        hi = F.greatest(F.col(a_col), F.col(b_col))
+        return df.select(lo.alias("id_a"), hi.alias("id_b")).dropDuplicates()
+
+    c, t = norm(candidates), norm(truth)
+    hits = t.join(c, ["id_a", "id_b"], "left_semi")
+    counts = (
+        c.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        F.col("n_candidates").cast("bigint"),
+        F.col("n_truth").cast("bigint"),
+        F.col("n_hits").cast("bigint"),
+        F.expr(
+            "CASE WHEN n_truth > 0 THEN n_hits * 1000000 div n_truth END"
+        ).cast("bigint").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 "
+            "THEN n_hits * 1000000 div n_candidates END"
+        ).cast("bigint").alias("precision_ppm"),
+    )

@@ -1114,3 +1114,28 @@ def test_copurchase_topk_reused_exchange_and_bound(spark):
     counts = [r["n_orders"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert counts == sorted(counts, reverse=True)
     assert all(r["part_a"] < r["part_b"] for r in rows)
+
+
+def test_pair_eval_known_values(spark):
+    """Hand-built pair sets: reversed orientation and duplicates are
+    normalized before counting; exact ppm arithmetic; NULL ratios when a
+    denominator is zero."""
+    from knowledge_graph_etl_spark.extensions.dedup import pair_eval
+
+    cand = spark.createDataFrame(
+        # (2,1) reversed == (1,2); (3,4) duplicated; (5,6) false positive
+        [(2, 1), (3, 4), (4, 3), (5, 6)],
+        "id_a bigint, id_b bigint",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    r = pair_eval(cand, truth).collect()[0]
+    assert (r["n_candidates"], r["n_truth"], r["n_hits"]) == (3, 3, 2)
+    assert r["recall_ppm"] == 666666 and r["precision_ppm"] == 666666
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    r0 = pair_eval(empty, truth).collect()[0]
+    assert (r0["n_candidates"], r0["n_hits"]) == (0, 0)
+    assert r0["recall_ppm"] == 0 and r0["precision_ppm"] is None
+    r1 = pair_eval(cand, empty).collect()[0]
+    assert r1["n_truth"] == 0 and r1["recall_ppm"] is None
