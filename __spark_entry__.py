@@ -1250,6 +1250,18 @@ def pii_redact_q(spark, sf_dir):
     return pii_redact(seeded)
 
 
+def data_leakage_split_q(spark, sf_dir):
+    """Leakage-safe split (extensions/curation.leakage_safe_split):
+    train/val/test decided by hashing the duplicate-cluster
+    REPRESENTATIVE, so two copies of one document can never land in
+    train and test — the eval leak per-document hashing permits. Exact
+    clusters here (rep = min doc_id per md5(text) group); near-dup-pair
+    mode is pytest-pinned (resolve_clusters composition)."""
+    from knowledge_graph_etl_spark.extensions.curation import leakage_safe_split
+
+    return leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
 def data_split_shard_q(spark, sf_dir):
     """Deterministic hash-based train/val/test split + shard assignment
     (extensions/curation.assign_split / assign_shards)."""
@@ -3612,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
         "dedup_lsh_eval": dedup_lsh_eval_q,
+        "data_leakage_split": data_leakage_split_q,
         # --- new last round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
         "contamination_drift": contamination_drift_q,
@@ -4492,6 +4505,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b c ON a.blk = c.blk AND a.segv = c.segv AND a.id < c.id) "
             "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
             "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
+        "data_leakage_split": (
+            "WITH r AS (SELECT doc_id, MIN(doc_id) OVER "
+            "(PARTITION BY md5(coalesce(text, ''))) AS cluster_rep "
+            "FROM documents) "
+            "SELECT doc_id, cluster_rep, CASE WHEN "
+            "('0x' || substr(md5('split' || CAST(cluster_rep AS VARCHAR)), 1, 15))"
+            "::BIGINT % 10000 < 9800 THEN 'train' WHEN "
+            "('0x' || substr(md5('split' || CAST(cluster_rep AS VARCHAR)), 1, 15))"
+            "::BIGINT % 10000 < 9900 THEN 'val' ELSE 'test' END AS split FROM r"
         ),
         "ann_recall_eval": (
             # IVF result and brute-force ground truth recomputed

@@ -2203,3 +2203,49 @@ def contamination_drift(
         (new_rate - old_rate).cast("bigint").alias("delta_ppm"),
         (new_rate > old_rate).alias("rising"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment at near-duplicate CLUSTER granularity —
+    the split that closes the classic eval leak: with per-document
+    hashing (:func:`assign_split`) two copies of the same document can
+    land in train AND test, silently inflating eval scores; here the
+    split is decided by hashing the cluster REPRESENTATIVE, so every
+    member of a duplicate cluster inherits one split and no cluster
+    straddles the boundary.
+
+    ``pairs=None`` uses exact-duplicate clusters (rep = min id per
+    ``md5(text)`` group — one uniform-key shuffle); pass near-dup pairs
+    from any family (MinHash-LSH, SimHash, embedding) to resolve
+    connected components instead (:func:`..dedup.resolve_clusters` —
+    singletons keep themselves as rep). Assignment stays hash-based and
+    engine-reproducible, the :func:`assign_split` contract.
+
+    Returns ``(id_col, cluster_rep, split)``."""
+    if pairs is not None:
+        from .dedup import resolve_clusters
+
+        base = resolve_clusters(pairs, docs=docs, id_col=id_col).select(
+            id_col, "cluster_rep"
+        )
+    else:
+        h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        reps = (
+            docs.select(F.col(id_col), h.alias("__h"))
+            .groupBy("__h")
+            .agg(F.min(id_col).alias("cluster_rep"))
+        )
+        base = (
+            docs.select(F.col(id_col), h.alias("__h"))
+            .join(reps, "__h")
+            .select(id_col, "cluster_rep")
+        )
+    out = assign_split(base, id_col="cluster_rep", weights=weights, salt=salt)
+    return out.select(id_col, "cluster_rep", "split")

@@ -1139,3 +1139,50 @@ def test_pair_eval_known_values(spark):
     assert r0["recall_ppm"] == 0 and r0["precision_ppm"] is None
     r1 = pair_eval(cand, empty).collect()[0]
     assert r1["n_truth"] == 0 and r1["recall_ppm"] is None
+
+
+def test_leakage_safe_split_exact_and_pairs_modes(spark):
+    """Duplicate clusters never straddle splits: exact mode groups by
+    md5(text) (rep = min id), pairs mode resolves connected components —
+    linked docs inherit ONE split even across a chain; assignment equals
+    assign_split of the rep (deterministic, engine-reproducible)."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 4}") for i in range(40)],  # 4 clusters of 10
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i]["cluster_rep"] == i % 4  # min id of the md5 group
+        assert out[i]["split"] == out[i % 4]["split"]  # inherits rep's split
+    # the rep's split equals plain assign_split of the rep id
+    reps = spark.createDataFrame(
+        [(i,) for i in range(4)], "cluster_rep bigint"
+    )
+    ref = {
+        r["cluster_rep"]: r["split"]
+        for r in assign_split(reps, id_col="cluster_rep").collect()
+    }
+    for i in range(4):
+        assert out[i]["split"] == ref[i]
+    # pairs mode: a chain 100-101-102 plus singleton 103 — the whole
+    # chain lands in one split keyed by rep 100
+    docs2 = spark.createDataFrame(
+        [(100, "a"), (101, "b"), (102, "c"), (103, "d")],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(100, 101), (101, 102)], "id_a bigint, id_b bigint"
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(docs2, pairs=pairs).collect()
+    }
+    assert {out2[i]["cluster_rep"] for i in (100, 101, 102)} == {100}
+    assert len({out2[i]["split"] for i in (100, 101, 102)}) == 1
+    assert out2[103]["cluster_rep"] == 103
