@@ -3613,71 +3613,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r08 front = new r08 entries, then the r05-stale block
-    (multi_join_revenue_by_nation..kg_pattern_scan) whose newest driver
-    rows are r05 — 3 rounds stale, oldest in the registry — then the
-    r06-checked block as far as the window reaches. Back = the
-    r07-checked window (quality_classifier_trained..join_topn_revenue)."""
+    r09 front = 5 new entries + 3 changed this round (ann_beam_topk table
+    mode, events_winsorize NULL handling, ann_ivf_append path), then the
+    45-entry r06-stale block (doc_cdc_stats..kg_select_builtins) — its
+    driver rows are 3 rounds old, oldest in the registry. A ~50 window
+    reaches 42 of those; the last 3 (kg_group_agg, kg_filter_compare,
+    kg_select_builtins) must LEAD the r10 front. Back = r08-checked
+    blocks (r08-new, the r05 block re-checked in r08) and the r07-checked
+    tail."""
     return {
-        # --- new this round (r09) ---
+        # --- new or changed this round (r09) ---
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
         "dedup_lsh_eval": dedup_lsh_eval_q,
         "data_leakage_split": data_leakage_split_q,
-        # --- new last round (r08) ---
         "ann_beam_topk": ann_beam_topk_q,
-        "contamination_drift": contamination_drift_q,
-        "ann_ivfpq_topk": ann_ivfpq_topk_q,
-        "embed_decontaminate": embed_decontaminate_q,
-        "ann_ivf_append": ann_ivf_append_q,
-        "dedup_softweight": dedup_softweight_q,
-        "table_profile": table_profile_q,
-        "customer_order_dist": customer_order_dist,
-        "dormant_customer_value": dormant_customer_value,
-        "copurchase_topk": copurchase_topk,
-        "agg_incremental_merge": agg_incremental_merge,
         "events_winsorize": events_winsorize,
-        # --- r05-stale block: oldest driver rows (r05), leads the r08 window ---
-        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
-        "window_running_total": window_running_total,
-        "window_topk_per_user": window_topk_per_user,
-        "json_extract_events": json_extract_events,
-        "dedup_exact": dedup_exact_q,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-        "dedup_minhash_lsh": dedup_minhash_lsh_q,
-        "dedup_resolve_clusters": dedup_resolve_clusters_q,
-        "ann_cosine_topk": ann_cosine_topk_q,
-        "ann_embedding_neardup": ann_embedding_neardup_q,
-        "ann_lsh_topk": ann_lsh_topk_q,
-        "ann_ivf_topk": ann_ivf_topk_q,
-        "ann_ivf_query": ann_ivf_query_q,
-        "ann_neardup_lsh": ann_neardup_lsh_q,
-        "dedup_simhash": dedup_simhash_q,
-        "text_langid": text_langid_q,
-        "text_fingerprint": text_fingerprint_q,
-        "text_winnow_fp": text_winnow_fp_q,
-        "multimodal_binary_meta": multimodal_binary_meta_q,
-        "multimodal_features": multimodal_features_q,
-        "multimodal_frame_sample": multimodal_frame_sample_q,
-        "skew_salted_join": skew_salted_join_q,
-        "skew_distinct_users": skew_distinct_users_q,
-        "text_repetition": text_repetition_q,
-        "decontaminate": decontaminate_q,
-        "pii_redact": pii_redact_q,
-        "data_split_shard": data_split_shard_q,
-        "kg_pattern_scan": kg_pattern_scan,
-        # --- r06-checked block (driver rows from r06, next-oldest) ---
-        "dedup_lines": dedup_lines_q,
-        "text_features": text_features_q,
-        "quality_classifier": quality_classifier_q,
-        "dsir_importance": dsir_importance_q,
-        "graph_linkpred": graph_linkpred_q,
-        "dedup_incremental": dedup_incremental_q,
-        "ann_range_search": ann_range_search_q,
-        "graph_ktruss": graph_ktruss_q,
-        "source_reputation": source_reputation_q,
-        "doc_cdc_chunks": doc_cdc_chunks_q,
+        "ann_ivf_append": ann_ivf_append_q,
+        # --- r06-stale block: oldest driver rows, leads the r09 window ---
         "doc_cdc_stats": doc_cdc_stats_q,
         "search_bm25_topk": search_bm25_topk_q,
         "search_hybrid_rrf": search_hybrid_rrf_q,
@@ -3720,10 +3674,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_query": kg_path_query_q,
         "kg_not_exists": kg_not_exists_q,
         "kg_union_values": kg_union_values_q,
+        # --- r06-stale remainder: windows out at ~50 — MUST lead r10 ---
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
-        # --- r07-checked window (driver rows from r07, newest — rotated back) ---
+        # --- r08-checked (r08-new + the r05 block re-checked in r08),
+        # --- then the r07-checked tail (quality_classifier_trained..) ---
+        "contamination_drift": contamination_drift_q,
+        "ann_ivfpq_topk": ann_ivfpq_topk_q,
+        "embed_decontaminate": embed_decontaminate_q,
+        "dedup_softweight": dedup_softweight_q,
+        "table_profile": table_profile_q,
+        "customer_order_dist": customer_order_dist,
+        "dormant_customer_value": dormant_customer_value,
+        "copurchase_topk": copurchase_topk,
+        "agg_incremental_merge": agg_incremental_merge,
+        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
+        "window_running_total": window_running_total,
+        "window_topk_per_user": window_topk_per_user,
+        "json_extract_events": json_extract_events,
+        "dedup_exact": dedup_exact_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "dedup_resolve_clusters": dedup_resolve_clusters_q,
+        "ann_cosine_topk": ann_cosine_topk_q,
+        "ann_embedding_neardup": ann_embedding_neardup_q,
+        "ann_lsh_topk": ann_lsh_topk_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "ann_ivf_query": ann_ivf_query_q,
+        "ann_neardup_lsh": ann_neardup_lsh_q,
+        "dedup_simhash": dedup_simhash_q,
+        "text_langid": text_langid_q,
+        "text_fingerprint": text_fingerprint_q,
+        "text_winnow_fp": text_winnow_fp_q,
+        "multimodal_binary_meta": multimodal_binary_meta_q,
+        "multimodal_features": multimodal_features_q,
+        "multimodal_frame_sample": multimodal_frame_sample_q,
+        "skew_salted_join": skew_salted_join_q,
+        "skew_distinct_users": skew_distinct_users_q,
+        "text_repetition": text_repetition_q,
+        "decontaminate": decontaminate_q,
+        "pii_redact": pii_redact_q,
+        "data_split_shard": data_split_shard_q,
+        "kg_pattern_scan": kg_pattern_scan,
+        "dedup_lines": dedup_lines_q,
+        "text_features": text_features_q,
+        "quality_classifier": quality_classifier_q,
+        "dsir_importance": dsir_importance_q,
+        "graph_linkpred": graph_linkpred_q,
+        "dedup_incremental": dedup_incremental_q,
+        "ann_range_search": ann_range_search_q,
+        "graph_ktruss": graph_ktruss_q,
+        "source_reputation": source_reputation_q,
+        "doc_cdc_chunks": doc_cdc_chunks_q,
         "quality_classifier_trained": quality_classifier_trained_q,
         "dedup_incremental_steady": dedup_incremental_steady_q,
         "search_boolean": search_boolean_q,
