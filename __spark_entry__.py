@@ -1250,6 +1250,30 @@ def pii_redact_q(spark, sf_dir):
     return pii_redact(seeded)
 
 
+def table_profile_drift_q(spark, sf_dir):
+    """Between-snapshot profile drift (extensions/stats.profile_drift):
+    the datasheet DIFF published with each corpus drop — schema drift
+    (lang column removed, source added) and distribution drift
+    (null-ppm shift from the %5 lang nulling is gone with the column;
+    n_chars doubling for %7 moves max; %13 removal shifts row counts),
+    all from two single-pass profiles joined on the tiny column key.
+    The second snapshot is derived deterministically so the oracle
+    recomputes both profiles and the diff exactly."""
+    from knowledge_graph_etl_spark.extensions.stats import profile_drift
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "n_chars")
+    did = F.col("doc_id")
+    new = d.where(did % 13 != 0).select(
+        "doc_id",
+        F.when(did % 7 == 0, F.col("n_chars") * 2)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        "source",
+    )
+    return profile_drift(old, new)
+
+
 def data_leakage_split_q(spark, sf_dir):
     """Leakage-safe split (extensions/curation.leakage_safe_split):
     train/val/test decided by hashing the duplicate-cluster
@@ -3628,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": ann_recall_eval_q,
         "dedup_lsh_eval": dedup_lsh_eval_q,
         "data_leakage_split": data_leakage_split_q,
+        "table_profile_drift": table_profile_drift_q,
         "ann_beam_topk": ann_beam_topk_q,
         "events_winsorize": events_winsorize,
         "ann_ivf_append": ann_ivf_append_q,
@@ -4508,6 +4533,58 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b c ON a.blk = c.blk AND a.segv = c.segv AND a.id < c.id) "
             "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
             "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
+        "table_profile_drift": (
+            "WITH oldt AS (SELECT doc_id, lang, n_chars FROM documents), "
+            "newt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "n_chars * 2 ELSE n_chars END AS n_chars, source "
+            "FROM documents WHERE doc_id % 13 <> 0), "
+            "po AS ("
+            "SELECT 'doc_id' AS col_name, 'bigint' AS od, COUNT(*) AS o_rows, "
+            "SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS o_nulls, "
+            "COUNT(DISTINCT doc_id) AS o_nd, CAST(MIN(doc_id) AS DOUBLE) AS omin, "
+            "CAST(MAX(doc_id) AS DOUBLE) AS omax FROM oldt "
+            "UNION ALL SELECT 'lang', 'string', COUNT(*), "
+            "SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT lang), NULL, NULL FROM oldt "
+            "UNION ALL SELECT 'n_chars', 'bigint', COUNT(*), "
+            "SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS DOUBLE), "
+            "CAST(MAX(n_chars) AS DOUBLE) FROM oldt), "
+            "pn AS ("
+            "SELECT 'doc_id' AS col_name, 'bigint' AS nd, COUNT(*) AS n_rows2, "
+            "SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls2, "
+            "COUNT(DISTINCT doc_id) AS n_nd, CAST(MIN(doc_id) AS DOUBLE) AS nmin, "
+            "CAST(MAX(doc_id) AS DOUBLE) AS nmax FROM newt "
+            "UNION ALL SELECT 'n_chars', 'bigint', COUNT(*), "
+            "SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS DOUBLE), "
+            "CAST(MAX(n_chars) AS DOUBLE) FROM newt "
+            "UNION ALL SELECT 'source', 'string', COUNT(*), "
+            "SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), "
+            "COUNT(DISTINCT source), NULL, NULL FROM newt), "
+            "j AS (SELECT coalesce(po.col_name, pn.col_name) AS col_name, "
+            "od, nd, o_rows, n_rows2, o_nd, n_nd, omin, omax, nmin, nmax, "
+            "CASE WHEN o_rows > 0 THEN o_nulls * 1000000 // o_rows END AS oppm, "
+            "CASE WHEN n_rows2 > 0 THEN n_nulls2 * 1000000 // n_rows2 END AS nppm "
+            "FROM po FULL OUTER JOIN pn ON po.col_name = pn.col_name) "
+            "SELECT col_name, "
+            "CASE WHEN o_rows IS NULL THEN 'added' "
+            "WHEN n_rows2 IS NULL THEN 'removed' ELSE 'common' END AS status, "
+            "CASE WHEN o_rows IS NOT NULL AND n_rows2 IS NOT NULL "
+            "THEN od IS DISTINCT FROM nd END AS dtype_changed, "
+            "CAST(o_rows AS BIGINT) AS old_n_rows, "
+            "CAST(n_rows2 AS BIGINT) AS new_n_rows, "
+            "CAST(oppm AS BIGINT) AS old_nulls_ppm, "
+            "CAST(nppm AS BIGINT) AS new_nulls_ppm, "
+            "CAST(CASE WHEN o_rows IS NOT NULL AND n_rows2 IS NOT NULL "
+            "THEN nppm - oppm END AS BIGINT) AS null_drift_ppm, "
+            "CAST(o_nd AS BIGINT) AS old_n_distinct, "
+            "CAST(n_nd AS BIGINT) AS new_n_distinct, "
+            "CASE WHEN o_rows IS NOT NULL AND n_rows2 IS NOT NULL "
+            "THEN omin IS DISTINCT FROM nmin END AS min_shifted, "
+            "CASE WHEN o_rows IS NOT NULL AND n_rows2 IS NOT NULL "
+            "THEN omax IS DISTINCT FROM nmax END AS max_shifted FROM j"
         ),
         "data_leakage_split": (
             "WITH r AS (SELECT doc_id, MIN(doc_id) OVER "

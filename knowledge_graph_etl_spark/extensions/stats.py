@@ -463,3 +463,79 @@ def winsorize_by_group(
         )
         .drop("__lo", "__hi")
     )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Between-snapshot profile drift — the datasheet DIFF a pipeline
+    publishes when a new corpus drop lands: :func:`profile_table` on
+    both snapshots, full-outer joined per column, with schema drift
+    (columns added/removed, dtype changes) and distribution drift
+    (null-fraction shift in integer ppm, distinct-count change, min/max
+    movement) as first-class columns. Catches the classic silent
+    breakages: a source that started emitting NULLs, a re-encode that
+    collapsed distinct values, a unit change that moved the range.
+
+    Returns one row per column seen in either snapshot:
+    ``(col_name, status, dtype_changed, old_n_rows, new_n_rows,
+    old_nulls_ppm, new_nulls_ppm, null_drift_ppm, old_n_distinct,
+    new_n_distinct, min_shifted, max_shifted)`` — all counts exact, all
+    fractions integer ppm (``n_nulls * 1_000_000 div n_rows``), booleans
+    null-safe; one-sided columns report their side's stats and NULL
+    drift fields.
+
+    Scale shape: two single-pass profile aggregates (each one wide row,
+    exploded per column) and a full-outer join on the tiny column-name
+    key — the join input is O(n_cols), never O(rows)."""
+    po = profile_table(old, columns).select(
+        F.col("col_name"),
+        F.col("dtype").alias("__od"),
+        F.col("n_rows").alias("old_n_rows"),
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN n_nulls * 1000000 div n_rows END"
+        ).cast("bigint").alias("old_nulls_ppm"),
+        F.col("n_distinct").alias("old_n_distinct"),
+        F.col("min_num").alias("__omin"),
+        F.col("max_num").alias("__omax"),
+    )
+    pn = profile_table(new, columns).select(
+        F.col("col_name"),
+        F.col("dtype").alias("__nd"),
+        F.col("n_rows").alias("new_n_rows"),
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN n_nulls * 1000000 div n_rows END"
+        ).cast("bigint").alias("new_nulls_ppm"),
+        F.col("n_distinct").alias("new_n_distinct"),
+        F.col("min_num").alias("__nmin"),
+        F.col("max_num").alias("__nmax"),
+    )
+    j = po.join(pn, "col_name", "full_outer")
+    status = (
+        F.when(F.col("old_n_rows").isNull(), F.lit("added"))
+        .when(F.col("new_n_rows").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    both = F.col("old_n_rows").isNotNull() & F.col("new_n_rows").isNotNull()
+    return j.select(
+        "col_name",
+        status.alias("status"),
+        F.when(both, ~F.col("__od").eqNullSafe(F.col("__nd"))).alias(
+            "dtype_changed"
+        ),
+        "old_n_rows",
+        "new_n_rows",
+        "old_nulls_ppm",
+        "new_nulls_ppm",
+        F.when(
+            both, F.col("new_nulls_ppm") - F.col("old_nulls_ppm")
+        ).cast("bigint").alias("null_drift_ppm"),
+        "old_n_distinct",
+        "new_n_distinct",
+        F.when(both, ~F.col("__omin").eqNullSafe(F.col("__nmin"))).alias(
+            "min_shifted"
+        ),
+        F.when(both, ~F.col("__omax").eqNullSafe(F.col("__nmax"))).alias(
+            "max_shifted"
+        ),
+    )

@@ -841,3 +841,44 @@ def test_recall_at_k_known_values(spark):
     }
     with pytest.raises(ValueError):
         recall_at_k(approx, exact, k=0)
+
+
+def test_profile_drift_known_values(spark):
+    """Hand-checked drift: a nulled column moves null ppm exactly, a
+    doubled value moves max but not min, added/removed columns carry
+    one-sided stats with NULL drift fields, and a dtype change flags."""
+    from knowledge_graph_etl_spark.extensions.stats import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id bigint, s string, v bigint",
+    )
+    new = spark.createDataFrame(
+        # s: 2 of 4 NULL now; v: max doubled; id becomes string (dtype
+        # change); t added; one row removed
+        [("1", None, 10), ("2", None, 20), ("3", "c", 80)],
+        "id string, s string, v bigint",
+    )
+    got = {
+        r["col_name"]: r
+        for r in profile_drift(
+            old, new.select("id", "s", "v", F.lit("x").alias("t"))
+        ).collect()
+    }
+    assert set(got) == {"id", "s", "v", "t"}
+    assert got["t"]["status"] == "added" and got["t"]["old_n_rows"] is None
+    assert got["t"]["null_drift_ppm"] is None
+    assert got["id"]["dtype_changed"] is True
+    s = got["s"]
+    assert (s["old_nulls_ppm"], s["new_nulls_ppm"]) == (250000, 666666)
+    assert s["null_drift_ppm"] == 416666
+    v = got["v"]
+    assert v["min_shifted"] is False and v["max_shifted"] is True
+    assert (v["old_n_rows"], v["new_n_rows"]) == (4, 3)
+    # removed column: profile old-only
+    got2 = {
+        r["col_name"]: r
+        for r in profile_drift(old, new.select("id", "v")).collect()
+    }
+    assert got2["s"]["status"] == "removed"
+    assert got2["s"]["new_n_rows"] is None and got2["s"]["max_shifted"] is None
