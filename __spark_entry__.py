@@ -1250,6 +1250,19 @@ def pii_redact_q(spark, sf_dir):
     return pii_redact(seeded)
 
 
+def data_ppl_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail buckets per source
+    (extensions/curation.perplexity_buckets): corpus-unigram surprisal,
+    integer micro-bit ranking key, exact per-slice rank terciles —
+    bucket 0 = most fluent. The published CCNet pipeline step between
+    LM scoring (unigram_lm_score) and mixture sampling."""
+    from knowledge_graph_etl_spark.extensions.curation import perplexity_buckets
+
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents"), group_col="source", n_buckets=3
+    )
+
+
 def table_profile_drift_q(spark, sf_dir):
     """Between-snapshot profile drift (extensions/stats.profile_drift):
     the datasheet DIFF published with each corpus drop — schema drift
@@ -3653,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_eval": dedup_lsh_eval_q,
         "data_leakage_split": data_leakage_split_q,
         "table_profile_drift": table_profile_drift_q,
+        "data_ppl_buckets": data_ppl_buckets_q,
         "ann_beam_topk": ann_beam_topk_q,
         "events_winsorize": events_winsorize,
         "ann_ivf_append": ann_ivf_append_q,
@@ -4533,6 +4547,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN b c ON a.blk = c.blk AND a.segv = c.segv AND a.id < c.id) "
             "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming "
             "FROM cand WHERE bit_count(xor(ha, hb)) <= 3"
+        ),
+        "data_ppl_buckets": (
+            # the unigram scorer's CTEs verbatim, then integer avg_q,
+            # per-source rank, and the exact tercile cut
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) "
+            "AS tok FROM documents), "
+            "cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok), "
+            "tot AS (SELECT SUM(c) AS t FROM cnt), "
+            "p AS (SELECT doc_id, CAST(floor(-log2(CAST(c AS DOUBLE) / t) "
+            "* 1000000 + 0.5) AS BIGINT) AS q FROM tok JOIN cnt USING (tok) "
+            "CROSS JOIN tot), "
+            "sc AS (SELECT doc_id, SUM(q) // COUNT(*) AS avg_q FROM p "
+            "GROUP BY doc_id), "
+            "r AS (SELECT d.doc_id, d.source, sc.avg_q, "
+            "CAST(row_number() OVER (PARTITION BY d.source "
+            "ORDER BY sc.avg_q, d.doc_id) AS BIGINT) AS slice_rank, "
+            "CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS slice_n "
+            "FROM documents d JOIN sc ON sc.doc_id = d.doc_id) "
+            "SELECT doc_id, source, CAST(avg_q AS BIGINT) AS avg_q, "
+            "slice_rank, slice_n, "
+            "CAST((slice_rank - 1) * 3 // slice_n AS BIGINT) AS bucket FROM r"
         ),
         "table_profile_drift": (
             "WITH oldt AS (SELECT doc_id, lang, n_chars FROM documents), "

@@ -2249,3 +2249,61 @@ def leakage_safe_split(
         )
     out = assign_split(base, id_col="cluster_rep", weights=weights, salt=salt)
     return out.select(id_col, "cluster_rep", "split")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    group_col: str = "source",
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing: score every
+    document with the corpus-trained unigram LM
+    (:func:`unigram_logprob_score`), rank WITHIN each ``group_col``
+    slice by per-token surprisal ascending, and cut at exact rank
+    boundaries into ``n_buckets`` equal buckets — bucket 0 is the most
+    fluent "head" CCNet keeps outright, the last bucket the "tail" it
+    drops or down-weights. Per-slice bucketing (per language/source) is
+    the point: absolute perplexity is not comparable across languages,
+    rank within the slice is.
+
+    Exactness discipline: the ranking key is the INTEGER quantized
+    per-token surprisal ``avg_q = nll_q div n_tokens`` (micro-bits;
+    never a float division), ties broken on the id — deterministic and
+    engine-identical, so the whole bucketing is oracle-able. Documents
+    the scorer can't score (no tokens) are excluded, matching the
+    scorer's own contract. ``bucket = (rank-1) * n_buckets div
+    n_slice``.
+
+    Returns ``(id_col, group_col, avg_q, slice_rank, slice_n, bucket)``.
+
+    Scale shape: the scorer is two token-level aggregates (map-side
+    combinable); the ranking is one window shuffle on the slice key —
+    the many-moderate-slices shape (languages, sources), same caveat as
+    :func:`stratified_exact_split` for a corpus-sized single slice."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    scores = unigram_logprob_score(docs, text_col=text_col, id_col=id_col)
+    base = docs.select(F.col(id_col), F.col(group_col)).join(
+        scores.select(
+            F.col(id_col),
+            F.expr("nll_q div n_tokens").cast("bigint").alias("avg_q"),
+        ),
+        id_col,
+    )
+    w = Window.partitionBy(group_col).orderBy("avg_q", id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = base.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("avg_q"),
+        F.row_number().over(w).cast("bigint").alias("slice_rank"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("slice_n"),
+    )
+    return ranked.withColumn(
+        "bucket",
+        F.expr(f"(slice_rank - 1) * {int(n_buckets)} div slice_n").cast(
+            "bigint"
+        ),
+    )

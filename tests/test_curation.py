@@ -1391,3 +1391,44 @@ def test_exact_softweight_counts_and_canonical(spark):
     assert got[4] == (2, 500000, True) and got[6] == (2, 500000, False)
     # group mass ~1e6 per content group
     assert sum(w for _, w, _ in got.values()) == 333333 * 3 + 1000000 + 500000 * 2
+
+
+def test_perplexity_buckets_exact_terciles(spark):
+    """Hand-built corpus: within each source the rank terciles cut at
+    exact integer boundaries, bucket 0 holds the most fluent (lowest
+    surprisal) docs, untokenizable docs are excluded, and n_buckets=1
+    degenerates to a single bucket."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_etl_spark.extensions.curation import (
+        perplexity_buckets,
+    )
+
+    # source A: 6 docs — 'common common' repeated tokens are maximally
+    # predictable under the corpus unigram LM; rare tokens are not
+    rows = [
+        (1, "common common common common", "A"),
+        (2, "common common common rare1", "A"),
+        (3, "common common rare2 rare3", "A"),
+        (4, "common rare4 rare5 rare6", "A"),
+        (5, "rare7 rare8 rare9 rareA", "A"),
+        (6, "rareB rareC rareD rareE", "A"),
+        (7, "common common", "B"),
+        (8, "rareF rareG", "B"),
+        (9, "   ", "B"),  # untokenizable: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["doc_id"]: r for r in perplexity_buckets(docs, n_buckets=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}  # doc 9 unscoreable
+    # source A: 6 docs -> buckets (rank-1)*3 div 6 = 0,0,1,1,2,2 in
+    # ascending surprisal order, which here follows doc_id order
+    assert [out[i]["bucket"] for i in range(1, 7)] == [0, 0, 1, 1, 2, 2]
+    assert out[1]["slice_rank"] == 1 and out[1]["slice_n"] == 6
+    assert out[1]["avg_q"] < out[6]["avg_q"]
+    # source B: 2 docs into 3 buckets -> ranks 1,2 -> buckets 0,1
+    assert out[7]["bucket"] == 0 and out[8]["bucket"] == 1
+    single = perplexity_buckets(docs, n_buckets=1)
+    assert {r["bucket"] for r in single.collect()} == {0}
+    with pytest.raises(ValueError):
+        perplexity_buckets(docs, n_buckets=0)
