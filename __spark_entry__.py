@@ -3650,14 +3650,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 5 new entries + 3 changed this round (ann_beam_topk table
+    r09 front = 7 new entries + 3 changed this round (ann_beam_topk table
     mode, events_winsorize NULL handling, ann_ivf_append path), then the
     45-entry r06-stale block (doc_cdc_stats..kg_select_builtins) — its
     driver rows are 3 rounds old, oldest in the registry. A ~50 window
-    reaches 42 of those; the last 3 (kg_group_agg, kg_filter_compare,
-    kg_select_builtins) must LEAD the r10 front. Back = r08-checked
-    blocks (r08-new, the r05 block re-checked in r08) and the r07-checked
-    tail."""
+    reaches 40 of those; the last 5 (kg_not_exists, kg_union_values,
+    kg_group_agg, kg_filter_compare, kg_select_builtins) must LEAD the
+    r10 front. Back = r08-checked blocks (r08-new, the r05 block
+    re-checked in r08) and the r07-checked tail."""
     return {
         # --- new or changed this round (r09) ---
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
@@ -3713,7 +3713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_query": kg_path_query_q,
         "kg_not_exists": kg_not_exists_q,
         "kg_union_values": kg_union_values_q,
-        # --- r06-stale remainder: windows out at ~50 — MUST lead r10 ---
+        # --- r06-stale remainder (from kg_not_exists on): windows out
+        # --- at ~50 — MUST lead the r10 front ---
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
