@@ -3913,6 +3913,111 @@ def kg_pipeline_volume_q(spark, sf_dir):
     return out
 
 
+def _volume_base_path(spark) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return os.path.join(wh, "kg_vol_base_v1_n10000")
+
+
+def ensure_volume_base(spark, sf_dir: str) -> str:
+    """Build the volume-corpus organizations store ONCE per warehouse
+    (full run_pipeline over volume_documents(10000)); returns the store
+    path. The kg_pipeline_incremental bench entry then measures ONLY the
+    incremental maintenance against it — same untimed-setup pattern as
+    ensure_steady_index / ensure_knn_adjacency."""
+    import shutil
+
+    from knowledge_graph_etl_spark.engine import Engine
+    from knowledge_graph_etl_spark.mappings import run_pipeline
+    from knowledge_graph_etl_spark.mappings.fixtures import volume_documents
+
+    sparql_dir = "/root/reference/airflow_files/dags/sparql"
+    path = _volume_base_path(spark)
+    marker = os.path.join(path, "_PIPELINE_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        eng = Engine(spark, store_path=path)
+        run_pipeline(
+            eng,
+            volume_documents(spark, n_companies=10000),
+            sparql_dir,
+            run_id="bench-volume-base",
+            ts="2024-01-01T00:00:00+00:00",
+            env="qas",
+            optimize=True,
+        )
+        with open(marker, "x"):
+            pass
+    return path
+
+
+def _mutated_volume_docs(spark):
+    """~1% delta over the 10k-company volume snapshot, fully
+    distributed: every 1009th company and every 997th ldap org removed,
+    every 101st company and 499th ldap org content-edited (a trailing
+    JSON field appended — valid JSON, changes the content hash); users,
+    tenants and custom-field definitions unchanged."""
+    from knowledge_graph_etl_spark.mappings.fixtures import volume_documents
+
+    # checkpoint: the generated docs feed the diff, the orid closure and
+    # the scratch loads — without this each consumer re-runs the
+    # mapInPandas generation
+    docs = {
+        k: v.localCheckpoint(eager=True)
+        for k, v in volume_documents(spark, n_companies=10000).items()
+    }
+    out = dict(docs)
+    idx = F.split("doc_id", "-").getItem(1).cast("int")
+
+    def mutate(df, rm_mod, ch_mod):
+        return df.where(idx % rm_mod != 0).withColumn(
+            "json",
+            F.when(
+                idx % ch_mod == 0,
+                F.regexp_replace("json", "\\}$", ", \"rev\": 2}"),
+            ).otherwise(F.col("json")),
+        )
+
+    out["tl_companies"] = mutate(docs["tl_companies"], 1009, 101)
+    out["ldap_organizations"] = mutate(docs["ldap_organizations"], 997, 499)
+    return docs, out
+
+
+def kg_pipeline_incremental_q(spark, sf_dir):
+    """Incremental maintenance of the VOLUME pipeline
+    (mappings/pipeline.run_pipeline_incremental): against the prebuilt
+    10k-company organizations store (ensure_volume_base), apply a ~1%
+    document delta — diff all sources, close over shared OR-IDs,
+    recompute only closure-sized derivations, set-delete stale /
+    set-insert fresh. NOT in the per-round bench (see
+    bench_only_queries): measured 254.5 s vs the 140 s full refresh at
+    this scale, because the 32 per-side mapping plan executions carry
+    ~2x the full run's 16-update fixed overhead while the ~1% delta's
+    data term is negligible — the crossover favours incremental only
+    once the mapping data term dominates (BASELINE.md r09 analysis).
+    Correctness: full-refresh equivalence incl. the delete-rederive
+    case is pytest-pinned (tests/test_pipeline.py). Idempotent against
+    the shared base store: re-applying the same delta deletes
+    already-absent stale quads and set-inserts already-present fresh
+    ones."""
+    from knowledge_graph_etl_spark.engine import GRAPH_NS, Engine
+    from knowledge_graph_etl_spark.mappings.pipeline import (
+        run_pipeline_incremental,
+    )
+
+    sparql_dir = "/root/reference/airflow_files/dags/sparql"
+    if not os.path.isdir(sparql_dir):
+        raise RuntimeError(f"reference sparql dir not available: {sparql_dir}")
+    path = ensure_volume_base(spark, sf_dir)
+    eng = Engine(spark, store_path=path)
+    old, new = _mutated_volume_docs(spark)
+    run_pipeline_incremental(
+        eng, old, new, sparql_dir, run_id="bench-incremental"
+    )
+    return eng.store.graph(GRAPH_NS + "organizations").localCheckpoint(
+        eager=True
+    )
+
+
 def multimodal_phash_dedup_q(spark, sf_dir):
     """Perceptual-hash image dedup at corpus scale, bench-only: every
     document becomes a synthesized 16×16 PPM (pixels = repeated sha256
@@ -4077,6 +4182,13 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_bpe": tokenize_bpe_q,
         "kg_pipeline_full": kg_pipeline_full_q,
         "kg_pipeline_volume": kg_pipeline_volume_q,
+        # kg_pipeline_incremental_q exists and is equivalence-pinned in
+        # tests/test_pipeline.py but is NOT benched per-round: at the
+        # 10k-company local scale its 32 per-side mapping plans cost
+        # ~2x the full refresh's 16 (fixed per-update overhead dominates
+        # the ~1% delta) — measured honestly in BASELINE.md with the
+        # crossover analysis; benching a known-not-yet-winning 250 s
+        # entry would only burn bench wall-clock
         "multimodal_phash_dedup": multimodal_phash_dedup_q,
     }
 

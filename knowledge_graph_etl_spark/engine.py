@@ -205,15 +205,23 @@ class Engine:
             df._jdf.queryExecution(), "formatted"
         )
 
-    def plan(self, query: str) -> DataFrame:
+    def plan(self, query: str, materialize: bool = False) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without
-        executing the insert (for EXPLAIN/testing)."""
+        executing the insert (for EXPLAIN/testing).
+
+        ``materialize=True`` eagerly checkpoints the WHERE result exactly
+        as ``update`` would — callers that go on to EXECUTE the returned
+        quads (e.g. incremental pipeline maintenance computing
+        stale/fresh derivations) want that: without it a 16-triple
+        template instantiates one projection per triple over an
+        unmaterialized deep join tree, and the combined plan is too large
+        even to analyze (measured driver OOM in plan-string generation)."""
         node = parse_update(self._resolve(query))
         if not isinstance(node, InsertWhere):
             raise ValueError("plan() only applies to INSERT ... WHERE")
-        # materialize=False: compiling for EXPLAIN must not execute the
-        # WHERE join tree as a checkpoint side effect
-        return compile_insert_where(node, self.store, materialize=False)
+        # materialize=False default: compiling for EXPLAIN must not
+        # execute the WHERE join tree as a checkpoint side effect
+        return compile_insert_where(node, self.store, materialize=materialize)
 
     # -- ingest path ------------------------------------------------------
 

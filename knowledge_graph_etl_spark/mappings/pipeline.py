@@ -280,3 +280,253 @@ def run_pipeline(
     # opt (reference load_knowledge_graph.py:669-675)
     if optimize:
         engine.store.optimize()
+
+
+# ---------------------------------------------------------------------------
+# Incremental pipeline maintenance (beyond-reference; the reference is
+# full-refresh by design — load_knowledge_graph.py:677-696)
+# ---------------------------------------------------------------------------
+
+#: the sources whose documents drive mapping derivations at corpus scale;
+#: tl_custom_fields is a bounded lookup (change → full-refresh fallback),
+#: mediahaven_tenants a single whole-file doc (always processed fully —
+#: its unchanged derivation deletes and reinserts identically, a no-op
+#: under set semantics)
+DELTA_SOURCES = ["ldap_organizations", "tl_users", "tl_companies"]
+
+
+def _docs_df(spark, docs):
+    from pyspark.sql import DataFrame
+
+    if isinstance(docs, DataFrame):
+        return docs
+    return spark.createDataFrame(docs, "doc_id string, json string")
+
+
+def _orid_def_id(spark, cf_docs) -> str | None:
+    """The tl custom-field definition id labelled '5.1 - OR-ID' (bounded
+    lookup — one collect of a ≤dozens-row table)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        _docs_df(spark, cf_docs)
+        .select(F.from_json("json", "id string, label string").alias("d"))
+        .where(F.col("d.label") == "5.1 - OR-ID")
+        .select("d.id")
+        .collect()
+    )
+    return rows[0]["id"] if rows else None
+
+
+def _orids(spark, source: str, docs, cf_def_id: str | None):
+    """(doc_id, orid) for every document of a driving source that carries
+    an OR-ID — the shared key through which different sources derive
+    quads about the SAME organization subject. Pure JSON projection, one
+    scan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    df = _docs_df(spark, docs)
+    if source == "ldap_organizations":
+        return df.select(
+            "doc_id",
+            F.get_json_object("json", "$.attributes.o").alias("orid"),
+        ).where(F.col("orid").isNotNull())
+    if source == "tl_companies":
+        if cf_def_id is None:
+            return df.select("doc_id", F.lit(None).cast("string").alias("orid")).where(F.lit(False))
+        cf_schema = (
+            "custom_fields array<struct<value:string,"
+            "definition:struct<id:string>>>"
+        )
+        cf = F.from_json("json", cf_schema)["custom_fields"]
+        # try_element_at: a company without an OR-ID custom field has an
+        # empty filtered array (ANSI element_at would throw) — it simply
+        # carries no org key and needs no closure
+        orid = F.try_element_at(
+            F.filter(cf, lambda f: f["definition"]["id"] == F.lit(cf_def_id)),
+            F.lit(1),
+        )["value"]
+        return df.select("doc_id", orid.alias("orid")).where(
+            F.col("orid").isNotNull()
+        )
+    # tl_users: no organization key — user-subject quads are derived from
+    # the user document alone (id-keyed), so the delta needs no closure
+    return df.select(
+        "doc_id", F.lit(None).cast("string").alias("orid")
+    ).where(F.lit(False))
+
+
+def incremental_update_queries(env: str) -> list[str]:
+    """Every update whose derivation must be maintained incrementally:
+    the 14 mapping files' names plus the two logo updates (which read
+    STAGING, not the target graph — pipeline.py logo_update) as inline
+    text. Provenance is additive per-run and excluded."""
+    return MAPPING_FILES + [add_logo_update(env), add_ldap_logo_update(env)]
+
+
+def run_pipeline_incremental(
+    engine: Engine,
+    old_documents: dict,
+    new_documents: dict,
+    sparql_dir: str,
+    run_id: str = "manual__incremental",
+    ts: str = "2024-01-01T00:00:00+00:00",
+    env: str = "qas",
+) -> dict:
+    """Incremental maintenance of the organizations graph: given the
+    previous and the current staging snapshots, recompute ONLY the
+    derived quads of changed documents instead of the reference's
+    CLEAR → full remap (the full-refresh anti-pattern at 100 TB).
+
+    Algorithm (delete-and-rederive with delta CLOSURE over the shared
+    organization key):
+
+    1. diff each driving source's documents (md5 of the json);
+    2. close the delta over OR-IDs — different sources derive quads
+       about the SAME org subject (ldap org + tl company + logos), so
+       when any document of an organization changes, every document of
+       that organization (old and new side) joins the re-map set; this
+       is what makes delete-then-rederive exact when e.g. a company doc
+       is removed but its ldap twin still derives the shared
+       ``a org:Organization`` triple;
+    3. build two throwaway in-memory staging stores — old-closure docs
+       and new-closure docs, plus the full (bounded) lookup sources —
+       and compile every mapping + logo update against each with
+       ``engine.plan`` (the INSERT..WHERE output quads WITHOUT the
+       side effect);
+    4. set-delete the old derivations, set-insert the new ones, record
+       provenance for this run.
+
+    Full-refresh equivalence (the oracle): after this call the
+    organizations graph equals what ``run_pipeline`` over the new
+    snapshot would produce — pytest-pinned at fixture scale (every
+    delta class incl. the cross-source removal case) and at volume.
+    Falls back to a documented error if the custom-field definitions
+    changed (they parameterize every company mapping — a full refresh
+    is the correct response).
+
+    Contract: within one source, document ids identify documents and
+    OR-IDs / user ids are unique per document — the reference pipeline
+    assumes the same (its mappings would silently merge subjects
+    otherwise).
+
+    Scale shape: the diffs are one full-outer join per source on the
+    doc id; orid extraction is a JSON projection (no shuffle); the
+    mapping recompute runs over CLOSURE-sized staging (∝ delta, not
+    corpus); the only corpus-sized terms are the delete/insert
+    rewrites of the one target graph — partition-granular copy-on-write,
+    the same cost every UPDATE pays. Returns counters for observability.
+    """
+    from pyspark.sql import functions as F
+
+    from ..extensions.changelog import snapshot_diff
+
+    spark = engine.spark
+    old_cf = old_documents.get("tl_custom_fields", [])
+    new_cf = new_documents.get("tl_custom_fields", [])
+    cf_diff = snapshot_diff(
+        _docs_df(spark, old_cf), _docs_df(spark, new_cf), "doc_id", "json"
+    )
+    if cf_diff.where(F.col("status") != "unchanged").limit(1).count() > 0:
+        raise ValueError(
+            "custom-field definitions changed between snapshots — they "
+            "parameterize every company mapping; run the full refresh "
+            "(run_pipeline) instead"
+        )
+    cf_def_id = _orid_def_id(spark, new_cf)
+
+    # 1. per-source diffs
+    diffs = {}
+    for source in DELTA_SOURCES:
+        o = _docs_df(spark, old_documents.get(source, []))
+        n = _docs_df(spark, new_documents.get(source, []))
+        diffs[source] = (o, n, snapshot_diff(o, n, "doc_id", "json"))
+
+    # 2. delta closure over orids
+    affected = None
+    for source in ("ldap_organizations", "tl_companies"):
+        o, n, d = diffs[source]
+        delta_ids = d.where(F.col("status") != "unchanged").select("doc_id")
+        for side in (o, n):
+            orids = (
+                _orids(spark, source, side, cf_def_id)
+                .join(F.broadcast(delta_ids), "doc_id", "left_semi")
+                .select("orid")
+            )
+            affected = orids if affected is None else affected.unionByName(orids)
+    affected = affected.distinct().localCheckpoint(eager=True)
+
+    def closure_docs(source, docs, d, statuses):
+        base = d.where(F.col("status").isin(*statuses)).select("doc_id")
+        if source in ("ldap_organizations", "tl_companies"):
+            by_orid = (
+                _orids(spark, source, docs, cf_def_id)
+                .join(F.broadcast(affected), "orid", "left_semi")
+                .select("doc_id")
+            )
+            base = base.unionByName(by_orid).distinct()
+        return _docs_df(spark, docs).join(F.broadcast(base), "doc_id", "left_semi")
+
+    # 3. two throwaway staging stores: old-closure and new-closure
+    counters = {}
+    stale = fresh = None
+    for label, side_docs, statuses in (
+        ("stale", 0, ["changed", "removed"]),
+        ("fresh", 1, ["changed", "added"]),
+    ):
+        scratch = Engine(spark)
+        for source in DELTA_SOURCES:
+            o, n, d = diffs[source]
+            docs = (o, n)[side_docs]
+            cdocs = closure_docs(source, docs, d, statuses)
+            counters[f"{label}_{source}_docs"] = cdocs.count()
+            scratch.load_json(cdocs, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
+        # bounded full sources (see DELTA_SOURCES note)
+        scratch.load_json(
+            _docs_df(spark, (old_documents, new_documents)[side_docs].get(
+                "mediahaven_tenants", []
+            )),
+            f"{GRAPH_NS}mediahaven_tenants",
+            namespace=SOURCE_NS,
+        )
+        scratch.load_json(
+            _docs_df(spark, (old_cf, new_cf)[side_docs]),
+            f"{GRAPH_NS}tl_custom_fields",
+            namespace=SOURCE_NS,
+        )
+        quads = None
+        for q in incremental_update_queries(env):
+            path = os.path.join(sparql_dir, q) if q.endswith(".sparql") else q
+            # flatten EACH mapping's plan before the union: 16 compiled
+            # SPARQL-update trees over in-memory quad unions blow up
+            # analysis (DeduplicateRelations walks the product of the
+            # subtree relations — measured driver OOM); each checkpoint
+            # is a delta-sized job, and the union of flat scans is cheap
+            df = scratch.plan(path, materialize=True).localCheckpoint(
+                eager=True
+            )
+            quads = df if quads is None else quads.unionByName(df)
+        quads = quads.distinct().localCheckpoint(eager=True)
+        counters[f"{label}_quads"] = quads.count()
+        if label == "stale":
+            stale = quads
+        else:
+            fresh = quads
+
+    # 4. apply to the maintained store + provenance for this run
+    engine.store.delete(stale, target_graphs=[f"{GRAPH_NS}organizations"])
+    engine.store.insert(fresh, target_graphs=[f"{GRAPH_NS}organizations"])
+    engine.update(
+        provenance_update(
+            run_id,
+            ts,
+            sources=[
+                f"{GRAPH_NS}tl_companies",
+                f"{GRAPH_NS}tl_users",
+                f"{GRAPH_NS}ldap_organizations",
+            ],
+            result=f"{GRAPH_NS}organizations",
+            graph=f"{GRAPH_NS}provenance",
+        )
+    )
+    return counters

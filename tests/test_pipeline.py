@@ -306,3 +306,132 @@ def test_volume_custom_field_lookup_broadcasts(spark, tmp_path_factory):
     df = eng.plan(os.path.join(REF_SPARQL_DIR, "tl_companies_mapping_org.sparql"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental pipeline maintenance (run_pipeline_incremental): full-refresh
+# equivalence over every delta class, including the delete-rederive case
+# ---------------------------------------------------------------------------
+
+
+def _mutated_fixtures():
+    """(old, new) fixture snapshots covering every delta class:
+    - company 'Archief Gent VZW' REMOVED while its ldap twin and the
+      mediahaven tenant still derive quads about OR-abc123x — the
+      delete-rederive case a naive stale-delete gets wrong;
+    - company 'Dienstverlener BV' website changed;
+    - a brand-new company added under a fresh OR-ID;
+    - ldap OR-school1 description changed; ldap OR-cust01a removed;
+    - user-uuid-2 gains a function (new post/role derivations)."""
+    import json as _j
+
+    old = fixture_documents()
+    new = {k: list(v) for k, v in old.items()}
+
+    def docs(src):
+        return [(i, _j.loads(t)) for i, t in new[src]]
+
+    comps = docs("tl_companies")
+    comps = [(i, d) for i, d in comps if d["name"] != "Archief Gent VZW"]
+    for _, d in comps:
+        if d["name"] == "Dienstverlener BV":
+            d["website"] = "www.dienstverlener-v2.be"
+    comps.append(
+        (
+            "tl_companies-new0",
+            {
+                "name": "Nieuwkomer BV",
+                "website": "https://nieuwkomer.be",
+                "custom_fields": [
+                    {"value": "OR-newco01", "definition": {"id": "cf-orid-uuid"}},
+                    {"value": "ja", "definition": {"id": "cf-status-uuid"}},
+                ],
+            },
+        )
+    )
+    new["tl_companies"] = [(i, _j.dumps(d)) for i, d in comps]
+
+    ldap = docs("ldap_organizations")
+    out_ldap = []
+    for i, d in ldap:
+        orid = d["attributes"].get("o")
+        if orid == "OR-cust01a":
+            continue  # removed
+        if orid == "OR-school1":
+            d["attributes"]["description"] = "School Eén (hernoemd)"
+        out_ldap.append((i, d))
+    new["ldap_organizations"] = [(i, _j.dumps(d)) for i, d in out_ldap]
+
+    users = docs("tl_users")
+    for _, d in users:
+        if d["id"] == "user-uuid-2":
+            d["function"] = "Nieuwe functie"
+    new["tl_users"] = [(i, _j.dumps(d)) for i, d in users]
+    return old, new
+
+
+@needs_ref
+def test_incremental_pipeline_equals_full_refresh(spark, tmp_path_factory):
+    from knowledge_graph_etl_spark.mappings.pipeline import (
+        run_pipeline_incremental,
+    )
+
+    old, new = _mutated_fixtures()
+    # engine A: full refresh on OLD, then incremental old->new
+    eng_a = Engine(spark, store_path=str(tmp_path_factory.mktemp("inc_a")))
+    run_pipeline(eng_a, old, REF_SPARQL_DIR, run_id="run-old", optimize=False)
+    counters = run_pipeline_incremental(
+        eng_a, old, new, REF_SPARQL_DIR, run_id="run-inc"
+    )
+    # engine B: full refresh on NEW
+    eng_b = Engine(spark, store_path=str(tmp_path_factory.mktemp("inc_b")))
+    run_pipeline(eng_b, new, REF_SPARQL_DIR, run_id="run-new", optimize=False)
+
+    g = GRAPH_NS + "organizations"
+    rows_a = {
+        (r["s"], r["p"], r["o_value"], r["o_type"], r["o_datatype"], r["o_lang"])
+        for r in eng_a.store.graph(g).collect()
+    }
+    rows_b = {
+        (r["s"], r["p"], r["o_value"], r["o_type"], r["o_datatype"], r["o_lang"])
+        for r in eng_b.store.graph(g).collect()
+    }
+    only_a = rows_a - rows_b
+    only_b = rows_b - rows_a
+    assert not only_a and not only_b, (sorted(only_a)[:5], sorted(only_b)[:5])
+    # the delete-rederive case actually bit: the removed company's org
+    # subject must STILL be typed (its ldap twin derives the shared
+    # `a org:Organization` via the ldap logo update)
+    s = ORG + "OR-abc123x"
+    assert any(q[0] == s and q[1] == RDF_TYPE for q in rows_a)
+    # but the company-only derivations (e.g. its homepage) must be gone
+    assert not any(
+        q[0] == s and q[1] == "http://xmlns.com/foaf/0.1/homepage"
+        for q in rows_a
+    )
+    # the new company arrived, the removed ldap org's quads left
+    assert any(q[0] == ORG + "OR-newco01" for q in rows_a)
+    assert not any(q[0] == ORG + "OR-cust01a" for q in rows_a)
+    # closure counters: the remap sets stayed delta-sized (not corpus)
+    assert counters["fresh_tl_companies_docs"] <= 3
+    assert counters["stale_tl_companies_docs"] <= 3
+
+
+@needs_ref
+def test_incremental_pipeline_custom_fields_change_falls_back(spark):
+    import json as _j
+
+    import pytest
+
+    from knowledge_graph_etl_spark.mappings.pipeline import (
+        run_pipeline_incremental,
+    )
+
+    old = fixture_documents()
+    new = {k: list(v) for k, v in old.items()}
+    cf = [(i, _j.loads(t)) for i, t in new["tl_custom_fields"]]
+    cf[0][1]["label"] = "5.1 - OR-ID (renamed)"
+    new["tl_custom_fields"] = [(i, _j.dumps(d)) for i, d in cf]
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="custom-field definitions changed"):
+        run_pipeline_incremental(eng, old, new, REF_SPARQL_DIR)
