@@ -714,6 +714,17 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+def dedup_setsim_prefix_q(spark, sf_dir):
+    from knowledge_graph_etl_spark.extensions.dedup import setsim_prefix_pairs
+
+    # 4-gram shingles (the 31-word synthetic vocab makes word-level sets
+    # near-identical across docs; 4-grams restore discriminative sets),
+    # t=0.5 keeps the planted near-dup pairs and nothing else
+    return setsim_prefix_pairs(
+        _t(spark, sf_dir, "documents"), n=4, threshold=0.5
+    )
+
+
 def dedup_minhash_lsh_q(spark, sf_dir):
     # hash_fn="md5": cross-engine-deterministic hash family, so the FULL
     # MinHash+LSH pipeline (signature, banding, bucket join, estimate) is
@@ -3660,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-checked in r08) and the r07-checked tail."""
     return {
         # --- new or changed this round (r09) ---
+        "dedup_setsim_prefix": dedup_setsim_prefix_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -5019,6 +5031,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, "
             "COUNT(*) AS group_size FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_setsim_prefix": (
+            # prefix-filtered exact set-similarity join, mirrored step for
+            # step: 4-gram shingles → global df rarity order → per-doc
+            # prefix (|s| - ceil(t|s|) + 1) → prefix self-join with the
+            # symmetric length filter → exact-Jaccard verification
+            f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4 THEN "
+            "list_transform(generate_series(1, greatest(len(toks) - 3, 0)), "
+            "i -> array_to_string(list_slice(toks, i, i + 3), ' ')) "
+            "ELSE [] END) AS shingles FROM tok), "
+            "f AS (SELECT doc_id AS id, len(shingles) AS sz, "
+            "unnest(shingles) AS tok FROM sh WHERE len(shingles) > 0), "
+            "d AS (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM f), "
+            "p AS (SELECT *, row_number() OVER (PARTITION BY id "
+            "ORDER BY df, tok) AS pos FROM d), "
+            "pr AS (SELECT id, sz, tok FROM p "
+            "WHERE pos <= sz - ceil(0.5 * sz) + 1), "
+            "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+            "FROM pr a JOIN pr b ON a.tok = b.tok AND a.id < b.id "
+            "AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz), "
+            "cm AS (SELECT c.id_a, c.id_b, fa.sz AS size_a, fb.sz AS size_b, "
+            "COUNT(*) AS common FROM cand c "
+            "JOIN f fa ON fa.id = c.id_a "
+            "JOIN f fb ON fb.id = c.id_b AND fb.tok = fa.tok "
+            "GROUP BY 1, 2, 3, 4) "
+            "SELECT id_a, id_b, CAST(size_a AS INTEGER) AS size_a, "
+            "CAST(size_b AS INTEGER) AS size_b, "
+            "round(CAST(common AS DOUBLE) / (size_a + size_b - common), 6) "
+            "AS jaccard FROM cm "
+            "WHERE round(CAST(common AS DOUBLE) / (size_a + size_b - common), 6) "
+            ">= 0.5"
         ),
         "dedup_ngram_jaccard": (
             f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "

@@ -1045,3 +1045,103 @@ def pair_eval(
             "THEN n_hits * 1000000 div n_candidates END"
         ).cast("bigint").alias("precision_ppm"),
     )
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs / PPJoin candidate-generation shape, Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08): all pairs (a < b) with
+    Jaccard(shingles_a, shingles_b) >= threshold — same answer as
+    :func:`ngram_jaccard_pairs`, asymptotically cheaper index.
+
+    Why a second exact-Jaccard operator: ``ngram_jaccard_pairs`` indexes
+    EVERY shingle, so its self-join cost is sum over shingles of df² —
+    dominated by common shingles. Prefix filtering indexes only each
+    document's ``|s| - ceil(t·|s|) + 1`` RAREST shingles (global
+    document-frequency order), which is both a (1-t)× smaller index and
+    one whose join keys are rare by construction — the frequent-shingle
+    skew that ``ngram_jaccard_pairs`` needs ``max_shingle_freq`` to cut
+    never enters the index. At t=0.8 the index is ~5× smaller and the
+    candidate set shrinks far more (only pairs sharing a RARE shingle).
+
+    Correctness of the filter (no recall loss): with the symmetric length
+    filter ``t·max(|a|,|b|) <= min(|a|,|b|)`` (pairs failing it cannot
+    reach Jaccard t), Jaccard >= t implies overlap >= ceil(t·max(|a|,|b|)),
+    and the prefix-filtering lemma then guarantees the two prefixes share
+    at least one token. Candidates are verified with the TRUE Jaccard.
+
+    Plan shape at 100 TB: one shingle explode; document frequency via a
+    window over the SAME partition-by-token shuffle the prefix join
+    reuses; per-doc rarity sort is a window partitioned by doc_id (narrow,
+    ~50 rows each); candidate join on 8-byte xxhash64 keys; verification
+    re-joins the candidate pairs to the full posting lists by doc id —
+    id-equi joins touching only candidate documents, never arrays shipped
+    through a shuffle. No step is quadratic in the corpus.
+
+    Returns ``(id_a, id_b, size_a, size_b, jaccard)``.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+        .where(F.col("sz") > 0)
+    )
+    flat = base.select("id", "sz", F.explode("sh").alias("tok"))
+    # global document frequency per shingle = rarity order. Window over
+    # partitionBy(tok) — the same exchange the prefix self-join shuffles
+    # on, so Catalyst can reuse it (cf. ngram_jaccard_pairs).
+    flat = flat.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    # canonical total order: (df asc, tok asc) — deterministic, identical
+    # on both join sides and in the oracle. row_number is unambiguous
+    # because shingles are distinct within a document.
+    pos = flat.withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "tok")),
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    pref = pos.where(F.col("pos") <= prefix_len).select("id", "sz", "tok")
+    a, b = pref.alias("a"), pref.alias("b")
+    t = F.lit(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # symmetric length filter: min >= t * max
+            & (F.col("a.sz") * t <= F.col("b.sz"))
+            & (F.col("b.sz") * t <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    # exact verification: count common shingles for candidate pairs only.
+    # Two id-equi joins against the posting list — restricted to candidate
+    # documents, no arrays through the shuffle.
+    fa = flat.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "tok")
+    fb = flat.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "tok")
+    common = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        6,
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "size_a", "size_b", "jaccard")
+    )

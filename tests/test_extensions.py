@@ -1186,3 +1186,60 @@ def test_leakage_safe_split_exact_and_pairs_modes(spark):
     assert {out2[i]["cluster_rep"] for i in (100, 101, 102)} == {100}
     assert len({out2[i]["split"] for i in (100, 101, 102)}) == 1
     assert out2[103]["cluster_rep"] == 103
+
+
+# -- prefix-filtered exact set-similarity join --------------------------------
+
+
+def test_setsim_prefix_equals_full_inverted_index(docs):
+    """The prefix filter is lossless: same pairs and same exact Jaccard as
+    the full-posting-list ngram_jaccard_pairs at the same (n, t)."""
+    from knowledge_graph_etl_spark.extensions.dedup import setsim_prefix_pairs
+
+    full = ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_freq=None)
+    pref = setsim_prefix_pairs(docs, n=3, threshold=0.7)
+    f = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pref.collect()}
+    assert f == p and (0, 1) in p and p[(0, 1)] == 1.0
+
+
+def test_setsim_prefix_index_is_smaller(spark):
+    """The point of the operator: at t=0.8 the indexed prefix holds ~20%
+    of each doc's shingles (|s| - ceil(0.8|s|) + 1), vs 100% for the full
+    inverted index — measured on the materialized index itself."""
+    from pyspark.sql import Window
+    from knowledge_graph_etl_spark.extensions.dedup import word_shingles
+
+    rows = [
+        (i, " ".join(f"w{i}t{j}" for j in range(40)) + " shared tail words here")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = df.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    flat = base.select("id", "sz", F.explode("sh").alias("tok")).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    pos = flat.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+    )
+    t = 0.8
+    n_full = flat.count()
+    n_pref = pos.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).count()
+    assert n_pref < 0.3 * n_full  # ~(1-t) of the postings, never all
+
+
+def test_setsim_prefix_length_filter_blocks_subset_pairs(spark):
+    """A tiny doc fully contained in a huge doc can't reach Jaccard t —
+    the symmetric length filter drops the pair before verification."""
+    from knowledge_graph_etl_spark.extensions.dedup import setsim_prefix_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"pad{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, small), (1, big)], "doc_id long, text string"
+    )
+    assert setsim_prefix_pairs(df, n=3, threshold=0.5).count() == 0
