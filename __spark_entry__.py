@@ -668,6 +668,15 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def events_markov_q(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (extensions/events.markov_transitions): one user-key
+    window shuffle, |types|^2-cardinality aggregate, integer-ppm MLE."""
+    from knowledge_graph_etl_spark.extensions.events import markov_transitions
+
+    return markov_transitions(_events_ts(spark, sf_dir)).orderBy("src", "dst")
+
+
 def streaming_windowed_counts(spark, sf_dir):
     from knowledge_graph_etl_spark.streaming import windowed_event_counts
 
@@ -3672,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new or changed this round (r09) ---
         "dedup_setsim_prefix": dedup_setsim_prefix_q,
+        "events_markov": events_markov_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -5633,6 +5643,17 @@ def oracle_sql() -> dict[str, str]:
         "data_curriculum": _CURRICULUM_ORACLE,
         "streaming_neardup": _neardup_first_oracle(),
         "blocklist_flag": _BLOCKLIST_ORACLE.format(toks=_TOKS),
+        "events_markov": (
+            "WITH seq AS (SELECT event_type AS src, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS dst FROM events), "
+            "m AS (SELECT src, dst, COUNT(*) AS n FROM seq "
+            "WHERE dst IS NOT NULL GROUP BY 1, 2) "
+            "SELECT src, dst, CAST(n AS BIGINT) AS n, "
+            "CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS src_total, "
+            "CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT) "
+            "AS p_ppm FROM m ORDER BY src, dst"
+        ),
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
         "curation_pipeline_v2": _pipeline_v2_oracle(),

@@ -139,3 +139,54 @@ def retention_cohorts(
             ),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the "what do users do next" model behind next-action prediction,
+    session-flow dashboards, and anomalous-sequence detection). For every
+    ordered pair of consecutive events within a user's timeline, counts
+    the (src → dst) transition and its maximum-likelihood probability.
+
+    Returns ``(src, dst, n, src_total, p_ppm)`` where ``p_ppm`` is the
+    integer parts-per-million MLE ``n * 1e6 div src_total`` — integer so
+    the result is bit-reproducible and SQL-oracle-able.
+
+    Scale shape: ONE shuffle on the user key for the ``lead()`` window
+    (per-user partitions are small — a user's event count, not the
+    corpus), then a groupBy on (src, dst) whose cardinality is
+    |event types|² — tiny, so the second aggregation is effectively a
+    map-side combine into a handful of keys. ``src_total`` comes from a
+    window over the already-aggregated matrix (|types|² rows), never a
+    second pass over the events. Deterministic: the sequence order ties
+    on ``tie_col`` (unique event id), so equal timestamps don't make the
+    matrix run-dependent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n").over(wsrc).cast("bigint").alias("src_total"),
+        F.expr("n * 1000000 div sum(n) over (partition by src)")
+        .cast("bigint")
+        .alias("p_ppm"),
+    )

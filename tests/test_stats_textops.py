@@ -882,3 +882,47 @@ def test_profile_drift_known_values(spark):
     }
     assert got2["s"]["status"] == "removed"
     assert got2["s"]["new_n_rows"] is None and got2["s"]["max_shifted"] is None
+
+
+def test_markov_transitions_counts_and_ppm(spark):
+    from knowledge_graph_etl_spark.extensions.events import markov_transitions
+
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        # u1: view -> click -> buy ; u2: view -> click -> view
+        (1, 1, "view", t0), (2, 1, "click", t0 + datetime.timedelta(minutes=1)),
+        (3, 1, "buy", t0 + datetime.timedelta(minutes=2)),
+        (4, 2, "view", t0), (5, 2, "click", t0 + datetime.timedelta(minutes=1)),
+        (6, 2, "view", t0 + datetime.timedelta(minutes=2)),
+        # u3: single event -> contributes no transition
+        (7, 3, "buy", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {
+        (r["src"], r["dst"]): (r["n"], r["src_total"], r["p_ppm"])
+        for r in markov_transitions(df).collect()
+    }
+    assert out[("view", "click")] == (2, 2, 1_000_000)
+    assert out[("click", "buy")] == (1, 2, 500_000)
+    assert out[("click", "view")] == (1, 2, 500_000)
+    assert len(out) == 3  # u3's lone event adds nothing
+
+
+def test_markov_transitions_tie_break_deterministic(spark):
+    """Equal timestamps: sequence order falls back to event_id, so the
+    matrix is identical run to run (and matches the oracle's ordering)."""
+    from knowledge_graph_etl_spark.extensions.events import markov_transitions
+
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [(i, 1, typ, t0) for i, typ in enumerate(["a", "b", "c"])]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {(r["src"], r["dst"]) for r in markov_transitions(df).collect()}
+    assert out == {("a", "b"), ("b", "c")}
