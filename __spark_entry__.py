@@ -668,6 +668,24 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def layout_zorder_stats_q(spark, sf_dir):
+    """Layout-choice evaluator (extensions/layout.zorder_skipping_stats):
+    min-max file pruning for a (custkey x orderdate) range probe under
+    z-order vs single-column-sort vs hash layouts — the numbers behind
+    write_zordered/write_sorted, computed in one scan + one tiny shuffle.
+    Probe: custkey in [100, 287] (~1/8 of the key range) x calendar 1995
+    (days 9131..9495)."""
+    from knowledge_graph_etl_spark.extensions.layout import zorder_skipping_stats
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("o_days"),
+    )
+    return zorder_skipping_stats(
+        o, "o_custkey", "o_days", probe_x=(100, 287), probe_y=(9131, 9495)
+    )
+
+
 def events_markov_q(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences (extensions/events.markov_transitions): one user-key
@@ -3682,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed this round (r09) ---
         "dedup_setsim_prefix": dedup_setsim_prefix_q,
         "events_markov": events_markov_q,
+        "layout_zorder_stats": layout_zorder_stats_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -4651,6 +4670,45 @@ def _ann_neardup_lsh_oracle(threshold: float = 0.4) -> str:
         "ON a.vec_id < c.vec_id "
         "AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)) "
         f"SELECT id_a, id_b, {cos} AS cosine_sim FROM cand WHERE {cos} >= {threshold}"
+    )
+
+
+def _zorder_stats_oracle() -> str:
+    """DuckDB twin of layout_zorder_stats_q, interleave terms generated by
+    the same loop shape the Spark side uses (grid_bits=16, file_bits=6,
+    probe custkey 100..287 x days 9131..9495)."""
+    interleave = " | ".join(
+        f"(((xg >> {b}) & 1) << {2 * b + 1}) | (((yg >> {b}) & 1) << {2 * b})"
+        for b in range(16)
+    )
+    return (
+        "WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS x, "
+        "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) "
+        "AS BIGINT) AS y FROM orders "
+        "WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL), "
+        "st AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, "
+        "MAX(y) AS mxy FROM src), "
+        "grid AS (SELECT x, y, ((x - mnx) * 65536) // (mxx - mnx + 1) AS xg, "
+        "((y - mny) * 65536) // (mxy - mny + 1) AS yg FROM src CROSS JOIN st), "
+        f"zc AS (SELECT x, y, xg, yg, ({interleave}) AS z FROM grid), "
+        "m AS (SELECT x, y, xg, z, CASE WHEN x BETWEEN 100 AND 287 "
+        "AND y BETWEEN 9131 AND 9495 THEN 1 ELSE 0 END AS m FROM zc), "
+        "melt AS (SELECT 'zorder' AS layout, z >> 26 AS file_id, x, y, m FROM m "
+        "UNION ALL SELECT 'linear_x', xg >> 10, x, y, m FROM m "
+        "UNION ALL SELECT 'hash', "
+        "(('0x' || substr(md5(CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), "
+        "1, 15))::BIGINT) % 64, x, y, m FROM m), "
+        "pf AS (SELECT layout, file_id, MIN(x) AS fminx, MAX(x) AS fmaxx, "
+        "MIN(y) AS fminy, MAX(y) AS fmaxy, COUNT(*) AS n_rows, "
+        "SUM(m) AS n_matched FROM melt GROUP BY 1, 2), "
+        "sc AS (SELECT layout, CASE WHEN fminx <= 287 AND fmaxx >= 100 "
+        "AND fminy <= 9495 AND fmaxy >= 9131 THEN 1 ELSE 0 END AS s, "
+        "n_rows, n_matched FROM pf) "
+        "SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total, "
+        "CAST(SUM(s) AS BIGINT) AS files_scanned, "
+        "CAST(SUM(s * n_rows) AS BIGINT) AS rows_scanned, "
+        "CAST(SUM(n_matched) AS BIGINT) AS rows_matched "
+        "FROM sc GROUP BY layout ORDER BY layout"
     )
 
 
@@ -5643,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
         "data_curriculum": _CURRICULUM_ORACLE,
         "streaming_neardup": _neardup_first_oracle(),
         "blocklist_flag": _BLOCKLIST_ORACLE.format(toks=_TOKS),
+        "layout_zorder_stats": _zorder_stats_oracle(),
         "events_markov": (
             "WITH seq AS (SELECT event_type AS src, "
             "lead(event_type) OVER (PARTITION BY user_id "

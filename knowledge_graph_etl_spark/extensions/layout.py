@@ -28,6 +28,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _dir_bytes(path: str) -> int:
@@ -265,3 +266,125 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def zorder_skipping_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    probe_x: tuple[int, int],
+    probe_y: tuple[int, int],
+    file_bits: int = 6,
+    grid_bits: int = 16,
+) -> DataFrame:
+    """Data-skipping effectiveness report: how many files a 2-D range
+    probe must scan under three layouts of the same table — ``zorder``
+    (Morton-interleaved blocks, what :func:`write_zordered` produces),
+    ``linear_x`` (single-column sort, :func:`write_sorted`), and ``hash``
+    (the unclustered shuffle-write default). This is the "measure, don't
+    guess" companion to the writers: it turns the layout choice into
+    numbers before anyone rewrites 100 TB.
+
+    Model: both coordinates are scaled to a ``grid_bits`` integer grid
+    with EXACT integer arithmetic ``((v - min) * 2^g) div (span + 1)``
+    (bit-identical across engines — float scaling would lose bits beyond
+    2^53 for epoch-microsecond coordinates), and a "file" is a fixed
+    key-range block: the top ``file_bits`` bits of the layout key
+    (Morton code / x grid / md5 hash). Equal-width blocks stand in for
+    the size-based splits of a real write — footer min/max pruning
+    semantics are identical. A file is scanned iff its bounding box
+    intersects the probe rectangle, exactly the parquet row-group
+    min/max test.
+
+    One scan, one tiny shuffle: the three layouts are unpivoted with
+    ``stack`` (3 rows per input row, combined map-side) into a groupBy on
+    (layout, file_id) — ≤ 3·2^file_bits groups — then a 3-row final
+    aggregate. ``rows_matched`` is layout-invariant by construction, a
+    built-in sanity check.
+
+    Returns ``(layout, files_total, files_scanned, rows_scanned,
+    rows_matched)`` ordered by layout.
+    """
+    from .hashing import md5_u60
+
+    top = 1 << grid_bits
+    src = df.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    stats = F.broadcast(
+        src.agg(
+            F.min("x").alias("mnx"),
+            F.max("x").alias("mxx"),
+            F.min("y").alias("mny"),
+            F.max("y").alias("mxy"),
+        )
+    )
+    g = src.crossJoin(stats).select(
+        "x",
+        "y",
+        F.expr(f"((x - mnx) * {top}) div (mxx - mnx + 1)").alias("xg"),
+        F.expr(f"((y - mny) * {top}) div (mxy - mny + 1)").alias("yg"),
+    )
+    z = F.lit(0).cast("long")
+    for b in range(grid_bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("xg"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("yg"), b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    nfiles = 1 << file_bits
+    matched = (
+        (F.col("x") >= probe_x[0])
+        & (F.col("x") <= probe_x[1])
+        & (F.col("y") >= probe_y[0])
+        & (F.col("y") <= probe_y[1])
+    ).cast("long")
+    melted = (
+        g.withColumn("__fz", F.shiftright(z, 2 * grid_bits - file_bits))
+        .withColumn("__fx", F.shiftright(F.col("xg"), grid_bits - file_bits))
+        .withColumn(
+            "__fh",
+            md5_u60(
+                F.concat_ws(
+                    ":", F.col("x").cast("string"), F.col("y").cast("string")
+                )
+            )
+            % nfiles,
+        )
+        .withColumn("m", matched)
+        .select(
+            "x",
+            "y",
+            "m",
+            F.expr(
+                "stack(3, 'zorder', __fz, 'linear_x', __fx, 'hash', __fh) "
+                "as (layout, file_id)"
+            ),
+        )
+    )
+    per_file = melted.groupBy("layout", "file_id").agg(
+        F.min("x").alias("fminx"),
+        F.max("x").alias("fmaxx"),
+        F.min("y").alias("fminy"),
+        F.max("y").alias("fmaxy"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("m").alias("n_matched"),
+    )
+    scanned = (
+        (F.col("fminx") <= probe_x[1])
+        & (F.col("fmaxx") >= probe_x[0])
+        & (F.col("fminy") <= probe_y[1])
+        & (F.col("fmaxy") >= probe_y[0])
+    ).cast("long")
+    return (
+        per_file.withColumn("s", scanned)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_total"),
+            F.sum("s").cast("bigint").alias("files_scanned"),
+            F.sum(F.col("s") * F.col("n_rows")).cast("bigint").alias("rows_scanned"),
+            F.sum("n_matched").cast("bigint").alias("rows_matched"),
+        )
+        .orderBy("layout")
+    )

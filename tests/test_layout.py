@@ -176,3 +176,46 @@ def test_bucketed_groupby_has_no_exchange(spark):
         assert g.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_g")
+
+
+def test_zorder_skipping_stats_orders_probe(spark):
+    """Rectangle probe on a 2-D uniform grid: hash layout scans every
+    file, linear-x prunes only via x, z-order prunes via both dims; the
+    matched-row count is layout-invariant."""
+    from knowledge_graph_etl_spark.extensions.layout import zorder_skipping_stats
+
+    rows = [(x, y) for x in range(100) for y in range(100)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    out = {
+        r["layout"]: r
+        for r in zorder_skipping_stats(
+            df, "x", "y", probe_x=(10, 21), probe_y=(40, 51)
+        ).collect()
+    }
+    assert {r["files_total"] for r in out.values()} == {64}
+    assert len({r["rows_matched"] for r in out.values()}) == 1  # invariant
+    assert out["hash"]["files_scanned"] == 64  # no clustering, no pruning
+    assert (
+        out["zorder"]["files_scanned"]
+        < out["linear_x"]["files_scanned"]
+        < out["hash"]["files_scanned"]
+    )
+    assert out["zorder"]["rows_scanned"] < out["linear_x"]["rows_scanned"]
+
+
+def test_zorder_skipping_stats_degenerate_dim(spark):
+    """Constant y (span 0): the integer grid maps everything to cell 0
+    without dividing by zero, and pruning still works via x."""
+    from knowledge_graph_etl_spark.extensions.layout import zorder_skipping_stats
+
+    df = spark.createDataFrame(
+        [(x, 7) for x in range(1000)], "x bigint, y bigint"
+    )
+    out = {
+        r["layout"]: r
+        for r in zorder_skipping_stats(
+            df, "x", "y", probe_x=(0, 99), probe_y=(0, 100)
+        ).collect()
+    }
+    assert out["zorder"]["rows_matched"] == 100
+    assert out["zorder"]["files_scanned"] < out["zorder"]["files_total"]
