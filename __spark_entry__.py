@@ -668,6 +668,18 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def sketch_kmv_overlap_q(spark, sf_dir):
+    """Pairwise audience-overlap estimation between event-type segments
+    from KMV sketches (extensions/stats.kmv_overlap, k=32): corpus
+    touched once for the bottom-k sketches, all pair math on |G|^2*k
+    sketch rows. Fixed md5 hashing keeps the ESTIMATES bit-exact
+    verifiable, the kmv_distinct standard."""
+    from knowledge_graph_etl_spark.extensions.stats import kmv_overlap
+
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    return kmv_overlap(e, "event_type", "user_id", k=32)
+
+
 def layout_zorder_stats_q(spark, sf_dir):
     """Layout-choice evaluator (extensions/layout.zorder_skipping_stats):
     min-max file pruning for a (custkey x orderdate) range probe under
@@ -3701,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setsim_prefix": dedup_setsim_prefix_q,
         "events_markov": events_markov_q,
         "layout_zorder_stats": layout_zorder_stats_q,
+        "sketch_kmv_overlap": sketch_kmv_overlap_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -5887,6 +5900,34 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "sketch_kmv_overlap": (
+            "WITH p AS (SELECT DISTINCT event_type AS g, "
+            "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE) "
+            "/ CAST(1152921504606846976 AS DOUBLE) AS h FROM events), "
+            "sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER "
+            "(PARTITION BY g ORDER BY h) AS rk FROM p) WHERE rk <= 32), "
+            "gs AS (SELECT DISTINCT g FROM sk), "
+            "pr AS (SELECT a.g AS group_a, b.g AS group_b FROM gs a "
+            "JOIN gs b ON a.g < b.g), "
+            "u AS (SELECT pr.group_a, pr.group_b, s.h, "
+            "MAX(CASE WHEN s.g = pr.group_a THEN 1 ELSE 0 END) AS in_a, "
+            "MAX(CASE WHEN s.g = pr.group_b THEN 1 ELSE 0 END) AS in_b "
+            "FROM pr JOIN sk s ON s.g IN (pr.group_a, pr.group_b) "
+            "GROUP BY 1, 2, 3), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY group_a, group_b "
+            "ORDER BY h) AS rk FROM u), "
+            "ag AS (SELECT group_a, group_b, COUNT(*) AS n_kept, "
+            "SUM(in_a * in_b) AS n_both, MAX(h) AS hk FROM r "
+            "WHERE rk <= 32 GROUP BY 1, 2) "
+            "SELECT group_a, group_b, CAST(n_kept AS BIGINT) AS n_kept, "
+            "CAST(n_both AS BIGINT) AS n_both, "
+            "round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE) "
+            "ELSE 31.0 / hk END, 4) AS est_union, "
+            "round(CAST(n_both AS DOUBLE) / n_kept * "
+            "(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE) "
+            "ELSE 31.0 / hk END), 4) AS est_intersect, "
+            "round(CAST(n_both AS DOUBLE) / n_kept, 6) AS est_jaccard FROM ag"
         ),
         "sketch_kmv_distinct": (
             "WITH p AS (SELECT DISTINCT event_type, "

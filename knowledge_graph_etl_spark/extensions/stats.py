@@ -539,3 +539,95 @@ def profile_drift(
             "max_shifted"
         ),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-INTERSECTION estimation between groups from KMV
+    sketches (Beyer et al., SIGMOD'07) — the "audience overlap" query:
+    how many distinct users do segments A and B share, for every pair of
+    segments, WITHOUT a per-pair distinct-intersection pass over the
+    corpus.
+
+    Estimator: per group keep the k minimum distinct hashes (same
+    bottom-k as :func:`kmv_distinct`); for a pair, take the bottom-k of
+    the UNION of the two sketches, let ``n_both`` of those be present in
+    both, and ``h_k`` be the k-th smallest. Then Jaccard ≈ n_both/k,
+    |A∪B| ≈ (k-1)/h_k, and |A∩B| ≈ (n_both/k)·|A∪B|. When the union
+    sketch holds fewer than k hashes it IS the exact union, and the
+    estimates collapse to exact values. Fixed md5 hashing makes even the
+    approximate answers bit-deterministic — re-runs and SQL oracles
+    reproduce them.
+
+    Scale shape: the corpus is touched ONCE (distinct (group, hash) →
+    bottom-k window, |G|·k rows out). Everything pairwise happens on the
+    sketches: |G|²·k rows for the pair expansion — independent of corpus
+    size, the whole point of sketching segment overlap at 100 TB.
+
+    Returns ``(group_a, group_b, n_kept, n_both, est_union,
+    est_intersect, est_jaccard)`` for ordered pairs group_a < group_b.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = (md5_u60(F.col(value_col).cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    sk = (
+        df.select(F.col(group_col).alias("g"), h.alias("__h"))
+        .distinct()
+        .withColumn(
+            "__rk", F.row_number().over(Window.partitionBy("g").orderBy("__h"))
+        )
+        .where(F.col("__rk") <= k)
+        .select("g", "__h")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.alias("ga")
+        .crossJoin(groups.alias("gb"))
+        .where(F.col("ga.g") < F.col("gb.g"))
+        .select(F.col("ga.g").alias("group_a"), F.col("gb.g").alias("group_b"))
+    )
+    ea = pairs.join(sk.withColumnRenamed("g", "group_a"), "group_a").select(
+        "group_a", "group_b", "__h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    eb = pairs.join(sk.withColumnRenamed("g", "group_b"), "group_b").select(
+        "group_a", "group_b", "__h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    union = (
+        ea.unionByName(eb)
+        .groupBy("group_a", "group_b", "__h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("group_a", "group_b").orderBy("__h")
+            ),
+        )
+        .where(F.col("__rk") <= k)
+    )
+    agg = union.groupBy("group_a", "group_b").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        F.max("__h").alias("__hk"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+    return agg.select(
+        "group_a",
+        "group_b",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "n_both",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_kept") * est_union, 4
+        ).alias("est_intersect"),
+        F.round(F.col("n_both").cast("double") / F.col("n_kept"), 6).alias(
+            "est_jaccard"
+        ),
+    )
