@@ -668,6 +668,27 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def er_record_linkage_q(spark, sf_dir):
+    """Record linkage (extensions/linkage.idf_weighted_linkage): a dirty
+    snapshot (docs with their first 3 words dropped) is matched back to
+    the canonical corpus via rare-shingle blocking + integer micro-IDF
+    weighted Jaccard, best-match-per-record. 3-gram shingle units — the
+    31-word synthetic vocab makes single words hot everywhere, the
+    regime where rare-token blocking is the difference between
+    O(df_rare) and O(corpus) candidates per record."""
+    from knowledge_graph_etl_spark.extensions.linkage import idf_weighted_linkage
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.select(F.col("doc_id").alias("id"), F.col("text").alias("name"))
+    dirty = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.regexp_replace(F.col("text"), r"^\S+ \S+ \S+ ", "").alias("name"),
+    )
+    return idf_weighted_linkage(
+        dirty, ref, block_tokens=2, min_score_ppm=300_000, ngram=3
+    )
+
+
 def sketch_kmv_overlap_q(spark, sf_dir):
     """Pairwise audience-overlap estimation between event-type segments
     from KMV sketches (extensions/stats.kmv_overlap, k=32): corpus
@@ -3714,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": events_markov_q,
         "layout_zorder_stats": layout_zorder_stats_q,
         "sketch_kmv_overlap": sketch_kmv_overlap_q,
+        "er_record_linkage": er_record_linkage_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -5900,6 +5922,58 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "er_record_linkage": (
+            "WITH rtokl AS (SELECT doc_id AS rid, "
+            f"{_TOKS} AS toks FROM documents), "
+            "rsh AS (SELECT rid, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+            "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+            "ELSE [] END) AS s FROM rtokl), "
+            "rtok AS (SELECT rid, unnest(s) AS tok FROM rsh), "
+            "nref AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), "
+            "wt AS (SELECT tok, df, CAST(floor(ln(CAST((SELECT n FROM nref) "
+            "AS DOUBLE) / df) * 1000000 + 0.5) AS BIGINT) AS w FROM "
+            "(SELECT tok, COUNT(*) AS df FROM rtok GROUP BY tok)), "
+            "rtw AS (SELECT rtok.rid, rtok.tok, wt.w FROM rtok "
+            "JOIN wt USING (tok)), "
+            "rsum AS (SELECT rid, SUM(w) AS w_ref FROM rtw GROUP BY rid), "
+            "dirty AS (SELECT doc_id AS lid, "
+            "regexp_replace(text, '^\\S+ \\S+ \\S+ ', '') AS name "
+            "FROM documents WHERE doc_id % 7 = 0), "
+            "dtokl AS (SELECT lid, "
+            "list_filter(string_split_regex(lower(trim(name)), '\\s+'), "
+            "x -> x <> '') AS toks FROM dirty), "
+            "dsh AS (SELECT lid, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+            "list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+            "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+            "ELSE [] END) AS s FROM dtokl), "
+            "dtok0 AS (SELECT lid, unnest(s) AS tok FROM dsh), "
+            "dtw AS (SELECT lid, tok, "
+            "CASE WHEN wt.w IS NULL THEN 0 ELSE 1 END AS seen, "
+            "COALESCE(wt.df, 1) AS df, "
+            "COALESCE(wt.w, CAST(floor(ln(CAST((SELECT n FROM nref) AS DOUBLE)) "
+            "* 1000000 + 0.5) AS BIGINT)) AS w "
+            "FROM dtok0 LEFT JOIN wt USING (tok)), "
+            "dsum AS (SELECT lid, SUM(w) AS w_dirty FROM dtw GROUP BY lid), "
+            "blk AS (SELECT lid, tok FROM (SELECT lid, tok, row_number() OVER "
+            "(PARTITION BY lid ORDER BY df, tok) AS rk FROM dtw "
+            "WHERE seen = 1) WHERE rk <= 2), "
+            "cand AS (SELECT DISTINCT lid, rid FROM blk JOIN rtok USING (tok)), "
+            "cm AS (SELECT c.lid, c.rid, COUNT(*) AS n_common, "
+            "SUM(d.w) AS w_common FROM cand c "
+            "JOIN dtw d ON d.lid = c.lid "
+            "JOIN rtw r ON r.rid = c.rid AND r.tok = d.tok GROUP BY 1, 2), "
+            "sc AS (SELECT cm.lid, cm.rid, cm.n_common, "
+            "(cm.w_common * 1000000) // (ds.w_dirty + rs.w_ref - cm.w_common) "
+            "AS score_ppm FROM cm "
+            "JOIN dsum ds ON ds.lid = cm.lid JOIN rsum rs ON rs.rid = cm.rid), "
+            "b AS (SELECT *, row_number() OVER (PARTITION BY lid "
+            "ORDER BY score_ppm DESC, rid) AS rk FROM sc) "
+            "SELECT lid AS dirty_id, rid AS match_id, "
+            "CAST(n_common AS BIGINT) AS n_common, "
+            "CAST(score_ppm AS BIGINT) AS score_ppm FROM b "
+            "WHERE rk = 1 AND score_ppm >= 300000"
         ),
         "sketch_kmv_overlap": (
             "WITH p AS (SELECT DISTINCT event_type AS g, "

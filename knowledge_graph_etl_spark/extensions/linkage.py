@@ -1,0 +1,158 @@
+"""Record linkage (entity resolution): blocked candidate generation +
+IDF-weighted name matching.
+
+The ER shape every catalog/CRM/MDM pipeline runs: given a *dirty* table
+(typos, dropped words, re-orderings) and a *reference* table, find each
+dirty record's best reference match WITHOUT comparing all pairs. Two
+public-technique stages:
+
+* **Blocking** (Fellegi-Sunter practice, canopy clustering): candidates
+  are pairs sharing one of the dirty record's ``block_tokens`` RAREST
+  tokens (global document frequency from the reference side). Rare
+  tokens are the discriminative ones, and — unlike joining on every
+  token — their posting lists are short by construction, so the
+  candidate join fans out ~``block_tokens × df_rare`` per record, never
+  ``Σ df``. The hot-token skew that a join-on-any-token blocking scheme
+  hits (every record sharing "inc"/"ltd" with every other) never enters
+  the join. Recall caveat: a pair is missed iff the dirty record's
+  rarest tokens are ALL absent from its true match — raise
+  ``block_tokens`` to trade cost for recall.
+
+* **Scoring**: weighted Jaccard over INTEGER micro-IDF weights,
+  ``score_ppm = Σ_{t∈A∩B} w_t · 10^6 div Σ_{t∈A∪B} w_t`` with
+  ``w_t = floor(ln(N/df_t)·10^6 + 0.5)`` — the same integer-quantized
+  log trick as the unigram LM scorer, so scores (and therefore the
+  best-match ranking) are bit-identical across engines and runs; ties
+  break on the reference id. IDF weighting means sharing a rare word
+  counts far more than sharing a stopword-ish one — plain Jaccard
+  treats "acme" and "the" alike.
+
+Scale shape: one shuffle each for reference document frequencies and
+per-record weight sums; the candidate join is rare-token-bounded; the
+verification joins are id-equi joins restricted to candidate records
+(the :func:`..dedup.setsim_prefix_pairs` pattern). Nothing is quadratic
+in either table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def idf_weighted_linkage(
+    dirty: DataFrame,
+    reference: DataFrame,
+    dirty_id: str = "id",
+    dirty_text: str = "name",
+    ref_id: str = "id",
+    ref_text: str = "name",
+    block_tokens: int = 2,
+    min_score_ppm: int = 300_000,
+    ngram: int = 1,
+) -> DataFrame:
+    """Best reference match per dirty record. Returns
+    ``(dirty_id, match_id, n_common, score_ppm)`` — at most one row per
+    dirty record, only when the best candidate reaches
+    ``min_score_ppm``. ``ngram > 1`` matches on word n-gram shingles
+    instead of single words — the right unit when the vocabulary is
+    small (words are hot everywhere, shingles are rare), exactly the
+    regime where rare-token blocking pays."""
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+
+    def _units(c):
+        if ngram > 1:
+            from .dedup import word_shingles
+
+            return word_shingles(c, ngram)
+        return F.array_distinct(tokens(c))
+
+    rtok = (
+        reference.select(
+            F.col(ref_id).alias("rid"),
+            F.explode(_units(F.col(ref_text))).alias("tok"),
+        )
+    )
+    n_ref = reference.select(ref_id).distinct().count()
+    # reference-side document frequency -> integer micro-IDF weight
+    df_t = rtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_t = df_t.select(
+        "tok",
+        "df",
+        F.floor(F.log(F.lit(float(n_ref)) / F.col("df")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("w"),
+    )
+    rtok_w = rtok.join(w_t, "tok")
+    r_sum = rtok_w.groupBy("rid").agg(F.sum("w").alias("w_ref"))
+    dtok = dirty.select(
+        F.col(dirty_id).alias("lid"),
+        F.explode(_units(F.col(dirty_text))).alias("tok"),
+    )
+    # unseen tokens score as df=1 (maximum rarity): they can't match the
+    # reference side anyway, but they must count in the union weight
+    dtok_w = dtok.join(w_t.select("tok", "df", "w"), "tok", "left").select(
+        "lid",
+        "tok",
+        F.col("w").isNotNull().cast("int").alias("seen"),
+        F.coalesce(F.col("df"), F.lit(1)).alias("df"),
+        F.coalesce(
+            F.col("w"),
+            F.floor(F.log(F.lit(float(n_ref))) * 1e6 + F.lit(0.5)).cast("bigint"),
+        ).alias("w"),
+    )
+    d_sum = dtok_w.groupBy("lid").agg(F.sum("w").alias("w_dirty"))
+    # blocking: the dirty record's `block_tokens` rarest tokens AMONG
+    # those present in the reference — an unseen token has an empty
+    # posting list and would burn a blocking slot generating nothing
+    blk = (
+        dtok_w.where(F.col("seen") == 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("lid").orderBy("df", "tok")),
+        )
+        .where(F.col("rk") <= block_tokens)
+        .select("lid", "tok")
+    )
+    cand = (
+        blk.join(rtok, "tok").select("lid", "rid").dropDuplicates()
+    )
+    # exact common weight for candidates only (id-equi joins)
+    common = (
+        cand.join(dtok_w.select("lid", "tok", "w"), "lid")
+        .join(rtok_w.select("rid", "tok"), ["rid", "tok"])
+        .groupBy("lid", "rid")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w").alias("w_common"),
+        )
+    )
+    scored = (
+        common.join(d_sum, "lid")
+        .join(r_sum, "rid")
+        .select(
+            "lid",
+            "rid",
+            "n_common",
+            F.expr(
+                "w_common * 1000000 div (w_dirty + w_ref - w_common)"
+            ).cast("bigint").alias("score_ppm"),
+        )
+    )
+    best = scored.withColumn(
+        "best",
+        F.row_number().over(
+            Window.partitionBy("lid").orderBy(
+                F.col("score_ppm").desc(), F.col("rid")
+            )
+        ),
+    ).where((F.col("best") == 1) & (F.col("score_ppm") >= min_score_ppm))
+    return best.select(
+        F.col("lid").alias("dirty_id"),
+        F.col("rid").alias("match_id"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        "score_ppm",
+    )

@@ -1243,3 +1243,63 @@ def test_setsim_prefix_length_filter_blocks_subset_pairs(spark):
         [(0, small), (1, big)], "doc_id long, text string"
     )
     assert setsim_prefix_pairs(df, n=3, threshold=0.5).count() == 0
+
+
+# -- record linkage -----------------------------------------------------------
+
+
+def test_idf_linkage_recovers_true_match(spark):
+    """Dirty records (a dropped word) link back to their own reference
+    record, not to other references sharing common words."""
+    from knowledge_graph_etl_spark.extensions.linkage import idf_weighted_linkage
+
+    refs = [
+        (1, "acme corporation global widget division"),
+        (2, "globex corporation sprocket division"),
+        (3, "initech corporation widget division"),
+    ]
+    dirty = [
+        (11, "acme global widget division"),      # ref 1 minus "corporation"
+        (12, "globex corporation sprocket"),      # ref 2 minus "division"
+    ]
+    ref = spark.createDataFrame(refs, "id bigint, name string")
+    dy = spark.createDataFrame(dirty, "id bigint, name string")
+    out = {
+        r["dirty_id"]: (r["match_id"], r["score_ppm"])
+        for r in idf_weighted_linkage(
+            dy, ref, block_tokens=2, min_score_ppm=100_000
+        ).collect()
+    }
+    assert out[11][0] == 1 and out[12][0] == 2
+    assert all(v[1] > 400_000 for v in out.values())
+
+
+def test_idf_linkage_idf_beats_plain_overlap(spark):
+    """Sharing one RARE word outweighs sharing two words that appear in
+    every reference — the reason for IDF weights over plain Jaccard."""
+    from knowledge_graph_etl_spark.extensions.linkage import idf_weighted_linkage
+
+    # "zephyr" appears in exactly one reference; "trading company" in all
+    refs = [(i, f"filler{i} trading company") for i in range(1, 9)] + [
+        (9, "zephyr trading company")
+    ]
+    dy = [(100, "zephyr imports")]
+    out = idf_weighted_linkage(
+        spark.createDataFrame(dy, "id bigint, name string"),
+        spark.createDataFrame(refs, "id bigint, name string"),
+        block_tokens=1,
+        min_score_ppm=1,
+    ).collect()
+    assert len(out) == 1 and out[0]["match_id"] == 9
+
+
+def test_idf_linkage_no_candidates_no_row(spark):
+    """A dirty record sharing no blocking token with any reference is
+    absent from the output (blocked-out, by design)."""
+    from knowledge_graph_etl_spark.extensions.linkage import idf_weighted_linkage
+
+    ref = spark.createDataFrame([(1, "alpha beta gamma")], "id bigint, name string")
+    dy = spark.createDataFrame([(2, "delta epsilon zeta")], "id bigint, name string")
+    assert (
+        idf_weighted_linkage(dy, ref, block_tokens=3, min_score_ppm=1).count() == 0
+    )
