@@ -668,6 +668,51 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def multimodal_scene_cut_q(spark, sf_dir):
+    """Shot-boundary detection (extensions/multimodal.scene_cuts) over
+    synthesized per-frame signatures with real scene structure: 1 s
+    scenes over ~2-10 s videos (duration_ms = 20 x n_chars;
+    md5-derived 60-bit base hash per scene) + sub-threshold
+    per-frame noise bits — within-scene hamming <= 2, across-cut ~30.
+    In production signatures come from sample_frames -> decode ->
+    image_ahash (same module); the detector itself is one per-video
+    window: lag + bit_count(xor) + running cut count."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.multimodal import scene_cuts
+
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & (F.col("n_chars") > 0)
+    )
+    frames = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("n_chars").cast("long") * 20 - 1,
+                F.lit(100).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    base = md5_u60(
+        F.concat_ws(
+            ":",
+            F.col("media_id"),
+            F.expr("frame_ts_ms div 1000").cast("string"),
+        )
+    )
+    # SQL-side shiftleft: the Python F.shiftleft wrapper wants a literal
+    # int for numBits, but the noise bit position is per-row
+    sig = frames.withColumn("base", base).withColumn(
+        "sig",
+        F.expr(
+            "CASE WHEN (frame_ts_ms div 100) % 7 = 3 THEN "
+            "base ^ shiftleft(cast(1 as bigint), "
+            "cast((frame_ts_ms div 100) % 59 as int)) ELSE base END"
+        ),
+    )
+    return scene_cuts(sig, threshold=8)
+
+
 def er_record_linkage_q(spark, sf_dir):
     """Record linkage (extensions/linkage.idf_weighted_linkage): a dirty
     snapshot (docs with their first 3 words dropped) is matched back to
@@ -3736,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder_stats": layout_zorder_stats_q,
         "sketch_kmv_overlap": sketch_kmv_overlap_q,
         "er_record_linkage": er_record_linkage_q,
+        "multimodal_scene_cut": multimodal_scene_cut_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -5922,6 +5968,29 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "multimodal_scene_cut": (
+            "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, n_chars "
+            "FROM documents WHERE doc_id < 50 AND n_chars > 0), "
+            "fr AS (SELECT media_id, "
+            "unnest(generate_series(0, n_chars * 20 - 1, 100)) AS ts FROM v), "
+            "s AS (SELECT media_id, ts, ts // 100 AS fidx, "
+            "('0x' || substr(md5(media_id || ':' || CAST(ts // 1000 AS VARCHAR)), "
+            "1, 15))::BIGINT AS base FROM fr), "
+            "g AS (SELECT media_id, ts, CASE WHEN fidx % 7 = 3 THEN "
+            "xor(base, CAST(1 AS BIGINT) << CAST(fidx % 59 AS INTEGER)) "
+            "ELSE base END AS sig FROM s), "
+            "l AS (SELECT media_id, ts AS frame_ts_ms, "
+            "CAST(CASE WHEN lag(sig) OVER w IS NOT NULL THEN "
+            "bit_count(xor(sig, lag(sig) OVER w)) END AS INTEGER) "
+            "AS hamming_prev FROM g WINDOW w AS "
+            "(PARTITION BY media_id ORDER BY ts)) "
+            "SELECT media_id, frame_ts_ms, hamming_prev, "
+            "(hamming_prev IS NULL OR hamming_prev > 8) AS is_cut, "
+            "CAST(SUM(CASE WHEN hamming_prev IS NULL OR hamming_prev > 8 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY media_id "
+            "ORDER BY frame_ts_ms ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) "
+            "AS scene_id FROM l"
         ),
         "er_record_linkage": (
             "WITH rtokl AS (SELECT doc_id AS rid, "

@@ -24,7 +24,7 @@ import hashlib
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -690,4 +690,64 @@ def ahash_dedup(
         "ahash",
         "n_copies",
         (F.col(id_col) == F.col("__rep")).alias("is_canonical"),
+    )
+
+
+def scene_cuts(
+    frames: DataFrame,
+    media_col: str = "media_id",
+    ts_col: str = "frame_ts_ms",
+    sig_col: str = "sig",
+    threshold: int = 8,
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over per-frame perceptual
+    signatures — the video-curation primitive behind keyframe selection,
+    per-scene sampling, and duplicate-shot removal. A cut is declared
+    between consecutive frames of a video whose 64-bit signatures differ
+    in more than ``threshold`` bits (within a shot, perceptual hashes
+    drift by a few bits; across a hard cut they are ~independent, ~32
+    bits apart — the classic pHash-difference detector).
+
+    Input is ``(media_col, ts_col, sig_col)`` — one row per sampled
+    frame, signature as a BIGINT perceptual hash. In production the
+    signatures come from :func:`sample_frames` → decode →
+    :func:`image_ahash` (all shipped here); keeping the detector separate
+    from the decode keeps it exactly SQL-oracle-able and reusable over
+    any signature family.
+
+    Scale shape: ONE shuffle, partitioned by video — ``lag`` +
+    ``bit_count(xor)`` + a running cut count are all computed inside the
+    same per-video window, and per-video partitions are frame counts
+    (thousands), never corpus-sized. Emits every frame with its scene
+    assignment: ``(media_id, frame_ts_ms, hamming_prev, is_cut,
+    scene_id)`` — ``hamming_prev`` NULL for each video's first frame,
+    which opens scene 0 and counts as a cut; ``scene_id`` is the running
+    number of cuts so far minus 1."""
+    w = Window.partitionBy(media_col).orderBy(ts_col)
+    prev = F.lag(sig_col).over(w)
+    ham = F.when(
+        prev.isNotNull(),
+        F.bit_count(F.col(sig_col).bitwiseXOR(prev)),
+    ).cast("int")
+    d = frames.select(
+        F.col(media_col).alias("media_id"),
+        F.col(ts_col).cast("bigint").alias("frame_ts_ms"),
+        ham.alias("hamming_prev"),
+    )
+    is_cut = F.col("hamming_prev").isNull() | (
+        F.col("hamming_prev") > threshold
+    )
+    wrun = (
+        Window.partitionBy("media_id")
+        .orderBy("frame_ts_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "media_id",
+        "frame_ts_ms",
+        "hamming_prev",
+        is_cut.alias("is_cut"),
+        (F.sum(is_cut.cast("long")).over(wrun) - 1).cast("bigint").alias(
+            "scene_id"
+        ),
     )

@@ -956,3 +956,28 @@ def test_kmv_overlap_estimates_within_error(spark):
     assert abs(r["est_union"] - true_union) / true_union < 0.2
     assert abs(r["est_intersect"] - true_inter) / true_inter < 0.3
     assert abs(r["est_jaccard"] - true_inter / true_union) < 0.1
+
+
+def test_scene_cuts_detects_boundaries_not_noise(spark):
+    """Signatures drifting by 1-2 bits stay in one scene; a ~30-bit jump
+    opens a new one; first frame of each video is a cut into scene 0."""
+    from knowledge_graph_etl_spark.extensions.multimodal import scene_cuts
+
+    A, B = 0x0F0F0F0F0F0F0F0F, 0x70F0F0F0F0F0F0F0
+    rows = [
+        # video v1: scene A (drift 1 bit), hard cut to scene B at t=300
+        ("v1", 0, A), ("v1", 100, A ^ 1), ("v1", 200, A ^ 3),
+        ("v1", 300, B), ("v1", 400, B ^ 2),
+        # video v2: one scene only
+        ("v2", 0, A), ("v2", 100, A),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, frame_ts_ms long, sig long")
+    out = {
+        (r["media_id"], r["frame_ts_ms"]): (r["is_cut"], r["scene_id"])
+        for r in scene_cuts(df, threshold=8).collect()
+    }
+    assert out[("v1", 0)] == (True, 0)
+    assert out[("v1", 100)] == (False, 0) and out[("v1", 200)] == (False, 0)
+    assert out[("v1", 300)] == (True, 1)  # hard cut
+    assert out[("v1", 400)] == (False, 1)
+    assert out[("v2", 0)] == (True, 0) and out[("v2", 100)] == (False, 0)
