@@ -668,6 +668,34 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def ivm_join_delta_q(spark, sf_dir):
+    """Incremental join-view maintenance
+    (extensions/changelog.join_view_delta): the delta rule
+    dV = dA⋈B ∪ A⋈dB ∪ dA⋈dB for the orders⋈customer view under
+    append-only deltas — every term delta-sized on at least one side,
+    the stored view is never rescanned. Full-recompute equivalence is
+    pinned in tests; money as integer cents."""
+    from knowledge_graph_etl_spark.extensions.changelog import join_view_delta
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents"),
+    )
+    return join_view_delta(
+        o.where(F.col("o_orderkey") % 13 != 0),
+        o.where(F.col("o_orderkey") % 13 == 0),
+        c.where(F.col("custkey") % 17 != 0),
+        c.where(F.col("custkey") % 17 == 0),
+        on="custkey",
+    )
+
+
 def multimodal_scene_cut_q(spark, sf_dir):
     """Shot-boundary detection (extensions/multimodal.scene_cuts) over
     synthesized per-frame signatures with real scene structure: 1 s
@@ -3782,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_overlap": sketch_kmv_overlap_q,
         "er_record_linkage": er_record_linkage_q,
         "multimodal_scene_cut": multimodal_scene_cut_q,
+        "ivm_join_delta": ivm_join_delta_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -5968,6 +5997,26 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "ivm_join_delta": (
+            "WITH ao AS (SELECT o_custkey AS custkey, o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents "
+            "FROM orders WHERE o_orderkey % 13 <> 0), "
+            "ad AS (SELECT o_custkey AS custkey, o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents "
+            "FROM orders WHERE o_orderkey % 13 = 0), "
+            "bo AS (SELECT c_custkey AS custkey, c_name, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents "
+            "FROM customer WHERE c_custkey % 17 <> 0), "
+            "bd AS (SELECT c_custkey AS custkey, c_name, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents "
+            "FROM customer WHERE c_custkey % 17 = 0) "
+            "SELECT custkey, o_orderkey, total_cents, c_name, acct_cents "
+            "FROM ad JOIN bo USING (custkey) "
+            "UNION ALL SELECT custkey, o_orderkey, total_cents, c_name, "
+            "acct_cents FROM ao JOIN bd USING (custkey) "
+            "UNION ALL SELECT custkey, o_orderkey, total_cents, c_name, "
+            "acct_cents FROM ad JOIN bd USING (custkey)"
         ),
         "multimodal_scene_cut": (
             "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, n_chars "

@@ -154,3 +154,37 @@ def test_quadify_src_col_and_quad_schema_unchanged(spark):
     )
     assert j2.columns == QUAD_COLUMNS
     assert len(QUAD_COLUMNS) == 8
+
+
+def test_join_view_delta_equals_full_recompute(spark):
+    """The IVM contract: V_old ∪ ΔV == (A∪ΔA) ⋈ (B∪ΔB), with bag
+    semantics (duplicate keys multiply) and no row double-counted."""
+    from knowledge_graph_etl_spark.extensions.changelog import join_view_delta
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1b"), (2, "a2")], "k bigint, av string"
+    )
+    a_new = spark.createDataFrame([(2, "a2new"), (3, "a3")], "k bigint, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], "k bigint, bv string")
+    b_new = spark.createDataFrame([(1, "b1new"), (2, "b2")], "k bigint, bv string")
+
+    delta = join_view_delta(a_old, a_new, b_old, b_new, on="k")
+    v_old = a_old.join(b_old, "k")
+    incremental = sorted(map(tuple, v_old.unionByName(delta).collect()))
+    full = sorted(
+        map(
+            tuple,
+            a_old.unionByName(a_new).join(b_old.unionByName(b_new), "k").collect(),
+        )
+    )
+    assert incremental == full and len(full) == 7  # 2*2 + 2*1 + 1*1
+
+
+def test_join_view_delta_empty_deltas(spark):
+    from knowledge_graph_etl_spark.extensions.changelog import join_view_delta
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, av string")
+    b = spark.createDataFrame([(1, "y")], "k bigint, bv string")
+    empty_a = spark.createDataFrame([], "k bigint, av string")
+    empty_b = spark.createDataFrame([], "k bigint, bv string")
+    assert join_view_delta(a, empty_a, b, empty_b, on="k").count() == 0
