@@ -3794,12 +3794,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 7 new entries + 3 changed this round (ann_beam_topk table
-    mode, events_winsorize NULL handling, ann_ivf_append path), then the
-    45-entry r06-stale block (doc_cdc_stats..kg_select_builtins) — its
-    driver rows are 3 rounds old, oldest in the registry. A ~50 window
-    reaches 40 of those; the last 5 (kg_not_exists, kg_union_values,
-    kg_group_agg, kg_filter_compare, kg_select_builtins) must LEAD the
+    r09 front = 17 new-or-changed entries (7 session-2 additions
+    dedup_setsim_prefix..ivm_join_delta, then the session-1 set: 7 new +
+    3 changed — ann_beam_topk table mode, events_winsorize NULL
+    handling, ann_ivf_append path), then the 45-entry r06-stale block
+    (doc_cdc_stats..kg_select_builtins) — its driver rows are 3 rounds
+    old, oldest in the registry. A ~50 window reaches ~33 of those; the
+    remainder from agg_cube on (agg_cube, training_order,
+    semantic_dedup, ann_pq_topk, kg_construct_query, graph_pagerank,
+    kg_path_query, kg_not_exists, kg_union_values, kg_group_agg,
+    kg_filter_compare, kg_select_builtins — 12 entries) must LEAD the
     r10 front. Back = r08-checked blocks (r08-new, the r05 block
     re-checked in r08) and the r07-checked tail."""
     return {
@@ -3855,6 +3859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": gopher_quality_q,
         "mixture_sample": mixture_sample_q,
         "unigram_lm_score": unigram_lm_score_q,
+        # --- r06-stale remainder: the ~50 window runs out near here —
+        # --- everything from agg_cube through kg_select_builtins MUST
+        # --- lead the r10 front ---
         "agg_cube": agg_cube_q,
         "training_order": training_order_q,
         "semantic_dedup": semantic_dedup_q,
@@ -3864,8 +3871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_query": kg_path_query_q,
         "kg_not_exists": kg_not_exists_q,
         "kg_union_values": kg_union_values_q,
-        # --- r06-stale remainder (from kg_not_exists on): windows out
-        # --- at ~50 — MUST lead the r10 front ---
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
