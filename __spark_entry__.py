@@ -668,6 +668,27 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def stats_join_card_q(spark, sf_dir):
+    """Join-size estimation from a coordinated 1/16 key sample
+    (extensions/stats.join_cardinality_estimate): both sides keep the
+    FULL frequency of every sampled key (hash-coordinated, the fix for
+    independent row-sampling never hitting the same key), per-key
+    products are exact, only the key population is scaled. Sides are
+    filtered map-side before any shuffle; final join is key-cardinality
+    sized."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        join_cardinality_estimate,
+    )
+
+    return join_cardinality_estimate(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        sample_mod=16,
+    )
+
+
 def ivm_join_delta_q(spark, sf_dir):
     """Incremental join-view maintenance
     (extensions/changelog.join_view_delta): the delta rule
@@ -3815,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_record_linkage": er_record_linkage_q,
         "multimodal_scene_cut": multimodal_scene_cut_q,
         "ivm_join_delta": ivm_join_delta_q,
+        "stats_join_card": stats_join_card_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6002,6 +6024,19 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "stats_join_card": (
+            "WITH ca AS (SELECT k, COUNT(*) AS na FROM "
+            "(SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders) "
+            "WHERE ('0x' || substr(md5(k), 1, 15))::BIGINT % 16 = 0 "
+            "GROUP BY k), "
+            "cb AS (SELECT k, COUNT(*) AS nb FROM "
+            "(SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem) "
+            "WHERE ('0x' || substr(md5(k), 1, 15))::BIGINT % 16 = 0 "
+            "GROUP BY k) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_sampled, "
+            "CAST(COALESCE(SUM(na * nb), 0) * 16 AS BIGINT) AS est_pairs "
+            "FROM ca JOIN cb USING (k)"
         ),
         "ivm_join_delta": (
             "WITH ao AS (SELECT o_custkey AS custkey, o_orderkey, "

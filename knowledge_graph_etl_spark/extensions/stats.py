@@ -631,3 +631,55 @@ def kmv_overlap(
             "est_jaccard"
         ),
     )
+
+
+def join_cardinality_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    sample_mod: int = 16,
+) -> DataFrame:
+    """Equi-join output-size estimation from a coordinated key sample —
+    the statistic a cost-based planner needs before committing to a join
+    strategy (broadcast vs shuffle, join order), computed WITHOUT running
+    the join: |A ⋈ B| = Σ_k n_A(k)·n_B(k), estimated over the keys whose
+    uniform hash lands in a 1/sample_mod bucket and scaled back up.
+
+    Coordinated (hash-based) sampling is the load-bearing trick: sampling
+    ROWS independently on each side would almost never pick the same key
+    twice (the classic join-sampling failure); sampling KEYS by a shared
+    deterministic hash keeps both sides' full frequency for every sampled
+    key, so each per-key product is exact and only the key population is
+    sampled. Estimator is unbiased with relative error driven by the
+    key-frequency skew captured in the sample (heavy keys are sampled
+    with the same probability but contribute exactly when they are).
+
+    Fixed md5 hashing → the estimate is bit-deterministic and
+    SQL-oracle-able (the kmv_* standard).
+
+    Scale shape: each side is filtered map-side to ~1/sample_mod of its
+    keys BEFORE any shuffle, then aggregated to per-key counts
+    (map-combinable), and the final join is between two KEY-CARDINALITY
+    sized count tables — never row×row. Returns ONE row
+    ``(n_keys_sampled, est_pairs)``."""
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+
+    def side(df: DataFrame, key: str, out: str) -> DataFrame:
+        return (
+            df.select(F.col(key).cast("string").alias("k"))
+            .where(md5_u60(F.col("k")) % sample_mod == 0)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = side(a, key_a, "na")
+    cb = side(b, key_b, "nb")
+    joined = ca.join(cb, "k")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_sampled"),
+        (F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)) * sample_mod)
+        .cast("bigint")
+        .alias("est_pairs"),
+    )

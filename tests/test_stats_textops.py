@@ -981,3 +981,37 @@ def test_scene_cuts_detects_boundaries_not_noise(spark):
     assert out[("v1", 300)] == (True, 1)  # hard cut
     assert out[("v1", 400)] == (False, 1)
     assert out[("v2", 0)] == (True, 0) and out[("v2", 100)] == (False, 0)
+
+
+def test_join_card_estimate_accuracy_and_exact_key_products(spark):
+    """Coordinated sampling: a sampled key contributes its EXACT
+    n_a*n_b product; the estimate lands within sampling error of truth
+    on a 1000-key join (~sqrt(1/ (1000/16)) ≈ 13% relative error)."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        join_cardinality_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in range(1000) for _ in range(3)], "k bigint"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(1000) for _ in range(2)], "k bigint"
+    )
+    r = join_cardinality_estimate(a, b, "k", "k", sample_mod=16).collect()[0]
+    truth = 1000 * 3 * 2
+    assert 0 < r["n_keys_sampled"] < 200
+    # every sampled key contributes exactly 6 pairs -> estimate is
+    # n_keys_sampled * 6 * 16, within population-sampling error of truth
+    assert r["est_pairs"] == r["n_keys_sampled"] * 6 * 16
+    assert abs(r["est_pairs"] - truth) / truth < 0.45
+
+
+def test_join_card_estimate_disjoint_keys_zero(spark):
+    from knowledge_graph_etl_spark.extensions.stats import (
+        join_cardinality_estimate,
+    )
+
+    a = spark.createDataFrame([(k,) for k in range(100)], "k bigint")
+    b = spark.createDataFrame([(k,) for k in range(1000, 1100)], "k bigint")
+    r = join_cardinality_estimate(a, b, "k", "k", sample_mod=4).collect()[0]
+    assert r["n_keys_sampled"] == 0 and r["est_pairs"] == 0
