@@ -668,6 +668,20 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def ts_forecast_backtest_q(spark, sf_dir):
+    """Seasonal-naive forecast backtest over hourly per-type event
+    counts (extensions/events.seasonal_naive_backtest, season=24 h,
+    holdout=48 h): dense zero-filled period grid so gap hours don't
+    mis-align the season lag; integer mae_milli / smape_ppm."""
+    from knowledge_graph_etl_spark.extensions.events import (
+        seasonal_naive_backtest,
+    )
+
+    return seasonal_naive_backtest(
+        _events(spark, sf_dir), season=24, holdout=48
+    )
+
+
 def stats_join_card_q(spark, sf_dir):
     """Join-size estimation from a coordinated 1/16 key sample
     (extensions/stats.join_cardinality_estimate): both sides keep the
@@ -3837,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_scene_cut": multimodal_scene_cut_q,
         "ivm_join_delta": ivm_join_delta_q,
         "stats_join_card": stats_join_card_q,
+        "ts_forecast_backtest": ts_forecast_backtest_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6024,6 +6039,28 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "ts_forecast_backtest": (
+            "WITH c AS (SELECT event_type AS g, "
+            "epoch_us(ts) // 3600000000 AS p, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1, 2), "
+            "b AS (SELECT MIN(p) AS pmin, MAX(p) AS pmax FROM c), "
+            "grid AS (SELECT g, unnest(generate_series(pmin, pmax)) AS p "
+            "FROM (SELECT DISTINCT g FROM c) CROSS JOIN b), "
+            "dense AS (SELECT grid.g, grid.p, "
+            "CAST(COALESCE(c.cnt, 0) AS BIGINT) AS a FROM grid "
+            "LEFT JOIN c ON c.g = grid.g AND c.p = grid.p), "
+            "lagd AS (SELECT g, p, a, lag(a, 24) OVER "
+            "(PARTITION BY g ORDER BY p) AS f FROM dense), "
+            "sc AS (SELECT g, abs(f - a) AS abs_err, "
+            "CASE WHEN f + a > 0 THEN (2000000 * abs(f - a)) // (f + a) END "
+            "AS sm FROM lagd CROSS JOIN b "
+            "WHERE p > pmax - 48 AND f IS NOT NULL) "
+            "SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_eval, "
+            "CAST(COUNT(sm) AS BIGINT) AS n_nonzero, "
+            "CAST(SUM(abs_err) * 1000 // COUNT(*) AS BIGINT) AS mae_milli, "
+            "CAST(CASE WHEN COUNT(sm) > 0 THEN SUM(sm) // COUNT(sm) END "
+            "AS BIGINT) AS smape_ppm FROM sc GROUP BY g"
         ),
         "stats_join_card": (
             "WITH ca AS (SELECT k, COUNT(*) AS na FROM "

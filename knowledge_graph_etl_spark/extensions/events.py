@@ -190,3 +190,83 @@ def markov_transitions(
         .cast("bigint")
         .alias("p_ppm"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    period_us: int = 3_600_000_000,
+    season: int = 24,
+    holdout: int = 48,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t-season})
+    on per-group event counts — the baseline every capacity-planning /
+    anomaly-threshold forecast must beat, and the eval harness that says
+    whether it does ("measure, don't guess" for the time dimension).
+
+    Pipeline: bucket events into ``period_us`` periods per group; build
+    the DENSE period grid (global min..max, zero-filled via a
+    group×period sequence cross join — a gap hour is a real 0, skipping
+    it would silently align the season lag wrong); forecast by
+    ``lag(season)``; score the last ``holdout`` periods. Metrics are
+    integer and exactly reproducible: ``mae_milli`` = Σ|err|·1000 div n
+    and ``smape_ppm`` = (Σ 2·10⁶·|f−a| div (f+a), skipping both-zero
+    periods) div n_nonzero.
+
+    Scale shape: ONE count aggregate over the corpus (map-combinable),
+    then everything operates on the |G|·T count grid — tiny relative to
+    the events. The dense grid is a per-group ``sequence`` explode, the
+    lag and scoring one window per group. Returns
+    ``(group, n_eval, n_nonzero, mae_milli, smape_ppm)``."""
+    from pyspark.sql import Window
+
+    per = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(period_us)).cast("bigint")
+    counts = (
+        events.select(F.col(group_col).alias("g"), per.alias("p"))
+        .groupBy("g", "p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = counts.agg(
+        F.min("p").alias("pmin"), F.max("p").alias("pmax")
+    )
+    grid = (
+        counts.select("g")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            F.explode(F.sequence(F.col("pmin"), F.col("pmax"))).alias("p"),
+        )
+    )
+    dense = grid.join(counts, ["g", "p"], "left").select(
+        "g", "p", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("a")
+    )
+    w = Window.partitionBy("g").orderBy("p")
+    scored = (
+        dense.withColumn("f", F.lag("a", season).over(w))
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("p") > F.col("pmax") - holdout) & F.col("f").isNotNull()
+        )
+        .withColumn("abs_err", F.abs(F.col("f") - F.col("a")))
+        .withColumn(
+            "sm",
+            F.when(
+                F.col("f") + F.col("a") > 0,
+                F.expr("2000000 * abs_err div (f + a)"),
+            ),
+        )
+    )
+    return scored.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.count("sm").cast("bigint").alias("n_nonzero"),
+        F.expr("sum(abs_err) * 1000 div count(*)")
+        .cast("bigint")
+        .alias("mae_milli"),
+        F.expr(
+            "CASE WHEN count(sm) > 0 THEN sum(sm) div count(sm) END"
+        )
+        .cast("bigint")
+        .alias("smape_ppm"),
+    )

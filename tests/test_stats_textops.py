@@ -1015,3 +1015,53 @@ def test_join_card_estimate_disjoint_keys_zero(spark):
     b = spark.createDataFrame([(k,) for k in range(1000, 1100)], "k bigint")
     r = join_cardinality_estimate(a, b, "k", "k", sample_mod=4).collect()[0]
     assert r["n_keys_sampled"] == 0 and r["est_pairs"] == 0
+
+
+def test_seasonal_naive_backtest_perfect_and_offset(spark):
+    """A perfectly periodic series scores MAE 0 / sMAPE 0; a series that
+    is last-season + 1 everywhere scores MAE exactly 1000 milli."""
+    from knowledge_graph_etl_spark.extensions.events import (
+        seasonal_naive_backtest,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    # group "flat": count = 2 events every hour for 8 hours (season 4)
+    for h in range(8):
+        for _ in range(2):
+            rows.append(("flat", t0 + datetime.timedelta(hours=h)))
+    # group "grow": hour h has (h // 4) + 1 events -> second season = first + 1
+    for h in range(8):
+        for _ in range(h // 4 + 1):
+            rows.append(("grow", t0 + datetime.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        r["event_type"]: r
+        for r in seasonal_naive_backtest(
+            df, season=4, holdout=4
+        ).collect()
+    }
+    assert out["flat"]["n_eval"] == 4
+    assert out["flat"]["mae_milli"] == 0 and out["flat"]["smape_ppm"] == 0
+    assert out["grow"]["mae_milli"] == 1000  # |forecast-actual| = 1 each hour
+    # sMAPE per hour: 2e6*1 // (1+2) = 666666
+    assert out["grow"]["smape_ppm"] == 666666
+
+
+def test_seasonal_naive_backtest_zero_fills_gaps(spark):
+    """An hour with no events is a real 0 in the grid — the lag stays
+    calendar-aligned instead of skipping to the previous nonempty hour."""
+    from knowledge_graph_etl_spark.extensions.events import (
+        seasonal_naive_backtest,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    # events only at hours 0 and 4 (season 2): dense grid 0..4, forecasts
+    # for hours 3 (lag->h1=0) and 4 (lag->h2=0, actual 1)
+    rows = [("a", t0), ("a", t0 + datetime.timedelta(hours=4))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = seasonal_naive_backtest(df, season=2, holdout=2).collect()[0]
+    assert r["n_eval"] == 2
+    assert r["mae_milli"] == 500  # errors 0 and 1 over 2 evals
