@@ -637,6 +637,37 @@ def window_running_total(spark, sf_dir):
     )
 
 
+def smallqty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — average yearly revenue locked in small-quantity
+    line items: the correlated scalar subquery
+    ``l_quantity < 0.2 * (SELECT avg(l_quantity) ... same part)``
+    DECORRELATED into one per-part aggregate joined back on the part key
+    (the rewrite Catalyst itself applies to correlated scalars — written
+    explicitly so the two-phase plan is pinned). Integer-exact
+    throughout: the 0.2·avg comparison is cross-multiplied to
+    ``5·qty·cnt < sum_qty`` (no float average), money in integer cents,
+    the /7.0 'yearly' division as integer div. Per-brand rollup keys the
+    final tiny aggregate."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    stats = l.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = (
+        l.join(stats, "l_partkey")
+        .where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sq"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.expr("sum(cents) div 7").cast("bigint").alias("yearly_cents"),
+    )
+
+
 def window_topk_per_user(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -3852,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_delta": ivm_join_delta_q,
         "stats_join_card": stats_join_card_q,
         "ts_forecast_backtest": ts_forecast_backtest_q,
+        "smallqty_revenue": smallqty_revenue,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6039,6 +6071,21 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "smallqty_revenue": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "st AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS cnt "
+            "FROM l GROUP BY l_partkey), "
+            "small AS (SELECT l.l_partkey, l.cents FROM l "
+            "JOIN st ON st.l_partkey = l.l_partkey "
+            "WHERE 5 * l.qty * st.cnt < st.sq) "
+            "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(small.cents) // 7 AS BIGINT) AS yearly_cents "
+            "FROM small JOIN part p ON p.p_partkey = small.l_partkey "
+            "GROUP BY p.p_brand"
         ),
         "ts_forecast_backtest": (
             "WITH c AS (SELECT event_type AS g, "

@@ -498,3 +498,18 @@ def test_histogram_quantiles_is_one_combining_aggregate(spark):
     # proportional to row count (all post-histogram data is bins-bounded)
     exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
     assert 1 <= len(exchanges) <= 3, plan
+
+
+def test_smallqty_revenue_broadcasts_dim_and_decorrelates(spark):
+    """Q17 shape: the part dimension joins as a broadcast (no shuffle of
+    the fact side for the dim lookup) and the correlated scalar is one
+    per-part aggregate — no per-row subquery re-execution."""
+    import __spark_entry__ as entry
+
+    df = entry.smallqty_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # decorrelation: exactly one aggregate over the lineitem side before
+    # the final rollup -> the word HashAggregate appears, and no
+    # nested-loop / cartesian fallback does
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
