@@ -699,6 +699,40 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def dq_rules_q(spark, sf_dir):
+    """Declarative data-quality gate (extensions/stats.dq_rules_report)
+    over a deterministically dirtied orders feed: NULLed FKs (1/97),
+    negated totals (1/89), duplicated rows (1/500), and a dim table
+    missing 1/17 of its keys. One shared scan-aggregate for
+    not_null+range (stack-unpivoted, no collect), one per-key aggregate
+    for unique, one broadcast LEFT ANTI for the FK rule."""
+    from knowledge_graph_etl_spark.extensions.stats import dq_rules_report
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("total"),
+    )
+    dirty = base.unionByName(base.where(F.col("o_orderkey") % 500 == 0))
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 17 != 0)
+        .select("c_custkey")
+    )
+    return dq_rules_report(
+        dirty,
+        not_null=["custkey"],
+        unique=["o_orderkey"],
+        ranges={"total": (0.0, 1000000000.0)},
+        references={"custkey": dim},
+    ).orderBy("rule")
+
+
 def ts_forecast_backtest_q(spark, sf_dir):
     """Seasonal-naive forecast backtest over hourly per-type event
     counts (extensions/events.seasonal_naive_backtest, season=24 h,
@@ -3884,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_join_card": stats_join_card_q,
         "ts_forecast_backtest": ts_forecast_backtest_q,
         "smallqty_revenue": smallqty_revenue,
+        "dq_rules": dq_rules_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6071,6 +6106,40 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "dq_rules": (
+            "WITH base AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL "
+            "ELSE o_custkey END AS custkey, o_orderkey, "
+            "CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice "
+            "ELSE o_totalprice END AS total FROM orders), "
+            "dirty AS (SELECT * FROM base "
+            "UNION ALL SELECT * FROM base WHERE o_orderkey % 500 = 0), "
+            "nn AS (SELECT 'not_null(custkey)' AS rule, "
+            "COUNT(*) AS n_checked, "
+            "SUM(CASE WHEN custkey IS NULL THEN 1 ELSE 0 END) AS n_violations "
+            "FROM dirty), "
+            "rg AS (SELECT 'range(total,0.0,1000000000.0)' AS rule, "
+            "COUNT(total) AS n_checked, "
+            "SUM(CASE WHEN total IS NOT NULL AND (total < 0.0 OR "
+            "total > 1000000000.0) THEN 1 ELSE 0 END) AS n_violations "
+            "FROM dirty), "
+            "uq AS (SELECT 'unique(o_orderkey)' AS rule, "
+            "COALESCE(SUM(k), 0) AS n_checked, "
+            "COALESCE(SUM(CASE WHEN k > 1 THEN k END), 0) AS n_violations "
+            "FROM (SELECT COUNT(*) AS k FROM dirty "
+            "WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)), "
+            "rf AS (SELECT 'references(custkey)' AS rule, "
+            "(SELECT COUNT(*) FROM dirty WHERE custkey IS NOT NULL) "
+            "AS n_checked, "
+            "(SELECT COUNT(*) FROM dirty d WHERE d.custkey IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey % 17 <> 0 AND c.c_custkey = d.custkey)) "
+            "AS n_violations) "
+            "SELECT rule, CAST(n_checked AS BIGINT) AS n_checked, "
+            "CAST(n_violations AS BIGINT) AS n_violations FROM "
+            "(SELECT * FROM nn UNION ALL SELECT * FROM rg "
+            "UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM rf) "
+            "ORDER BY rule"
         ),
         "smallqty_revenue": (
             "WITH l AS (SELECT l_partkey, "

@@ -683,3 +683,109 @@ def join_cardinality_estimate(
         .cast("bigint")
         .alias("est_pairs"),
     )
+
+
+def dq_rules_report(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    references: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality rule evaluation (the Deequ/Great-
+    Expectations shape): evaluate a set of constraints over a table and
+    return one row per rule — ``(rule, n_checked, n_violations)`` — so a
+    pipeline can gate a 100 TB load on a contract instead of eyeballing
+    profiles.
+
+    Rule families:
+      * ``not_null=[col, ...]`` — NULL count per column
+      * ``unique=[col, ...]`` — rows carrying a duplicated value
+        (NULLs don't count as duplicates of each other, the SQL-standard
+        UNIQUE reading)
+      * ``ranges={col: (lo, hi)}`` — non-NULL values outside [lo, hi]
+      * ``references={col: dim_df}`` — foreign-key violations: non-NULL
+        values absent from the single-column dim table
+
+    Scale shape: every not_null/range rule is a conditional-sum in ONE
+    shared scan-aggregate, unpivoted lazily with ``stack`` (no per-rule
+    pass, no driver collect); each unique rule is one count-per-key
+    aggregate on its column; each referential rule is one LEFT ANTI join
+    that broadcasts the dim when small. Rule outputs are unioned into a
+    rule-count-sized result. The n_checked convention: table rows for
+    not_null; non-NULL rows for unique, ranges and references (a NULL FK
+    is 'absent', not 'broken' — pair with not_null to forbid it)."""
+    not_null = not_null or []
+    unique = unique or []
+    ranges = ranges or {}
+    references = references or {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    stack_items: list[str] = []
+    for i, c in enumerate(not_null):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{i}"))
+        stack_items.append(f"'not_null({c})', __n, __nn_{i}")
+    for i, (c, (lo, hi)) in enumerate(ranges.items()):
+        aggs.append(
+            F.sum(
+                (
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+                ).cast("long")
+            ).alias(f"__rg_{i}")
+        )
+        aggs.append(F.sum(F.col(c).isNotNull().cast("long")).alias(f"__rgn_{i}"))
+        stack_items.append(f"'range({c},{lo},{hi})', __rgn_{i}, __rg_{i}")
+    out = None
+    if stack_items:
+        out = df.agg(*aggs).select(
+            F.expr(
+                "stack({}, {}) as (rule, n_checked, n_violations)".format(
+                    len(stack_items), ", ".join(stack_items)
+                )
+            )
+        ).select(
+            "rule",
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+    for c in unique:
+        dup = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.lit(f"unique({c})").alias("rule"),
+                F.coalesce(F.sum("__k"), F.lit(0))
+                .cast("bigint")
+                .alias("n_checked"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__k") > 1, F.col("__k"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+        out = dup if out is None else out.unionByName(dup)
+    for c, dim in references.items():
+        dcol = dim.columns[0]
+        nn = df.where(F.col(c).isNotNull())
+        viol = (
+            nn.join(
+                F.broadcast(dim.select(F.col(dcol).alias(c)).distinct()),
+                c,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .crossJoin(
+                nn.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+            )
+            .select(
+                F.lit(f"references({c})").alias("rule"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+        out = viol if out is None else out.unionByName(viol)
+    if out is None:
+        raise ValueError("dq_rules_report: no rules given")
+    return out

@@ -1065,3 +1065,45 @@ def test_seasonal_naive_backtest_zero_fills_gaps(spark):
     r = seasonal_naive_backtest(df, season=2, holdout=2).collect()[0]
     assert r["n_eval"] == 2
     assert r["mae_milli"] == 500  # errors 0 and 1 over 2 evals
+
+
+def test_dq_rules_report_counts(spark):
+    from knowledge_graph_etl_spark.extensions.stats import dq_rules_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 100),
+            (2, -5.0, 200),   # range violation
+            (2, 20.0, None),  # duplicate key + NULL fk
+            (None, 30.0, 999),  # NULL key + FK violation
+        ],
+        "k bigint, v double, fk bigint",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "d bigint")
+    out = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in dq_rules_report(
+            df,
+            not_null=["k", "fk"],
+            unique=["k"],
+            ranges={"v": (0.0, 100.0)},
+            references={"fk": dim},
+        ).collect()
+    }
+    assert out["not_null(k)"] == (4, 1)
+    assert out["not_null(fk)"] == (4, 1)
+    assert out["unique(k)"] == (3, 2)  # two rows share k=2; NULL k excluded
+    assert out["range(v,0.0,100.0)"] == (4, 1)
+    assert out["references(fk)"] == (3, 1)  # fk=999 absent from dim
+
+
+def test_dq_rules_report_clean_table_and_no_rules(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.stats import dq_rules_report
+
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    out = dq_rules_report(df, not_null=["k"], unique=["k"]).collect()
+    assert all(r["n_violations"] == 0 for r in out)
+    with _pytest.raises(ValueError):
+        dq_rules_report(df)
