@@ -699,6 +699,48 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def multimodal_vad_q(spark, sf_dir):
+    """Voice-activity segmentation (extensions/multimodal.vad_segments)
+    over synthesized frame energies with real speech structure: 20-frame
+    blocks are speech (high energy + small ripple) or silence by an
+    md5-derived 2/3 coin per (media, block) — segments are the maximal
+    contiguous speech runs, islands-and-gaps on one per-media window.
+    In production energies come from decode_wav frame RMS (same
+    module); min_frames=3 drops clicks."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.multimodal import vad_segments
+
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 40) & (F.col("n_chars") > 0)
+    )
+    frames = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("cast(n_chars as long) div 2"),
+            )
+        ).alias("frame_idx"),
+    )
+    speech = (
+        md5_u60(
+            F.concat_ws(
+                ":", F.col("media_id"), F.expr("frame_idx div 20").cast("string")
+            )
+        )
+        % 3
+        > 0
+    )
+    energy = F.when(
+        speech, F.lit(800) + (F.col("frame_idx") % 5) * 10
+    ).otherwise(F.lit(50) + F.col("frame_idx") % 5)
+    return vad_segments(
+        frames.withColumn("energy_milli", energy),
+        threshold=500,
+        min_frames=3,
+    )
+
+
 def dq_rules_q(spark, sf_dir):
     """Declarative data-quality gate (extensions/stats.dq_rules_report)
     over a deterministically dirtied orders feed: NULLed FKs (1/97),
@@ -3919,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_forecast_backtest": ts_forecast_backtest_q,
         "smallqty_revenue": smallqty_revenue,
         "dq_rules": dq_rules_q,
+        "multimodal_vad": multimodal_vad_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6106,6 +6149,24 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "multimodal_vad": (
+            "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, n_chars "
+            "FROM documents WHERE doc_id < 40 AND n_chars > 0), "
+            "fr AS (SELECT media_id, "
+            "unnest(generate_series(0, n_chars // 2)) AS idx FROM v), "
+            "e AS (SELECT media_id, idx, CASE WHEN "
+            "('0x' || substr(md5(media_id || ':' || CAST(idx // 20 AS VARCHAR)), "
+            "1, 15))::BIGINT % 3 > 0 THEN 800 + (idx % 5) * 10 "
+            "ELSE 50 + idx % 5 END AS energy FROM fr), "
+            "act AS (SELECT media_id, idx, energy, "
+            "idx - row_number() OVER (PARTITION BY media_id ORDER BY idx) "
+            "AS grp FROM e WHERE energy > 500) "
+            "SELECT media_id, CAST(MIN(idx) AS BIGINT) AS seg_start, "
+            "CAST(MAX(idx) AS BIGINT) AS seg_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_frames, "
+            "CAST(SUM(energy) // COUNT(*) AS BIGINT) AS mean_energy_milli "
+            "FROM act GROUP BY media_id, grp HAVING COUNT(*) >= 3"
         ),
         "dq_rules": (
             "WITH base AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL "

@@ -751,3 +751,54 @@ def scene_cuts(
             "scene_id"
         ),
     )
+
+
+def vad_segments(
+    frames: DataFrame,
+    media_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    energy_col: str = "energy_milli",
+    threshold: int = 500,
+    min_frames: int = 1,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the audio-curation
+    primitive behind silence trimming, speech-only sampling, and
+    per-utterance chunking for ASR training sets. Consecutive frames
+    whose energy exceeds ``threshold`` are grouped into maximal
+    contiguous segments (the SQL islands-and-gaps pattern:
+    ``frame_idx - row_number()`` is constant within an island), and
+    segments shorter than ``min_frames`` are dropped as clicks.
+
+    Input is ``(media_col, idx_col, energy_col)`` — one row per fixed-
+    stride analysis frame with an INTEGER energy (e.g. milli-RMS from
+    :func:`decode_wav` frames). Keeping the detector separate from the
+    decode keeps it exactly SQL-oracle-able over any energy source.
+
+    Scale shape: ONE shuffle partitioned by media file; both the
+    row_number and the segment grouping live on that same per-media
+    partitioning (frame counts per file, never corpus-sized), and the
+    output is segment-count sized. Returns ``(media_id, seg_start,
+    seg_end, n_frames, mean_energy_milli)``."""
+    act = frames.where(F.col(energy_col) > threshold).select(
+        F.col(media_col).alias("media_id"),
+        F.col(idx_col).cast("bigint").alias("idx"),
+        F.col(energy_col).cast("bigint").alias("e"),
+    )
+    w = Window.partitionBy("media_id").orderBy("idx")
+    grp = (F.col("idx") - F.row_number().over(w)).alias("grp")
+    return (
+        act.select("media_id", "idx", "e", grp)
+        .groupBy("media_id", "grp")
+        .agg(
+            F.min("idx").alias("seg_start"),
+            F.max("idx").alias("seg_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.expr("sum(e) div count(*)").cast("bigint").alias(
+                "mean_energy_milli"
+            ),
+        )
+        .where(F.col("n_frames") >= min_frames)
+        .select(
+            "media_id", "seg_start", "seg_end", "n_frames", "mean_energy_milli"
+        )
+    )

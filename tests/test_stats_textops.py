@@ -1107,3 +1107,28 @@ def test_dq_rules_report_clean_table_and_no_rules(spark):
     assert all(r["n_violations"] == 0 for r in out)
     with _pytest.raises(ValueError):
         dq_rules_report(df)
+
+
+def test_vad_segments_islands_and_min_frames(spark):
+    """Contiguous high-energy runs become one segment each; a 2-frame
+    blip is dropped by min_frames=3; silence never appears."""
+    from knowledge_graph_etl_spark.extensions.multimodal import vad_segments
+
+    rows = []
+    # media m1: speech frames 0-4, silence 5-9, speech 10-12, blip 20-21
+    for i in range(5):
+        rows.append(("m1", i, 900))
+    for i in range(5, 10):
+        rows.append(("m1", i, 100))
+    for i in range(10, 13):
+        rows.append(("m1", i, 800 + i))
+    rows += [("m1", 20, 700), ("m1", 21, 700)]
+    df = spark.createDataFrame(rows, "media_id string, frame_idx long, energy_milli long")
+    out = {
+        (r["media_id"], r["seg_start"]): (r["seg_end"], r["n_frames"], r["mean_energy_milli"])
+        for r in vad_segments(df, threshold=500, min_frames=3).collect()
+    }
+    assert out[("m1", 0)] == (4, 5, 900)
+    assert out[("m1", 10)] == (12, 3, 811)  # (810+811+812) div 3
+    assert ("m1", 20) not in out  # blip below min_frames
+    assert len(out) == 2
