@@ -699,6 +699,21 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def feature_rank_normalize_q(spark, sf_dir):
+    """Per-event-type rank normalization of event values
+    (extensions/stats.rank_normalize): distribution-free [0,1] mapping
+    as integer rank_ppm, rank() tie semantics, one group-key window
+    shuffle."""
+    from knowledge_graph_etl_spark.extensions.stats import rank_normalize
+
+    return rank_normalize(
+        _events(spark, sf_dir),
+        "value",
+        group_col="event_type",
+        id_cols=["event_id"],
+    )
+
+
 def multimodal_vad_q(spark, sf_dir):
     """Voice-activity segmentation (extensions/multimodal.vad_segments)
     over synthesized frame energies with real speech structure: 20-frame
@@ -3962,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smallqty_revenue": smallqty_revenue,
         "dq_rules": dq_rules_q,
         "multimodal_vad": multimodal_vad_q,
+        "feature_rank_normalize": feature_rank_normalize_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6149,6 +6165,21 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "feature_rank_normalize": (
+            "WITH b AS (SELECT event_id, event_type, value, "
+            "SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY event_type) AS nn, "
+            "COUNT(*) OVER (PARTITION BY event_type) - "
+            "SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY event_type) AS n_null, "
+            "rank() OVER (PARTITION BY event_type "
+            "ORDER BY value NULLS FIRST) AS rk "
+            "FROM events) "
+            "SELECT event_id, event_type, value, "
+            "CAST(CASE WHEN value IS NULL THEN NULL "
+            "WHEN nn > 1 THEN (rk - n_null - 1) * 1000000 // (nn - 1) "
+            "ELSE 0 END AS BIGINT) AS rank_ppm FROM b"
         ),
         "multimodal_vad": (
             "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, n_chars "

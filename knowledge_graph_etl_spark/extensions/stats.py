@@ -789,3 +789,48 @@ def dq_rules_report(
     if out is None:
         raise ValueError("dq_rules_report: no rules given")
     return out
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rank (quantile) normalization of a numeric feature — the
+    distribution-free transform that maps any skewed/heavy-tailed column
+    onto [0, 1] uniformly, standard preprocessing before quantile-bucket
+    features, calibration curves, or mixing scores from incomparable
+    scales (e.g. blending perplexity with length penalties). Emits
+    integer ``rank_ppm = (rank-1)·10⁶ div (n-1)`` with SQL ``rank()``
+    semantics, so TIES SHARE a value (two equal inputs must map to the
+    same feature — row_number would split them nondeterministically);
+    single-value groups map to 0; NULLs pass through as NULL rank (they
+    carry no order information; Spark sorts them first, so the non-NULL
+    ranks are shifted down by the group's NULL count).
+
+    Scale shape: one window shuffle on the group key (or one global sort
+    when ungrouped — prefer grouped at corpus scale); group sizes come
+    from the same partitioning; integer div end to end (a float ratio
+    would silently lose bits past 2^53 on billion-row groups)."""
+    keep = (id_cols or []) + ([group_col] if group_col else [])
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(value_col))
+    wall = Window.partitionBy(*part)
+    nn = F.sum(F.col(value_col).isNotNull().cast("long")).over(wall)
+    n_null = F.count(F.lit(1)).over(wall) - nn
+    shifted = F.rank().over(w) - n_null - 1
+    out = df.select(
+        *keep,
+        F.col(value_col),
+        nn.alias("__nn"),
+        shifted.alias("__rk"),
+    )
+    rank_ppm = F.when(
+        F.col(value_col).isNotNull(),
+        F.when(
+            F.col("__nn") > 1,
+            F.expr("__rk * 1000000 div (__nn - 1)"),
+        ).otherwise(F.lit(0)),
+    ).cast("bigint")
+    return out.select(*keep, F.col(value_col), rank_ppm.alias("rank_ppm"))

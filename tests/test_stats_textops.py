@@ -1132,3 +1132,23 @@ def test_vad_segments_islands_and_min_frames(spark):
     assert out[("m1", 10)] == (12, 3, 811)  # (810+811+812) div 3
     assert ("m1", 20) not in out  # blip below min_frames
     assert len(out) == 2
+
+
+def test_rank_normalize_ties_and_nulls(spark):
+    from knowledge_graph_etl_spark.extensions.stats import rank_normalize
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 30.0),
+        (5, "a", None),
+        (6, "b", 7.0),                      # singleton group -> 0
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, g string, v double")
+    out = {
+        r["event_id"]: r["rank_ppm"]
+        for r in rank_normalize(df, "v", group_col="g", id_cols=["event_id"]).collect()
+    }
+    assert out[1] == 0
+    assert out[2] == out[3] == 333333      # ties share (rank-1)=1 of n-1=3
+    assert out[4] == 1000000
+    assert out[5] is None                  # NULL passes through
+    assert out[6] == 0
