@@ -1086,6 +1086,18 @@ def setsim_prefix_pairs(
 
     Returns ``(id_a, id_b, size_a, size_b, jaccard)``.
     """
+    # parallelism guard: the shingle expression is the CPU-heavy stage
+    # and the plan derives it once per self-join branch (4x here). A
+    # small/compacted input (one parquet file) would run it on one core
+    # per branch; spreading the raw (id, text) rows first costs one tiny
+    # text shuffle and parallelizes every derivation. At production
+    # scale input splits already provide parallelism and the guard is a
+    # no-op.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.select(F.col(id_col), F.col(text_col)).repartition(
+            sc.defaultParallelism
+        )
     base = (
         docs.select(
             F.col(id_col).alias("id"),
@@ -1094,11 +1106,11 @@ def setsim_prefix_pairs(
         .withColumn("sz", F.size("sh"))
         .where(F.col("sz") > 0)
     )
-    flat = base.select("id", "sz", F.explode("sh").alias("tok"))
+    flat0 = base.select("id", "sz", F.explode("sh").alias("tok"))
     # global document frequency per shingle = rarity order. Window over
     # partitionBy(tok) — the same exchange the prefix self-join shuffles
     # on, so Catalyst can reuse it (cf. ngram_jaccard_pairs).
-    flat = flat.withColumn(
+    flat = flat0.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
     )
     # canonical total order: (df asc, tok asc) — deterministic, identical
@@ -1124,16 +1136,27 @@ def setsim_prefix_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates()
     )
-    # exact verification: count common shingles for candidate pairs only.
-    # Two id-equi joins against the posting list — restricted to candidate
-    # documents, no arrays through the shuffle.
-    fa = flat.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "tok")
-    fb = flat.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "tok")
+    # exact verification: true set intersection for candidate pairs only,
+    # via two id-equi joins back to the per-doc shingle ARRAYS. The
+    # candidate set is prefix-bounded (tiny), so Spark broadcasts it and
+    # the corpus-side arrays are fetched for candidate docs only — two
+    # joins, zero posting-list shuffles, no re-aggregation. (The
+    # explode-and-count alternative costs two posting shuffles plus a
+    # groupBy; at sf0.1 both are overhead-bound and time equal, at scale
+    # the array path touches strictly less data.)
+    sa = base.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("sz").alias("size_a"),
+    )
+    sb = base.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("sz").alias("size_b"),
+    )
     common = (
-        cand.join(fa, "id_a")
-        .join(fb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select("id_a", "id_b", "size_a", "size_b", "common")
     )
     jac = F.round(
         F.col("common").cast("double")
