@@ -699,6 +699,22 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def embed_covariance_q(spark, sf_dir):
+    """Exact integer co-moment matrix over the embedding corpus
+    (extensions/similarity.embedding_comoments): micro-quantized
+    components make the sums exact bigints — partitioning-independent
+    and bit-identical cross-engine — which is what makes the downstream
+    driver-side PCA (pca_from_comoments, pytest-pinned) reproducible.
+    One posexplode + id-equi self-join fanning out exactly the
+    n*d(d+1)/2 products a covariance must compute, then one
+    map-combinable aggregate onto d(d+1)/2 keys."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        embedding_comoments,
+    )
+
+    return embedding_comoments(_t(spark, sf_dir, "embeddings"))
+
+
 def feature_rank_normalize_q(spark, sf_dir):
     """Per-event-type rank normalization of event values
     (extensions/stats.rank_normalize): distribution-free [0,1] mapping
@@ -3979,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_rules": dq_rules_q,
         "multimodal_vad": multimodal_vad_q,
         "feature_rank_normalize": feature_rank_normalize_q,
+        "embed_covariance": embed_covariance_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6166,6 +6183,21 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "embed_covariance": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            "idx AS (SELECT vec_id, e, "
+            "unnest(generate_series(1, len(e))) AS i FROM v), "
+            "q AS (SELECT vec_id, i - 1 AS i, "
+            "CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS qi FROM idx), "
+            "p AS (SELECT a.i AS i, b.i AS j, a.qi AS qi, b.qi AS qj "
+            "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i) "
+            "SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(qi) AS BIGINT) AS sum_i, "
+            "CAST(SUM(qj) AS BIGINT) AS sum_j, "
+            "CAST(SUM(qi * qj) AS BIGINT) AS sum_ij FROM p GROUP BY 1, 2"
         ),
         "feature_rank_normalize": (
             "WITH b AS (SELECT event_id, event_type, value, "

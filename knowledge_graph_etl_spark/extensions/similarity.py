@@ -1405,3 +1405,115 @@ def recall_at_k(
             "recall_ppm"
         ),
     )
+
+
+def embedding_comoments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Exact integer co-moment matrix of an embedding column — the one
+    distributed pass behind covariance/correlation analysis and PCA.
+    Components are quantized to micro-integers
+    (``floor(x·scale + 0.5)``, the engine's standard cross-engine
+    quantization), so the sums are EXACT bigints: unlike float
+    summation, the result is independent of partitioning and execution
+    order, bit-identical on any engine — which is what makes a
+    downstream eigendecomposition (:func:`pca_from_comoments`)
+    reproducible run to run.
+
+    Returns one row per unordered dimension pair (i <= j):
+    ``(i, j, n, sum_i, sum_j, sum_ij)`` — d(d+1)/2 rows. Covariance
+    follows as ``(sum_ij/n − sum_i·sum_j/n²) / scale²``.
+
+    Scale shape: posexplode to (id, i, q_i), self-join on the vector id
+    (embedding tables are id-partitioned; the join fans out exactly the
+    n·d(d+1)/2 products a covariance must compute), then ONE
+    map-combinable aggregate onto d(d+1)/2 keys. No driver collect, no
+    d×d matrix on any single executor until the final tiny result."""
+    q = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("i", "qi"),
+    )
+    a = q.alias("a")
+    b = q.select(
+        F.col("vid"), F.col("i").alias("j"), F.col("qi").alias("qj")
+    ).alias("b")
+    pairs = a.join(b, (F.col("a.vid") == F.col("b.vid")) & (F.col("a.i") <= F.col("b.j")))
+    return (
+        pairs.groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a.qi").cast("bigint").alias("sum_i"),
+            F.sum("b.qj").cast("bigint").alias("sum_j"),
+            F.sum(F.col("a.qi") * F.col("b.qj")).cast("bigint").alias("sum_ij"),
+        )
+    )
+
+
+def pca_from_comoments(
+    comoments_rows: list,
+    k: int,
+    scale: float = 1e6,
+):
+    """Principal components from an exact co-moment table (driver-side:
+    the d×d eigenproblem is trivially small — the DATA pass is the
+    distributed part, :func:`embedding_comoments`). Deterministic end to
+    end: the co-moments are exact integers, so eigh sees bit-identical
+    input every run; component sign is fixed by the convention that each
+    component's largest-|loading| entry is positive.
+
+    Returns ``(components, explained_var)``: components is a (k, d)
+    numpy array of orthonormal rows, eigenvalue-descending."""
+    rows = {(r["i"], r["j"]): r for r in comoments_rows}
+    d = max(j for (_, j) in rows) + 1
+    n = next(iter(rows.values()))["n"]
+    cov = np.zeros((d, d))
+    for (i, j), r in rows.items():
+        c = (r["sum_ij"] / n - (r["sum_i"] / n) * (r["sum_j"] / n)) / (
+            scale * scale
+        )
+        cov[i, j] = cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order].T
+    for r in range(comp.shape[0]):
+        m = np.argmax(np.abs(comp[r]))
+        if comp[r, m] < 0:
+            comp[r] = -comp[r]
+    return comp, vals[order]
+
+
+def project_embeddings(
+    emb: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto PCA components — a pure JVM expression
+    per component (``aggregate(zip_with(vec, lit(comp), *), +)``), no
+    UDF, no shuffle: the projection is map-only and pipelines into
+    whatever consumes it (ANN indexing over reduced dims, whitening,
+    visualization exports)."""
+    cols = [F.col(id_col)]
+    for r, comp in enumerate(components):
+        lit_arr = F.array(*[F.lit(float(c)) for c in comp])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                lit_arr,
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(dot.alias(f"pc{r}"))
+    return emb.select(*cols)

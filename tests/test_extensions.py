@@ -1303,3 +1303,70 @@ def test_idf_linkage_no_candidates_no_row(spark):
     assert (
         idf_weighted_linkage(dy, ref, block_tokens=3, min_score_ppm=1).count() == 0
     )
+
+
+# -- covariance / PCA ---------------------------------------------------------
+
+
+def test_embedding_comoments_exact_and_pca_pipeline(spark):
+    """Co-moments are exact integers (hand-checked on a tiny corpus);
+    the PCA built on them recovers the dominant direction, components
+    are orthonormal with descending variance, and projection matches a
+    numpy reference."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        embedding_comoments,
+        pca_from_comoments,
+        project_embeddings,
+    )
+
+    # 2-D data stretched along (1, 1): first PC must be ~(0.707, 0.707)
+    rng = np.random.RandomState(3)
+    t = rng.randn(200)
+    pts = np.stack([t + 0.05 * rng.randn(200), t + 0.05 * rng.randn(200)], 1)
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    com = embedding_comoments(emb).collect()
+    # exactness: recompute sum_ij for (0, 1) in integer numpy
+    q = np.floor(pts.astype(np.float32).astype(np.float64) * 1e6 + 0.5).astype(
+        np.int64
+    )
+    by_pair = {(r["i"], r["j"]): r for r in com}
+    assert by_pair[(0, 1)]["sum_ij"] == int((q[:, 0] * q[:, 1]).sum())
+    assert by_pair[(0, 0)]["n"] == 200
+
+    comp, var = pca_from_comoments(com, k=2)
+    assert var[0] > 50 * var[1]  # dominant direction carries the mass
+    assert np.allclose(comp @ comp.T, np.eye(2), atol=1e-9)  # orthonormal
+    assert np.allclose(np.abs(comp[0]), [0.7071, 0.7071], atol=0.02)
+
+    proj = {
+        r["vec_id"]: (r["pc0"], r["pc1"])
+        for r in project_embeddings(emb, comp).collect()
+    }
+    ref = pts.astype(np.float32).astype(np.float64) @ comp.T
+    assert abs(proj[0][0] - ref[0, 0]) < 1e-6
+    assert abs(proj[7][1] - ref[7, 1]) < 1e-6
+
+
+def test_pca_sign_convention_deterministic(spark):
+    """Negating the input flips nothing: the largest-|loading|-positive
+    convention pins the eigenvector sign."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        embedding_comoments,
+        pca_from_comoments,
+    )
+
+    pts = np.stack([np.linspace(-1, 1, 50), 0.1 * np.linspace(1, -1, 50)], 1)
+    for flip in (1.0, -1.0):
+        rows = [
+            (i, [float(a * flip), float(b * flip)])
+            for i, (a, b) in enumerate(pts)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        comp, _ = pca_from_comoments(embedding_comoments(emb).collect(), k=1)
+        assert comp[0][np.argmax(np.abs(comp[0]))] > 0
