@@ -699,6 +699,60 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def embed_kcenter_q(spark, sf_dir):
+    """Greedy k-center coreset selection over the embedding corpus
+    (extensions/similarity.kcenter_select, k=6): diversity-maximizing
+    pick-the-farthest-point, exact integer quantized L2 so every run —
+    and the unrolled SQL oracle — selects the identical set. k-1
+    map-only distance passes fused with the running min; only singleton
+    argmax rows ever reach the driver."""
+    from knowledge_graph_etl_spark.extensions.similarity import kcenter_select
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=6)
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy k-center in DuckDB (MATERIALIZED per-round CTEs,
+    the graph-oracle pattern): same quantization, same min-id seed, same
+    (dmin DESC, id) argmax tie-break as kcenter_select."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum') AS BIGINT)"
+        )
+
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv FROM embeddings), "
+        "c0 AS MATERIALIZED (SELECT id, qv FROM q ORDER BY id LIMIT 1), "
+        "d0 AS MATERIALIZED (SELECT q.id, q.qv, "
+        + dist("q.qv", "c.qv")
+        + " AS dmin FROM q, c0 c WHERE q.id <> c.id)"
+    ]
+    for r in range(1, k):
+        parts.append(
+            f", c{r} AS MATERIALIZED (SELECT id, qv, dmin FROM d{r - 1} "
+            "ORDER BY dmin DESC, id LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f", d{r} AS MATERIALIZED (SELECT d.id, d.qv, "
+                f"least(d.dmin, {dist('d.qv', 'c.qv')}) AS dmin "
+                f"FROM d{r - 1} d, c{r} c WHERE d.id <> c.id)"
+            )
+    sel = [
+        "SELECT CAST(0 AS INTEGER) AS rank, id AS vec_id, "
+        "CAST(0 AS BIGINT) AS dmin_q FROM c0"
+    ]
+    for r in range(1, k):
+        sel.append(
+            f"SELECT CAST({r} AS INTEGER), id, CAST(dmin AS BIGINT) FROM c{r}"
+        )
+    return "".join(parts) + " " + " UNION ALL ".join(sel)
+
+
 def embed_covariance_q(spark, sf_dir):
     """Exact integer co-moment matrix over the embedding corpus
     (extensions/similarity.embedding_comoments): micro-quantized
@@ -3996,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_vad": multimodal_vad_q,
         "feature_rank_normalize": feature_rank_normalize_q,
         "embed_covariance": embed_covariance_q,
+        "embed_kcenter": embed_kcenter_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6184,6 +6239,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
         ),
+        "embed_kcenter": _kcenter_oracle(6),
         "embed_covariance": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
             "FROM embeddings), "

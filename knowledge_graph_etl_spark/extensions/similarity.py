@@ -1517,3 +1517,79 @@ def project_embeddings(
         )
         cols.append(dot.alias(f"pc{r}"))
     return emb.select(*cols)
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e3,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez' 2-approximation, the
+    "k-Center Greedy" of Sener & Savarese ICLR'18): pick the corpus
+    point farthest from the selected set, k times — the diversity-
+    maximizing selection used to build coresets / eval slices that COVER
+    an embedding space, where uniform sampling oversamples dense blobs.
+
+    Determinism: vectors are micro-quantized (``floor(x·scale + 0.5)``)
+    so squared L2 distances are EXACT integers; the argmax ties break on
+    the vector id; the seed is the minimum id. Every run — and a SQL
+    oracle unrolling the same k steps — selects the identical set.
+
+    Scale shape: the selected set lives on the driver (k vectors — the
+    algorithm's own working set, not corpus state); each of the k-1
+    rounds is ONE map-only pass computing distance to the NEW center
+    fused with the running min (a `least`), then a 1-row argmax — no
+    pairwise matrix, no shuffle except the singleton aggregate. Lineage
+    is severed with a lazy localCheckpoint every few rounds (the
+    iterative-loop pattern of graph.py). Cost: O(k·n·d) — what k-center
+    costs anywhere.
+
+    Returns ``(rank, vec_id, dmin_q)``: selection order and the exact
+    quantized squared distance to the previously-selected set at pick
+    time (the seed reports 0). ``2·rank``-th root of max dmin_q bounds
+    the corpus covering radius."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+
+    def dist_to(center_q: list) -> Column:
+        lit_arr = F.array(*[F.lit(int(c)) for c in center_q])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), lit_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    seed = q.orderBy("id").limit(1).collect()[0]
+    picked = [(0, seed["id"], 0)]
+    state = q.where(F.col("id") != seed["id"]).withColumn(
+        "dmin", dist_to(seed["qv"])
+    )
+    for r in range(1, k):
+        top = state.orderBy(F.col("dmin").desc(), F.col("id")).limit(1).collect()
+        if not top:
+            break
+        row = top[0]
+        picked.append((r, row["id"], int(row["dmin"])))
+        if r == k - 1:
+            break
+        # state carries qv, so the argmax row IS the new center — one
+        # singleton collect per round, not two
+        state = state.where(F.col("id") != row["id"]).withColumn(
+            "dmin", F.least(F.col("dmin"), dist_to(row["qv"]))
+        )
+        if r % 4 == 0:
+            state = state.localCheckpoint(eager=False)
+    return emb.sparkSession.createDataFrame(
+        picked, "rank int, vec_id bigint, dmin_q bigint"
+    )

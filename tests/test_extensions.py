@@ -1370,3 +1370,40 @@ def test_pca_sign_convention_deterministic(spark):
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         comp, _ = pca_from_comoments(embedding_comoments(emb).collect(), k=1)
         assert comp[0][np.argmax(np.abs(comp[0]))] > 0
+
+
+def test_kcenter_select_covers_clusters(spark):
+    """Three well-separated clusters: the first three picks (seed + 2)
+    land in three DIFFERENT clusters — the covering property uniform
+    sampling lacks — and dmin at pick time is non-increasing."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import kcenter_select
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(30):
+            p = c + 0.1 * rng.randn(2)
+            rows.append((vid, [float(p[0]), float(p[1])], ci))
+            vid += 1
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<float>"
+    )
+    cluster_of = {i: c for i, _, c in rows}
+    out = kcenter_select(emb, k=5).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert len({cluster_of[i] for i in order[:3]}) == 3
+    dmins = [r["dmin_q"] for r in sorted(out, key=lambda r: r["rank"])][1:]
+    assert all(a >= b for a, b in zip(dmins, dmins[1:]))  # greedy invariant
+
+
+def test_kcenter_select_deterministic_rerun(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = [(r["rank"], r["vec_id"]) for r in kcenter_select(emb, k=4).collect()]
+    b = [(r["rank"], r["vec_id"]) for r in kcenter_select(emb, k=4).collect()]
+    assert a == b
