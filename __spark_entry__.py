@@ -4021,13 +4021,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 23 new-or-changed entries (13 session-2 additions
-    dedup_setsim_prefix..feature_rank_normalize, then the session-1
+    r09 front = 25 new-or-changed entries (15 session-2 additions
+    dedup_setsim_prefix..embed_kcenter, then the session-1
     set: 7 new + 3 changed — ann_beam_topk table mode, events_winsorize
     NULL handling, ann_ivf_append path), then the 45-entry r06-stale
     block (doc_cdc_stats..kg_select_builtins) — its driver rows are 3
-    rounds old, oldest in the registry. A ~50 window reaches ~27 of
-    those; the remainder from tfidf_topterms on (18 entries through
+    rounds old, oldest in the registry. A ~50 window reaches ~25 of
+    those; the remainder from pack_sequences on (20 entries through
     kg_select_builtins) must LEAD the r10 front. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
@@ -4087,11 +4087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": embed_quantize_q,
         "agg_quantiles": agg_quantiles_q,
         "text_normalize": text_normalize_q,
+        # --- r06-stale remainder: the ~50 window runs out near here —
+        # --- everything from pack_sequences through kg_select_builtins
+        # --- MUST lead the r10 front ---
         "pack_sequences": pack_sequences_q,
         "corpus_ngram_topk": corpus_ngram_topk_q,
-        # --- r06-stale remainder: the ~50 window runs out near here —
-        # --- everything from tfidf_topterms through kg_select_builtins
-        # --- MUST lead the r10 front ---
         "tfidf_topterms": tfidf_topterms_q,
         "sample_per_group": sample_per_group_q,
         "curation_pipeline": curation_pipeline_q,
