@@ -699,6 +699,18 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def events_rolling_dau_q(spark, sf_dir):
+    """Rolling 7-day distinct active users per day
+    (extensions/events.rolling_distinct): COUNT(DISTINCT) OVER RANGE
+    doesn't exist in Spark — the scalable rewrite reduces to distinct
+    (user, day) pairs, explodes each to the <=7 window ends it reaches
+    (bounded fan-out of deduplicated pairs, not events), and
+    count-distincts per window end."""
+    from knowledge_graph_etl_spark.extensions.events import rolling_distinct
+
+    return rolling_distinct(_events(spark, sf_dir), window_periods=7)
+
+
 def embed_kcenter_q(spark, sf_dir):
     """Greedy k-center coreset selection over the embedding corpus
     (extensions/similarity.kcenter_select, k=6): diversity-maximizing
@@ -4051,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_rank_normalize": feature_rank_normalize_q,
         "embed_covariance": embed_covariance_q,
         "embed_kcenter": embed_kcenter_q,
+        "events_rolling_dau": events_rolling_dau_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6238,6 +6251,15 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "events_rolling_dau": (
+            "WITH pairs AS (SELECT DISTINCT user_id AS e, "
+            "epoch_us(ts) // 86400000000 AS p FROM events), "
+            "b AS (SELECT MAX(p) AS pmax FROM pairs), "
+            "fan AS (SELECT e, unnest(generate_series(p, "
+            "least(p + 6, pmax))) AS period FROM pairs CROSS JOIN b) "
+            "SELECT period, CAST(COUNT(DISTINCT e) AS BIGINT) AS n_distinct "
+            "FROM fan GROUP BY period ORDER BY period"
         ),
         "embed_kcenter": _kcenter_oracle(6),
         "embed_covariance": (

@@ -270,3 +270,61 @@ def seasonal_naive_backtest(
         .cast("bigint")
         .alias("smape_ppm"),
     )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    window_periods: int = 7,
+    period_us: int = 86_400_000_000,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Exact distinct entities per rolling window (e.g. 7-day active
+    users per day) — the metric SQL cannot express directly at scale
+    because ``COUNT(DISTINCT) OVER (RANGE ...)`` doesn't exist in Spark
+    (and re-scanning the window per day is O(days·window) passes).
+
+    The scalable rewrite: reduce to first-class (entity, period) pairs
+    (one distinct aggregate — the corpus touch), then EXPLODE each pair
+    to the ``window_periods`` window-ends it contributes to (a bounded
+    ×W fan-out of the already-deduplicated pairs, not the events), and
+    count distinct entities per window end. Windows with no activity in
+    their trailing span simply don't appear; window ends are emitted
+    only for periods that exist in the data (plus the tail they cover).
+
+    Scale shape: distinct-pair aggregate (map-combinable, uniform keys)
+    → lateral explode ×W → one count-distinct per period. Total shuffled
+    volume is |distinct pairs|·W, independent of raw event multiplicity.
+    Returns ``(period, n_distinct)`` where ``period`` is the epoch
+    period index of the window END (window = [period-W+1, period])."""
+    if window_periods < 1:
+        raise ValueError(f"window_periods must be >= 1, got {window_periods}")
+    per = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(period_us)).cast(
+        "bigint"
+    )
+    pairs = (
+        events.select(F.col(entity_col).alias("e"), per.alias("p")).distinct()
+    )
+    # each active (entity, period) contributes to window ends p..p+W-1;
+    # clamp to the corpus' max period so trailing phantom windows (ends
+    # after the last observed period) are not emitted
+    bounds = pairs.agg(F.max("p").alias("pmax"))
+    fan = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .select(
+            "e",
+            F.explode(
+                F.sequence(
+                    F.col("p"),
+                    F.least(
+                        F.col("p") + (window_periods - 1), F.col("pmax")
+                    ),
+                )
+            ).alias("period"),
+        )
+    )
+    return (
+        fan.groupBy("period")
+        .agg(F.count_distinct("e").cast("bigint").alias("n_distinct"))
+        .orderBy("period")
+    )

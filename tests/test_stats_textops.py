@@ -1152,3 +1152,35 @@ def test_rank_normalize_ties_and_nulls(spark):
     assert out[4] == 1000000
     assert out[5] is None                  # NULL passes through
     assert out[6] == 0
+
+
+def test_rolling_distinct_window_semantics(spark):
+    """Hand-built 3-day window over 5 days: multiplicity within a day is
+    ignored, a user spanning days counts once per window, trailing
+    phantom windows past the last observed day are not emitted."""
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.events import rolling_distinct
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def e(u, day):
+        return (u, t0 + datetime.timedelta(days=day))
+
+    rows = [
+        e(1, 0), e(1, 0),       # duplicate same-day events: once
+        e(2, 0),
+        e(1, 2),
+        e(3, 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {
+        r["period"] - 20454: r["n_distinct"]  # 2026-01-01 = epoch day 20454
+        for r in rolling_distinct(df, window_periods=3, ts_col="ts").collect()
+    }
+    assert out[0] == 2          # day 0: users {1,2}
+    assert out[1] == 2          # window [-1..1] -> day-0 users
+    assert out[2] == 2          # window [0..2]: {1,2} (1 counted once)
+    assert out[3] == 1          # window [1..3]: {1}
+    assert out[4] == 2          # window [2..4]: {1,3}
+    assert max(out) == 4        # no window end past the last observed day
