@@ -699,6 +699,19 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def events_rolling_hll_q(spark, sf_dir):
+    """Sketch-merge sibling of events_rolling_dau
+    (extensions/stats.hll_rolling_distinct): per-day HLL registers
+    merged register-wise-max over the 7-day window — only REGISTER rows
+    fan out (|days|*2^p*W), corpus-size independent, vs the exact
+    rewrite's |distinct pairs|*W. Same deterministic md5 register
+    scheme as sketch_hll_distinct, so estimates are bit-exact
+    oracle-able."""
+    from knowledge_graph_etl_spark.extensions.stats import hll_rolling_distinct
+
+    return hll_rolling_distinct(_events(spark, sf_dir), window_periods=7, p=6)
+
+
 def events_rolling_dau_q(spark, sf_dir):
     """Rolling 7-day distinct active users per day
     (extensions/events.rolling_distinct): COUNT(DISTINCT) OVER RANGE
@@ -2933,6 +2946,35 @@ def _hll_oracle(p: int = 6) -> str:
     )
 
 
+def _hll_rolling_oracle(p: int = 6, w: int = 7) -> str:
+    """SQL twin of stats.hll_rolling_distinct: per-day registers (same
+    derivation as _hll_oracle), register-row fan-out over the window,
+    register-wise max merge, same integer estimator."""
+    from knowledge_graph_etl_spark.extensions.stats import hll_alpha_micro
+
+    m = 1 << p
+    cap = 32
+    num = hll_alpha_micro(m) * m * m * (1 << cap)
+    return (
+        "WITH h AS (SELECT epoch_us(ts) // 86400000000 AS p, "
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM events), "
+        f"v AS (SELECT p, h % {m} AS idx, h // {m} AS base FROM h), "
+        f"r AS (SELECT p, idx, CASE WHEN base = 0 THEN {cap} "
+        f"ELSE least(bit_count((base & -base) - 1) + 1, {cap}) END AS rank "
+        "FROM v), "
+        "dayregs AS (SELECT p, idx, MAX(rank) AS m FROM r GROUP BY 1, 2), "
+        "b AS (SELECT MAX(p) AS pmax FROM dayregs), "
+        "fan AS (SELECT idx, m, unnest(generate_series(p, "
+        f"least(p + {w - 1}, pmax))) AS period FROM dayregs CROSS JOIN b), "
+        "merged AS (SELECT period, idx, MAX(m) AS m FROM fan GROUP BY 1, 2) "
+        "SELECT period, CAST(COUNT(*) AS BIGINT) AS n_registers_set, "
+        f"CAST({num}::HUGEINT // (SUM(1::BIGINT << ({cap} - m))::HUGEINT "
+        f"+ ({m} - COUNT(*))::HUGEINT * {1 << cap}::HUGEINT) AS BIGINT) "
+        "AS est_micro FROM merged GROUP BY period ORDER BY period"
+    )
+
+
 def _verify_lev_oracle() -> str:
     # the ngram_jaccard candidate CTE (threshold 0.5) + the verify stage:
     # levenshtein over 120-char prefixes, integer permille of the longer
@@ -4064,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_covariance": embed_covariance_q,
         "embed_kcenter": embed_kcenter_q,
         "events_rolling_dau": events_rolling_dau_q,
+        "events_rolling_hll": events_rolling_hll_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6252,6 +6295,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
         ),
+        "events_rolling_hll": _hll_rolling_oracle(p=6, w=7),
         "events_rolling_dau": (
             "WITH pairs AS (SELECT DISTINCT user_id AS e, "
             "epoch_us(ts) // 86400000000 AS p FROM events), "

@@ -1184,3 +1184,38 @@ def test_rolling_distinct_window_semantics(spark):
     assert out[3] == 1          # window [1..3]: {1}
     assert out[4] == 2          # window [2..4]: {1,3}
     assert max(out) == 4        # no window end past the last observed day
+
+
+def test_hll_rolling_merge_equals_union_sketch(spark):
+    """Mergeability contract: the rolling merge of per-day registers for
+    a window equals the HLL computed directly on that window's union of
+    events — same registers, same estimate."""
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.stats import (
+        hll_distinct,
+        hll_rolling_distinct,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    for day in range(6):
+        for u in range(day * 40, day * 40 + 120):  # overlapping user ranges
+            rows.append((u, t0 + datetime.timedelta(days=day)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    w = 3
+    rolled = {
+        r["period"]: (r["n_registers_set"], r["est_micro"])
+        for r in hll_rolling_distinct(df, window_periods=w, p=6).collect()
+    }
+    # direct sketch over the union of days 2..4 (window end = day 4)
+    day0 = 20454  # 2026-01-01
+    window_df = df.where(
+        (F.col("ts") >= datetime.datetime(2026, 1, 3))
+        & (F.col("ts") < datetime.datetime(2026, 1, 6))
+    ).withColumn("g", F.lit("w"))
+    direct = hll_distinct(window_df, "g", "user_id", p=6).collect()[0]
+    assert rolled[day0 + 4] == (
+        direct["n_registers_set"],
+        direct["est_micro"],
+    )
