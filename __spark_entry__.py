@@ -699,6 +699,23 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def privacy_kanon_q(spark, sf_dir):
+    """k-anonymity / l-diversity audit of customer (extensions/stats.
+    kanonymity_report): quasi-identifiers (nation, market segment),
+    sensitive attribute = account-balance kilobucket; k=5, l=3. One
+    aggregate on the quasi key, output bounded by its domain."""
+    from knowledge_graph_etl_spark.extensions.stats import kanonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_kb"),
+    )
+    return kanonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_kb", k=5, l=3
+    )
+
+
 def events_rolling_hll_q(spark, sf_dir):
     """Sketch-merge sibling of events_rolling_dau
     (extensions/stats.hll_rolling_distinct): per-day HLL registers
@@ -4107,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kcenter": embed_kcenter_q,
         "events_rolling_dau": events_rolling_dau_q,
         "events_rolling_hll": events_rolling_hll_q,
+        "privacy_kanon": privacy_kanon_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6294,6 +6312,16 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "privacy_kanon": (
+            "WITH c AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb FROM customer) "
+            "SELECT c_nationkey, c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS group_n, "
+            "CAST(COUNT(DISTINCT bal_kb) AS BIGINT) AS n_sensitive, "
+            "COUNT(*) < 5 AS k_violation, "
+            "COUNT(DISTINCT bal_kb) < 3 AS l_violation "
+            "FROM c GROUP BY 1, 2"
         ),
         "events_rolling_hll": _hll_rolling_oracle(p=6, w=7),
         "events_rolling_dau": (

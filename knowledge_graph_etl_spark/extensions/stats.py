@@ -914,3 +914,42 @@ def hll_rolling_distinct(
         )
         .orderBy("period")
     )
+
+
+def kanonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney; Machanavajjhala et al.)
+    over a table about to be released or joined outward: every
+    quasi-identifier combination with its group size and the number of
+    distinct sensitive values it carries. A group smaller than ``k`` is
+    re-identifiable by linkage on the quasi-identifiers; a group with
+    fewer than ``l`` distinct sensitive values leaks the sensitive
+    attribute even when k holds (homogeneity attack). The row-level
+    report (not just a pass/fail) is what a release process needs: it
+    names the exact cells to suppress or generalize.
+
+    Scale shape: ONE aggregate on the quasi-identifier key —
+    count + count_distinct in the same groupBy (two-phase under the
+    hood, map-combinable) — output bounded by the quasi-identifier
+    domain, never row count. Returns
+    ``(*quasi_cols, group_n, n_sensitive, k_violation, l_violation)``."""
+    if k < 1 or l < 1:
+        raise ValueError(f"k and l must be >= 1, got k={k}, l={l}")
+    agg = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        F.count_distinct(F.col(sensitive_col)).cast("bigint").alias(
+            "n_sensitive"
+        ),
+    )
+    return agg.select(
+        *quasi_cols,
+        "group_n",
+        "n_sensitive",
+        (F.col("group_n") < k).alias("k_violation"),
+        (F.col("n_sensitive") < l).alias("l_violation"),
+    )

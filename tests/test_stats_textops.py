@@ -1219,3 +1219,21 @@ def test_hll_rolling_merge_equals_union_sketch(spark):
         direct["n_registers_set"],
         direct["est_micro"],
     )
+
+
+def test_kanonymity_report_flags(spark):
+    from knowledge_graph_etl_spark.extensions.stats import kanonymity_report
+
+    rows = (
+        [("us", "A", s) for s in [1, 2, 3]]          # n=3 < k, l ok
+        + [("us", "B", 1)] * 6                        # n=6, one value -> l viol
+        + [("de", "A", s) for s in [1, 1, 2, 3, 4]]   # n=5, 4 values -> clean
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string, s bigint")
+    out = {
+        (r["nat"], r["seg"]): (r["group_n"], r["n_sensitive"], r["k_violation"], r["l_violation"])
+        for r in kanonymity_report(df, ["nat", "seg"], "s", k=5, l=2).collect()
+    }
+    assert out[("us", "A")] == (3, 3, True, False)
+    assert out[("us", "B")] == (6, 1, False, True)
+    assert out[("de", "A")] == (5, 4, False, False)
