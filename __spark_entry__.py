@@ -668,6 +668,37 @@ def smallqty_revenue(spark, sf_dir):
     )
 
 
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape — supplier(s) achieving the MAXIMUM total revenue
+    over a shipping quarter: an aggregated view consumed twice (once for
+    the per-supplier rollup, once for the global max) with ALL-ties-kept
+    semantics — the scalar-subquery-over-view pattern. Integer cents
+    end to end; the max comparison is exact, so ties are real ties, not
+    float near-misses. Catalyst plans the view once per consumer; the
+    global max side reduces to one row and broadcasts back."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_c4")
+    )
+    mx = rev.agg(F.max("rev_c4").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c4") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_c4").cast("decimal(38,0)").alias("total_rev_c4"),
+        )
+    )
+
+
 def window_topk_per_user(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -697,6 +728,22 @@ def json_extract_events(spark, sf_dir):
 
 def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
+
+
+def stats_selectivity_q(spark, sf_dir):
+    """Histogram selectivity estimation vs truth
+    (extensions/stats.selectivity_estimate): 64-bin integer equi-width
+    histogram over o_totalprice, three range predicates, per-predicate
+    est/actual/err_ppm — the CBO-statistics eval pairing with
+    stats_join_card. Fully integer estimator, bit-reproducible."""
+    from knowledge_graph_etl_spark.extensions.stats import selectivity_estimate
+
+    return selectivity_estimate(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        predicates=[(0, 50000), (50000, 150000), (140000, 300000)],
+        bins=64,
+    )
 
 
 def privacy_kanon_q(spark, sf_dir):
@@ -4125,6 +4172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_dau": events_rolling_dau_q,
         "events_rolling_hll": events_rolling_hll_q,
         "privacy_kanon": privacy_kanon_q,
+        "top_supplier_revenue": top_supplier_revenue,
+        "stats_selectivity": stats_selectivity_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6312,6 +6361,44 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "stats_selectivity": (
+            "WITH src AS (SELECT CAST(o_totalprice AS BIGINT) AS v "
+            "FROM orders WHERE o_totalprice IS NOT NULL), "
+            "st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM src), "
+            "hist AS (SELECT ((v - mn) * 64) // (mx - mn + 1) AS b, mn, mx, "
+            "COUNT(*) AS cnt FROM src CROSS JOIN st GROUP BY 1, 2, 3), "
+            "preds(lo, hi) AS (VALUES "
+            "(CAST(0 AS BIGINT), CAST(50000 AS BIGINT)), "
+            "(CAST(50000 AS BIGINT), CAST(150000 AS BIGINT)), "
+            "(CAST(140000 AS BIGINT), CAST(300000 AS BIGINT))), "
+            "j AS (SELECT p.lo, p.hi, h.cnt, "
+            "mn + (b * (mx - mn + 1)) // 64 AS lo_b, "
+            "mn + ((b + 1) * (mx - mn + 1)) // 64 AS hi_b "
+            "FROM preds p CROSS JOIN hist h), "
+            "e AS (SELECT lo, hi, SUM(cnt * greatest(0, "
+            "least(hi + 1, hi_b) - greatest(lo, lo_b)) * 1048576 "
+            "// (hi_b - lo_b)) AS sc FROM j GROUP BY 1, 2), "
+            "est AS (SELECT lo, hi, CAST(sc // 1048576 AS BIGINT) "
+            "AS est_rows FROM e), "
+            "act AS (SELECT p.lo, p.hi, CAST((SELECT COUNT(*) FROM src "
+            "WHERE v BETWEEN p.lo AND p.hi) AS BIGINT) AS actual_rows "
+            "FROM preds p) "
+            "SELECT est.lo, est.hi, est_rows, actual_rows, "
+            "CAST(abs(est_rows - actual_rows) * 1000000 // "
+            "greatest(actual_rows, 1) AS BIGINT) AS err_ppm "
+            "FROM est JOIN act USING (lo, hi) ORDER BY lo, hi"
+        ),
+        "top_supplier_revenue": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4 "
+            "FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' "
+            "AND l_shipdate < DATE '1995-04-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(rev_c4 AS DECIMAL(38,0)) AS total_rev_c4 "
+            "FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey "
+            "WHERE rev_c4 = (SELECT MAX(rev_c4) FROM rev)"
         ),
         "privacy_kanon": (
             "WITH c AS (SELECT c_nationkey, c_mktsegment, "

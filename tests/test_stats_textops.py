@@ -1237,3 +1237,36 @@ def test_kanonymity_report_flags(spark):
     assert out[("us", "A")] == (3, 3, True, False)
     assert out[("us", "B")] == (6, 1, False, True)
     assert out[("de", "A")] == (5, 4, False, False)
+
+
+def test_selectivity_estimate_uniform_data(spark):
+    """On uniform data the histogram estimate is near-exact; the
+    interpolation handles predicates cutting through bin interiors."""
+    from knowledge_graph_etl_spark.extensions.stats import selectivity_estimate
+
+    df = spark.createDataFrame([(v,) for v in range(10_000)], "x bigint")
+    out = {
+        (r["lo"], r["hi"]): (r["est_rows"], r["actual_rows"], r["err_ppm"])
+        for r in selectivity_estimate(
+            df, "x", predicates=[(0, 4999), (2500, 7499), (9990, 9999)], bins=64
+        ).collect()
+    }
+    est, actual, err = out[(0, 4999)]
+    assert actual == 5000 and abs(est - 5000) <= 5
+    est, actual, err = out[(2500, 7499)]
+    assert actual == 5000 and abs(est - 5000) <= 5
+    est, actual, err = out[(9990, 9999)]
+    assert actual == 10 and abs(est - 10) <= 5  # sub-bin predicate interpolates
+
+
+def test_selectivity_estimate_skew_shows_error(spark):
+    """A point-mass distribution defeats equi-width histograms inside a
+    bin — the eval reports the error instead of hiding it."""
+    from knowledge_graph_etl_spark.extensions.stats import selectivity_estimate
+
+    rows = [(0,)] * 900 + [(v,) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "x bigint")
+    r = selectivity_estimate(df, "x", predicates=[(0, 0)], bins=4).collect()[0]
+    assert r["actual_rows"] == 900
+    assert r["est_rows"] < 900  # uniform-in-bin assumption under-reads
+    assert r["err_ppm"] > 0
