@@ -4139,13 +4139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 28 new-or-changed entries (18 session-2 additions
-    dedup_setsim_prefix..privacy_kanon, then the session-1
+    r09 front = 30 new-or-changed entries (20 session-2 additions
+    dedup_setsim_prefix..stats_selectivity, then the session-1
     set: 7 new + 3 changed — ann_beam_topk table mode, events_winsorize
     NULL handling, ann_ivf_append path), then the 45-entry r06-stale
     block (doc_cdc_stats..kg_select_builtins) — its driver rows are 3
-    rounds old, oldest in the registry. A ~50 window reaches ~22 of
-    those; the remainder from embed_quantize on (23 entries through
+    rounds old, oldest in the registry. A ~50 window reaches ~20 of
+    those; the remainder from star-chain on (25 entries from kg_star_chain7 through
     kg_select_builtins) must LEAD the r10 front. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
@@ -4204,12 +4204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": curation_pipeline_v2_q,
         "kg_star_join_bind": kg_star_join_bind,
         "kg_chain_join": kg_chain_join,
+        # --- r06-stale remainder: the ~50 window runs out near here —
+        # --- everything from kg_star_chain7 through kg_select_builtins
+        # --- MUST lead the r10 front ---
         "kg_star_chain7": kg_star_chain7,
         "asof_join_events": asof_join_events_q,
         "agg_rollup": agg_rollup_q,
-        # --- r06-stale remainder: the ~50 window runs out near here —
-        # --- everything from embed_quantize through kg_select_builtins
-        # --- MUST lead the r10 front ---
         "embed_quantize": embed_quantize_q,
         "agg_quantiles": agg_quantiles_q,
         "text_normalize": text_normalize_q,
