@@ -4145,7 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     NULL handling, ann_ivf_append path), then the 45-entry r06-stale
     block (doc_cdc_stats..kg_select_builtins) — its driver rows are 3
     rounds old, oldest in the registry. A ~50 window reaches ~20 of
-    those; the remainder from star-chain on (25 entries from kg_star_chain7 through
+    those; the remainder (26 entries from kg_star_chain7 through
     kg_select_builtins) must LEAD the r10 front. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
