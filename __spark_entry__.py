@@ -730,6 +730,16 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def ts_trend_by_type_q(spark, sf_dir):
+    """Per-type linear value trend (extensions/events.trend_by_group):
+    OLS slope/intercept from five exact-bigint sufficient sums in one
+    aggregate pass — integer-div rationals, bit-identical across
+    engines and partitionings."""
+    from knowledge_graph_etl_spark.extensions.events import trend_by_group
+
+    return trend_by_group(_events(spark, sf_dir))
+
+
 def stats_selectivity_q(spark, sf_dir):
     """Histogram selectivity estimation vs truth
     (extensions/stats.selectivity_estimate): 64-bin integer equi-width
@@ -4174,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_kanon": privacy_kanon_q,
         "top_supplier_revenue": top_supplier_revenue,
         "stats_selectivity": stats_selectivity_q,
+        "ts_trend_by_type": ts_trend_by_type_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6361,6 +6372,24 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "ts_trend_by_type": (
+            "WITH b AS (SELECT event_type AS g, "
+            "epoch_us(ts) // 3600000000 AS p, "
+            "CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+            "AS y FROM events WHERE value IS NOT NULL), "
+            "pm AS (SELECT g, MIN(p) AS p0 FROM b GROUP BY g), "
+            "s AS (SELECT b.g, COUNT(*) AS n, SUM(b.p - pm.p0) AS sx, "
+            "SUM(y) AS sy, SUM((b.p - pm.p0) * y) AS sxy, "
+            "SUM((b.p - pm.p0) * (b.p - pm.p0)) AS sxx "
+            "FROM b JOIN pm ON pm.g = b.g GROUP BY b.g) "
+            "SELECT g AS event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN "
+            "(n * sxy - sx * sy) // (n * sxx - sx * sx) END AS BIGINT) "
+            "AS slope_milli_per_period, "
+            "CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN "
+            "(sy - ((n * sxy - sx * sy) // (n * sxx - sx * sx)) * sx) // n "
+            "END AS BIGINT) AS intercept_milli FROM s"
         ),
         "stats_selectivity": (
             "WITH src AS (SELECT CAST(o_totalprice AS BIGINT) AS v "

@@ -1270,3 +1270,24 @@ def test_selectivity_estimate_skew_shows_error(spark):
     assert r["actual_rows"] == 900
     assert r["est_rows"] < 900  # uniform-in-bin assumption under-reads
     assert r["err_ppm"] > 0
+
+
+def test_trend_by_group_exact_line_and_degenerate(spark):
+    """A perfect line recovers its slope/intercept exactly in milli
+    units; a single-period group reports NULL slope."""
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.events import trend_by_group
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    for h in range(10):
+        rows.append(("lin", t0 + datetime.timedelta(hours=h), 5.0 + 2.5 * h))
+    rows.append(("flat", t0, 7.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r["event_type"]: (r["n"], r["slope_milli_per_period"], r["intercept_milli"])
+        for r in trend_by_group(df).collect()
+    }
+    assert out["lin"] == (10, 2500, 5000)
+    assert out["flat"][1] is None and out["flat"][2] is None
