@@ -730,6 +730,29 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def ts_cusum_q(spark, sf_dir):
+    """CUSUM drift alarms (extensions/events.cusum_changepoints) over a
+    deterministically rate-shifted event feed: odd 48-hour blocks keep
+    only 30% of traffic (user_id % 10 < 3), so the low-side statistic
+    accumulates past the threshold in every odd block and resets in
+    even ones — the sustained-shift shape per-period z-scores miss.
+    Integer recurrence, one shuffle + one JVM aggregate() scan per
+    group; oracle replays the identical recurrence as a recursive
+    CTE."""
+    from knowledge_graph_etl_spark.extensions.events import cusum_changepoints
+
+    e = _events(spark, sf_dir)
+    filt = e.where(
+        F.expr(
+            "((unix_micros(ts) div 3600000000) div 48) % 2 = 0 "
+            "or user_id % 10 < 3"
+        )
+    )
+    return cusum_changepoints(
+        filt, baseline_periods=24, threshold_x1000=5000, slack_x1000=500
+    )
+
+
 def ts_trend_by_type_q(spark, sf_dir):
     """Per-type linear value trend (extensions/events.trend_by_group):
     OLS slope/intercept from five exact-bigint sufficient sums in one
@@ -4185,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": top_supplier_revenue,
         "stats_selectivity": stats_selectivity_q,
         "ts_trend_by_type": ts_trend_by_type_q,
+        "ts_cusum": ts_cusum_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6372,6 +6396,45 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "ts_cusum": (
+            "WITH RECURSIVE "
+            "kept AS (SELECT event_type AS g, "
+            "epoch_us(ts) // 3600000000 AS p FROM events "
+            "WHERE ((epoch_us(ts) // 3600000000) // 48) % 2 = 0 "
+            "OR user_id % 10 < 3), "
+            "cnts AS (SELECT g, p, COUNT(*) AS c FROM kept GROUP BY 1, 2), "
+            "gb AS (SELECT g, MIN(p) AS pmin, MAX(p) AS pmax FROM cnts "
+            "GROUP BY g), "
+            "grid AS (SELECT g, unnest(generate_series(pmin, pmax)) AS p "
+            "FROM gb), "
+            "dense AS (SELECT grid.g, grid.p, "
+            "CAST(COALESCE(cnts.c, 0) AS BIGINT) AS c, "
+            "row_number() OVER (PARTITION BY grid.g ORDER BY grid.p) AS rn "
+            "FROM grid LEFT JOIN cnts ON cnts.g = grid.g AND cnts.p = grid.p), "
+            "m AS (SELECT g, CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT) "
+            "AS mean_m FROM dense WHERE rn <= 24 GROUP BY g), "
+            "rec AS ("
+            "SELECT d.g, d.rn, d.p, "
+            "greatest(CAST(0 AS BIGINT), 1000 * d.c - m.mean_m - 500) AS hi, "
+            "greatest(CAST(0 AS BIGINT), -(1000 * d.c - m.mean_m + 500)) AS lo "
+            "FROM dense d JOIN m ON m.g = d.g WHERE d.rn = 1 "
+            "UNION ALL "
+            "SELECT d.g, d.rn, d.p, "
+            "greatest(CAST(0 AS BIGINT), "
+            "(CASE WHEN r.hi > 5000 OR r.lo > 5000 THEN 0 ELSE r.hi END) "
+            "+ (1000 * d.c - m.mean_m - 500)), "
+            "greatest(CAST(0 AS BIGINT), "
+            "(CASE WHEN r.hi > 5000 OR r.lo > 5000 THEN 0 ELSE r.lo END) "
+            "- (1000 * d.c - m.mean_m + 500)) "
+            "FROM rec r JOIN dense d ON d.g = r.g AND d.rn = r.rn + 1 "
+            "JOIN m ON m.g = d.g) "
+            "SELECT g AS event_type, p AS period, "
+            "CAST(hi AS BIGINT) AS stat_hi_x1000, "
+            "CAST(lo AS BIGINT) AS stat_lo_x1000, "
+            "CASE WHEN hi > 5000 THEN 'up' ELSE 'down' END AS direction "
+            "FROM rec WHERE hi > 5000 OR lo > 5000 "
+            "ORDER BY event_type, period"
         ),
         "ts_trend_by_type": (
             "WITH b AS (SELECT event_type AS g, "

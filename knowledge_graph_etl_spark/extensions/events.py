@@ -416,7 +416,9 @@ def cusum_changepoints(
         lo_t = max(0, lo_{t-1} − (1000·c_t − mean + slack))
 
     and a period alarms when ``hi_t`` (upward) or ``lo_t`` (downward)
-    exceeds ``threshold_x1000``. The recurrence is a size-bounded
+    exceeds ``threshold_x1000``; on alarm BOTH statistics reset to zero
+    (standard restart-after-detection — without it a sustained shift
+    re-alarms every period until it decays). The recurrence is a size-bounded
     per-group ordered scan — implemented as ``aggregate()`` over each
     group's collected period series (a group's period count is bounded
     by the time range, thousands, never corpus-sized), keeping the whole
@@ -450,19 +452,18 @@ def cusum_changepoints(
     )
     # ordered scan: aggregate() threads (hi, lo, out-array) through the
     # per-group series; out collects alarming (p, hi, lo) structs
+    nh = f"greatest(cast(0 as bigint), acc.hi + (1000 * r.c - __mean - {slack_x1000}))"
+    nl = f"greatest(cast(0 as bigint), acc.lo - (1000 * r.c - __mean + {slack_x1000}))"
+    alarm = f"({nh} > {threshold_x1000} OR {nl} > {threshold_x1000})"
     scan = F.expr(
         "aggregate(s, "
         "named_struct('hi', cast(0 as bigint), 'lo', cast(0 as bigint), "
         "'out', cast(array() as array<struct<p:bigint,hi:bigint,lo:bigint>>)), "
         "(acc, r) -> named_struct("
-        f"'hi', greatest(cast(0 as bigint), acc.hi + (1000 * r.c - __mean - {slack_x1000})), "
-        f"'lo', greatest(cast(0 as bigint), acc.lo - (1000 * r.c - __mean + {slack_x1000})), "
-        "'out', CASE WHEN "
-        f"greatest(cast(0 as bigint), acc.hi + (1000 * r.c - __mean - {slack_x1000})) > {threshold_x1000} "
-        f"OR greatest(cast(0 as bigint), acc.lo - (1000 * r.c - __mean + {slack_x1000})) > {threshold_x1000} "
-        "THEN array_append(acc.out, named_struct('p', r.p, "
-        f"'hi', greatest(cast(0 as bigint), acc.hi + (1000 * r.c - __mean - {slack_x1000})), "
-        f"'lo', greatest(cast(0 as bigint), acc.lo - (1000 * r.c - __mean + {slack_x1000})))) "
+        f"'hi', CASE WHEN {alarm} THEN cast(0 as bigint) ELSE {nh} END, "
+        f"'lo', CASE WHEN {alarm} THEN cast(0 as bigint) ELSE {nl} END, "
+        f"'out', CASE WHEN {alarm} "
+        f"THEN array_append(acc.out, named_struct('p', r.p, 'hi', {nh}, 'lo', {nl})) "
         "ELSE acc.out END), "
         "acc -> acc.out)"
     )

@@ -1291,3 +1291,30 @@ def test_trend_by_group_exact_line_and_degenerate(spark):
     }
     assert out["lin"] == (10, 2500, 5000)
     assert out["flat"][1] is None and out["flat"][2] is None
+
+
+def test_cusum_changepoints_detects_shift_with_reset(spark):
+    """A 10/h -> 2/h drop after hour 30 raises 'down' alarms only after
+    the shift; the statistic resets after each alarm (restart-after-
+    detection), and the stable baseline raises nothing."""
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.events import cusum_changepoints
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    for h in range(30):
+        rows += [("A", t0 + datetime.timedelta(hours=h, minutes=m)) for m in range(0, 60, 6)]
+    for h in range(30, 50):
+        rows += [("A", t0 + datetime.timedelta(hours=h, minutes=m)) for m in range(0, 60, 30)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = cusum_changepoints(
+        df, baseline_periods=24, threshold_x1000=5000, slack_x1000=500
+    ).collect()
+    assert out, "shift must alarm"
+    h0 = 491088  # 2026-01-01T00 epoch hour
+    assert all(r["direction"] == "down" for r in out)
+    assert all(r["period"] >= h0 + 30 for r in out)  # nothing pre-shift
+    # reset: consecutive alarms imply re-accumulation, so each alarming
+    # statistic must exceed the threshold on its own
+    assert all(r["stat_lo_x1000"] > 5000 for r in out)
