@@ -1312,7 +1312,7 @@ def test_cusum_changepoints_detects_shift_with_reset(spark):
         df, baseline_periods=24, threshold_x1000=5000, slack_x1000=500
     ).collect()
     assert out, "shift must alarm"
-    h0 = 491088  # 2026-01-01T00 epoch hour
+    h0 = 490896  # 2026-01-01T00 epoch hour (20454 days * 24)
     assert all(r["direction"] == "down" for r in out)
     assert all(r["period"] >= h0 + 30 for r in out)  # nothing pre-shift
     # reset: consecutive alarms imply re-accumulation, so each alarming
