@@ -4172,13 +4172,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 30 new-or-changed entries (20 session-2 additions
-    dedup_setsim_prefix..stats_selectivity, then the session-1
+    r09 front = 32 new-or-changed entries (22 session-2 additions
+    dedup_setsim_prefix..ts_cusum, then the session-1
     set: 7 new + 3 changed — ann_beam_topk table mode, events_winsorize
     NULL handling, ann_ivf_append path), then the 45-entry r06-stale
     block (doc_cdc_stats..kg_select_builtins) — its driver rows are 3
-    rounds old, oldest in the registry. A ~50 window reaches ~20 of
-    those; the remainder (26 entries from kg_star_chain7 through
+    rounds old, oldest in the registry. A ~50 window reaches ~18 of
+    those; the remainder (27 entries from kg_star_join_bind through
     kg_select_builtins) must LEAD the r10 front. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
@@ -4237,11 +4237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
         "curation_pipeline_v2": curation_pipeline_v2_q,
+        # --- r06-stale remainder: the ~50 window runs out near here —
+        # --- everything from kg_star_join_bind through
+        # --- kg_select_builtins MUST lead the r10 front ---
         "kg_star_join_bind": kg_star_join_bind,
         "kg_chain_join": kg_chain_join,
-        # --- r06-stale remainder: the ~50 window runs out near here —
-        # --- everything from kg_star_chain7 through kg_select_builtins
-        # --- MUST lead the r10 front ---
         "kg_star_chain7": kg_star_chain7,
         "asof_join_events": asof_join_events_q,
         "agg_rollup": agg_rollup_q,
