@@ -515,3 +515,58 @@ def test_flag_neardups_stream_matches_batch(spark, tmp_path):
         for r in spark.table("neardups").collect()
     }
     assert got == expect
+
+
+def _drift_df(spark):
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    # key A: 10/h for 6h baseline, then 2/h for 6h -> downward alarms;
+    # key B: flat 6/h throughout -> no alarms. Sentinel far-future event
+    # per key closes every real period in the stream.
+    for h in range(6):
+        rows += [("A", t0 + datetime.timedelta(hours=h, minutes=m)) for m in range(0, 60, 6)]
+    for h in range(6, 12):
+        rows += [("A", t0 + datetime.timedelta(hours=h, minutes=m)) for m in range(0, 60, 30)]
+    for h in range(12):
+        rows += [("B", t0 + datetime.timedelta(hours=h, minutes=m)) for m in range(0, 60, 10)]
+    sentinel = t0 + datetime.timedelta(hours=13)
+    rows += [("A", sentinel), ("B", sentinel)]
+    return spark.createDataFrame(rows, "event_type string, ts timestamp"), sentinel
+
+
+def test_cusum_alarms_stream_matches_batch(spark, tmp_path):
+    """Closed-period parity: the stateful stream (buffered baseline,
+    dense gap closing, reset-on-alarm) equals the batch twin on every
+    period except the stream's still-open sentinel period."""
+    from knowledge_graph_etl_spark.streaming.drift import cusum_alarms
+
+    df, sentinel = _drift_df(spark)
+    sent_p = int(sentinel.timestamp() * 1_000_000) // 3_600_000_000
+    kw = dict(baseline_periods=4, threshold_x1000=4000, slack_x1000=500)
+    batch = {
+        tuple(r)
+        for r in cusum_alarms(df, **kw).collect()
+        if r["period"] != sent_p
+    }
+    assert batch, "fixture must alarm"
+    assert all(r[4] == "down" for r in batch)
+    src = str(tmp_path / "drift")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("event_type string, ts timestamp").parquet(src)
+    q = (
+        cusum_alarms(stream, **kw)
+        .writeStream.format("memory")
+        .queryName("drift_alarms")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.table("drift_alarms").collect()
+        if r["period"] != sent_p
+    }
+    assert got == batch
