@@ -699,6 +699,53 @@ def top_supplier_revenue(spark, sf_dir):
     )
 
 
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape — monthly promo-revenue share: conditional
+    aggregation over a fact⋈dim join where the dim predicate only
+    SELECTS the numerator (both sums come from ONE pass — no second
+    scan, no self-join). Part dim broadcast; revenue in exact integer
+    cents*100; the share as integer ppm of the exact sums, so no float
+    division order can diverge."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("month"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_rev"),
+            F.sum("rev").alias("total_rev"),
+        )
+        .select(
+            "month",
+            F.col("promo_rev").cast("decimal(38,0)").alias("promo_rev_c4"),
+            F.col("total_rev").cast("decimal(38,0)").alias("total_rev_c4"),
+            # decimal(38,0) arithmetic: bigint*1e6 would overflow near
+            # ~9e12-cents*100 months (DuckDB silently widens to HUGEINT,
+            # Spark would wrap) — the decimal form agrees at every scale
+            F.expr(
+                "cast(promo_rev as decimal(38,0)) * 1000000 div "
+                "cast(total_rev as decimal(38,0))"
+            )
+            .cast("bigint")
+            .alias("promo_share_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
 def window_topk_per_user(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -4172,13 +4219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 32 new-or-changed entries (22 session-2 additions
-    dedup_setsim_prefix..ts_cusum, then the session-1
+    r09 front = 33 new-or-changed entries (23 session-2 additions
+    dedup_setsim_prefix..promo_revenue_share, then the session-1
     set: 7 new + 3 changed — ann_beam_topk table mode, events_winsorize
     NULL handling, ann_ivf_append path), then the 45-entry r06-stale
     block (doc_cdc_stats..kg_select_builtins) — its driver rows are 3
-    rounds old, oldest in the registry. A ~50 window reaches ~18 of
-    those; the remainder (27 entries from kg_star_join_bind through
+    rounds old, oldest in the registry. A ~50 window reaches ~17 of
+    those; the remainder (28 entries from curation_pipeline_v2 through
     kg_select_builtins) must LEAD the r10 front. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
@@ -4209,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_selectivity": stats_selectivity_q,
         "ts_trend_by_type": ts_trend_by_type_q,
         "ts_cusum": ts_cusum_q,
+        "promo_revenue_share": promo_revenue_share,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -4236,10 +4284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_flag": blocklist_flag_q,
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
-        "curation_pipeline_v2": curation_pipeline_v2_q,
         # --- r06-stale remainder: the ~50 window runs out near here —
-        # --- everything from kg_star_join_bind through
+        # --- everything from curation_pipeline_v2 through
         # --- kg_select_builtins MUST lead the r10 front ---
+        "curation_pipeline_v2": curation_pipeline_v2_q,
         "kg_star_join_bind": kg_star_join_bind,
         "kg_chain_join": kg_chain_join,
         "kg_star_chain7": kg_star_chain7,
@@ -6396,6 +6444,20 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "promo_revenue_share": (
+            "WITH j AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') "
+            "AS month, p.p_type, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey) "
+            "SELECT month, "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) "
+            "AS DECIMAL(38,0)) AS promo_rev_c4, "
+            "CAST(SUM(rev) AS DECIMAL(38,0)) AS total_rev_c4, "
+            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) "
+            "* 1000000 // SUM(rev) AS BIGINT) AS promo_share_ppm "
+            "FROM j GROUP BY month ORDER BY month"
         ),
         "ts_cusum": (
             "WITH RECURSIVE "
