@@ -777,6 +777,22 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def graph_negative_samples_q(spark, sf_dir):
+    """Deterministic negative-edge sampling for embedding training
+    (extensions/graph.negative_edge_samples, m=2) over the
+    supplier–part bipartite graph (suppliers < 50 keep the output
+    bounded across SFs): md5 tail corruption against a dense tail
+    index, false negatives removed by LEFT ANTI."""
+    from knowledge_graph_etl_spark.extensions.graph import (
+        negative_edge_samples,
+    )
+
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 50)
+    return negative_edge_samples(
+        l, src_col="l_suppkey", dst_col="l_partkey", m=2
+    )
+
+
 def ts_cusum_q(spark, sf_dir):
     """CUSUM drift alarms (extensions/events.cusum_changepoints) over a
     deterministically rate-shifted event feed: odd 48-hour blocks keep
@@ -4257,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend_by_type": ts_trend_by_type_q,
         "ts_cusum": ts_cusum_q,
         "promo_revenue_share": promo_revenue_share,
+        "graph_negative_samples": graph_negative_samples_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6444,6 +6461,25 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "graph_negative_samples": (
+            "WITH pos AS (SELECT DISTINCT l_suppkey AS src, "
+            "l_partkey AS dst FROM lineitem WHERE l_suppkey < 50), "
+            "dsts AS (SELECT DISTINCT dst FROM pos), "
+            "nn AS (SELECT COUNT(*) AS n FROM dsts), "
+            "idx AS (SELECT dst, row_number() OVER (ORDER BY dst) - 1 "
+            "AS nid FROM dsts), "
+            "fan AS (SELECT src, dst AS pos_dst, "
+            "unnest(generate_series(0, 1)) AS j FROM pos), "
+            "cand AS (SELECT src, pos_dst, j, "
+            "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+            "CAST(pos_dst AS VARCHAR) || ':' || CAST(j AS VARCHAR)), "
+            "1, 15))::BIGINT % (SELECT n FROM nn) AS nid FROM fan), "
+            "wn AS (SELECT c.src, c.pos_dst, c.j, i.dst AS neg_dst "
+            "FROM cand c JOIN idx i USING (nid)) "
+            "SELECT src, pos_dst, CAST(j AS INTEGER) AS j, neg_dst FROM wn w "
+            "WHERE NOT EXISTS (SELECT 1 FROM pos p "
+            "WHERE p.src = w.src AND p.dst = w.neg_dst)"
         ),
         "promo_revenue_share": (
             "WITH j AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') "

@@ -16,7 +16,7 @@ shuffles on uniform node keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ckpt import CheckpointTracker
@@ -757,3 +757,67 @@ def ktruss(
     out = out.localCheckpoint(eager=True)
     tracker.release_all(keep=out)
     return out
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    m: int = 3,
+) -> DataFrame:
+    """Deterministic negative-edge sampling — the training-data operator
+    behind every KG-embedding / link-prediction objective (TransE-style
+    corruption): for each positive edge, ``m`` hash-picked corrupted
+    tails, with candidates that happen to be REAL edges removed by an
+    anti-join (false negatives poison the loss). Fixed md5 choice makes
+    the sample reproducible run-to-run and SQL-oracle-able — a resampled
+    epoch is a parameter change (`j` offset), not an RNG state.
+
+    Mechanics: the distinct tail set gets a dense index (row_number over
+    the tail order — at production scale this index is a precomputed
+    artifact like a vocab table, built once per corpus version, not per
+    epoch); candidate ``j`` for an edge is the tail whose index is
+    ``md5(src:dst:j) mod N``. After the anti-join an edge keeps ≤ m
+    negatives (documented filtered semantics — dense graphs lose more;
+    raise ``m`` to compensate).
+
+    Scale shape: distinct + index once; the candidate join is on the
+    uniform hash-index key; the false-negative filter is one LEFT ANTI
+    join on (src, neg). Everything else is a bounded ×m explode of the
+    EDGE list. Returns ``(src, pos_dst, j, neg_dst)``."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    from .hashing import md5_u60
+
+    pos = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    dsts = pos.select("dst").distinct()
+    n = dsts.count()
+    idx = dsts.withColumn(
+        "nid", F.row_number().over(Window.orderBy("dst")) - 1
+    )
+    cand = pos.select(
+        "src",
+        F.col("dst").alias("pos_dst"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+    ).withColumn(
+        "nid",
+        md5_u60(
+            F.concat_ws(
+                ":",
+                F.col("src").cast("string"),
+                F.col("pos_dst").cast("string"),
+                F.col("j").cast("string"),
+            )
+        )
+        % n,
+    )
+    withneg = cand.join(idx, "nid").select(
+        "src", "pos_dst", "j", F.col("dst").alias("neg_dst")
+    )
+    return withneg.join(
+        pos.select("src", F.col("dst").alias("neg_dst")),
+        ["src", "neg_dst"],
+        "left_anti",
+    ).select("src", "pos_dst", "j", "neg_dst")

@@ -1108,3 +1108,25 @@ def test_quality_classifier_trained_edge_contracts(spark):
         quality_classifier(df, weights=w, default_weight_micro=-2_000_000)
     r2 = quality_classifier(df, weights=w, broadcast_weights=False).collect()[0]
     assert (r2["n_feats"], r2["score_micro"]) == (1, 700_000)
+
+
+def test_negative_samples_never_positive_and_deterministic(spark):
+    from knowledge_graph_etl_spark.extensions.graph import negative_edge_samples
+
+    edges = spark.createDataFrame(
+        [(s, d) for s in range(5) for d in range(10) if (s + d) % 3 != 0],
+        "src bigint, dst bigint",
+    )
+    pos = {(r["src"], r["dst"]) for r in edges.collect()}
+    out = negative_edge_samples(edges, m=3).collect()
+    assert out, "must produce negatives"
+    for r in out:
+        assert (r["src"], r["pos_dst"]) in pos       # anchored to a positive
+        assert (r["src"], r["neg_dst"]) not in pos   # never a false negative
+    # <= m per positive edge, and rerun-identical
+    from collections import Counter
+
+    per_edge = Counter((r["src"], r["pos_dst"]) for r in out)
+    assert max(per_edge.values()) <= 3
+    again = negative_edge_samples(edges, m=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
