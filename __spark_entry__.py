@@ -777,6 +777,16 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def events_conversion_paths_q(spark, sf_dir):
+    """Top purchase-conversion paths (extensions/events.
+    conversion_paths, depth=2): two lag() columns on one user-key
+    window, path-cardinality aggregate; cold-start paths kept with a
+    '^' marker."""
+    from knowledge_graph_etl_spark.extensions.events import conversion_paths
+
+    return conversion_paths(_events_ts(spark, sf_dir), target="purchase")
+
+
 def graph_negative_samples_q(spark, sf_dir):
     """Deterministic negative-edge sampling for embedding training
     (extensions/graph.negative_edge_samples, m=2) over the
@@ -4274,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum": ts_cusum_q,
         "promo_revenue_share": promo_revenue_share,
         "graph_negative_samples": graph_negative_samples_q,
+        "events_conversion_paths": events_conversion_paths_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6461,6 +6472,17 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "events_conversion_paths": (
+            "WITH w AS (SELECT event_type, "
+            "COALESCE(lag(event_type, 2) OVER u, '^') AS l2, "
+            "COALESCE(lag(event_type, 1) OVER u, '^') AS l1 "
+            "FROM events WINDOW u AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT l2 || '>' || l1 || '>' || event_type AS path, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM w "
+            "WHERE event_type = 'purchase' "
+            "GROUP BY 1 ORDER BY n DESC, path"
         ),
         "graph_negative_samples": (
             "WITH pos AS (SELECT DISTINCT l_suppkey AS src, "

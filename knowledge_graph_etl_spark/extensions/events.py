@@ -481,3 +481,46 @@ def cusum_changepoints(
         )
     )
     return out.orderBy(group_col, "period")
+
+
+def conversion_paths(
+    events: DataFrame,
+    target: str = "purchase",
+    depth: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Top converting paths: for every occurrence of the ``target``
+    event, the sequence of up to ``depth`` immediately-preceding events
+    in that user's timeline, aggregated into path frequencies — the
+    "what do users do right before buying" attribution query (the
+    fixed-depth, exactly-aggregable cousin of sequential-pattern
+    mining; :func:`markov_transitions` is the depth-1 global view).
+
+    Paths shorter than ``depth`` (target near the user's start) are
+    real paths with a ``^`` start marker, not dropped — conversions from
+    a cold start are usually the interesting ones.
+
+    Scale shape: ``depth`` lag() columns over ONE user-key window
+    shuffle, a filter to target rows, then a path-cardinality aggregate
+    (≤ |types|^depth keys, map-combined). Returns ``(path, n)`` with
+    ``path`` like ``"view>click>purchase"``."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    lags = [
+        F.coalesce(F.lag(type_col, i).over(w), F.lit("^"))
+        for i in range(depth, 0, -1)
+    ]
+    path = F.concat_ws(">", *lags, F.col(type_col))
+    return (
+        events.withColumn("__path", path)
+        .where(F.col(type_col) == target)
+        .groupBy(F.col("__path").alias("path"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+    )

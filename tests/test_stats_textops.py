@@ -1318,3 +1318,32 @@ def test_cusum_changepoints_detects_shift_with_reset(spark):
     # reset: consecutive alarms imply re-accumulation, so each alarming
     # statistic must exceed the threshold on its own
     assert all(r["stat_lo_x1000"] > 5000 for r in out)
+
+
+def test_conversion_paths_depth_and_cold_start(spark):
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.events import conversion_paths
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        # u1: view > click > purchase
+        (1, 1, "view", t0), (2, 1, "click", t0 + datetime.timedelta(minutes=1)),
+        (3, 1, "purchase", t0 + datetime.timedelta(minutes=2)),
+        # u2: cold-start purchase as second event: ^ marker
+        (4, 2, "view", t0), (5, 2, "purchase", t0 + datetime.timedelta(minutes=1)),
+        # u3: purchase as very first event
+        (6, 3, "purchase", t0),
+        # u4: same path as u1
+        (7, 4, "view", t0), (8, 4, "click", t0 + datetime.timedelta(minutes=1)),
+        (9, 4, "purchase", t0 + datetime.timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {r["path"]: r["n"] for r in conversion_paths(df).collect()}
+    assert out == {
+        "view>click>purchase": 2,
+        "^>view>purchase": 1,
+        "^>^>purchase": 1,
+    }
