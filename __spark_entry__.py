@@ -777,6 +777,26 @@ def _events_ts(spark, sf_dir):
     return _events(spark, sf_dir)  # ts already normalized to TIMESTAMP
 
 
+def ann_matryoshka_eval_q(spark, sf_dir):
+    """Dimension-truncation recall curve (extensions/similarity.
+    matryoshka_recall, dims 8/16/32/64, k=10): cosine top-k on each
+    d-prefix scored against the full-dim top-k — the measurement that
+    decides how many dims a 100 TB vector index stores. One corpus
+    touch; the x|dims| fan-out happens after the broadcast join."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        matryoshka_recall,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        e,
+        e.where(F.col("vec_id") < 5),
+        dims=[8, 16, 32, 64],
+        k=10,
+        query_id_col="vec_id",
+    )
+
+
 def events_conversion_paths_q(spark, sf_dir):
     """Top purchase-conversion paths (extensions/events.
     conversion_paths, depth=2): two lag() columns on one user-key
@@ -4285,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": promo_revenue_share,
         "graph_negative_samples": graph_negative_samples_q,
         "events_conversion_paths": events_conversion_paths_q,
+        "ann_matryoshka_eval": ann_matryoshka_eval_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
         "kg_incremental_remap": kg_incremental_remap_q,
         "ann_recall_eval": ann_recall_eval_q,
@@ -6472,6 +6493,29 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT media_id, substr(h1 || sha256(h1), 1, 128) AS ph FROM m) "
             "SELECT media_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height, "
             "CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes, ph AS payload_hex FROM b"
+        ),
+        "ann_matryoshka_eval": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+            "WHERE vec_id < 5), "
+            "c AS (SELECT vec_id AS neighbor_id, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+            "p AS (SELECT neighbor_id, query_id, qv, cv, "
+            "unnest([8, 16, 32, 64]) AS dim FROM c CROSS JOIN q), "
+            "s AS (SELECT dim, query_id, neighbor_id, "
+            "round(list_cosine_similarity(list_slice(cv, 1, dim), "
+            "list_slice(qv, 1, dim)), 6) AS sim FROM p), "
+            "r AS (SELECT dim, query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY dim, query_id ORDER BY sim DESC, neighbor_id) "
+            "AS rk FROM s), "
+            "t AS (SELECT dim, query_id, neighbor_id FROM r WHERE rk <= 10), "
+            "truth AS (SELECT query_id, neighbor_id FROM t WHERE dim = 64), "
+            "h AS (SELECT t.dim, COUNT(*) AS hits FROM t "
+            "JOIN truth USING (query_id, neighbor_id) GROUP BY t.dim) "
+            "SELECT dim, CAST(5 AS BIGINT) AS n_queries, "
+            "CAST(hits AS BIGINT) AS hits, "
+            "CAST(hits * 1000000 // 50 AS BIGINT) AS recall_ppm "
+            "FROM h ORDER BY dim"
         ),
         "events_conversion_paths": (
             "WITH w AS (SELECT event_type, "

@@ -1593,3 +1593,82 @@ def kcenter_select(
     return emb.sparkSession.createDataFrame(
         picked, "rank int, vec_id bigint, dmin_q bigint"
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Dimension-truncation recall curve (the Matryoshka-representation
+    question: how much ANN quality survives keeping only the first d
+    components?): for each d in ``dims``, cosine top-k on the d-prefix
+    of every vector, scored as recall@k against the FULL-dimension
+    top-k. The answer decides how many dims the index stores — at 100 TB
+    of vectors, halving d halves the index, the GEMM, and the shuffle.
+
+    One pass: the corpus×queries score is computed per (pair, dim) by
+    exploding a literal dims array and slicing INSIDE the projection —
+    no per-dim job, the corpus is still touched once (the ×|dims|
+    fan-out happens on the already-broadcast-joined pairs). Full-dim
+    top-k is the dims entry equal to the vector length, so the truth
+    needs no second code path; recall is a semi-join of each dim's
+    top-k against it. Ranking is rounded-6 + neighbor-id tie-broken,
+    the cosine_topk standard. Returns ``(dim, n_queries, hits,
+    recall_ppm)``."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    full_d = max(dims)
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "neighbor_id",
+        "query_id",
+        "qvec",
+        "cvec",
+        F.explode(F.array(*[F.lit(int(d)) for d in sorted(set(dims))])).alias(
+            "dim"
+        ),
+    )
+    qs = F.expr("slice(qvec, 1, dim)")
+    cs = F.expr("slice(cvec, 1, dim)")
+    scored = pairs.select(
+        "dim",
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(qs, cs), 6).alias("sim"),
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    truth = topk.where(F.col("dim") == full_d).select(
+        "query_id", "neighbor_id"
+    )
+    hits = topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    nq = q.select("query_id").distinct().count()
+    return (
+        hits.groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .select(
+            "dim",
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            "hits",
+            F.expr(f"hits * 1000000 div {k * nq}").cast("bigint").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("dim")
+    )

@@ -1407,3 +1407,30 @@ def test_kcenter_select_deterministic_rerun(spark):
     a = [(r["rank"], r["vec_id"]) for r in kcenter_select(emb, k=4).collect()]
     b = [(r["rank"], r["vec_id"]) for r in kcenter_select(emb, k=4).collect()]
     assert a == b
+
+
+def test_matryoshka_recall_full_dim_perfect_and_monotone_ish(spark):
+    """Full-dim entry recalls itself at 1e6 ppm; prefixes carrying the
+    dominant signal recall well, pure-noise prefixes don't."""
+    import numpy as np
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        matryoshka_recall,
+    )
+
+    rng = np.random.RandomState(5)
+    # dims 0..3 carry cluster structure; 4..15 are iid noise, so the
+    # 4-prefix nearly reproduces the full ranking and a 2-prefix is rough
+    base = np.concatenate(
+        [np.repeat(rng.randn(10, 4), 5, axis=0), rng.randn(50, 12) * 0.05], axis=1
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["dim"]: r["recall_ppm"]
+        for r in matryoshka_recall(
+            emb, emb.where("vec_id < 4"), dims=[4, 16], k=5, query_id_col="vec_id"
+        ).collect()
+    }
+    assert out[16] == 1_000_000            # truth vs itself
+    assert out[4] >= 600_000               # signal prefix retains most
