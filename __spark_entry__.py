@@ -4265,13 +4265,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 33 new-or-changed entries (23 session-2 additions
-    dedup_setsim_prefix..promo_revenue_share, then the session-1
+    r09 front = 36 new-or-changed entries (26 session-2 additions
+    dedup_setsim_prefix..ann_matryoshka_eval, then the session-1
     set: 7 new + 3 changed — ann_beam_topk table mode, events_winsorize
     NULL handling, ann_ivf_append path), then the 45-entry r06-stale
     block (doc_cdc_stats..kg_select_builtins) — its driver rows are 3
-    rounds old, oldest in the registry. A ~50 window reaches ~17 of
-    those; the remainder (28 entries from curation_pipeline_v2 through
+    rounds old, oldest in the registry. A ~50 window reaches ~14 of
+    those; the remainder (31 entries from blocklist_flag through
     kg_select_builtins) must LEAD the r10 front. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
@@ -4330,12 +4330,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_token_budget": data_token_budget_q,
         "data_curriculum": data_curriculum_q,
         "streaming_neardup": streaming_neardup_q,
+        # --- r06-stale remainder: the ~50 window runs out near here —
+        # --- everything from blocklist_flag through kg_select_builtins
+        # --- MUST lead the r10 front ---
         "blocklist_flag": blocklist_flag_q,
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
-        # --- r06-stale remainder: the ~50 window runs out near here —
-        # --- everything from curation_pipeline_v2 through
-        # --- kg_select_builtins MUST lead the r10 front ---
         "curation_pipeline_v2": curation_pipeline_v2_q,
         "kg_star_join_bind": kg_star_join_bind,
         "kg_chain_join": kg_chain_join,
