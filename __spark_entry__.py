@@ -6619,7 +6619,9 @@ def oracle_sql() -> dict[str, str]:
             "END AS BIGINT) AS intercept_milli FROM s"
         ),
         "stats_selectivity": (
-            "WITH src AS (SELECT CAST(o_totalprice AS BIGINT) AS v "
+            # floor(), not CAST: DuckDB CAST(double->bigint) ROUNDS while
+            # Spark's cast truncates — sf0.1 exposed a boundary value
+            "WITH src AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v "
             "FROM orders WHERE o_totalprice IS NOT NULL), "
             "st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM src), "
             "hist AS (SELECT ((v - mn) * 64) // (mx - mn + 1) AS b, mn, mx, "

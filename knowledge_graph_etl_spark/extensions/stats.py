@@ -984,9 +984,12 @@ def selectivity_estimate(
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     spark = df.sparkSession
-    src = df.select(F.col(value_col).cast("bigint").alias("v")).where(
-        F.col("v").isNotNull()
-    )
+    # explicit floor before the integer cast: Spark's double->bigint cast
+    # truncates but other engines (DuckDB) round — floor is the portable
+    # spelling of the same bucketing
+    src = df.select(
+        F.floor(F.col(value_col)).cast("bigint").alias("v")
+    ).where(F.col("v").isNotNull())
     stats = F.broadcast(
         src.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     )
