@@ -694,7 +694,14 @@ def top_supplier_revenue(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.col("rev_c4").cast("decimal(38,0)").alias("total_rev_c4"),
+            # decimal(38,0) is the overflow-proof sum type, but decimals
+            # are driver-serializer-unsafe (DuckDB renders them float64 in
+            # pandas — test_oracle_types.py); the exact digits travel as a
+            # string instead, exact at any scale.
+            F.col("rev_c4")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("total_rev_c4"),
         )
     )
 
@@ -730,8 +737,17 @@ def promo_revenue_share(spark, sf_dir):
         )
         .select(
             "month",
-            F.col("promo_rev").cast("decimal(38,0)").alias("promo_rev_c4"),
-            F.col("total_rev").cast("decimal(38,0)").alias("total_rev_c4"),
+            # exact digits as strings — decimals are driver-serializer-
+            # unsafe (test_oracle_types.py), strings stay exact at any
+            # scale
+            F.col("promo_rev")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("promo_rev_c4"),
+            F.col("total_rev")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("total_rev_c4"),
             # decimal(38,0) arithmetic: bigint*1e6 would overflow near
             # ~9e12-cents*100 months (DuckDB silently widens to HUGEINT,
             # Spark would wrap) — the decimal form agrees at every scale
@@ -6554,9 +6570,10 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
             "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey) "
             "SELECT month, "
-            "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) "
-            "AS DECIMAL(38,0)) AS promo_rev_c4, "
-            "CAST(SUM(rev) AS DECIMAL(38,0)) AS total_rev_c4, "
+            "CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) "
+            "AS DECIMAL(38,0)) AS VARCHAR) AS promo_rev_c4, "
+            "CAST(CAST(SUM(rev) AS DECIMAL(38,0)) AS VARCHAR) "
+            "AS total_rev_c4, "
             "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) "
             "* 1000000 // SUM(rev) AS BIGINT) AS promo_share_ppm "
             "FROM j GROUP BY month ORDER BY month"
@@ -6654,7 +6671,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' "
             "AND l_shipdate < DATE '1995-04-01' GROUP BY l_suppkey) "
             "SELECT s.s_suppkey, s.s_name, "
-            "CAST(rev_c4 AS DECIMAL(38,0)) AS total_rev_c4 "
+            "CAST(CAST(rev_c4 AS DECIMAL(38,0)) AS VARCHAR) AS total_rev_c4 "
             "FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey "
             "WHERE rev_c4 = (SELECT MAX(rev_c4) FROM rev)"
         ),
