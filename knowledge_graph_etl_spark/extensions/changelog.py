@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_snapshot", "scd2_intervals", "snapshot_diff", "VALID_TO_OPEN"]
+__all__ = [
+    "latest_snapshot",
+    "scd2_intervals",
+    "scd2_apply_snapshot",
+    "snapshot_diff",
+    "VALID_TO_OPEN",
+]
 
 #: Sentinel for "still current" in :func:`scd2_intervals` — max int64,
 #: used instead of NULL so integer columns stay NULL-free (exact
@@ -187,3 +193,83 @@ def join_view_delta(
     d2 = a_old.join(b_delta, on)
     d3 = a_delta.join(b_delta, on)
     return d1.unionByName(d2).unionByName(d3)
+
+
+def scd2_apply_snapshot(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts: int,
+) -> DataFrame:
+    """Incremental SCD type-2 maintenance: apply a NEW full snapshot
+    (taken at integer timestamp ``ts``) to an existing type-2 dimension
+    (the :func:`scd2_intervals` shape: ``key_cols + attr_cols +
+    valid_from/valid_to/is_current``) without rebuilding history — the
+    warehouse MERGE that :func:`scd2_intervals` replaces only at
+    first-load time.  Per key:
+
+    * present in both, attrs unchanged → current row passes through;
+    * present in both, attrs changed  → current row closes at ``ts``,
+      a new open version ``[ts, OPEN)`` is inserted;
+    * only in the dimension           → current row closes at ``ts``
+      (the key was deleted upstream);
+    * only in the snapshot            → new open version inserted.
+
+    Attr comparison is NULL-safe (NULL == NULL is "unchanged").  ``ts``
+    must be strictly greater than every current row's ``valid_from`` —
+    the caller's snapshot-ordering contract (violations would emit
+    inverted intervals; this is not data-dependent so it is documented,
+    not scanned for).
+
+    Scale shape: CLOSED history rows pass through untouched — the only
+    shuffle is ONE full-outer join of the current rows against the
+    snapshot on the key.  On a dimension partitioned by ``is_current``
+    (or stored as current + history tables, the usual layout) the
+    closed partition is never even read back at write time; compute is
+    ``O(|current| + |snapshot|)`` regardless of how deep history grows.
+    Output schema is exactly ``key_cols + attr_cols + valid_from +
+    valid_to + is_current``.
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    if int(ts) == VALID_TO_OPEN:
+        raise ValueError("ts must be below the VALID_TO_OPEN sentinel")
+    out_cols = [*key_cols, *attr_cols, "valid_from", "valid_to", "is_current"]
+    missing = [c for c in out_cols if c not in dim.columns]
+    if missing:
+        raise ValueError(f"dim is missing SCD2 columns: {missing}")
+    hist = dim.where(~F.col("is_current")).select(*out_cols)
+    cur = dim.where(F.col("is_current")).alias("c")
+    snap = snapshot.select(*key_cols, *attr_cols).alias("s")
+    cond = None
+    for k in key_cols:
+        e = F.col(f"c.{k}") == F.col(f"s.{k}")
+        cond = e if cond is None else (cond & e)
+    j = cur.join(snap, cond, "full_outer")
+    in_cur = F.col(f"c.{key_cols[0]}").isNotNull()
+    in_snap = F.col(f"s.{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col(f"c.{a}").eqNullSafe(F.col(f"s.{a}"))
+
+    def _row(side: str, vf, vt, is_cur) -> F.Column:
+        return F.struct(
+            *[F.col(f"{side}.{k}").alias(k) for k in key_cols],
+            *[F.col(f"{side}.{a}").alias(a) for a in attr_cols],
+            vf.cast("long").alias("valid_from"),
+            vt.cast("long").alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    unchanged = _row("c", F.col("c.valid_from"), F.lit(VALID_TO_OPEN), F.lit(True))
+    closed = _row("c", F.col("c.valid_from"), F.lit(int(ts)), F.lit(False))
+    opened = _row("s", F.lit(int(ts)), F.lit(VALID_TO_OPEN), F.lit(True))
+    emitted = (
+        F.when(in_cur & in_snap & same, F.array(unchanged))
+        .when(in_cur & in_snap, F.array(closed, opened))
+        .when(in_cur, F.array(closed))
+        .otherwise(F.array(opened))
+    )
+    delta = j.select(F.explode(emitted).alias("_r")).select("_r.*")
+    return hist.unionByName(delta)

@@ -1672,3 +1672,83 @@ def matryoshka_recall(
         )
         .orderBy("dim")
     )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k computed in int8-QUANTIZED space —
+    the read path that pairs with :func:`quantize_int8`: a 4×-compressed
+    corpus is only useful if retrieval quality over the quantized
+    vectors is measured, and this op (fed to :func:`recall_at_k` against
+    :func:`cosine_topk`) is that measurement.
+
+    Symmetric per-vector quantization makes the per-vector scales CANCEL
+    in the cosine: cos(q·s_q, c·s_c) = cos(q, c) of the dequantized
+    vectors, so no dequantization happens — the score is
+    ``dot_int / (sqrt(|q|²_int) · sqrt(|c|²_int))`` where ``dot_int``
+    and both squared norms are EXACT bigint sums of int8 products
+    (|x|≤127 ⇒ a 2⁴⁶-dim vector fits int64 — no overflow at any real
+    dimensionality). Only the final divide-and-round-6 touches floats,
+    the same convention as every cosine in this module, so ranking is
+    bit-reproducible cross-engine. Zero vectors score 0.0 against
+    everything.
+
+    Scale shape: identical to :func:`cosine_topk` — quantization is a
+    narrow map fused into the scan projection, the query side
+    broadcasts, the corpus is never shuffled; the per-pair arithmetic is
+    integer adds (the reason real ANN services store int8).
+
+    Returns ``(query_id, neighbor_id, qcos_sim, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _q(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
+        qd = quantize_int8(df, vec_col=vec_col, id_col=src_id)
+        return qd.select(F.col(src_id).alias(out_id), F.col("qvec"))
+
+    q = _q(queries, "query_id", query_id_col).withColumnRenamed("qvec", "qq")
+    c = _q(corpus, "neighbor_id", id_col).withColumnRenamed("qvec", "cq")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qq"),
+            F.col("cq"),
+            lambda x, y: (x.cast("bigint") * y.cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+    def _n2(col: str) -> F.Column:
+        return F.aggregate(
+            F.col(col),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v.cast("bigint") * v.cast("bigint"),
+        )
+
+    nq2, nc2 = _n2("qq"), _n2("cq")
+    sim = F.when(
+        (nq2 > 0) & (nc2 > 0),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(nq2.cast("double")) * F.sqrt(nc2.cast("double"))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", sim.alias("qcos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcos_sim", "rank")
+    )

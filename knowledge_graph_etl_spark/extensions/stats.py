@@ -1061,3 +1061,290 @@ def selectivity_estimate(
         )
         .orderBy("lo", "hi")
     )
+
+
+def ks_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every PAIR of
+    groups' value distributions — the distribution-shape drift test that
+    :func:`profile_drift` (nulls/extremes/counts) cannot see: two crawls
+    can share min/max/distinct yet have a quality-score distribution
+    that shifted wholesale, and KS distance ``D = max_x |ECDF_a(x) −
+    ECDF_b(x)|`` is the standard detector (the two-sided DKW bound turns
+    D into a significance level; the pipeline decision threshold is on D
+    itself).
+
+    Exact integer form: values are micro-quantized to ``floor(x ·
+    quant_scale + 0.5)`` bigints (the :func:`~.similarity
+    .embedding_comoments` convention — bit-identical cross-engine, and
+    ties collapse identically), and instead of comparing float ECDFs the
+    op compares the INTEGER cross products: ``D_num = max |ca·nb −
+    cb·na|`` over the merged value grid (ca/cb cumulative counts, na/nb
+    totals), so ``D = D_num / (na·nb)`` is reported as ``d_ppm = D_num ·
+    1_000_000 div (na·nb)`` with zero float arithmetic anywhere. NULL
+    values are excluded (an ECDF is over observed values); group totals
+    count non-NULL rows.
+
+    Scale shape: the corpus is reduced FIRST to per-group value
+    histograms — one shuffle keyed on ``(group, quantized value)``, map-
+    side combinable, output bounded by Σ per-group distinct values. The
+    all-pairs expansion then runs on histogram rows only (×(|G|−1)
+    fan-out of the histogram, never of raw rows), one window pass per
+    merged grid. |G| is segment/crawl cardinality — small by
+    construction for a drift report.
+
+    Returns ``(group_a, group_b, n_a, n_b, d_num, d_ppm)`` for ordered
+    pairs ``group_a < group_b``.
+
+    Bound: the exact-integer path needs ``n_a · n_b < 2^63`` (≈3·10⁹
+    rows per side). Beyond that, run it on a hash-sampled subset
+    (``md5_u60(id) % m == 0``) — the KS statistic concentrates at rate
+    1/√n, so a 10⁹-row sample already resolves D to ~3·10⁻⁵.
+    """
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("g"), qv.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = hist.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
+    groups = totals.select("g", "n")
+    pairs = (
+        groups.select(
+            F.col("g").alias("group_a"), F.col("n").alias("n_a")
+        )
+        .join(
+            groups.select(
+                F.col("g").alias("group_b"), F.col("n").alias("n_b")
+            ),
+            F.col("group_a") < F.col("group_b"),
+            "inner",
+        )
+    )
+    # merged per-pair grid: each histogram row feeds every pair its group
+    # participates in; sided counts land in cnt_a / cnt_b.
+    side_a = pairs.join(hist, pairs.group_a == hist.g).select(
+        "group_a", "group_b", "n_a", "n_b", "v",
+        F.col("cnt").alias("cnt_a"), F.lit(0).cast("bigint").alias("cnt_b"),
+    )
+    side_b = pairs.join(hist, pairs.group_b == hist.g).select(
+        "group_a", "group_b", "n_a", "n_b", "v",
+        F.lit(0).cast("bigint").alias("cnt_a"), F.col("cnt").alias("cnt_b"),
+    )
+    grid = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "n_a", "n_b", "v")
+        .agg(
+            F.sum("cnt_a").cast("bigint").alias("ca_step"),
+            F.sum("cnt_b").cast("bigint").alias("cb_step"),
+        )
+    )
+    w = (
+        Window.partitionBy("group_a", "group_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.sum("ca_step").over(w).alias("ca"),
+        F.sum("cb_step").over(w).alias("cb"),
+    )
+    return (
+        cum.select(
+            "group_a", "group_b", "n_a", "n_b",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("dev"),
+        )
+        .groupBy("group_a", "group_b", "n_a", "n_b")
+        .agg(F.max("dev").cast("bigint").alias("d_num"))
+        .select(
+            "group_a", "group_b", "n_a", "n_b", "d_num",
+            F.expr("d_num * 1000000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("d_ppm"),
+        )
+    )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Robust per-group outlier report via the median / median-absolute-
+    deviation (MAD) rule: a value is an outlier when ``|x − median| >
+    k·MAD``. Mean/stddev-based z-scores break exactly when you need
+    them (the outliers inflate the stddev, masking themselves); the
+    median/MAD pair has a 50% breakdown point — the standard robust
+    gate for telemetry and training-signal columns.
+
+    Exact integer semantics: values are milli-quantized (``floor(x ·
+    quant_scale + 0.5)`` bigints); both medians are the LOWER median
+    selected by rank from the per-group value HISTOGRAM (the
+    :func:`winsorize_by_group` machinery: window rows are DISTINCT
+    values per group, never the raw table), and the flag compare
+    ``|x − med| > k · mad`` is pure bigint — no float anywhere, so the
+    report is bit-reproducible cross-engine. NULL values are excluded.
+
+    Scale shape: two histogram passes (values, then absolute
+    deviations), each one shuffle keyed on (group, distinct value) with
+    map-side combine, plus a broadcast join of the per-group med/mad
+    row back onto the histogram — the raw table is scanned once per
+    pass and never windowed. Returns one row per group: ``(group,
+    n, med_milli, mad_milli, n_outliers)``.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    g = F.col(group_col)
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
+    ).cast("bigint")
+
+    def _median_of(hist: DataFrame, out: str) -> DataFrame:
+        """Lower median by histogram rank: smallest v whose cumulative
+        count reaches ceil(n/2)."""
+        w_cum = (
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy("g")
+        ranked = hist.select(
+            "g",
+            "v",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        # lower median rank = (n + 1) div 2
+        r = F.expr("(n + 1) div 2")
+        return ranked.groupBy("g").agg(
+            F.min(F.when(F.col("cum") >= r, F.col("v"))).alias(out),
+            F.max("n").cast("bigint").alias(f"_n_{out}"),
+        )
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        g.cast("string").alias("g"), qv.alias("v")
+    )
+    hist = vals.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    med = _median_of(hist, "med").select(
+        "g", "med", F.col("_n_med").alias("n")
+    )
+    dev_hist = (
+        vals.join(F.broadcast(med.select("g", "med")), "g")
+        .select("g", F.abs(F.col("v") - F.col("med")).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    mad = _median_of(dev_hist, "mad").select("g", "mad")
+    scores = med.join(mad, "g")
+    flagged = (
+        vals.join(F.broadcast(scores), "g")
+        .where(F.abs(F.col("v") - F.col("med")) > F.lit(int(k)) * F.col("mad"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return (
+        scores.join(flagged, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n"),
+            F.col("med").alias("med_milli"),
+            F.col("mad").alias("mad_milli"),
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+#: floor(log10(1 + 1/d) * 1e6 + 0.5) for d = 1..9 — Benford's law in the
+#: project's integer-ppm convention, precomputed so neither engine
+#: evaluates log10 at query time (float libm differences can't leak in).
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / corruption audit for scale-spanning
+    positive quantities (prices, populations, file sizes): organic
+    multiplicative data leads with digit 1 ~30.1% of the time; uniform
+    or invented numbers don't.
+
+    The digit is extracted with pure integer arithmetic on the
+    milli-quantized value (``n div 10^(digits(n)-1)``, digits via the
+    decimal string length — identical on any engine; no float log10
+    anywhere, whose libm rounding at exact powers of ten differs across
+    platforms). Non-positive and NULL values are excluded (Benford is
+    defined on positive magnitudes).
+
+    Scale shape: one scan, one 9-key map-side-combinable aggregate.
+    Returns per digit: ``(digit, n, pct_ppm, benford_ppm, delta_ppm)``
+    with ppm shares in exact integer division; digits absent from the
+    data still report (n=0) so the audit never silently shortens.
+    """
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    n = F.floor(
+        F.col(value_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    digit = F.expr(
+        "__n div cast(pow(10, length(cast(__n as string)) - 1) as bigint)"
+    )
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .select(n.alias("__n"))
+        .where(F.col("__n") > 0)
+        .select(digit.cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, int(BENFORD_PPM[d - 1])) for d in range(1, 10)],
+        "digit int, benford_ppm bigint",
+    )
+    return (
+        spine.join(counts, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            "benford_ppm",
+        )
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy(F.lit(1)))
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div greatest(total, 1)")
+            .cast("bigint")
+            .alias("pct_ppm"),
+            "benford_ppm",
+            F.expr(
+                "abs(n * 1000000 div greatest(total, 1) - benford_ppm)"
+            )
+            .cast("bigint")
+            .alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )

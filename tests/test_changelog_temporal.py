@@ -5,6 +5,7 @@ the behavior-rich edges: deletes, out-of-order arrival, re-insert after
 delete, ties, pre-first-observation gaps."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from knowledge_graph_etl_spark.extensions.changelog import (
     VALID_TO_OPEN,
@@ -130,3 +131,107 @@ def test_snapshot_diff_null_text_is_present_not_absent(spark):
     new = spark.createDataFrame([(1, "x"), (2, None)], "doc_id long, text string")
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "changed", 2: "unchanged"}
+
+
+def test_scd2_apply_snapshot_all_four_cases(spark):
+    from knowledge_graph_etl_spark.extensions.changelog import (
+        VALID_TO_OPEN,
+        scd2_apply_snapshot,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            # closed history row — must pass through untouched
+            (1, "a-old", 100, 50, False),
+            (1, "a", 100, VALID_TO_OPEN, True),   # unchanged
+            (2, "b", 100, VALID_TO_OPEN, True),   # attr will change
+            (3, "c", 100, VALID_TO_OPEN, True),   # deleted upstream
+        ],
+        "k int, attr string, valid_from long, valid_to long, is_current boolean",
+    ).withColumn("valid_from", F.col("valid_from").cast("long"))
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (4, "d")], "k int, attr string"
+    )
+    out = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply_snapshot(dim, snap, ["k"], ["attr"], ts=200).collect()
+    }
+    assert out == {
+        (1, "a-old", 100, 50, False),
+        (1, "a", 100, VALID_TO_OPEN, True),
+        (2, "b", 100, 200, False),
+        (2, "b2", 200, VALID_TO_OPEN, True),
+        (3, "c", 100, 200, False),
+        (4, "d", 200, VALID_TO_OPEN, True),
+    }
+
+
+def test_scd2_apply_null_attr_is_unchanged(spark):
+    from knowledge_graph_etl_spark.extensions.changelog import (
+        VALID_TO_OPEN,
+        scd2_apply_snapshot,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, None, 100, VALID_TO_OPEN, True)],
+        "k int, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    snap = spark.createDataFrame([(1, None)], "k int, attr string")
+    rows = scd2_apply_snapshot(dim, snap, ["k"], ["attr"], ts=200).collect()
+    assert len(rows) == 1 and rows[0].valid_from == 100 and rows[0].is_current
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    """Iterated incremental application == scd2_intervals over the
+    change-only changelog of the same snapshot series."""
+    from knowledge_graph_etl_spark.extensions.changelog import (
+        VALID_TO_OPEN,
+        scd2_apply_snapshot,
+        scd2_intervals,
+    )
+
+    snaps = {
+        100: [(1, "a"), (2, "b"), (3, "c")],
+        200: [(1, "a"), (2, "b2")],            # 2 changed, 3 deleted
+        300: [(1, "a2"), (2, "b2"), (4, "d")], # 1 changed, 4 added
+    }
+    dim = spark.createDataFrame(
+        [(k, v, 100, VALID_TO_OPEN, True) for k, v in snaps[100]],
+        "k int, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    for ts in (200, 300):
+        snap = spark.createDataFrame(snaps[ts], "k int, attr string")
+        dim = scd2_apply_snapshot(dim, snap, ["k"], ["attr"], ts=ts)
+    # change-only changelog of the same series
+    log = [(1, "a", 100, "upsert"), (2, "b", 100, "upsert"),
+           (3, "c", 100, "upsert"), (2, "b2", 200, "upsert"),
+           (3, None, 200, "delete"), (1, "a2", 300, "upsert"),
+           (4, "d", 300, "upsert")]
+    cl = spark.createDataFrame(log, "k int, attr string, ts long, op string")
+    full = scd2_intervals(cl, ["k"], "ts").select(
+        "k", "attr", "valid_from", "valid_to", "is_current"
+    )
+    a = {tuple(r) for r in dim.collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b
+
+
+def test_scd2_apply_validates(spark):
+    from knowledge_graph_etl_spark.extensions.changelog import (
+        VALID_TO_OPEN,
+        scd2_apply_snapshot,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", 100, VALID_TO_OPEN, True)],
+        "k int, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    snap = spark.createDataFrame([(1, "a")], "k int, attr string")
+    with pytest.raises(ValueError):
+        scd2_apply_snapshot(dim, snap, [], ["attr"], ts=200)
+    with pytest.raises(ValueError):
+        scd2_apply_snapshot(dim, snap, ["k"], ["attr"], ts=VALID_TO_OPEN)
+    with pytest.raises(ValueError):
+        scd2_apply_snapshot(
+            dim.drop("is_current"), snap, ["k"], ["attr"], ts=200
+        )

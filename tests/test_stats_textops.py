@@ -1347,3 +1347,237 @@ def test_conversion_paths_depth_and_cold_start(spark):
         "^>view>purchase": 1,
         "^>^>purchase": 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# ks_2sample (extensions/stats.ks_2sample)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_2sample_hand_checked(spark):
+    from knowledge_graph_etl_spark.extensions.stats import ks_2sample
+
+    # a: {1,2,3}; b: {3,4,5,6} -> ECDFs diverge most at v=2 (3/3 vs 0/4)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0)] + [
+        ("b", float(x)) for x in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ks_2sample(df, "g", "v", quant_scale=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b, r.n_a, r.n_b) == ("a", "b", 3, 4)
+    # max |ca*nb - cb*na|: at v=2 -> |2*4 - 0*3| = 8; v=3 -> |12-3|=9
+    assert r.d_num == 9
+    assert r.d_ppm == 9 * 1_000_000 // 12
+
+
+def test_ks_2sample_identical_distributions_zero(spark):
+    from knowledge_graph_etl_spark.extensions.stats import ks_2sample
+
+    rows = [("a", float(x)) for x in range(10)] + [
+        ("b", float(x)) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_2sample(df, "g", "v").collect()[0]
+    assert r.d_num == 0 and r.d_ppm == 0
+
+
+def test_ks_2sample_null_values_excluded_and_pairs_ordered(spark):
+    from knowledge_graph_etl_spark.extensions.stats import ks_2sample
+
+    rows = [("b", 1.0), ("b", None), ("a", 1.0), ("c", 2.0), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.group_a, r.group_b): r for r in ks_2sample(df, "g", "v").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")].n_b == 1  # NULL excluded from the total
+    assert out[("a", "b")].d_num == 0  # identical single-point ECDFs
+    assert out[("a", "c")].d_ppm == 1_000_000  # disjoint supports
+
+    with pytest.raises(ValueError):
+        ks_2sample(df, "g", "v", quant_scale=0)
+
+
+# ---------------------------------------------------------------------------
+# int8_topk (extensions/similarity.int8_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_topk_matches_float_on_wellseparated_vectors(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        cosine_topk,
+        int8_topk,
+    )
+
+    # axis-aligned unit-ish vectors: quantization is exact up to scale,
+    # so int8 ranking must equal float ranking
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.1])], "query_id int, embedding array<double>"
+    )
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in int8_topk(corpus, q, k=4).orderBy("rank").collect()
+    ]
+    want = [
+        (r.neighbor_id, r.rank)
+        for r in cosine_topk(corpus, q, k=4).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_int8_topk_integer_dot_is_exact(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import int8_topk
+
+    # [3,4] quantizes to [95,127] (scale 127/4); [6,8] identically ->
+    # qcos must be exactly 1.0 (integer dot == product of norms)
+    corpus = spark.createDataFrame(
+        [(1, [6.0, 8.0])], "vec_id int, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(9, [3.0, 4.0])], "query_id int, embedding array<double>"
+    )
+    r = int8_topk(corpus, q, k=1).collect()[0]
+    assert r.qcos_sim == 1.0
+
+
+def test_int8_topk_zero_vector_scores_zero(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import int8_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 1.0])], "query_id int, embedding array<double>"
+    )
+    rows = {r.neighbor_id: r.qcos_sim for r in int8_topk(corpus, q, k=2).collect()}
+    assert rows[1] == 0.0 and rows[2] > 0.0
+
+    with pytest.raises(ValueError):
+        int8_topk(corpus, q, k=0)
+
+
+# ---------------------------------------------------------------------------
+# mad_outlier_report (extensions/stats.mad_outlier_report)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_hand_checked(spark):
+    from knowledge_graph_etl_spark.extensions.stats import mad_outlier_report
+
+    # group a: values 1..7 plus a wild 100 -> n=8, lower median of
+    # {1..7,100} = 4, deviations {3,2,1,0,1,2,3,96} sorted
+    # {0,1,1,2,2,3,3,96} -> lower median (rank (8+1)//2=4) = 2;
+    # outliers: |x-4| > 3*2=6 -> only 100.
+    rows = [("a", float(x)) for x in range(1, 8)] + [("a", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mad_outlier_report(df, "g", "v", k=3, quant_scale=1).collect()[0]
+    assert (r.n, r.med_milli, r.mad_milli, r.n_outliers) == (8, 4, 2, 1)
+
+
+def test_mad_outliers_constant_group_and_nulls(spark):
+    from knowledge_graph_etl_spark.extensions.stats import mad_outlier_report
+
+    # constant group: MAD = 0, any deviation is an outlier when k*0 < |d|
+    rows = [("c", 5.0)] * 4 + [("c", 6.0), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mad_outlier_report(df, "g", "v", k=3, quant_scale=1).collect()[0]
+    assert (r.n, r.med_milli, r.mad_milli) == (5, 5, 0)
+    assert r.n_outliers == 1  # the lone 6.0; NULL excluded from n
+
+    with pytest.raises(ValueError):
+        mad_outlier_report(df, "g", "v", k=-1)
+    with pytest.raises(ValueError):
+        mad_outlier_report(df, "g", "v", quant_scale=0)
+
+
+def test_mad_outliers_no_outliers_reports_zero(spark):
+    from knowledge_graph_etl_spark.extensions.stats import mad_outlier_report
+
+    rows = [("g", float(x)) for x in (10, 11, 12, 13, 14)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mad_outlier_report(df, "g", "v", k=3, quant_scale=1).collect()[0]
+    assert (r.med_milli, r.mad_milli, r.n_outliers) == (12, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg (extensions/events.time_weighted_avg)
+# ---------------------------------------------------------------------------
+
+
+def test_twap_hand_checked_hold_semantics(spark):
+    from knowledge_graph_etl_spark.extensions.events import time_weighted_avg
+
+    # value 100 held for 9 us, then 0 held for 1 us, then 50 (no hold):
+    # twap = (9*100 + 1*0) / 10 = 90
+    rows = [("s", 0, 1, 100.0), ("s", 9, 2, 0.0), ("s", 10, 3, 50.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, id int, v double")
+    r = time_weighted_avg(
+        df, "g", "ts", "v", tiebreak_col="id", quant_scale=1
+    ).collect()[0]
+    assert (r.n_samples, r.held_us, r.twap_milli) == (3, 10, 90)
+
+
+def test_twap_single_sample_and_nulls(spark):
+    from knowledge_graph_etl_spark.extensions.events import time_weighted_avg
+
+    rows = [("a", 0, 1, 7.0), ("b", 0, 1, 1.0), ("b", 5, 2, None), ("b", 10, 3, 3.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, id int, v double")
+    out = {r.g: r for r in time_weighted_avg(df, "g", "ts", "v", tiebreak_col="id", quant_scale=1).collect()}
+    # single sample: nothing held -> NULL twap
+    assert out["a"].n_samples == 1 and out["a"].twap_milli is None
+    # NULL sample removed BEFORE pairing: 1.0 held 0..10 (10us), twap=1
+    assert (out["b"].n_samples, out["b"].held_us, out["b"].twap_milli) == (2, 10, 1)
+
+    with pytest.raises(ValueError):
+        time_weighted_avg(df, "g", "ts", "v", quant_scale=0)
+
+
+def test_twap_weights_not_simple_average(spark):
+    from knowledge_graph_etl_spark.extensions.events import time_weighted_avg
+
+    # 100 held 99us, 0 held 1us -> twap 99000/100us = 99.0 (avg would be 50)
+    rows = [("s", 0, 100.0), ("s", 99, 0.0), ("s", 100, 0.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    r = time_weighted_avg(df, "g", "ts", "v", quant_scale=1).collect()[0]
+    assert r.twap_milli == 99
+
+
+# ---------------------------------------------------------------------------
+# benford_report (extensions/stats.benford_report)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_spine(spark):
+    from knowledge_graph_etl_spark.extensions.stats import benford_report
+
+    # first digits at quant_scale=1: 1, 1, 9, 3 (0.5 -> floor(0.5*1+0.5)=1);
+    # zero/negative/NULL excluded
+    rows = [(1.0,), (19.0,), (900.4,), (3.0,), (0.5,), (0.0,), (-7.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_report(df, "v", quant_scale=1).collect()}
+    assert set(out) == set(range(1, 10))  # spine always complete
+    assert out[1].n == 3 and out[3].n == 1 and out[9].n == 1
+    assert out[2].n == 0 and out[2].pct_ppm == 0
+    assert out[1].pct_ppm == 3 * 1_000_000 // 5
+    assert out[1].benford_ppm == 301030
+    assert out[1].delta_ppm == abs(out[1].pct_ppm - 301030)
+
+    with pytest.raises(ValueError):
+        benford_report(df, "v", quant_scale=0)
+
+
+def test_benford_uniform_magnitudes_follow_law_roughly(spark):
+    import math
+
+    from knowledge_graph_etl_spark.extensions.stats import benford_report
+
+    # 1000 log-uniform-ish values via exp of a dense grid: digit-1 share
+    # should land near 301030 ppm, far from uniform 111111
+    vals = [(math.exp(i * 13.815 / 1000),) for i in range(1000)]
+    df = spark.createDataFrame(vals, "v double")
+    r = {x.digit: x for x in benford_report(df, "v", quant_scale=1000).collect()}
+    assert abs(r[1].pct_ppm - 301030) < 25_000, r[1]
