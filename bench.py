@@ -107,6 +107,12 @@ def main() -> int:
     if setup_knn is not None:
         setup_knn(spark, sf_dir)
         entrymod.ann_beam_topk_q(spark, sf_dir).count()
+    # and for the steady-state inverted text index: search_bm25_steady
+    # measures the bucket-pruned probe, not the one-time corpus tokenize
+    setup_txt = getattr(entrymod, "ensure_text_index", None)
+    if setup_txt is not None:
+        setup_txt(spark, sf_dir)
+        entrymod.search_bm25_steady_q(spark, sf_dir).count()
     spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist()

@@ -20,7 +20,7 @@ the DuckDB oracle exactly regardless of partitioning (same pattern as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .text import tokens
@@ -28,6 +28,9 @@ from .text import tokens
 __all__ = [
     "bm25_scores",
     "bm25_topk",
+    "bm25_topk_steady",
+    "build_text_index",
+    "append_to_text_index",
     "rrf_fuse",
     "boolean_search",
     "parse_boolean_query",
@@ -208,34 +211,11 @@ def bm25_scores(
             "avgdl"
         ),
     )
-    idf = (
-        F.log(
-            F.lit(1.0)
-            + (
-                F.col("n_docs").cast("double")
-                - F.col("df").cast("double")
-                + F.lit(0.5)
-            )
-            / (F.col("df").cast("double") + F.lit(0.5))
-        )
-    )
-    tf_d = F.col("tf").cast("double")
-    denom = tf_d + F.lit(float(k1)) * (
-        F.lit(1.0 - float(b))
-        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
-    )
-    contrib = idf * tf_d * F.lit(float(k1) + 1.0) / denom
     scored = (
         hits.join(F.broadcast(df_t), "term")
         .join(F.broadcast(qterm), "term")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "qid",
-            "doc_id",
-            F.floor(contrib * F.lit(1000000.0) + F.lit(0.5))
-            .cast("long")
-            .alias("c_micro"),
-        )
+        .select("qid", "doc_id", _bm25_contrib(k1, b).alias("c_micro"))
     )
     return scored.groupBy("qid", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
@@ -426,3 +406,188 @@ def rrf_fuse(
     if topk is not None:
         out = out.where(F.col("rank") <= int(topk))
     return out.select("qid", "rank", "doc_id", "n_systems", "rrf_micro")
+
+
+def _bm25_contrib(k1: float, b: float) -> Column:
+    """The per-(query-term, doc) BM25 contribution in integer micro-units,
+    over standard column names ``tf, dl, df, n_docs, avgdl`` — ONE
+    definition shared by the batch scorer (:func:`bm25_scores`) and the
+    steady-index probe (:func:`bm25_topk_steady`), so the two paths
+    cannot drift (they are oracled against the same SQL)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    return (
+        F.floor(idf * tf_d * F.lit(float(k1) + 1.0) / denom * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+    )
+
+
+def build_text_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+    mode: str = "overwrite",
+) -> tuple[str, str]:
+    """One-time inverted-index build for :func:`bm25_topk_steady`:
+    persist the corpus's posting list ``(term, doc_id, tf, dl)`` BUCKETED
+    on ``term`` — the probe join's key — as managed table
+    ``{table_prefix}_postings``, plus a ``{table_prefix}_stats`` partials
+    table holding ``(n_docs, sum_dl)`` for the batch.
+
+    This completes the admission-cycle triptych (dedup:
+    :func:`~.dedup.build_dedup_index`; ANN: :func:`~.similarity
+    .ivf_append`) for the third retrieval family: a production search
+    service tokenizes the corpus ONCE at indexing time; queries must not
+    re-scan raw text. Bucketing on ``term`` means a probe for a bounded
+    query vocabulary reads only the buckets those terms hash to
+    (``SelectedBucketsCount`` in the plan) with no Exchange over the
+    postings — the scan is the exchange, the dedup-index property.
+
+    The stats table is APPEND-ONLY mergeable partials (the
+    :func:`~.stats.aggregate_partials` algebra): each build/append batch
+    writes one ``(n_docs, sum_dl)`` row; the probe SUMs them — corpus
+    scalars stay exact without a read-modify-write cycle. ``sum_dl`` is
+    an exact bigint, so ``avgdl = sum_dl / n_docs`` is the same double
+    the one-shot scorer computes (integer-valued double sums are exact
+    below 2^53) — probe scores are bit-identical to :func:`bm25_topk`
+    over the same corpus.
+    """
+    from .layout import write_bucketed
+    from .text import tokens as _tokens
+
+    tok = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col))).alias("dl"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    postings = tok.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = (
+        corpus.select(F.size(_tokens(F.col(text_col))).alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("dl").cast("long")).cast("long").alias("sum_dl"),
+        )
+    )
+    postings_table = f"{table_prefix}_postings"
+    stats_table = f"{table_prefix}_stats"
+    write_bucketed(postings, postings_table, ["term"], num_buckets, mode=mode)
+    stats.write.mode(mode).format("parquet").saveAsTable(stats_table)
+    return postings_table, stats_table
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> None:
+    """Admit a document batch into the steady-state inverted index:
+    append its posting rows (restating the bucket spec — Spark verifies
+    it against the table's metadata, the guard that keeps probes
+    shuffle-free as the index grows) and one ``(n_docs, sum_dl)``
+    partials row. Only batch-sized data is tokenized and shuffled; the
+    existing index is never read. Probing after an append is exactly
+    equivalent to a one-shot :func:`bm25_topk` over the union corpus
+    (df/N/avgdl all recompose — pinned in tests)."""
+    build_text_index(
+        new_docs,
+        table_prefix,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+        mode="append",
+    )
+
+
+def bm25_topk_steady(
+    queries: DataFrame,
+    table_prefix: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    qid_col: str = "qid",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """Top-``k`` BM25 retrieval against the PREBUILT bucketed inverted
+    index of :func:`build_text_index` — the steady-state read path: no
+    raw-text scan, no corpus tokenize, no Exchange over the postings.
+
+    The distinct query vocabulary is collected (bounded: queries are a
+    tiny batch by contract — same bounded-collect class as the IVF
+    centroid sample) and pushed as a LITERAL ``term IN (...)`` filter,
+    so the bucketed scan prunes to the buckets containing query terms
+    (``SelectedBucketsCount < total`` — plan-pinned in tests).
+    ``df(t)`` is counted from the pruned posting rows (identical to the
+    whole-corpus df: the filter is BY term); ``N``/``avgdl`` come from
+    summing the stats partials. Scoring reuses :func:`_bm25_contrib`,
+    so results are bit-identical to :func:`bm25_topk` over the same
+    corpus and share its oracle.
+
+    Returns ``(qid, rank, doc_id, n_hit_terms, score_micro)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .text import tokens as _tokens
+
+    spark = queries.sparkSession
+    qterm = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(_tokens(F.col(qtext_col))).alias("term"),
+        )
+        .distinct()
+    )
+    terms = [r["term"] for r in qterm.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "qid long, rank long, doc_id long, n_hit_terms long, "
+            "score_micro long",
+        )
+    hits = spark.table(f"{table_prefix}_postings").where(
+        F.col("term").isin(terms)
+    )
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.table(f"{table_prefix}_stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (
+            F.sum("sum_dl").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterm), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", _bm25_contrib(k1, b).alias("c_micro"))
+    )
+    s = scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "n_hit_terms", "score_micro")
+    )

@@ -1130,3 +1130,119 @@ def test_negative_samples_never_positive_and_deterministic(spark):
     assert max(per_edge.values()) <= 3
     again = negative_edge_samples(edges, m=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# steady-state inverted index (search.build_text_index / bm25_topk_steady)
+# ---------------------------------------------------------------------------
+
+
+def _drop_text_index(spark, prefix):
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_stats")
+
+
+def test_bm25_steady_equals_one_shot(spark):
+    """Probe of the prebuilt index is bit-identical to bm25_topk over the
+    same corpus — same scoring expression (_bm25_contrib), same stats."""
+    from knowledge_graph_etl_spark.extensions.search import (
+        bm25_topk,
+        bm25_topk_steady,
+        build_text_index,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cats and dogs and cats"),
+        (4, "a completely different document about spark"),
+        (5, ""),
+    ]
+    queries = [(100, "the cat"), (101, "spark log")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame(queries, ["qid", "query"])
+    _drop_text_index(spark, "t_txtidx")
+    try:
+        build_text_index(ddf, "t_txtidx", num_buckets=4)
+        got = {tuple(r) for r in bm25_topk_steady(qdf, "t_txtidx", k=10).collect()}
+        want = {tuple(r) for r in bm25_topk(ddf, qdf, k=10).collect()}
+        assert got == want and got
+    finally:
+        _drop_text_index(spark, "t_txtidx")
+
+
+def test_bm25_steady_append_equals_union_oneshot(spark):
+    """append_to_text_index then probe == one-shot over the union corpus:
+    df, N and avgdl all recompose from the appended postings + stats
+    partials."""
+    from knowledge_graph_etl_spark.extensions.search import (
+        append_to_text_index,
+        bm25_topk,
+        bm25_topk_steady,
+        build_text_index,
+    )
+
+    base = [
+        (1, "alpha beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "gamma delta epsilon"),
+    ]
+    batch = [(10, "alpha zeta"), (11, "beta beta beta eta")]
+    queries = [(7, "alpha beta"), (8, "zeta")]
+    qdf = spark.createDataFrame(queries, ["qid", "query"])
+    _drop_text_index(spark, "t_txtidx2")
+    try:
+        build_text_index(
+            spark.createDataFrame(base, ["doc_id", "text"]),
+            "t_txtidx2",
+            num_buckets=4,
+        )
+        append_to_text_index(
+            spark.createDataFrame(batch, ["doc_id", "text"]),
+            "t_txtidx2",
+            num_buckets=4,
+        )
+        got = {
+            tuple(r)
+            for r in bm25_topk_steady(qdf, "t_txtidx2", k=10).collect()
+        }
+        union = spark.createDataFrame(base + batch, ["doc_id", "text"])
+        want = {tuple(r) for r in bm25_topk(union, qdf, k=10).collect()}
+        assert got == want and got
+    finally:
+        _drop_text_index(spark, "t_txtidx2")
+
+
+def test_bm25_steady_probe_is_bucket_pruned(spark):
+    """The probe's postings scan carries SelectedBucketsCount (bucket
+    pruning from the literal term IN filter) — the shuffle-free index
+    property; and empty/invalid probes behave."""
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.search import (
+        bm25_topk_steady,
+        build_text_index,
+    )
+
+    docs = [(i, f"term{i} shared") for i in range(1, 9)]
+    qdf = spark.createDataFrame([(1, "term3")], ["qid", "query"])
+    _drop_text_index(spark, "t_txtidx3")
+    try:
+        build_text_index(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "t_txtidx3",
+            num_buckets=8,
+        )
+        out = bm25_topk_steady(qdf, "t_txtidx3", k=5)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount" in plan, plan
+        assert [r.doc_id for r in out.collect()] == [3]
+        # empty query vocabulary -> empty result, no table scan crash
+        eq = spark.createDataFrame([(9, "")], ["qid", "query"])
+        assert bm25_topk_steady(eq, "t_txtidx3", k=5).count() == 0
+        with _pytest.raises(ValueError):
+            bm25_topk_steady(qdf, "t_txtidx3", k=0)
+    finally:
+        _drop_text_index(spark, "t_txtidx3")
