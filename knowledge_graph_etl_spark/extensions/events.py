@@ -524,3 +524,78 @@ def conversion_paths(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), F.col("path"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per group over irregularly sampled
+    values — the hypertable rollup a plain AVG gets wrong: a sensor that
+    reports 100 for an hour and 0 for a second must average ≈100, not
+    50. Each sample is held until the NEXT sample of its group
+    (zero-order hold); the last sample has no held duration and carries
+    no weight.
+
+    Exact integers: values milli-quantize to ``floor(x·quant_scale+0.5)``
+    bigints; weights are epoch-microsecond gaps; ``twap_milli =
+    Σ(gap·v) div Σ(gap)``. Because Σgap per group is bounded by the
+    observed SPAN (gaps tile it), the weighted sum is bounded by
+    ``span_µs · max|v_milli|`` — overflow-safe for |v| ≤ ~10⁶ over
+    multi-year spans; quantize coarser for wilder domains. NULL values
+    are excluded before pairing (the hold skips to the next real
+    sample). Groups with a single sample report ``twap_milli`` NULL
+    (nothing was ever held).
+
+    Scale shape: ONE shuffle on the group key for the lead() window,
+    then a map-side-combinable sum — the same cost as any per-key
+    sessionization. Returns ``(group, n_samples, held_us,
+    twap_milli)``.
+    """
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    from pyspark.sql import Window
+
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    rows = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("bigint").alias("ts"),
+            qv.alias("v"),
+            *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+        )
+    )
+    worder = [F.col("ts").asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy("g").orderBy(*worder)
+    gap = (F.lead("ts").over(w) - F.col("ts")).alias("gap")
+    held = rows.select("g", "v", gap)
+    return (
+        held.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("gap").cast("bigint").alias("held_us"),
+            F.sum(F.col("gap") * F.col("v")).cast("bigint").alias("_wv"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_samples",
+            F.coalesce(F.col("held_us"), F.lit(0))
+            .cast("bigint")
+            .alias("held_us"),
+            F.when(
+                F.coalesce(F.col("held_us"), F.lit(0)) > 0,
+                F.expr("_wv div held_us"),
+            )
+            .cast("bigint")
+            .alias("twap_milli"),
+        )
+    )

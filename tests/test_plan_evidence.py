@@ -513,3 +513,41 @@ def test_smallqty_revenue_broadcasts_dim_and_decorrelates(spark):
     # the final rollup -> the word HashAggregate appears, and no
     # nested-loop / cartesian fallback does
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_supplier_blame_decorrelated_no_cartesian(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair is decorrelated into ONE
+    per-order aggregate joined back — the plan must contain no cartesian
+    or nested-loop fallback and no more joins than the rewrite needs."""
+    import __spark_entry__ as entry
+
+    df = entry.late_supplier_blame(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # supplier-name lookup broadcasts; the global top-20 is a TakeOrdered
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_order_priority_wait_is_semi_join(spark):
+    """Q4 shape: the EXISTS collapses to a LEFT SEMI join — each order
+    counted once regardless of how many late lines it has — and the
+    orderdate filter reaches the scan."""
+    import __spark_entry__ as entry
+
+    df = entry.order_priority_wait(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters" in plan or "o_orderdate" in plan, plan
+
+
+def test_nation_market_share_broadcasts_all_dims(spark):
+    """Q8 shape: every dimension side broadcasts — the fact table
+    shuffles only for the orderkey join; no cartesian anywhere."""
+    import __spark_entry__ as entry
+
+    df = entry.nation_market_share(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
