@@ -4347,6 +4347,68 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def dedup_edit1_pairs_q(spark, sf_dir):
+    """Character-level near-identical entity names (extensions/dedup.
+    edit1_pairs): FastSS deletion-neighborhood candidates + exact
+    levenshtein <= 1 verify -- never all-pairs. Runs on customer names
+    (zero-padded sequential ids, so single-digit substitutions abound --
+    the OCR/typo shape; the synthetic documents vocabulary happens to
+    contain no edit-1 pairs, which would make the oracle trivially
+    green)."""
+    from knowledge_graph_etl_spark.extensions.dedup import edit1_pairs
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("word"))
+    return edit1_pairs(c, "word", min_len=4)
+
+
+def events_reconcile_q(spark, sf_dir):
+    """Cross-source event reconciliation (extensions/temporal.
+    nearest_event_match): each purchase matched to the NEAREST click of
+    the same user within +-10 min (both directions -- not as-of);
+    unmatched purchases reported, sentinel-coded (-1/-1/0 + matched
+    false) so no NULL-holed bigint column reaches the driver."""
+    from knowledge_graph_etl_spark.extensions.temporal import (
+        nearest_event_match,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    out = nearest_event_match(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+        key_col="user_id",
+        ts_col="ts_us",
+        tolerance=600_000_000,
+        left_id_col="event_id",
+        right_id_col="event_id",
+    )
+    return out.select(
+        "left_id",
+        F.col("key").alias("user_id"),
+        "left_ts",
+        F.col("right_id").isNotNull().alias("matched"),
+        F.coalesce(F.col("right_id"), F.lit(-1)).cast("long").alias("right_id"),
+        F.coalesce(F.col("right_ts"), F.lit(-1)).cast("long").alias("right_ts"),
+        F.coalesce(F.col("dt"), F.lit(0)).cast("long").alias("dt"),
+    )
+
+
+def curation_priority_sample_q(spark, sf_dir):
+    """Weighted deterministic sampling (extensions/curation.
+    priority_sample): 10 docs per language, inclusion odds proportional
+    to n_chars -- sequential-Poisson priorities from the fixed md5
+    draw."""
+    from knowledge_graph_etl_spark.extensions.curation import priority_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = priority_sample(d, "n_chars", group_col="lang", n=10)
+    return out.select("lang", "doc_id", "w_milli", "sample_rank")
+
+
 def nation_market_share(spark, sf_dir):
     """TPC-H Q8 shape -- NATION_2's share of ASIA's PROMO-part market per
     order year: the widest join tree in the registry (lineitem x part x
@@ -4666,6 +4728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": nation_market_share,
         "events_twap": events_twap_q,
         "stats_benford": stats_benford_q,
+        "dedup_edit1_pairs": dedup_edit1_pairs_q,
+        "events_reconcile": events_reconcile_q,
+        "curation_priority_sample": curation_priority_sample_q,
         "late_supplier_blame": late_supplier_blame,
         "order_priority_wait": order_priority_wait,
         "events_mad_outliers": events_mad_outliers_q,
@@ -5723,6 +5788,53 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "dedup_edit1_pairs": (
+            "WITH wv AS (SELECT DISTINCT c_name AS w FROM customer "
+            "WHERE length(c_name) >= 4), "
+            "ex AS (SELECT w, unnest(list_append("
+            "list_transform(generate_series(1, length(w)), i -> "
+            "substr(w, 1, i - 1) || substr(w, i + 1, length(w))), w)) "
+            "AS v FROM wv), "
+            "cand AS (SELECT DISTINCT a.w AS word_a, b.w AS word_b "
+            "FROM ex a JOIN ex b ON a.v = b.v AND a.w < b.w) "
+            "SELECT word_a, word_b, "
+            "CAST(levenshtein(word_a, word_b) AS INTEGER) AS dist "
+            "FROM cand WHERE levenshtein(word_a, word_b) <= 1"
+        ),
+        "events_reconcile": (
+            "WITH p AS (SELECT event_id AS left_id, user_id AS key, "
+            "epoch_us(ts) AS left_ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS right_id, user_id AS key, "
+            "epoch_us(ts) AS right_ts FROM events "
+            "WHERE event_type = 'click'), "
+            "cand AS (SELECT p.left_id, p.key, p.left_ts, c.right_id, "
+            "c.right_ts, c.right_ts - p.left_ts AS dt FROM p JOIN c "
+            "ON c.key = p.key "
+            "AND abs(c.right_ts - p.left_ts) <= 600000000), "
+            "best AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY left_id ORDER BY abs(dt), right_ts, right_id) "
+            "AS rn FROM cand) WHERE rn = 1) "
+            "SELECT p.left_id, p.key AS user_id, p.left_ts, "
+            "b.right_id IS NOT NULL AS matched, "
+            "CAST(COALESCE(b.right_id, -1) AS BIGINT) AS right_id, "
+            "CAST(COALESCE(b.right_ts, -1) AS BIGINT) AS right_ts, "
+            "CAST(COALESCE(b.dt, 0) AS BIGINT) AS dt "
+            "FROM p LEFT JOIN best b ON b.left_id = p.left_id"
+        ),
+        "curation_priority_sample": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "CAST(floor(CAST(n_chars AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+            "AS w_milli FROM documents), "
+            "f AS (SELECT * FROM d WHERE w_milli > 0), "
+            "r AS (SELECT lang, doc_id, w_milli, row_number() OVER "
+            "(PARTITION BY lang ORDER BY "
+            "CAST(CAST(('0x' || substr(md5('prio' || "
+            "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) "
+            "/ CAST(w_milli AS DOUBLE), doc_id) AS rk FROM f) "
+            "SELECT lang, doc_id, w_milli, CAST(rk AS INTEGER) "
+            "AS sample_rank FROM r WHERE rk <= 10"
+        ),
         "nation_market_share": (
             "WITH j AS (SELECT year(o.o_orderdate) AS o_year, "
             "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "

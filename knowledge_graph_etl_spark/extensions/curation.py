@@ -2307,3 +2307,59 @@ def perplexity_buckets(
             "bigint"
         ),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    n: int = 100,
+    salt: str = "prio",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (sequential
+    Poisson / priority sampling, Ohlsson 1998): each row draws the
+    uniform hash ``u = md5_u60(salt || id) / 2^60`` and is ranked by
+    priority ``u / w`` — the ``n`` smallest priorities per group win, so
+    a row with twice the weight is (asymptotically) twice as likely to
+    be kept. The weighted complement of :func:`sample_per_group`
+    (uniform): quality-weighted corpus subsetting, importance-weighted
+    eval carve-outs, upweighting rare domains WITHOUT the duplication
+    :func:`mixture_sample` uses.
+
+    Like every sampler in this module the draw is hash-deterministic —
+    reproducible across runs, partitionings, engines; retried tasks
+    cannot re-draw. Weights are milli-quantized to exact bigints
+    (``floor(w·1000 + 0.5)``); rows with non-positive weight are
+    EXCLUDED (weight 0 = never sampled). The priority compare divides
+    two exact integers in double — identical on any IEEE engine — and
+    ties (same hash AND weight) break on the id.
+
+    For Horvitz-Thompson totals: with τ = the (n+1)-th smallest
+    priority of a group, each kept row estimates its stratum mass with
+    weight ``max(w_i, τ·...)`` — the caller keeps τ from rank n+1; this
+    op emits the sample itself (``sample_rank`` 1-based).
+
+    One window shuffle on the group key, constant per-row math —
+    :func:`sample_per_group`'s exact cost. Returns the kept rows +
+    ``w_milli`` + ``sample_rank``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .hashing import md5_u60
+
+    w_milli = F.floor(
+        F.col(weight_col).cast("double") * F.lit(1000) + F.lit(0.5)
+    ).cast("bigint")
+    u = md5_u60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    prio = u.cast("double") / F.col("w_milli").cast("double")
+    keys = [group_col] if group_col else [F.lit(1)]
+    win = Window.partitionBy(*keys).orderBy(
+        prio.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("w_milli", w_milli)
+        .where(F.col("w_milli") > 0)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= n)
+    )

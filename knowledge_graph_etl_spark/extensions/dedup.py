@@ -1168,3 +1168,63 @@ def setsim_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "size_a", "size_b", "jaccard")
     )
+
+
+def edit1_pairs(
+    vocab: DataFrame,
+    word_col: str = "word",
+    min_len: int = 4,
+) -> DataFrame:
+    """All pairs of vocabulary words within Levenshtein distance 1 — the
+    FastSS / SymSpell deletion-neighborhood join, the character-level
+    member of the dedup family (the token-level ops — minhash, simhash,
+    n-gram Jaccard — cannot see typo variants: 'recieve'/'receive' share
+    few shingles but are edit distance 2... and 'color'/'colour' distance
+    1). The standard use is query/vocab normalization and OCR-noise
+    clustering before token-level dedup runs.
+
+    Candidate generation is exact by the deletion-neighborhood theorem:
+    ed(a, b) <= 1 implies D(a) ∩ D(b) != ∅ where D(w) = {w} ∪
+    {single-character deletions of w} — so candidates come from an
+    EQUI-join on deletion variants (never all-pairs), and a final exact
+    ``levenshtein() <= 1`` filter removes the false positives the
+    shared-variant test admits (e.g. 'ab'/'ba' share variants at
+    distance 2). Both engines ship the same Wagner-Fischer levenshtein,
+    so the verify step is exactly oracle-able.
+
+    Scale shape: per-word fan-out is ``len(word) + 1`` variant rows; the
+    join key is the variant string. ``min_len`` (default 4) keeps the
+    hottest short variants out of the index — the skew guard: a 1-char
+    variant key would collect every 2-char word in one reducer. One
+    distinct pass over the vocabulary, one variant equi-join, exact
+    verification inside the join projection. Returns ``(word_a, word_b,
+    dist)`` with ``word_a < word_b``, set semantics.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    w = (
+        vocab.select(F.col(word_col).cast("string").alias("w"))
+        .where(F.length("w") >= min_len)
+        .distinct()
+    )
+    variants = F.concat(
+        F.array(F.col("w")),
+        F.expr(
+            "transform(sequence(1, length(w)), i -> "
+            "concat(substring(w, 1, i - 1), "
+            "substring(w, i + 1, length(w))))"
+        ),
+    )
+    ex = w.select("w", F.explode(variants).alias("v"))
+    a = ex.select(F.col("w").alias("word_a"), "v")
+    b = ex.select(F.col("w").alias("word_b"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("word_a"), F.col("word_b"))
+        )
+        .where(F.col("dist") <= 1)
+    )

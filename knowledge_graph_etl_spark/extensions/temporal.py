@@ -206,3 +206,101 @@ def gapfill_locf(
         ).alias("filled_value"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def nearest_event_match(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tolerance: int,
+    left_id_col: str,
+    right_id_col: str,
+) -> DataFrame:
+    """Cross-source event reconciliation: for each left event, the
+    NEAREST right event of the same key within ``±tolerance`` time units
+    — both directions, unlike :func:`asof_join` (latest ``<=``). The
+    shape every dual-pipeline audit needs ("did the warehouse see the
+    event the stream saw, and with what lag?"): unmatched left rows are
+    REPORTED (NULL match), not dropped, because the unmatched set is the
+    finding.
+
+    Spark has no native band join that picks one best match; the naive
+    form is a per-row range theta-join. Here: both sides bucket at
+    ``tolerance`` width, the right side replicates into its bucket ±1
+    (so every pair within tolerance shares a bucket row — bounded ×3
+    fan-out, never corpus²), the exact ``|Δt| <= tolerance`` filter runs
+    inside the join, and one window per left row keeps the best match
+    (smallest ``|Δt|``, then earlier right ts, then smaller right id —
+    total order, engine-reproducible). A left anti-join back to the
+    spine restores unmatched rows.
+
+    Returns ``(left_id, key, left_ts, right_id, right_ts, dt)`` with
+    ``dt = right_ts - left_ts`` (NULL row tail for unmatched).
+    """
+    if tolerance < 1:
+        raise ValueError(f"tolerance must be >= 1, got {tolerance}")
+    l = left.select(
+        F.col(left_id_col).alias("left_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("left_ts"),
+    )
+    r = right.select(
+        F.col(right_id_col).alias("right_id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("right_ts"),
+    )
+    lb = l.withColumn(
+        "bucket", F.floor(F.col("left_ts") / F.lit(int(tolerance)))
+    )
+    rb = r.select(
+        "right_id",
+        "key",
+        "right_ts",
+        F.explode(
+            F.array(F.lit(-1), F.lit(0), F.lit(1))
+        ).alias("shift"),
+    ).select(
+        "right_id",
+        "key",
+        "right_ts",
+        (
+            F.floor(F.col("right_ts") / F.lit(int(tolerance)))
+            + F.col("shift")
+        ).alias("bucket"),
+    )
+    cand = (
+        lb.join(rb, ["key", "bucket"])
+        .where(
+            F.abs(F.col("right_ts") - F.col("left_ts"))
+            <= F.lit(int(tolerance))
+        )
+        .select(
+            "left_id",
+            "key",
+            "left_ts",
+            "right_id",
+            "right_ts",
+            (F.col("right_ts") - F.col("left_ts")).alias("dt"),
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.abs(F.col("dt")).asc(), F.col("right_ts").asc(), F.col("right_id").asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    unmatched = (
+        l.join(best.select("left_id"), "left_id", "left_anti")
+        .select(
+            "left_id",
+            "key",
+            "left_ts",
+            F.lit(None).cast("long").alias("right_id"),
+            F.lit(None).cast("long").alias("right_ts"),
+            F.lit(None).cast("long").alias("dt"),
+        )
+    )
+    return best.unionByName(unmatched)

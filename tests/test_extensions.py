@@ -1434,3 +1434,158 @@ def test_matryoshka_recall_full_dim_perfect_and_monotone_ish(spark):
     }
     assert out[16] == 1_000_000            # truth vs itself
     assert out[4] >= 600_000               # signal prefix retains most
+
+
+# ---------------------------------------------------------------------------
+# edit1_pairs (extensions/dedup.edit1_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_edit1_pairs_all_three_edit_kinds(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import edit1_pairs
+
+    vocab = spark.createDataFrame(
+        [("colour",), ("color",), ("colors",), ("gizmo",), ("gizmos",)],
+        "word string",
+    )
+    got = {
+        (r.word_a, r.word_b)
+        for r in edit1_pairs(vocab, "word", min_len=4).collect()
+    }
+    # deletion (colour/color), insertion (color/colors), suffix-add
+    assert ("color", "colour") in got
+    assert ("color", "colors") in got
+    assert ("gizmo", "gizmos") in got
+    # colour/colors is distance 2 -> absent
+    assert ("colors", "colour") not in got
+
+
+def test_edit1_pairs_shared_variant_false_positive_filtered(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import edit1_pairs
+
+    # 'abcd'/'bacd' share deletion variants ('acd','bcd') but are
+    # distance 2 -- the exact verify must drop them
+    vocab = spark.createDataFrame([("abcd",), ("bacd",)], "word string")
+    assert edit1_pairs(vocab, "word", min_len=4).count() == 0
+
+
+def test_edit1_pairs_min_len_and_substitution(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.dedup import edit1_pairs
+
+    vocab = spark.createDataFrame(
+        [("cat",), ("cut",), ("cart",), ("curt",)], "word string"
+    )
+    got = {
+        (r.word_a, r.word_b, r.dist)
+        for r in edit1_pairs(vocab, "word", min_len=4).collect()
+    }
+    # cat/cut are below min_len=4 and excluded entirely
+    assert got == {("cart", "curt", 1)}
+    with _pytest.raises(ValueError):
+        edit1_pairs(vocab, "word", min_len=1)
+
+
+# ---------------------------------------------------------------------------
+# nearest_event_match (extensions/temporal.nearest_event_match)
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_match_both_directions_and_tolerance(spark):
+    from knowledge_graph_etl_spark.extensions.temporal import (
+        nearest_event_match,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 7, 100), (2, 7, 1000), (3, 8, 100)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        # user 7: at 103 (|dt|=3 to left 1) and 92 (|dt|=8): nearest is
+        # AFTER the left event -- as-of would pick 92
+        [(11, 7, 103), (12, 7, 92), (13, 9, 100)],
+        "event_id long, user_id long, ts long",
+    )
+    out = {
+        r.left_id: r
+        for r in nearest_event_match(
+            left, right, "user_id", "ts", 10, "event_id", "event_id"
+        ).collect()
+    }
+    assert (out[1].right_id, out[1].dt) == (11, 3)
+    # left 2 at 1000: nothing within 10 -> unmatched NULL row
+    assert out[2].right_id is None and out[2].dt is None
+    # left 3: user 8 has no right events at all
+    assert out[3].right_id is None
+
+
+def test_nearest_match_tiebreak_and_bucket_edges(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.temporal import (
+        nearest_event_match,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5, 100)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        # equidistant at +-4: tie-break earlier right_ts (96)
+        [(21, 5, 104), (22, 5, 96), (23, 5, 110)],
+        "event_id long, user_id long, ts long",
+    )
+    out = nearest_event_match(
+        left, right, "user_id", "ts", 10, "event_id", "event_id"
+    ).collect()
+    assert len(out) == 1 and out[0].right_id == 22 and out[0].dt == -4
+    # exact tolerance boundary included: |dt| == tolerance
+    left2 = spark.createDataFrame(
+        [(9, 5, 120)], "event_id long, user_id long, ts long"
+    )
+    out2 = nearest_event_match(
+        left2, right, "user_id", "ts", 10, "event_id", "event_id"
+    ).collect()
+    assert out2[0].right_id == 23 and out2[0].dt == -10
+    with _pytest.raises(ValueError):
+        nearest_event_match(
+            left, right, "user_id", "ts", 0, "event_id", "event_id"
+        )
+
+
+# ---------------------------------------------------------------------------
+# priority_sample (extensions/curation.priority_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_matches_python_priorities(spark):
+    import hashlib
+
+    from knowledge_graph_etl_spark.extensions.curation import priority_sample
+
+    rows = [(i, "g", float(i)) for i in range(1, 21)]  # weight = id
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = priority_sample(df, "w", group_col="lang", id_col="doc_id", n=5)
+    got = [(r.doc_id, r.sample_rank) for r in out.orderBy("sample_rank").collect()]
+
+    def prio(i):
+        h = int(hashlib.md5(f"prio{i}".encode()).hexdigest()[:15], 16)
+        return (float(h) / (i * 1000.0), i)
+
+    want = sorted(range(1, 21), key=prio)[:5]
+    assert [d for d, _ in got] == want
+    assert [r for _, r in got] == [1, 2, 3, 4, 5]
+
+
+def test_priority_sample_excludes_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.curation import priority_sample
+
+    rows = [(1, 0.0), (2, -3.0), (3, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = priority_sample(df, "w", id_col="doc_id", n=10).collect()
+    assert [r.doc_id for r in out] == [3]
+    assert out[0].w_milli == 2000
+    with _pytest.raises(ValueError):
+        priority_sample(df, "w", n=0)
