@@ -4347,6 +4347,29 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def stats_pareto_q(spark, sf_dir):
+    """Part price/size skyline (extensions/stats.pareto_frontier):
+    largest-size-for-the-money frontier -- maximize p_size, minimize
+    p_retailprice; one window over the distinct value grid, never the
+    O(n^2) NOT-EXISTS self-join the naive plan runs."""
+    from knowledge_graph_etl_spark.extensions.stats import pareto_frontier
+
+    return pareto_frontier(
+        _t(spark, sf_dir, "part"), "p_size", "p_retailprice", quant_scale=100
+    )
+
+
+def embed_class_separation_q(spark, sf_dir):
+    """Per-label embedding cohesion vs nearest confuser centroid
+    (extensions/similarity.class_separation): exact integer centroid
+    sums, decimal(38,0) dot accumulation, ppm means."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        class_separation,
+    )
+
+    return class_separation(_t(spark, sf_dir, "embeddings"))
+
+
 def dedup_edit1_pairs_q(spark, sf_dir):
     """Character-level near-identical entity names (extensions/dedup.
     edit1_pairs): FastSS deletion-neighborhood candidates + exact
@@ -4729,6 +4752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": events_twap_q,
         "stats_benford": stats_benford_q,
         "dedup_edit1_pairs": dedup_edit1_pairs_q,
+        "stats_pareto": stats_pareto_q,
+        "embed_class_separation": embed_class_separation_q,
         "events_reconcile": events_reconcile_q,
         "curation_priority_sample": curation_priority_sample_q,
         "late_supplier_blame": late_supplier_blame,
@@ -5788,6 +5813,76 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "stats_pareto": (
+            "WITH grid AS (SELECT DISTINCT "
+            "CAST(floor(CAST(p_size AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+            "AS benefit, "
+            "CAST(floor(CAST(p_retailprice AS DOUBLE) * 100 + 0.5) "
+            "AS BIGINT) AS cost FROM part "
+            "WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL) "
+            "SELECT benefit, cost FROM grid g WHERE NOT EXISTS "
+            "(SELECT 1 FROM grid o WHERE o.benefit >= g.benefit "
+            "AND o.cost <= g.cost "
+            "AND (o.benefit > g.benefit OR o.cost < g.cost)) "
+            "ORDER BY benefit"
+        ),
+        "embed_class_separation": (
+            "WITH v AS (SELECT label, vec_id, "
+            "list_transform(CAST(embedding AS DOUBLE[]), x -> "
+            "CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "cents AS (SELECT label, pos, SUM(c) AS s FROM "
+            "(SELECT label, unnest(q) AS c, "
+            "unnest(generate_series(1, len(q))) AS pos FROM v) "
+            "GROUP BY 1, 2), "
+            "cent AS (SELECT label, list(s ORDER BY pos) AS cent "
+            "FROM cents GROUP BY 1), "
+            "ip AS (SELECT v.label, v.vec_id, "
+            "CAST(list_aggregate(list_transform("
+            "generate_series(1, len(q)), i -> "
+            "CAST(q[i] AS HUGEINT) * CAST(cent[i] AS HUGEINT)), 'sum') "
+            "AS DOUBLE) AS dot, "
+            "sqrt(CAST(list_aggregate(list_transform("
+            "generate_series(1, len(q)), i -> "
+            "CAST(q[i] AS HUGEINT) * CAST(q[i] AS HUGEINT)), 'sum') "
+            "AS DOUBLE)) AS nq, "
+            "sqrt(CAST(list_aggregate(list_transform("
+            "generate_series(1, len(cent)), i -> "
+            "CAST(cent[i] AS HUGEINT) * CAST(cent[i] AS HUGEINT)), "
+            "'sum') AS DOUBLE)) AS nc "
+            "FROM v JOIN cent ON cent.label = v.label), "
+            "icos AS (SELECT label, CAST(floor((CASE WHEN nq > 0 "
+            "AND nc > 0 THEN round(dot / (nq * nc), 6) ELSE 0.0 END) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS cp FROM ip), "
+            "intra AS (SELECT label, "
+            "CAST(SUM(cp) // COUNT(*) AS BIGINT) AS intra_ppm, "
+            "CAST(COUNT(*) AS BIGINT) AS n_vecs FROM icos GROUP BY 1), "
+            "cc AS (SELECT a.label AS la, b.label AS lb, "
+            "CAST(floor(round("
+            "CAST(list_aggregate(list_transform("
+            "generate_series(1, len(a.cent)), i -> "
+            "CAST(a.cent[i] AS HUGEINT) * CAST(b.cent[i] AS HUGEINT)), "
+            "'sum') AS DOUBLE) / "
+            "(sqrt(CAST(list_aggregate(list_transform("
+            "generate_series(1, len(a.cent)), i -> "
+            "CAST(a.cent[i] AS HUGEINT) * CAST(a.cent[i] AS HUGEINT)), "
+            "'sum') AS DOUBLE)) * "
+            "sqrt(CAST(list_aggregate(list_transform("
+            "generate_series(1, len(b.cent)), i -> "
+            "CAST(b.cent[i] AS HUGEINT) * CAST(b.cent[i] AS HUGEINT)), "
+            "'sum') AS DOUBLE))), 6) * 1000000.0 + 0.5) AS BIGINT) "
+            "AS cosp FROM cent a JOIN cent b ON a.label <> b.label), "
+            "best AS (SELECT la, lb, cosp FROM (SELECT *, row_number() "
+            "OVER (PARTITION BY la ORDER BY cosp DESC, lb) AS rn "
+            "FROM cc) WHERE rn = 1) "
+            "SELECT intra.label, intra.n_vecs, intra.intra_ppm, "
+            "CAST(COALESCE(best.lb, intra.label) AS INTEGER) "
+            "AS nearest_label, "
+            "CAST(COALESCE(best.cosp, 1000000) AS BIGINT) "
+            "AS nearest_cos_ppm FROM intra "
+            "LEFT JOIN best ON best.la = intra.label "
+            "ORDER BY intra.label"
+        ),
         "dedup_edit1_pairs": (
             "WITH wv AS (SELECT DISTINCT c_name AS w FROM customer "
             "WHERE length(c_name) >= 4), "

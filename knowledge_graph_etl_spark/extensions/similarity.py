@@ -1752,3 +1752,129 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcos_sim", "rank")
     )
+
+
+def class_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space class-separation report — the quality gate for a
+    labeled embedding table before it trains a classifier head or routes
+    an IVF index by label: per class, how tight is the cluster (mean
+    cosine of members to their centroid) and which OTHER class centroid
+    is the nearest confuser. Collapsing intra-cohesion, or a confuser
+    cosine approaching it, is the standard drift alarm for re-embedding
+    pipelines.
+
+    Exactness: embeddings micro-quantize to bigints; per-class centroid
+    SUMS are exact integer vectors (the mean's 1/n cancels in cosine, so
+    centroids are never materialized as floats); dots and squared norms
+    accumulate in decimal(38,0) — exact at ANY corpus scale, where
+    bigint would overflow on the squared centroid sums and double would
+    lose low bits — with ONE final divide-and-round-6 per cosine, then
+    ppm quantization BEFORE the per-class integer-mean. No float ever
+    accumulates, the :func:`embedding_comoments` convention.
+
+    Scale shape: component sums are one (label, pos) aggregate — the
+    n·d explode map-side-combines down to |labels|·d rows; the intra
+    pass joins each vector to its class sum via a BROADCAST of the
+    |labels|-row centroid table (corpus scanned once, never shuffled);
+    the confuser matrix is |labels|² broadcast-side rows. Returns
+    ``(label, n_vecs, intra_ppm, nearest_label, nearest_cos_ppm)``.
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+    )
+    vecs = df.select(
+        F.col(label_col).alias("label"), F.col(id_col).alias("id"), q.alias("q")
+    )
+    comps = (
+        vecs.select("label", F.posexplode("q").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(F.sum("c").alias("s"))
+    )
+    cents = (
+        comps.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("_ps"))
+        .select(
+            "label",
+            F.transform(F.col("_ps"), lambda e: e["s"]).alias("cent"),
+        )
+    )
+    counts = vecs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    zero_dec = F.lit(0).cast("decimal(38,0)")
+
+    def _dec_dot(a, b) -> Column:
+        # operands cast to decimal BEFORE the multiply: a bigint product
+        # of two squared centroid-sum components overflows int64 long
+        # before the decimal cast could save it
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: x.cast("decimal(19,0)") * y.cast("decimal(19,0)"),
+            ),
+            zero_dec,
+            lambda acc, v: acc + v.cast("decimal(38,0)"),
+        )
+
+    def _cos_ppm(a, b) -> Column:
+        dot = _dec_dot(a, b).cast("double")
+        na = F.sqrt(_dec_dot(a, a).cast("double"))
+        nb = F.sqrt(_dec_dot(b, b).cast("double"))
+        c = F.when(
+            (na > 0) & (nb > 0), F.round(dot / (na * nb), 6)
+        ).otherwise(F.lit(0.0))
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    intra = (
+        vecs.join(F.broadcast(cents), "label")
+        .select("label", _cos_ppm(F.col("q"), F.col("cent")).alias("cp"))
+        .groupBy("label")
+        .agg(
+            F.expr("sum(cp) div count(1)").cast("bigint").alias("intra_ppm")
+        )
+    )
+    a = cents.select(F.col("label").alias("la"), F.col("cent").alias("ca"))
+    b = cents.select(F.col("label").alias("lb"), F.col("cent").alias("cb"))
+    confusers = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            _cos_ppm(F.col("ca"), F.col("cb")).alias("cc"),
+        )
+    )
+    wbest = Window.partitionBy("la").orderBy(
+        F.col("cc").desc(), F.col("lb").asc()
+    )
+    nearest = (
+        confusers.withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nearest_label"),
+            F.col("cc").alias("nearest_cos_ppm"),
+        )
+    )
+    return (
+        counts.join(intra, "label")
+        .join(nearest, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            "intra_ppm",
+            F.coalesce(F.col("nearest_label"), F.col("label")).alias(
+                "nearest_label"
+            ),
+            F.coalesce(F.col("nearest_cos_ppm"), F.lit(1000000))
+            .cast("bigint")
+            .alias("nearest_cos_ppm"),
+        )
+        .orderBy("label")
+    )

@@ -1348,3 +1348,70 @@ def benford_report(
         )
         .orderBy("digit")
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows not DOMINATED by any other
+    row, where domination means better-or-equal on both criteria and
+    strictly better on at least one — here "better" = larger ``max_col``,
+    smaller ``min_col`` (the classic price/performance skyline:
+    "largest size for the money"). The naive plan is the O(n²)
+    NOT-EXISTS self-join; the sort-based rewrite is one window pass:
+    after quantizing both dims to exact bigints, a row survives iff its
+    cost is (a) strictly below the minimum cost of all rows with
+    STRICTLY larger benefit and (b) equal to the minimum cost within its
+    own benefit value (ties on both dims all survive — equal points
+    don't dominate each other).
+
+    Scale shape: ONE shuffle for the benefit-ordered window (a RANGE
+    frame ending one unit before the current benefit gives "strictly
+    larger" exactly, since the quantized dim is integral), evaluated on
+    the DISTINCT (benefit, cost) grid — the raw table contributes
+    frequency only, so the window input is bounded by the value-pair
+    cardinality, and surviving rows join back by value. Global frontier
+    = single window partition over the grid (not the corpus): fine for
+    any real criteria cardinality; shard by a category column upstream
+    for per-category skylines.
+
+    Returns the distinct frontier points ``(benefit, cost)`` in
+    quantized units, ordered by benefit.
+    """
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    qb = F.floor(
+        F.col(max_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    qc = F.floor(
+        F.col(min_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    grid = (
+        df.where(F.col(max_col).isNotNull() & F.col(min_col).isNotNull())
+        .select(qb.alias("benefit"), qc.alias("cost"))
+        .distinct()
+    )
+    # min cost among rows with STRICTLY larger benefit: ascending-by
+    # -(benefit) range frame ending 1 before the current row's value
+    w_higher = (
+        Window.orderBy((-F.col("benefit")).cast("bigint"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("benefit")
+    ranked = grid.select(
+        "benefit",
+        "cost",
+        F.min("cost").over(w_higher).alias("_mc_higher"),
+        F.min("cost").over(w_same).alias("_mc_same"),
+    )
+    return (
+        ranked.where(
+            (F.col("_mc_higher").isNull() | (F.col("cost") < F.col("_mc_higher")))
+            & (F.col("cost") == F.col("_mc_same"))
+        )
+        .select("benefit", "cost")
+        .orderBy("benefit")
+    )

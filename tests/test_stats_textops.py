@@ -1581,3 +1581,99 @@ def test_benford_uniform_magnitudes_follow_law_roughly(spark):
     df = spark.createDataFrame(vals, "v double")
     r = {x.digit: x for x in benford_report(df, "v", quant_scale=1000).collect()}
     assert abs(r[1].pct_ppm - 301030) < 25_000, r[1]
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier (extensions/stats.pareto_frontier)
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_dominance_and_ties(spark):
+    from knowledge_graph_etl_spark.extensions.stats import pareto_frontier
+
+    rows = [
+        (10.0, 5.0),   # frontier
+        (10.0, 5.0),   # duplicate point -> one output row
+        (10.0, 7.0),   # dominated within same benefit (higher cost)
+        (8.0, 5.0),    # dominated by (10,5): lower benefit, equal cost
+        (8.0, 3.0),    # frontier (cheaper than every higher-benefit row)
+        (12.0, 9.0),   # frontier (highest benefit)
+        (11.0, 9.0),   # dominated by (12,9): equal cost, lower benefit
+    ]
+    df = spark.createDataFrame(rows, "b double, c double")
+    got = [(r.benefit, r.cost) for r in
+           pareto_frontier(df, "b", "c", quant_scale=1).collect()]
+    assert got == [(8, 3), (10, 5), (12, 9)]
+
+
+def test_pareto_frontier_equals_not_exists(spark):
+    from knowledge_graph_etl_spark.extensions.stats import pareto_frontier
+
+    import itertools
+    pts = [(float(b), float((b * 7 + c * 13) % 20)) for b, c in
+           itertools.product(range(12), range(5))]
+    df = spark.createDataFrame(pts, "b double, c double")
+    got = {(r.benefit, r.cost) for r in
+           pareto_frontier(df, "b", "c", quant_scale=1).collect()}
+    grid = set((int(b), int(c)) for b, c in pts)
+    want = {
+        (b, c) for (b, c) in grid
+        if not any(
+            ob >= b and oc <= c and (ob > b or oc < c) for (ob, oc) in grid
+        )
+    }
+    assert got == want and got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pareto_frontier(df, "b", "c", quant_scale=0)
+
+
+# ---------------------------------------------------------------------------
+# class_separation (extensions/similarity.class_separation)
+# ---------------------------------------------------------------------------
+
+
+def test_class_separation_tight_vs_confusable(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        class_separation,
+    )
+
+    rows = [
+        # label 0: tight cluster on +x
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.01, 0.0]),
+        # label 1: near label 0 (the confuser)
+        (3, 1, [0.9, 0.1, 0.0]),
+        (4, 1, [0.9, 0.12, 0.0]),
+        # label 2: orthogonal
+        (5, 2, [0.0, 0.0, 1.0]),
+        (6, 2, [0.0, 0.01, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r.label: r for r in class_separation(df).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.n_vecs == 2 and r.intra_ppm > 990_000
+    # 0 and 1 confuse each other; 2's nearest is far lower
+    assert out[0].nearest_label == 1 and out[1].nearest_label == 0
+    assert out[0].nearest_cos_ppm > 980_000
+    assert out[2].nearest_cos_ppm < 200_000
+
+
+def test_class_separation_single_label_self_sentinel(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        class_separation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0]), (2, 7, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    r = class_separation(df).collect()[0]
+    # no other class: nearest falls back to self with cos 1.0
+    assert (r.label, r.nearest_label, r.nearest_cos_ppm) == (7, 7, 1_000_000)
+    # orthogonal members at 45 degrees from centroid: intra ~ 707107
+    assert abs(r.intra_ppm - 707107) <= 1

@@ -51,7 +51,8 @@ if not os.path.exists(f"{DST}/embeddings.parquet"):
     con.execute(
         f"""
         COPY (
-          SELECT e.vec_id + r.r * {ID_STRIDE} AS vec_id, e.embedding
+          SELECT e.vec_id + r.r * {ID_STRIDE} AS vec_id, e.embedding,
+                 e.label
           FROM read_parquet('{SRC}/embeddings.parquet') e
           CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
