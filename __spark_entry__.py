@@ -4347,6 +4347,56 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def stats_psi_q(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the events month (extensions/stats.psi_report): reference-decile
+    bins by exact rank selection, integer ppm shares, one ln per bin."""
+    from knowledge_graph_etl_spark.extensions.stats import psi_report
+
+    e = _events(spark, sf_dir)
+    ref = e.where(F.dayofmonth(F.col("ts")) <= 15)
+    cur = e.where(F.dayofmonth(F.col("ts")) > 15)
+    return psi_report(ref, cur, "value", bins=10, quant_scale=1000)
+
+
+def embed_knn_eval_q(spark, sf_dir):
+    """Leave-one-out kNN label accuracy on the embedding table
+    (extensions/similarity.knn_label_eval): md5-fixed 100-query subset,
+    k=10 majority vote, per-label ppm accuracy."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        knn_label_eval,
+    )
+
+    return knn_label_eval(
+        _t(spark, sf_dir, "embeddings"), k=10, n_queries=100
+    )
+
+
+def orders_pivot_q(spark, sf_dir):
+    """Order counts crosstab via Spark's NATIVE pivot (priority rows ×
+    order-year columns, values pinned so the schema is static): the
+    relational operator analysts reach for first; the oracle is the
+    conditional-aggregation rewrite pivot compiles to."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("y")
+    )
+    years = list(range(1995, 2002))
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("y", years)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(str(y)), F.lit(0))
+            .cast("bigint")
+            .alias(f"y{y}")
+            for y in years
+        ],
+    ).orderBy("o_orderpriority")
+
+
 def stats_pareto_q(spark, sf_dir):
     """Part price/size skyline (extensions/stats.pareto_frontier):
     largest-size-for-the-money frontier -- maximize p_size, minimize
@@ -4753,6 +4803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_benford": stats_benford_q,
         "dedup_edit1_pairs": dedup_edit1_pairs_q,
         "stats_pareto": stats_pareto_q,
+        "stats_psi": stats_psi_q,
+        "embed_knn_eval": embed_knn_eval_q,
+        "orders_pivot": orders_pivot_q,
         "embed_class_separation": embed_class_separation_q,
         "events_reconcile": events_reconcile_q,
         "curation_priority_sample": curation_priority_sample_q,
@@ -5813,6 +5866,83 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "stats_psi": (
+            "WITH r AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000 "
+            "+ 0.5) AS BIGINT) AS v FROM events WHERE value IS NOT NULL "
+            "AND day(ts) <= 15), "
+            "c AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000 "
+            "+ 0.5) AS BIGINT) AS v FROM events WHERE value IS NOT NULL "
+            "AND day(ts) > 15), "
+            "h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM r "
+            "GROUP BY 1), "
+            "rk AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, "
+            "SUM(cnt) OVER () AS n FROM h), "
+            "e AS (SELECT i, MIN(CASE WHEN cum >= (i * n + 9) // 10 "
+            "THEN v END) AS edge FROM rk CROSS JOIN "
+            "(SELECT unnest(range(1, 10)) AS i) t GROUP BY i), "
+            "rb AS (SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS ref_cnt "
+            "FROM (SELECT (SELECT COUNT(*) FROM e "
+            "WHERE r.v > e.edge) AS bin_id FROM r) GROUP BY 1), "
+            "cb AS (SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS cur_cnt "
+            "FROM (SELECT (SELECT COUNT(*) FROM e "
+            "WHERE c.v > e.edge) AS bin_id FROM c) GROUP BY 1), "
+            "spine AS (SELECT unnest(range(10)) AS bin_id), "
+            "j AS (SELECT spine.bin_id, "
+            "CAST(COALESCE((SELECT edge FROM e "
+            "WHERE e.i = spine.bin_id), -4611686018427387904) AS BIGINT) "
+            "AS lo_edge, "
+            "CAST(COALESCE(rb.ref_cnt, 0) AS BIGINT) AS ref_cnt, "
+            "CAST(COALESCE(cb.cur_cnt, 0) AS BIGINT) AS cur_cnt "
+            "FROM spine LEFT JOIN rb ON rb.bin_id = spine.bin_id "
+            "LEFT JOIN cb ON cb.bin_id = spine.bin_id), "
+            "tt AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS tr, "
+            "CAST(SUM(cur_cnt) AS BIGINT) AS tc FROM j), "
+            "sh AS (SELECT bin_id, lo_edge, ref_cnt, cur_cnt, "
+            "CAST(GREATEST(ref_cnt * 1000000 // GREATEST(tr, 1), 1) "
+            "AS BIGINT) AS ref_ppm, "
+            "CAST(GREATEST(cur_cnt * 1000000 // GREATEST(tc, 1), 1) "
+            "AS BIGINT) AS cur_ppm FROM j CROSS JOIN tt) "
+            "SELECT CAST(bin_id AS INTEGER) AS bin_id, lo_edge, "
+            "ref_cnt, cur_cnt, ref_ppm, cur_ppm, "
+            "CAST(floor(CAST(ref_ppm - cur_ppm AS DOUBLE) / 1000000.0 "
+            "* ln(CAST(ref_ppm AS DOUBLE) / CAST(cur_ppm AS DOUBLE)) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS psi_micro "
+            "FROM sh ORDER BY bin_id"
+        ),
+        "embed_knn_eval": (
+            "WITH b AS (SELECT vec_id AS id, label, "
+            "CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), "
+            "q AS (SELECT id AS qid, label AS true_label, vec AS qvec "
+            "FROM (SELECT *, row_number() OVER (ORDER BY "
+            "md5(CAST(id AS VARCHAR)), id) AS qr FROM b) WHERE qr <= 100), "
+            "sc AS (SELECT q.qid, q.true_label, b.label AS nlabel, "
+            "b.id AS nid, round(list_cosine_similarity(b.vec, q.qvec), 6) "
+            "AS sim FROM b CROSS JOIN q WHERE b.id <> q.qid), "
+            "tk AS (SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc) "
+            "WHERE rn <= 10), "
+            "vo AS (SELECT qid, true_label, nlabel, COUNT(*) AS cnt "
+            "FROM tk GROUP BY 1, 2, 3), "
+            "pr AS (SELECT qid, true_label, nlabel AS pred_label FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY qid "
+            "ORDER BY cnt DESC, nlabel) AS rv FROM vo) WHERE rv = 1) "
+            "SELECT true_label AS label, "
+            "CAST(COUNT(*) AS BIGINT) AS n_eval, "
+            "CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_correct, "
+            "CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 "
+            "END) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm "
+            "FROM pr GROUP BY 1 ORDER BY 1"
+        ),
+        "orders_pivot": (
+            "SELECT o_orderpriority, "
+            + ', '.join(
+                f"CAST(SUM(CASE WHEN year(o_orderdate) = {y} THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS y{y}"
+                for y in range(1995, 2002)
+            )
+            + " FROM orders GROUP BY 1 ORDER BY 1"
+        ),
         "stats_pareto": (
             "WITH grid AS (SELECT DISTINCT "
             "CAST(floor(CAST(p_size AS DOUBLE) * 100 + 0.5) AS BIGINT) "

@@ -1878,3 +1878,104 @@ def class_separation(
         )
         .orderBy("label")
     )
+
+
+def knn_label_eval(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 100,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Leave-one-out k-NN label accuracy — the classifier-free embedding
+    benchmark (fastText/SentEval style): if an embedding is any good,
+    a point's k nearest neighbors (excluding itself) vote its label
+    correctly. Run per ingestion batch, a falling per-label accuracy is
+    the earliest signal the embedding model or the upstream text
+    changed; it localizes the damage to the label the confuser report
+    (:func:`class_separation`) then explains.
+
+    Determinism: the query subset is the ``n_queries`` smallest
+    ``md5(id)`` rows (fixed draw); similarities are round-6 cosines
+    with neighbor-id tie-break (the :func:`cosine_topk` standard); the
+    majority vote breaks count ties on the SMALLER label. Returns per
+    true label: ``(label, n_eval, n_correct, acc_ppm)``.
+
+    Scale shape: the query side is a bounded broadcast (n_queries
+    rows); the corpus is scanned once for the score join and never
+    shuffled; vote counting shuffles ≤ n_queries·k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("vec"),
+    )
+    qwin = Window.orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    queries = (
+        base.withColumn("_qr", F.row_number().over(qwin))
+        .where(F.col("_qr") <= n_queries)
+        .select(
+            F.col("id").alias("qid"),
+            F.col("label").alias("true_label"),
+            F.col("vec").alias("qvec"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(queries)).where(
+        F.col("id") != F.col("qid")
+    ).select(
+        "qid",
+        "true_label",
+        F.col("label").alias("nlabel"),
+        F.col("id").alias("nid"),
+        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    topk = scored.withColumn("_rn", F.row_number().over(wk)).where(
+        F.col("_rn") <= k
+    )
+    votes = topk.groupBy("qid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("cnt").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .where(F.col("_rv") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("pred_label") == F.col("true_label"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.expr("n_correct * 1000000 div n_eval").cast("bigint").alias(
+                "acc_ppm"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1415,3 +1415,144 @@ def pareto_frontier(
         .select("benefit", "cost")
         .orderBy("benefit")
     )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of the same column — the binned drift score ML-ops gates ship
+    with (rule of thumb: PSI < 0.1 stable, > 0.25 action): ``PSI = Σ
+    (p_i − q_i)·ln(p_i/q_i)`` over quantile bins OF THE REFERENCE, so
+    the bins always hold ~equal reference mass and the score reacts to
+    where current mass MOVED. Complements :func:`ks_2sample` (sup
+    distance, unbinned) with the per-bin attribution analysts act on.
+
+    Determinism: bin edges are exact rank-selected reference quantiles
+    on milli-quantized bigints (the :func:`winsorize_by_group` rule, no
+    interpolation); bin shares are exact integer ppm; only the final
+    ``ln`` of a ratio of two exact ppm ints runs in double, floored to
+    micro units — one float op per bin, identical on any IEEE libm...
+    with ln, which IS specified correctly-rounded nowhere: both engines
+    call the same underlying libm here, and the pytest suite pins a
+    tolerance-free hand value, so a platform where ln differs would
+    surface as an oracle red, not silent drift. Zero-count bins use the
+    standard ε = 1 ppm floor (PSI is undefined at 0).
+
+    Scale shape: one histogram aggregate per side + a broadcast of the
+    ≤ ``bins`` edge rows; everything after the two scans is bin-sized.
+    Returns per bin: ``(bin_id, lo_edge, ref_cnt, cur_cnt, ref_ppm,
+    cur_ppm, psi_micro)`` — total PSI = Σ psi_micro / 1e6.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+
+    def _q(df: DataFrame) -> DataFrame:
+        v = F.floor(
+            F.col(value_col).cast("double") * F.lit(int(quant_scale))
+            + F.lit(0.5)
+        ).cast("bigint")
+        return df.where(F.col(value_col).isNotNull()).select(v.alias("v"))
+
+    r, c = _q(ref), _q(cur)
+    hist = r.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = hist.select(
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # edge i (i = 1..bins-1) = smallest v with cum >= ceil(i*n/bins):
+    # upper bound of bin i-1; bin_id of value x = count of edges <= ...
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"( {i} * n + {bins} - 1) div {bins}"),
+                F.col("v"),
+            )
+        ).alias(f"e{i}")
+        for i in range(1, bins)
+    ]
+    edges = ranked.agg(*edge_aggs)
+    edge_arr = F.array(*[F.col(f"e{i}") for i in range(1, bins)])
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        # bin_id = number of edges the value EXCEEDS (edges are bin
+        # upper bounds, inclusive): aggregate over the broadcast array
+        b = df.crossJoin(F.broadcast(edges)).select(
+            F.aggregate(
+                edge_arr,
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("v") > e, F.lit(1)).otherwise(F.lit(0)),
+            ).alias("bin_id")
+        )
+        return b.groupBy("bin_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+    spine = (
+        ref.sparkSession.createDataFrame(
+            [(i,) for i in range(bins)], "bin_id int"
+        )
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "bin_id",
+            F.when(F.col("bin_id") == 0, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.element_at(edge_arr, F.col("bin_id"))
+            )
+            .alias("lo_edge"),
+        )
+    )
+    rb, cb = _binned(r, "ref_cnt"), _binned(c, "cur_cnt")
+    j = (
+        spine.join(rb, "bin_id", "left")
+        .join(cb, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce(F.col("lo_edge"), F.lit(-(1 << 62))).alias("lo_edge"),
+            F.coalesce(F.col("ref_cnt"), F.lit(0)).cast("bigint").alias("ref_cnt"),
+            F.coalesce(F.col("cur_cnt"), F.lit(0)).cast("bigint").alias("cur_cnt"),
+        )
+    )
+    totals = j.agg(
+        F.sum("ref_cnt").cast("bigint").alias("_tr"),
+        F.sum("cur_cnt").cast("bigint").alias("_tc"),
+    )
+    shares = j.crossJoin(F.broadcast(totals)).select(
+        "bin_id",
+        "lo_edge",
+        "ref_cnt",
+        "cur_cnt",
+        F.expr("greatest(ref_cnt * 1000000 div greatest(_tr, 1), 1)")
+        .cast("bigint")
+        .alias("ref_ppm"),
+        F.expr("greatest(cur_cnt * 1000000 div greatest(_tc, 1), 1)")
+        .cast("bigint")
+        .alias("cur_ppm"),
+    )
+    psi = (
+        (F.col("ref_ppm") - F.col("cur_ppm")).cast("double")
+        / F.lit(1000000.0)
+        * F.log(
+            F.col("ref_ppm").cast("double") / F.col("cur_ppm").cast("double")
+        )
+    )
+    return shares.select(
+        "bin_id",
+        "lo_edge",
+        "ref_cnt",
+        "cur_cnt",
+        "ref_ppm",
+        "cur_ppm",
+        F.floor(psi * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias(
+            "psi_micro"
+        ),
+    ).orderBy("bin_id")

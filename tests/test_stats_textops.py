@@ -1677,3 +1677,98 @@ def test_class_separation_single_label_self_sentinel(spark):
     assert (r.label, r.nearest_label, r.nearest_cos_ppm) == (7, 7, 1_000_000)
     # orthogonal members at 45 degrees from centroid: intra ~ 707107
     assert abs(r.intra_ppm - 707107) <= 1
+
+
+# ---------------------------------------------------------------------------
+# psi_report (extensions/stats.psi_report)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from knowledge_graph_etl_spark.extensions.stats import psi_report
+
+    rows = [(float(i % 100),) for i in range(1000)]
+    ref = spark.createDataFrame(rows, "v double")
+    out = psi_report(ref, ref, "v", bins=10, quant_scale=1).collect()
+    assert len(out) == 10
+    assert sum(r.psi_micro for r in out) == 0
+    # each decile bin holds ~10% of the reference
+    for r in out:
+        assert abs(r.ref_ppm - 100_000) < 15_000
+        assert r.ref_cnt == r.cur_cnt
+
+
+def test_psi_shifted_distribution_scores_high(spark):
+    import math
+
+    from knowledge_graph_etl_spark.extensions.stats import psi_report
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    cur = spark.createDataFrame(
+        [(float(50 + i % 50),) for i in range(1000)], "v double"
+    )
+    out = psi_report(ref, cur, "v", bins=10, quant_scale=1).collect()
+    total = sum(r.psi_micro for r in out) / 1e6
+    assert total > 0.25  # the "action" threshold
+    # hand value for the emptied first bin: p=~0.1, q=eps=1ppm
+    first = [r for r in out if r.bin_id == 0][0]
+    assert first.cur_cnt == 0 and first.cur_ppm == 1
+    want = math.floor(
+        (first.ref_ppm - 1) / 1e6 * math.log(first.ref_ppm / 1.0) * 1e6 + 0.5
+    )
+    assert first.psi_micro == want
+
+
+def test_psi_validates(spark):
+    from knowledge_graph_etl_spark.extensions.stats import psi_report
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        psi_report(df, df, "v", bins=1)
+    with pytest.raises(ValueError):
+        psi_report(df, df, "v", quant_scale=0)
+
+
+# ---------------------------------------------------------------------------
+# knn_label_eval (extensions/similarity.knn_label_eval)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_label_eval_separable_clusters_perfect(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        knn_label_eval,
+    )
+
+    rows = [(i, 0, [1.0, float(i) / 100.0]) for i in range(1, 7)] + [
+        (i, 1, [-1.0, float(i) / 100.0]) for i in range(10, 16)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r.label: r for r in knn_label_eval(df, k=3, n_queries=12).collect()}
+    assert out[0].acc_ppm == 1_000_000 and out[1].acc_ppm == 1_000_000
+    assert out[0].n_eval + out[1].n_eval == 12
+
+
+def test_knn_label_eval_excludes_self_and_votes_majority(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        knn_label_eval,
+    )
+
+    # one 'a'-labeled point surrounded by 'b' points: self-exclusion
+    # forces its k=3 neighbors to all be b -> misclassified
+    rows = [(1, 0, [1.0, 0.0])] + [
+        (i, 1, [1.0, 0.001 * i]) for i in range(2, 6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r.label: r for r in knn_label_eval(df, k=3, n_queries=5).collect()}
+    assert out[0].n_correct == 0
+    assert out[1].acc_ppm == 1_000_000
+    with _pytest.raises(ValueError):
+        knn_label_eval(df, k=0)
+    with _pytest.raises(ValueError):
+        knn_label_eval(df, n_queries=0)
