@@ -4347,6 +4347,24 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def text_readability_q(spark, sf_dir):
+    """Flesch reading-ease per document (extensions/text.readability):
+    three exact integer counts combined in one in-scan double
+    expression, micro-quantized."""
+    from knowledge_graph_etl_spark.extensions.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def dq_fd_violations_q(spark, sf_dir):
+    """Functional-dependency audit user_id -> event_type over events
+    (extensions/stats.fd_violations): lhs values mapping to >1 distinct
+    rhs, one map-combinable aggregate."""
+    from knowledge_graph_etl_spark.extensions.stats import fd_violations
+
+    return fd_violations(_events(spark, sf_dir), ["user_id"], ["event_type"])
+
+
 def stats_psi_q(spark, sf_dir):
     """Population Stability Index between the first and second half of
     the events month (extensions/stats.psi_report): reference-decile
@@ -4804,6 +4822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit1_pairs": dedup_edit1_pairs_q,
         "stats_pareto": stats_pareto_q,
         "stats_psi": stats_psi_q,
+        "text_readability": text_readability_q,
+        "dq_fd_violations": dq_fd_violations_q,
         "embed_knn_eval": embed_knn_eval_q,
         "orders_pivot": orders_pivot_q,
         "embed_class_separation": embed_class_separation_q,
@@ -5866,6 +5886,31 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "text_readability": (
+            "WITH t AS (SELECT doc_id AS id, COALESCE(text, '') AS s "
+            "FROM documents), "
+            "m AS (SELECT id, "
+            "CAST(GREATEST(len(regexp_extract_all(s, '[.!?]+')), 1) "
+            "AS BIGINT) AS n_sents, "
+            "CAST((CASE WHEN length(trim(s)) = 0 THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(lower(s)), '\\s+')) END) "
+            "AS BIGINT) AS n_words, "
+            "CAST(len(regexp_extract_all(lower(s), '[aeiouy]+')) "
+            "AS BIGINT) AS n_syll FROM t) "
+            "SELECT id, n_sents, n_words, n_syll, "
+            "CASE WHEN n_words > 0 THEN "
+            "CAST(floor((206.835 - 1.015 * CAST(n_words AS DOUBLE) "
+            "/ CAST(n_sents AS DOUBLE) - 84.6 * CAST(n_syll AS DOUBLE) "
+            "/ CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+            "END AS flesch_micro FROM m"
+        ),
+        "dq_fd_violations": (
+            "SELECT user_id, "
+            "CAST(COUNT(DISTINCT ROW(event_type)) AS BIGINT) AS n_rhs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM events "
+            "GROUP BY 1 HAVING COUNT(DISTINCT ROW(event_type)) > 1 "
+            "ORDER BY n_rhs DESC, user_id"
+        ),
         "stats_psi": (
             "WITH r AS (SELECT CAST(floor(CAST(value AS DOUBLE) * 1000 "
             "+ 0.5) AS BIGINT) AS v FROM events WHERE value IS NOT NULL "

@@ -1556,3 +1556,39 @@ def psi_report(
             "psi_micro"
         ),
     ).orderBy("bin_id")
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_cols: list[str],
+) -> DataFrame:
+    """Functional-dependency audit: for the candidate dependency
+    ``lhs → rhs``, every lhs value that maps to MORE than one distinct
+    rhs combination — the Deequ/dbt uniqueness check's bigger sibling
+    (uniqueness is the FD ``key → everything``), and the first thing a
+    schema-inference or dimension-modeling pass runs ("is city → state
+    actually clean in this feed?"). NULL rhs combinations count as a
+    distinct value (NULL-vs-present is exactly the inconsistency the
+    audit exists to catch).
+
+    Scale shape: ONE map-side-combinable aggregate keyed on lhs
+    (countDistinct over the rhs struct + row count); output only the
+    violating groups, bounded by the lhs cardinality. Returns
+    ``(lhs..., n_rhs, n_rows)`` ordered by worst first.
+    """
+    if not lhs_cols or not rhs_cols:
+        raise ValueError("lhs_cols and rhs_cols must be non-empty")
+    overlap = set(lhs_cols) & set(rhs_cols)
+    if overlap:
+        raise ValueError(f"lhs and rhs share columns: {sorted(overlap)}")
+    rhs = F.struct(*[F.col(c) for c in rhs_cols])
+    return (
+        df.groupBy(*lhs_cols)
+        .agg(
+            F.countDistinct(rhs).cast("bigint").alias("n_rhs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .where(F.col("n_rhs") > 1)
+        .orderBy(F.col("n_rhs").desc(), *[F.col(c) for c in lhs_cols])
+    )

@@ -319,3 +319,45 @@ def normalize_text(text: Column) -> Column:
     no_ctl = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
     collapsed = F.regexp_replace(no_ctl, r"\s+", " ")
     return F.trim(collapsed)
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document from three exact integer counts —
+    sentences (terminal-punctuation runs, floored at 1), words
+    (:func:`tokens`), and syllables (vowel-group runs, the standard
+    heuristic) — combined by the Flesch formula ``206.835 − 1.015·(W/S)
+    − 84.6·(Syll/W)`` in ONE double expression over exact ints, floored
+    to micro units: deterministic cross-engine, no UDF, evaluated inside
+    the scan projection. The curation use is the same as the Gopher
+    rules: hard floors/ceilings on mechanically-scored readability
+    flag boilerplate, tables-as-text, and OCR soup that token-count
+    filters miss. Zero-word documents report NULL score (the formula is
+    undefined), kept in the output so the gate sees them.
+
+    Returns ``(id, n_sents, n_words, n_syll, flesch_micro)``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_words = F.size(tokens(t)).cast("bigint")
+    n_syll = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words.cast("double") / n_sents.cast("double")
+        - F.lit(84.6) * n_syll.cast("double") / n_words.cast("double")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+        F.when(
+            n_words > 0,
+            F.floor(flesch * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("flesch_micro"),
+    )

@@ -1772,3 +1772,48 @@ def test_knn_label_eval_excludes_self_and_votes_majority(spark):
         knn_label_eval(df, k=0)
     with _pytest.raises(ValueError):
         knn_label_eval(df, n_queries=0)
+
+
+# ---------------------------------------------------------------------------
+# readability (extensions/text.readability) + fd_violations (stats)
+# ---------------------------------------------------------------------------
+
+
+def test_readability_hand_checked(spark):
+    from knowledge_graph_etl_spark.extensions.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in readability(df).collect()}
+    r = out[1]
+    # 2 sentence runs, 6 words, syllable groups: e-a-a-e-o-a = 6
+    assert (r.n_sents, r.n_words, r.n_syll) == (2, 6, 6)
+    import math
+    want = math.floor((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e6 + 0.5)
+    assert r.flesch_micro == want
+    # empty/NULL text: zero words -> NULL score, row kept, 1-sentence floor
+    for i in (2, 3):
+        assert out[i].n_words == 0 and out[i].flesch_micro is None
+        assert out[i].n_sents == 1
+
+
+def test_fd_violations_detects_and_respects_nulls(spark):
+    from knowledge_graph_etl_spark.extensions.stats import fd_violations
+
+    rows = [
+        (1, "a"), (1, "a"),          # clean key
+        (2, "a"), (2, "b"),          # violation: 2 rhs
+        (3, "a"), (3, None),         # NULL is a DISTINCT rhs -> violation
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = {r.k: r for r in fd_violations(df, ["k"], ["v"]).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].n_rhs == 2 and out[2].n_rows == 2
+    assert out[3].n_rhs == 2
+
+    with pytest.raises(ValueError):
+        fd_violations(df, [], ["v"])
+    with pytest.raises(ValueError):
+        fd_violations(df, ["k"], ["k"])
