@@ -4347,6 +4347,46 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def text_ngram_novelty_q(spark, sf_dir):
+    """Per-doc 3-gram novelty in corpus order (extensions/text.
+    ngram_novelty): share of a doc's distinct grams first seen in that
+    doc; min(id)-deterministic, short docs NULL."""
+    from knowledge_graph_etl_spark.extensions.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+def large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape -- customers with orders whose total line quantity
+    exceeds a threshold: the HAVING-driven semi-join (the aggregate
+    FILTERS which orders survive, then dimensions join to the tiny
+    survivor set -- never the other way around). Quantities in exact
+    integer centi-units; top-100 by (qty DESC, o_orderkey)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("q_c2"),
+    )
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("q_c2").cast("bigint").alias("total_qty_c2"))
+        .where(F.col("total_qty_c2") >= 20000)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderpriority",
+            "total_qty_c2",
+        )
+        .orderBy(F.col("total_qty_c2").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def text_readability_q(spark, sf_dir):
     """Flesch reading-ease per document (extensions/text.readability):
     three exact integer counts combined in one in-scan double
@@ -4823,6 +4863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pareto": stats_pareto_q,
         "stats_psi": stats_psi_q,
         "text_readability": text_readability_q,
+        "text_ngram_novelty": text_ngram_novelty_q,
+        "large_order_customers": large_order_customers,
         "dq_fd_violations": dq_fd_violations_q,
         "embed_knn_eval": embed_knn_eval_q,
         "orders_pivot": orders_pivot_q,
@@ -5886,6 +5928,40 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "text_ngram_novelty": (
+            "WITH tok AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(trim(text)), "
+            "'\\s+'), x -> x <> '') AS t FROM documents), "
+            "g AS (SELECT DISTINCT doc_id AS id, gram FROM "
+            "(SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(t) - 2, 0)), i -> "
+            "array_to_string(list_slice(t, i, i + 2), ' '))) AS gram "
+            "FROM tok)), "
+            "fo AS (SELECT gram, MIN(id) AS first_id FROM g GROUP BY 1), "
+            "pd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN first_id = id THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_novel FROM g JOIN fo USING (gram) "
+            "GROUP BY 1) "
+            "SELECT d.doc_id AS id, "
+            "CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(COALESCE(pd.n_novel, 0) AS BIGINT) AS n_novel, "
+            "CAST(CASE WHEN COALESCE(pd.n_grams, 0) > 0 THEN "
+            "pd.n_novel * 1000000 // pd.n_grams END AS BIGINT) "
+            "AS novelty_ppm FROM documents d "
+            "LEFT JOIN pd ON pd.id = d.doc_id"
+        ),
+        "large_order_customers": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_qty_c2 FROM lineitem GROUP BY 1 "
+            "HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) "
+            ">= 20000) "
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+            "o.o_orderpriority, big.total_qty_c2 "
+            "FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY total_qty_c2 DESC, o_orderkey LIMIT 100"
+        ),
         "text_readability": (
             "WITH t AS (SELECT doc_id AS id, COALESCE(text, '') AS s "
             "FROM documents), "

@@ -361,3 +361,64 @@ def readability(
             F.floor(flesch * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
         ).alias("flesch_micro"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty in corpus order: the fraction of a
+    document's distinct n-grams whose FIRST corpus occurrence (smallest
+    id) is this document — the diversity/memorization metric a training
+    pipeline tracks while ingesting ("are new crawls still contributing
+    new text, or re-serving the corpus?"). A novelty collapse across a
+    source is the cheap early warning the expensive near-dup pass then
+    confirms.
+
+    Exact and order-deterministic: "first" is ``min(id)`` per distinct
+    gram — no timestamps needed, ties impossible. Documents with fewer
+    than ``n`` tokens report zero grams and NULL novelty (kept).
+
+    Scale shape: one tokenize+shingle scan; a (gram, doc) distinct
+    aggregate; a gram-keyed min; one join of the per-doc gram set
+    against the winners — all keys are grams or ids, map-combinable,
+    never all-pairs. Returns ``(id, n_grams, n_novel, novelty_ppm)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(zip_kgrams(tokens(F.col(text_col)), n)).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    spine = df.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.expr("n_novel * 1000000 div n_grams"),
+            )
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -551,3 +551,16 @@ def test_nation_market_share_broadcasts_all_dims(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_large_order_customers_having_drives_the_join(spark):
+    """Q18 shape: the quantity aggregate+filter runs BEFORE the dimension
+    joins (survivor set joins dims, not the reverse) and the customer
+    lookup broadcasts."""
+    import __spark_entry__ as entry
+
+    df = entry.large_order_customers(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1817,3 +1817,26 @@ def test_fd_violations_detects_and_respects_nulls(spark):
         fd_violations(df, [], ["v"])
     with pytest.raises(ValueError):
         fd_violations(df, ["k"], ["k"])
+
+
+def test_ngram_novelty_order_and_short_docs(spark):
+    from knowledge_graph_etl_spark.extensions.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c","b c d" -> both novel
+            (2, "a b c x"),        # "a b c" seen in 1, "b c x" novel
+            (3, "a b c d"),        # both grams first seen in 1 -> 0 novel
+            (4, "hi"),             # < n tokens -> 0 grams, NULL ppm
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in ngram_novelty(df, n=3).collect()}
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty_ppm) == (2, 2, 1_000_000)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty_ppm) == (2, 1, 500_000)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty_ppm) == (2, 0, 0)
+    assert out[4].n_grams == 0 and out[4].novelty_ppm is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ngram_novelty(df, n=0)
