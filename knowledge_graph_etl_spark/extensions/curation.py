@@ -2341,7 +2341,10 @@ def priority_sample(
     op emits the sample itself (``sample_rank`` 1-based).
 
     One window shuffle on the group key, constant per-row math —
-    :func:`sample_per_group`'s exact cost. Returns the kept rows +
+    :func:`sample_per_group`'s exact cost. Ungrouped mode
+    (``group_col=None``) is a single global window partition — fine for
+    result sizes a driver would hold anyway, but shard by a stratum
+    column when sampling a whole corpus. Returns the kept rows +
     ``w_milli`` + ``sample_rank``.
     """
     if n < 1:

@@ -1915,12 +1915,12 @@ def knn_label_eval(
         F.col(label_col).alias("label"),
         F.col(vec_col).alias("vec"),
     )
-    qwin = Window.orderBy(
-        F.md5(F.col("id").cast("string")), F.col("id")
-    )
+    # orderBy().limit() plans as TakeOrderedAndProject — a distributed
+    # per-partition top-n + driver merge, NOT the single-partition global
+    # row_number() sort the naive "rank then filter" form would run
     queries = (
-        base.withColumn("_qr", F.row_number().over(qwin))
-        .where(F.col("_qr") <= n_queries)
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(int(n_queries))
         .select(
             F.col("id").alias("qid"),
             F.col("label").alias("true_label"),
