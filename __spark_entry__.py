@@ -4347,6 +4347,90 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def graph_wcc_q(spark, sf_dir):
+    """Weakly-connected components (extensions/graph.
+    connected_components) of the DOMESTIC co-purchase supplier graph --
+    co-purchase pairs restricted to same-nation suppliers, so the
+    component structure is non-trivial (roughly one component per
+    nation); labels are min-reachable-id, canonical and engine-free."""
+    from knowledge_graph_etl_spark.extensions.graph import (
+        connected_components,
+    )
+
+    ps = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    sn = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    psn = ps.join(
+        F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "l_suppkey", "s_nationkey")
+    e = (
+        psn.alias("x")
+        .join(psn.alias("y"), ["l_partkey", "s_nationkey"])
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(e)
+
+
+def doc_lang_confusion_q(spark, sf_dir):
+    """Language-ID confusion matrix: the recorded lang column vs the
+    stopword-ratio langid prediction (extensions/text.langid), with
+    per-recorded-lang ppm shares -- the QA report that catches both
+    mislabeled rows and classifier drift."""
+    from knowledge_graph_etl_spark.extensions.text import langid
+
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", langid(F.col("text")).alias("pred_lang")
+    )
+    counts = d.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        counts.withColumn("_tot", F.sum("n").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.expr("n * 1000000 div _tot").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def orders_cohort_ltv(spark, sf_dir):
+    """Revenue cohort/LTV matrix: customers cohorted by FIRST-order
+    month, revenue rolled up per (cohort_month, months-since) cell in
+    exact integer cents -- the finance twin of the events retention
+    matrix (which counts users, not money)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "m"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cohort_m", F.min("m").over(w))
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset"))
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("cohort_m", "offset")
+    )
+
+
 def text_ngram_novelty_q(spark, sf_dir):
     """Per-doc 3-gram novelty in corpus order (extensions/text.
     ngram_novelty): share of a doc's distinct grams first seen in that
@@ -4867,6 +4951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_psi": stats_psi_q,
         "text_readability": text_readability_q,
         "text_ngram_novelty": text_ngram_novelty_q,
+        "graph_wcc": graph_wcc_q,
+        "doc_lang_confusion": doc_lang_confusion_q,
+        "orders_cohort_ltv": orders_cohort_ltv,
         "large_order_customers": large_order_customers,
         "dq_fd_violations": dq_fd_violations_q,
         "embed_knn_eval": embed_knn_eval_q,
@@ -5931,6 +6018,56 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "graph_wcc": (
+            "WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem), "
+            "psn AS (SELECT ps.l_partkey, ps.l_suppkey, s.s_nationkey "
+            "FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey), "
+            "raw AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b "
+            "FROM psn x JOIN psn y ON x.l_partkey = y.l_partkey "
+            "AND x.s_nationkey = y.s_nationkey "
+            "AND x.l_suppkey < y.l_suppkey), "
+            "e AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw), "
+            "nodes AS (SELECT DISTINCT a AS node FROM e), "
+            "r AS (SELECT node, node AS reach FROM nodes "
+            "UNION "
+            "SELECT r.node, e.b FROM r JOIN e ON e.a = r.reach), "
+            "comp AS (SELECT node, MIN(reach) AS component FROM r "
+            "GROUP BY 1) "
+            "SELECT comp.node, comp.component, "
+            "CAST(cs.cnt AS BIGINT) AS component_size FROM comp "
+            "JOIN (SELECT component, COUNT(*) AS cnt FROM comp "
+            "GROUP BY 1) cs USING (component)"
+        ),
+        "doc_lang_confusion": (
+            "WITH p AS (SELECT lang, CASE "
+            + " ".join(
+                f"WHEN {_sw_ratio(lg)} > 0 AND {_sw_ratio(lg)} >= "
+                + "greatest("
+                + ", ".join(_sw_ratio(l2) for l2 in sorted(STOPWORDS))
+                + f") THEN '{lg}'"
+                for lg in sorted(STOPWORDS)
+            )
+            + " ELSE 'und' END AS pred_lang FROM documents) "
+            "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) * 1000000 // "
+            "SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) "
+            "AS share_ppm FROM p GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "orders_cohort_ltv": (
+            "WITH o AS (SELECT o_custkey, "
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 "
+            "AS INTEGER) AS m, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), "
+            "w AS (SELECT *, MIN(m) OVER (PARTITION BY o_custkey) "
+            "AS cohort_m FROM o) "
+            "SELECT CAST(cohort_m AS INTEGER) AS cohort_m, "
+            "CAST(m - cohort_m AS INTEGER) AS offset, "
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers, "
+            "CAST(SUM(cents) AS BIGINT) AS revenue_cents "
+            "FROM w GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "text_ngram_novelty": (
             "WITH tok AS (SELECT doc_id, "
             "list_filter(string_split_regex(lower(trim(text)), "

@@ -821,3 +821,38 @@ def negative_edge_samples(
         ["src", "neg_dst"],
         "left_anti",
     ).select("src", "pos_dst", "j", "neg_dst")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Weakly-connected components of an undirected edge list: one row
+    per node with its ``component`` (the minimum node id reachable — a
+    canonical, order-free component label) and the component size. The
+    graph-module front door for the hash-min label-propagation +
+    pointer-jumping machinery :func:`~.dedup.resolve_clusters` runs for
+    near-dup cluster resolution — ONE implementation, two surfaces, so
+    the convergence discipline (per-round checkpoint tracking, sum-
+    fixpoint detection, bounded rounds) is tested once.
+
+    Scale shape: per round one edges⋈labels equi-join + min-aggregate
+    (map-side combinable) and a pointer-jump self-join; rounds ≈
+    O(log(diameter)) with jumping. Isolated nodes never appear (an edge
+    list has no isolated nodes); pass a node spine through
+    ``resolve_clusters(docs=...)`` when singletons matter.
+
+    Returns ``(node, component, component_size)``.
+    """
+    from .dedup import resolve_clusters
+
+    out = resolve_clusters(
+        edges, pair_cols=(src, dst), id_col="node", max_iter=max_iter
+    )
+    return out.select(
+        "node",
+        F.col("cluster_rep").alias("component"),
+        F.col("cluster_size").cast("bigint").alias("component_size"),
+    )

@@ -1246,3 +1246,32 @@ def test_bm25_steady_probe_is_bucket_pruned(spark):
             bm25_topk_steady(qdf, "t_txtidx3", k=0)
     finally:
         _drop_text_index(spark, "t_txtidx3")
+
+
+def test_connected_components_structure_and_sizes(spark):
+    from knowledge_graph_etl_spark.extensions.graph import (
+        connected_components,
+    )
+
+    # two components: {1,2,3} (chain) and {10,11}; min-id labels
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    out = {r.node: r for r in connected_components(e).collect()}
+    assert {n: (r.component, r.component_size) for n, r in out.items()} == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_connected_components_transitive_long_chain(spark):
+    from knowledge_graph_etl_spark.extensions.graph import (
+        connected_components,
+    )
+
+    # a 20-node chain exercises pointer jumping past one round's reach
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "src long, dst long"
+    )
+    out = connected_components(e).collect()
+    assert len(out) == 20
+    assert all(r.component == 1 and r.component_size == 20 for r in out)
