@@ -4347,6 +4347,17 @@ def ann_int8_recall_q(spark, sf_dir):
     return recall_at_k(approx, exact, k=10)
 
 
+def stats_cramers_v_q(spark, sf_dir):
+    """Categorical association audit orders priority x status
+    (extensions/stats.cramers_v): chi-square over the contingency table
+    with decimal(38,0) integer identity per cell, Cramer's V in ppm."""
+    from knowledge_graph_etl_spark.extensions.stats import cramers_v
+
+    return cramers_v(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
 def graph_wcc_q(spark, sf_dir):
     """Weakly-connected components (extensions/graph.
     connected_components) of the DOMESTIC co-purchase supplier graph --
@@ -4951,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_psi": stats_psi_q,
         "text_readability": text_readability_q,
         "text_ngram_novelty": text_ngram_novelty_q,
+        "stats_cramers_v": stats_cramers_v_q,
         "graph_wcc": graph_wcc_q,
         "doc_lang_confusion": doc_lang_confusion_q,
         "orders_cohort_ltv": orders_cohort_ltv,
@@ -6018,6 +6030,38 @@ def oracle_sql() -> dict[str, str]:
     )
     ntok = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
     d = {
+        "stats_cramers_v": (
+            "WITH cells AS (SELECT "
+            "COALESCE(CAST(o_orderpriority AS VARCHAR), ' NULL') AS a, "
+            "COALESCE(CAST(o_orderstatus AS VARCHAR), ' NULL') AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+            "ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells "
+            "GROUP BY 1), "
+            "cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells "
+            "GROUP BY 1), "
+            "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a, "
+            "CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b FROM cells), "
+            "grid AS (SELECT ra.ra, cb.cb, "
+            "CAST(COALESCE(cells.o, 0) AS BIGINT) AS o, nn.n, nn.n_a, "
+            "nn.n_b FROM ra CROSS JOIN cb "
+            "LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b "
+            "CROSS JOIN nn), "
+            "pc AS (SELECT n, n_a, n_b, "
+            "CAST(floor(CAST((CAST(o AS HUGEINT) * n - "
+            "CAST(ra AS HUGEINT) * cb) * (CAST(o AS HUGEINT) * n - "
+            "CAST(ra AS HUGEINT) * cb) AS DOUBLE) / "
+            "CAST(CAST(n AS HUGEINT) * ra * cb AS DOUBLE) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS t FROM grid) "
+            "SELECT n, n_a, n_b, "
+            "CAST(LEAST(n_a, n_b) - 1 AS BIGINT) AS dof, "
+            "CAST(SUM(t) AS BIGINT) AS chi2_micro, "
+            "CAST(floor((CASE WHEN LEAST(n_a, n_b) > 1 THEN "
+            "sqrt(CAST(SUM(t) AS DOUBLE) / 1000000.0 / "
+            "(CAST(n AS DOUBLE) * (CAST(LEAST(n_a, n_b) AS DOUBLE) "
+            "- 1.0))) ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) "
+            "AS cramers_v_ppm FROM pc GROUP BY 1, 2, 3"
+        ),
         "graph_wcc": (
             "WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey "
             "FROM lineitem), "

@@ -1592,3 +1592,106 @@ def fd_violations(
         .where(F.col("n_rhs") > 1)
         .orderBy(F.col("n_rhs").desc(), *[F.col(c) for c in lhs_cols])
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Association strength between two categorical columns -- chi-square
+    over the contingency table, normalized to Cramer's V in [0, 1]. The
+    feature-audit question this answers at pipeline scale: "does this
+    column leak that one?" (V ~ 1 between a feature and the label means
+    leakage; V ~ 0 between a 'random' shard key and anything means the
+    sharding is actually uniform).
+
+    Exactness: observed counts and marginals are exact bigints; each
+    cell's chi-square term uses the integer identity
+    ``(o*N - ra*cb)^2 / (N*ra*cb)`` -- numerator and denominator formed
+    in decimal(38,0) (a cell of a billion-row table squares past int64),
+    divided in double and ppm-quantized PER CELL before the final sum,
+    so the reduction is order-independent. NULL categories form a real
+    row/column (NULL association is signal, not noise), spelled with a
+    leading-space sentinel no real category can collide with after the
+    string cast.
+
+    Scale shape: ONE map-combinable count aggregate on (a, b); marginals
+    and the V reduction run on the contingency rows -- bounded by
+    ``|A|*|B|``, never the corpus. Returns one row: ``(n, n_a, n_b,
+    dof, chi2_micro, cramers_v_ppm)``.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" NULL"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" NULL"))
+    cells = (
+        df.select(a.alias("a"), b.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("cb"))
+    n = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("n_a"),
+        F.countDistinct("b").cast("bigint").alias("n_b"),
+    )
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    # dense grid: every (a, b) marginal pair contributes its expected
+    # count even when the observed cell is absent (o = 0)
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cells, ["a", "b"], "left")
+        .select(
+            "ra",
+            "cb",
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    num = dec("o") * dec("n") - dec("ra") * dec("cb")
+    term = (num * num).cast("double") / (
+        dec("n") * dec("ra") * dec("cb")
+    ).cast("double")
+    per_cell = grid.select(
+        "n",
+        "n_a",
+        "n_b",
+        F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("chi2_cell_micro"),
+    )
+    return (
+        per_cell.groupBy("n", "n_a", "n_b")
+        .agg(
+            F.sum("chi2_cell_micro").cast("bigint").alias("chi2_micro"),
+            (F.least(F.col("n_a"), F.col("n_b")) - F.lit(1))
+            .cast("bigint")
+            .alias("dof"),
+            F.floor(
+                F.when(
+                    F.least(F.col("n_a"), F.col("n_b")) > 1,
+                    F.sqrt(
+                        F.sum("chi2_cell_micro").cast("double")
+                        / F.lit(1000000.0)
+                        / (
+                            F.col("n").cast("double")
+                            * (
+                                F.least(
+                                    F.col("n_a"), F.col("n_b")
+                                ).cast("double")
+                                - F.lit(1.0)
+                            )
+                        )
+                    ),
+                ).otherwise(F.lit(0.0))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cramers_v_ppm"),
+        )
+        .select("n", "n_a", "n_b", "dof", "chi2_micro", "cramers_v_ppm")
+    )

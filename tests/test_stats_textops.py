@@ -1840,3 +1840,36 @@ def test_ngram_novelty_order_and_short_docs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ngram_novelty(df, n=0)
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from knowledge_graph_etl_spark.extensions.stats import cramers_v
+
+    # perfect association: b is a function of a -> V = 1
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert (r.n, r.n_a, r.n_b, r.dof) == (10, 2, 2, 1)
+    assert r.cramers_v_ppm == 1_000_000
+
+    # perfect independence: uniform 2x2 -> chi2 = 0, V = 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.chi2_micro == 0 and r.cramers_v_ppm == 0
+
+
+def test_cramers_v_null_category_and_degenerate(spark):
+    from knowledge_graph_etl_spark.extensions.stats import cramers_v
+
+    # NULL is a real category: NULL-a rows all map to 'q' -> association
+    rows = [("x", "p"), ("x", "p"), (None, "q"), (None, "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.n_a == 2 and r.cramers_v_ppm == 1_000_000
+
+    # single-category side: dof 0, V reported as 0 (not NaN)
+    rows = [("x", "p"), ("x", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert (r.dof, r.chi2_micro, r.cramers_v_ppm) == (0, 0, 0)
