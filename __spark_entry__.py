@@ -4929,22 +4929,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is always regression-guarded locally by tools/check_oracle.py
     (exact values, all entries), which is the required pre-commit gate.
 
-    r09 front = 58 new-or-changed entries — MORE than the ~50 window for
-    the first time, so the front is risk-ordered: 22 session-3 additions
-    (stats_ks_drift..ann_int8_recall) lead, then the 26 session-2
-    additions (dedup_setsim_prefix..ann_matryoshka_eval — including
-    promo_revenue_share / top_supplier_revenue, whose decimal→string
-    serialization change this session lands at window positions 45/41,
-    deliberately inside the cut since the change exists because of
-    driver serialization), then session-1's set. The window cuts at
-    kg_incremental_remap (position 50); the 8 r09 entries it misses
-    (ann_recall_eval, dedup_lsh_eval, data_leakage_split,
-    table_profile_drift, data_ppl_buckets + the 3 session-1-changed
-    ann_beam_topk / events_winsorize / ann_ivf_append) are the round's
-    oldest code, judge-sweep-covered, and MUST lead the r10 front
-    together with the 45-entry r06-stale block
-    (doc_cdc_stats..kg_select_builtins), whose driver rows are then 4
-    rounds old — r10's window should be spent entirely on those 53. Never-driver-checked
+    r09 front = 62 new-or-changed entries — MORE than the ~50 window for
+    the first time, so the front is risk-ordered: 26 session-3 additions
+    (stats_ks_drift..ann_int8_recall) lead, then the session-2 additions
+    (dedup_setsim_prefix.. — including promo_revenue_share /
+    top_supplier_revenue, whose decimal→string serialization change this
+    session lands at window positions 49/45, deliberately inside the cut
+    since the change exists because of driver serialization), then
+    session-1's set. The window cuts at graph_negative_samples
+    (position 50); the 12 r09 entries it misses
+    (events_conversion_paths, ann_matryoshka_eval,
+    multimodal_ahash_banded, kg_incremental_remap, ann_recall_eval,
+    dedup_lsh_eval, data_leakage_split, table_profile_drift,
+    data_ppl_buckets + the 3 session-1-changed ann_beam_topk /
+    events_winsorize / ann_ivf_append) are the round's oldest code,
+    judge-sweep-covered, and MUST lead the r10 front together with the
+    45-entry r06-stale block (doc_cdc_stats..kg_select_builtins), whose
+    driver rows are then 4 rounds old — r10's window should be spent
+    entirely on those 57. Never-driver-checked
     new entries outrank 3-round-stale ones for window slots because the
     stale block stays hash-exact in every judge full sweep; the local
     full-registry gate (tools/check_oracle.py, both SFs) remains the
