@@ -4931,12 +4931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r09 front = 62 new-or-changed entries — MORE than the ~50 window for
     the first time, so the front is risk-ordered: 26 session-3 additions
-    (stats_ks_drift..ann_int8_recall) lead, then the session-2 additions
-    (dedup_setsim_prefix.. — including promo_revenue_share /
-    top_supplier_revenue, whose decimal→string serialization change this
-    session lands at window positions 49/45, deliberately inside the cut
-    since the change exists because of driver serialization), then
-    session-1's set. The window cuts at graph_negative_samples
+    — promo_revenue_share / top_supplier_revenue FIRST (their
+    decimal→string serialization change exists because of driver
+    serialization, so the driver must see it), then the rest of the
+    session-3 set (stats_ks_drift..ann_int8_recall), the session-2
+    additions (dedup_setsim_prefix..), and session-1's set. The window cuts at graph_negative_samples
     (position 50); the 12 r09 entries it misses
     (events_conversion_paths, ann_matryoshka_eval,
     multimodal_ahash_banded, kg_incremental_remap, ann_recall_eval,
@@ -4954,6 +4953,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the r05 block re-checked in r08) and the r07-checked tail."""
     return {
         # --- new or changed this round (r09) ---
+        # the two entries whose OUTPUT SERIALIZATION changed this
+        # session (decimal -> string) lead outright: the change exists
+        # because of driver serialization, so the driver must see it
+        "promo_revenue_share": promo_revenue_share,
+        "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
         "search_bm25_steady": search_bm25_steady_q,
         "nation_market_share": nation_market_share,
@@ -4998,11 +5002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_dau": events_rolling_dau_q,
         "events_rolling_hll": events_rolling_hll_q,
         "privacy_kanon": privacy_kanon_q,
-        "top_supplier_revenue": top_supplier_revenue,
         "stats_selectivity": stats_selectivity_q,
         "ts_trend_by_type": ts_trend_by_type_q,
         "ts_cusum": ts_cusum_q,
-        "promo_revenue_share": promo_revenue_share,
         "graph_negative_samples": graph_negative_samples_q,
         "events_conversion_paths": events_conversion_paths_q,
         "ann_matryoshka_eval": ann_matryoshka_eval_q,
