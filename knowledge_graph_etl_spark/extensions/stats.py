@@ -1095,7 +1095,13 @@ def ks_2sample(
     all-pairs expansion then runs on histogram rows only (×(|G|−1)
     fan-out of the histogram, never of raw rows), one window pass per
     merged grid. |G| is segment/crawl cardinality — small by
-    construction for a drift report.
+    construction for a drift report. Known tradeoff (plan-audited): the
+    lazy histogram subtree is referenced three times (totals + both
+    pair sides), so Catalyst scans the source thrice; for repeated
+    100 TB drift reports pre-materialize the histogram (or ``.cache()``
+    the input) — this operator deliberately stays lazy rather than
+    persisting internally, which would leak cache past the caller's
+    control (the checkpoint-hygiene rule from search.py).
 
     Returns ``(group_a, group_b, n_a, n_b, d_num, d_ppm)`` for ordered
     pairs ``group_a < group_b``.
