@@ -4925,87 +4925,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, so each round the front of the dict holds (a) entries changed
     or added this round, then (b) the block whose most recent driver-green
     row is oldest; the block driver-checked last round rotates to the back.
-    This keeps every query's driver row at most 2 rounds stale. The full
-    registry is always regression-guarded locally by tools/check_oracle.py
-    (exact values, all entries), which is the required pre-commit gate.
+    The full registry is always regression-guarded locally by
+    tools/check_oracle.py (exact values, all entries), which is the
+    required pre-commit gate.
 
-    r09 front = 62 new-or-changed entries — MORE than the ~50 window for
-    the first time, so the front is risk-ordered: 26 session-3 additions
-    — promo_revenue_share / top_supplier_revenue FIRST (their
-    decimal→string serialization change exists because of driver
-    serialization, so the driver must see it), then the rest of the
-    session-3 set (stats_ks_drift..ann_int8_recall), the session-2
-    additions (dedup_setsim_prefix..), and session-1's set. The window cuts at graph_negative_samples
-    (position 50); the 12 r09 entries it misses
-    (events_conversion_paths, ann_matryoshka_eval,
-    multimodal_ahash_banded, kg_incremental_remap, ann_recall_eval,
-    dedup_lsh_eval, data_leakage_split, table_profile_drift,
-    data_ppl_buckets + the 3 session-1-changed ann_beam_topk /
-    events_winsorize / ann_ivf_append) are the round's oldest code,
-    judge-sweep-covered, and MUST lead the r10 front together with the
-    45-entry r06-stale block (doc_cdc_stats..kg_select_builtins), whose
-    driver rows are then 4 rounds old — r10's window should be spent
-    entirely on those 57. Never-driver-checked
-    new entries outrank 3-round-stale ones for window slots because the
-    stale block stays hash-exact in every judge full sweep; the local
-    full-registry gate (tools/check_oracle.py, both SFs) remains the
-    pre-commit bar for everything. Back = r08-checked blocks (r08-new,
-    the r05 block re-checked in r08) and the r07-checked tail."""
+    r10 front = the 57-entry driver-window DEBT the r09 verdict ordered
+    cleared (its Next #1): first the 12 r09 entries the r09 window never
+    reached (events_conversion_paths..ann_ivf_append — never
+    driver-checked), then the full 45-entry r06-stale block
+    (doc_cdc_stats..kg_select_builtins — driver rows 4 rounds old). The
+    ~50 window covers the 12 + ~38 of the 45; the ~7-entry overflow
+    (kg_construct_query..kg_select_builtins) leads r11. Feature additions
+    this round are capped (verdict cap ~0-5 oracled entries) so the
+    window is spent on the debt. This round's behavior-preserving
+    robustness fixes (ks_2sample d_ppm decimal widening, cramers_v NULL
+    sentinel, nearest_event_match NULL typing — ADVICE r09) do NOT jump
+    the front: their outputs are hash-identical at driver scale (overflow
+    bound ~3e6 rows/side, sentinel collision absent from the corpus),
+    re-verified by the local full-registry sweep, so the debt keeps every
+    slot. Middle = r08-checked blocks and the r07 tail; back = the
+    50-entry block the r09 window checked (promo_revenue_share..
+    graph_negative_samples)."""
     return {
-        # --- new or changed this round (r09) ---
-        # the two entries whose OUTPUT SERIALIZATION changed this
-        # session (decimal -> string) lead outright: the change exists
-        # because of driver serialization, so the driver must see it
-        "promo_revenue_share": promo_revenue_share,
-        "top_supplier_revenue": top_supplier_revenue,
-        "stats_ks_drift": stats_ks_drift_q,
-        "search_bm25_steady": search_bm25_steady_q,
-        "nation_market_share": nation_market_share,
-        "events_twap": events_twap_q,
-        "stats_benford": stats_benford_q,
-        "dedup_edit1_pairs": dedup_edit1_pairs_q,
-        "stats_pareto": stats_pareto_q,
-        "stats_psi": stats_psi_q,
-        "text_readability": text_readability_q,
-        "text_ngram_novelty": text_ngram_novelty_q,
-        "stats_cramers_v": stats_cramers_v_q,
-        "graph_wcc": graph_wcc_q,
-        "doc_lang_confusion": doc_lang_confusion_q,
-        "orders_cohort_ltv": orders_cohort_ltv,
-        "large_order_customers": large_order_customers,
-        "dq_fd_violations": dq_fd_violations_q,
-        "embed_knn_eval": embed_knn_eval_q,
-        "orders_pivot": orders_pivot_q,
-        "embed_class_separation": embed_class_separation_q,
-        "events_reconcile": events_reconcile_q,
-        "curation_priority_sample": curation_priority_sample_q,
-        "late_supplier_blame": late_supplier_blame,
-        "order_priority_wait": order_priority_wait,
-        "events_mad_outliers": events_mad_outliers_q,
-        "changelog_scd2_apply": changelog_scd2_apply_q,
-        "ann_int8_recall": ann_int8_recall_q,
-        "dedup_setsim_prefix": dedup_setsim_prefix_q,
-        "events_markov": events_markov_q,
-        "layout_zorder_stats": layout_zorder_stats_q,
-        "sketch_kmv_overlap": sketch_kmv_overlap_q,
-        "er_record_linkage": er_record_linkage_q,
-        "multimodal_scene_cut": multimodal_scene_cut_q,
-        "ivm_join_delta": ivm_join_delta_q,
-        "stats_join_card": stats_join_card_q,
-        "ts_forecast_backtest": ts_forecast_backtest_q,
-        "smallqty_revenue": smallqty_revenue,
-        "dq_rules": dq_rules_q,
-        "multimodal_vad": multimodal_vad_q,
-        "feature_rank_normalize": feature_rank_normalize_q,
-        "embed_covariance": embed_covariance_q,
-        "embed_kcenter": embed_kcenter_q,
-        "events_rolling_dau": events_rolling_dau_q,
-        "events_rolling_hll": events_rolling_hll_q,
-        "privacy_kanon": privacy_kanon_q,
-        "stats_selectivity": stats_selectivity_q,
-        "ts_trend_by_type": ts_trend_by_type_q,
-        "ts_cusum": ts_cusum_q,
-        "graph_negative_samples": graph_negative_samples_q,
+        # --- r10 front: 12 r09 entries the r09 window missed (never driver-checked) ---
         "events_conversion_paths": events_conversion_paths_q,
         "ann_matryoshka_eval": ann_matryoshka_eval_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
@@ -5018,7 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_beam_topk": ann_beam_topk_q,
         "events_winsorize": events_winsorize,
         "ann_ivf_append": ann_ivf_append_q,
-        # --- r06-stale block: oldest driver rows, leads the r09 window ---
+        # --- r10 front: 45-entry r06-stale block (driver rows 4 rounds old); the ~50 window cuts ~7 before its end — overflow leads r11 ---
         "doc_cdc_stats": doc_cdc_stats_q,
         "search_bm25_topk": search_bm25_topk_q,
         "search_hybrid_rrf": search_hybrid_rrf_q,
@@ -5032,9 +4974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_token_budget": data_token_budget_q,
         "data_curriculum": data_curriculum_q,
         "streaming_neardup": streaming_neardup_q,
-        # --- r06-stale remainder: the ~50 window runs out near here —
-        # --- everything from blocklist_flag through kg_select_builtins
-        # --- MUST lead the r10 front ---
         "blocklist_flag": blocklist_flag_q,
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
@@ -5067,8 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
-        # --- r08-checked (r08-new + the r05 block re-checked in r08),
-        # --- then the r07-checked tail (quality_classifier_trained..) ---
+        # --- r08-checked blocks, then the r07-checked tail ---
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
         "embed_decontaminate": embed_decontaminate_q,
@@ -5166,6 +5104,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": streaming_sessionize,
         "agg_pricing_summary": agg_pricing_summary,
         "join_topn_revenue": join_topn_revenue,
+        # --- r09-window-checked block (rotated to the back) ---
+        "promo_revenue_share": promo_revenue_share,
+        "top_supplier_revenue": top_supplier_revenue,
+        "stats_ks_drift": stats_ks_drift_q,
+        "search_bm25_steady": search_bm25_steady_q,
+        "nation_market_share": nation_market_share,
+        "events_twap": events_twap_q,
+        "stats_benford": stats_benford_q,
+        "dedup_edit1_pairs": dedup_edit1_pairs_q,
+        "stats_pareto": stats_pareto_q,
+        "stats_psi": stats_psi_q,
+        "text_readability": text_readability_q,
+        "text_ngram_novelty": text_ngram_novelty_q,
+        "stats_cramers_v": stats_cramers_v_q,
+        "graph_wcc": graph_wcc_q,
+        "doc_lang_confusion": doc_lang_confusion_q,
+        "orders_cohort_ltv": orders_cohort_ltv,
+        "large_order_customers": large_order_customers,
+        "dq_fd_violations": dq_fd_violations_q,
+        "embed_knn_eval": embed_knn_eval_q,
+        "orders_pivot": orders_pivot_q,
+        "embed_class_separation": embed_class_separation_q,
+        "events_reconcile": events_reconcile_q,
+        "curation_priority_sample": curation_priority_sample_q,
+        "late_supplier_blame": late_supplier_blame,
+        "order_priority_wait": order_priority_wait,
+        "events_mad_outliers": events_mad_outliers_q,
+        "changelog_scd2_apply": changelog_scd2_apply_q,
+        "ann_int8_recall": ann_int8_recall_q,
+        "dedup_setsim_prefix": dedup_setsim_prefix_q,
+        "events_markov": events_markov_q,
+        "layout_zorder_stats": layout_zorder_stats_q,
+        "sketch_kmv_overlap": sketch_kmv_overlap_q,
+        "er_record_linkage": er_record_linkage_q,
+        "multimodal_scene_cut": multimodal_scene_cut_q,
+        "ivm_join_delta": ivm_join_delta_q,
+        "stats_join_card": stats_join_card_q,
+        "ts_forecast_backtest": ts_forecast_backtest_q,
+        "smallqty_revenue": smallqty_revenue,
+        "dq_rules": dq_rules_q,
+        "multimodal_vad": multimodal_vad_q,
+        "feature_rank_normalize": feature_rank_normalize_q,
+        "embed_covariance": embed_covariance_q,
+        "embed_kcenter": embed_kcenter_q,
+        "events_rolling_dau": events_rolling_dau_q,
+        "events_rolling_hll": events_rolling_hll_q,
+        "privacy_kanon": privacy_kanon_q,
+        "stats_selectivity": stats_selectivity_q,
+        "ts_trend_by_type": ts_trend_by_type_q,
+        "ts_cusum": ts_cusum_q,
+        "graph_negative_samples": graph_negative_samples_q,
     }
 
 
