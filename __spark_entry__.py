@@ -6025,8 +6025,8 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "stats_cramers_v": (
             "WITH cells AS (SELECT "
-            "COALESCE(CAST(o_orderpriority AS VARCHAR), ' NULL') AS a, "
-            "COALESCE(CAST(o_orderstatus AS VARCHAR), ' NULL') AS b, "
+            "CASE WHEN o_orderpriority IS NULL THEN 'N' ELSE 'V' || CAST(o_orderpriority AS VARCHAR) END AS a, "
+            "CASE WHEN o_orderstatus IS NULL THEN 'N' ELSE 'V' || CAST(o_orderstatus AS VARCHAR) END AS b, "
             "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
             "ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells "
             "GROUP BY 1), "

@@ -1068,6 +1068,7 @@ def ks_2sample(
     group_col: str,
     value_col: str,
     quant_scale: int = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov distance between every PAIR of
     groups' value distributions — the distribution-shape drift test that
@@ -1097,17 +1098,29 @@ def ks_2sample(
     merged grid. |G| is segment/crawl cardinality — small by
     construction for a drift report. Known tradeoff (plan-audited): the
     lazy histogram subtree is referenced three times (totals + both
-    pair sides), so Catalyst scans the source thrice; for repeated
-    100 TB drift reports pre-materialize the histogram (or ``.cache()``
-    the input) — this operator deliberately stays lazy rather than
-    persisting internally, which would leak cache past the caller's
-    control (the checkpoint-hygiene rule from search.py).
+    pair sides), so by default Catalyst scans the source thrice; the
+    operator deliberately stays lazy rather than persisting internally,
+    which would leak cache past the caller's control (the
+    checkpoint-hygiene rule from search.py). For one-shot 100 TB drift
+    reports pass ``materialize=True``: the per-group histogram (bounded
+    by Σ per-group distinct quantized values — tiny next to the corpus)
+    is eagerly ``localCheckpoint``-ed, so the source is scanned ONCE and
+    all three consumers read the checkpoint. The opt-in keeps the
+    hygiene contract explicit: the returned plan references the
+    checkpoint, so the CALLER releases it after consuming the result
+    (``ckpt.release_new_checkpoints`` or a ``getPersistentRDDs`` sweep —
+    both harnesses already do), same accepted pinned-RDD budget as
+    ``knn_graph``/``select_token_budget``.
 
     Returns ``(group_a, group_b, n_a, n_b, d_num, d_ppm)`` for ordered
     pairs ``group_a < group_b``.
 
     Bound: the exact-integer path needs ``n_a · n_b < 2^63`` (≈3·10⁹
-    rows per side). Beyond that, run it on a hash-sampled subset
+    rows per side) — that is the ``ca·n_b − cb·n_a`` dev term's bigint
+    ceiling; the final ppm division is widened through decimal(38,0)
+    (``d_num · 10⁶`` would otherwise wrap bigint already at ``n_a · n_b
+    > ~9.2·10¹²``, ~3·10⁶ rows/side). Beyond that, run it on a
+    hash-sampled subset
     (``md5_u60(id) % m == 0``) — the KS statistic concentrates at rate
     1/√n, so a 10⁹-row sample already resolves D to ~3·10⁻⁵.
     """
@@ -1122,6 +1135,8 @@ def ks_2sample(
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    if materialize:
+        hist = hist.localCheckpoint(eager=True)
     totals = hist.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
     groups = totals.select("g", "n")
     pairs = (
@@ -1175,7 +1190,14 @@ def ks_2sample(
         .agg(F.max("dev").cast("bigint").alias("d_num"))
         .select(
             "group_a", "group_b", "n_a", "n_b", "d_num",
-            F.expr("d_num * 1000000 div (n_a * n_b)")
+            # d_num can be as large as n_a*n_b, so d_num*1e6 would wrap
+            # bigint once n_a*n_b > ~9.2e12 (~3e6 rows/side) — widen the
+            # ppm arithmetic through decimal(38,0) so the whole op holds
+            # to the dev term's n_a*n_b < 2^63 bound.
+            F.expr(
+                "cast(d_num as decimal(38,0)) * 1000000"
+                " div (cast(n_a as decimal(38,0)) * n_b)"
+            )
             .cast("bigint")
             .alias("d_ppm"),
         )
@@ -1296,12 +1318,13 @@ def benford_report(
     multiplicative data leads with digit 1 ~30.1% of the time; uniform
     or invented numbers don't.
 
-    The digit is extracted with pure integer arithmetic on the
-    milli-quantized value (``n div 10^(digits(n)-1)``, digits via the
-    decimal string length — identical on any engine; no float log10
-    anywhere, whose libm rounding at exact powers of ten differs across
-    platforms). Non-positive and NULL values are excluded (Benford is
-    defined on positive magnitudes).
+    The digit is extracted with no float arithmetic at all: the first
+    character of the milli-quantized value's decimal string (the value
+    is filtered ``> 0`` first, so there is never a sign character) —
+    identical on any engine; no float log10/pow anywhere, whose libm
+    rounding at exact powers of ten differs across platforms.
+    Non-positive and NULL values are excluded (Benford is defined on
+    positive magnitudes).
 
     Scale shape: one scan, one 9-key map-side-combinable aggregate.
     Returns per digit: ``(digit, n, pct_ppm, benford_ppm, delta_ppm)``
@@ -1313,9 +1336,7 @@ def benford_report(
     n = F.floor(
         F.col(value_col).cast("double") * F.lit(int(quant_scale)) + F.lit(0.5)
     ).cast("bigint")
-    digit = F.expr(
-        "__n div cast(pow(10, length(cast(__n as string)) - 1) as bigint)"
-    )
+    digit = F.expr("cast(substring(cast(__n as string), 1, 1) as int)")
     counts = (
         df.where(F.col(value_col).isNotNull())
         .select(n.alias("__n"))
@@ -1618,17 +1639,23 @@ def cramers_v(
     in decimal(38,0) (a cell of a billion-row table squares past int64),
     divided in double and ppm-quantized PER CELL before the final sum,
     so the reduction is order-independent. NULL categories form a real
-    row/column (NULL association is signal, not noise), spelled with a
-    leading-space sentinel no real category can collide with after the
-    string cast.
+    row/column (NULL association is signal, not noise), encoded with an
+    injective tag prefix — ``'N'`` for NULL, ``'V' || value`` otherwise —
+    so no real category (including a literal ``" NULL"`` string) can
+    ever collide with the NULL bucket.
 
     Scale shape: ONE map-combinable count aggregate on (a, b); marginals
     and the V reduction run on the contingency rows -- bounded by
     ``|A|*|B|``, never the corpus. Returns one row: ``(n, n_a, n_b,
     dof, chi2_micro, cramers_v_ppm)``.
     """
-    a = F.coalesce(F.col(col_a).cast("string"), F.lit(" NULL"))
-    b = F.coalesce(F.col(col_b).cast("string"), F.lit(" NULL"))
+    def tag(col: str) -> F.Column:
+        return F.when(F.col(col).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(col).cast("string"))
+        )
+
+    a = tag(col_a)
+    b = tag(col_b)
     cells = (
         df.select(a.alias("a"), b.alias("b"))
         .groupBy("a", "b")

@@ -292,13 +292,16 @@ def nearest_event_match(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # the NULL tail's right_id must carry the SOURCE id type (string ids
+    # are legal), not a hardcoded long — otherwise unionByName coerces or
+    # fails; right_ts/dt stay long by the cast contract above.
     unmatched = (
         l.join(best.select("left_id"), "left_id", "left_anti")
         .select(
             "left_id",
             "key",
             "left_ts",
-            F.lit(None).cast("long").alias("right_id"),
+            F.lit(None).cast(r.schema["right_id"].dataType).alias("right_id"),
             F.lit(None).cast("long").alias("right_ts"),
             F.lit(None).cast("long").alias("dt"),
         )

@@ -1589,3 +1589,26 @@ def test_priority_sample_excludes_nonpositive_and_validates(spark):
     assert out[0].w_milli == 2000
     with _pytest.raises(ValueError):
         priority_sample(df, "w", n=0)
+
+
+def test_nearest_match_string_right_id_type_preserved(spark):
+    """ADVICE r09 (low): the unmatched tail hardcoded a long-typed NULL
+    for right_id; with a string right-id column the union coerced or
+    failed. The NULL literal now derives its type from the source."""
+    from knowledge_graph_etl_spark.extensions.temporal import (
+        nearest_event_match,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5, 100), (2, 5, 500)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [("r-1", 5, 103)], "event_id string, user_id long, ts long"
+    )
+    out_df = nearest_event_match(
+        left, right, "user_id", "ts", 10, "event_id", "event_id"
+    )
+    assert out_df.schema["right_id"].dataType.simpleString() == "string"
+    out = {r.left_id: r for r in out_df.collect()}
+    assert out[1].right_id == "r-1" and out[1].dt == 3
+    assert out[2].right_id is None and out[2].dt is None

@@ -564,3 +564,50 @@ def test_large_order_customers_having_drives_the_join(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ks_2sample_materialize_single_source_scan(spark, tmp_path):
+    """r09 verdict item 7: lazy ks_2sample references the histogram
+    subtree three times (totals + both pair sides) so the source is
+    scanned thrice; materialize=True localCheckpoints the histogram and
+    the plan must then contain ZERO source scans (all three consumers
+    read the checkpointed RDD). Caller releases the checkpoint — the
+    accepted pinned-RDD budget."""
+    from knowledge_graph_etl_spark.extensions.ckpt import (
+        persistent_rdd_ids,
+        release_new_checkpoints,
+    )
+    from knowledge_graph_etl_spark.extensions.stats import ks_2sample
+
+    src = str(tmp_path / "ks_src.parquet")
+    spark.createDataFrame(
+        [("a", float(v)) for v in range(20)]
+        + [("b", float(v) + 5.0) for v in range(20)],
+        "g string, v double",
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    # lazy: the histogram subtree fans out to ≥3 source scans (the tree
+    # duplicates further through the pairs self-join before ReusedExchange
+    # kicks in at runtime — the point is it is NOT one)
+    lazy_plan = _plan(ks_2sample(df, "g", "v"))
+    assert lazy_plan.count("Scan parquet") >= 3, lazy_plan
+
+    before = persistent_rdd_ids(spark)
+    out = ks_2sample(df, "g", "v", materialize=True)
+    mat_plan = _plan(out)
+    assert mat_plan.count("Scan parquet") == 0, mat_plan
+    assert "Scan ExistingRDD" in mat_plan, mat_plan
+    # identical results either way
+    lazy_rows = sorted(
+        (r.group_a, r.group_b, r.n_a, r.n_b, r.d_num, r.d_ppm)
+        for r in ks_2sample(df, "g", "v").collect()
+    )
+    mat_rows = sorted(
+        (r.group_a, r.group_b, r.n_a, r.n_b, r.d_num, r.d_ppm)
+        for r in out.collect()
+    )
+    assert lazy_rows == mat_rows
+    # caller-side release restores the session's pinned-RDD set
+    release_new_checkpoints(spark, before)
+    assert persistent_rdd_ids(spark) == before

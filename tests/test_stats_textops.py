@@ -1873,3 +1873,38 @@ def test_cramers_v_null_category_and_degenerate(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     r = cramers_v(df, "a", "b").collect()[0]
     assert (r.dof, r.chi2_micro, r.cramers_v_ppm) == (0, 0, 0)
+
+
+def test_ks_2sample_ppm_no_bigint_wrap_at_large_n(spark):
+    """ADVICE r09 (medium): d_num·10⁶ wrapped bigint once n_a·n_b
+    exceeded ~9.2e12 (~3e6 rows/side) — the ppm division is now widened
+    through decimal(38,0), so the op holds to the dev term's documented
+    n_a·n_b < 2^63 bound. Two fully-separated 3.1M-row groups reduce to
+    a 2-row histogram, so the test is cheap despite the row counts."""
+    from knowledge_graph_etl_spark.extensions.stats import ks_2sample
+
+    n = 3_100_000  # n*n ≈ 9.61e12 → d_num·1e6 ≈ 9.61e18 > 2^63 pre-fix
+    a = spark.range(n).select(F.lit("a").alias("g"), F.lit(0.0).alias("v"))
+    b = spark.range(n).select(F.lit("b").alias("g"), F.lit(1.0).alias("v"))
+    r = ks_2sample(a.unionAll(b), "g", "v").collect()[0]
+    assert r.d_num == n * n
+    assert r.d_ppm == 1_000_000
+
+
+def test_cramers_v_literal_null_string_distinct_from_null(spark):
+    """ADVICE r09 (low): the old ' NULL' string sentinel merged a
+    legitimate ' NULL' category with real NULLs; the injective tag
+    encoding ('N' vs 'V'||value) cannot collide."""
+    from knowledge_graph_etl_spark.extensions.stats import cramers_v
+
+    rows = [
+        (" NULL", "p"),
+        (" NULL", "p"),
+        (None, "q"),
+        (None, "q"),
+        ("x", "p"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.n_a == 3  # ' NULL', real NULL and 'x' are three categories
+    assert r.n == 5
