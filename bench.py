@@ -205,6 +205,48 @@ def main() -> int:
                 )
         except (OSError, ValueError, KeyError) as e:
             print(f"# drift tripwire skipped: {e}", file=sys.stderr)
+    # Per-entry bar tripwire (r09 verdict item 4): the shared-sum check
+    # above is blind to slow creep (+20%/round never trips a previous-run
+    # comparison yet compounds to 2.5x — agg_hist_quantiles r07..r09), so
+    # every entry is ALSO checked against its first-recorded-or-pinned
+    # bar in tools/bench_bars.json (see tools/make_bench_bars.py). The
+    # 2x threshold is the repo's standing per-query regression bar.
+    over_bar = None
+    bars_path = os.path.join(here, "tools", "bench_bars.json")
+    if os.path.isfile(bars_path) and sf_val == 0.1:
+        try:
+            with open(bars_path) as fh:
+                bars = json.load(fh)
+            over_bar = [
+                {
+                    "query": q,
+                    "cur": timings[q],
+                    "bar": bars[q]["bar"],
+                    "ratio": round(timings[q] / bars[q]["bar"], 2),
+                    "bar_source": bars[q]["source"],
+                }
+                for q in sorted(timings)
+                if timings[q] >= 0
+                and q in bars
+                and bars[q]["bar"] > 0
+                and timings[q] > 2.0 * bars[q]["bar"]
+            ]
+            if over_bar:
+                for ob in over_bar:
+                    print(
+                        f"# OVER 2x BAR: {ob['query']} {ob['cur']:.2f}s vs "
+                        f"{ob['bar']:.2f}s ({ob['ratio']}x, "
+                        f"{ob['bar_source']})",
+                        file=sys.stderr,
+                    )
+            else:
+                print(
+                    f"# over_bar: clean ({sum(1 for q in timings if q in bars)}"
+                    f"/{len(timings)} barred entries within 2x)",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError, KeyError, TypeError) as e:
+            print(f"# bar tripwire skipped: {e}", file=sys.stderr)
     payload = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -213,6 +255,7 @@ def main() -> int:
         "sf": sf_val,
         "loadavg": loadavg,
         "shared_sum_vs_prev": shared_sum_vs_prev,
+        "over_bar": over_bar,
     }
     print(json.dumps(payload))
     # Also persist the COMPLETE per-query record to a file: the driver's
