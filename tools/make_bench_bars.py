@@ -48,6 +48,12 @@ SOLO_PINS: dict[str, tuple[float, str]] = {
     "kg_select": (3.32, "solo-adjudication r09 (BASELINE.md)"),
     "dedup_lsh_eval": (10.07, "solo-adjudication r09 (BASELINE.md)"),
     "doc_minhash_cluster_dedup": (15.21, "solo-adjudication r09 (BASELINE.md)"),
+    # r10 pins (r09 verdict item 3): n=5 solo, cold-first series in
+    # BASELINE.md r10 section; all three landed at/below their records,
+    # adjudicating the 2.5x in-bench breaches as run-order noise
+    "agg_hist_quantiles": (0.57, "solo-pin r10 n=5 (BASELINE.md)"),
+    "data_ppl_buckets": (0.78, "solo-pin r10 n=5 (BASELINE.md)"),
+    "text_winnow_fp": (1.40, "solo-pin r10 n=5 (BASELINE.md)"),
 }
 
 
