@@ -9,6 +9,15 @@ Builds a 10×-scale corpus from sf0.1 in /tmp/scale10:
 * ``embeddings`` replicated 10× verbatim with offset vec_ids (near-dup
   output therefore grows ~quadratically in replica count — output-bound
   by construction; noted per-query in BASELINE.md).
+* ``events`` replicated 10× with **disjoint user and time blocks**
+  (r09 verdict item 5): replica r shifts user_id by r·10⁶ and ts by
+  r·31 days, so sessions/funnels/as-of matches never cross blocks and
+  the replica corpus reproduces the original per-user/per-window
+  structure at 10× the rows — the drift/rolling/markov/reconcile
+  family measures operator scaling, not block interference.
+  event_type and value distributions are preserved per block, so
+  group-keyed stats (ks/psi: same |G|, 10× rows per group) scale the
+  histogram reduction, not the pair fan-out.
 * all other tables symlinked unchanged.
 
 Usage: python tools/scale10.py q1,q2,...   # then compare vs seq_bench at sf0.1
@@ -58,7 +67,20 @@ if not os.path.exists(f"{DST}/embeddings.parquet"):
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"]:
+if not os.path.exists(f"{DST}/events.parquet"):
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.r * {ID_STRIDE} AS event_id,
+                 e.ts + INTERVAL (r.r * 31) DAY AS ts,
+                 e.user_id + r.r * 1000000 AS user_id,
+                 e.event_type, e.value, e.props
+          FROM read_parquet('{SRC}/events.parquet') e
+          CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
     dst = f"{DST}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
