@@ -5258,8 +5258,10 @@ def _volume_base_path(spark) -> str:
 
 def ensure_volume_base(spark, sf_dir: str) -> str:
     """Build the volume-corpus organizations store ONCE per warehouse
-    (full run_pipeline over volume_documents(10000)); returns the store
-    path. The kg_pipeline_incremental bench entry then measures ONLY the
+    (full run_pipeline over volume_documents(10000), ledger=True so the
+    derivation ledger is seeded — the steady state incremental
+    maintenance starts from); returns the store path. The
+    kg_pipeline_incremental bench entry then measures ONLY the
     incremental maintenance against it — same untimed-setup pattern as
     ensure_steady_index / ensure_knn_adjacency."""
     import shutil
@@ -5270,7 +5272,8 @@ def ensure_volume_base(spark, sf_dir: str) -> str:
 
     sparql_dir = "/root/reference/airflow_files/dags/sparql"
     path = _volume_base_path(spark)
-    marker = os.path.join(path, "_PIPELINE_DONE")
+    # v2 marker: r10 added the seeded ledger — pre-ledger warehouses rebuild
+    marker = os.path.join(path, "_PIPELINE_DONE_V2")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
         eng = Engine(spark, store_path=path)
@@ -5282,6 +5285,7 @@ def ensure_volume_base(spark, sf_dir: str) -> str:
             ts="2024-01-01T00:00:00+00:00",
             env="qas",
             optimize=True,
+            ledger=True,
         )
         with open(marker, "x"):
             pass
@@ -5323,20 +5327,22 @@ def _mutated_volume_docs(spark):
 def kg_pipeline_incremental_q(spark, sf_dir):
     """Incremental maintenance of the VOLUME pipeline
     (mappings/pipeline.run_pipeline_incremental): against the prebuilt
-    10k-company organizations store (ensure_volume_base), apply a ~1%
-    document delta — diff all sources, close over shared OR-IDs,
-    recompute only closure-sized derivations, set-delete stale /
-    set-insert fresh. NOT in the per-round bench (see
-    bench_only_queries): measured 254.5 s vs the 140 s full refresh at
-    this scale, because the 32 per-side mapping plan executions carry
-    ~2x the full run's 16-update fixed overhead while the ~1% delta's
-    data term is negligible — the crossover favours incremental only
-    once the mapping data term dominates (BASELINE.md r09 analysis).
-    Correctness: full-refresh equivalence incl. the delete-rederive
-    case is pytest-pinned (tests/test_pipeline.py). Idempotent against
-    the shared base store: re-applying the same delta deletes
-    already-absent stale quads and set-inserts already-present fresh
-    ones."""
+    10k-company organizations store with its seeded derivation LEDGER
+    (ensure_volume_base), apply a ~1% document delta — diff all
+    sources, mark affected org/user groups, look the stale side up in
+    the ledger (no recompute), rederive only closure-sized fresh
+    derivations with the group key carried, reference-count the
+    deletes. r10 rewrite (the r09 verdict's #2): measured 33.9 s vs
+    71.9 s same-session full refresh at 10k/1% (tools/inc_volume.py,
+    equivalence-verified at volume) — the pre-ledger algorithm lost at
+    254.5 s because it compiled all 16 updates twice; the ledger makes
+    the stale side one broadcast lookup and checkpoint_mem collapses
+    the per-update Catalyst analysis cost. Correctness: full-refresh
+    equivalence incl. the cross-source delete-rederive case AND the
+    shared-derivation (two users, one role) case is pytest-pinned
+    (tests/test_pipeline.py). Idempotent against the shared base
+    store: re-applying the same delta finds every stale quad still
+    supported and every fresh quad already present."""
     from knowledge_graph_etl_spark.engine import GRAPH_NS, Engine
     from knowledge_graph_etl_spark.mappings.pipeline import (
         run_pipeline_incremental,
@@ -5520,13 +5526,13 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_bpe": tokenize_bpe_q,
         "kg_pipeline_full": kg_pipeline_full_q,
         "kg_pipeline_volume": kg_pipeline_volume_q,
-        # kg_pipeline_incremental_q exists and is equivalence-pinned in
-        # tests/test_pipeline.py but is NOT benched per-round: at the
-        # 10k-company local scale its 32 per-side mapping plans cost
-        # ~2x the full refresh's 16 (fixed per-update overhead dominates
-        # the ~1% delta) — measured honestly in BASELINE.md with the
-        # crossover analysis; benching a known-not-yet-winning 250 s
-        # entry would only burn bench wall-clock
+        # benched per-round since r10: the ledger rewrite made steady-state
+        # incremental maintenance WIN (33.9 s vs 71.9 s full refresh at
+        # 10k/1% — it lost at 254.5 s pre-ledger, which is why r09 kept it
+        # out); the 10k base store + seeded ledger build untimed in
+        # bench.py setup (ensure_volume_base), and the entry is idempotent
+        # against the shared base
+        "kg_pipeline_incremental": kg_pipeline_incremental_q,
         "multimodal_phash_dedup": multimodal_phash_dedup_q,
     }
 

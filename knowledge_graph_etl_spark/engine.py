@@ -205,9 +205,19 @@ class Engine:
             df._jdf.queryExecution(), "formatted"
         )
 
-    def plan(self, query: str, materialize: bool = False) -> DataFrame:
+    def plan(
+        self,
+        query: str,
+        materialize: bool = False,
+        carry: list[str] | None = None,
+    ) -> DataFrame:
         """Compile an INSERT..WHERE to its output-quads DataFrame without
         executing the insert (for EXPLAIN/testing).
+
+        ``carry``: WHERE-variable names projected verbatim onto every
+        output quad row — the provenance hook the incremental pipeline
+        uses to attribute each derived quad to its derivation group
+        (mappings/pipeline.py ledger machinery).
 
         ``materialize=True`` eagerly checkpoints the WHERE result exactly
         as ``update`` would — callers that go on to EXECUTE the returned
@@ -221,7 +231,10 @@ class Engine:
             raise ValueError("plan() only applies to INSERT ... WHERE")
         # materialize=False default: compiling for EXPLAIN must not
         # execute the WHERE join tree as a checkpoint side effect
-        return compile_insert_where(node, self.store, materialize=materialize)
+        with self._compile_ctx():
+            return compile_insert_where(
+                node, self.store, materialize=materialize, carry=carry
+            )
 
     # -- ingest path ------------------------------------------------------
 

@@ -220,6 +220,7 @@ def run_pipeline(
     ts: str = "2024-01-01T00:00:00+00:00",
     env: str = "qas",
     optimize: bool = True,
+    ledger: bool = False,
 ) -> None:
     """Full-refresh run (CLEAR → load → map → provenance → DROP → optimize).
 
@@ -229,6 +230,15 @@ def run_pipeline(
     volume the corpus must never pass through the driver).
     ``sparql_dir``: directory containing the 13 mapping files
     (:data:`MAPPING_FILES`).
+
+    ``ledger=True`` additionally SEEDS the derivation ledger (see
+    :class:`Ledger`): every mapping/logo update runs with its group
+    variable carried onto the output quads, and the (group, quad)
+    multiset is persisted next to the store — the steady state
+    :func:`run_pipeline_incremental` maintains. Opt-in so the plain
+    full-refresh cost (the kg_pipeline_volume bench shape) is unchanged;
+    an incremental run against a store without a ledger seeds it itself
+    from the old snapshot.
     """
     from pyspark.sql import DataFrame
 
@@ -250,9 +260,20 @@ def run_pipeline(
 
     engine.update(f"CLEAR SILENT GRAPH <{GRAPH_NS}organizations>")
 
-    # m1-m13 + mt: the mapping workload (reference load_knowledge_graph.py:386-533)
-    for fname in MAPPING_FILES:
-        engine.update(os.path.join(sparql_dir, fname))
+    if ledger:
+        # m1-m13 + mt + logos with provenance carry: same updates, same
+        # inserted quads, plus the seeded (group, quad) ledger
+        led_df = _derive_and_insert(engine, sparql_dir, env)
+        Ledger.for_engine(engine).write(led_df)
+    else:
+        # m1-m13 + mt: the mapping workload (reference
+        # load_knowledge_graph.py:386-533)
+        for fname in MAPPING_FILES:
+            engine.update(os.path.join(sparql_dir, fname))
+
+        # ml, tl_ml: logos (reference load_knowledge_graph.py:547-611)
+        engine.update(add_logo_update(env))
+        engine.update(add_ldap_logo_update(env))
 
     # mp: provenance (reference load_knowledge_graph.py:514-545)
     engine.update(
@@ -268,10 +289,6 @@ def run_pipeline(
             graph=f"{GRAPH_NS}provenance",
         )
     )
-
-    # ml, tl_ml: logos (reference load_knowledge_graph.py:547-611)
-    engine.update(add_logo_update(env))
-    engine.update(add_ldap_logo_update(env))
 
     # d1-d5: drop staging (reference load_knowledge_graph.py:619-667)
     for g in STAGING_GRAPHS:
@@ -356,12 +373,257 @@ def _orids(spark, source: str, docs, cf_def_id: str | None):
     ).where(F.lit(False))
 
 
+#: derivation-group variable per maintained update: the WHERE variable
+#: whose binding identifies the (bounded-lookup-closed) document group a
+#: binding row was derived from. Org-keyed updates bind ?orid (ldap,
+#: tl_companies, logos) or ?ExternalId (tenants — its entries are org
+#: rows of the one whole-file doc); the users mapping is keyed by the
+#: user id ?amid. The per-entity locality contract (module docstring of
+#: the closure machinery above) is what makes the single carried
+#: variable a complete provenance record.
+PROV_VARS: dict[str, tuple[str, str]] = {
+    **{f: ("org", "orid") for f in MAPPING_FILES if f.startswith(("ldap_", "tl_companies_"))},
+    "tl_users_mapping.sparql": ("user", "amid"),
+    "map_mam_tenants.sparql": ("org", "ExternalId"),
+    "__add_logo__": ("org", "orid"),
+    "__add_ldap_logo__": ("org", "orid"),
+}
+
+#: the staging source whose quads ROOT each update's WHERE clause: an
+#: update whose driver graph is empty yields zero bindings, so the fresh
+#: recompute may skip compiling it outright (16 → as few as 0 delta jobs)
+UPDATE_DRIVER: dict[str, str] = {
+    **{f: "ldap_organizations" for f in MAPPING_FILES if f.startswith("ldap_")},
+    **{f: "tl_companies" for f in MAPPING_FILES if f.startswith("tl_companies_")},
+    "tl_users_mapping.sparql": "tl_users",
+    "map_mam_tenants.sparql": "mediahaven_tenants",
+    "__add_logo__": "tl_companies",
+    "__add_ldap_logo__": "ldap_organizations",
+}
+
+
+def ledger_updates(sparql_dir: str, env: str) -> list[tuple[str, str]]:
+    """(key, query) for every update whose derivation the ledger tracks:
+    the 14 mapping files (key = file name, query = full path) plus the
+    two inline logo updates. Provenance is additive per-run and
+    excluded."""
+    out = [(f, os.path.join(sparql_dir, f)) for f in MAPPING_FILES]
+    out.append(("__add_logo__", add_logo_update(env)))
+    out.append(("__add_ldap_logo__", add_ldap_logo_update(env)))
+    return out
+
+
 def incremental_update_queries(env: str) -> list[str]:
-    """Every update whose derivation must be maintained incrementally:
-    the 14 mapping files' names plus the two logo updates (which read
-    STAGING, not the target graph — pipeline.py logo_update) as inline
-    text. Provenance is additive per-run and excluded."""
+    """Back-compat listing of the maintained update texts/names (the
+    keyed form the ledger machinery uses is :func:`ledger_updates`)."""
     return MAPPING_FILES + [add_logo_update(env), add_ldap_logo_update(env)]
+
+
+class Ledger:
+    """The derivation ledger: the persisted multiset of (grp, quad) rows
+    recording, for every quad of the organizations graph, WHICH
+    derivation group produced it — ``org:<orid>`` or ``user:<amid>``.
+
+    This is the provenance store that turns incremental maintenance's
+    stale side into a LOOKUP (ledger ⋈ affected groups) instead of a
+    second full compile+execute of all 16 updates, and makes deletes
+    REFERENCE-COUNTED: a quad derived by several groups (e.g. the shared
+    ``org:Role``/``skos:prefLabel`` quads two users with the same
+    function both derive — reference sparql/tl_users_mapping.sparql) is
+    only deleted when NO group supports it anymore. The pre-ledger
+    delete-then-rederive closure algorithm got exactly that case wrong
+    (pinned by test_incremental_shared_role_survives_user_removal).
+
+    Storage: a parquet directory next to a file-backed store
+    (``<store>/_ledger/organizations`` — corpus-sized but narrow;
+    at scale partition it by a grp hash bucket so the per-run rewrite is
+    partition-granular) or a session-cached DataFrame for in-memory
+    engines (attached to the Engine so successive runs share it). The
+    parquet swap is write-tmp → remove-old → rename; a crash between the
+    last two steps loses only the ledger, which reseeds from the next
+    run's old snapshot."""
+
+    def __init__(self, spark, path: str | None = None):
+        self.spark = spark
+        self.path = path
+        self._mem = None
+
+    @classmethod
+    def for_engine(cls, engine: Engine, graph: str = "organizations") -> "Ledger":
+        if engine.store.path:
+            return cls(
+                engine.spark,
+                os.path.join(engine.store.path, "_ledger", graph),
+            )
+        led = getattr(engine, "_ledger_mem", None)
+        if led is None:
+            led = cls(engine.spark)
+            engine._ledger_mem = led
+        return led
+
+    def read(self):
+        """The current ledger DataFrame, or None when never seeded."""
+        if self.path is not None:
+            if not os.path.isdir(self.path):
+                return None
+            return self.spark.read.parquet(self.path)
+        return self._mem
+
+    def write(self, df) -> None:
+        if self.path is not None:
+            tmp = self.path + ".tmp"
+            # the write fully materializes df (which may READ the old
+            # generation) before the old directory is touched
+            df.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.replace(tmp, self.path)
+        else:
+            new = df.cache()
+            new.count()
+            if self._mem is not None:
+                self._mem.unpersist()
+            self._mem = new
+
+
+def _grp_col(kind: str, var: str):
+    from pyspark.sql import functions as F
+
+    return F.concat(F.lit(kind), F.lit(":"), F.col(var)).alias("grp")
+
+
+def _derive_ledger(
+    engine: Engine,
+    sparql_dir: str,
+    env: str,
+    empty_sources: set[str] | None = None,
+    insert: bool = False,
+) -> "DataFrame":
+    """Run every maintained update via ``plan(carry=[group var])`` against
+    ``engine``'s staging and return the unioned (grp, quad) ledger rows;
+    ``insert=True`` also set-inserts each update's quads into the
+    organizations graph (the seeded full-refresh path). Updates whose
+    driver staging graph is known-empty are skipped (zero bindings by
+    construction). Each update's carried output is checkpointed once and
+    feeds both the insert and the ledger union — same per-update job
+    shape as the plain pipeline."""
+    from pyspark.sql import functions as F
+
+    from ..terms import QUAD_COLUMNS
+
+    # flatten the staging store's plan tree ONCE before compiling 16
+    # deep-join updates against it — see GraphStore.checkpoint_mem
+    # (driver-side analysis was 3-10x the execution cost otherwise)
+    engine.store.checkpoint_mem()
+    pieces = []
+    for key, query in ledger_updates(sparql_dir, env):
+        if empty_sources and UPDATE_DRIVER[key] in empty_sources:
+            continue
+        kind, var = PROV_VARS[key]
+        # materialize=True checkpoints the WHERE bindings; the returned
+        # plan is then a flat template projection over a LogicalRDD, so
+        # the union below stays analysis-cheap WITHOUT a second
+        # checkpoint per update (the r09 OOM came from unioning
+        # un-checkpointed WHERE trees), and the insert/ledger consumers
+        # each re-execute only the projection
+        out = engine.plan(query, materialize=True, carry=[var])
+        if insert:
+            engine.store.insert(
+                out.select(*QUAD_COLUMNS),
+                target_graphs=[f"{GRAPH_NS}organizations"],
+            )
+        pieces.append(out.select(_grp_col(kind, var), *QUAD_COLUMNS))
+    if not pieces:
+        from ..terms import QUAD_SCHEMA
+
+        schema = "grp string, " + ", ".join(
+            f"{f.name} string" for f in QUAD_SCHEMA.fields
+        )
+        return engine.spark.createDataFrame([], schema)
+    quads = pieces[0]
+    for p in pieces[1:]:
+        quads = quads.unionByName(p)
+    # cross-update duplicates are real (two ldap mappings deriving the
+    # same typing quad for the same org) — the ledger is a SET of
+    # (grp, quad)
+    return quads.dropDuplicates(["grp", *QUAD_COLUMNS])
+
+
+def _derive_and_insert(engine: Engine, sparql_dir: str, env: str):
+    return _derive_ledger(engine, sparql_dir, env, insert=True)
+
+
+def _tenant_delta_orids(spark, old_docs, new_docs):
+    """OR-IDs whose mediahaven tenant entry changed between snapshots.
+    The tenants source is ONE whole-file JSON array, so the diff is at
+    entry granularity: full-outer join old/new entries on ExternalId,
+    keep ids whose Name differs or that exist on one side only."""
+    from pyspark.sql import functions as F
+
+    def entries(docs):
+        return (
+            _docs_df(spark, docs)
+            .select(
+                F.explode(
+                    F.from_json(
+                        "json", "array<struct<Name:string,ExternalId:string>>"
+                    )
+                ).alias("t")
+            )
+            .select(
+                F.col("t.ExternalId").alias("orid"),
+                F.col("t.Name").alias("name"),
+            )
+            .where(F.col("orid").isNotNull())
+        )
+
+    o = entries(old_docs).withColumnRenamed("name", "name_old")
+    n = entries(new_docs).withColumnRenamed("name", "name_new")
+    return (
+        o.join(n, "orid", "full_outer")
+        .where(
+            F.col("name_old").isNull()
+            | F.col("name_new").isNull()
+            | (F.col("name_old") != F.col("name_new"))
+        )
+        .select("orid")
+    )
+
+
+def _delta_conf(spark, partitions: int = 4):
+    """Scoped shuffle sizing for the delta-sized scratch work: a closure
+    staging of ~10^2 docs per 1% delta gains nothing from 32-128-task
+    stages — per-task scheduling overhead across ~16 update jobs × dozens
+    of stages was the dominant cost of the pre-ledger algorithm
+    (measured ~7 s/update on 25-doc staging). Restores the session's
+    settings on exit; the corpus-sized apply/ledger phases run OUTSIDE
+    this scope."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scoped():
+        keys = {
+            "spark.sql.shuffle.partitions": str(partitions),
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        }
+        saved = {}
+        for k, v in keys.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    return scoped()
 
 
 def run_pipeline_incremental(
@@ -373,53 +635,69 @@ def run_pipeline_incremental(
     ts: str = "2024-01-01T00:00:00+00:00",
     env: str = "qas",
 ) -> dict:
-    """Incremental maintenance of the organizations graph: given the
-    previous and the current staging snapshots, recompute ONLY the
-    derived quads of changed documents instead of the reference's
-    CLEAR → full remap (the full-refresh anti-pattern at 100 TB).
+    """Incremental maintenance of the organizations graph via the
+    derivation :class:`Ledger` — given the previous and current staging
+    snapshots, recompute ONLY the derived quads of changed documents
+    instead of the reference's CLEAR → full remap (the full-refresh
+    anti-pattern at 100 TB; reference load_knowledge_graph.py:677-696
+    is full-refresh by design).
 
-    Algorithm (delete-and-rederive with delta CLOSURE over the shared
-    organization key):
+    Algorithm (provenance-carried delete-and-rederive — DRed with
+    recorded support instead of a recomputed stale side):
 
-    1. diff each driving source's documents (md5 of the json);
-    2. close the delta over OR-IDs — different sources derive quads
-       about the SAME org subject (ldap org + tl company + logos), so
-       when any document of an organization changes, every document of
-       that organization (old and new side) joins the re-map set; this
-       is what makes delete-then-rederive exact when e.g. a company doc
-       is removed but its ldap twin still derives the shared
-       ``a org:Organization`` triple;
-    3. build two throwaway in-memory staging stores — old-closure docs
-       and new-closure docs, plus the full (bounded) lookup sources —
-       and compile every mapping + logo update against each with
-       ``engine.plan`` (the INSERT..WHERE output quads WITHOUT the
-       side effect);
-    4. set-delete the old derivations, set-insert the new ones, record
-       provenance for this run.
+    1. diff each driving source's documents (md5 of the json) — plus the
+       tenants file at entry granularity;
+    2. AFFECTED GROUPS: ``org:<orid>`` for every OR-ID any changed
+       ldap/company document (old or new side) or changed tenant entry
+       carries, ``user:<amid>`` for every changed user document — the
+       same shared-key closure as before, now expressed as group keys;
+    3. STALE side = ledger lookup: the recorded (grp, quad) rows of the
+       affected groups. No recompute, no second staging store, no 16
+       extra update jobs — this is what the ledger exists for. A store
+       without a ledger seeds one from the OLD snapshot first (one
+       full-derivation pass — the migration cost, paid once);
+    4. FRESH side = the maintained updates compiled over CLOSURE-sized
+       staging (all docs of affected orgs + changed user docs + the
+       bounded lookups), with the group variable carried, under
+       delta-sized shuffle sizing (:func:`_delta_conf`); updates whose
+       driver staging is empty are skipped outright;
+    5. NEW LEDGER = (ledger − affected groups) ∪ fresh rows;
+       DELETE = stale quads with NO support in the new ledger — the
+       reference count is the set of supporting groups, so a quad two
+       groups derive survives the removal of one (the shared-role case
+       the pre-ledger algorithm got wrong); INSERT = fresh quads;
+       provenance recorded for this run.
 
     Full-refresh equivalence (the oracle): after this call the
     organizations graph equals what ``run_pipeline`` over the new
-    snapshot would produce — pytest-pinned at fixture scale (every
-    delta class incl. the cross-source removal case) and at volume.
+    snapshot would produce — pytest-pinned at fixture scale for every
+    delta class (cross-source removal, shared-derivation removal,
+    tenant-entry change) and verified at volume by tools/inc_volume.py.
     Falls back to a documented error if the custom-field definitions
     changed (they parameterize every company mapping — a full refresh
     is the correct response).
 
-    Contract: within one source, document ids identify documents and
-    OR-IDs / user ids are unique per document — the reference pipeline
-    assumes the same (its mappings would silently merge subjects
-    otherwise).
+    Contract (unchanged): within one source, document ids identify
+    documents and OR-IDs / user ids are unique per document; mapping
+    derivations are per-entity local (each binding row reads one
+    entity's documents plus bounded lookups) — the reference pipeline
+    assumes the same. Out-of-band quads a user inserted into the
+    organizations graph are never deleted unless they term-equal a
+    retracted derivation.
 
     Scale shape: the diffs are one full-outer join per source on the
-    doc id; orid extraction is a JSON projection (no shuffle); the
-    mapping recompute runs over CLOSURE-sized staging (∝ delta, not
-    corpus); the only corpus-sized terms are the delete/insert
-    rewrites of the one target graph — partition-granular copy-on-write,
-    the same cost every UPDATE pays. Returns counters for observability.
+    doc id; the stale side is one broadcast semi-join against the
+    ledger; the fresh recompute is ∝ delta; the corpus-sized terms are
+    the ledger rewrite and the partition-granular delete/insert of the
+    one target graph — the same copy-on-write cost every UPDATE pays.
+    Returns counters (docs per source, quad counts, phase wall-clocks).
     """
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from ..extensions.changelog import snapshot_diff
+    from ..terms import QUAD_COLUMNS
 
     spark = engine.spark
     old_cf = old_documents.get("tl_custom_fields", [])
@@ -435,6 +713,7 @@ def run_pipeline_incremental(
         )
     cf_def_id = _orid_def_id(spark, new_cf)
 
+    _t0 = _time.time()
     # 1. per-source diffs
     diffs = {}
     for source in DELTA_SOURCES:
@@ -442,8 +721,14 @@ def run_pipeline_incremental(
         n = _docs_df(spark, new_documents.get(source, []))
         diffs[source] = (o, n, snapshot_diff(o, n, "doc_id", "json"))
 
-    # 2. delta closure over orids
-    affected = None
+    # 2a. affected org groups: shared-OR-ID closure over the ldap/company
+    # deltas (both sides — a removed doc's orid comes from the old side)
+    # plus changed tenant entries
+    affected = _tenant_delta_orids(
+        spark,
+        old_documents.get("mediahaven_tenants", []),
+        new_documents.get("mediahaven_tenants", []),
+    )
     for source in ("ldap_organizations", "tl_companies"):
         o, n, d = diffs[source]
         delta_ids = d.where(F.col("status") != "unchanged").select("doc_id")
@@ -453,11 +738,62 @@ def run_pipeline_incremental(
                 .join(F.broadcast(delta_ids), "doc_id", "left_semi")
                 .select("orid")
             )
-            affected = orids if affected is None else affected.unionByName(orids)
+            affected = affected.unionByName(orids)
     affected = affected.distinct().localCheckpoint(eager=True)
 
-    def closure_docs(source, docs, d, statuses):
-        base = d.where(F.col("status").isin(*statuses)).select("doc_id")
+    # 2b. affected user groups: the user ids of changed documents
+    o_u, n_u, d_u = diffs["tl_users"]
+    u_delta = d_u.where(F.col("status") != "unchanged").select("doc_id")
+    user_grps = None
+    for side in (o_u, n_u):
+        amids = (
+            side.join(F.broadcast(u_delta), "doc_id", "left_semi")
+            .select(F.get_json_object("json", "$.id").alias("amid"))
+            .where(F.col("amid").isNotNull())
+        )
+        user_grps = amids if user_grps is None else user_grps.unionByName(amids)
+    affected_grps = (
+        affected.select(_grp_col("org", "orid"))
+        .unionByName(user_grps.select(_grp_col("user", "amid")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counters = {"t_diff_closure": round(_time.time() - _t0, 1)}
+    counters["affected_groups"] = affected_grps.count()
+
+    # 3. stale side: the ledger lookup (seed it from the OLD snapshot if
+    # this store predates the ledger — one full-derivation migration)
+    _t0 = _time.time()
+    ledger = Ledger.for_engine(engine)
+    led_df = ledger.read()
+    if led_df is None:
+        scratch = Engine(spark)
+        for source, docs in old_documents.items():
+            scratch.load_json(
+                _docs_df(spark, docs), f"{GRAPH_NS}{source}", namespace=SOURCE_NS
+            )
+        led_df = _derive_ledger(scratch, sparql_dir, env).localCheckpoint(
+            eager=True
+        )
+        ledger.write(led_df)
+        led_df = ledger.read()
+        counters["ledger_seeded"] = True
+    stale = (
+        led_df.join(F.broadcast(affected_grps), "grp", "left_semi")
+        .select(*QUAD_COLUMNS)
+        .dropDuplicates(QUAD_COLUMNS)
+        .localCheckpoint(eager=True)
+    )
+    counters["stale_quads"] = stale.count()
+    counters["t_stale_lookup"] = round(_time.time() - _t0, 1)
+
+    # 4. fresh side: closure staging + carried recompute, delta-sized
+    _t0 = _time.time()
+
+    def closure_docs(source, docs, d):
+        base = d.where(F.col("status").isin("changed", "added")).select(
+            "doc_id"
+        )
         if source in ("ldap_organizations", "tl_companies"):
             by_orid = (
                 _orids(spark, source, docs, cf_def_id)
@@ -465,57 +801,71 @@ def run_pipeline_incremental(
                 .select("doc_id")
             )
             base = base.unionByName(by_orid).distinct()
-        return _docs_df(spark, docs).join(F.broadcast(base), "doc_id", "left_semi")
+        return _docs_df(spark, docs).join(
+            F.broadcast(base), "doc_id", "left_semi"
+        )
 
-    # 3. two throwaway staging stores: old-closure and new-closure
-    counters = {}
-    stale = fresh = None
-    for label, side_docs, statuses in (
-        ("stale", 0, ["changed", "removed"]),
-        ("fresh", 1, ["changed", "added"]),
-    ):
+    with _delta_conf(spark):
         scratch = Engine(spark)
+        empty_sources = set()
         for source in DELTA_SOURCES:
             o, n, d = diffs[source]
-            docs = (o, n)[side_docs]
-            cdocs = closure_docs(source, docs, d, statuses)
-            counters[f"{label}_{source}_docs"] = cdocs.count()
+            cdocs = closure_docs(source, n, d).coalesce(1)
+            n_docs = cdocs.count()
+            counters[f"fresh_{source}_docs"] = n_docs
+            if n_docs == 0:
+                empty_sources.add(source)
+                continue
             scratch.load_json(cdocs, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
-        # bounded full sources (see DELTA_SOURCES note)
+        # bounded full sources: the one whole-file tenants doc (its
+        # affected-org labels must be rederivable; unaffected-org rows
+        # dedup against the kept ledger) and the custom-field lookup
+        tenants = _docs_df(
+            spark, new_documents.get("mediahaven_tenants", [])
+        ).coalesce(1)
+        if tenants.limit(1).count() == 0:
+            empty_sources.add("mediahaven_tenants")
+        else:
+            scratch.load_json(
+                tenants, f"{GRAPH_NS}mediahaven_tenants", namespace=SOURCE_NS
+            )
         scratch.load_json(
-            _docs_df(spark, (old_documents, new_documents)[side_docs].get(
-                "mediahaven_tenants", []
-            )),
-            f"{GRAPH_NS}mediahaven_tenants",
-            namespace=SOURCE_NS,
-        )
-        scratch.load_json(
-            _docs_df(spark, (old_cf, new_cf)[side_docs]),
+            _docs_df(spark, new_cf).coalesce(1),
             f"{GRAPH_NS}tl_custom_fields",
             namespace=SOURCE_NS,
         )
-        quads = None
-        for q in incremental_update_queries(env):
-            path = os.path.join(sparql_dir, q) if q.endswith(".sparql") else q
-            # flatten EACH mapping's plan before the union: 16 compiled
-            # SPARQL-update trees over in-memory quad unions blow up
-            # analysis (DeduplicateRelations walks the product of the
-            # subtree relations — measured driver OOM); each checkpoint
-            # is a delta-sized job, and the union of flat scans is cheap
-            df = scratch.plan(path, materialize=True).localCheckpoint(
-                eager=True
-            )
-            quads = df if quads is None else quads.unionByName(df)
-        quads = quads.distinct().localCheckpoint(eager=True)
-        counters[f"{label}_quads"] = quads.count()
-        if label == "stale":
-            stale = quads
-        else:
-            fresh = quads
+        counters["t_fresh_load"] = round(_time.time() - _t0, 1)
+        _t0 = _time.time()
+        fresh_led = _derive_ledger(
+            scratch, sparql_dir, env, empty_sources=empty_sources
+        ).localCheckpoint(eager=True)
+    counters["fresh_ledger_rows"] = fresh_led.count()
+    counters["t_fresh_plan"] = round(_time.time() - _t0, 1)
 
-    # 4. apply to the maintained store + provenance for this run
-    engine.store.delete(stale, target_graphs=[f"{GRAPH_NS}organizations"])
-    engine.store.insert(fresh, target_graphs=[f"{GRAPH_NS}organizations"])
+    # 5. new ledger, reference-counted delete, insert, provenance
+    _t0 = _time.time()
+    new_led = (
+        led_df.join(F.broadcast(affected_grps), "grp", "left_anti")
+        .unionByName(fresh_led)
+        .dropDuplicates(["grp", *QUAD_COLUMNS])
+    )
+    ledger.write(new_led)
+    new_led = ledger.read()
+    counters["t_ledger_write"] = round(_time.time() - _t0, 1)
+
+    _t0 = _time.time()
+    deletes = stale.join(
+        new_led.select(*QUAD_COLUMNS),
+        on=[
+            stale[c].eqNullSafe(new_led[c]) for c in QUAD_COLUMNS
+        ],
+        how="left_anti",
+    )
+    engine.store.delete(deletes, target_graphs=[f"{GRAPH_NS}organizations"])
+    engine.store.insert(
+        fresh_led.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS),
+        target_graphs=[f"{GRAPH_NS}organizations"],
+    )
     engine.update(
         provenance_update(
             run_id,
@@ -529,4 +879,5 @@ def run_pipeline_incremental(
             graph=f"{GRAPH_NS}provenance",
         )
     )
+    counters["t_apply"] = round(_time.time() - _t0, 1)
     return counters

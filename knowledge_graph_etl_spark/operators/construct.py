@@ -63,6 +63,7 @@ def construct(
     template: list[tuple],
     target_graph: "str | None | Var",
     materialize: bool | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Instantiate ``template`` (list of (s, p, o) with Var/Term entries)
     against the bindings, returning a deduplicated quads DataFrame for
@@ -82,7 +83,14 @@ def construct(
     materialized first. ``materialize=None`` (default) checkpoints whenever
     the template has more than one triple; pass ``False`` to opt out (e.g.
     bindings already checkpointed by the SPARQL-frontend compiler) or
-    ``True`` to force."""
+    ``True`` to force.
+
+    ``carry``: binding columns to project VERBATIM onto every output quad
+    row — the provenance hook (incremental pipeline maintenance carries
+    the derivation's group key, e.g. the bound ``?orid``, on each derived
+    quad). Carried columns join the dedup key, so the same quad derived
+    under two different carried values keeps both rows — exactly the
+    multiset a reference-counted delete needs."""
     if materialize is None:
         materialize = len(template) > 1
     if materialize and not bindings.isStreaming:
@@ -118,6 +126,7 @@ def construct(
             o_type.alias("o_type"),
             o_dt.alias("o_datatype"),
             o_lang.alias("o_lang"),
+            *[F.col(c) for c in (carry or [])],
         )
         # unbound-term skip (op 21): template triple with a NULL term emits
         # nothing for that binding row; a subject bound to a LITERAL term is
@@ -131,4 +140,4 @@ def construct(
         )
         parts.append(row)
     out = reduce(lambda a, b: a.unionByName(b), parts)
-    return out.dropDuplicates(QUAD_COLUMNS)
+    return out.dropDuplicates(QUAD_COLUMNS + list(carry or []))

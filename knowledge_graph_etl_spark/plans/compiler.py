@@ -1215,7 +1215,8 @@ def _template_term(t):
 
 
 def compile_insert_where(
-    node: InsertWhere, store, materialize: bool = True
+    node: InsertWhere, store, materialize: bool = True,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """INSERT..WHERE → quads DataFrame ready for ``store.insert``.
 
@@ -1226,7 +1227,11 @@ def compile_insert_where(
     (SURVEY.md §2 ops 22-23).
 
     ``materialize=False`` (used by ``Engine.plan``) skips the eager
-    checkpoint so compiling stays side-effect-free."""
+    checkpoint so compiling stays side-effect-free.
+
+    ``carry``: WHERE-variable names projected verbatim onto every output
+    quad row (provenance carry — see :func:`..operators.construct
+    .construct`); raises if a name is not bound by the WHERE clause."""
     if node.using:
         dataset = store.dataset(node.using)
     elif node.target_graph is not None:
@@ -1241,11 +1246,23 @@ def compile_insert_where(
     # set-dedup anti-join adds another consumer — without this the deep
     # self-join subtree re-executes per consumer (17× for a 16-triple
     # template). Also cuts lineage and gives exact stats downstream.
+    if carry:
+        companions = ("__type", "__dt", "__lang")
+        missing = [c for c in carry if c not in bindings.columns]
+        if missing:
+            bound = sorted(
+                c for c in bindings.columns if not c.endswith(companions)
+            )
+            raise ValueError(
+                f"carry variables not bound by WHERE: {missing} (bound: {bound})"
+            )
     if materialize:
         bindings = bindings.localCheckpoint(eager=True)
 
     bindings = _mint_template_bnodes(bindings, node.template)
-    return _template_quads(bindings, node.template, node.target_graph)
+    return _template_quads(
+        bindings, node.template, node.target_graph, carry=carry
+    )
 
 
 def _mint_template_bnodes(bindings: DataFrame, template: list) -> DataFrame:
@@ -1284,12 +1301,17 @@ def _mint_template_bnodes(bindings: DataFrame, template: list) -> DataFrame:
     return bindings
 
 
-def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFrame:
+def _template_quads(
+    bindings: DataFrame,
+    template: list,
+    target_graph,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Instantiate a quad template against a solution mapping — one
     ``construct`` per target graph, unioned. A ``GRAPH ?g`` template block
     routes per binding row (construct reads the variable's column).
     ``materialize=False``: the caller owns the bindings' materialization
-    policy."""
+    policy. ``carry`` passes through to :func:`construct`."""
     by_graph: dict[object, list] = {}
     for g, tp in template:
         graph = g or target_graph
@@ -1304,6 +1326,7 @@ def _template_quads(bindings: DataFrame, template: list, target_graph) -> DataFr
             triples,
             target_graph=Var(g.name) if isinstance(g, VarT) else g,
             materialize=False,
+            carry=carry,
         )
         for g, triples in by_graph.items()
     ]

@@ -342,6 +342,31 @@ class GraphStore:
     def _is_mem(self) -> bool:
         return not self.path
 
+    def checkpoint_mem(self) -> None:
+        """Sever an in-memory store's plan tree: replace the lazy union of
+        cached insert pieces with ONE eagerly ``localCheckpoint``-ed
+        DataFrame, so every later pattern scan is a flat ``LogicalRDD``
+        leaf instead of re-carrying the full load lineage.
+
+        Why this exists: Catalyst ANALYSIS cost of a BGP self-join is
+        proportional to (join count × leaf subtree size). A scratch store
+        built from a handful of ``load_json`` inserts has a leaf subtree
+        of 5+ unioned dedup anti-join trees, and compiling the reference's
+        16-pattern mapping WHEREs against it measured 17-43 s of pure
+        driver-side analysis PER UPDATE (r10 profile) — 3-10× the actual
+        execution. One checkpoint after loading collapses that to
+        sub-second. No-op for file-backed stores (parquet leaves are
+        already flat) and empty stores. The caller owns the released
+        blocks like any other checkpoint (harnesses sweep
+        getPersistentRDDs)."""
+        if not self._is_mem or self._mem is None:
+            return
+        sealed = self._mem.localCheckpoint(eager=True)
+        for piece in self._mem_pieces:
+            piece.unpersist()
+        self._mem = sealed
+        self._mem_pieces = [sealed]
+
     def optimize(
         self,
         g: str | None = None,

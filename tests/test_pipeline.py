@@ -414,7 +414,9 @@ def test_incremental_pipeline_equals_full_refresh(spark, tmp_path_factory):
     assert not any(q[0] == ORG + "OR-cust01a" for q in rows_a)
     # closure counters: the remap sets stayed delta-sized (not corpus)
     assert counters["fresh_tl_companies_docs"] <= 3
-    assert counters["stale_tl_companies_docs"] <= 3
+    # the stale side is a ledger lookup now: groups, not a recompute
+    assert 0 < counters["affected_groups"] <= 8
+    assert counters["stale_quads"] < 200
 
 
 @needs_ref
@@ -435,3 +437,141 @@ def test_incremental_pipeline_custom_fields_change_falls_back(spark):
     eng = Engine(spark)
     with pytest.raises(ValueError, match="custom-field definitions changed"):
         run_pipeline_incremental(eng, old, new, REF_SPARQL_DIR)
+
+
+def _org_rows(eng):
+    g = GRAPH_NS + "organizations"
+    return {
+        (r["s"], r["p"], r["o_value"], r["o_type"], r["o_datatype"], r["o_lang"])
+        for r in eng.store.graph(g).collect()
+    }
+
+
+@needs_ref
+def test_incremental_shared_role_survives_user_removal(spark, tmp_path_factory):
+    """The reference-counted delete the ledger exists for: two users
+    share a function, so both derive the SAME org:Role typing and
+    prefLabel quads (reference sparql/tl_users_mapping.sparql — the role
+    subject is keyed by function alone). Removing one user must NOT
+    delete the shared quads while the other still derives them. The
+    pre-ledger delete-then-rederive closure got this wrong (probed
+    r10: the role quads vanished); the ledger keeps a support row per
+    group, so the delete only fires when support is empty."""
+    import json as _j
+
+    from knowledge_graph_etl_spark.mappings.pipeline import (
+        run_pipeline_incremental,
+    )
+
+    old = {k: list(v) for k, v in fixture_documents().items()}
+    users = [(i, _j.loads(t)) for i, t in old["tl_users"]]
+    for _, d in users:
+        if d["id"] == "user-uuid-2":
+            d["function"] = "Account manager archieven"  # same as user 1
+    old["tl_users"] = [(i, _j.dumps(d)) for i, d in users]
+    new = {k: list(v) for k, v in old.items()}
+    new["tl_users"] = [
+        (i, t) for i, t in new["tl_users"] if _j.loads(t)["id"] != "user-uuid-2"
+    ]
+
+    eng = Engine(spark, store_path=str(tmp_path_factory.mktemp("shrole_a")))
+    run_pipeline(eng, old, REF_SPARQL_DIR, run_id="r-old", optimize=False)
+    run_pipeline_incremental(eng, old, new, REF_SPARQL_DIR, run_id="r-inc")
+    eng2 = Engine(spark, store_path=str(tmp_path_factory.mktemp("shrole_b")))
+    run_pipeline(eng2, new, REF_SPARQL_DIR, run_id="r-new", optimize=False)
+
+    rows_a, rows_b = _org_rows(eng), _org_rows(eng2)
+    assert rows_a == rows_b, (
+        sorted(rows_a - rows_b)[:5],
+        sorted(rows_b - rows_a)[:5],
+    )
+    # the shared role quads specifically survived
+    role = (
+        "https://data.hetarchief.be/id/organization-role/"
+        "Account%20manager%20archieven"
+    )
+    assert any(q[0] == role and q[1] == RDF_TYPE for q in rows_a)
+    # while the removed user's own person quads left
+    import hashlib as _h
+
+    gone = (
+        "https://data.hetarchief.be/id/organization/"
+        + _h.md5(b"user-uuid-2").hexdigest()
+    )
+    assert not any(q[0] == gone for q in rows_a)
+
+
+@needs_ref
+def test_incremental_tenant_entry_change(spark, tmp_path_factory):
+    """A changed mediahaven tenant entry (whole-file source, entry-level
+    diff) marks its org group affected: the old mh:label is retracted,
+    the new one derived, and the org's other derivations (company/ldap)
+    are rederived identically — full-refresh equivalence."""
+    import json as _j
+
+    from knowledge_graph_etl_spark.mappings.pipeline import (
+        run_pipeline_incremental,
+    )
+
+    old = {k: list(v) for k, v in fixture_documents().items()}
+    new = {k: list(v) for k, v in old.items()}
+    doc_id, text = new["mediahaven_tenants"][0]
+    tenants = _j.loads(text)
+    assert any(t["ExternalId"] == "OR-abc123x" for t in tenants)
+    for t in tenants:
+        if t["ExternalId"] == "OR-abc123x":
+            t["Name"] = "Archief Gent (hernoemd)"
+    new["mediahaven_tenants"] = [(doc_id, _j.dumps(tenants))]
+
+    eng = Engine(spark, store_path=str(tmp_path_factory.mktemp("ten_a")))
+    run_pipeline(eng, old, REF_SPARQL_DIR, run_id="r-old", optimize=False)
+    counters = run_pipeline_incremental(
+        eng, old, new, REF_SPARQL_DIR, run_id="r-inc"
+    )
+    eng2 = Engine(spark, store_path=str(tmp_path_factory.mktemp("ten_b")))
+    run_pipeline(eng2, new, REF_SPARQL_DIR, run_id="r-new", optimize=False)
+
+    rows_a, rows_b = _org_rows(eng), _org_rows(eng2)
+    assert rows_a == rows_b, (
+        sorted(rows_a - rows_b)[:5],
+        sorted(rows_b - rows_a)[:5],
+    )
+    mh = "https://data.hetarchief.be/ns/mediahaven/label"
+    s = ORG + "OR-abc123x"
+    assert (s, mh, "Archief Gent (hernoemd)", "literal", None, None) in rows_a
+    assert not any(
+        q[0] == s and q[1] == mh and q[2] != "Archief Gent (hernoemd)"
+        for q in rows_a
+    )
+    assert counters["affected_groups"] == 1
+
+
+@needs_ref
+def test_ledger_invariant_and_seeded_full_run(spark, tmp_path_factory):
+    """run_pipeline(ledger=True) produces the identical organizations
+    graph AND a ledger whose distinct quads equal that graph (the ledger
+    invariant the incremental algorithm relies on); every ledger row
+    carries a non-null group key of the expected shape."""
+    from knowledge_graph_etl_spark.mappings.pipeline import Ledger
+
+    docs = fixture_documents()
+    eng = Engine(spark, store_path=str(tmp_path_factory.mktemp("led_a")))
+    run_pipeline(eng, docs, REF_SPARQL_DIR, run_id="r", optimize=False, ledger=True)
+    eng2 = Engine(spark, store_path=str(tmp_path_factory.mktemp("led_b")))
+    run_pipeline(eng2, docs, REF_SPARQL_DIR, run_id="r", optimize=False)
+    assert _org_rows(eng) == _org_rows(eng2)
+
+    led = Ledger.for_engine(eng).read()
+    assert led is not None
+    rows = led.collect()
+    assert all(r["grp"] is not None for r in rows)
+    assert all(r["grp"].startswith(("org:", "user:")) for r in rows)
+    led_quads = {
+        (r["s"], r["p"], r["o_value"], r["o_type"], r["o_datatype"], r["o_lang"])
+        for r in rows
+    }
+    assert led_quads == _org_rows(eng)
+    # every derived quad has at least one support row; the multi-support
+    # (shared-derivation) behavior is pinned separately by
+    # test_incremental_shared_role_survives_user_removal
+    assert len(rows) >= len(led_quads)
