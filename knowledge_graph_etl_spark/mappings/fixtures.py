@@ -245,10 +245,35 @@ def _volume_company(i: int, n_users: int) -> dict:
     }
 
 
+#: businessCategory cycle for volume ldap orgs, keyed on i % 12: every
+#: classifier mapping (cp / sc / school / sp) gets a proportional slice
+#: so ALL SEVEN ldap mappings carry a data-dependent term at volume
+#: (r09 verdict stretch 8), with Content Partner still the bulk — the
+#: reference corpus shape.
+_VOLUME_LDAP_CATEGORIES = (
+    "Customer",            # i % 12 == 0  → ldap_mapping_sc
+    "Content Partner",     # 1
+    "Content Partner",     # 2
+    "School",              # 3           → ldap_mapping_school
+    "Content Partner",     # 4
+    "Content Partner",     # 5
+    "Service Provider",    # 6           → ldap_mapping_sp
+    "Content Partner",     # 7
+    "Content Partner",     # 8
+    "Customer",            # 9
+    "Content Partner",     # 10
+    "Content Partner",     # 11
+)
+
+
 def _volume_ldap(i: int) -> dict:
     """One ldap_organizations doc for every SECOND company's OR-ID (the
     cross-graph join in the org mappings must hit and miss); every 10th
-    org carries two organizational units."""
+    org carries two organizational units; businessCategory cycles
+    through all four classifier mappings' categories
+    (_VOLUME_LDAP_CATEGORIES) and every 12th-with-remainder-3 org is
+    additionally an x-be-viaa-educationalOrganization — so each of the
+    seven ldap mappings derives volume rows."""
     orid = f"OR-vol{2 * i:06d}"
     units = ()
     if i % 10 == 0:
@@ -267,7 +292,7 @@ def _volume_ldap(i: int) -> dict:
     return _ldap_org(
         orid,
         f"Volume Organisatie {2 * i}",
-        "Content Partner" if i % 3 else "Customer",
+        _VOLUME_LDAP_CATEGORIES[i % 12],
         sector="Cultuur" if i % 2 else "Media",
         address={
             "street": f"Ldapstraat {i % 80 + 1}",
@@ -275,6 +300,9 @@ def _volume_ldap(i: int) -> dict:
             "l": "Gent",
             "st": "Oost-Vlaanderen",
         },
+        extra_classes=(
+            ("x-be-viaa-educationalOrganization",) if i % 12 == 3 else ()
+        ),
         units=units,
     )
 

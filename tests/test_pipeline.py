@@ -267,20 +267,47 @@ def test_volume_pipeline_derived_counts(volume_engine):
     foaf:homepage triple. Generator drift or a volume-only mapping bug
     (lost join rows, dropped partitions) shifts these counts."""
     orgs = volume_engine.store.graph(GRAPH_NS + "organizations")
-    cp = {
-        r["s"]
-        for r in orgs.where(
-            (F.col("p") == RDF_TYPE)
-            & (F.col("o_value") == MEEMOO + "ContentPartner")
-        ).collect()
-    }
+
+    def typed(cls):
+        return {
+            r["s"]
+            for r in orgs.where(
+                (F.col("p") == RDF_TYPE) & (F.col("o_value") == MEEMOO + cls)
+            ).collect()
+        }
+
+    cat = __import__(
+        "knowledge_graph_etl_spark.mappings.fixtures", fromlist=["x"]
+    )._VOLUME_LDAP_CATEGORIES
+    cp = typed("ContentPartner")
     exp = {f"{ORG}OR-vol{i:06d}" for i in range(N_VOL) if i % 10 != 9}
     exp |= {
         f"{ORG}OR-vol{2 * i:06d}"
         for i in range(N_VOL // 2)
-        if i % 3 != 0
+        if cat[i % 12] == "Content Partner"
     }
     assert cp == exp
+    # every ldap classifier mapping derives volume rows (r09 stretch 8)
+    for cls, want in (
+        ("School", "School"),
+        ("ServiceProvider", "Service Provider"),
+        ("ServiceConsumer", "Customer"),
+    ):
+        got = typed(cls) & {
+            f"{ORG}OR-vol{2 * i:06d}" for i in range(N_VOL // 2)
+        }
+        exp_cls = {
+            f"{ORG}OR-vol{2 * i:06d}"
+            for i in range(N_VOL // 2)
+            if cat[i % 12] == want
+        }
+        assert got == exp_cls, cls
+    edu = typed("EducationalOrganization")
+    assert edu == {
+        f"{ORG}OR-vol{2 * i:06d}"
+        for i in range(N_VOL // 2)
+        if i % 12 == 3
+    }
     hp = orgs.where(F.col("p") == "http://xmlns.com/foaf/0.1/homepage")
     assert hp.count() == N_VOL
     # www.* and https:// website branches both taken
