@@ -1471,9 +1471,17 @@ def psi_report(
     standard ε = 1 ppm floor (PSI is undefined at 0).
 
     Scale shape: one histogram aggregate per side + a broadcast of the
-    ≤ ``bins`` edge rows; everything after the two scans is bin-sized.
-    Returns per bin: ``(bin_id, lo_edge, ref_cnt, cur_cnt, ref_ppm,
-    cur_ppm, psi_micro)`` — total PSI = Σ psi_micro / 1e6.
+    ≤ ``bins`` edge rows; everything past the histograms is bin-sized.
+    Known tradeoff (plan-audited, the ks_2sample convention): the lazy
+    edge/histogram subtrees are referenced by several consumers, so the
+    logical plan carries multiple source scans — runtime ReusedExchange
+    collapses some, and for repeated 100 TB drift reports the caller
+    should ``.cache()`` the quantized inputs; the operator deliberately
+    stays lazy rather than persisting internally. All joins are
+    broadcast (edge rows ≤ bins), no sort-merge join anywhere —
+    pinned by tests/test_plan_evidence.py. Returns per bin: ``(bin_id,
+    lo_edge, ref_cnt, cur_cnt, ref_ppm, cur_ppm, psi_micro)`` — total
+    PSI = Σ psi_micro / 1e6.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")

@@ -611,3 +611,53 @@ def test_ks_2sample_materialize_single_source_scan(spark, tmp_path):
     # caller-side release restores the session's pinned-RDD set
     release_new_checkpoints(spark, before)
     assert persistent_rdd_ids(spark) == before
+
+
+def test_stats_family_plan_shapes(spark, tmp_path):
+    """r09 verdict stretch 9: pin the r09 stats family's scale shapes by
+    plan, not only by docstring. Invariants for all four ops: every
+    join is broadcast (zero SortMergeJoin — nothing corpus-sized ever
+    shuffles for a join), zero CartesianProduct (the cross joins are
+    broadcast-scalar or bounded-grid), and the corpus reduction is a
+    map-side-combinable partial aggregate. Scan-count bounds pin the
+    documented pass structure (selectivity_estimate's 'three passes';
+    cramers_v's contingency-cell consumers)."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        cramers_v,
+        ks_2sample,
+        psi_report,
+        selectivity_estimate,
+    )
+
+    src = str(tmp_path / "stats_src.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 97), str(i % 3), str(i % 2)) for i in range(200)],
+        "k long, v double, a string, b string",
+    ).write.parquet(src)
+    d = spark.read.parquet(src)
+
+    plans = {
+        "selectivity": _plan(selectivity_estimate(d, "v", [(1, 50), (0, 96)])),
+        "psi": _plan(
+            psi_report(d.where("k % 2 = 0"), d.where("k % 2 = 1"), "v")
+        ),
+        "cramers": _plan(cramers_v(d, "a", "b")),
+        "ks": _plan(ks_2sample(d, "a", "v")),
+    }
+    for name, p in plans.items():
+        assert "SortMergeJoin" not in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+        assert "partial_count" in p, (name, p)
+    # formatted mode lists each physical node once in the tree and once
+    # as a "(N) Scan parquet" detail header — count the headers
+    import re
+
+    def scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    # documented pass structure: selectivity_estimate is exactly three
+    # passes (min/max stats, bin counts, shared actuals)
+    assert scans(plans["selectivity"]) == 3, plans["selectivity"]
+    # cramers_v: the contingency-cell subtree has exactly four consumers
+    # (ra, cb, n, grid) — more means a structural regression
+    assert scans(plans["cramers"]) <= 4, plans["cramers"]
