@@ -4763,6 +4763,171 @@ def stats_benford_q(spark, sf_dir):
     )
 
 
+def mincost_region_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — cheapest supplier per part within one region
+    (the corpus has no partsupp table, so observed lineitem unit prices
+    stand in for supply cost): the correlated ``MIN(cost) ... same
+    part`` subquery DECORRELATED into one per-part min joined back
+    (Catalyst's own rewrite, written explicitly to pin the two-phase
+    plan); supplier→nation→region is a broadcast dim chain pruned to
+    EUROPE before the fact scan touches it. Exact integers: unit price
+    as ``cents·1000 div qty`` milli-cents (truncating div, non-negative
+    operands — cross-engine identical); ties on the min price resolve
+    to the smallest supplier key (argmin via one more min over the
+    matching rows, never a window over the corpus)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint) * 1000"
+            " div cast(round(l_quantity) as bigint)"
+        ).alias("unit_milli"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name")
+    )
+    eu = l.join(dims, l.l_suppkey == dims.s_suppkey)
+    best = eu.groupBy("l_partkey").agg(F.min("unit_milli").alias("min_milli"))
+    return (
+        eu.join(F.broadcast(best), "l_partkey")
+        .where(F.col("unit_milli") == F.col("min_milli"))
+        .groupBy("l_partkey", "min_milli")
+        .agg(F.min("s_suppkey").cast("bigint").alias("best_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("min_milli").alias("min_unit_milli"),
+            "best_suppkey",
+        )
+    )
+
+
+def value_share_parts(spark, sf_dir):
+    """TPC-H Q11 shape — parts carrying an outsized share of total traded
+    value: per-part value sum compared against a GLOBAL scalar threshold
+    (``HAVING value > fraction · SELECT SUM(...)``) — the scalar
+    subquery becomes a 1-row broadcast cross join, so the threshold
+    never shuffles anything. Integer-exact: money in cents, the 0.05%
+    fraction cross-multiplied (``value · 2000 > total``), no float
+    division anywhere."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("value_cents")
+    )
+    total = l.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 2000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "value_cents",
+            F.expr("value_cents * 1000000 div total_cents")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+def part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape — supplier variety per (brand, size) bucket with a
+    NOT-IN exclusion list: count DISTINCT suppliers that ever shipped
+    the bucket's parts, excluding suppliers in bad standing (negative
+    account balance — the corpus's stand-in for Q16's complaint
+    filter). The NOT IN compiles to a broadcast LEFT ANTI join (the
+    exclusion list is dimension-sized); the distinct count is the only
+    shuffle, keyed on the bucket."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — suppliers dominating a part's flow: the nested
+    ``qty > 0.5 · (SELECT SUM(qty) ... same part)`` subquery chain
+    DECORRELATED into two aggregates (per supplier-part, per part)
+    joined on the part key, cross-multiplied to stay integer
+    (``5·sq > tq`` ⇔ share > 20%); the supplier-name/nation decoration
+    is a broadcast dim join applied AFTER the semi-join-sized result
+    exists. Returns each qualifying supplier with how many parts it
+    dominates."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(F.sum("qty").alias("sq"))
+    tot = l.groupBy("l_partkey").agg(F.sum("qty").alias("tq"))
+    dominant = (
+        sp.join(tot, "l_partkey")
+        .where(F.col("sq") * 5 > F.col("tq"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dims = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "s_name", "n_name"
+        )
+    )
+    return dominant.join(dims, dominant.l_suppkey == dims.s_suppkey).select(
+        F.col("s_suppkey").cast("bigint").alias("suppkey"),
+        "s_name",
+        F.col("n_name").alias("nation"),
+        "n_parts",
+    )
+
+
+def bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — discounted revenue under an OR-of-ANDs predicate
+    (three brand/size/quantity brackets): the disjunction must survive
+    into the scan as a pushed filter on the part side and a residual on
+    the fact side, not explode into a union of three scans. Integer
+    money: ``cents · (100 − disc_pct) div 100`` discounted cents, disc
+    quantized to whole percent (the corpus generates discounts at
+    percent granularity)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("qty") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("qty") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("qty") >= 20))
+    )
+    return j.where(br).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.expr("sum(cents * (100 - disc_pct) div 100)")
+        .cast("bigint")
+        .alias("disc_rev_cents"),
+    )
+
+
 def late_supplier_blame(spark, sf_dir):
     """TPC-H Q21 shape -- suppliers who were the SOLE late supplier on a
     multi-supplier order ("who do we blame for the wait"): the classic
@@ -5006,6 +5171,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_group_agg": kg_group_agg_q,
         "kg_filter_compare": kg_filter_compare_q,
         "kg_select_builtins": kg_select_builtins_q,
+        # --- r10 additions (verdict cap ~0-5): five TPC-H decorrelation
+        # --- shapes, placed BEHIND the 57-entry debt block so they take
+        # --- no window slots from it; never-driver-checked, so they
+        # --- lead the r11 front together with the ~7-entry debt overflow
+        "mincost_region_supplier": mincost_region_supplier,
+        "value_share_parts": value_share_parts,
+        "part_supplier_variety": part_supplier_variety,
+        "excess_stock_suppliers": excess_stock_suppliers,
+        "bracket_revenue": bracket_revenue,
         # --- r08-checked blocks, then the r07-checked tail ---
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
@@ -8018,6 +8192,71 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM nn UNION ALL SELECT * FROM rg "
             "UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM rf) "
             "ORDER BY rule"
+        ),
+        "mincost_region_supplier": (
+            "WITH dims AS (SELECT s_suppkey, n_name FROM supplier s "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE r.r_name = 'EUROPE'), "
+            "eu AS (SELECT l_partkey, l_suppkey, "
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000) // "
+            "CAST(round(l_quantity) AS BIGINT) AS unit_milli "
+            "FROM lineitem JOIN dims ON dims.s_suppkey = lineitem.l_suppkey), "
+            "best AS (SELECT l_partkey, MIN(unit_milli) AS min_milli "
+            "FROM eu GROUP BY 1) "
+            "SELECT eu.l_partkey AS partkey, best.min_milli AS min_unit_milli, "
+            "CAST(MIN(eu.l_suppkey) AS BIGINT) AS best_suppkey "
+            "FROM eu JOIN best ON best.l_partkey = eu.l_partkey "
+            "AND eu.unit_milli = best.min_milli "
+            "GROUP BY 1, 2"
+        ),
+        "value_share_parts": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "pp AS (SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS "
+            "value_cents FROM l GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM l) "
+            "SELECT pp.l_partkey AS partkey, pp.value_cents, "
+            "CAST(pp.value_cents * 1000000 // t.total_cents AS BIGINT) "
+            "AS share_ppm FROM pp CROSS JOIN t "
+            "WHERE pp.value_cents * 2000 > t.total_cents"
+        ),
+        "part_supplier_variety": (
+            "SELECT p.p_brand, p.p_size, "
+            "CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2"
+        ),
+        "excess_stock_suppliers": (
+            "WITH l AS (SELECT l_partkey, l_suppkey, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem), "
+            "sp AS (SELECT l_suppkey, l_partkey, SUM(qty) AS sq FROM l "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey, SUM(qty) AS tq FROM l GROUP BY 1), "
+            "dom AS (SELECT sp.l_suppkey, CAST(COUNT(*) AS BIGINT) AS "
+            "n_parts FROM sp JOIN tot ON tot.l_partkey = sp.l_partkey "
+            "WHERE sp.sq * 5 > tot.tq GROUP BY 1) "
+            "SELECT CAST(dom.l_suppkey AS BIGINT) AS suppkey, s.s_name, "
+            "n.n_name AS nation, dom.n_parts FROM dom "
+            "JOIN supplier s ON s.s_suppkey = dom.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey"
+        ),
+        "bracket_revenue": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct "
+            "FROM lineitem) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM((cents * (100 - disc_pct)) // 100) AS BIGINT) "
+            "AS disc_rev_cents "
+            "FROM l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND qty >= 5) "
+            "OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND qty >= 10) "
+            "OR (p.p_brand = 'Brand#3' AND p.p_size <= 30 AND qty >= 20)"
         ),
         "smallqty_revenue": (
             "WITH l AS (SELECT l_partkey, "

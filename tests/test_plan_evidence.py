@@ -661,3 +661,29 @@ def test_stats_family_plan_shapes(spark, tmp_path):
     # cramers_v: the contingency-cell subtree has exactly four consumers
     # (ra, cb, n, grid) — more means a structural regression
     assert scans(plans["cramers"]) <= 4, plans["cramers"]
+
+
+def test_tpch_r10_shapes_broadcast_and_pushdown(spark):
+    """The five r10 TPC-H decorrelation shapes: dimension joins broadcast
+    (zero SortMergeJoin — nothing corpus-sized shuffles for a join),
+    zero CartesianProduct except the deliberate 1-row scalar broadcast,
+    and Q19's OR-of-ANDs bracket survives as one predicate on one scan
+    instead of a union of three plans."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "mincost_region_supplier",
+        "value_share_parts",
+        "part_supplier_variety",
+        "excess_stock_suppliers",
+        "bracket_revenue",
+    ):
+        plan = _plan(entry.queries()[name](spark, sf))
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+    q19 = _plan(entry.queries()["bracket_revenue"](spark, sf))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", q19)) == 2, q19  # part + lineitem, once each
+    assert "Brand#1" in q19 and "Brand#3" in q19, q19
