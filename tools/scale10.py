@@ -18,6 +18,16 @@ Builds a 10×-scale corpus from sf0.1 in /tmp/scale10:
   event_type and value distributions are preserved per block, so
   group-keyed stats (ks/psi: same |G|, 10× rows per group) scale the
   histogram reduction, not the pair fan-out.
+* the TPC-H-ish relational tables (``lineitem orders customer part
+  supplier``) replicated 10× with **disjoint key blocks** (every
+  PK/FK + replica·stride): joins resolve within a block only, so each
+  block reproduces the original join/aggregate structure exactly and
+  the 10× corpus's correct output is 10 disjoint copies of the
+  original's — the TPC-H-shape entries measure operator scaling with
+  |groups| ×10 at constant rows-per-group (per-part/per-supplier
+  shapes) or constant |buckets| at rows ×10 (brand/size buckets).
+  ``nation``/``region`` stay shared unreplicated dims (their keys are
+  not offset), exactly like a real warehouse's small dimensions.
 * all other tables symlinked unchanged.
 
 Usage: python tools/scale10.py q1,q2,...   # then compare vs seq_bench at sf0.1
@@ -80,7 +90,36 @@ if not os.path.exists(f"{DST}/events.parquet"):
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
     )
-for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+_TPCH_OFFSET_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+for t, keys in _TPCH_OFFSET_COLS.items():
+    dst = f"{DST}/{t}.parquet"
+    if not os.path.exists(dst):
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"describe select * from read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"t.{c} + r.r * {ID_STRIDE} AS {c}" if c in keys else f"t.{c}"
+            for c in cols
+        )
+        con.execute(
+            f"""
+            COPY (
+              SELECT {sel}
+              FROM read_parquet('{SRC}/{t}.parquet') t
+              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+for t in ["region", "nation"]:
     dst = f"{DST}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{SRC}/{t}.parquet", dst)
