@@ -435,18 +435,34 @@ class Ledger:
     (pinned by test_incremental_shared_role_survives_user_removal).
 
     Storage: a parquet directory next to a file-backed store
-    (``<store>/_ledger/organizations`` — corpus-sized but narrow;
-    at scale partition it by a grp hash bucket so the per-run rewrite is
-    partition-granular) or a session-cached DataFrame for in-memory
-    engines (attached to the Engine so successive runs share it). The
-    parquet swap is write-tmp → remove-old → rename; a crash between the
-    last two steps loses only the ledger, which reseeds from the next
-    run's old snapshot."""
+    (``<store>/_ledger/organizations`` — corpus-sized but narrow),
+    HASH-BUCKETED on the group key (``bucket = pmod(xxhash64(grp),
+    buckets)`` partition column): an incremental run rewrites ONLY the
+    buckets its affected groups hash into (Spark dynamic partition
+    overwrite in :meth:`overwrite_buckets`), so the per-run ledger
+    write is ∝ delta, not corpus — the same partition-granular
+    copy-on-write discipline as the quad store itself. In-memory
+    engines get a session-cached DataFrame attached to the Engine so
+    successive runs share it. Full (seed) writes use write-tmp →
+    remove-old → rename; a crash mid-write loses only the ledger,
+    which reseeds from the next run's old snapshot."""
+
+    #: bucket count for the grp-hash partition layout — sized so one
+    #: bucket of a billion-quad ledger is a few GB (rewriteable in one
+    #: task wave) while a fixture-scale ledger still exercises multiple
+    #: buckets
+    BUCKETS = 64
 
     def __init__(self, spark, path: str | None = None):
         self.spark = spark
         self.path = path
         self._mem = None
+
+    @staticmethod
+    def bucket_col():
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64("grp"), F.lit(Ledger.BUCKETS)).cast("int")
 
     @classmethod
     def for_engine(cls, engine: Engine, graph: str = "organizations") -> "Ledger":
@@ -462,7 +478,8 @@ class Ledger:
         return led
 
     def read(self):
-        """The current ledger DataFrame, or None when never seeded."""
+        """The current ledger DataFrame (with its ``bucket`` partition
+        column for file-backed ledgers), or None when never seeded."""
         if self.path is not None:
             if not os.path.isdir(self.path):
                 return None
@@ -470,11 +487,16 @@ class Ledger:
         return self._mem
 
     def write(self, df) -> None:
+        """Full (seed) write: the whole ledger, bucketed, via the
+        tmp-swap protocol."""
         if self.path is not None:
             tmp = self.path + ".tmp"
             # the write fully materializes df (which may READ the old
             # generation) before the old directory is touched
-            df.write.mode("overwrite").parquet(tmp)
+            out = df
+            if "bucket" not in out.columns:
+                out = out.withColumn("bucket", self.bucket_col())
+            out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
             import shutil
 
             shutil.rmtree(self.path, ignore_errors=True)
@@ -485,6 +507,52 @@ class Ledger:
             if self._mem is not None:
                 self._mem.unpersist()
             self._mem = new
+
+    def overwrite_buckets(self, delta, touched: list[int]) -> None:
+        """Partition-granular update: ``delta`` must hold the COMPLETE
+        new content of every bucket in ``touched`` (and nothing else);
+        Spark dynamic partition overwrite replaces exactly the bucket
+        directories present in the written data and leaves the rest of
+        the ledger untouched — the ∝-delta write an incremental run
+        wants. Dynamic overwrite's blind spot: a touched bucket whose
+        new content is EMPTY never appears in the written data, so its
+        stale directory must be dropped explicitly (the removed-last-
+        group-in-a-bucket case — pinned by
+        test_incremental_shared_role_survives_user_removal, which is
+        exactly an emptied bucket at fixture scale). The CALLER must
+        sever any lineage reading this ledger's path before passing the
+        delta (Spark refuses to overwrite a path it is reading — the
+        incremental pipeline checkpoints the kept-rows leg). In-memory
+        ledgers take a full :meth:`write` instead."""
+        if self.path is None:
+            raise ValueError(
+                "overwrite_buckets is the file-backed fast path; "
+                "in-memory ledgers take a full write()"
+            )
+        out = delta
+        if "bucket" not in out.columns:
+            out = out.withColumn("bucket", self.bucket_col())
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        saved = self.spark.conf.get(mode_key, None)
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
+                self.path
+            )
+        finally:
+            if saved is None:
+                self.spark.conf.unset(mode_key)
+            else:
+                self.spark.conf.set(mode_key, saved)
+        import shutil
+
+        present = {
+            r["bucket"] for r in out.select("bucket").distinct().collect()
+        }
+        for b in set(touched) - present:
+            shutil.rmtree(
+                os.path.join(self.path, f"bucket={b}"), ignore_errors=True
+            )
 
 
 def _grp_col(kind: str, var: str):
@@ -817,17 +885,48 @@ def run_pipeline_incremental(
                 empty_sources.add(source)
                 continue
             scratch.load_json(cdocs, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
-        # bounded full sources: the one whole-file tenants doc (its
-        # affected-org labels must be rederivable; unaffected-org rows
-        # dedup against the kept ledger) and the custom-field lookup
-        tenants = _docs_df(
-            spark, new_documents.get("mediahaven_tenants", [])
-        ).coalesce(1)
-        if tenants.limit(1).count() == 0:
+        # the tenants source is ONE whole-file entry array — closure-
+        # filter it to the AFFECTED orgs' entries (their labels must be
+        # rederivable after the stale delete; unaffected entries would
+        # only re-derive rows the kept ledger already holds, inflating
+        # the fresh group set and with it the touched-bucket count —
+        # measured 52/64 buckets for a 3-group delta before this
+        # filter). Entry granularity: explode → semi-join on the
+        # affected orids → reassemble one filtered doc; only the
+        # Name/ExternalId fields the mapping reads are kept.
+        ent = (
+            _docs_df(spark, new_documents.get("mediahaven_tenants", []))
+            .select(
+                F.explode(
+                    F.from_json(
+                        "json",
+                        "array<struct<Name:string,ExternalId:string>>",
+                    )
+                ).alias("t")
+            )
+            .select("t.Name", "t.ExternalId")
+        )
+        kept_ent = ent.join(
+            F.broadcast(affected),
+            ent.ExternalId == affected.orid,
+            "left_semi",
+        )
+        n_kept = kept_ent.count()
+        counters["fresh_tenant_entries"] = n_kept
+        if n_kept == 0:
             empty_sources.add("mediahaven_tenants")
         else:
+            filtered = kept_ent.coalesce(1).agg(
+                F.to_json(
+                    F.collect_list(F.struct("Name", "ExternalId"))
+                ).alias("json")
+            ).select(
+                F.lit("mediahaven_tenants-delta").alias("doc_id"), "json"
+            )
             scratch.load_json(
-                tenants, f"{GRAPH_NS}mediahaven_tenants", namespace=SOURCE_NS
+                filtered,
+                f"{GRAPH_NS}mediahaven_tenants",
+                namespace=SOURCE_NS,
             )
         scratch.load_json(
             _docs_df(spark, new_cf).coalesce(1),
@@ -844,12 +943,43 @@ def run_pipeline_incremental(
 
     # 5. new ledger, reference-counted delete, insert, provenance
     _t0 = _time.time()
-    new_led = (
-        led_df.join(F.broadcast(affected_grps), "grp", "left_anti")
-        .unionByName(fresh_led)
-        .dropDuplicates(["grp", *QUAD_COLUMNS])
-    )
-    ledger.write(new_led)
+    if ledger.path is not None:
+        # partition-granular rewrite: only the buckets the affected or
+        # fresh groups hash into change; the delta is their COMPLETE
+        # new content (kept rows of those buckets minus affected
+        # groups, plus every fresh row — fresh grp buckets are in the
+        # touched set by construction, so nothing leaks)
+        bcol = Ledger.bucket_col()
+        touched = (
+            affected_grps.select(bcol.alias("bucket"))
+            .unionByName(fresh_led.select(bcol.alias("bucket")))
+            .distinct()
+        )
+        counters["ledger_buckets_touched"] = touched.count()
+        # checkpoint the kept side BEFORE unioning: (a) the write must
+        # not read the path it overwrites, and (b) checkpointing a
+        # Union of a pruned-join subtree trips Catalyst's constraint
+        # rewrite (key-not-found on the pruned attribute) — two flat
+        # LogicalRDD legs sidestep both
+        kept = (
+            led_df.join(F.broadcast(touched), "bucket", "left_semi")
+            .join(F.broadcast(affected_grps), "grp", "left_anti")
+            .select("grp", *QUAD_COLUMNS)
+            .localCheckpoint(eager=True)
+        )
+        delta = kept.unionByName(
+            fresh_led.select("grp", *QUAD_COLUMNS)
+        ).dropDuplicates(["grp", *QUAD_COLUMNS])
+        ledger.overwrite_buckets(
+            delta, [r["bucket"] for r in touched.collect()]
+        )
+    else:
+        new_led = (
+            led_df.join(F.broadcast(affected_grps), "grp", "left_anti")
+            .unionByName(fresh_led)
+            .dropDuplicates(["grp", *QUAD_COLUMNS])
+        )
+        ledger.write(new_led)
     new_led = ledger.read()
     counters["t_ledger_write"] = round(_time.time() - _t0, 1)
 

@@ -602,3 +602,56 @@ def test_ledger_invariant_and_seeded_full_run(spark, tmp_path_factory):
     # (shared-derivation) behavior is pinned separately by
     # test_incremental_shared_role_survives_user_removal
     assert len(rows) >= len(led_quads)
+
+
+@needs_ref
+def test_ledger_bucket_rewrite_is_partition_granular(spark, tmp_path_factory):
+    """The ledger write an incremental run pays is ∝ delta, not corpus:
+    only the bucket directories the affected/fresh groups hash into are
+    rewritten — every other bucket's file listing (names, sizes,
+    mtimes) is byte-identical after the run."""
+    import json as _j
+
+    from knowledge_graph_etl_spark.mappings.pipeline import (
+        Ledger,
+        run_pipeline_incremental,
+    )
+
+    old = {k: list(v) for k, v in fixture_documents().items()}
+    new = {k: list(v) for k, v in old.items()}
+    comps = [(i, _j.loads(t)) for i, t in new["tl_companies"]]
+    for _, d in comps:
+        if d["name"] == "Dienstverlener BV":
+            d["website"] = "www.dienstverlener-v3.be"
+    new["tl_companies"] = [(i, _j.dumps(d)) for i, d in comps]
+
+    eng = Engine(spark, store_path=str(tmp_path_factory.mktemp("bgran")))
+    run_pipeline(eng, old, REF_SPARQL_DIR, run_id="r", optimize=False, ledger=True)
+    led_path = Ledger.for_engine(eng).path
+
+    def listing():
+        out = {}
+        for b in sorted(os.listdir(led_path)):
+            if not b.startswith("bucket="):
+                continue
+            d = os.path.join(led_path, b)
+            out[b] = sorted(
+                (f, os.path.getsize(os.path.join(d, f)),
+                 os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if not f.startswith("_")
+            )
+        return out
+
+    before = listing()
+    counters = run_pipeline_incremental(
+        eng, old, new, REF_SPARQL_DIR, run_id="r-inc"
+    )
+    after = listing()
+    touched = counters["ledger_buckets_touched"]
+    assert 0 < touched < len(before)
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert len(changed) <= touched, (changed, touched)
+    # and most buckets were NOT rewritten
+    same = [b for b in before if before[b] == after.get(b)]
+    assert len(same) >= len(before) - touched
