@@ -1450,6 +1450,7 @@ def psi_report(
     value_col: str,
     bins: int = 10,
     quant_scale: int = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Population Stability Index between a reference and a current
     sample of the same column — the binned drift score ML-ops gates ship
@@ -1477,7 +1478,13 @@ def psi_report(
     logical plan carries multiple source scans — runtime ReusedExchange
     collapses some, and for repeated 100 TB drift reports the caller
     should ``.cache()`` the quantized inputs; the operator deliberately
-    stays lazy rather than persisting internally. All joins are
+    stays lazy rather than persisting internally. For one-shot reports
+    pass ``materialize=True``: the ONE-ROW edge vector and the
+    bin-sized joined counts are eagerly ``localCheckpoint``-ed, so the
+    op costs exactly three source passes total (reference histogram at
+    edge time, one binning pass per side) — same caller-releases-the-
+    checkpoint contract as ``ks_2sample(materialize=...)`` (both
+    harnesses already sweep persistent RDDs). All joins are
     broadcast (edge rows ≤ bins), no sort-merge join anywhere —
     pinned by tests/test_plan_evidence.py. Returns per bin: ``(bin_id,
     lo_edge, ref_cnt, cur_cnt, ref_ppm, cur_ppm, psi_micro)`` — total
@@ -1516,6 +1523,8 @@ def psi_report(
         for i in range(1, bins)
     ]
     edges = ranked.agg(*edge_aggs)
+    if materialize:
+        edges = edges.localCheckpoint(eager=True)
     edge_arr = F.array(*[F.col(f"e{i}") for i in range(1, bins)])
 
     def _binned(df: DataFrame, out: str) -> DataFrame:
@@ -1557,6 +1566,10 @@ def psi_report(
             F.coalesce(F.col("cur_cnt"), F.lit(0)).cast("bigint").alias("cur_cnt"),
         )
     )
+    if materialize:
+        # j is bin-sized; its two consumers (totals + shares) would
+        # otherwise re-run both binning passes
+        j = j.localCheckpoint(eager=True)
     totals = j.agg(
         F.sum("ref_cnt").cast("bigint").alias("_tr"),
         F.sum("cur_cnt").cast("bigint").alias("_tc"),

@@ -687,3 +687,33 @@ def test_tpch_r10_shapes_broadcast_and_pushdown(spark):
 
     assert len(re.findall(r"\(\d+\) Scan parquet", q19)) == 2, q19  # part + lineitem, once each
     assert "Brand#1" in q19 and "Brand#3" in q19, q19
+
+
+def test_psi_report_materialize_collapses_scans(spark, tmp_path):
+    """psi_report(materialize=True) checkpoints the one-row edge vector
+    and the bin-sized joined counts, collapsing the lazy fan-out to
+    exactly three source passes total; results identical."""
+    import re
+
+    from knowledge_graph_etl_spark.extensions.stats import psi_report
+
+    src = str(tmp_path / "psi_src.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(300)], "k long, v double"
+    ).write.parquet(src)
+    d = spark.read.parquet(src)
+    ref, cur = d.where("k % 2 = 0"), d.where("k % 2 = 1")
+
+    lazy = psi_report(ref, cur, "v")
+    mat = psi_report(ref, cur, "v", materialize=True)
+
+    def scans(df):
+        return len(re.findall(r"\(\d+\) Scan parquet", _plan(df)))
+
+    # lazy fans out; materialized: the binning passes ran eagerly at
+    # checkpoint time, so the FINAL plan reads no source at all — the
+    # op's total cost is exactly three source passes
+    assert scans(lazy) > 3
+    assert scans(mat) == 0, _plan(mat)
+    key = lambda r: r["bin_id"]
+    assert sorted(lazy.collect(), key=key) == sorted(mat.collect(), key=key)
