@@ -5355,7 +5355,9 @@ def kg_pipeline_full_q(spark, sf_dir):
     side-effecting (store writes), so there is no single-SELECT oracle —
     semantics are pytest-pinned quad-by-quad in tests/test_pipeline.py;
     this entry regression-guards the end-to-end COST (BASELINE.md's r02
-    101.5 s figure predates four rounds of engine changes)."""
+    101.5 s figure predates four rounds of engine changes). jobs=8
+    since r10 — the reference DAG's parallel mapping fan-out
+    (BASELINE.md r10 jobs table; fixture scale 56.8 → 23.3 s)."""
     import shutil
     import tempfile
 
@@ -5375,6 +5377,7 @@ def kg_pipeline_full_q(spark, sf_dir):
         ts="2024-01-01T00:00:00+00:00",
         env="qas",
         optimize=True,
+        jobs=8,
     )
     out = eng.store.graph(
         "https://data.hetarchief.be/graph/organizations"
@@ -5396,7 +5399,11 @@ def kg_pipeline_volume_q(spark, sf_dir):
     mapping/insert volume term is the difference). Bench-only like
     kg_pipeline_full (side-effecting store writes); mapping semantics
     are pytest-pinned and the custom-field lookup broadcast at volume
-    is plan-asserted in tests/test_pipeline.py."""
+    is plan-asserted in tests/test_pipeline.py. jobs=8 since r10: the
+    reference DAG's own parallel mapping fan-out
+    (load_knowledge_graph.py:685-695) as concurrent derivation
+    checkpoints + one batched set-insert — 70.7 → 36.8 s fresh-session
+    at this scale (BASELINE.md r10, equivalence-verified)."""
     import shutil
     import tempfile
 
@@ -5417,6 +5424,7 @@ def kg_pipeline_volume_q(spark, sf_dir):
         ts="2024-01-01T00:00:00+00:00",
         env="qas",
         optimize=True,
+        jobs=8,
     )
     out = eng.store.graph(
         "https://data.hetarchief.be/graph/organizations"
@@ -5460,6 +5468,7 @@ def ensure_volume_base(spark, sf_dir: str) -> str:
             env="qas",
             optimize=True,
             ledger=True,
+            jobs=8,
         )
         with open(marker, "x"):
             pass
@@ -5511,7 +5520,10 @@ def kg_pipeline_incremental_q(spark, sf_dir):
     equivalence-verified at volume) — the pre-ledger algorithm lost at
     254.5 s because it compiled all 16 updates twice; the ledger makes
     the stale side one broadcast lookup and checkpoint_mem collapses
-    the per-update Catalyst analysis cost. Correctness: full-refresh
+    the per-update Catalyst analysis cost. jobs=8 (late r10): the
+    fresh-side derivations checkpoint concurrently — the DAG's own
+    fan-out — cutting the fresh-plan floor to 11.9 s and the
+    fresh-session incremental to 32.4 s (BASELINE.md r10 jobs table). Correctness: full-refresh
     equivalence incl. the cross-source delete-rederive case AND the
     shared-derivation (two users, one role) case is pytest-pinned
     (tests/test_pipeline.py). Idempotent against the shared base
@@ -5529,7 +5541,7 @@ def kg_pipeline_incremental_q(spark, sf_dir):
     eng = Engine(spark, store_path=path)
     old, new = _mutated_volume_docs(spark)
     run_pipeline_incremental(
-        eng, old, new, sparql_dir, run_id="bench-incremental"
+        eng, old, new, sparql_dir, run_id="bench-incremental", jobs=8
     )
     return eng.store.graph(GRAPH_NS + "organizations").localCheckpoint(
         eager=True

@@ -221,6 +221,7 @@ def run_pipeline(
     env: str = "qas",
     optimize: bool = True,
     ledger: bool = False,
+    jobs: int = 1,
 ) -> None:
     """Full-refresh run (CLEAR → load → map → provenance → DROP → optimize).
 
@@ -239,6 +240,14 @@ def run_pipeline(
     full-refresh cost (the kg_pipeline_volume bench shape) is unchanged;
     an incremental run against a store without a ledger seeds it itself
     from the old snapshot.
+
+    ``jobs``: mapping derivations submitted concurrently — the reference
+    DAG's own parallel fan-out (all 16 mapping tasks depend only on the
+    extracts and the target clear, load_knowledge_graph.py:685-695; see
+    :func:`_plan_updates` for why the updates commute). ``jobs > 1``
+    also batches the 16 inserts into ONE set-insert against the
+    just-cleared target (identical final store set). Default 1 = the
+    sequential task-per-update shape.
     """
     from pyspark.sql import DataFrame
 
@@ -263,8 +272,29 @@ def run_pipeline(
     if ledger:
         # m1-m13 + mt + logos with provenance carry: same updates, same
         # inserted quads, plus the seeded (group, quad) ledger
-        led_df = _derive_and_insert(engine, sparql_dir, env)
+        led_df = _derive_and_insert(engine, sparql_dir, env, jobs=jobs)
         Ledger.for_engine(engine).write(led_df)
+    elif jobs > 1:
+        # m1-m13 + mt + logos, DAG-parallel: checkpoint the 16
+        # independent derivations jobs-at-a-time, then one batched
+        # set-insert (one dedup + one anti-join against the just-cleared
+        # target instead of 16 anti-joins that each rescan the quads the
+        # previous updates appended)
+        from ..terms import QUAD_COLUMNS
+
+        engine.store.checkpoint_mem()
+        derived = _plan_updates(
+            engine, ledger_updates(sparql_dir, env), jobs, carry=False
+        )
+        batch = None
+        for _key, out in derived:
+            q = out.select(*QUAD_COLUMNS)
+            batch = q if batch is None else batch.unionByName(q)
+        engine.store.insert(
+            batch.dropDuplicates(QUAD_COLUMNS),
+            target_graphs=[f"{GRAPH_NS}organizations"],
+            batch_distinct=True,
+        )
     else:
         # m1-m13 + mt: the mapping workload (reference
         # load_knowledge_graph.py:386-533)
@@ -561,12 +591,55 @@ def _grp_col(kind: str, var: str):
     return F.concat(F.lit(kind), F.lit(":"), F.col(var)).alias("grp")
 
 
+def _plan_updates(
+    engine: Engine,
+    items: list[tuple[str, str]],
+    jobs: int,
+    carry: bool,
+) -> list[tuple[str, "DataFrame"]]:
+    """Compile + eagerly checkpoint the independent maintained updates,
+    ``jobs`` at a time — the reference DAG's own shape: all 16 mapping
+    tasks fan out in PARALLEL from the target clear
+    (load_knowledge_graph.py:685-695 — every m* depends only on its
+    extract and ``c``, never on another mapping), and every update reads
+    ONLY its USING staging graphs (no mapping file reads the WITH target
+    — verified over all 14 .sparql), so the derivations commute.
+
+    Thread-per-update is the Spark-native translation of that fan-out:
+    the compile contexts are ``threading.local`` by design
+    (plans/compiler.py predicate_stats_context, federation.active_registry),
+    the parser is pure, and concurrent driver threads submitting jobs is
+    the standard way to keep a large cluster busy with many independent
+    small-stage jobs — one 16-pattern mapping alone never fills 1000
+    executors; 8 of them at once do. Results return in ``items`` order
+    regardless of completion order (determinism; the downstream union is
+    a set anyway)."""
+    def one(item):
+        key, query = item
+        kwargs = {"carry": [PROV_VARS[key][1]]} if carry else {}
+        # materialize=True checkpoints the WHERE bindings; the returned
+        # plan is then a flat template projection over a LogicalRDD, so
+        # unions over many updates stay analysis-cheap WITHOUT a second
+        # checkpoint per update (the r09 OOM came from unioning
+        # un-checkpointed WHERE trees), and the insert/ledger consumers
+        # each re-execute only the projection
+        return key, engine.plan(query, materialize=True, **kwargs)
+
+    if jobs > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(jobs, len(items))) as ex:
+            return list(ex.map(one, items))
+    return [one(it) for it in items]
+
+
 def _derive_ledger(
     engine: Engine,
     sparql_dir: str,
     env: str,
     empty_sources: set[str] | None = None,
     insert: bool = False,
+    jobs: int = 1,
 ) -> "DataFrame":
     """Run every maintained update via ``plan(carry=[group var])`` against
     ``engine``'s staging and return the unioned (grp, quad) ledger rows;
@@ -575,7 +648,14 @@ def _derive_ledger(
     driver staging graph is known-empty are skipped (zero bindings by
     construction). Each update's carried output is checkpointed once and
     feeds both the insert and the ledger union — same per-update job
-    shape as the plain pipeline."""
+    shape as the plain pipeline.
+
+    ``jobs``: derivation checkpoints submitted concurrently (see
+    :func:`_plan_updates`); with ``jobs > 1`` the seed insert is also
+    BATCHED — one union → set-dedup → anti-join against the (empty,
+    just-cleared) target instead of 16 read-modify-write inserts whose
+    anti-joins each rescan the growing target graph. Same final store
+    set either way (set semantics commute)."""
     from pyspark.sql import functions as F
 
     from ..terms import QUAD_COLUMNS
@@ -584,24 +664,32 @@ def _derive_ledger(
     # deep-join updates against it — see GraphStore.checkpoint_mem
     # (driver-side analysis was 3-10x the execution cost otherwise)
     engine.store.checkpoint_mem()
+    items = [
+        (key, query)
+        for key, query in ledger_updates(sparql_dir, env)
+        if not (empty_sources and UPDATE_DRIVER[key] in empty_sources)
+    ]
+    derived = _plan_updates(engine, items, jobs, carry=True)
     pieces = []
-    for key, query in ledger_updates(sparql_dir, env):
-        if empty_sources and UPDATE_DRIVER[key] in empty_sources:
-            continue
+    batch = None
+    for key, out in derived:
         kind, var = PROV_VARS[key]
-        # materialize=True checkpoints the WHERE bindings; the returned
-        # plan is then a flat template projection over a LogicalRDD, so
-        # the union below stays analysis-cheap WITHOUT a second
-        # checkpoint per update (the r09 OOM came from unioning
-        # un-checkpointed WHERE trees), and the insert/ledger consumers
-        # each re-execute only the projection
-        out = engine.plan(query, materialize=True, carry=[var])
         if insert:
-            engine.store.insert(
-                out.select(*QUAD_COLUMNS),
-                target_graphs=[f"{GRAPH_NS}organizations"],
-            )
+            if jobs > 1:
+                q = out.select(*QUAD_COLUMNS)
+                batch = q if batch is None else batch.unionByName(q)
+            else:
+                engine.store.insert(
+                    out.select(*QUAD_COLUMNS),
+                    target_graphs=[f"{GRAPH_NS}organizations"],
+                )
         pieces.append(out.select(_grp_col(kind, var), *QUAD_COLUMNS))
+    if batch is not None:
+        engine.store.insert(
+            batch.dropDuplicates(QUAD_COLUMNS),
+            target_graphs=[f"{GRAPH_NS}organizations"],
+            batch_distinct=True,
+        )
     if not pieces:
         from ..terms import QUAD_SCHEMA
 
@@ -618,8 +706,8 @@ def _derive_ledger(
     return quads.dropDuplicates(["grp", *QUAD_COLUMNS])
 
 
-def _derive_and_insert(engine: Engine, sparql_dir: str, env: str):
-    return _derive_ledger(engine, sparql_dir, env, insert=True)
+def _derive_and_insert(engine: Engine, sparql_dir: str, env: str, jobs: int = 1):
+    return _derive_ledger(engine, sparql_dir, env, insert=True, jobs=jobs)
 
 
 def _tenant_delta_orids(spark, old_docs, new_docs):
@@ -702,6 +790,7 @@ def run_pipeline_incremental(
     run_id: str = "manual__incremental",
     ts: str = "2024-01-01T00:00:00+00:00",
     env: str = "qas",
+    jobs: int = 1,
 ) -> dict:
     """Incremental maintenance of the organizations graph via the
     derivation :class:`Ledger` — given the previous and current staging
@@ -759,6 +848,11 @@ def run_pipeline_incremental(
     the ledger rewrite and the partition-granular delete/insert of the
     one target graph — the same copy-on-write cost every UPDATE pays.
     Returns counters (docs per source, quad counts, phase wall-clocks).
+
+    ``jobs``: concurrent derivation submission for the fresh recompute
+    (and the one-time ledger seed) — attacks the small-delta floor
+    directly, which is ~14 sequential per-update Catalyst-analysis+
+    checkpoint jobs of ~2 s each, not data (see :func:`_plan_updates`).
     """
     import time as _time
 
@@ -840,9 +934,9 @@ def run_pipeline_incremental(
             scratch.load_json(
                 _docs_df(spark, docs), f"{GRAPH_NS}{source}", namespace=SOURCE_NS
             )
-        led_df = _derive_ledger(scratch, sparql_dir, env).localCheckpoint(
-            eager=True
-        )
+        led_df = _derive_ledger(
+            scratch, sparql_dir, env, jobs=jobs
+        ).localCheckpoint(eager=True)
         ledger.write(led_df)
         led_df = ledger.read()
         counters["ledger_seeded"] = True
@@ -936,7 +1030,7 @@ def run_pipeline_incremental(
         counters["t_fresh_load"] = round(_time.time() - _t0, 1)
         _t0 = _time.time()
         fresh_led = _derive_ledger(
-            scratch, sparql_dir, env, empty_sources=empty_sources
+            scratch, sparql_dir, env, empty_sources=empty_sources, jobs=jobs
         ).localCheckpoint(eager=True)
     counters["fresh_ledger_rows"] = fresh_led.count()
     counters["t_fresh_plan"] = round(_time.time() - _t0, 1)

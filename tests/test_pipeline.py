@@ -407,8 +407,11 @@ def test_incremental_pipeline_equals_full_refresh(spark, tmp_path_factory):
     # engine A: full refresh on OLD, then incremental old->new
     eng_a = Engine(spark, store_path=str(tmp_path_factory.mktemp("inc_a")))
     run_pipeline(eng_a, old, REF_SPARQL_DIR, run_id="run-old", optimize=False)
+    # jobs=2: the strongest equivalence oracle also covers the
+    # DAG-parallel fresh-derivation path (the sequential path keeps
+    # direct coverage via the shared-role/tenant/idempotence tests)
     counters = run_pipeline_incremental(
-        eng_a, old, new, REF_SPARQL_DIR, run_id="run-inc"
+        eng_a, old, new, REF_SPARQL_DIR, run_id="run-inc", jobs=2
     )
     # engine B: full refresh on NEW
     eng_b = Engine(spark, store_path=str(tmp_path_factory.mktemp("inc_b")))
@@ -602,6 +605,41 @@ def test_ledger_invariant_and_seeded_full_run(spark, tmp_path_factory):
     # (shared-derivation) behavior is pinned separately by
     # test_incremental_shared_role_survives_user_removal
     assert len(rows) >= len(led_quads)
+
+
+@needs_ref
+def test_pipeline_parallel_jobs_equals_sequential(spark, orgs):
+    """run_pipeline(jobs=8) — the reference DAG's parallel mapping
+    fan-out (load_knowledge_graph.py:685-695: every m* depends only on
+    its extract and the target clear) re-expressed as concurrent driver
+    threads plus ONE batched set-insert — produces the byte-identical
+    organizations graph as the sequential task-per-update path, for both
+    the plain and the ledger-seeding runs; the parallel-seeded ledger
+    keeps the ledger invariant (distinct ledger quads == graph)."""
+    from knowledge_graph_etl_spark.mappings.pipeline import Ledger
+
+    docs = fixture_documents()
+    eng = Engine(spark)
+    run_pipeline(eng, docs, REF_SPARQL_DIR, run_id="r", optimize=False, jobs=8)
+    assert _org_rows(eng) == orgs
+    # the 16 per-update inserts really did collapse into ONE batched
+    # insert: the in-memory store holds the checkpoint_mem seal, the one
+    # mapping batch, and the provenance INSERT DATA — not 16+ pieces
+    # (threshold 32, so no consolidation interference)
+    assert len(eng.store._mem_pieces) <= 3
+
+    eng2 = Engine(spark)
+    run_pipeline(
+        eng2, docs, REF_SPARQL_DIR, run_id="r", optimize=False,
+        ledger=True, jobs=8,
+    )
+    assert _org_rows(eng2) == orgs
+    led = Ledger.for_engine(eng2).read()
+    led_quads = {
+        (r["s"], r["p"], r["o_value"], r["o_type"], r["o_datatype"], r["o_lang"])
+        for r in led.collect()
+    }
+    assert led_quads == orgs
 
 
 @needs_ref

@@ -11,7 +11,7 @@ then verifies the two organizations graphs are identical (the
 full-refresh equivalence oracle at volume). Prints one JSON line with
 both wall-clocks and the incremental's counters/phase timings.
 
-Usage: python tools/inc_volume.py [n_companies] [--no-full]
+Usage: python tools/inc_volume.py [n_companies] [--no-full] [--jobs N]
 """
 
 import json
@@ -23,6 +23,9 @@ sys.path.insert(0, "/root/repo")
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10000
 RUN_FULL = "--no-full" not in sys.argv
+JOBS = (
+    int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv else 1
+)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -93,17 +96,17 @@ new = {
     for k, v in new.items()
 }
 
-out = {"n_companies": N}
+out = {"n_companies": N, "jobs": JOBS}
 
 # prebuilt store at OLD (untimed — the steady state an incremental run starts from)
 inc_store = tempfile.mkdtemp(prefix="incvol_old_")
 eng = Engine(spark, store_path=inc_store)
 t0 = time.time()
-run_pipeline(eng, old, REF, run_id="run-old", optimize=False, ledger=True)
+run_pipeline(eng, old, REF, run_id="run-old", optimize=False, ledger=True, jobs=JOBS)
 out["seed_full_ledger_sec"] = round(time.time() - t0, 1)
 
 t0 = time.time()
-counters = run_pipeline_incremental(eng, old, new, REF, run_id="run-inc")
+counters = run_pipeline_incremental(eng, old, new, REF, run_id="run-inc", jobs=JOBS)
 out["incremental_sec"] = round(time.time() - t0, 1)
 out["counters"] = counters
 
@@ -111,7 +114,7 @@ if RUN_FULL:
     full_store = tempfile.mkdtemp(prefix="incvol_new_")
     eng2 = Engine(spark, store_path=full_store)
     t0 = time.time()
-    run_pipeline(eng2, new, REF, run_id="run-new", optimize=False)
+    run_pipeline(eng2, new, REF, run_id="run-new", optimize=False, jobs=JOBS)
     out["full_refresh_sec"] = round(time.time() - t0, 1)
 
     g = GRAPH_NS + "organizations"

@@ -26,6 +26,7 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entrymod
 
 qs = entrymod.queries()
+qs.update(getattr(entrymod, "bench_only_queries", dict)())
 # every run is recorded (repeated names no longer overwrite), so
 # "q,q,q,q,q" gives the n=5 solo-pin protocol its raw series + median
 out = {}
