@@ -259,13 +259,39 @@ def run_pipeline(
         engine.update(f"CLEAR SILENT GRAPH <{GRAPH_NS}{g}>")
 
     # e1-e5: extract & insert (reference load_knowledge_graph.py:269-334)
-    for source, docs in documents.items():
-        df = (
-            docs
-            if isinstance(docs, DataFrame)
-            else spark.createDataFrame(docs, "doc_id string, json string")
-        )
-        engine.load_json(df, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
+    if jobs > 1:
+        # batched staging load: the e1-e5 extracts target DISJOINT
+        # graphs (one per source), so their quads can't collide — one
+        # union → one dedup → one anti-join against the just-cleared
+        # staging set → one partitioned write, instead of 5 sequential
+        # walk+dedup+write jobs. The per-source mapInPandas JSON walks
+        # become tasks of ONE job, filling the cluster together.
+        from ..ingest import json_to_quads
+
+        quads = None
+        for source, docs in documents.items():
+            df = (
+                docs
+                if isinstance(docs, DataFrame)
+                else spark.createDataFrame(docs, "doc_id string, json string")
+            )
+            q = json_to_quads(
+                df, f"{GRAPH_NS}{source}", namespace=SOURCE_NS
+            )
+            quads = q if quads is None else quads.unionByName(q)
+        if quads is not None:
+            engine.store.insert(
+                quads,
+                target_graphs=[f"{GRAPH_NS}{s}" for s in documents],
+            )
+    else:
+        for source, docs in documents.items():
+            df = (
+                docs
+                if isinstance(docs, DataFrame)
+                else spark.createDataFrame(docs, "doc_id string, json string")
+            )
+            engine.load_json(df, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
 
     engine.update(f"CLEAR SILENT GRAPH <{GRAPH_NS}organizations>")
 

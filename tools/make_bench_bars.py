@@ -43,7 +43,6 @@ REPO = os.path.dirname(HERE)
 SOLO_PINS: dict[str, tuple[float, str]] = {
     "agg_cube": (0.821, "solo-pin r07 n=5 (BASELINE.md)"),
     "streaming_curate": (0.748, "solo-pin r08 n=5 (BASELINE.md)"),
-    "kg_pipeline_full": (58.4, "solo-pin r08 n=3 median (BASELINE.md)"),
     "kg_service_federation": (4.21, "solo-pin r09 n=6 (BASELINE.md)"),
     "kg_select": (3.32, "solo-adjudication r09 (BASELINE.md)"),
     "dedup_lsh_eval": (10.07, "solo-adjudication r09 (BASELINE.md)"),
@@ -54,6 +53,13 @@ SOLO_PINS: dict[str, tuple[float, str]] = {
     "agg_hist_quantiles": (0.57, "solo-pin r10 n=5 (BASELINE.md)"),
     "data_ppl_buckets": (0.78, "solo-pin r10 n=5 (BASELINE.md)"),
     "text_winnow_fp": (1.40, "solo-pin r10 n=5 (BASELINE.md)"),
+    # r10 re-anchors after the DAG-parallel jobs=8 rewrite (BASELINE.md
+    # r10 jobs section): the old bars (58.4 / 140.1 / 38.1) would let a
+    # full regression to the sequential path pass un-tripped, so the
+    # bars move DOWN to the new n=5 solo medians on final r10 code
+    "kg_pipeline_full": (20.21, "solo-pin r10 n=5 after jobs=8 (BASELINE.md)"),
+    "kg_pipeline_volume": (39.07, "solo-pin r10 n=5 after jobs=8 (BASELINE.md)"),
+    "kg_pipeline_incremental": (35.32, "solo-pin r10 n=5 after jobs=8 (BASELINE.md)"),
 }
 
 
