@@ -11,7 +11,11 @@ then verifies the two organizations graphs are identical (the
 full-refresh equivalence oracle at volume). Prints one JSON line with
 both wall-clocks and the incremental's counters/phase timings.
 
-Usage: python tools/inc_volume.py [n_companies] [--no-full] [--jobs N]
+Usage: python tools/inc_volume.py [n_companies] [--no-full] [--jobs N] [--tiny]
+
+``--tiny``: a 3-group delta (two companies + one ldap org edited,
+nothing removed) instead of the ~1% class — measures the small-delta
+FLOOR, which is per-update compile cost rather than data.
 """
 
 import json
@@ -26,6 +30,7 @@ RUN_FULL = "--no-full" not in sys.argv
 JOBS = (
     int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv else 1
 )
+TINY = "--tiny" in sys.argv
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +63,25 @@ def delta_snapshot(old: dict) -> dict:
     new = dict(old)
     comp = old["tl_companies"]
     idx = F.split(F.col("doc_id"), "-").getItem(1).cast("long")
+    if TINY:
+        # 3-group floor probe: two companies + one ldap org edited
+        new["tl_companies"] = comp.withColumn(
+            "json",
+            F.when(
+                idx.isin(101, 202),
+                F.regexp_replace("json", '"website": "', '"website": "edited-'),
+            ).otherwise(F.col("json")),
+        )
+        new["ldap_organizations"] = old["ldap_organizations"].withColumn(
+            "json",
+            F.when(
+                idx == 303,
+                F.regexp_replace(
+                    "json", '"description": "', '"description": "edited-'
+                ),
+            ).otherwise(F.col("json")),
+        )
+        return new
     new["tl_companies"] = (
         comp.where(idx % 1000 != 9)
         .withColumn(
