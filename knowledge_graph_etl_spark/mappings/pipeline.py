@@ -579,7 +579,16 @@ class Ledger:
         sever any lineage reading this ledger's path before passing the
         delta (Spark refuses to overwrite a path it is reading — the
         incremental pipeline checkpoints the kept-rows leg). In-memory
-        ledgers take a full :meth:`write` instead."""
+        ledgers take a full :meth:`write` instead.
+
+        Crash window (weaker than the seed write's tmp-swap): writes
+        land in Spark's staging dir until job commit, so a crash BEFORE
+        commit leaves the old ledger intact, but a crash DURING the
+        per-partition commit renames can leave touched buckets mixed
+        old/new. Recovery is the same as any ledger loss — delete the
+        ``_ledger`` directory; the next incremental run reseeds it from
+        the old snapshot (one full-derivation pass). The quad store
+        itself is never at risk: the ledger is derived state."""
         if self.path is None:
             raise ValueError(
                 "overwrite_buckets is the file-backed fast path; "

@@ -154,21 +154,9 @@ class GraphStore:
         the guarantee is the caller's, exactly like the reference trusting
         its per-record INSERT DATA batches to be duplicate-free."""
         self._pred_stats = None
-        batch = new_quads.select(*QUAD_COLUMNS)
-        if not batch_distinct:
-            batch = batch.dropDuplicates(QUAD_COLUMNS)
-        if dedup_against_store:
-            existing = self.quads()
-            if target_graphs is not None:
-                existing = existing.where(F.col("g").isin(list(target_graphs)))
-            existing = existing.alias("ex")
-            batch = batch.alias("nw")
-            # null-safe equality on every column (o_datatype/o_lang are
-            # often NULL); join key g is constant per partition → the
-            # anti-join prunes the existing-side scan to the target graphs
-            batch = batch.join(
-                existing, on=_quad_eq_cond("nw", "ex"), how="left_anti"
-            )
+        batch = self._prepare_batch(
+            new_quads, dedup_against_store, target_graphs, batch_distinct
+        )
         if self.path:
             batch.write.mode("append").partitionBy("g").parquet(self.path)
         else:
@@ -191,6 +179,36 @@ class GraphStore:
             # DataFrame (the same shape the drop path leaves behind)
             if len(self._mem_pieces) >= self._MEM_CONSOLIDATE_AT:
                 self._consolidate_mem()
+
+    def _prepare_batch(
+        self,
+        new_quads: DataFrame,
+        dedup_against_store: bool = True,
+        target_graphs: list[str] | None = None,
+        batch_distinct: bool = False,
+    ) -> DataFrame:
+        """The insert batch BEFORE the write: in-batch dedup + the
+        set-semantics anti-join against the existing store. Split from
+        :meth:`insert` so the write path's scale promise — with
+        ``target_graphs`` the existing-side scan covers ONLY those
+        graph partitions — is pinned by physical-plan evidence
+        (tests/test_plan_evidence.py) rather than docstring alone."""
+        batch = new_quads.select(*QUAD_COLUMNS)
+        if not batch_distinct:
+            batch = batch.dropDuplicates(QUAD_COLUMNS)
+        if dedup_against_store:
+            existing = self.quads()
+            if target_graphs is not None:
+                existing = existing.where(F.col("g").isin(list(target_graphs)))
+            existing = existing.alias("ex")
+            batch = batch.alias("nw")
+            # null-safe equality on every column (o_datatype/o_lang are
+            # often NULL); join key g is constant per partition → the
+            # anti-join prunes the existing-side scan to the target graphs
+            batch = batch.join(
+                existing, on=_quad_eq_cond("nw", "ex"), how="left_anti"
+            )
+        return batch
 
     def insert_data(self, rows: list[tuple], graph: str | None = None) -> None:
         """SPARQL ``INSERT DATA { GRAPH <g> { ...constant triples... } }``

@@ -56,6 +56,58 @@ def test_graph_read_prunes_partitions(pstore):
     assert "g" in pf_line and "urn:g:one" in pf_line
 
 
+def test_insert_dedup_scan_prunes_to_target_graphs(pstore, spark):
+    """The write path's scale promise, by plan: with ``target_graphs``
+    the set-dedup anti-join's existing-side scan covers ONLY the target
+    graph partitions (static isin → PartitionFilters), so an insert
+    into one graph never rescans the whole store. The control batch is
+    CHECKPOINTED — when the batch's g is a literal constant Catalyst
+    already infers the pruning filter through the join's g-equality,
+    but a checkpoint (or a union of per-graph branches, the pipeline's
+    batched-insert shape) makes g opaque, and then the explicit hint is
+    the ONLY thing standing between one-partition and whole-store
+    scans; the no-hint control documents exactly that."""
+    from knowledge_graph_etl_spark.extensions.ckpt import (
+        persistent_rdd_ids,
+        release_new_checkpoints,
+    )
+
+    before = persistent_rdd_ids(spark)
+    batch = quadify(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit("v").alias("c_name")
+        ),
+        "k",
+        "urn:c:",
+        "urn:g:one",
+        namespace="urn:p:",
+    ).localCheckpoint(eager=True)
+    try:
+        plan = _plan(
+            pstore._prepare_batch(batch, target_graphs=["urn:g:one"])
+        )
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf, plan
+        assert any("urn:g:one" in l for l in pf), pf
+        assert not any("urn:g:two" in l for l in pf), pf
+
+        # control: opaque g + no hint = the existing-side scan has no
+        # graph partition filter (whole-store read) — the regression
+        # this test exists to catch if target_graphs threading is ever
+        # dropped
+        unpruned = _plan(pstore._prepare_batch(batch))
+        assert not any(
+            "urn:g:" in l
+            for l in unpruned.splitlines()
+            if "PartitionFilters" in l
+        ), unpruned
+    finally:
+        # deterministic release: leaving the checkpoint to the async
+        # ContextCleaner lets it unpersist mid-way through a LATER
+        # test's pinned-RDD accounting window
+        release_new_checkpoints(spark, before)
+
+
 def test_pattern_scan_pushes_predicate_and_object(pstore):
     b = BGP(pstore.graph("urn:g:one"))
     b.pattern(Var("s"), "urn:p:c_seg", "BUILDING")
@@ -608,9 +660,13 @@ def test_ks_2sample_materialize_single_source_scan(spark, tmp_path):
         for r in out.collect()
     )
     assert lazy_rows == mat_rows
-    # caller-side release restores the session's pinned-RDD set
+    # caller-side release restores the session's pinned-RDD budget: no
+    # NEW ids survive. Subset (not equality): Spark's async
+    # ContextCleaner may concurrently unpersist UNRELATED checkpoints
+    # whose DataFrames other tests dropped — ids can legitimately leave
+    # `before` mid-test, but nothing this test pinned may remain
     release_new_checkpoints(spark, before)
-    assert persistent_rdd_ids(spark) == before
+    assert persistent_rdd_ids(spark) <= before
 
 
 def test_stats_family_plan_shapes(spark, tmp_path):
