@@ -316,11 +316,12 @@ def run_pipeline(
         for _key, out in derived:
             q = out.select(*QUAD_COLUMNS)
             batch = q if batch is None else batch.unionByName(q)
-        engine.store.insert(
-            batch.dropDuplicates(QUAD_COLUMNS),
-            target_graphs=[f"{GRAPH_NS}organizations"],
-            batch_distinct=True,
-        )
+        if batch is not None:  # guard an empty update list, like staging
+            engine.store.insert(
+                batch.dropDuplicates(QUAD_COLUMNS),
+                target_graphs=[f"{GRAPH_NS}organizations"],
+                batch_distinct=True,
+            )
     else:
         # m1-m13 + mt: the mapping workload (reference
         # load_knowledge_graph.py:386-533)
@@ -619,6 +620,42 @@ class Ledger:
                 os.path.join(self.path, f"bucket={b}"), ignore_errors=True
             )
 
+    def compact(self, min_files: int = 4, target_file_mb: int = 128) -> dict:
+        """Opt-in maintenance (r10 verdict #10): every incremental cycle
+        rewrites its touched buckets with however many files the delta's
+        partitioning produced, so a frequently-touched bucket fragments
+        into many small files over N cycles (list/open overhead starts
+        dominating the stale-side ledger probe). Compact ONLY the
+        buckets above ``min_files`` — each bucket directory is a plain
+        parquet dir, so :func:`extensions.layout.compact_files` rewrites
+        it in place (its own tmp-swap), re-clustered by ``grp`` while at
+        it (the probe side filters on grp, so grp-sorted files give the
+        scan min/max pruning for free). Cost ∝ fragmented buckets, never
+        the whole ledger; untouched buckets are never read. In-memory
+        ledgers have nothing to compact. Content equivalence is
+        pytest-pinned (tests/test_pipeline.py)."""
+        if self.path is None or not os.path.isdir(self.path):
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        from ..extensions.layout import compact_files
+
+        stats = {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        for name in sorted(os.listdir(self.path)):
+            bdir = os.path.join(self.path, name)
+            if not (name.startswith("bucket=") and os.path.isdir(bdir)):
+                continue
+            n_files = sum(
+                f.endswith(".parquet") for f in os.listdir(bdir)
+            )
+            if n_files <= min_files:
+                continue
+            res = compact_files(
+                self.spark, bdir, target_file_mb=target_file_mb, sort_by=["grp"]
+            )
+            stats["buckets_compacted"] += 1
+            stats["files_before"] += res["files_before"]
+            stats["files_after"] += res["files_after"]
+        return stats
+
 
 def _grp_col(kind: str, var: str):
     from pyspark.sql import functions as F
@@ -663,6 +700,13 @@ def _plan_updates(
     if jobs > 1 and len(items) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        if engine.stats:
+            # warm the predicate-stats cache on the main thread: the
+            # per-thread _compile_ctx would otherwise race on the cold
+            # store._pred_stats cache and launch up to ``jobs`` redundant
+            # count-aggregate jobs (benign for correctness — each thread
+            # computes the same dict — but wasted cluster work)
+            engine.store.predicate_stats()
         with ThreadPoolExecutor(max_workers=min(jobs, len(items))) as ex:
             return list(ex.map(one, items))
     return [one(it) for it in items]

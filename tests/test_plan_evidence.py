@@ -744,6 +744,19 @@ def test_tpch_r10_shapes_broadcast_and_pushdown(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", q19)) == 2, q19  # part + lineitem, once each
     assert "Brand#1" in q19 and "Brand#3" in q19, q19
 
+    # Q2 (r10 verdict, What's wrong #2): the per-part min must NOT be a
+    # fact-derived broadcast (|part| rows on the driver at scale). r11
+    # form: a partition-min Window over ONE hash exchange on l_partkey,
+    # with the argmin groupBy reusing that partitioning — so the whole
+    # plan has exactly one shuffle, and every BroadcastExchange feeds the
+    # dimension chain (1-col build sides), never a min aggregate.
+    q2 = _plan(entry.queries()["mincost_region_supplier"](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange\b", q2)) == 1, q2
+    assert re.search(r"\(\d+\) Window\b", q2), q2
+    assert "min_milli" not in "".join(
+        re.findall(r"\(\d+\) BroadcastExchange[\s\S]{0,200}", q2)
+    ), q2
+
 
 def test_psi_report_materialize_collapses_scans(spark, tmp_path):
     """psi_report(materialize=True) checkpoints the one-row edge vector

@@ -27,9 +27,12 @@ sys.path.insert(0, "/root/repo")
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10000
 RUN_FULL = "--no-full" not in sys.argv
-JOBS = (
-    int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv else 1
-)
+JOBS = 1
+if "--jobs" in sys.argv:
+    _ji = sys.argv.index("--jobs") + 1
+    if _ji >= len(sys.argv) or not sys.argv[_ji].isdigit():
+        sys.exit("usage: inc_volume.py [N] [--no-full] [--tiny] --jobs <int>")
+    JOBS = int(sys.argv[_ji])
 TINY = "--tiny" in sys.argv
 
 from pyspark.sql import SparkSession

@@ -11,7 +11,7 @@ noisy in-bench number with an n>=5 solo median (the agg_cube protocol,
 BASELINE.md), to that pinned median.
 
 Bar definition per entry, in priority order:
-  1. an adjudicated solo-median pin (SOLO_PINS below, each with its
+  1. an adjudicated solo-median pin (tools/solo_pins.json, each with its
      BASELINE.md provenance) — solo medians are measured under bench
      hygiene on a settled machine, so they are the honest baseline when
      the in-run number was run-order noise;
@@ -38,29 +38,15 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-#: adjudicated n>=3 solo medians (the agg_cube protocol) — these
-#: OVERRIDE first-recorded numbers; each carries its BASELINE.md round.
-SOLO_PINS: dict[str, tuple[float, str]] = {
-    "agg_cube": (0.821, "solo-pin r07 n=5 (BASELINE.md)"),
-    "streaming_curate": (0.748, "solo-pin r08 n=5 (BASELINE.md)"),
-    "kg_service_federation": (4.21, "solo-pin r09 n=6 (BASELINE.md)"),
-    "kg_select": (3.32, "solo-adjudication r09 (BASELINE.md)"),
-    "dedup_lsh_eval": (10.07, "solo-adjudication r09 (BASELINE.md)"),
-    "doc_minhash_cluster_dedup": (15.21, "solo-adjudication r09 (BASELINE.md)"),
-    # r10 pins (r09 verdict item 3): n=5 solo, cold-first series in
-    # BASELINE.md r10 section; all three landed at/below their records,
-    # adjudicating the 2.5x in-bench breaches as run-order noise
-    "agg_hist_quantiles": (0.57, "solo-pin r10 n=5 (BASELINE.md)"),
-    "data_ppl_buckets": (0.78, "solo-pin r10 n=5 (BASELINE.md)"),
-    "text_winnow_fp": (1.40, "solo-pin r10 n=5 (BASELINE.md)"),
-    # r10 re-anchors after the DAG-parallel jobs=8 rewrite (BASELINE.md
-    # r10 jobs section): the old bars (58.4 / 140.1 / 38.1) would let a
-    # full regression to the sequential path pass un-tripped, so the
-    # bars move DOWN to the new n=5 solo medians on final r10 code
-    "kg_pipeline_full": (20.21, "solo-pin r10 n=5 after jobs=8 (BASELINE.md)"),
-    "kg_pipeline_volume": (39.07, "solo-pin r10 n=5 after jobs=8 (BASELINE.md)"),
-    "kg_pipeline_incremental": (35.32, "solo-pin r10 n=5 after jobs=8 (BASELINE.md)"),
-}
+#: adjudicated n>=3 solo medians (the agg_cube protocol) — these OVERRIDE
+#: first-recorded numbers; each carries its BASELINE.md round. Since r11
+#: the pin set lives in tools/solo_pins.json (name -> [median, source])
+#: so tools/adjudicate.py can append pins programmatically with the same
+#: provenance discipline; history of the r07-r10 hand-run pins is in the
+#: BASELINE.md sections the sources cite.
+def solo_pins() -> dict[str, tuple[float, str]]:
+    with open(os.path.join(HERE, "solo_pins.json")) as fh:
+        return {q: (float(v), str(src)) for q, (v, src) in json.load(fh).items()}
 
 
 def first_recorded() -> dict[str, tuple[float, str]]:
@@ -97,7 +83,7 @@ def first_recorded() -> dict[str, tuple[float, str]]:
 
 def main() -> int:
     bars = first_recorded()
-    bars.update(SOLO_PINS)
+    bars.update(solo_pins())
     out = {
         q: {"bar": round(v, 3), "source": src}
         for q, (v, src) in sorted(bars.items())
