@@ -4970,6 +4970,150 @@ def bracket_revenue(spark, sf_dir):
     )
 
 
+def profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape — product-line profit by supplier nation and order
+    year (the corpus has no partsupp, so part retail price stands in
+    for supply cost): lineitem joins the name-filtered part and the
+    supplier→nation chain as BROADCAST dims (both prune before the fact
+    shuffle), then orders on l_orderkey — the one fact⋈fact join, a
+    shuffle on the join key both sides already produce, no hint (AQE
+    picks broadcast only when the filtered orders side is genuinely
+    small). Profit in exact centi-cent integers: revenue
+    ``cents·(100−disc)`` minus cost ``retail_cents·qty·100`` — both on
+    the same scale, so the aggregate is engine-exact at any size."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_cc"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select(
+            "p_partkey",
+            (F.round(F.col("p_retailprice") * 100).cast("bigint") * 100).alias(
+                "cost_cc_per_qty"
+            ),
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(n, s.s_nationkey == n.n_nationkey)),
+              l.l_suppkey == F.col("s_suppkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(
+                F.col("rev_cc") - F.col("cost_cc_per_qty") * F.col("qty")
+            )
+            .cast("bigint")
+            .alias("profit_cc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").alias("year"),
+            "profit_cc",
+            "n_items",
+        )
+    )
+
+
+def returned_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape — customers generating the most returned-item
+    revenue in one quarter. The scale-critical move: aggregate the fact
+    FIRST (groupBy o_custkey over the R-flagged, quarter-filtered
+    join), take the distributed top-20 (TakeOrderedAndProject — never a
+    global sort), and only THEN join the 20-row result to customer and
+    nation — the 20 rows broadcast, so the |customer|-sized dimension
+    is probed, never shuffled. Revenue in exact centi-cents."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_cc"),
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    top = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cc").cast("bigint").alias("rev_cc"))
+        .orderBy(F.col("rev_cc").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(top), c.c_custkey == top.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "rev_cc",
+        )
+    )
+
+
+def text_zipf_fit_q(spark, sf_dir):
+    """Zipf-law fit per source slice (extensions/text.zipf_fit): OLS
+    slope/intercept of log2(freq) on log2(rank) over each source's
+    top-200 token frequencies — the corpus-health indicator that flags
+    machine-generated or over-deduped slices. Regression points are
+    1e-6-quantized so the OLS sums are exact integers; slope/intercept
+    evaluate in double from those sums, identically on both engines."""
+    from knowledge_graph_etl_spark.extensions.text import zipf_fit
+
+    return zipf_fit(
+        _t(spark, sf_dir, "documents"), group_col="source", top_ranks=200
+    )
+
+
+def graph_assortativity_q(spark, sf_dir):
+    """Degree assortativity of the supplier→part bipartite graph
+    (extensions/graph.degree_assortativity): Pearson correlation of
+    endpoint degrees across the distinct edge set, decimal(38,0) sums,
+    1e-6-rounded r — the sampling-bias topology check."""
+    from knowledge_graph_etl_spark.extensions.graph import degree_assortativity
+
+    e = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return degree_assortativity(e)
+
+
+def stats_mutual_information_q(spark, sf_dir):
+    """Mutual information between event type and the value's
+    century-bucket (extensions/stats.mutual_information): per-cell
+    1e-6-quantized MI plus marginal entropies and NMI — the directional
+    dependence audit next to stats_cramers_v."""
+    from knowledge_graph_etl_spark.extensions.stats import mutual_information
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("vbucket"),
+    )
+    return mutual_information(e, "event_type", "vbucket")
+
+
 def late_supplier_blame(spark, sf_dir):
     """TPC-H Q21 shape -- suppliers who were the SOLE late supplier on a
     multi-supplier order ("who do we blame for the wait"): the classic
@@ -5165,7 +5309,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_variety": part_supplier_variety,
         "excess_stock_suppliers": excess_stock_suppliers,
         "bracket_revenue": bracket_revenue,
-        # --- r11 additions land here (front of the window) ---
+        # --- r11 additions (front of the window) ---
+        "profit_by_nation_year": profit_by_nation_year,
+        "returned_top_customers": returned_top_customers,
+        "text_zipf_fit": text_zipf_fit_q,
+        "graph_assortativity": graph_assortativity_q,
+        "stats_mutual_information": stats_mutual_information_q,
         # --- r07-checked block (oldest driver rows after the front;
         # --- the ~50 window covers the front + most of this block,
         # --- the overflow leads r12) ---
@@ -8330,6 +8479,135 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM nn UNION ALL SELECT * FROM rg "
             "UNION ALL SELECT * FROM uq UNION ALL SELECT * FROM rf) "
             "ORDER BY rule"
+        ),
+        "profit_by_nation_year": (
+            "SELECT n_name AS nation, "
+            "CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS year, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "- CAST(round(p_retailprice * 100) AS BIGINT) * 100 "
+            "* CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_cc, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%' "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2"
+        ),
+        "returned_top_customers": (
+            "WITH top AS (SELECT o_custkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS rev_cc "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1 ORDER BY rev_cc DESC, o_custkey LIMIT 20) "
+            "SELECT c_custkey AS custkey, c_name, n_name AS nation, rev_cc "
+            "FROM top JOIN customer ON c_custkey = top.o_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "text_zipf_fit": (
+            "WITH tok AS (SELECT source, unnest(" + _TOKS + ") AS tok "
+            "FROM documents), "
+            "cnt AS (SELECT source, tok, COUNT(*) AS c FROM tok "
+            "GROUP BY 1, 2), "
+            "rk AS (SELECT source, tok, c, row_number() OVER ("
+            "PARTITION BY source ORDER BY c DESC, tok ASC) AS rank "
+            "FROM cnt), "
+            "pts AS (SELECT source, "
+            "CAST(floor(log2(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) "
+            "AS BIGINT) AS x, "
+            "CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) "
+            "AS BIGINT) AS y FROM rk WHERE rank <= 200), "
+            "s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranks, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "SUM(CAST(x AS HUGEINT) * y) AS sxy, "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM pts GROUP BY 1) "
+            "SELECT source, n_ranks, "
+            "round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope, "
+            "round((CAST(sy AS DOUBLE) - "
+            "(CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "* CAST(sx AS DOUBLE)) / CAST(n_ranks AS DOUBLE) "
+            "/ 1000000.0, 6) AS intercept "
+            "FROM s"
+        ),
+        "graph_assortativity": (
+            "WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d "
+            "FROM lineitem), "
+            "ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg_s FROM e "
+            "GROUP BY 1), "
+            "dd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS deg_d FROM e "
+            "GROUP BY 1), "
+            "p AS (SELECT deg_s, deg_d FROM e JOIN ds USING (s) "
+            "JOIN dd USING (d)), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
+            "SUM(CAST(deg_s AS HUGEINT)) AS sx, "
+            "SUM(CAST(deg_d AS HUGEINT)) AS sy, "
+            "SUM(CAST(deg_s AS HUGEINT) * deg_d) AS sxy, "
+            "SUM(CAST(deg_s AS HUGEINT) * deg_s) AS sxx, "
+            "SUM(CAST(deg_d AS HUGEINT) * deg_d) AS syy FROM p) "
+            "SELECT n_edges, round(CASE WHEN "
+            "sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0 THEN "
+            "(CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+            "ELSE 0.0 END, 6) AS r FROM s"
+        ),
+        "stats_mutual_information": (
+            "WITH src AS (SELECT "
+            "CASE WHEN event_type IS NULL THEN 'N' "
+            "ELSE 'V' || CAST(event_type AS VARCHAR) END AS a, "
+            "CASE WHEN value IS NULL THEN 'N' "
+            "ELSE 'V' || CAST(CAST(floor(value / 100.0) AS BIGINT) "
+            "AS VARCHAR) END AS b FROM events), "
+            "cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o "
+            "FROM src GROUP BY 1, 2), "
+            "ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells "
+            "GROUP BY 1), "
+            "cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells "
+            "GROUP BY 1), "
+            "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a, "
+            "CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b FROM cells), "
+            "mi AS (SELECT CAST(SUM(CAST(floor("
+            "(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * "
+            "log2(CAST(CAST(o AS HUGEINT) * n AS DOUBLE) / "
+            "CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE)) "
+            "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro_bits "
+            "FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn), "
+            "ha AS (SELECT CAST(SUM(CAST(floor("
+            "-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) * "
+            "log2(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_a_micro_bits "
+            "FROM ra CROSS JOIN nn), "
+            "hb AS (SELECT CAST(SUM(CAST(floor("
+            "-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) * "
+            "log2(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_b_micro_bits "
+            "FROM cb CROSS JOIN nn) "
+            "SELECT n, n_a, n_b, mi_micro_bits, h_a_micro_bits, "
+            "h_b_micro_bits, "
+            "CAST(floor((CASE WHEN h_a_micro_bits > 0 AND "
+            "h_b_micro_bits > 0 THEN CAST(mi_micro_bits AS DOUBLE) / "
+            "sqrt(CAST(h_a_micro_bits AS DOUBLE) * "
+            "CAST(h_b_micro_bits AS DOUBLE)) ELSE 0.0 END) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS nmi_ppm "
+            "FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"
         ),
         "mincost_region_supplier": (
             "WITH dims AS (SELECT s_suppkey, n_name FROM supplier s "

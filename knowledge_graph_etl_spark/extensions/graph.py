@@ -856,3 +856,60 @@ def connected_components(
         F.col("cluster_rep").alias("component"),
         F.col("cluster_size").cast("bigint").alias("component_size"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of a (bipartite or directed) edge list: the
+    Pearson correlation between source-degree and destination-degree
+    across edges. Positive = hubs link to hubs (assortative mixing),
+    negative = hubs link to leaves — the one-number topology check run
+    before trusting sampled-subgraph statistics, since sampling biases
+    invert under disassortative mixing.
+
+    Exactness: degrees are exact bigint counts over the DISTINCT edge
+    set; the five correlation sums accumulate in decimal(38,0) (an edge
+    list of a billion rows with million-degree hubs squares past int64);
+    r evaluates in double from those exact sums (identical IEEE
+    expression both engines), rounded to 1e-6.
+
+    Scale shape: two map-combinable degree aggregates + two 1:N joins
+    of edges to degrees (hub keys are 1:N, no fan-out, AQE-handled) +
+    one scalar aggregate. No windows, no collects. Returns one row:
+    ``(n_edges, r)``."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg_s"))
+    dd = e.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("deg_d"))
+    pairs = e.join(ds, "s").join(dd, "d").select("deg_s", "deg_d")
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(dec("deg_s")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("deg_d")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("deg_s") * dec("deg_d")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("deg_s") * dec("deg_s")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("deg_d") * dec("deg_d")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n_edges").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return sums.select(
+        "n_edges",
+        F.round(
+            F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0)), 6
+        ).alias("r"),
+    )

@@ -1749,3 +1749,117 @@ def cramers_v(
         )
         .select("n", "n_a", "n_b", "dof", "chi2_micro", "cramers_v_ppm")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, plus
+    the marginal entropies and the normalized MI — the drift/leakage
+    audit cramers_v's chi-square can't answer directionally: MI ≈ 0
+    means the shard key really is independent of the label; NMI ≈ 1
+    means one column determines the other.
+
+    Exactness (the unigram_lm_score / cramers_v discipline): joint and
+    marginal counts are exact bigints; each observed cell's
+    ``(o/N)·log2(o·N / (ra·cb))`` term — products formed in
+    decimal(38,0) so a billion-row table can't overflow the ratio —
+    is computed in double from exact integers and 1e-6-quantized PER
+    CELL before the sum, so the reduction is order-independent across
+    partitionings and engines. Marginal entropies quantize per
+    marginal row the same way. ``nmi_ppm`` derives from the exact
+    micro-bit integers. NULL categories are real categories (injective
+    'N'/'V'-prefix tagging, as cramers_v).
+
+    Scale shape: ONE map-combinable count aggregate on (a, b); the
+    marginals and reductions run on contingency rows bounded by
+    |A|·|B|, never the corpus. Returns one row:
+    ``(n, n_a, n_b, mi_micro_bits, h_a_micro_bits, h_b_micro_bits,
+    nmi_ppm)``."""
+
+    def tag(col: str) -> F.Column:
+        return F.when(F.col(col).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(col).cast("string"))
+        )
+
+    cells = (
+        df.select(tag(col_a).alias("a"), tag(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("cb"))
+    n = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("n_a"),
+        F.countDistinct("b").cast("bigint").alias("n_b"),
+    )
+
+    def dec(c) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    def q_micro(term: F.Column) -> F.Column:
+        return F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    mi = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n.select("n")))
+        .select(
+            q_micro(
+                (F.col("o").cast("double") / F.col("n").cast("double"))
+                * F.log2(
+                    (dec(F.col("o")) * dec(F.col("n"))).cast("double")
+                    / (dec(F.col("ra")) * dec(F.col("cb"))).cast("double")
+                )
+            ).alias("cell_micro")
+        )
+        .agg(F.sum("cell_micro").cast("bigint").alias("mi_micro_bits"))
+    )
+
+    def entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        return (
+            marg.crossJoin(F.broadcast(n.select("n")))
+            .select(
+                q_micro(
+                    -(F.col(cnt).cast("double") / F.col("n").cast("double"))
+                    * F.log2(
+                        F.col(cnt).cast("double") / F.col("n").cast("double")
+                    )
+                ).alias("h_term")
+            )
+            .agg(F.sum("h_term").cast("bigint").alias(out))
+        )
+
+    h_a = entropy(ra, "ra", "h_a_micro_bits")
+    h_b = entropy(cb, "cb", "h_b_micro_bits")
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(h_a))
+        .crossJoin(F.broadcast(h_b))
+        .select(
+            "n",
+            "n_a",
+            "n_b",
+            "mi_micro_bits",
+            "h_a_micro_bits",
+            "h_b_micro_bits",
+            F.floor(
+                F.when(
+                    (F.col("h_a_micro_bits") > 0)
+                    & (F.col("h_b_micro_bits") > 0),
+                    F.col("mi_micro_bits").cast("double")
+                    / F.sqrt(
+                        F.col("h_a_micro_bits").cast("double")
+                        * F.col("h_b_micro_bits").cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nmi_ppm"),
+        )
+    )

@@ -422,3 +422,86 @@ def ngram_novelty(
             .alias("novelty_ppm"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+    top_ranks: int = 1000,
+) -> DataFrame:
+    """Zipf-law fit per corpus slice: OLS slope of log2(frequency) on
+    log2(rank) over the top-``top_ranks`` token frequencies. Natural
+    text sits near slope ≈ -1; machine-generated / boilerplate corpora
+    drift shallower, extreme-dedup corpora steeper — a one-row-per-slice
+    corpus-health indicator alongside corpus_report.
+
+    Exactness: token counts and ranks are exact bigints; the regression
+    points x = log2(rank), y = log2(count) are 1e-6-quantized PER POINT
+    (the unigram_lm_score discipline) so the five OLS sums are exact
+    integer aggregates — order-independent across engines. The closed-
+    form slope/intercept then evaluate in double FROM those exact sums
+    (sums cast to double before multiplying: n·Sxy would overflow int64,
+    and the double evaluation is the same IEEE expression on identical
+    inputs on both engines), rounded to 1e-6.
+
+    Scale shape: one explode + map-combinable token count, one
+    per-slice top-k (rank window over slice-local counts — partitioned
+    by slice, never a global sort), and a 5-sum aggregate over
+    ≤ top_ranks rows per slice. Returns one row per slice:
+    ``(group, n_ranks, slope, intercept)``."""
+    from pyspark.sql import Window
+
+    gname = group_col if group_col is not None else "_g"
+    tok = docs.select(
+        (F.col(group_col) if group_col else F.lit("all")).alias(gname),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    cnt = tok.groupBy(gname, "tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(gname).orderBy(
+                F.desc("c"), F.asc("tok")
+            )
+        ),
+    ).where(F.col("rank") <= top_ranks)
+
+    def q(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    pts = ranked.select(
+        gname,
+        q(F.log2(F.col("rank").cast("double"))).alias("x"),
+        q(F.log2(F.col("c").cast("double"))).alias("y"),
+    )
+    sums = pts.groupBy(gname).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    nd = F.col("n_ranks").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return sums.select(
+        F.col(gname),
+        "n_ranks",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / nd
+            / F.lit(1000000.0),
+            6,
+        ).alias("intercept"),
+    )

@@ -757,6 +757,18 @@ def test_tpch_r10_shapes_broadcast_and_pushdown(spark):
         re.findall(r"\(\d+\) BroadcastExchange[\s\S]{0,200}", q2)
     ), q2
 
+    # Q10 (r11): aggregate-then-top20-then-join — the TakeOrdered result
+    # must be the BROADCAST side probing customer (the |customer|-sized
+    # dim never shuffles), and the only shuffle Exchange is the custkey
+    # aggregate's. The tree prints the BroadcastExchange directly above
+    # its TakeOrderedAndProject child.
+    q10 = _plan(entry.queries()["returned_top_customers"](spark, sf))
+    assert "SortMergeJoin" not in q10 and "CartesianProduct" not in q10, q10
+    assert len(re.findall(r"\(\d+\) Exchange\b", q10)) == 1, q10
+    assert re.search(
+        r"BroadcastExchange \(\d+\)[\s\S]{0,120}TakeOrderedAndProject", q10
+    ), q10
+
 
 def test_psi_report_materialize_collapses_scans(spark, tmp_path):
     """psi_report(materialize=True) checkpoints the one-row edge vector

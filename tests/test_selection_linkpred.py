@@ -1275,3 +1275,39 @@ def test_connected_components_transitive_long_chain(spark):
     out = connected_components(e).collect()
     assert len(out) == 20
     assert all(r.component == 1 and r.component_size == 20 for r in out)
+
+
+def test_degree_assortativity_disassortative_and_guard(spark):
+    from knowledge_graph_etl_spark.extensions.graph import degree_assortativity
+
+    # perfectly disassortative bipartite graph: one hub source fans out
+    # to 4 degree-1 dests (pairs (4,1)), and 4 degree-1 sources converge
+    # on one hub dest (pairs (1,4)) -> endpoint degrees perfectly
+    # anticorrelated, r = -1
+    edges = [("h", f"d{i}") for i in range(4)] + [
+        (f"s{i}", "hd") for i in range(4)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = degree_assortativity(df).collect()[0]
+    assert r.n_edges == 8
+    assert abs(r.r - (-1.0)) < 1e-6, r
+
+    # degree-regular graph: zero variance on both sides -> the den=0
+    # guard reports 0, not NaN
+    edges = [(f"s{i}", f"d{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = degree_assortativity(df).collect()[0]
+    assert (r.n_edges, r.r) == (5, 0.0)
+
+
+def test_degree_assortativity_distinct_edges(spark):
+    from knowledge_graph_etl_spark.extensions.graph import degree_assortativity
+
+    # duplicate edge rows must not inflate degrees: same graph as the
+    # disassortative case with every edge repeated 3x -> identical r
+    base = [("h", f"d{i}") for i in range(4)] + [
+        (f"s{i}", "hd") for i in range(4)
+    ]
+    df = spark.createDataFrame(base * 3, "src string, dst string")
+    r = degree_assortativity(df).collect()[0]
+    assert r.n_edges == 8 and abs(r.r - (-1.0)) < 1e-6, r

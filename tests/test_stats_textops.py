@@ -1908,3 +1908,104 @@ def test_cramers_v_literal_null_string_distinct_from_null(spark):
     r = cramers_v(df, "a", "b").collect()[0]
     assert r.n_a == 3  # ' NULL', real NULL and 'x' are three categories
     assert r.n == 5
+
+
+def test_mutual_information_independent_and_determined(spark):
+    from knowledge_graph_etl_spark.extensions.stats import mutual_information
+
+    # perfect independence: uniform 2x2 -> MI = 0, NMI = 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert (r.n, r.n_a, r.n_b) == (12, 2, 2)
+    assert r.mi_micro_bits == 0 and r.nmi_ppm == 0
+    # uniform binary marginals: H = 1 bit exactly
+    assert r.h_a_micro_bits == 1_000_000
+    assert r.h_b_micro_bits == 1_000_000
+
+    # b determined by a (balanced): MI = H(a) = H(b) = 1 bit, NMI = 1
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r.mi_micro_bits == 1_000_000
+    assert r.nmi_ppm == 1_000_000
+
+
+def test_mutual_information_null_category(spark):
+    from knowledge_graph_etl_spark.extensions.stats import mutual_information
+
+    # NULL forms a real category that carries information about b
+    rows = [("x", "p"), ("x", "p"), (None, "q"), (None, "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r.n_a == 2 and r.mi_micro_bits == 1_000_000
+    assert r.nmi_ppm == 1_000_000
+
+    # single-category side: H(a) = 0 -> guard reports NMI 0, MI 0
+    rows = [("x", "p"), ("x", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert (r.mi_micro_bits, r.h_a_micro_bits, r.nmi_ppm) == (0, 0, 0)
+
+
+def test_zipf_fit_exact_power_law_slope(spark):
+    from knowledge_graph_etl_spark.extensions.text import zipf_fit
+
+    # two ranks lying EXACTLY on the log-log line y = 12 - x: counts
+    # 4096 (rank 1, x=0, y=12) and 2048 (rank 2, x=1, y=11) -> the OLS
+    # fit through two points is exact: slope -1, intercept 12
+    docs = [
+        (0, " ".join(["alpha"] * 4096)),
+        (1, " ".join(["beta"] * 2048)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = zipf_fit(df, group_col=None, top_ranks=100).collect()[0]
+    assert r.n_ranks == 2
+    assert abs(r.slope - (-1.0)) < 1e-5, r
+    assert abs(r.intercept - 12.0) < 1e-5, r
+
+
+def test_zipf_fit_matches_pure_python_quantized_ols(spark):
+    """The engine result equals a pure-Python replication of the same
+    quantized-OLS pipeline on an arbitrary (non-power-law) corpus —
+    pins the quantization/formula determinism end to end."""
+    import math
+
+    from knowledge_graph_etl_spark.extensions.text import zipf_fit
+
+    counts = {"t1": 37, "t2": 19, "t3": 19, "t4": 7, "t5": 3}
+    text = " ".join(tok for tok, c in counts.items() for tok in [tok] * c)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = zipf_fit(df, group_col=None, top_ranks=4).collect()[0]
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    pts = [
+        (
+            math.floor(math.log2(i + 1) * 1e6 + 0.5),
+            math.floor(math.log2(c) * 1e6 + 0.5),
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    n = float(len(pts))
+    sx = float(sum(p[0] for p in pts))
+    sy = float(sum(p[1] for p in pts))
+    sxy = float(sum(p[0] * p[1] for p in pts))
+    sxx = float(sum(p[0] * p[0] for p in pts))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e6
+    assert r.n_ranks == 4
+    assert abs(r.slope - round(slope, 6)) < 1e-9, (r, slope)
+    assert abs(r.intercept - round(intercept, 6)) < 1e-9, (r, intercept)
+
+
+def test_zipf_fit_rank_cutoff_and_groups(spark):
+    from knowledge_graph_etl_spark.extensions.text import zipf_fit
+
+    rows = [
+        (1, "a a a b b c", "s1"),
+        (2, "d d d d e", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in zipf_fit(df, top_ranks=2).collect()}
+    assert out["s1"].n_ranks == 2  # c cut by top_ranks
+    assert out["s2"].n_ranks == 2
