@@ -42,10 +42,19 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale10"
-REPLICAS = 10
-ID_STRIDE = 100_000_000
+# env-overridable so decades COMPOSE (r10 verdict #7): a 100× corpus is
+# scale10 applied to its own output, with strides above the previous
+# decade's id range and a time shift past its span:
+#   SCALE_SRC=/tmp/scale10 SCALE_DST=/tmp/scale100 \
+#   SCALE_STRIDE=10000000000 SCALE_USER_STRIDE=100000000 SCALE_DAYS=370
+# (token suffixes compose too — tok~3~7 — so vocabularies stay disjoint
+# across all 100 blocks)
+SRC = os.environ.get("SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("SCALE_DST", "/tmp/scale10")
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+ID_STRIDE = int(os.environ.get("SCALE_STRIDE", str(100_000_000)))
+USER_STRIDE = int(os.environ.get("SCALE_USER_STRIDE", str(1_000_000)))
+DAY_SHIFT = int(os.environ.get("SCALE_DAYS", "31"))
 
 names = sys.argv[1].split(",") if len(sys.argv) > 1 else []
 
@@ -82,8 +91,8 @@ if not os.path.exists(f"{DST}/events.parquet"):
         f"""
         COPY (
           SELECT e.event_id + r.r * {ID_STRIDE} AS event_id,
-                 e.ts + INTERVAL (r.r * 31) DAY AS ts,
-                 e.user_id + r.r * 1000000 AS user_id,
+                 e.ts + INTERVAL (r.r * {DAY_SHIFT}) DAY AS ts,
+                 e.user_id + r.r * {USER_STRIDE} AS user_id,
                  e.event_type, e.value, e.props
           FROM read_parquet('{SRC}/events.parquet') e
           CROSS JOIN (SELECT unnest(range({REPLICAS})) AS r) r
@@ -132,7 +141,12 @@ from pyspark.sql import SparkSession
 
 spark = (
     SparkSession.builder.master("local[32]")
-    .config("spark.sql.shuffle.partitions", "32")
+    # a real cluster sizes shuffle partitions to the data; let the
+    # harness do the same when probing the larger decades
+    .config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SCALE_PARTITIONS", "32"),
+    )
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.driver.memory", "16g")
@@ -144,6 +158,26 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entrymod
 
 qs = entrymod.queries()
+
+# UNTIMED index setup for steady-state probe entries, mirroring
+# bench.py: the scaling row should measure the PROBE's growth, with the
+# one-time build's growth reported separately (printed to stderr)
+_SETUPS = {
+    "dedup_incremental_steady": "ensure_steady_index",
+    "search_bm25_steady": "ensure_text_index",
+    "ann_beam_topk": "ensure_knn_adjacency",
+}
+for name in names:
+    hook = _SETUPS.get(name)
+    if hook and getattr(entrymod, hook, None):
+        t0 = time.time()
+        getattr(entrymod, hook)(spark, DST)
+        qs[name](spark, DST).count()  # codegen warm probe, as bench.py
+        print(
+            f"setup {hook}: {round(time.time() - t0, 2)}s (untimed)",
+            file=sys.stderr,
+        )
+
 out = {}
 for name in names:
     t0 = time.time()
