@@ -58,10 +58,13 @@ class Engine:
         #: engine-scoped SERVICE registry (see register_service)
         self._services = ServiceRegistry()
         #: cost-based BGP join ordering from per-predicate row counts
-        #: (store.predicate_stats — the quad-store 'table sizes'). Opt-in:
-        #: the first compile after a mutation pays one count-aggregate job
-        #: to refresh the cached stats, which only pays off on stores big
-        #: enough that join order matters more than a scan.
+        #: (store.predicate_stats — the quad-store 'table sizes'). Opt-in
+        #: BY MEASUREMENT (BASELINE.md r11): on the volume pipeline the
+        #: refresh count-aggregates cost ~13% more than cardinality-
+        #: ordered BGPs save, because the mapping WHEREs are small and
+        #: already near-optimally ordered — the CBO pays off on
+        #: read-heavy stores with adversarial pattern order, not on this
+        #: update workload.
         self.stats = stats
 
     def _compile_ctx(self):

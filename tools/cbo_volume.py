@@ -51,8 +51,11 @@ docs = {
     for k, v in volume_documents(spark, n_companies=N).items()
 }
 
+order = (
+    (True, False) if "--reverse" in sys.argv else (False, True)
+)  # run both orders to deconfound same-session warmth
 results = {}
-for stats in (False, True):
+for stats in order:
     path = tempfile.mkdtemp(prefix=f"cbo_{stats}_")
     eng = Engine(spark, store_path=path, stats=stats)
     t0 = time.time()
