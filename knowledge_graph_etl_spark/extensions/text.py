@@ -446,10 +446,13 @@ def zipf_fit(
     inputs on both engines), rounded to 1e-6.
 
     Scale shape: one explode + map-combinable token count, one
-    per-slice top-k (rank window over slice-local counts — partitioned
-    by slice, never a global sort), and a 5-sum aggregate over
-    ≤ top_ranks rows per slice. Returns one row per slice:
-    ``(group, n_ranks, slope, intercept)``."""
+    per-slice top-k (rank window over slice-local COUNTS — |vocab|
+    rows, not corpus rows), and a 5-sum aggregate over ≤ top_ranks rows
+    per slice. With ``group_col=None`` the rank window is a single
+    partition over the whole vocabulary — fine for a fixture, but at
+    100 TB pass a real slice column (source/lang/shard) so the window
+    partitions; the per-slice form is the production shape. Returns one
+    row per slice: ``(group, n_ranks, slope, intercept)``."""
     from pyspark.sql import Window
 
     gname = group_col if group_col is not None else "_g"
