@@ -5116,6 +5116,141 @@ def stats_mutual_information_q(spark, sf_dir):
     return mutual_information(e, "event_type", "vbucket")
 
 
+def events_ab_ztest(spark, sf_dir):
+    """Two-proportion A/B z-test on event conversion (the experiment
+    readout every product pipeline runs): users split into variants by
+    ``user_id % 2``, exposure = ≥1 'view' event, conversion = exposed
+    AND ≥14 'purchase' events (a threshold near the per-user median, so
+    the fixture rates are genuinely non-degenerate — every fixture user
+    has ≥1 of every type, which made the naive ≥1 definition 100%/100%
+    and the z statistic 0/0). ONE map-combinable per-user aggregate
+    then a scalar reduction — the corpus is touched once; z computes in
+    double FROM the four exact bigint counts (identical IEEE expression
+    both engines, 1e-6-rounded), so the report is engine-exact. Pooled
+    rate 0 or 1 (zero variance) reports z = 0, not-significant — the
+    degenerate-guard convention of cramers_v/assortativity. Rates as
+    exact integer ppm. Returns one row: ``(n_a, x_a, n_b, x_b,
+    rate_a_ppm, rate_b_ppm, z, significant)`` (|z| > 1.96)."""
+    e = _events(spark, sf_dir)
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "exposed"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchase"),
+        )
+        .where(F.col("exposed") == 1)
+        .select(
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+            (F.col("n_purchase") >= 14).cast("bigint").alias("conv"),
+        )
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pool = (xa + xb) / (na + nb)
+    z = F.when(
+        (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+        (xa / na - xb / nb)
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.expr("x_a * 1000000 div n_a").cast("bigint").alias("rate_a_ppm"),
+        F.expr("x_b * 1000000 div n_b").cast("bigint").alias("rate_b_ppm"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def orders_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation PER
+    MARKET SEGMENT — the classic marketing-analytics cut: ONE
+    map-combinable per-customer aggregate over orders (max date, count,
+    exact cents sum), a co-keyed join to the customer dim for the
+    stratum, then three ntile(5) windows over the |customer|-sized
+    AGGREGATE (never the fact table), PARTITIONED by mktsegment with a
+    deterministic custkey tiebreak so the quintile boundaries are
+    engine-exact. Quintiles within the stratum are both the right
+    product (segments differ structurally) and the scale shape — an
+    unpartitioned ntile window is a single-partition sort, the
+    rank_normalize docstring's 'prefer grouped at corpus scale' rule.
+    Score 1 = best (most recent / most frequent / highest spend).
+    Returns per customer: ``(custkey, mktsegment, days_since, n_orders,
+    spend_cents, r_score, f_score, m_score, segment)``."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_cust = o.groupBy("custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("spend_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    global_max = per_cust.agg(F.max("last_d").alias("gmax"))
+    cust = (
+        per_cust.join(c, "custkey")
+        .crossJoin(F.broadcast(global_max))
+        .select(
+            "custkey",
+            "mktsegment",
+            F.datediff(F.col("gmax"), F.col("last_d"))
+            .cast("bigint")
+            .alias("days_since"),
+            "n_orders",
+            "spend_cents",
+        )
+    )
+    r_w = Window.partitionBy("mktsegment").orderBy(
+        F.asc("days_since"), F.asc("custkey")
+    )
+    f_w = Window.partitionBy("mktsegment").orderBy(
+        F.desc("n_orders"), F.asc("custkey")
+    )
+    m_w = Window.partitionBy("mktsegment").orderBy(
+        F.desc("spend_cents"), F.asc("custkey")
+    )
+    return (
+        cust.withColumn("r_score", F.ntile(5).over(r_w).cast("int"))
+        .withColumn("f_score", F.ntile(5).over(f_w).cast("int"))
+        .withColumn("m_score", F.ntile(5).over(m_w).cast("int"))
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "-",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )
+
+
 def late_supplier_blame(spark, sf_dir):
     """TPC-H Q21 shape -- suppliers who were the SOLE late supplier on a
     multi-supplier order ("who do we blame for the wait"): the classic
@@ -5317,6 +5452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_fit": text_zipf_fit_q,
         "graph_assortativity": graph_assortativity_q,
         "stats_mutual_information": stats_mutual_information_q,
+        "events_ab_ztest": events_ab_ztest,
+        "orders_rfm_segments": orders_rfm_segments,
         # --- r07-checked block (oldest driver rows after the front;
         # --- the ~50 window covers the front + most of this block,
         # --- the overflow leads r12) ---
@@ -8610,6 +8747,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(h_b_micro_bits AS DOUBLE)) ELSE 0.0 END) "
             "* 1000000.0 + 0.5) AS BIGINT) AS nmi_ppm "
             "FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"
+        ),
+        "events_ab_ztest": (
+            "WITH u AS (SELECT user_id, "
+            "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed, "
+            "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv "
+            "FROM events GROUP BY 1), "
+            "a AS (SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) "
+            "AS BIGINT) AS x_a, "
+            "CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_b, "
+            "CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) "
+            "AS BIGINT) AS x_b FROM u WHERE exposed = 1), "
+            "z AS (SELECT n_a, x_a, n_b, x_b, "
+            "CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN "
+            "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) "
+            "- CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / "
+            "sqrt((CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) / "
+            "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * "
+            "(1.0 - (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) / "
+            "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * "
+            "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) "
+            "ELSE 0.0 END AS zr FROM a) "
+            "SELECT n_a, x_a, n_b, x_b, "
+            "CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm, "
+            "CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm, "
+            "round(zr, 6) AS z, abs(round(zr, 6)) > 1.96 AS significant "
+            "FROM z"
+        ),
+        "orders_rfm_segments": (
+            "WITH pc AS (SELECT o_custkey AS custkey, "
+            "MAX(CAST(o_orderdate AS DATE)) AS last_d, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS spend_cents FROM orders GROUP BY 1), "
+            "g AS (SELECT MAX(last_d) AS gmax FROM pc), "
+            "cust AS (SELECT pc.custkey, c.c_mktsegment AS mktsegment, "
+            "CAST(date_diff('day', last_d, gmax) AS BIGINT) AS days_since, "
+            "n_orders, spend_cents "
+            "FROM pc JOIN customer c ON c.c_custkey = pc.custkey "
+            "CROSS JOIN g), "
+            "s AS (SELECT *, "
+            "CAST(ntile(5) OVER (PARTITION BY mktsegment "
+            "ORDER BY days_since ASC, custkey ASC) AS INTEGER) AS r_score, "
+            "CAST(ntile(5) OVER (PARTITION BY mktsegment "
+            "ORDER BY n_orders DESC, custkey ASC) AS INTEGER) AS f_score, "
+            "CAST(ntile(5) OVER (PARTITION BY mktsegment "
+            "ORDER BY spend_cents DESC, custkey ASC) AS INTEGER) AS m_score "
+            "FROM cust) "
+            "SELECT custkey, mktsegment, days_since, n_orders, spend_cents, "
+            "r_score, f_score, m_score, "
+            "CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR) "
+            "|| '-' || CAST(m_score AS VARCHAR) AS segment FROM s"
         ),
         "mincost_region_supplier": (
             "WITH dims AS (SELECT s_suppkey, n_name FROM supplier s "
