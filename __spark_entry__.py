@@ -4094,7 +4094,7 @@ def graph_linkpred_q(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return (
-        linkpred_scores(e, min_common=2)
+        linkpred_scores(e, min_common=2, materialize=True)
         .orderBy(F.desc("ra_ppm"), "src_a", "src_b")
         .limit(200)
         .select(
@@ -4242,7 +4242,7 @@ def graph_ktruss_q(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     top = (
-        linkpred_scores(e, min_common=2)
+        linkpred_scores(e, min_common=2, materialize=True)
         .orderBy(F.desc("ra_ppm"), "src_a", "src_b")
         .limit(2000)
         .select(F.col("src_a").alias("src"), F.col("src_b").alias("dst"))
