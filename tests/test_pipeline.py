@@ -749,3 +749,18 @@ def test_ledger_compact_preserves_content(spark, tmp_path_factory):
     # untouched (below-threshold) buckets keep their exact listing
     for b in set(before_files) - frag:
         assert after_files.get(b) == before_files[b], b
+
+
+def test_ledger_compact_noops(spark, tmp_path):
+    """compact() on an in-memory or never-seeded ledger is a safe no-op
+    reporting zeros (nothing on disk to rewrite)."""
+    from knowledge_graph_etl_spark.mappings.pipeline import Ledger
+
+    mem = Ledger(spark)  # in-memory: path is None
+    assert mem.compact() == {
+        "buckets_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
+    unseeded = Ledger(spark, str(tmp_path / "never_written"))
+    assert unseeded.compact()["buckets_compacted"] == 0

@@ -2009,3 +2009,38 @@ def test_zipf_fit_rank_cutoff_and_groups(spark):
     out = {r.source: r for r in zipf_fit(df, top_ranks=2).collect()}
     assert out["s1"].n_ranks == 2  # c cut by top_ranks
     assert out["s2"].n_ranks == 2
+
+
+def test_ab_ztest_degenerate_pool_guard(spark):
+    """The two-proportion z expression guards zero-variance pools: all
+    converted (or none) reports z = 0 / not-significant instead of an
+    ANSI divide-by-zero — exactly the fixture shape that motivated the
+    >=14-purchases conversion definition in events_ab_ztest."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 2 == 0, 1) for i in range(10)], "is_a boolean, conv bigint"
+    )
+    agg = df.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pool = (xa + xb) / (na + nb)
+    z = F.when(
+        (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+        (xa / na - xb / nb)
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    ).otherwise(F.lit(0.0))
+    r = agg.select(F.round(z, 6).alias("z")).collect()[0]
+    assert r.z == 0.0
