@@ -5251,6 +5251,23 @@ def orders_rfm_segments(spark, sf_dir):
     )
 
 
+def events_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival curve over per-user observed lifetimes
+    (extensions/events.km_survival): churn analysis with CENSORING —
+    users last seen within 3 days of corpus end leave the risk set
+    without counting as churn. Lifetime here = PURCHASE activity span
+    (first→last purchase): on the all-events stream every fixture user
+    stays active to corpus end and the curve is empty; the purchase
+    subset churns ~26% of users, so the estimator's every branch
+    (censor, step, cumulation) carries data. Per-step log2 factors
+    1e-6-quantized from exact counts, running sum exact, curve
+    re-exponentiated from the integer log-sum."""
+    from knowledge_graph_etl_spark.extensions.events import km_survival
+
+    e = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return km_survival(e)
+
+
 def late_supplier_blame(spark, sf_dir):
     """TPC-H Q21 shape -- suppliers who were the SOLE late supplier on a
     multi-supplier order ("who do we blame for the wait"): the classic
@@ -5454,6 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mutual_information": stats_mutual_information_q,
         "events_ab_ztest": events_ab_ztest,
         "orders_rfm_segments": orders_rfm_segments,
+        "events_survival_km": events_survival_km,
         # --- r07-checked block (oldest driver rows after the front;
         # --- the ~50 window covers the front + most of this block,
         # --- the overflow leads r12) ---
@@ -8777,6 +8795,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm, "
             "round(zr, 6) AS z, abs(round(zr, 6)) > 1.96 AS significant "
             "FROM z"
+        ),
+        "events_survival_km": (
+            "WITH pu AS (SELECT user_id, MIN(ts) AS fts, MAX(ts) AS lts "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+            "g AS (SELECT MAX(lts) AS gmax FROM pu), "
+            "lt AS (SELECT CAST(date_diff('day', CAST(fts AS DATE), "
+            "CAST(lts AS DATE)) AS BIGINT) AS t_days, "
+            "lts < gmax - INTERVAL 3 DAY AS churned "
+            "FROM pu CROSS JOIN g), "
+            "pt AS (SELECT t_days, "
+            "CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_churn, "
+            "CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS n_cens FROM lt GROUP BY 1), "
+            "ar AS (SELECT *, SUM(n_churn + n_cens) OVER ("
+            "ORDER BY t_days DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk "
+            "FROM pt), "
+            "st AS (SELECT *, CASE WHEN n_churn = 0 THEN 0 "
+            "WHEN n_churn < n_risk THEN "
+            "CAST(floor(log2(1.0 - CAST(n_churn AS DOUBLE) / "
+            "CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+            "ELSE NULL END AS ls FROM ar), "
+            "cv AS (SELECT *, "
+            "SUM(CASE WHEN ls IS NULL THEN 1 ELSE 0 END) OVER ("
+            "ORDER BY t_days ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nz, "
+            "SUM(ls) OVER (ORDER BY t_days ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum "
+            "FROM st) "
+            "SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, n_churn, "
+            "n_cens AS n_censored_at_t, "
+            "CASE WHEN nz > 0 THEN NULL "
+            "ELSE CAST(lsum AS BIGINT) END AS surv_log2_micro, "
+            "CASE WHEN nz > 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor(pow(2.0, CAST(lsum AS DOUBLE) / 1000000.0) "
+            "* 1000000.0 + 0.5) AS BIGINT) END AS surv_ppm "
+            "FROM cv WHERE n_churn > 0"
         ),
         "orders_rfm_segments": (
             "WITH pc AS (SELECT o_custkey AS custkey, "

@@ -599,3 +599,123 @@ def time_weighted_avg(
             .alias("twap_milli"),
         )
     )
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_horizon_days: int = 3,
+) -> DataFrame:
+    """Kaplan–Meier survival (retention) curve over per-user observed
+    lifetimes — the churn analysis retention_cohorts' fixed-period
+    matrix can't express: lifetime = days between a user's first and
+    last event; users whose last event falls within
+    ``censor_horizon_days`` of the corpus end are CENSORED (still
+    alive: they leave the risk set without counting as churn — dropping
+    them instead is the classic retention-inflating mistake).
+
+    Estimator: S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over distinct event
+    times, with d_i = churns at lifetime t_i and n_i = users still at
+    risk. Determinism (the unigram_lm_score discipline): each factor's
+    ``log2(1 − d/n)`` is computed in double from exact bigint counts
+    and 1e-6-quantized PER STEP; the running sum is then an exact
+    integer cumulation, so the curve is order-independent and
+    SQL-oracle-able. ``surv_ppm`` re-exponentiates the exact log-sum
+    (same pow(2, x) libm call both engines). S hits exact 0 when the
+    last at-risk user churns (log2(0) = −inf): emitted as
+    ``surv_log2_micro = NULL, surv_ppm = 0``.
+
+    Scale shape: ONE map-combinable per-user aggregate over the corpus
+    (min/max ts), one per-day count aggregate, then windows over the
+    |distinct lifetimes| rows — bounded by the corpus time span in
+    days, never by users or events. Returns one row per distinct churn
+    lifetime: ``(t_days, n_risk, n_churn, n_censored_at_t,
+    surv_log2_micro, surv_ppm)``."""
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(user_col).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    gmax = per_user.agg(F.max("last_ts").alias("gmax"))
+    lifetimes = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.datediff(F.col("last_ts"), F.col("first_ts"))
+        .cast("bigint")
+        .alias("t_days"),
+        (
+            F.col("last_ts")
+            < F.col("gmax") - F.expr(f"INTERVAL {int(censor_horizon_days)} DAYS")
+        ).alias("churned"),
+    )
+    per_t = lifetimes.groupBy("t_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churn"),
+        F.sum(F.when(~F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censored_at_t"),
+    )
+    # at-risk = users with lifetime >= t: reverse running sum over the
+    # day-domain rows (bounded by corpus span, never corpus-sized)
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("n_churn") + F.col("n_censored_at_t")).over(w_desc)
+    )
+    step = at_risk.withColumn(
+        "log_step_micro",
+        F.when(
+            F.col("n_churn") == 0, F.lit(0).cast("bigint")
+        ).when(
+            F.col("n_churn") < F.col("n_risk"),
+            F.floor(
+                F.log2(
+                    F.lit(1.0)
+                    - F.col("n_churn").cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).otherwise(F.lit(None).cast("bigint")),  # d == n: S drops to 0
+    )
+    w_asc = Window.orderBy(F.asc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # SQL SUM ignores NULLs, so an S=0 step is tracked explicitly: any
+    # row at-or-after a d==n step reports survival 0 (a d==n step can in
+    # fact only be the last churn row — the risk set is empty beyond it —
+    # but the explicit flag makes the zero state locally checkable)
+    curve = step.withColumn(
+        "n_zero_steps",
+        F.sum(
+            F.when(F.col("log_step_micro").isNull(), 1).otherwise(0)
+        ).over(w_asc),
+    ).withColumn("log_sum_micro", F.sum("log_step_micro").over(w_asc))
+    return (
+        curve.where(F.col("n_churn") > 0)
+        .select(
+            "t_days",
+            "n_risk",
+            "n_churn",
+            "n_censored_at_t",
+            F.when(F.col("n_zero_steps") > 0, F.lit(None).cast("bigint"))
+            .otherwise(F.col("log_sum_micro").cast("bigint"))
+            .alias("surv_log2_micro"),
+            F.when(F.col("n_zero_steps") > 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.pow(
+                        F.lit(2.0),
+                        F.col("log_sum_micro").cast("double")
+                        / F.lit(1000000.0),
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+            )
+            .cast("bigint")
+            .alias("surv_ppm"),
+        )
+    )

@@ -2044,3 +2044,45 @@ def test_ab_ztest_degenerate_pool_guard(spark):
     ).otherwise(F.lit(0.0))
     r = agg.select(F.round(z, 6).alias("z")).collect()[0]
     assert r.z == 0.0
+
+
+def test_km_survival_hand_checked(spark):
+    from knowledge_graph_etl_spark.extensions.events import km_survival
+
+    # lifetimes: A,B churn at t=2; C churns at t=4; D censored (last
+    # event == corpus max). KM: S(2) = 1 - 2/4 = 0.5;
+    # S(4) = 0.5 * (1 - 1/2) = 0.25.
+    rows = [
+        ("A", "2024-01-01"), ("A", "2024-01-03"),
+        ("B", "2024-01-01"), ("B", "2024-01-03"),
+        ("C", "2024-01-01"), ("C", "2024-01-05"),
+        ("D", "2024-01-05"), ("D", "2024-01-10"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r.t_days: r for r in km_survival(df).collect()}
+    assert set(out) == {2, 4}
+    assert (out[2].n_risk, out[2].n_churn, out[2].surv_ppm) == (4, 2, 500000)
+    assert (out[4].n_risk, out[4].n_churn, out[4].surv_ppm) == (2, 1, 250000)
+    assert out[4].n_censored_at_t == 0
+
+
+def test_km_survival_risk_set_exhausted(spark):
+    from knowledge_graph_etl_spark.extensions.events import km_survival
+
+    # E censored with lifetime 0 (leaves the risk set before t=1);
+    # F churns at t=1 as the LAST at-risk user -> d == n, survival hits
+    # exact 0: surv_log2_micro NULL, surv_ppm 0.
+    rows = [
+        ("E", "2024-01-10"),
+        ("F", "2024-01-01"), ("F", "2024-01-02"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = km_survival(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.t_days, r.n_risk, r.n_churn) == (1, 1, 1)
+    assert r.surv_log2_micro is None and r.surv_ppm == 0
