@@ -5438,14 +5438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver rows are r04/r06-old (graph_pagerank, kg_path_query,
     kg_not_exists, kg_union_values, kg_group_agg, kg_filter_compare,
     kg_select_builtins — the r10 window's overflow), then the five r10
-    TPC-H shapes (added last round, never driver-checked), then this
-    round's additions. After the front the blocks run strictly
-    oldest-driver-row first: the 50-entry r07-checked block (the ~50
-    window covers the front plus most of it; its overflow leads r12),
+    TPC-H shapes (added last round, never driver-checked), then the 8
+    r11 additions (profit_by_nation_year, returned_top_customers,
+    text_zipf_fit, graph_assortativity, stats_mutual_information,
+    events_ab_ztest, orders_rfm_segments, events_survival_km) — a
+    20-entry front. After it the blocks run strictly oldest-driver-row
+    first: the 50-entry r07-checked block (the ~50 window covers the
+    front plus its first ~30; the ~20-entry r07 overflow leads r12),
     then r08 (47), r09 (50), and the r10-checked block (50) at the
-    back. The r11 behavior-preserving changes (Q2 window-min rewrite —
-    hash-identical output, oracle re-verified) ride in the TPC-H front
-    block anyway."""
+    back. The r11 behavior-preserving changes (Q2 window-min rewrite,
+    linkpred e_capped materialization — hash-identical outputs, oracles
+    re-verified at both SFs) ride in the front/middle blocks where
+    their entries already sit."""
     return {
         # --- r11 front: the 7-entry driver-window residue (rows r04/r06-old;
         # --- r10 verdict Next #1 orders these to lead) ---
