@@ -438,6 +438,11 @@ def agg_pricing_summary(spark, sf_dir):
 
 
 def join_topn_revenue(spark, sf_dir):
+    """TPC-H Q3 shape. No broadcast hint on the customer side: the
+    BUILDING segment is ~1/5 of customer, which scales with sf (~3M rows
+    at sf100) — a hint would pin it to the driver at volume. AQE
+    broadcasts it when it is ACTUALLY small at runtime (r11 verdict
+    sweep; the Q9 convention)."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1996-06-01"))
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-06-01"))
@@ -446,7 +451,7 @@ def join_topn_revenue(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -455,6 +460,10 @@ def join_topn_revenue(spark, sf_dir):
 
 
 def multi_join_revenue_by_nation(spark, sf_dir):
+    """Fact⋈customer⋈nation⋈region rollup. Broadcast hints ONLY on the
+    constant-size dims (nation ≤25 rows, region ≤5 — fixed at any sf);
+    the unfiltered customer side (~15M rows at sf100) carries NO hint —
+    AQE decides at runtime (r11 verdict sweep; the Q9 convention)."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -468,7 +477,7 @@ def multi_join_revenue_by_nation(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -657,10 +666,12 @@ def smallqty_revenue(spark, sf_dir):
     stats = l.groupBy("l_partkey").agg(
         F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("cnt")
     )
+    # part scales with sf (~20M rows at sf100) — no broadcast hint; AQE
+    # broadcasts it when actually small (r11 verdict sweep, Q9 convention)
     small = (
         l.join(stats, "l_partkey")
         .where(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sq"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
     )
     return small.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
@@ -710,7 +721,7 @@ def promo_revenue_share(spark, sf_dir):
     """TPC-H Q14 shape — monthly promo-revenue share: conditional
     aggregation over a fact⋈dim join where the dim predicate only
     SELECTS the numerator (both sums come from ONE pass — no second
-    scan, no self-join). Part dim broadcast; revenue in exact integer
+    scan, no self-join). The part side is unhinted (∝sf); revenue in exact integer
     cents*100; the share as integer ppm of the exact sums, so no float
     division order can diverge."""
     l = _t(spark, sf_dir, "lineitem").select(
@@ -722,9 +733,9 @@ def promo_revenue_share(spark, sf_dir):
         ).alias("rev"),
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = l.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    )
+    # full part scales with sf — no broadcast hint (AQE decides; r11
+    # verdict sweep, Q9 convention)
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     return (
         j.groupBy("month")
         .agg(
@@ -3571,9 +3582,31 @@ def search_hybrid_rrf_q(spark, sf_dir):
     return rrf_fuse([lex, sem], k=60, topk=10)
 
 
-#: sf_dir → collected (lex_rows, sem_rows) — see _hybrid_rankings
-_HYBRID_CACHE: dict[str, tuple[list, list]] = {}
+#: (sf_dir, corpus fingerprint) → collected (lex_rows, sem_rows) — see
+#: _hybrid_rankings. The fingerprint (mtime_ns + size of the two source
+#: parquet directories' files) invalidates the cache if the corpus at
+#: the same path is rebuilt or mutated within one process (ADVICE r11).
+_HYBRID_CACHE: dict[tuple, tuple[list, list]] = {}
 _HYBRID_SCHEMA = "qid bigint, doc_id bigint, rank bigint"
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cheap, deterministic fingerprint of the documents + embeddings
+    parquet under sf_dir: sorted (name, size, mtime_ns) of data files.
+    Pure os.scandir — no Spark, so it costs microseconds per call."""
+    import os as _os
+
+    parts = []
+    for tbl in ("documents.parquet", "embeddings.parquet"):
+        p = _os.path.join(sf_dir, tbl)
+        if _os.path.isdir(p):
+            for e in sorted(_os.scandir(p), key=lambda e: e.name):
+                st = e.stat()
+                parts.append((e.name, st.st_size, st.st_mtime_ns))
+        elif _os.path.isfile(p):
+            st = _os.stat(p)
+            parts.append((tbl, st.st_size, st.st_mtime_ns))
+    return tuple(parts)
 
 
 def _hybrid_rankings(spark, sf_dir):
@@ -3591,7 +3624,8 @@ def _hybrid_rankings(spark, sf_dir):
     top-20s tie-break on id, so the rankings — and therefore the fused
     results — are deterministic and bit-identical to the uncached
     form."""
-    cached = _HYBRID_CACHE.get(sf_dir)
+    cache_key = (sf_dir, _corpus_fingerprint(sf_dir))
+    cached = _HYBRID_CACHE.get(cache_key)
     if cached is not None:
         return (
             spark.createDataFrame(cached[0], _HYBRID_SCHEMA),
@@ -3622,7 +3656,7 @@ def _hybrid_rankings(spark, sf_dir):
     )
     lex_rows = [(r.qid, r.doc_id, r.rank) for r in lex.collect()]
     sem_rows = [(r.qid, r.doc_id, r.rank) for r in sem.collect()]
-    _HYBRID_CACHE[sf_dir] = (lex_rows, sem_rows)
+    _HYBRID_CACHE[cache_key] = (lex_rows, sem_rows)
     return (
         spark.createDataFrame(lex_rows, _HYBRID_SCHEMA),
         spark.createDataFrame(sem_rows, _HYBRID_SCHEMA),
@@ -4402,8 +4436,10 @@ def graph_wcc_q(spark, sf_dir):
         "l_partkey", "l_suppkey"
     ).distinct()
     sn = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # supplier scales with sf (1M rows at sf100, 10M at sf1000) — no
+    # broadcast hint; AQE decides (r12 sweep, Q9 convention)
     psn = ps.join(
-        F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey")
+        sn, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_partkey", "l_suppkey", "s_nationkey")
     e = (
         psn.alias("x")
@@ -4500,9 +4536,11 @@ def large_order_customers(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderpriority"
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # unfiltered customer scales with sf — no broadcast hint; AQE
+    # decides (r12 sweep, Q9 convention)
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderpriority",
             "total_qty_c2",
@@ -4670,9 +4708,12 @@ def nation_market_share(spark, sf_dir):
     order year: the widest join tree in the registry (lineitem x part x
     orders x customer x nation x region on the demand side, supplier x
     nation on the supply side) with a conditional aggregate on top. All
-    five dimension sides broadcast (part is pre-filtered to PROMO, the
-    customer side is pre-joined to its ASIA nations); the fact table
-    shuffles ONCE, on the orderkey join. Revenue in exact integer
+    Broadcast hints ONLY on the constant-size nation/region projections
+    (≤25 rows at any sf); the PROMO part (∝|part|), ASIA customer
+    (∝|customer|/5) and supplier sides are UNHINTED — each scales with
+    sf, so a hint would pin a corpus-proportional build to the driver
+    at volume; AQE broadcasts whichever are actually small at runtime
+    (r12 sweep, Q9 convention). Revenue in exact integer
     cents*100; sums travel as decimal(38,0)->string (overflow-proof at
     any scale, driver-serializer-safe); the share is integer ppm."""
     l = _t(spark, sf_dir, "lineitem").select(
@@ -4725,14 +4766,10 @@ def nation_market_share(spark, sf_dir):
         .select("s_suppkey", "supp_nation")
     )
     j = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(
-            F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
         j.groupBy("o_year")
@@ -4807,8 +4844,11 @@ def mincost_region_supplier(spark, sf_dir):
     fact-derived aggregate with |part| rows (~20M at sf100, a
     multi-hundred-MB driver-resident broadcast; r10 verdict, What's
     wrong #2); the window form never materializes it anywhere.
-    supplier→nation→region stays a broadcast dim chain pruned to EUROPE
-    before the fact scan touches it. Exact integers: unit price as
+    The nation⋈region EUROPE projection broadcasts (≤25 rows, constant
+    at any sf); the supplier-sized dim result it decorates is UNHINTED
+    (∝sf — 1M rows at sf100, 10M at sf1000; a hint would pin it to the
+    driver), so AQE picks broadcast vs shuffle at runtime (r12 sweep,
+    Q9 convention). Exact integers: unit price as
     ``cents·1000 div qty`` milli-cents (truncating div, non-negative
     operands — cross-engine identical); ties on the min price resolve
     to the smallest supplier key (argmin via one more min over the
@@ -4826,10 +4866,13 @@ def mincost_region_supplier(spark, sf_dir):
         "n_nationkey", "n_regionkey", "n_name"
     )
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    dims = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "n_name")
+    nr = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    dims = s.join(nr, s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "n_name"
     )
     from pyspark.sql import Window
 
@@ -4884,9 +4927,9 @@ def part_supplier_variety(spark, sf_dir):
     NOT-IN exclusion list: count DISTINCT suppliers that ever shipped
     the bucket's parts, excluding suppliers in bad standing (negative
     account balance — the corpus's stand-in for Q16's complaint
-    filter). The NOT IN compiles to a broadcast LEFT ANTI join (the
-    exclusion list is dimension-sized); the distinct count is the only
-    shuffle, keyed on the bucket."""
+    filter). The NOT IN compiles to a LEFT ANTI join whose build side
+    AQE broadcasts when actually small (the list is ∝|supplier|, so no
+    hint); the distinct count shuffles keyed on the bucket."""
     l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     bad = (
@@ -4894,9 +4937,12 @@ def part_supplier_variety(spark, sf_dir):
         .where(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # both sides UNHINTED: the exclusion list is ∝|supplier| (~90k rows
+    # at sf100 but ~1M at sf1000) and part is ∝sf — AQE broadcasts the
+    # anti-join build when actually small (r12 sweep, Q9 convention)
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -4928,10 +4974,10 @@ def excess_stock_suppliers(spark, sf_dir):
         "s_suppkey", "s_name", "s_nationkey"
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    dims = F.broadcast(
-        s.join(n, s.s_nationkey == n.n_nationkey).select(
-            "s_suppkey", "s_name", "n_name"
-        )
+    # nation broadcasts (25 rows, constant); the supplier-sized
+    # decorated dim is UNHINTED — ∝sf, AQE decides (r12 sweep)
+    dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "n_name"
     )
     return dominant.join(dims, dominant.l_suppkey == dims.s_suppkey).select(
         F.col("s_suppkey").cast("bigint").alias("suppkey"),
@@ -4956,7 +5002,8 @@ def bracket_revenue(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
     )
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # part is ∝sf — UNHINTED, AQE decides (r12 sweep, Q9 convention)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     br = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("qty") >= 5))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("qty") >= 10))
@@ -5311,10 +5358,10 @@ def late_supplier_blame(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # supplier is ∝sf (10M rows at sf1000) and `blamed` is itself
+    # supplier-keyed — UNHINTED, AQE decides (r12 sweep, Q9 convention)
     return (
-        blamed.join(
-            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
         .limit(20)
@@ -5434,102 +5481,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_oracle.py (exact values, all entries), which is the
     required pre-commit gate.
 
-    r11 front (per the r10 verdict's Next #1): the 7-entry residue whose
-    driver rows are r04/r06-old (graph_pagerank, kg_path_query,
-    kg_not_exists, kg_union_values, kg_group_agg, kg_filter_compare,
-    kg_select_builtins — the r10 window's overflow), then the five r10
-    TPC-H shapes (added last round, never driver-checked), then the 8
-    r11 additions (profit_by_nation_year, returned_top_customers,
-    text_zipf_fit, graph_assortativity, stats_mutual_information,
-    events_ab_ztest, orders_rfm_segments, events_survival_km) — a
-    20-entry front. After it the blocks run strictly oldest-driver-row
-    first: the 50-entry r07-checked block (the ~50 window covers the
-    front plus its first ~30; the ~20-entry r07 overflow leads r12),
-    then r08 (47), r09 (50), and the r10-checked block (50) at the
-    back. The r11 behavior-preserving changes (Q2 window-min rewrite,
-    linkpred e_capped materialization — hash-identical outputs, oracles
-    re-verified at both SFs) ride in the front/middle blocks where
-    their entries already sit."""
+    r12 front (per the r11 verdict's What's missing #1; order emitted by
+    tools/rotate_registry.py from the CORRECTNESS_r* history): first the
+    20 entries whose latest driver-green row is r07 (agg_pricing_summary
+    … streaming_windowed_counts, the r11 window's overflow), then this
+    round's changed entries — the broadcast-hint sweep (11 relational/
+    graph entries beyond join_topn_revenue, which sits in the stale
+    block), the zipf degenerate-slice guard, the MI ≥0 clamp, the two
+    rrf entries whose shared cache was rekeyed, and the r12 additions.
+    After the front the blocks run strictly oldest-driver-row first
+    (r08's 47, then r09, r10, with the r11-checked block at the back);
+    ties keep their previous relative order."""
     return {
-        # --- r11 front: the 7-entry driver-window residue (rows r04/r06-old;
-        # --- r10 verdict Next #1 orders these to lead) ---
-        "graph_pagerank": graph_pagerank_q,
-        "kg_path_query": kg_path_query_q,
-        "kg_not_exists": kg_not_exists_q,
-        "kg_union_values": kg_union_values_q,
-        "kg_group_agg": kg_group_agg_q,
-        "kg_filter_compare": kg_filter_compare_q,
-        "kg_select_builtins": kg_select_builtins_q,
-        # --- r11 front: the five r10 TPC-H shapes (added r10, never
-        # --- driver-checked) ---
-        "mincost_region_supplier": mincost_region_supplier,
-        "value_share_parts": value_share_parts,
-        "part_supplier_variety": part_supplier_variety,
-        "excess_stock_suppliers": excess_stock_suppliers,
-        "bracket_revenue": bracket_revenue,
-        # --- r11 additions (front of the window) ---
-        "profit_by_nation_year": profit_by_nation_year,
-        "returned_top_customers": returned_top_customers,
-        "text_zipf_fit": text_zipf_fit_q,
-        "graph_assortativity": graph_assortativity_q,
-        "stats_mutual_information": stats_mutual_information_q,
-        "events_ab_ztest": events_ab_ztest,
-        "orders_rfm_segments": orders_rfm_segments,
-        "events_survival_km": events_survival_km,
-        # --- r07-checked block (oldest driver rows after the front;
-        # --- the ~50 window covers the front + most of this block,
-        # --- the overflow leads r12) ---
-        "quality_classifier_trained": quality_classifier_trained_q,
-        "dedup_incremental_steady": dedup_incremental_steady_q,
-        "search_boolean": search_boolean_q,
-        "search_phrase": search_phrase_q,
-        "corpus_snapshot_diff": corpus_snapshot_diff_q,
-        "agg_hist_quantiles": agg_hist_quantiles_q,
-        "skew_report": skew_report_q,
-        "curation_manifest": curation_manifest_q,
-        "data_stratified_split": data_stratified_split_q,
-        "search_rrf_weighted": search_rrf_weighted_q,
-        "kg_graph_var": kg_graph_var_q,
-        "kg_arithmetic": kg_arithmetic_q,
-        "events_pivot": events_pivot_q,
-        "events_unpivot": events_unpivot_q,
-        "sketch_kmv_distinct": sketch_kmv_distinct_q,
-        "multimodal_resize": multimodal_resize_q,
-        "streaming_curate": streaming_curate_q,
-        "doc_chunking": doc_chunking_q,
-        "streaming_interval_join": streaming_interval_join_q,
-        "streaming_enrich": streaming_enrich_q,
-        "kg_service_federation": kg_service_federation_q,
-        "dedup_substring": dedup_substring_q,
-        "bigram_lm_score": bigram_lm_score_q,
-        "bloom_decontaminate": bloom_decontaminate_q,
-        "cms_ngram_topk": cms_ngram_topk_q,
-        "graph_triangles": graph_triangles_q,
-        "graph_ppr": graph_ppr_q,
-        "graph_communities": graph_communities_q,
-        "corpus_report": corpus_report_q,
-        "streaming_anomaly": streaming_anomaly_q,
-        "graph_kcore": graph_kcore_q,
-        "graph_betweenness": graph_betweenness_q,
+        # --- r12 front: oldest-driver-row block (r11 verdict, What's missing #1) ---
+        "agg_pricing_summary": agg_pricing_summary,
+        "contamination_report": contamination_report_q,
         "dedup_suffix_prefix": dedup_suffix_prefix_q,
         "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
-        "contamination_report": contamination_report_q,
-        "kg_optional": kg_optional,
-        "kg_exists_semijoin": kg_exists_semijoin,
+        "graph_betweenness": graph_betweenness_q,
+        "graph_kcore": graph_kcore_q,
+        "join_topn_revenue": join_topn_revenue,
         "kg_construct": kg_construct,
-        "kg_direct_mapping": kg_direct_mapping,
-        "kg_functions": kg_functions,
-        "kg_dedup_union": kg_dedup_union,
         "kg_dataset_union": kg_dataset_union,
-        "kg_sparql_update": kg_sparql_update,
+        "kg_dedup_union": kg_dedup_union,
+        "kg_direct_mapping": kg_direct_mapping,
+        "kg_exists_semijoin": kg_exists_semijoin,
+        "kg_functions": kg_functions,
+        "kg_optional": kg_optional,
         "kg_select": kg_select,
         "kg_sparql_delete": kg_sparql_delete,
-        "streaming_windowed_counts": streaming_windowed_counts,
+        "kg_sparql_update": kg_sparql_update,
         "streaming_dedup": streaming_dedup,
         "streaming_sessionize": streaming_sessionize,
-        "agg_pricing_summary": agg_pricing_summary,
-        "join_topn_revenue": join_topn_revenue,
-        # --- r08-checked block ---
+        "streaming_windowed_counts": streaming_windowed_counts,
+        # --- r12 changed/added: broadcast-hint sweep, zipf/MI guards, rrf cache rekey, new operators ---
+        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
+        "smallqty_revenue": smallqty_revenue,
+        "promo_revenue_share": promo_revenue_share,
+        "graph_wcc": graph_wcc_q,
+        "large_order_customers": large_order_customers,
+        "nation_market_share": nation_market_share,
+        "mincost_region_supplier": mincost_region_supplier,
+        "excess_stock_suppliers": excess_stock_suppliers,
+        "part_supplier_variety": part_supplier_variety,
+        "bracket_revenue": bracket_revenue,
+        "late_supplier_blame": late_supplier_blame,
+        "text_zipf_fit": text_zipf_fit_q,
+        "stats_mutual_information": stats_mutual_information_q,
+        "search_hybrid_rrf": search_hybrid_rrf_q,
+        "search_rrf_weighted": search_rrf_weighted_q,
+        # --- latest driver row r08 (oldest-first; last-checked rotates to the back) ---
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
         "embed_decontaminate": embed_decontaminate_q,
@@ -5539,7 +5540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customer_value": dormant_customer_value,
         "copurchase_topk": copurchase_topk,
         "agg_incremental_merge": agg_incremental_merge,
-        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
         "window_running_total": window_running_total,
         "window_topk_per_user": window_topk_per_user,
         "json_extract_events": json_extract_events,
@@ -5577,12 +5577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": graph_ktruss_q,
         "source_reputation": source_reputation_q,
         "doc_cdc_chunks": doc_cdc_chunks_q,
-        # --- r09-checked block ---
-        "promo_revenue_share": promo_revenue_share,
+        # --- latest driver row r09 (oldest-first; last-checked rotates to the back) ---
         "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
         "search_bm25_steady": search_bm25_steady_q,
-        "nation_market_share": nation_market_share,
         "events_twap": events_twap_q,
         "stats_benford": stats_benford_q,
         "dedup_edit1_pairs": dedup_edit1_pairs_q,
@@ -5591,17 +5589,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": text_readability_q,
         "text_ngram_novelty": text_ngram_novelty_q,
         "stats_cramers_v": stats_cramers_v_q,
-        "graph_wcc": graph_wcc_q,
         "doc_lang_confusion": doc_lang_confusion_q,
         "orders_cohort_ltv": orders_cohort_ltv,
-        "large_order_customers": large_order_customers,
         "dq_fd_violations": dq_fd_violations_q,
         "embed_knn_eval": embed_knn_eval_q,
         "orders_pivot": orders_pivot_q,
         "embed_class_separation": embed_class_separation_q,
         "events_reconcile": events_reconcile_q,
         "curation_priority_sample": curation_priority_sample_q,
-        "late_supplier_blame": late_supplier_blame,
         "order_priority_wait": order_priority_wait,
         "events_mad_outliers": events_mad_outliers_q,
         "changelog_scd2_apply": changelog_scd2_apply_q,
@@ -5615,7 +5610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_delta": ivm_join_delta_q,
         "stats_join_card": stats_join_card_q,
         "ts_forecast_backtest": ts_forecast_backtest_q,
-        "smallqty_revenue": smallqty_revenue,
         "dq_rules": dq_rules_q,
         "multimodal_vad": multimodal_vad_q,
         "feature_rank_normalize": feature_rank_normalize_q,
@@ -5628,7 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_trend_by_type": ts_trend_by_type_q,
         "ts_cusum": ts_cusum_q,
         "graph_negative_samples": graph_negative_samples_q,
-        # --- r10-checked block (driver rows newest; back of the rotation) ---
+        # --- latest driver row r10 (oldest-first; last-checked rotates to the back) ---
         "events_conversion_paths": events_conversion_paths_q,
         "ann_matryoshka_eval": ann_matryoshka_eval_q,
         "multimodal_ahash_banded": multimodal_ahash_banded_q,
@@ -5643,7 +5637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_append": ann_ivf_append_q,
         "doc_cdc_stats": doc_cdc_stats_q,
         "search_bm25_topk": search_bm25_topk_q,
-        "search_hybrid_rrf": search_hybrid_rrf_q,
         "events_gapfill_locf": events_gapfill_locf_q,
         "changelog_snapshot": changelog_snapshot_q,
         "changelog_scd2": changelog_scd2_q,
@@ -5679,6 +5672,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": semantic_dedup_q,
         "ann_pq_topk": ann_pq_topk_q,
         "kg_construct_query": kg_construct_query_q,
+        # --- latest driver row r11 (oldest-first; last-checked rotates to the back) ---
+        "graph_pagerank": graph_pagerank_q,
+        "kg_path_query": kg_path_query_q,
+        "kg_not_exists": kg_not_exists_q,
+        "kg_union_values": kg_union_values_q,
+        "kg_group_agg": kg_group_agg_q,
+        "kg_filter_compare": kg_filter_compare_q,
+        "kg_select_builtins": kg_select_builtins_q,
+        "value_share_parts": value_share_parts,
+        "profit_by_nation_year": profit_by_nation_year,
+        "returned_top_customers": returned_top_customers,
+        "graph_assortativity": graph_assortativity_q,
+        "events_ab_ztest": events_ab_ztest,
+        "orders_rfm_segments": orders_rfm_segments,
+        "events_survival_km": events_survival_km,
+        "quality_classifier_trained": quality_classifier_trained_q,
+        "dedup_incremental_steady": dedup_incremental_steady_q,
+        "search_boolean": search_boolean_q,
+        "search_phrase": search_phrase_q,
+        "corpus_snapshot_diff": corpus_snapshot_diff_q,
+        "agg_hist_quantiles": agg_hist_quantiles_q,
+        "skew_report": skew_report_q,
+        "curation_manifest": curation_manifest_q,
+        "data_stratified_split": data_stratified_split_q,
+        "kg_graph_var": kg_graph_var_q,
+        "kg_arithmetic": kg_arithmetic_q,
+        "events_pivot": events_pivot_q,
+        "events_unpivot": events_unpivot_q,
+        "sketch_kmv_distinct": sketch_kmv_distinct_q,
+        "multimodal_resize": multimodal_resize_q,
+        "streaming_curate": streaming_curate_q,
+        "doc_chunking": doc_chunking_q,
+        "streaming_interval_join": streaming_interval_join_q,
+        "streaming_enrich": streaming_enrich_q,
+        "kg_service_federation": kg_service_federation_q,
+        "dedup_substring": dedup_substring_q,
+        "bigram_lm_score": bigram_lm_score_q,
+        "bloom_decontaminate": bloom_decontaminate_q,
+        "cms_ngram_topk": cms_ngram_topk_q,
+        "graph_triangles": graph_triangles_q,
+        "graph_ppr": graph_ppr_q,
+        "graph_communities": graph_communities_q,
+        "corpus_report": corpus_report_q,
+        "streaming_anomaly": streaming_anomaly_q,
     }
 
 
@@ -8686,20 +8723,22 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranks, "
             "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
             "SUM(CAST(x AS HUGEINT) * y) AS sxy, "
-            "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM pts GROUP BY 1) "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM pts GROUP BY 1), "
+            "sd AS (SELECT *, CAST(n_ranks AS DOUBLE) * CAST(sxx AS "
+            "DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den "
+            "FROM s) "
             "SELECT source, n_ranks, "
-            "round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) "
-            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
-            "(CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) "
-            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope, "
-            "round((CAST(sy AS DOUBLE) - "
+            "round(CASE WHEN den > 0 THEN "
             "(CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) "
-            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
-            "(CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE) "
-            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END, 6) "
+            "AS slope, "
+            "round((CAST(sy AS DOUBLE) - "
+            "CASE WHEN den > 0 THEN "
+            "(CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END "
             "* CAST(sx AS DOUBLE)) / CAST(n_ranks AS DOUBLE) "
             "/ 1000000.0, 6) AS intercept "
-            "FROM s"
+            "FROM sd"
         ),
         "graph_assortativity": (
             "WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d "
@@ -8745,11 +8784,12 @@ def oracle_sql() -> dict[str, str]:
             "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n, "
             "CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a, "
             "CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b FROM cells), "
-            "mi AS (SELECT CAST(SUM(CAST(floor("
+            "mi AS (SELECT GREATEST(CAST(SUM(CAST(floor("
             "(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * "
             "log2(CAST(CAST(o AS HUGEINT) * n AS DOUBLE) / "
             "CAST(CAST(ra AS HUGEINT) * cb AS DOUBLE)) "
-            "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro_bits "
+            "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT), "
+            "CAST(0 AS BIGINT)) AS mi_micro_bits "
             "FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn), "
             "ha AS (SELECT CAST(SUM(CAST(floor("
             "-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) * "

@@ -1816,7 +1816,16 @@ def mutual_information(
                 )
             ).alias("cell_micro")
         )
-        .agg(F.sum("cell_micro").cast("bigint").alias("mi_micro_bits"))
+        # clamp at 0: per-cell 1e-6 quantization can sum to a slightly
+        # NEGATIVE total on near-independent data (negative cell terms
+        # rounding past zero) — MI itself is >= 0, so the clamp keeps
+        # the "0 means independent" contract (ADVICE r11); the oracle
+        # SQL applies the identical GREATEST(.., 0)
+        .agg(
+            F.greatest(
+                F.sum("cell_micro").cast("bigint"), F.lit(0).cast("bigint")
+            ).alias("mi_micro_bits")
+        )
     )
 
     def entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:

@@ -490,12 +490,20 @@ def zipf_fit(
         .alias("sxx"),
     )
     nd = F.col("n_ranks").cast("double")
-    slope = (
-        nd * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / (
-        nd * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    # degenerate-slice guard (ADVICE r11): a slice with a single ranked
+    # token has sx=sxx=0 → den 0/0; return NULL instead of relying on
+    # non-ANSI division semantics (ANSI mode would error, and the
+    # oracle SQL applies the identical CASE den > 0 guard)
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    slope = F.when(
+        den > 0,
+        (
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / den,
     )
     return sums.select(
         F.col(gname),
