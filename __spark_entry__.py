@@ -4216,8 +4216,14 @@ def ensure_steady_index(spark, sf_dir: str) -> str:
         for suffix in ("_bands", "_sigs"):
             _shutil.rmtree(_os.path.join(wh, prefix + suffix), ignore_errors=True)
         d = _t(spark, sf_dir, "documents")
+        # num_buckets pinned (production default auto-sizes to the
+        # corpus since r12) so the fixture's bench bars stay comparable
+        # across rounds
         build_dedup_index(
-            d.where((F.col("doc_id") % 10) != 0), prefix, **_STEADY_PARAMS
+            d.where((F.col("doc_id") % 10) != 0),
+            prefix,
+            num_buckets=16,
+            **_STEADY_PARAMS,
         )
     return prefix
 

@@ -442,6 +442,26 @@ def _probe_admission(
     )
 
 
+#: auto-sizing target for build_dedup_index(num_buckets=None): one bucket
+#: per ~250k corpus rows, so probe-join parallelism scales with the
+#: corpus instead of being capped by a fixed bucket count. Measured at
+#: the r11 100× spot-check (BASELINE.md): a fixed 16 made the steady
+#: probe superlinear (12.7×/decade); rebucketing to corpus size (128 at
+#: 10× data) restored sublinear 6.4×/decade with identical output.
+TARGET_ROWS_PER_BUCKET = 250_000
+
+
+def _auto_num_buckets(rows: int, target: int = TARGET_ROWS_PER_BUCKET) -> int:
+    """Corpus-sized bucket count: at least 16, one bucket per ``target``
+    rows, rounded UP to a power of two (even hash routing; co-bucketed
+    append compatibility only needs the count to match the table's)."""
+    need = max(16, -(-int(rows) // int(target)))
+    p = 16
+    while p < need:
+        p *= 2
+    return p
+
+
 def build_dedup_index(
     corpus: DataFrame,
     table_prefix: str,
@@ -450,7 +470,7 @@ def build_dedup_index(
     num_hashes: int = 32,
     bands: int = 8,
     hash_fn: str = "xxhash64",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     mode: str = "overwrite",
 ) -> tuple[str, str]:
     """One-time admission-index build for :func:`incremental_dedup_steady`:
@@ -468,7 +488,17 @@ def build_dedup_index(
     test_incremental_steady_corpus_side_is_bucketed_scan). After
     admitting a batch, append its
     band/sig rows to these tables (saveAsTable append preserves the
-    bucket spec) so the index tracks the corpus."""
+    bucket spec) so the index tracks the corpus.
+
+    ``num_buckets=None`` (the default since r12) sizes the bucket count
+    to the corpus — ``max(16, rows / TARGET_ROWS_PER_BUCKET)`` rounded
+    up to a power of two — because a fixed count caps probe parallelism
+    as the corpus grows (measured superlinear at the r11 100×
+    spot-check). The count is recorded in the metastore's bucket spec,
+    so probes and :func:`append_to_dedup_index` inherit it without
+    being told; the row count is read from the already-materialized
+    signature table, so auto-sizing adds no extra corpus scan. Pass an
+    int to pin it (the bench fixture pins 16 for bar comparability)."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     from .layout import write_bucketed
@@ -476,11 +506,25 @@ def build_dedup_index(
     # materialize: sig feeds BOTH writes — without it the tokenize→min
     # subtree (the expensive stage) runs twice, once per saveAsTable
     sig = _signature_table(corpus, text_col, id_col, num_hashes, hash_fn, True)
+    if num_buckets is None:
+        # sig is localCheckpointed here, so the count is a cheap
+        # metadata-ish pass over materialized partitions, not a rescan
+        num_buckets = _auto_num_buckets(sig.count())
     band = _band_table(sig, num_hashes, bands, hash_fn)
     bands_table, sigs_table = f"{table_prefix}_bands", f"{table_prefix}_sigs"
     write_bucketed(band, bands_table, ["band", "bucket"], num_buckets, mode=mode)
     write_bucketed(sig.select("id", "sig"), sigs_table, ["id"], num_buckets, mode=mode)
     return bands_table, sigs_table
+
+
+def _table_num_buckets(spark, table: str) -> int:
+    """Bucket count recorded in the metastore for ``table`` (DESCRIBE
+    EXTENDED's ``Num Buckets`` row) — how probes/appends inherit the
+    build-time auto-sizing without being told it."""
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if row[0] and row[0].strip() == "Num Buckets":
+            return int(row[1])
+    raise ValueError(f"{table} has no bucket spec in the metastore")
 
 
 def append_to_dedup_index(
@@ -491,7 +535,7 @@ def append_to_dedup_index(
     num_hashes: int = 32,
     bands: int = 8,
     hash_fn: str = "xxhash64",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
     """Admit a batch into the steady-state index: append the ADMITTED
     documents' band/signature rows to the tables
@@ -504,9 +548,15 @@ def append_to_dedup_index(
     ``admitted`` → append. Hash parameters must match the build call
     (the tables carry no hash metadata; a mismatch silently degrades
     recall — pass the same constants); ``num_buckets`` IS checked by the
-    metastore."""
+    metastore, and the default (None) reads the build-time count from
+    it, so auto-sized indexes append correctly with no caller
+    plumbing."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    if num_buckets is None:
+        num_buckets = _table_num_buckets(
+            admitted.sparkSession, f"{table_prefix}_bands"
+        )
     sig = _signature_table(admitted, text_col, id_col, num_hashes, hash_fn, True)
     band = _band_table(sig, num_hashes, bands, hash_fn)
     band.write.mode("append").format("parquet").bucketBy(

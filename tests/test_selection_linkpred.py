@@ -1311,3 +1311,60 @@ def test_degree_assortativity_distinct_edges(spark):
     df = spark.createDataFrame(base * 3, "src string, dst string")
     r = degree_assortativity(df).collect()[0]
     assert r.n_edges == 8 and abs(r.r - (-1.0)) < 1e-6, r
+
+
+def test_build_dedup_index_auto_buckets_scale_with_corpus(spark):
+    """num_buckets=None (the r12 default) sizes the bucket count to the
+    corpus — max(16, rows/target) rounded up to a power of two — records
+    it in the metastore, probes return output identical to an
+    explicitly-bucketed build, and appends inherit the count with no
+    caller plumbing."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        _auto_num_buckets,
+        _table_num_buckets,
+        append_to_dedup_index,
+        build_dedup_index,
+        incremental_dedup_steady,
+    )
+
+    # the sizing rule itself
+    assert _auto_num_buckets(1) == 16
+    assert _auto_num_buckets(16 * 250_000) == 16
+    assert _auto_num_buckets(16 * 250_000 + 1) == 32
+    assert _auto_num_buckets(10_000_000) == 64  # 40 buckets needed -> 64
+    assert _auto_num_buckets(100, target=10) == 16
+    assert _auto_num_buckets(1000, target=10) == 128  # scales with corpus
+
+    rows = [
+        (i, f"shared common prefix tokens {'x' * (i % 3)} tail {i % 4}")
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.where("doc_id % 2 = 1")
+    batch = df.where("doc_id % 2 = 0")
+    for t in ("t_auto_bands", "t_auto_sigs", "t_pin_bands", "t_pin_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        build_dedup_index(corpus, "t_auto")  # auto: 30 rows -> floor 16
+        assert _table_num_buckets(spark, "t_auto_bands") == 16
+        build_dedup_index(corpus, "t_pin", num_buckets=4)
+        assert _table_num_buckets(spark, "t_pin_bands") == 4
+        key = lambda r: (  # noqa: E731
+            r["doc_id"], r["n_dups"], r["dup_of"], r["est_jaccard"], r["admitted"]
+        )
+        auto = sorted(
+            map(key, incremental_dedup_steady(batch, "t_auto", threshold=0.5).collect())
+        )
+        pinned = sorted(
+            map(key, incremental_dedup_steady(batch, "t_pin", threshold=0.5).collect())
+        )
+        assert auto == pinned and len(auto) == 30
+        # append with NO num_buckets argument inherits the stored spec
+        admitted = batch.limit(3)
+        append_to_dedup_index(admitted, "t_auto")
+        assert _table_num_buckets(spark, "t_auto_bands") == 16
+        append_to_dedup_index(admitted, "t_pin")
+        assert _table_num_buckets(spark, "t_pin_bands") == 4
+    finally:
+        for t in ("t_auto_bands", "t_auto_sigs", "t_pin_bands", "t_pin_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
