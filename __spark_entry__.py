@@ -4167,6 +4167,132 @@ def dedup_incremental_q(spark, sf_dir):
     )
 
 
+def dedup_cross_snapshot_q(spark, sf_dir):
+    """Cross-snapshot fuzzy dedup (extensions/dedup.cross_snapshot_neardup):
+    the added/changed documents of the corpus_snapshot_diff derived
+    second crawl, MinHash-band-probed against the WHOLE first snapshot —
+    recycled-content detection that exact hashing misses (the re-added
+    %13 docs are byte-identical under NEW ids → est 1.0; the %7 "v2"
+    edits are near-dups of their old selves). md5 hash family for the
+    oracle; nullable outputs coalesced like dedup_incremental."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        cross_snapshot_neardup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where((F.col("doc_id") % 11) != 0).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7) == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.where((F.col("doc_id") % 13) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    new = base.unionByName(added)
+    out = cross_snapshot_neardup(
+        d.select("doc_id", "text"),
+        new,
+        num_hashes=32,
+        bands=4,
+        threshold=0.8,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id",
+        "status",
+        "n_dups",
+        F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.coalesce("est_jaccard", F.lit(0.0)).alias("est_jaccard"),
+        "genuinely_new",
+    )
+
+
+def sketch_sample_quantiles_q(spark, sf_dir):
+    """Mergeable deterministic-sample quantile sketch
+    (extensions/stats.sample_quantile_sketch): per-source n_chars
+    p50/p95/p99 from the md5(id) 1-in-4 sample, with the DKW
+    99%-confidence error bound carried per row."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        sample_quantile_sketch,
+    )
+
+    return sample_quantile_sketch(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "doc_id",
+        rate_denom=4,
+        group_col="source",
+    )
+
+
+def data_domain_cap_q(spark, sf_dir):
+    """Per-domain token-budget capping (extensions/curation.
+    domain_frequency_cap): each source capped at 2000 tokens, documents
+    taken in the reproducible md5 shuffle order — the crawl-sanitation
+    knob against domain dominance."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        domain_frequency_cap,
+    )
+
+    return domain_frequency_cap(
+        _t(spark, sf_dir, "documents"), cap_tokens=2000
+    )
+
+
+def text_url_features_q(spark, sf_dir):
+    """URL-structure quality features (extensions/text.url_features)
+    over a deterministic URL derived from (source, doc_id) — the corpus
+    has no URL column, so the entry constructs one covering the feature
+    space (root pages, deep digit-heavy paths, tracking and plain query
+    params); the operator itself is the real map-only projection and
+    the oracle replicates construction + features in SQL."""
+    from knowledge_graph_etl_spark.extensions.text import url_features
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(
+            F.concat(
+                F.lit("/sec"),
+                (did % 7).cast("string"),
+                F.lit("/item-"),
+                did.cast("string"),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(
+                        F.lit("?utm_source=feed&id="), did.cast("string")
+                    ),
+                )
+                .when(did % 4 == 1, F.lit("?page=2"))
+                .otherwise(F.lit("")),
+            )
+        ),
+    )
+    return url_features(d.select("doc_id", url.alias("url")))
+
+
+def ann_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for retriever training (extensions/
+    similarity.mine_hard_negatives): per query vector (vec_id < 5), the
+    top-10 corpus vectors with cosine in [0.0, 0.95) — confusable but
+    below the near-duplicate band (which would be false negatives)."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mine_hard_negatives(emb, q, k=10, exclude_above=0.95)
+
+
 #: steady-state index parameters, defined ONCE so the table prefix and
 #: both build/probe calls cannot drift apart
 _STEADY_PARAMS = {"num_hashes": 32, "bands": 8, "hash_fn": "md5"}
@@ -5536,6 +5662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mutual_information": stats_mutual_information_q,
         "search_hybrid_rrf": search_hybrid_rrf_q,
         "search_rrf_weighted": search_rrf_weighted_q,
+        "dedup_cross_snapshot": dedup_cross_snapshot_q,
+        "sketch_sample_quantiles": sketch_sample_quantiles_q,
+        "data_domain_cap": data_domain_cap_q,
+        "text_url_features": text_url_features_q,
+        "ann_hard_negatives": ann_hard_negatives_q,
         # --- latest driver row r08 (oldest-first; last-checked rotates to the back) ---
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
@@ -6411,6 +6542,87 @@ def _incremental_dedup_oracle(
         "n_dups IS NULL AS admitted "
         "FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id "
         "WHERE d.doc_id % 10 = 0"
+    )
+
+
+def _cross_snapshot_oracle(
+    num_hashes: int = 32, bands: int = 4, threshold: float = 0.8
+) -> str:
+    """Twin of dedup_cross_snapshot_q: the derived second crawl's
+    added/changed documents MinHash-probed against the full first
+    snapshot — the _minhash_oracle machinery with the two sides coming
+    from the corpus_snapshot_diff derivation."""
+    from knowledge_graph_etl_spark.extensions.dedup import _MERSENNE31, _mh_coeffs
+
+    p = _MERSENNE31
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * hb + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    sig_arr = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+
+    def band_rows(sig_tbl: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {bi} AS band, md5(array_to_string(list_transform("
+            f"list_slice(sig, {bi * rpb + 1}, {bi * rpb + rpb}), "
+            f"x -> CAST(x AS VARCHAR)), '|')) AS bucket FROM {sig_tbl}"
+            for bi in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = f"round(({agree}) / {num_hashes}.0, 6)"
+    return (
+        "WITH nw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        "THEN text || ' v2' ELSE text END AS text FROM documents "
+        "WHERE doc_id % 11 <> 0 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 13 = 0), "
+        "oh AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h "
+        "FROM documents), "
+        "st AS (SELECT n.doc_id, CASE WHEN oh.h IS NULL THEN 'added' "
+        "ELSE 'changed' END AS status "
+        "FROM (SELECT doc_id, md5(coalesce(text, '')) AS h FROM nw) n "
+        "LEFT JOIN oh ON oh.id = n.doc_id "
+        "WHERE oh.h IS NULL OR oh.h <> n.h), "
+        "delta AS (SELECT nw.doc_id, nw.text FROM nw "
+        "JOIN st ON st.doc_id = nw.doc_id), "
+        f"dtok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok "
+        "FROM delta), "
+        "dhb AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) "
+        f"AS BIGINT) % {p} AS hb FROM dtok), "
+        f"dagg AS (SELECT doc_id, {mins} FROM dhb GROUP BY doc_id), "
+        f"dsig AS (SELECT doc_id, {sig_arr} AS sig FROM dagg), "
+        f"otok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok "
+        "FROM documents), "
+        "ohb AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) "
+        f"AS BIGINT) % {p} AS hb FROM otok), "
+        f"oagg AS (SELECT doc_id, {mins} FROM ohb GROUP BY doc_id), "
+        f"osig AS (SELECT doc_id, {sig_arr} AS sig FROM oagg), "
+        f"dbands AS ({band_rows('dsig')}), "
+        f"obands AS ({band_rows('osig')}), "
+        "cand AS (SELECT DISTINCT d.doc_id AS new_id, o.doc_id AS old_id "
+        "FROM dbands d JOIN obands o "
+        "ON d.band = o.band AND d.bucket = o.bucket), "
+        f"scored AS (SELECT new_id, old_id, {est} AS est_jaccard "
+        "FROM cand JOIN dsig sa ON sa.doc_id = new_id "
+        "JOIN osig sb ON sb.doc_id = old_id "
+        f"WHERE {est} >= {threshold}), "
+        "r AS (SELECT new_id, old_id, est_jaccard, "
+        "row_number() OVER (PARTITION BY new_id "
+        "ORDER BY est_jaccard DESC, old_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY new_id) AS n FROM scored), "
+        "best AS (SELECT new_id, CAST(n AS BIGINT) AS n_dups, "
+        "old_id AS dup_of, est_jaccard FROM r WHERE rn = 1) "
+        "SELECT st.doc_id, st.status, "
+        "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups, "
+        "CAST(coalesce(dup_of, -1) AS BIGINT) AS dup_of, "
+        "coalesce(est_jaccard, 0.0) AS est_jaccard, "
+        "n_dups IS NULL AS genuinely_new "
+        "FROM st LEFT JOIN best ON best.new_id = st.doc_id"
     )
 
 
@@ -7862,6 +8074,76 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_incremental": _incremental_dedup_oracle(
             num_hashes=32, bands=8, threshold=0.5
+        ),
+        "dedup_cross_snapshot": _cross_snapshot_oracle(
+            num_hashes=32, bands=4, threshold=0.8
+        ),
+        "sketch_sample_quantiles": (
+            "WITH s AS (SELECT source, n_chars, doc_id FROM documents "
+            "WHERE n_chars IS NOT NULL AND "
+            "CAST(('0x' || substr(md5(doc_id || ':kq0'), 1, 15)) AS BIGINT) "
+            "% 4 = 0), "
+            "r AS (SELECT source, n_chars, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY source) AS n FROM s) "
+            "SELECT source, CAST(min(n) AS BIGINT) AS n_sample, "
+            "CAST(min(CAST(floor(sqrt(5.298317366548036 / (2.0 * n)) "
+            "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dkw_eps_ppm, "
+            "min(CASE WHEN rn = ceil(0.5 * n) THEN n_chars END) AS p0_5, "
+            "min(CASE WHEN rn = ceil(0.95 * n) THEN n_chars END) AS p0_95, "
+            "min(CASE WHEN rn = ceil(0.99 * n) THEN n_chars END) AS p0_99 "
+            "FROM r GROUP BY source"
+        ),
+        "data_domain_cap": (
+            "WITH b AS (SELECT doc_id, source, "
+            "CAST(('0x' || substr(md5(doc_id || ':domcap0'), 1, 15)) "
+            "AS BIGINT) AS k, "
+            f"CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, "
+            "SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum_tokens FROM b) "
+            "SELECT doc_id, source, n_tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens "
+            "FROM c WHERE cum_tokens <= 2000"
+        ),
+        "text_url_features": (
+            "WITH u AS (SELECT doc_id, 'https://' || source || "
+            "'.example.org' || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE "
+            "'/sec' || CAST(doc_id % 7 AS VARCHAR) || '/item-' || "
+            "CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || "
+            "CAST(doc_id AS VARCHAR) WHEN doc_id % 4 = 1 THEN '?page=2' "
+            "ELSE '' END END AS url FROM documents), "
+            "f AS (SELECT doc_id, url, "
+            "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+            "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, "
+            "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u) "
+            "SELECT doc_id, url, host, "
+            "regexp_extract(host, '\\.([^.]+)$', 1) AS tld, "
+            "CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) "
+            "AS BIGINT) AS path_depth, "
+            "CAST(CASE WHEN length(path) > 0 THEN floor((length(path) - "
+            "length(regexp_replace(path, '[0-9]', '', 'g'))) * 1000000.0 "
+            "/ length(path)) ELSE 0 END AS BIGINT) AS path_digit_ppm, "
+            "CAST(CASE WHEN query = '' THEN 0 ELSE "
+            "len(string_split(query, '&')) END AS BIGINT) AS n_query_params, "
+            "contains(query, 'utm_') AS has_tracking, "
+            "path IN ('', '/') AS is_root FROM f"
+        ),
+        "ann_hard_negatives": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM embeddings c CROSS JOIN q) "
+            "SELECT query_id, neighbor_id, cosine_sim, "
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank "
+            "FROM s WHERE cosine_sim >= 0.0 AND cosine_sim < 0.95 "
+            "QUALIFY rank <= 10"
         ),
         # steady-state probe is semantically identical to the one-shot
         # form — same split, same parameters, same oracle; only the

@@ -1319,6 +1319,56 @@ def contamination_report(
     )
 
 
+def domain_frequency_cap(
+    docs: DataFrame,
+    cap_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "domcap0",
+) -> DataFrame:
+    """Per-domain token-budget capping — the standard crawl-sanitation
+    knob against domain dominance: no single domain (host / crawl seed /
+    source) may contribute more than ``cap_tokens`` tokens to the
+    training mix, however large its crawl footprint. Documents are taken
+    per domain in the reproducible ``md5(id:salt)`` shuffle order (the
+    :func:`select_token_budget` discipline — deterministic, unbiased by
+    crawl order) until the INCLUSIVE cumulative token count reaches the
+    cap; a document that would cross the cap is dropped with everything
+    after it. Returns the kept rows as
+    ``(id_col, domain_col, n_tokens, cum_tokens)``.
+
+    Scale shape: one tokenize pass (map-local), then a running sum over
+    a window PARTITIONED BY DOMAIN — the global-budget variant needs the
+    range-partition two-pass trick because its window has one partition;
+    here the partition key IS the domain, so Spark spreads domains
+    across tasks and the window never sees more than one domain's rows.
+    Domains with more rows than a task can sort spill gracefully; the
+    cap itself prunes the output to ≤ cap_tokens per domain regardless
+    of input skew."""
+    if cap_tokens < 0:
+        raise ValueError(f"cap_tokens must be >= 0, got {cap_tokens}")
+    key = md5_u60(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        key.alias("__k"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.lit(int(cap_tokens)))
+        .select(id_col, domain_col, "n_tokens", "cum_tokens")
+    )
+
+
 def select_token_budget(
     docs: DataFrame,
     budget_tokens: int,

@@ -597,6 +597,71 @@ def incremental_dedup_steady(
     )
 
 
+def cross_snapshot_neardup(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    statuses: tuple[str, ...] = ("added", "changed"),
+    materialize: bool = True,
+) -> DataFrame:
+    """Cross-snapshot FUZZY dedup — the temporal member of the MinHash
+    family: how much of a crawl's "new" content is actually recycled
+    from the previous snapshot. :func:`~.changelog.snapshot_diff` finds
+    the delta ids (exact content hashing answers only byte-identity —
+    a boilerplate reshuffle or appended footer looks "changed"/"added"
+    to it); this operator then MinHash-band-probes the delta documents
+    against the WHOLE old snapshot, so a renamed/near-copied document is
+    caught no matter which id it reappears under.
+
+    Returns one row per delta document (``status`` ∈ ``statuses``):
+    ``(id, status, n_dups, dup_of, est_jaccard, genuinely_new)`` —
+    ``dup_of`` the best old-side match at ``threshold`` (ties to the
+    smallest old id), ``n_dups`` how many old documents matched, and
+    ``genuinely_new`` true iff nothing matched (the rows a crawl
+    pipeline actually wants to keep).
+
+    Scale shape: the diff is one full-outer join on (id, md5); the
+    probe reuses :func:`incremental_dedup`'s banded machinery — the
+    delta side is hashed delta-sized, the old side corpus-sized but
+    NARROW (band rows are (id, band, bucket)), candidates come only
+    from bucket collisions (never all-pairs), and the signature
+    refinement joins candidate-sized tables. For repeated snapshot
+    cadences, build the old side once with :func:`build_dedup_index`
+    and probe via :func:`incremental_dedup_steady` instead; this
+    two-snapshot form is the index-free one-shot."""
+    from .changelog import snapshot_diff
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    diff = snapshot_diff(old, new, id_col, text_col)
+    delta_ids = diff.where(F.col("status").isin(*statuses)).select(
+        F.col(id_col), "status"
+    )
+    delta = new.join(
+        F.broadcast(delta_ids.select(id_col)), id_col, "left_semi"
+    )
+    bsig = _signature_table(delta, text_col, id_col, num_hashes, hash_fn, materialize)
+    bband = _band_table(bsig, num_hashes, bands, hash_fn)
+    csig = _signature_table(old, text_col, id_col, num_hashes, hash_fn, materialize)
+    cband = _band_table(csig, num_hashes, bands, hash_fn)
+    probe = _probe_admission(
+        delta, bband, bsig, cband, csig, num_hashes, threshold, id_col
+    )
+    return probe.join(delta_ids, id_col).select(
+        id_col,
+        "status",
+        "n_dups",
+        "dup_of",
+        "est_jaccard",
+        F.col("admitted").alias("genuinely_new"),
+    )
+
+
 def resolve_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,

@@ -75,6 +75,62 @@ def cosine_topk(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    exclude_above: float = 0.95,
+    min_sim: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: per query,
+    the top-``k`` most similar corpus vectors whose cosine lies in
+    ``[min_sim, exclude_above)`` — similar enough to be confusable (the
+    "hard" part), but below the near-duplicate band that would poison
+    training with false negatives (a positive mislabeled as negative).
+    The query vector itself falls in the excluded band by construction
+    (self-cosine 1.0), so no explicit self-filter is needed.
+
+    Scale shape: identical to :func:`cosine_topk` — the bounded query
+    set broadcasts, the corpus scans once with the band filter INSIDE
+    the scan projection (rows outside the band never reach the window),
+    and the per-query rank window sees only banded candidates. For
+    corpus-scale query sets, run per query shard or swap the scoring
+    scan for the IVF probe (:func:`ivf_query`) and band-filter its
+    output — same semantics, index-pruned."""
+    if not 0.0 <= min_sim < exclude_above <= 1.0 + 1e-9:
+        raise ValueError(
+            f"need 0 <= min_sim < exclude_above <= 1, got "
+            f"[{min_sim}, {exclude_above})"
+        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+        .where(
+            (F.col("cosine_sim") >= F.lit(float(min_sim)))
+            & (F.col("cosine_sim") < F.lit(float(exclude_above)))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def range_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -64,6 +64,88 @@ def group_quantiles(
     return ranked.groupBy(group_col).agg(*aggs)
 
 
+#: ln(2/0.01) pinned as a literal shared VERBATIM by both engines' DKW
+#: expressions (libm ln() is not cross-engine 1-ulp-identical; sqrt IS
+#: IEEE-correctly-rounded everywhere, so with the constant pinned the
+#: whole bound expression is bit-identical). The same decimal string
+#: appears in the oracle SQL; float() of it is the identical double.
+_DKW_LN_2_OVER_DELTA = float("5.298317366548036")
+
+
+def sample_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    rate_denom: int = 8,
+    fracs: list[float] = (0.5, 0.95, 0.99),
+    group_col: str | None = None,
+    salt: str = "kq0",
+) -> DataFrame:
+    """Mergeable quantile sketch via a DETERMINISTIC hash sample — the
+    companion to :func:`histogram_quantiles` when value bounds are
+    unknown up front. The "sketch" of a shard is simply its rows with
+    ``md5(id:salt) % rate_denom == 0`` (expected 1/rate_denom of the
+    data): merging shards is plain UNION (a hash sample of a union IS
+    the union of the hash samples — the KLL merge property without
+    KLL's random compaction, which would break this repo's exact
+    cross-engine oracle discipline), and quantiles are EXACT order
+    statistics of the merged sample, so the only error is sampling
+    error, bounded by DKW: ``P(sup|F̂−F| > ε) ≤ 2·exp(−2nε²)``. Each
+    output row carries that bound — ``dkw_eps_ppm`` is the 99%-confidence
+    ε in ppm — making the sketch self-describing: a consumer sees
+    exactly how much to trust each group's numbers.
+
+    Scale shape: the sample filter is a pure map (row-local md5), the
+    per-group order statistics are rank windows over SAMPLE-sized
+    partitions (1/rate_denom of the group — pick ``rate_denom`` so a
+    group's sample fits one task; the window never sees the full
+    corpus). Quantile = value at rank ``ceil(frac·n)`` ordered by
+    ``(value, id)`` — deterministic under ties. Returns one row per
+    group: ``(group?, n_sample, dkw_eps_ppm, p<frac>...)``; groups with
+    an empty sample are absent (their bound would be vacuous anyway)."""
+    if rate_denom < 1:
+        raise ValueError(f"rate_denom must be >= 1, got {rate_denom}")
+    if not fracs or any(not 0.0 < f <= 1.0 for f in fracs):
+        raise ValueError(f"fractions must be in (0, 1], got {fracs}")
+    from .hashing import md5_u60
+
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    sample = df.where(
+        F.col(value_col).isNotNull()
+        & (md5_u60(key) % F.lit(int(rate_denom)) == 0)
+    )
+    keys = [group_col] if group_col else []
+    worder = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(*keys)
+    ranked = sample.select(
+        *keys,
+        F.col(value_col),
+        F.row_number().over(worder).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    eps = F.floor(
+        F.sqrt(
+            F.lit(_DKW_LN_2_OVER_DELTA)
+            / (F.lit(2.0) * F.col("__n").cast("double"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    aggs = [
+        F.min("__n").cast("bigint").alias("n_sample"),
+        F.min(eps).alias("dkw_eps_ppm"),
+    ]
+    for f in fracs:
+        name = "p" + str(f).replace(".", "_").rstrip("0").rstrip("_")
+        target = F.ceil(F.lit(float(f)) * F.col("__n"))
+        aggs.append(
+            F.min(F.when(F.col("__rn") == target, F.col(value_col))).alias(name)
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,

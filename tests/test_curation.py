@@ -1432,3 +1432,77 @@ def test_perplexity_buckets_exact_terciles(spark):
     assert {r["bucket"] for r in single.collect()} == {0}
     with pytest.raises(ValueError):
         perplexity_buckets(docs, n_buckets=0)
+
+
+def test_domain_frequency_cap_respects_cap_and_order(spark):
+    """No domain exceeds the token cap; documents admit in the
+    reproducible md5 order (a rerun yields the identical kept set);
+    cap=0 keeps nothing; a domain entirely under the cap keeps all."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        domain_frequency_cap,
+    )
+
+    rows = [
+        (i, "big" if i < 40 else "small", "tok " * 5)  # 5 tokens each
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_frequency_cap(df, cap_tokens=50)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # big: 40 docs x 5 tokens = 200 > 50 -> exactly 10 kept (cum 50)
+    assert len(by_src["big"]) == 10
+    assert max(r["cum_tokens"] for r in by_src["big"]) == 50
+    # small: 10 docs x 5 = 50 <= 50 -> all kept
+    assert len(by_src["small"]) == 10
+    # deterministic: identical kept set on rerun
+    again = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in domain_frequency_cap(df, cap_tokens=50).collect()
+    )
+    assert again == sorted((r["doc_id"], r["cum_tokens"]) for r in got)
+    assert domain_frequency_cap(df, cap_tokens=0).count() == 0
+
+
+def test_cross_snapshot_neardup_classifies_recycled_content(spark):
+    """A doc re-added byte-identical under a NEW id is caught (est 1.0,
+    not genuinely new); an edited doc matches its old self; a truly
+    novel doc is genuinely new; unchanged docs don't appear."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        cross_snapshot_neardup,
+    )
+
+    mk = lambda i, t: (i, t)  # noqa: E731
+    base_text = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [
+            mk(1, base_text),
+            mk(2, "one two three four five six seven eight"),
+            mk(3, "spark scale shuffle partition broadcast join agg scan"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            mk(1, base_text),                      # unchanged
+            mk(2, "one two three four five six seven eight nine"),  # changed
+            mk(3, "spark scale shuffle partition broadcast join agg scan"),
+            mk(10, base_text),                     # re-added copy of 1
+            mk(11, "totally novel words nowhere else written here xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_snapshot_neardup(
+            old, new, threshold=0.5, bands=8, num_hashes=32
+        ).collect()
+    }
+    assert set(out) == {2, 10, 11}
+    assert out[10]["status"] == "added" and not out[10]["genuinely_new"]
+    assert out[10]["dup_of"] == 1 and out[10]["est_jaccard"] == 1.0
+    assert out[2]["status"] == "changed" and not out[2]["genuinely_new"]
+    assert out[2]["dup_of"] == 2
+    assert out[11]["status"] == "added" and out[11]["genuinely_new"]

@@ -1612,3 +1612,33 @@ def test_nearest_match_string_right_id_type_preserved(spark):
     out = {r.left_id: r for r in out_df.collect()}
     assert out[1].right_id == "r-1" and out[1].dt == 3
     assert out[2].right_id is None and out[2].dt is None
+
+
+def test_mine_hard_negatives_excludes_neardup_band(spark):
+    """The query's self-match (cosine 1.0) and near-duplicates above the
+    exclusion threshold never appear; results are the top-k of the
+    remaining band, rank-ordered."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        mine_hard_negatives,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.045, 0.0]),   # near-dup of 1 (cos ~0.999)
+        (3, [0.8, 0.6, 0.0]),       # hard negative (cos 0.8)
+        (4, [0.6, 0.8, 0.0]),       # hard negative (cos 0.6)
+        (5, [0.0, 0.0, 1.0]),       # orthogonal (cos 0.0 -> kept, rank last)
+        (6, [-1.0, 0.0, 0.0]),      # negative cos -> below min_sim, dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 1").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = mine_hard_negatives(emb, q, k=10, exclude_above=0.95).collect()
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [3, 4, 5]
+    assert all(r["cosine_sim"] < 0.95 for r in got)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mine_hard_negatives(emb, q, exclude_above=0.0)

@@ -2086,3 +2086,62 @@ def test_km_survival_risk_set_exhausted(spark):
     r = out[0]
     assert (r.t_days, r.n_risk, r.n_churn) == (1, 1, 1)
     assert r.surv_log2_micro is None and r.surv_ppm == 0
+
+
+def test_sample_quantile_sketch_exact_at_rate_one_and_mergeable(spark):
+    """rate_denom=1 keeps every row, so the 'sketch' quantiles are the
+    exact order statistics; the shard-union merge property holds by
+    construction (hash sample of a union == union of hash samples); the
+    DKW bound shrinks with n."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        sample_quantile_sketch,
+    )
+
+    rows = [(i, "g" if i % 2 == 0 else "h", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {
+        r["grp"]: r
+        for r in sample_quantile_sketch(
+            df, "v", "id", rate_denom=1, fracs=(0.5, 0.9), group_col="grp"
+        ).collect()
+    }
+    # group g = evens 2..100 (n=50): p0_5 = 25th value = 50.0, p0_9 = 45th = 90.0
+    assert out["g"]["n_sample"] == 50
+    assert out["g"]["p0_5"] == 50.0 and out["g"]["p0_9"] == 90.0
+    # group h = odds 1..99: p0_5 = 25th odd = 49.0
+    assert out["h"]["p0_5"] == 49.0
+    # merge property: sketch(union of shards) == union of shard sketches
+    shard_a, shard_b = df.where("id <= 60"), df.where("id > 60")
+    whole = sample_quantile_sketch(df, "v", "id", rate_denom=4, group_col="grp")
+    merged = sample_quantile_sketch(
+        shard_a.unionByName(shard_b), "v", "id", rate_denom=4, group_col="grp"
+    )
+    key = lambda r: r["grp"]  # noqa: E731
+    assert sorted(whole.collect(), key=key) == sorted(merged.collect(), key=key)
+    # DKW bound monotone in n: bigger sample -> smaller eps
+    small = sample_quantile_sketch(
+        df.where("id <= 20"), "v", "id", rate_denom=1, group_col=None
+    ).collect()[0]
+    big = sample_quantile_sketch(df, "v", "id", rate_denom=1).collect()[0]
+    assert big["dkw_eps_ppm"] < small["dkw_eps_ppm"]
+
+
+def test_url_features_structural_signals(spark):
+    from knowledge_graph_etl_spark.extensions.text import url_features
+
+    rows = [
+        (1, "https://news.example.org/"),
+        (2, "https://a.b.co.uk/sec1/item-42?utm_source=x&id=42"),
+        (3, "http://plain.net/a/b/c/d"),
+        (4, "https://digits.io/123/456"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_features(df).collect()}
+    assert out[1]["is_root"] and out[1]["path_depth"] == 0
+    assert out[1]["host"] == "news.example.org" and out[1]["tld"] == "org"
+    assert out[2]["n_query_params"] == 2 and out[2]["has_tracking"]
+    assert out[2]["tld"] == "uk" and out[2]["path_depth"] == 2
+    assert out[3]["path_depth"] == 4 and not out[3]["has_tracking"]
+    # '/123/456' -> 6 digits over 8 chars = 750000 ppm
+    assert out[4]["path_digit_ppm"] == 750000
+    assert not out[4]["is_root"]
