@@ -871,3 +871,36 @@ def test_sf_proportional_sides_never_broadcast_at_volume(spark):
             assert "CartesianProduct" not in plan, (name, plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_r12_new_operators_plan_shapes(spark):
+    """Scale posture of the five r12 operators, pinned on the plan:
+    url_features is a pure map (zero Exchange); domain_frequency_cap and
+    sample_quantile_sketch shuffle ONCE on the domain/group key (the
+    window partitioning — the groupBy reuses it); hard-negative mining
+    broadcasts the probe set and never sort-merge-joins; cross-snapshot
+    dedup has no cartesian anywhere."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+
+    url = _plan(q["text_url_features"](spark, sf))
+    assert not re.search(r"\(\d+\) Exchange\b", url), url
+    # '*' prefix = inside whole-stage codegen in formatted explain
+    assert "* Project" in url, url
+
+    cap = _plan(q["data_domain_cap"](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange\b", cap)) == 1, cap
+
+    sk = _plan(q["sketch_sample_quantiles"](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange\b", sk)) == 1, sk
+
+    hn = _plan(q["ann_hard_negatives"](spark, sf))
+    assert "SortMergeJoin" not in hn, hn
+    assert "BroadcastNestedLoopJoin" in hn or "BroadcastExchange" in hn, hn
+
+    cs = _plan(q["dedup_cross_snapshot"](spark, sf))
+    assert "CartesianProduct" not in cs, cs
