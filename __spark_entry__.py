@@ -4293,6 +4293,37 @@ def ann_hard_negatives_q(spark, sf_dir):
     return mine_hard_negatives(emb, q, k=10, exclude_above=0.95)
 
 
+def text_fertility_q(spark, sf_dir):
+    """Tokenizer-fertility proxy per source (extensions/text.
+    subword_fertility): sub-word pieces per whitespace word, exact
+    integer sums, ppm via integer division — one map-side-combinable
+    aggregate."""
+    from knowledge_graph_etl_spark.extensions.text import subword_fertility
+
+    return subword_fertility(_t(spark, sf_dir, "documents"))
+
+
+def text_anchor_signals_q(spark, sf_dir):
+    """Anchor-text aggregation per link target (extensions/text.
+    anchor_text_features) over a deterministic link table derived from
+    the corpus (doc i links to doc (7i+3) mod 101 with its own first 3
+    tokens as anchor — a hub set with varied anchor phrasings)."""
+    from knowledge_graph_etl_spark.extensions.text import (
+        anchor_text_features,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    links = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst"),
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 3)).alias(
+            "anchor"
+        ),
+    )
+    return anchor_text_features(links)
+
+
 #: steady-state index parameters, defined ONCE so the table prefix and
 #: both build/probe calls cannot drift apart
 _STEADY_PARAMS = {"num_hashes": 32, "bands": 8, "hash_fn": "md5"}
@@ -5667,6 +5698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_domain_cap": data_domain_cap_q,
         "text_url_features": text_url_features_q,
         "ann_hard_negatives": ann_hard_negatives_q,
+        "text_fertility": text_fertility_q,
+        "text_anchor_signals": text_anchor_signals_q,
         # --- latest driver row r08 (oldest-first; last-checked rotates to the back) ---
         "contamination_drift": contamination_drift_q,
         "ann_ivfpq_topk": ann_ivfpq_topk_q,
@@ -8131,6 +8164,38 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split(query, '&')) END AS BIGINT) AS n_query_params, "
             "contains(query, 'utm_') AS has_tracking, "
             "path IN ('', '/') AS is_root FROM f"
+        ),
+        "text_fertility": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(w) AS BIGINT) AS n_words, "
+            "CAST(SUM(p) AS BIGINT) AS n_pieces, "
+            "CAST(CASE WHEN SUM(w) > 0 THEN SUM(p) * 1000000 // SUM(w) "
+            "ELSE 0 END AS BIGINT) AS fertility_ppm "
+            f"FROM (SELECT source, {ntok} AS w, "
+            "len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS p "
+            "FROM documents) GROUP BY source"
+        ),
+        "text_anchor_signals": (
+            "WITH l AS (SELECT doc_id AS src, (doc_id * 7 + 3) % 101 AS dst, "
+            f"array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS anchor "
+            "FROM documents), "
+            "b AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_inlinks, "
+            "CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique_anchors, "
+            "CAST(SUM(length(anchor)) * 1000 // COUNT(*) AS BIGINT) "
+            "AS avg_anchor_len_milli FROM l GROUP BY dst), "
+            "t AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_anchor_terms, "
+            "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_terms "
+            "FROM (SELECT dst, unnest(list_filter(string_split_regex("
+            "lower(trim(anchor)), '\\s+'), x -> x <> '')) AS tok FROM l) "
+            "GROUP BY dst) "
+            "SELECT b.dst, n_inlinks, n_unique_anchors, "
+            "CAST(coalesce(n_anchor_terms, 0) AS BIGINT) AS n_anchor_terms, "
+            "CAST(coalesce(n_distinct_terms, 0) AS BIGINT) "
+            "AS n_distinct_terms, "
+            "CAST(CASE WHEN coalesce(n_anchor_terms, 0) > 0 THEN "
+            "n_distinct_terms * 1000000 // n_anchor_terms ELSE 0 END "
+            "AS BIGINT) AS diversity_ppm, avg_anchor_len_milli "
+            "FROM b LEFT JOIN t ON b.dst = t.dst"
         ),
         "ann_hard_negatives": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "

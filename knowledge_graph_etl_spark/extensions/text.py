@@ -575,3 +575,97 @@ def url_features(
         query.contains("utm_").alias("has_tracking"),
         path.isin("", "/").alias("is_root"),
     )
+
+
+def subword_fertility(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility proxy per corpus slice: sub-word pieces per
+    whitespace word — the standard "how expensive is this domain/language
+    for my tokenizer" signal (fertility ≈ 1 for clean prose, rising with
+    punctuation-dense / code-like / agglutinative text). Pieces are runs
+    of word chars or of non-word-non-space chars (``\\w+|[^\\w\\s]+`` —
+    deliberately lookaround-free so the SAME regex runs on engines
+    without lookbehind, unlike :func:`bpe_ish_token_count`'s
+    boundary-split form). Exact integer sums; fertility as ppm via
+    integer division. One map-side-combinable aggregate per slice:
+    ``(group, n_docs, n_words, n_pieces, fertility_ppm)``."""
+    pieces = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]+"), 0)
+    ).cast("bigint")
+    words = token_count(F.col(text_col)).cast("bigint")
+    return (
+        docs.select(F.col(group_col), pieces.alias("__p"), words.alias("__w"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__w").cast("bigint").alias("n_words"),
+            F.sum("__p").cast("bigint").alias("n_pieces"),
+            F.expr(
+                "CASE WHEN sum(__w) > 0 THEN sum(__p) * 1000000 div sum(__w) "
+                "ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
+def anchor_text_features(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-quality /
+    relevance signal set computed from a link table ``(src, dst,
+    anchor)``: how many pages link here, with how many distinct anchor
+    phrasings, over how diverse a term vocabulary. High inlink counts
+    with near-zero anchor diversity flag templated/spam linking; diverse
+    anchors flag genuinely referenced content. Returns one row per
+    target: ``n_inlinks``, ``n_unique_anchors``, ``n_anchor_terms``,
+    ``n_distinct_terms``, ``diversity_ppm`` (distinct/total terms),
+    ``avg_anchor_len_milli`` (chars per link, exact integer milli).
+
+    Scale shape: two shuffles keyed on the SAME dst column (the link
+    aggregate and the exploded-term aggregate — the second reuses the
+    first's partitioning in the final co-partitioned join); anchors
+    explode term-sized, never pairwise."""
+    base = links.groupBy(dst_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inlinks"),
+        F.countDistinct(anchor_col).cast("bigint").alias("n_unique_anchors"),
+        F.expr(
+            f"sum(length({anchor_col})) * 1000 div count(1)"
+        )
+        .cast("bigint")
+        .alias("avg_anchor_len_milli"),
+    )
+    terms = (
+        links.select(
+            F.col(dst_col), F.explode(tokens(F.col(anchor_col))).alias("t")
+        )
+        .groupBy(dst_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchor_terms"),
+            F.countDistinct("t").cast("bigint").alias("n_distinct_terms"),
+        )
+    )
+    return base.join(terms, dst_col, "left").select(
+        dst_col,
+        "n_inlinks",
+        "n_unique_anchors",
+        F.coalesce("n_anchor_terms", F.lit(0)).cast("bigint").alias(
+            "n_anchor_terms"
+        ),
+        F.coalesce("n_distinct_terms", F.lit(0)).cast("bigint").alias(
+            "n_distinct_terms"
+        ),
+        F.expr(
+            "CASE WHEN coalesce(n_anchor_terms, 0) > 0 THEN "
+            "n_distinct_terms * 1000000 div n_anchor_terms ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("diversity_ppm"),
+        "avg_anchor_len_milli",
+    )

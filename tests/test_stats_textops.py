@@ -2145,3 +2145,40 @@ def test_url_features_structural_signals(spark):
     # '/123/456' -> 6 digits over 8 chars = 750000 ppm
     assert out[4]["path_digit_ppm"] == 750000
     assert not out[4]["is_root"]
+
+
+def test_subword_fertility_counts(spark):
+    from knowledge_graph_etl_spark.extensions.text import subword_fertility
+
+    rows = [
+        (1, "a", "plain words here"),          # 3 words, 3 pieces
+        (2, "a", "hy-phen and dots..."),       # 3 words, 6 pieces: hy - phen and dots ...
+        (3, "b", ""),                          # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in subword_fertility(df).collect()}
+    assert out["a"]["n_words"] == 6 and out["a"]["n_pieces"] == 9
+    assert out["a"]["fertility_ppm"] == 9 * 1000000 // 6
+    assert out["b"]["n_words"] == 0 and out["b"]["fertility_ppm"] == 0
+
+
+def test_anchor_text_features_signals(spark):
+    from knowledge_graph_etl_spark.extensions.text import anchor_text_features
+
+    rows = [
+        (1, 9, "click here"),
+        (2, 9, "click here"),       # duplicate phrasing
+        (3, 9, "great spark guide"),
+        (4, 8, ""),                 # empty anchor
+    ]
+    links = spark.createDataFrame(rows, "src long, dst long, anchor string")
+    out = {r["dst"]: r for r in anchor_text_features(links).collect()}
+    t9 = out[9]
+    assert t9["n_inlinks"] == 3 and t9["n_unique_anchors"] == 2
+    # terms: click here click here great spark guide -> 7 total, 5 distinct
+    assert t9["n_anchor_terms"] == 7 and t9["n_distinct_terms"] == 5
+    assert t9["diversity_ppm"] == 5 * 1000000 // 7
+    assert t9["avg_anchor_len_milli"] == (10 + 10 + 17) * 1000 // 3
+    t8 = out[8]
+    assert t8["n_inlinks"] == 1 and t8["n_anchor_terms"] == 0
+    assert t8["diversity_ppm"] == 0
