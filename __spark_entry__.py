@@ -3031,7 +3031,8 @@ def contamination_drift_q(spark, sf_dir):
     (extensions/curation.contamination_drift): contamination_report
     (3-grams, every-50th-doc benchmark) on the documents table vs the
     same derived second crawl corpus_snapshot_diff uses (doc_id%11
-    removed, %7 content-changed, %13 re-added under shifted ids),
+    removed, %7 content-changed, %13 re-added under negated ids — a namespace disjoint
+    from real doc_ids at any SF),
     full-outer joined on source with integer-ppm deltas and a rising
     flag — the between-crawls eval-decontamination regression check."""
     from knowledge_graph_etl_spark.extensions.curation import contamination_drift
@@ -3048,7 +3049,7 @@ def contamination_drift_q(spark, sf_dir):
         "source",
     )
     added = old.where((F.col("doc_id") % 13) == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text", "source"
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text", "source"
     )
     bench = old.where((F.col("doc_id") % 50) == 0)
     return contamination_drift(
@@ -3095,7 +3096,7 @@ def _contam_drift_oracle() -> str:
         "newc AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
         "THEN text || ' v2' ELSE text END AS text, source "
         "FROM documents WHERE doc_id % 11 <> 0 "
-        "UNION ALL SELECT doc_id + 1000000, text, source "
+        "UNION ALL SELECT -doc_id - 1, text, source "
         "FROM documents WHERE doc_id % 13 = 0), "
         + _contam_gram_ctes("o", "oldc") + ", "
         "bg AS MATERIALIZED (SELECT DISTINCT gram FROM dgo "
@@ -3582,11 +3583,13 @@ def search_hybrid_rrf_q(spark, sf_dir):
     return rrf_fuse([lex, sem], k=60, topk=10)
 
 
-#: (sf_dir, corpus fingerprint) → collected (lex_rows, sem_rows) — see
+#: sf_dir → (corpus fingerprint, (lex_rows, sem_rows)) — see
 #: _hybrid_rankings. The fingerprint (mtime_ns + size of the two source
 #: parquet directories' files) invalidates the cache if the corpus at
-#: the same path is rebuilt or mutated within one process (ADVICE r11).
-_HYBRID_CACHE: dict[tuple, tuple[list, list]] = {}
+#: the same path is rebuilt or mutated within one process (ADVICE r11);
+#: one entry per sf_dir, so a rebuild REPLACES rather than accumulates
+#: stale entries (ADVICE r12).
+_HYBRID_CACHE: dict[str, tuple[tuple, tuple[list, list]]] = {}
 _HYBRID_SCHEMA = "qid bigint, doc_id bigint, rank bigint"
 
 
@@ -3624,9 +3627,10 @@ def _hybrid_rankings(spark, sf_dir):
     top-20s tie-break on id, so the rankings — and therefore the fused
     results — are deterministic and bit-identical to the uncached
     form."""
-    cache_key = (sf_dir, _corpus_fingerprint(sf_dir))
-    cached = _HYBRID_CACHE.get(cache_key)
-    if cached is not None:
+    fingerprint = _corpus_fingerprint(sf_dir)
+    hit = _HYBRID_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == fingerprint:
+        cached = hit[1]
         return (
             spark.createDataFrame(cached[0], _HYBRID_SCHEMA),
             spark.createDataFrame(cached[1], _HYBRID_SCHEMA),
@@ -3656,7 +3660,7 @@ def _hybrid_rankings(spark, sf_dir):
     )
     lex_rows = [(r.qid, r.doc_id, r.rank) for r in lex.collect()]
     sem_rows = [(r.qid, r.doc_id, r.rank) for r in sem.collect()]
-    _HYBRID_CACHE[cache_key] = (lex_rows, sem_rows)
+    _HYBRID_CACHE[sf_dir] = (fingerprint, (lex_rows, sem_rows))
     return (
         spark.createDataFrame(lex_rows, _HYBRID_SCHEMA),
         spark.createDataFrame(sem_rows, _HYBRID_SCHEMA),
@@ -3772,7 +3776,8 @@ def _stratified_split_oracle() -> str:
 def corpus_snapshot_diff_q(spark, sf_dir):
     """Snapshot regression diff between two corpus versions derived
     deterministically from documents: doc_id%11==0 removed, %7==0 (and
-    not removed) content-changed, %13==0 re-added under shifted ids.
+    not removed) content-changed, %13==0 re-added under negated ids (-doc_id - 1,
+    disjoint from real doc_ids at any SF).
     One full-outer join on (id, md5(text)) projections
     (extensions/changelog.snapshot_diff)."""
     from knowledge_graph_etl_spark.extensions.changelog import snapshot_diff
@@ -3787,7 +3792,7 @@ def corpus_snapshot_diff_q(spark, sf_dir):
         .alias("text"),
     )
     added = d.where((F.col("doc_id") % 13) == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text"
     )
     return snapshot_diff(d, base.unionByName(added))
 
@@ -4189,7 +4194,7 @@ def dedup_cross_snapshot_q(spark, sf_dir):
         .alias("text"),
     )
     added = d.where((F.col("doc_id") % 13) == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"), "text"
     )
     new = base.unionByName(added)
     out = cross_snapshot_neardup(
@@ -6612,7 +6617,7 @@ def _cross_snapshot_oracle(
         "WITH nw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
         "THEN text || ' v2' ELSE text END AS text FROM documents "
         "WHERE doc_id % 11 <> 0 "
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "UNION ALL SELECT -doc_id - 1, text FROM documents "
         "WHERE doc_id % 13 = 0), "
         "oh AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h "
         "FROM documents), "
@@ -8150,8 +8155,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) WHEN doc_id % 4 = 1 THEN '?page=2' "
             "ELSE '' END END AS url FROM documents), "
             "f AS (SELECT doc_id, url, "
-            "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
-            "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, "
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1) AS host, "
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path, "
             "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u) "
             "SELECT doc_id, url, host, "
             "regexp_extract(host, '\\.([^.]+)$', 1) AS tld, "
@@ -8160,8 +8165,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN length(path) > 0 THEN floor((length(path) - "
             "length(regexp_replace(path, '[0-9]', '', 'g'))) * 1000000.0 "
             "/ length(path)) ELSE 0 END AS BIGINT) AS path_digit_ppm, "
-            "CAST(CASE WHEN query = '' THEN 0 ELSE "
-            "len(string_split(query, '&')) END AS BIGINT) AS n_query_params, "
+            "CAST(len(list_filter(string_split(query, '&'), x -> x <> '')) "
+            "AS BIGINT) AS n_query_params, "
             "contains(query, 'utm_') AS has_tracking, "
             "path IN ('', '/') AS is_root FROM f"
         ),
@@ -8268,7 +8273,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH nw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
             "THEN text || ' v2' ELSE text END AS text FROM documents "
             "WHERE doc_id % 11 <> 0 "
-            "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+            "UNION ALL SELECT -doc_id - 1, text FROM documents "
             "WHERE doc_id % 13 = 0), "
             "o AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h "
             "FROM documents), "

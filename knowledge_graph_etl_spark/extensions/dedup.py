@@ -642,9 +642,11 @@ def cross_snapshot_neardup(
     delta_ids = diff.where(F.col("status").isin(*statuses)).select(
         F.col(id_col), "status"
     )
-    delta = new.join(
-        F.broadcast(delta_ids.select(id_col)), id_col, "left_semi"
-    )
+    # No broadcast hint: the delta scales with crawl churn (a full
+    # re-crawl makes it corpus-sized), so pinning a broadcast here would
+    # build a corpus-proportional table on the driver at volume. AQE
+    # broadcasts it at runtime when it is actually small.
+    delta = new.join(delta_ids.select(id_col), id_col, "left_semi")
     bsig = _signature_table(delta, text_col, id_col, num_hashes, hash_fn, materialize)
     bband = _band_table(bsig, num_hashes, bands, hash_fn)
     csig = _signature_table(old, text_col, id_col, num_hashes, hash_fn, materialize)

@@ -533,7 +533,7 @@ def url_features(
     * ``path_depth`` — number of non-empty path segments;
     * ``path_digit_ppm`` — digits per path character (ppm, exact
       integer division — cross-engine identical);
-    * ``n_query_params`` — ``&``-separated parameter count;
+    * ``n_query_params`` — non-empty ``&``-separated parameter count;
     * ``has_tracking`` — any ``utm_`` parameter present;
     * ``is_root`` — path is ``''`` or ``/``.
 
@@ -541,8 +541,12 @@ def url_features(
     whole-stage codegen) — no shuffle, no UDF; at 100 TB this is a
     map-only pass that column-prunes to the URL column."""
     url = F.col(url_col)
-    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
-    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    # RFC-3986 scheme class (case-insensitive, alnum+.- after the first
+    # letter) — an uppercase-scheme URL must not degrade to empty
+    # host/path (which would mislabel it is_root=true)
+    scheme = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+    host = F.regexp_extract(url, scheme + r"([^/?#]+)", 1)
+    path = F.regexp_extract(url, scheme + r"[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     path_len = F.length(path)
     n_digits = path_len - F.length(F.regexp_replace(path, "[0-9]", ""))
@@ -566,10 +570,8 @@ def url_features(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("path_digit_ppm"),
-        F.when(query == "", F.lit(0))
-        .otherwise(
-            F.size(F.split(query, "&")).cast("bigint")
-        )
+        # empty '&'-segments ('a=1&&b=2') are separators, not params
+        F.size(F.filter(F.split(query, "&"), lambda x: x != ""))
         .cast("bigint")
         .alias("n_query_params"),
         query.contains("utm_").alias("has_tracking"),

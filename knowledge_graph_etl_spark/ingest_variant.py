@@ -43,6 +43,8 @@ wins is a measurement, recorded in BASELINE.md r12.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,7 +103,11 @@ def json_to_quads_variant(
             raise ValueError(
                 f"document nesting exceeds max_depth={max_depth}"
             )
-        view = f"__ingest_frontier_{id(docs)}_{depth}"
+        # uuid per level, not id(docs): id() values are reusable after
+        # gc, so two concurrent calls in one SparkSession could collide
+        # and createOrReplaceTempView would silently clobber the other
+        # run's frontier (ADVICE r12)
+        view = f"__ingest_frontier_{uuid.uuid4().hex}_{depth}"
         expandable.createOrReplaceTempView(view)
         children = spark.sql(
             """

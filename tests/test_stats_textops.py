@@ -2147,6 +2147,28 @@ def test_url_features_structural_signals(spark):
     assert not out[4]["is_root"]
 
 
+def test_url_features_scheme_case_and_empty_params(spark):
+    """ADVICE r12 pins: an uppercase-scheme URL must parse like its
+    lowercase twin (not degrade to empty host + is_root=true), and
+    empty '&'-segments are separators, not parameters."""
+    from knowledge_graph_etl_spark.extensions.text import url_features
+
+    rows = [
+        (1, "HTTPS://News.example.ORG/a/b?x=1"),
+        (2, "git+ssh://host.net/repo"),
+        (3, "https://q.example.com/p?a=1&&b=2"),
+        (4, "https://q.example.com/p?&&"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_features(df).collect()}
+    assert out[1]["host"] == "News.example.ORG"
+    assert out[1]["path_depth"] == 2 and not out[1]["is_root"]
+    assert out[1]["n_query_params"] == 1
+    assert out[2]["host"] == "host.net" and out[2]["path_depth"] == 1
+    assert out[3]["n_query_params"] == 2
+    assert out[4]["n_query_params"] == 0
+
+
 def test_subword_fertility_counts(spark):
     from knowledge_graph_etl_spark.extensions.text import subword_fertility
 

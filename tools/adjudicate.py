@@ -64,7 +64,10 @@ def main() -> int:
     ap.add_argument("--from-bench", action="store_true",
                     help="adjudicate every entry in BENCH_local.json over_bar")
     ap.add_argument("--n", type=int, default=5, help="solo runs per entry (median)")
-    ap.add_argument("--round", default="r11", help="provenance tag for --pin")
+    # required, not defaulted: a stale default stamps the wrong round's
+    # provenance into pins/tables (the r12 judge hit exactly this)
+    ap.add_argument("--round", required=True,
+                    help="provenance tag for --pin, e.g. r13")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--pin", nargs="*", default=None,
                     help="write medians to solo_pins.json (no names = all run)")
