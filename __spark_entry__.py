@@ -5661,97 +5661,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r08's 47, then r09, r10, with the r11-checked block at the back);
     ties keep their previous relative order."""
     return {
-        # --- r12 front: oldest-driver-row block (r11 verdict, What's missing #1) ---
-        "agg_pricing_summary": agg_pricing_summary,
-        "contamination_report": contamination_report_q,
-        "dedup_suffix_prefix": dedup_suffix_prefix_q,
-        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
-        "graph_betweenness": graph_betweenness_q,
-        "graph_kcore": graph_kcore_q,
-        "join_topn_revenue": join_topn_revenue,
-        "kg_construct": kg_construct,
-        "kg_dataset_union": kg_dataset_union,
-        "kg_dedup_union": kg_dedup_union,
-        "kg_direct_mapping": kg_direct_mapping,
-        "kg_exists_semijoin": kg_exists_semijoin,
-        "kg_functions": kg_functions,
-        "kg_optional": kg_optional,
-        "kg_select": kg_select,
-        "kg_sparql_delete": kg_sparql_delete,
-        "kg_sparql_update": kg_sparql_update,
-        "streaming_dedup": streaming_dedup,
-        "streaming_sessionize": streaming_sessionize,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        # --- r12 changed/added: broadcast-hint sweep, zipf/MI guards, rrf cache rekey, new operators ---
-        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
-        "smallqty_revenue": smallqty_revenue,
-        "promo_revenue_share": promo_revenue_share,
-        "graph_wcc": graph_wcc_q,
-        "large_order_customers": large_order_customers,
-        "nation_market_share": nation_market_share,
-        "mincost_region_supplier": mincost_region_supplier,
-        "excess_stock_suppliers": excess_stock_suppliers,
-        "part_supplier_variety": part_supplier_variety,
-        "bracket_revenue": bracket_revenue,
-        "late_supplier_blame": late_supplier_blame,
-        "text_zipf_fit": text_zipf_fit_q,
-        "stats_mutual_information": stats_mutual_information_q,
-        "search_hybrid_rrf": search_hybrid_rrf_q,
-        "search_rrf_weighted": search_rrf_weighted_q,
-        "dedup_cross_snapshot": dedup_cross_snapshot_q,
-        "sketch_sample_quantiles": sketch_sample_quantiles_q,
-        "data_domain_cap": data_domain_cap_q,
-        "text_url_features": text_url_features_q,
-        "ann_hard_negatives": ann_hard_negatives_q,
-        "text_fertility": text_fertility_q,
-        "text_anchor_signals": text_anchor_signals_q,
-        # --- latest driver row r08 (oldest-first; last-checked rotates to the back) ---
-        "contamination_drift": contamination_drift_q,
-        "ann_ivfpq_topk": ann_ivfpq_topk_q,
-        "embed_decontaminate": embed_decontaminate_q,
-        "dedup_softweight": dedup_softweight_q,
-        "table_profile": table_profile_q,
-        "customer_order_dist": customer_order_dist,
-        "dormant_customer_value": dormant_customer_value,
-        "copurchase_topk": copurchase_topk,
+        # --- r13 front: oldest-driver-row block (r12 verdict, What's missing #1, + the two r03 x64 variants) ---
         "agg_incremental_merge": agg_incremental_merge,
-        "window_running_total": window_running_total,
-        "window_topk_per_user": window_topk_per_user,
-        "json_extract_events": json_extract_events,
-        "dedup_exact": dedup_exact_q,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-        "dedup_minhash_lsh": dedup_minhash_lsh_q,
-        "dedup_resolve_clusters": dedup_resolve_clusters_q,
         "ann_cosine_topk": ann_cosine_topk_q,
         "ann_embedding_neardup": ann_embedding_neardup_q,
-        "ann_lsh_topk": ann_lsh_topk_q,
-        "ann_ivf_topk": ann_ivf_topk_q,
         "ann_ivf_query": ann_ivf_query_q,
+        "ann_ivf_topk": ann_ivf_topk_q,
+        "ann_lsh_topk": ann_lsh_topk_q,
         "ann_neardup_lsh": ann_neardup_lsh_q,
+        "ann_range_search": ann_range_search_q,
+        "data_split_shard": data_split_shard_q,
+        "decontaminate": decontaminate_q,
+        "dedup_exact": dedup_exact_q,
+        "dedup_incremental": dedup_incremental_q,
+        "dedup_lines": dedup_lines_q,
+        "dedup_minhash_lsh": dedup_minhash_lsh_q,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+        "dedup_resolve_clusters": dedup_resolve_clusters_q,
         "dedup_simhash": dedup_simhash_q,
-        "text_langid": text_langid_q,
-        "text_fingerprint": text_fingerprint_q,
-        "text_winnow_fp": text_winnow_fp_q,
+        "doc_cdc_chunks": doc_cdc_chunks_q,
+        "dsir_importance": dsir_importance_q,
+        "graph_ktruss": graph_ktruss_q,
+        "graph_linkpred": graph_linkpred_q,
+        "json_extract_events": json_extract_events,
+        "kg_pattern_scan": kg_pattern_scan,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_features": multimodal_features_q,
         "multimodal_frame_sample": multimodal_frame_sample_q,
-        "skew_salted_join": skew_salted_join_q,
-        "skew_distinct_users": skew_distinct_users_q,
-        "text_repetition": text_repetition_q,
-        "decontaminate": decontaminate_q,
         "pii_redact": pii_redact_q,
-        "data_split_shard": data_split_shard_q,
-        "kg_pattern_scan": kg_pattern_scan,
-        "dedup_lines": dedup_lines_q,
-        "text_features": text_features_q,
         "quality_classifier": quality_classifier_q,
-        "dsir_importance": dsir_importance_q,
-        "graph_linkpred": graph_linkpred_q,
-        "dedup_incremental": dedup_incremental_q,
-        "ann_range_search": ann_range_search_q,
-        "graph_ktruss": graph_ktruss_q,
+        "skew_distinct_users": skew_distinct_users_q,
+        "skew_salted_join": skew_salted_join_q,
         "source_reputation": source_reputation_q,
-        "doc_cdc_chunks": doc_cdc_chunks_q,
+        "text_features": text_features_q,
+        "text_fingerprint": text_fingerprint_q,
+        "text_langid": text_langid_q,
+        "text_repetition": text_repetition_q,
+        "text_winnow_fp": text_winnow_fp_q,
+        "window_running_total": window_running_total,
+        "window_topk_per_user": window_topk_per_user,
+        # --- r13 changed/added (advice semantics fixes + new operators) ---
+        "dedup_cross_snapshot": dedup_cross_snapshot_q,
+        "corpus_snapshot_diff": corpus_snapshot_diff_q,
+        "contamination_drift": contamination_drift_q,
+        "text_url_features": text_url_features_q,
         # --- latest driver row r09 (oldest-first; last-checked rotates to the back) ---
         "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
@@ -5866,7 +5819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_steady": dedup_incremental_steady_q,
         "search_boolean": search_boolean_q,
         "search_phrase": search_phrase_q,
-        "corpus_snapshot_diff": corpus_snapshot_diff_q,
         "agg_hist_quantiles": agg_hist_quantiles_q,
         "skew_report": skew_report_q,
         "curation_manifest": curation_manifest_q,
@@ -5891,6 +5843,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": graph_communities_q,
         "corpus_report": corpus_report_q,
         "streaming_anomaly": streaming_anomaly_q,
+        # --- latest driver row r12 (oldest-first; last-checked rotates to the back) ---
+        "agg_pricing_summary": agg_pricing_summary,
+        "contamination_report": contamination_report_q,
+        "dedup_suffix_prefix": dedup_suffix_prefix_q,
+        "doc_minhash_cluster_dedup": doc_minhash_cluster_dedup_q,
+        "graph_betweenness": graph_betweenness_q,
+        "graph_kcore": graph_kcore_q,
+        "join_topn_revenue": join_topn_revenue,
+        "kg_construct": kg_construct,
+        "kg_dataset_union": kg_dataset_union,
+        "kg_dedup_union": kg_dedup_union,
+        "kg_direct_mapping": kg_direct_mapping,
+        "kg_exists_semijoin": kg_exists_semijoin,
+        "kg_functions": kg_functions,
+        "kg_optional": kg_optional,
+        "kg_select": kg_select,
+        "kg_sparql_delete": kg_sparql_delete,
+        "kg_sparql_update": kg_sparql_update,
+        "streaming_dedup": streaming_dedup,
+        "streaming_sessionize": streaming_sessionize,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "multi_join_revenue_by_nation": multi_join_revenue_by_nation,
+        "smallqty_revenue": smallqty_revenue,
+        "promo_revenue_share": promo_revenue_share,
+        "graph_wcc": graph_wcc_q,
+        "large_order_customers": large_order_customers,
+        "nation_market_share": nation_market_share,
+        "mincost_region_supplier": mincost_region_supplier,
+        "excess_stock_suppliers": excess_stock_suppliers,
+        "part_supplier_variety": part_supplier_variety,
+        "bracket_revenue": bracket_revenue,
+        "late_supplier_blame": late_supplier_blame,
+        "text_zipf_fit": text_zipf_fit_q,
+        "stats_mutual_information": stats_mutual_information_q,
+        "search_hybrid_rrf": search_hybrid_rrf_q,
+        "search_rrf_weighted": search_rrf_weighted_q,
+        "sketch_sample_quantiles": sketch_sample_quantiles_q,
+        "data_domain_cap": data_domain_cap_q,
+        "ann_hard_negatives": ann_hard_negatives_q,
+        "text_fertility": text_fertility_q,
+        "text_anchor_signals": text_anchor_signals_q,
+        "ann_ivfpq_topk": ann_ivfpq_topk_q,
+        "embed_decontaminate": embed_decontaminate_q,
+        "dedup_softweight": dedup_softweight_q,
+        "table_profile": table_profile_q,
+        "customer_order_dist": customer_order_dist,
+        "dormant_customer_value": dormant_customer_value,
+        "copurchase_topk": copurchase_topk,
     }
 
 

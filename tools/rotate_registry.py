@@ -30,54 +30,63 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 ENTRY = os.path.join(REPO, "__spark_entry__.py")
 
-#: r12 front: the 20 entries whose latest driver row is r07 (r11 verdict,
-#: What's missing #1 — listed there in this order).
+#: r13 front: the 38 entries whose latest driver row is r08 (r12
+#: verdict, What's missing #1). The two r03-stale x64 variants are NOT
+#: here: they moved to bench_only_queries() after r03 (no xxhash64 in
+#: DuckDB), so the driver window can't reach them by design.
 STALE_FRONT = [
-    "agg_pricing_summary",
-    "contamination_report",
-    "dedup_suffix_prefix",
-    "doc_minhash_cluster_dedup",
-    "graph_betweenness",
-    "graph_kcore",
-    "join_topn_revenue",
-    "kg_construct",
-    "kg_dataset_union",
-    "kg_dedup_union",
-    "kg_direct_mapping",
-    "kg_exists_semijoin",
-    "kg_functions",
-    "kg_optional",
-    "kg_select",
-    "kg_sparql_delete",
-    "kg_sparql_update",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_windowed_counts",
+    "agg_incremental_merge",
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
+    "ann_ivf_query",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_neardup_lsh",
+    "ann_range_search",
+    "data_split_shard",
+    "decontaminate",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_resolve_clusters",
+    "dedup_simhash",
+    "doc_cdc_chunks",
+    "dsir_importance",
+    "graph_ktruss",
+    "graph_linkpred",
+    "json_extract_events",
+    "kg_pattern_scan",
+    "multimodal_binary_meta",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pii_redact",
+    "quality_classifier",
+    "skew_distinct_users",
+    "skew_salted_join",
+    "source_reputation",
+    "text_features",
+    "text_fingerprint",
+    "text_langid",
+    "text_repetition",
+    "text_winnow_fp",
+    "window_running_total",
+    "window_topk_per_user",
 ]
 
-#: entries added or behavior-touched this round (r12): the broadcast-hint
-#: sweep (11 entries beyond join_topn_revenue, which is in STALE_FRONT),
-#: the zipf degenerate-slice guard, the MI clamp, the rrf cache rekey,
-#: plus the round's new operators (prepended as they land).
+#: entries added or behavior-touched this round (r13): the ADVICE fixes
+#: that changed query/oracle semantics (negated re-added ids; url_features
+#: scheme class + empty-param counting), plus the round's new operators
+#: (brand-new entries auto-front after CHANGED).
 CHANGED = [
-    "multi_join_revenue_by_nation",
-    "smallqty_revenue",
-    "promo_revenue_share",
-    "graph_wcc",
-    "large_order_customers",
-    "nation_market_share",
-    "mincost_region_supplier",
-    "excess_stock_suppliers",
-    "part_supplier_variety",
-    "bracket_revenue",
-    "late_supplier_blame",
-    "text_zipf_fit",
-    "stats_mutual_information",
-    "search_hybrid_rrf",
-    "search_rrf_weighted",
+    "dedup_cross_snapshot",
+    "corpus_snapshot_diff",
+    "contamination_drift",
+    "text_url_features",
 ]
 
-ROUND = "r12"
+ROUND = "r13"
 
 
 def latest_driver_round() -> dict[str, int]:
@@ -123,13 +132,13 @@ def main() -> int:
     lines = []
     lines.append(
         f"        # --- {ROUND} front: oldest-driver-row block "
-        "(r11 verdict, What's missing #1) ---"
+        "(r12 verdict, What's missing #1, + the two r03 x64 variants) ---"
     )
     for k in front:
         lines.append(f'        "{k}": {mapping[k]},')
     lines.append(
-        f"        # --- {ROUND} changed/added: broadcast-hint sweep, "
-        "zipf/MI guards, rrf cache rekey, new operators ---"
+        f"        # --- {ROUND} changed/added "
+        "(advice semantics fixes + new operators) ---"
     )
     for k in changed + brand_new:
         lines.append(f'        "{k}": {mapping[k]},')
