@@ -4282,6 +4282,177 @@ def text_url_features_q(spark, sf_dir):
     return url_features(d.select("doc_id", url.alias("url")))
 
 
+def _synth_html(with_short: bool = True):
+    """Deterministic raw-HTML page per document — the corpus has no
+    HTML column, so the html_* entries construct one covering the
+    extraction space: chrome tags (header/nav/aside/footer), two
+    content blocks (text split at char 150), a sub-threshold short
+    block, and a link-farm paragraph whose two targets exercise
+    absolute, relative and uppercase-host hrefs. Oracles replicate the
+    construction with the identical || chain."""
+    did = F.col("doc_id")
+    dst1 = F.concat(
+        F.lit("https://t"),
+        (did % 23).cast("string"),
+        F.lit(".example.net/a/"),
+        did.cast("string"),
+    )
+    dst2 = F.when(
+        did % 5 == 0, F.concat(F.lit("/local/"), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://T"), (did % 23).cast("string"),
+            F.lit(".Example.NET:80/b"),
+        )
+    )
+    parts = [
+        F.lit("<html><head><title>d"),
+        did.cast("string"),
+        F.lit("</title></head><body>"),
+        F.lit("<header>site header banner</header>"),
+        F.lit("<nav>home about contact archive</nav>"),
+        F.lit("<p>"),
+        F.substring(F.col("text"), 1, 150),
+        F.lit("</p>"),
+        F.lit("<div>"),
+        F.substring(F.col("text"), 151, 1 << 20),
+        F.lit("</div>"),
+    ]
+    if with_short:
+        parts.append(F.lit("<p>short</p>"))
+    parts += [
+        F.lit('<p><a href="'),
+        dst1,
+        F.lit('">first related article</a> <a href="'),
+        dst2,
+        F.lit('">second related article</a></p>'),
+        F.lit("<aside>subscribe to the newsletter</aside>"),
+        F.lit("<footer>copyright example site</footer>"),
+        F.lit("</body></html>"),
+    ]
+    return F.concat(*parts)
+
+
+def html_extract_main_q(spark, sf_dir):
+    """HTML boilerplate removal (extensions/html.extract_main_text):
+    per-block text-density extraction over the synthesized raw page —
+    chrome tags and the link-farm paragraph drop, the two content
+    blocks survive and rejoin in document order. Map-only projection,
+    zero Exchange (plan-pinned)."""
+    from knowledge_graph_etl_spark.extensions.html import extract_main_text
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_main_text(
+        d.select("doc_id", _synth_html().alias("html"))
+    )
+
+
+def html_outlinks_q(spark, sf_dir):
+    """Outlink extraction into the host link graph (extensions/
+    html.outlink_hostgraph): hrefs pulled from the synthesized page
+    (absolute, relative → source host, uppercase host:port →
+    lowercased, port-stripped), one edge row per (src_host,
+    dst_host)."""
+    from knowledge_graph_etl_spark.extensions.html import outlink_hostgraph
+
+    d = _t(spark, sf_dir, "documents")
+    src_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return outlink_hostgraph(
+        d.select(
+            "doc_id", _synth_html().alias("html"), src_url.alias("url")
+        )
+    )
+
+
+def url_canonical_dedup_q(spark, sf_dir):
+    """Canonical-URL dedup (extensions/dedup.canonical_url_dedup over
+    text.canonicalize_url): four deterministic variants of ~97 base
+    pages — tracking params + trailing slash, uppercase scheme/host +
+    default port, unsorted params + fragment, and a NON-default port
+    that must stay distinct — collapsed to canonical keys with
+    min-doc_id keeper election."""
+    from knowledge_graph_etl_spark.extensions.dedup import canonical_url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    key = (did % 97).cast("string")
+    url = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("https://shop.example.com/item/"), key,
+                F.lit("/?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://Shop.Example.COM:443/item/"), key
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://shop.example.com/item/"), key,
+                F.lit("?b=2&a=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://shop.example.com:8443/item/"), key,
+                F.lit("?a=1&b=2"),
+            )
+        )
+    )
+    return canonical_url_dedup(d.select("doc_id", url.alias("url")))
+
+
+def dedup_minhash_tuner_q(spark, sf_dir):
+    """MinHash (bands, rows) operating-point tuner (extensions/
+    dedup.minhash_operating_point): the six factorizations of 32
+    hashes scored by exact S-curve FP+FN mass over the 1-in-8 sampled
+    pair-similarity distribution at target Jaccard 0.8 — the r02
+    hand-tuning episode as an operator. S-curve in fold-multiplied
+    doubles (bit-identical cross-engine), masses in integer micro
+    units."""
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        minhash_operating_point,
+    )
+
+    return minhash_operating_point(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32,
+        target_jaccard_ppm=800_000,
+        sample_mod=8,
+    )
+
+
+def shard_divergence_q(spark, sf_dir):
+    """Per-shard token-distribution divergence report (extensions/
+    stats.shard_psi_report): documents md5-hash-sharded 8 ways, each
+    shard's n_chars distribution PSI-scored against the full corpus
+    over corpus-decile bins — the shard-quality gate after
+    write_sharded_corpus (hash shards should sit near zero; the flag
+    is the standard PSI > 0.25 action threshold)."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.stats import shard_psi_report
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_psi_report(
+        d.select(
+            (md5_u60(F.col("doc_id").cast("string")) % 8).alias("shard"),
+            "n_chars",
+        ),
+        "n_chars",
+        "shard",
+        bins=10,
+        quant_scale=1,
+    )
+
+
 def ann_hard_negatives_q(spark, sf_dir):
     """Hard-negative mining for retriever training (extensions/
     similarity.mine_hard_negatives): per query vector (vec_id < 5), the
@@ -5705,6 +5876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": corpus_snapshot_diff_q,
         "contamination_drift": contamination_drift_q,
         "text_url_features": text_url_features_q,
+        "html_extract_main": html_extract_main_q,
+        "html_outlinks": html_outlinks_q,
+        "url_canonical_dedup": url_canonical_dedup_q,
+        "dedup_minhash_tuner": dedup_minhash_tuner_q,
+        "shard_divergence": shard_divergence_q,
         # --- latest driver row r09 (oldest-first; last-checked rotates to the back) ---
         "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
@@ -8146,6 +8322,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(cum_tokens AS BIGINT) AS cum_tokens "
             "FROM c WHERE cum_tokens <= 2000"
         ),
+        "html_extract_main": "WITH u AS (SELECT doc_id, '<html><head><title>d' || CAST(doc_id AS VARCHAR) || '</title></head><body><header>site header banner</header><nav>home about contact archive</nav><p>' || substr(coalesce(text, ''), 1, 150) || '</p><div>' || substr(coalesce(text, ''), 151, 1048576) || '</div><p>short</p><p><a href=\"' || 'https://t' || CAST(doc_id % 23 AS VARCHAR) || '.example.net/a/' || CAST(doc_id AS VARCHAR) || '\">first related article</a> <a href=\"' || CASE WHEN doc_id % 5 = 0 THEN '/local/' || CAST(doc_id AS VARCHAR) ELSE 'HTTP://T' || CAST(doc_id % 23 AS VARCHAR) || '.Example.NET:80/b' END || '\">second related article</a></p><aside>subscribe to the newsletter</aside><footer>copyright example site</footer></body></html>' AS html FROM documents), b AS (SELECT doc_id, regexp_extract_all(html, '(?s)<(?:p|div|li|h1|h2|h3|nav|footer|header|aside)(?: [^>]*)?>.*?</(?:p|div|li|h1|h2|h3|nav|footer|header|aside)>') AS blocks FROM u), s AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(tag := regexp_extract(x, '^<([a-z0-9]+)', 1), inn := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), lk := coalesce(list_sum(list_transform(regexp_extract_all(x, '(?s)<a (?:[^>]*)>([^<]*)</a>', 1), t -> length(trim(t)))), 0))) AS bs FROM b), f AS (SELECT doc_id, bs, list_filter(bs, s -> s.tag NOT IN ('nav', 'footer', 'header', 'aside') AND length(s.inn) >= 25 AND CAST(floor(CAST(s.lk AS DOUBLE) * 1000000.0 / greatest(length(s.inn), 1)) AS BIGINT) <= 500000) AS kept FROM s), g AS (SELECT doc_id, array_to_string(list_transform(kept, s -> s.inn), ' ') AS main_text, CAST(len(bs) AS BIGINT) AS n_blocks, CAST(len(kept) AS BIGINT) AS n_kept, CAST(coalesce(list_sum(list_transform(bs, s -> length(s.inn))), 0) AS BIGINT) AS tot, CAST(coalesce(list_sum(list_transform(kept, s -> length(s.inn))), 0) AS BIGINT) AS kl FROM f) SELECT doc_id, main_text, n_blocks, n_kept, CAST(length(main_text) AS BIGINT) AS main_len, CAST(floor(CAST(tot - kl AS DOUBLE) * 1000000.0 / greatest(tot, 1)) AS BIGINT) AS boilerplate_ppm FROM g",
+        "html_outlinks": "WITH u AS (SELECT doc_id, '<html><head><title>d' || CAST(doc_id AS VARCHAR) || '</title></head><body><header>site header banner</header><nav>home about contact archive</nav><p>' || substr(coalesce(text, ''), 1, 150) || '</p><div>' || substr(coalesce(text, ''), 151, 1048576) || '</div><p>short</p><p><a href=\"' || 'https://t' || CAST(doc_id % 23 AS VARCHAR) || '.example.net/a/' || CAST(doc_id AS VARCHAR) || '\">first related article</a> <a href=\"' || CASE WHEN doc_id % 5 = 0 THEN '/local/' || CAST(doc_id AS VARCHAR) ELSE 'HTTP://T' || CAST(doc_id % 23 AS VARCHAR) || '.Example.NET:80/b' END || '\">second related article</a></p><aside>subscribe to the newsletter</aside><footer>copyright example site</footer></body></html>' AS html, 'https://' || source || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents), l AS (SELECT doc_id, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host, unnest(regexp_extract_all(html, '<a [^>]*href=\"([^\"]*)\"', 1)) AS href FROM u), e AS (SELECT doc_id, src_host, CASE WHEN lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) <> '' THEN lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) ELSE src_host END AS dst_host, href FROM l) SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links, CAST(COUNT(DISTINCT href) AS BIGINT) AS n_unique_urls, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs FROM e WHERE dst_host <> '' GROUP BY 1, 2",
+        "url_canonical_dedup": "WITH u AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'https://shop.example.com/item/' || CAST(doc_id % 97 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x' WHEN doc_id % 4 = 1 THEN 'HTTPS://Shop.Example.COM:443/item/' || CAST(doc_id % 97 AS VARCHAR) WHEN doc_id % 4 = 2 THEN 'https://shop.example.com/item/' || CAST(doc_id % 97 AS VARCHAR) || '?b=2&a=1#frag' ELSE 'https://shop.example.com:8443/item/' || CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' END AS url FROM documents), c AS (SELECT doc_id, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS hostport, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath, regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), n AS (SELECT doc_id, url, scheme, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host, regexp_extract(hostport, ':([0-9]+)$', 1) AS port, CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END AS path, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$'))) AS params FROM c), k AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN lower(trim(url)) ELSE scheme || '://' || host || CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END || path || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END END AS canonical_url FROM n), g AS (SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM k GROUP BY 1) SELECT k.doc_id, k.url, k.canonical_url, g.group_size, k.doc_id = g.keep_id AS is_canonical FROM k JOIN g USING (canonical_url)",
+        "dedup_minhash_tuner": "WITH samp AS (SELECT doc_id AS id, list_distinct(" + _TOKS + ") AS t FROM documents WHERE doc_id % 8 = 0), sz AS (SELECT id, len(t) AS n FROM samp), tok AS (SELECT id, unnest(t) AS tk FROM samp), inter AS (SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS i FROM tok a JOIN tok b ON a.tk = b.tk AND a.id < b.id GROUP BY 1, 2), pr AS (SELECT CAST(i * 1000000 // (na.n + nb.n - i) AS BIGINT) AS s_ppm FROM inter JOIN sz na ON na.id = ia JOIN sz nb ON nb.id = ib), cand AS (SELECT * FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1)) AS t(bands, rows_per_band)), sc AS (SELECT bands, rows_per_band, s_ppm, CAST(floor((1.0 - list_reduce(list_transform(generate_series(1, bands), x -> 1.0 - list_reduce(list_transform(generate_series(1, rows_per_band), y -> CAST(s_ppm AS DOUBLE) / 1000000.0), (a, v) -> a * v)), (a, v) -> a * v)) * 1000000.0 + 0.5) AS BIGINT) AS p_micro FROM pr CROSS JOIN cand), agg AS (SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN s_ppm >= 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pairs, CAST(SUM(CASE WHEN s_ppm < 800000 THEN p_micro ELSE 0 END) AS BIGINT) AS fp_micro, CAST(SUM(CASE WHEN s_ppm >= 800000 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS fn_micro FROM sc GROUP BY 1, 2) SELECT CAST(bands AS INTEGER) AS bands, CAST(rows_per_band AS INTEGER) AS rows_per_band, n_pairs, n_pos_pairs, fp_micro, fn_micro, CAST(fp_micro + fn_micro AS BIGINT) AS cost_micro, CAST(row_number() OVER (ORDER BY fp_micro + fn_micro, bands) AS BIGINT) AS rank FROM agg",
+        "shard_divergence": "WITH q AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard, CAST(floor(CAST(n_chars AS DOUBLE) * 1 + 0.5) AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL), h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1), rk AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM h), e AS (SELECT i, MIN(CASE WHEN cum >= (i * n + 9) // 10 THEN v END) AS edge FROM rk CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t GROUP BY i), bn AS (SELECT shard, (SELECT COUNT(*) FROM e WHERE q.v > e.edge) AS bin_id FROM q), cb AS (SELECT shard, bin_id, CAST(COUNT(*) AS BIGINT) AS cur_cnt FROM bn GROUP BY 1, 2), sh AS (SELECT DISTINCT shard FROM cb), spine AS (SELECT shard, bin_id FROM sh CROSS JOIN (SELECT unnest(range(10)) AS bin_id) b), rb AS (SELECT bin_id, CAST(SUM(cur_cnt) AS BIGINT) AS ref_cnt FROM cb GROUP BY 1), tt AS (SELECT CAST(SUM(cur_cnt) AS BIGINT) AS tr FROM cb), pt AS (SELECT shard, CAST(SUM(cur_cnt) AS BIGINT) AS tc FROM cb GROUP BY 1), j AS (SELECT spine.shard, spine.bin_id, CAST(COALESCE(cb.cur_cnt, 0) AS BIGINT) AS cur_cnt, CAST(COALESCE(rb.ref_cnt, 0) AS BIGINT) AS ref_cnt, pt.tc, tt.tr FROM spine LEFT JOIN cb ON cb.shard = spine.shard AND cb.bin_id = spine.bin_id LEFT JOIN rb ON rb.bin_id = spine.bin_id JOIN pt ON pt.shard = spine.shard CROSS JOIN tt), s2 AS (SELECT shard, tc, CAST(GREATEST(ref_cnt * 1000000 // GREATEST(tr, 1), 1) AS BIGINT) AS ref_ppm, CAST(GREATEST(cur_cnt * 1000000 // GREATEST(tc, 1), 1) AS BIGINT) AS cur_ppm FROM j), cell AS (SELECT shard, tc, CAST(floor(CAST(ref_ppm - cur_ppm AS DOUBLE) / 1000000.0 * ln(CAST(ref_ppm AS DOUBLE) / CAST(cur_ppm AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS psi_cell FROM s2) SELECT shard, CAST(MAX(tc) AS BIGINT) AS n_rows, CAST(SUM(psi_cell) AS BIGINT) AS psi_micro, CAST(SUM(psi_cell) AS BIGINT) > 250000 AS drifted FROM cell GROUP BY 1",
         "text_url_features": (
             "WITH u AS (SELECT doc_id, 'https://' || source || "
             "'.example.org' || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE "

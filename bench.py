@@ -17,10 +17,160 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _jvm_probe(spark) -> dict:
+    """Per-entry accumulation probe (SPARK_GRAFT_BENCH_PROBE=1): what, if
+    anything, survives the per-entry clearCache+unpersist+System.gc and
+    builds up across a 232-entry run (r12 verdict, What's wrong #1 —
+    table_profile 9.27 s at bench position ~207 vs 0.83 s solo on the
+    same box). Candidates and why each is measured:
+
+    * heap_mb — driver old-gen survivors right after the full GC;
+    * metaspace_mb — codegen classes whose loaders something retains;
+    * codecache_mb (segmented pools summed) + jit_ms — a JIT code cache
+      near its 240 MB default stops compilation ("CodeCache is full")
+      and flushing causes recompile storms: the one candidate that
+      produces exactly the observed late-run MOVING humps;
+    * gc_ms — cumulative collector time (pause inflation shows up as a
+      growing per-entry delta);
+    * shuffle_mb / shuffle_files — spark.local.dir residue: shuffle
+      cleanup via ContextCleaner is ASYNC for shuffles, so files can
+      outlive the GC that enqueued them and their deletion I/O lands
+      inside later entries' timings;
+    * py4j_pool — Python-side JavaObject bindings (a leak here pins JVM
+      objects); temp_views — catalog growth; threads — executor/cleaner
+      thread leaks.
+
+    Cost: a handful of py4j calls + one os.walk of the block-manager
+    dirs, ~10-50 ms per entry, probe-mode only (never in driver runs)."""
+    jvm = spark._jvm
+    mf = jvm.java.lang.management.ManagementFactory
+    heap = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
+    pools = {}
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        p = it.next()
+        pools[p.getName()] = p.getUsage().getUsed()
+    meta = pools.get("Metaspace", 0)
+    code = sum(v for k, v in pools.items() if k.startswith("CodeHeap"))
+    jit = mf.getCompilationMXBean().getTotalCompilationTime()
+    gc_ms = 0
+    it = mf.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        gc_ms += it.next().getCollectionTime()
+    shuffle_bytes = 0
+    shuffle_files = 0
+    try:
+        dirs = jvm.org.apache.spark.SparkEnv.get().blockManager().diskBlockManager().localDirs()
+        for d in dirs:
+            for root, _subdirs, files in os.walk(d.getAbsolutePath()):
+                for f in files:
+                    try:
+                        shuffle_bytes += os.path.getsize(os.path.join(root, f))
+                        shuffle_files += 1
+                    except OSError:
+                        pass
+    except Exception:  # noqa: BLE001 - probe must never break the bench
+        shuffle_bytes = -1
+    return {
+        "heap_mb": round(heap / 1e6),
+        "metaspace_mb": round(meta / 1e6),
+        "codecache_mb": round(code / 1e6),
+        "jit_ms": jit,
+        "gc_ms": gc_ms,
+        "shuffle_mb": round(shuffle_bytes / 1e6),
+        "shuffle_files": shuffle_files,
+        "py4j_pool": len(spark.sparkContext._gateway.gateway_property.pool),
+        "temp_views": len(spark.catalog.listTables()),
+        "threads": jvm.java.lang.Thread.activeCount(),
+    }
+
+
+#: setup fixture → the bench entries that probe it (the untimed ensure_*
+#: warmups only run in a shard whose slice contains a dependent entry)
+_SETUP_DEPENDENTS = {
+    "ensure_steady_index": ("dedup_incremental_steady",),
+    "ensure_knn_adjacency": ("ann_beam_topk",),
+    "ensure_text_index": ("search_bm25_steady",),
+    "ensure_volume_base": ("kg_pipeline_incremental", "kg_volume_read"),
+}
+
+
+def _parent(shards: int) -> int:
+    """Sharded driver (r12 verdict, What's wrong #1): run the bench as
+    ``shards`` SEQUENTIAL child processes, each a FRESH JVM covering a
+    contiguous alphabetical slice, then merge per-query timings and run
+    the drift/bar tripwires over the union. Rationale (measured, r13
+    probe run — BASELINE.md): per-entry clearCache+unpersist+GC cannot
+    clear JVM-level state — the JIT code cache grows 77→149 MB across
+    one 232-entry session (240 MB default cap; a fuller cache = sweep/
+    recompile storms, the observed late-run moving humps), live threads
+    grow 512→771, and the kg_pipeline_* entries pin ~220 MB of shuffle
+    files for the rest of the run (their shuffle deps are referenced by
+    the shared volume-store state by design). A new PROCESS resets all
+    three; an in-place SparkSession restart resets none of the JVM part.
+    Children run sequentially (never concurrently: they'd fight for the
+    32 cores and the Derby metastore lock) and share the warehouse, so
+    the volume base still builds once."""
+    import json as _json
+    import subprocess
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    names = sorted(
+        set(entrymod.queries())
+        | set(getattr(entrymod, "bench_only_queries", dict)())
+    )
+    bounds = [round(i * len(names) / shards) for i in range(shards + 1)]
+    merged: dict[str, float] = {}
+    for i in range(shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo == hi:
+            continue
+        out = tempfile.NamedTemporaryFile(
+            prefix=f"bench_shard{i}_", suffix=".json", delete=False
+        ).name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_SLICE"] = f"{lo}:{hi}"
+        env["SPARK_GRAFT_BENCH_OUT"] = out
+        if os.environ.get("SPARK_GRAFT_BENCH_PROBE"):
+            env["SPARK_GRAFT_BENCH_PROBE_PATH"] = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_probe.shard{i}.jsonl",
+            )
+        print(
+            f"# shard {i + 1}/{shards}: entries {lo}..{hi - 1} "
+            f"({names[lo]}..{names[hi - 1]})",
+            file=sys.stderr,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env
+        )
+        if proc.returncode != 0:
+            print(f"# shard {i} exited rc={proc.returncode}", file=sys.stderr)
+        try:
+            with open(out) as fh:
+                merged.update(_json.load(fh).get("queries", {}))
+        except (OSError, ValueError) as e:
+            print(f"# shard {i}: no result ({e})", file=sys.stderr)
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
+    _finish(merged)
+    return 0
+
+
 def main() -> int:
     loadavg_launch = tuple(round(x, 2) for x in os.getloadavg())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    shards = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", "1"))
+    slice_env = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+    if shards > 1 and slice_env is None:
+        return _parent(shards)
 
     from pyspark.sql import SparkSession
 
@@ -87,13 +237,37 @@ def main() -> int:
         ).alias("text"),
     )
     corpus_dedup(synth, num_hashes=32, bands=4, threshold=0.8, hash_fn="md5").count()
+
+    # entry list up front (queries() builds a dict, no Spark touched):
+    # in shard-child mode only this slice's entries run, and the ensure_*
+    # setups below are gated on whether a dependent entry is in-slice
+    all_queries = dict(entrymod.queries())
+    # throughput-only variants (no DuckDB oracle — e.g. xxhash64 scale
+    # paths) are benched but deliberately absent from the correctness gate
+    all_queries.update(getattr(entrymod, "bench_only_queries", dict)())
+    # ALPHABETICAL bench order, decoupled from the registry's rotating
+    # correctness-window order: run position shifts measured 1.5-2x swings
+    # on heavy compositions (curation_pipeline_v2 16.9 -> 31.2 s when its
+    # position moved, r06), so a stable order is a precondition for
+    # meaningful round-over-round comparison
+    names = sorted(all_queries)
+    if slice_env is not None:
+        lo, hi = (int(x) for x in slice_env.split(":"))
+        names = names[lo:hi]
+    run_set = set(names)
+
+    def _needs(setup_name: str) -> bool:
+        return slice_env is None or any(
+            dep in run_set for dep in _SETUP_DEPENDENTS[setup_name]
+        )
+
     # UNTIMED setup: one-time corpus indexing for the steady-state dedup
     # entry. The operator's point is the probe-only cost against a
     # prebuilt bucketed index; a fresh session's in-memory catalog would
     # otherwise charge the full corpus rebuild to the timed entry
     # (measured 4.8 s rebuild-inclusive vs ~3 s probe-only, r07).
     setup = getattr(entrymod, "ensure_steady_index", None)
-    if setup is not None:
+    if setup is not None and _needs("ensure_steady_index"):
         setup(spark, sf_dir)
         # one untimed probe: the FIRST probe of a session pays ~3 s of
         # one-time whole-stage-codegen for the probe join pipeline (r08
@@ -104,20 +278,20 @@ def main() -> int:
     # ann_beam_topk measures the bucket-pruned probe, not the knn-graph
     # rebuild (one untimed probe for the same codegen rationale)
     setup_knn = getattr(entrymod, "ensure_knn_adjacency", None)
-    if setup_knn is not None:
+    if setup_knn is not None and _needs("ensure_knn_adjacency"):
         setup_knn(spark, sf_dir)
         entrymod.ann_beam_topk_q(spark, sf_dir).count()
     # and for the steady-state inverted text index: search_bm25_steady
     # measures the bucket-pruned probe, not the one-time corpus tokenize
     setup_txt = getattr(entrymod, "ensure_text_index", None)
-    if setup_txt is not None:
+    if setup_txt is not None and _needs("ensure_text_index"):
         setup_txt(spark, sf_dir)
         entrymod.search_bm25_steady_q(spark, sf_dir).count()
     # and the 10k-company volume store + seeded derivation ledger:
     # kg_pipeline_incremental measures steady-state maintenance, not the
     # one-time base build (cached per warehouse via a marker file)
     setup_vol = getattr(entrymod, "ensure_volume_base", None)
-    if setup_vol is not None:
+    if setup_vol is not None and _needs("ensure_volume_base"):
         try:
             setup_vol(spark, sf_dir)
         except RuntimeError:
@@ -128,16 +302,20 @@ def main() -> int:
     spark._jvm.System.gc()
 
     timings: dict[str, float] = {}
-    all_queries = dict(entrymod.queries())
-    # throughput-only variants (no DuckDB oracle — e.g. xxhash64 scale
-    # paths) are benched but deliberately absent from the correctness gate
-    all_queries.update(getattr(entrymod, "bench_only_queries", dict)())
-    # ALPHABETICAL bench order, decoupled from the registry's rotating
-    # correctness-window order: run position shifts measured 1.5-2x swings
-    # on heavy compositions (curation_pipeline_v2 16.9 -> 31.2 s when its
-    # position moved, r06), so a stable order is a precondition for
-    # meaningful round-over-round comparison
-    for name in sorted(all_queries):
+    probe_fh = None
+    if os.environ.get("SPARK_GRAFT_BENCH_PROBE"):
+        probe_fh = open(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_PROBE_PATH",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_probe.jsonl",
+                ),
+            ),
+            "w",
+        )
+    pos = 0
+    for name in names:
         fn = all_queries[name]
         t0 = time.time()
         try:
@@ -158,7 +336,39 @@ def main() -> int:
         # the NEXT query's timing — measured 2-4x inflation on late queries
         # without this; matches each query running as its own job at scale
         spark._jvm.System.gc()
+        if probe_fh is not None:
+            rec = {"pos": pos, "query": name, "sec": timings[name]}
+            rec.update(_jvm_probe(spark))
+            rec["loadavg1"] = round(os.getloadavg()[0], 2)
+            probe_fh.write(json.dumps(rec) + "\n")
+            probe_fh.flush()
+        pos += 1
 
+    if probe_fh is not None:
+        probe_fh.close()
+
+    if slice_env is not None:
+        # shard child: the parent merges and runs the tripwires once
+        out_path = os.environ["SPARK_GRAFT_BENCH_OUT"]
+        with open(out_path, "w") as fh:
+            json.dump({"queries": timings}, fh)
+        spark.stop()
+        return 0
+
+    _finish(timings, loadavg_launch)
+    spark.stop()
+    return 0
+
+
+def _finish(
+    timings: dict[str, float], loadavg_launch: tuple | None = None
+) -> None:
+    """Tripwires + payload over the (merged) per-query timings: drift vs
+    the previous committed run, per-entry 2x bars, the ONE stdout JSON
+    line, and the complete BENCH_local.json record."""
+    if loadavg_launch is None:
+        loadavg_launch = tuple(round(x, 2) for x in os.getloadavg())
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -281,8 +491,6 @@ def main() -> int:
             fh.write("\n")
     except OSError as e:
         print(f"# bench: could not write {out_path}: {e}", file=sys.stderr)
-    spark.stop()
-    return 0
 
 
 if __name__ == "__main__":

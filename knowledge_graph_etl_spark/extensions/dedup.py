@@ -1345,3 +1345,174 @@ def edit1_pairs(
         )
         .where(F.col("dist") <= 1)
     )
+
+
+def canonical_url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-URL exact dedup — the crawl-frontier step BEFORE any
+    content-based dedup: collapse the cosmetic URL variants of one page
+    (case, default ports, trailing slashes, tracking params, param
+    order, fragments — text.canonicalize_url) and elect one keeper per
+    canonical key. One row per input row: ``(id, url, canonical_url,
+    group_size, is_canonical)`` with the keeper = minimum id of the
+    group (the stable arbitrary-choice rule every dedup op here uses).
+
+    Composes with text.url_features (quality signals on the canonical
+    form) and exact_dedup (content dedup on the survivors).
+
+    Scale shape: one projection + ONE hash aggregate on the canonical
+    key + one co-partitioned join back (both sides hash-partitioned by
+    the same key, so AQE plans a shuffle the aggregate already paid
+    for). Canonical keys are ~corpus-sized: no broadcast anywhere, no
+    window over a global order, map-side partial combine on the
+    aggregate. Skewed mega-groups (one URL crawled millions of times)
+    stay safe: the aggregate pre-combines per partition."""
+    from .text import canonicalize_url
+
+    canon = df.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+    )
+    groups = canon.groupBy("canonical_url").agg(
+        F.min(id_col).cast("bigint").alias("_keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+    )
+    return canon.join(groups, "canonical_url").select(
+        F.col(id_col),
+        "url",
+        "canonical_url",
+        "group_size",
+        (F.col(id_col) == F.col("_keep_id")).alias("is_canonical"),
+    )
+
+
+def _fold_pow(base: Column, exponent: Column) -> Column:
+    """``base ** exponent`` (integer exponent ≥ 1) by LEFT-TO-RIGHT
+    repeated multiplication, NOT ``F.pow``: IEEE multiply is exactly
+    specified, so the fold is bit-identical on every engine, while
+    ``pow``/``Math.pow`` is only ≤1-ulp and a 1-ulp difference under a
+    later ``floor`` would flip an oracle bit. DuckDB twin:
+    ``list_reduce(list_transform(generate_series(1, r), x -> s),
+    (a, v) -> a * v)`` (same sequence: init*s, then r-1 multiplies)."""
+    return F.aggregate(
+        F.array_repeat(base, exponent.cast("int")),
+        F.lit(1.0),
+        lambda acc, v: acc * v,
+    )
+
+
+def minhash_operating_point(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    target_jaccard_ppm: int = 800_000,
+    sample_mod: int = 8,
+) -> DataFrame:
+    """MinHash (bands, rows) operating-point tuner: evaluate the LSH
+    S-curve ``P(s) = 1 − (1 − s^r)^b`` for every factorization
+    ``b·r = num_hashes`` against the EMPIRICAL pair-similarity mass of
+    a deterministic corpus sample, and rank the candidates by expected
+    misclassification mass around the target threshold — the r02
+    hand-tuning episode (bands picked by eyeballing collision counts)
+    as an operator. Per candidate:
+
+    * ``fp_micro`` — Σ P(s) over sampled pairs BELOW the target
+      (expected false-positive candidate mass, micro units);
+    * ``fn_micro`` — Σ (1 − P(s)) over pairs AT/ABOVE it;
+    * ``cost_micro`` = fp + fn, ``rank`` = 1 is the operating point.
+
+    Exactness: pair Jaccard is exact integer ppm (intersection/union
+    counts); the S-curve runs in doubles but ONLY via fold-multiply
+    (:func:`_fold_pow` — every step exactly-rounded IEEE, bit-identical
+    cross-engine) and lands in integer micro units per pair before the
+    order-independent integer SUM.
+
+    Scale shape: the sample is 1-in-``sample_mod`` BY ID (bounded,
+    operator knob); pairs come from the token inverted index of the
+    sample (never corpus all-pairs — pairs sharing no token have
+    P(0) = 0 and contribute nothing, so the index is lossless for the
+    curve); candidates are the ≤ d(num_hashes) divisor pairs,
+    broadcast. The heavy join is sample²-bounded; at 100 TB you tune on
+    a fixed-size sample, not the corpus."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if not 0 < target_jaccard_ppm <= 1_000_000:
+        raise ValueError(
+            f"target_jaccard_ppm must be in (0, 1e6], got {target_jaccard_ppm}"
+        )
+    spark = docs.sparkSession
+    sample = docs.where((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+    )
+    sizes = sample.select("_id", F.size("_toks").alias("_n"))
+    tok = sample.select("_id", F.explode("_toks").alias("_t"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "_t")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("_id", "_ia").withColumnRenamed("_n", "_na"), "_ia")
+        .join(sizes.withColumnRenamed("_id", "_ib").withColumnRenamed("_n", "_nb"), "_ib")
+        .select(
+            F.expr("_inter * 1000000 div (_na + _nb - _inter)").alias("s_ppm")
+        )
+    )
+    cands = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    cdf = spark.createDataFrame(cands, "bands int, rows_per_band int")
+    s = F.col("s_ppm").cast("double") / F.lit(1000000.0)
+    p_collide = F.lit(1.0) - _fold_pow(
+        F.lit(1.0) - _fold_pow(s, F.col("rows_per_band")), F.col("bands")
+    )
+    scored = pairs.crossJoin(F.broadcast(cdf)).select(
+        "bands",
+        "rows_per_band",
+        "s_ppm",
+        F.floor(p_collide * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    t = F.lit(int(target_jaccard_ppm))
+    agg = scored.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("s_ppm") >= t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos_pairs"),
+        F.sum(F.when(F.col("s_ppm") < t, F.col("p_micro")).otherwise(0))
+        .cast("bigint")
+        .alias("fp_micro"),
+        F.sum(
+            F.when(
+                F.col("s_ppm") >= t, F.lit(1_000_000) - F.col("p_micro")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn_micro"),
+    )
+    w = Window.orderBy(
+        (F.col("fp_micro") + F.col("fn_micro")).asc(), F.col("bands").asc()
+    )
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        "n_pairs",
+        "n_pos_pairs",
+        "fp_micro",
+        "fn_micro",
+        (F.col("fp_micro") + F.col("fn_micro")).alias("cost_micro"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

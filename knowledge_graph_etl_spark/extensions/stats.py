@@ -1954,3 +1954,143 @@ def mutual_information(
             .alias("nmi_ppm"),
         )
     )
+
+
+def shard_psi_report(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    bins: int = 10,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Per-shard distribution-divergence report: PSI of every output
+    shard against the FULL corpus over reference-quantile bins — the
+    shard-quality gate a training-data pipeline runs after sharding
+    (write_sharded_corpus / data_split_shard): a hash-sharded corpus
+    should show near-zero PSI per shard; a shard that drifted (bad
+    salt, skewed partitioner, ordered writes) lights up. One row per
+    shard: ``(shard, n_rows, psi_micro, drifted)`` with the standard
+    PSI > 0.25 action threshold as the flag.
+
+    Same determinism contract as :func:`psi_report` (exact rank-selected
+    corpus-quantile edges on quantized bigints, integer ppm shares,
+    one ``ln`` per (shard, bin) floored to micro units, ε = 1 ppm zero
+    floor) — but GROUPED: one histogram pass computes the per-(shard,
+    bin) counts, corpus bin counts are the bin-wise SUM of those (never
+    a second corpus scan), and the PSI arithmetic runs on the
+    (shards × bins)-sized table. Scale shape: one distinct-value
+    histogram for the edges (window over distinct quantized values —
+    value-cardinality-sized, the psi_report convention), ONE hash
+    aggregate on (shard, bin_id) with map-side combine, then bin-sized
+    algebra; edges broadcast (≤ bins values). No UDF, no per-shard
+    re-scan, shard count can be in the thousands."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if quant_scale < 1:
+        raise ValueError(f"quant_scale must be >= 1, got {quant_scale}")
+    q = df.where(F.col(value_col).isNotNull()).select(
+        F.col(shard_col).alias("shard"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(int(quant_scale))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    hist = q.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = hist.select(
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"( {i} * n + {bins} - 1) div {bins}"),
+                F.col("v"),
+            )
+        ).alias(f"e{i}")
+        for i in range(1, bins)
+    ]
+    edges = ranked.agg(*edge_aggs)
+    edge_arr = F.array(*[F.col(f"e{i}") for i in range(1, bins)])
+    binned = (
+        q.crossJoin(F.broadcast(edges))
+        .select(
+            "shard",
+            F.aggregate(
+                edge_arr,
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("v") > e, F.lit(1)).otherwise(F.lit(0)),
+            ).alias("bin_id"),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cur_cnt"))
+    )
+    # spine = every (shard, bin) cell, so empty bins get the ε floor;
+    # corpus reference counts are the bin-wise sum of the shard counts
+    shards = binned.select("shard").distinct()
+    spine = shards.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(i,) for i in range(bins)], "bin_id int"
+            )
+        )
+    )
+    ref = binned.groupBy("bin_id").agg(
+        F.sum("cur_cnt").cast("bigint").alias("ref_cnt")
+    )
+    tot = binned.agg(F.sum("cur_cnt").cast("bigint").alias("_tr"))
+    per_shard_tot = binned.groupBy("shard").agg(
+        F.sum("cur_cnt").cast("bigint").alias("_tc")
+    )
+    j = (
+        spine.join(binned, ["shard", "bin_id"], "left")
+        .join(F.broadcast(ref), "bin_id", "left")
+        .join(per_shard_tot, "shard")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "bin_id",
+            F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
+            F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
+            "_tc",
+            "_tr",
+        )
+    )
+    shares = j.select(
+        "shard",
+        F.expr("greatest(ref_cnt * 1000000 div greatest(_tr, 1), 1)")
+        .cast("bigint")
+        .alias("ref_ppm"),
+        F.expr("greatest(cur_cnt * 1000000 div greatest(_tc, 1), 1)")
+        .cast("bigint")
+        .alias("cur_ppm"),
+        F.col("_tc").alias("n_rows"),
+    )
+    psi = (
+        (F.col("ref_ppm") - F.col("cur_ppm")).cast("double")
+        / F.lit(1000000.0)
+        * F.log(
+            F.col("ref_ppm").cast("double") / F.col("cur_ppm").cast("double")
+        )
+    )
+    cell = shares.select(
+        "shard",
+        "n_rows",
+        F.floor(psi * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("psi_cell"),
+    )
+    return cell.groupBy("shard").agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("psi_cell").cast("bigint").alias("psi_micro"),
+    ).select(
+        "shard",
+        "n_rows",
+        "psi_micro",
+        (F.col("psi_micro") > 250_000).alias("drifted"),
+    )

@@ -671,3 +671,54 @@ def anchor_text_features(
         .alias("diversity_ppm"),
         "avg_anchor_len_milli",
     )
+
+
+#: query parameters stripped by canonicalize_url: the cross-site click /
+#: campaign trackers that make otherwise-identical pages distinct keys
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for exact-key dedup — the crawl-frontier
+    normalization that collapses the cosmetic variants a crawler sees of
+    one page: scheme and host lowercased, default ports dropped (``:80``
+    http, ``:443`` https), trailing path slashes trimmed (empty path →
+    ``/``), tracking parameters stripped (``TRACKING_PARAM_RE``: utm_*,
+    gclid, fbclid, msclkid, mc_eid, ref), surviving query parameters
+    SORTED (param order is not page identity), and the fragment dropped.
+    A string without a ``scheme://`` prefix canonicalizes to itself
+    lowercase-trimmed (opaque key), never to a fabricated URL.
+
+    Pure column expression (regexp + list algebra, whole-stage codegen,
+    no UDF) with an exact DuckDB twin — composes with
+    :func:`url_features` and dedup.canonical_url_dedup."""
+    scheme_cls = r"[A-Za-z][A-Za-z0-9+.\-]*"
+    scheme = F.lower(F.regexp_extract(url, rf"^({scheme_cls})://", 1))
+    hostport = F.regexp_extract(url, rf"^{scheme_cls}://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port == "") | default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    rawpath = F.regexp_extract(
+        url, rf"^{scheme_cls}://[^/?#]+([^?#]*)", 1
+    )
+    path = F.regexp_replace(rawpath, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", F.lower(F.trim(url))
+    ).otherwise(F.concat(scheme, F.lit("://"), host, portpart, path, qpart))

