@@ -4430,6 +4430,98 @@ def dedup_minhash_tuner_q(spark, sf_dir):
     )
 
 
+def eval_calibration_q(spark, sf_dir):
+    """Classifier reliability report + ECE (extensions/stats.
+    calibration_report): a deterministic length-derived quality score
+    (ppm) whose labels are md5-drawn AT the predicted rate — so the
+    report exercises real binned gaps (integer ppm throughout) with a
+    small honest ECE, not a degenerate zero."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.stats import calibration_report
+
+    d = _t(spark, sf_dir, "documents")
+    score = F.least(F.lit(999_999), F.col("n_chars").cast("bigint") * 900)
+    scored = d.select(
+        score.alias("score_ppm"),
+        (
+            md5_u60(F.concat(F.lit("cal-"), F.col("doc_id").cast("string")))
+            % 1_000_000
+            < score
+        ).alias("label"),
+    )
+    return calibration_report(scored, "score_ppm", "label", bins=10)
+
+
+def eval_kappa_q(spark, sf_dir):
+    """Inter-annotator agreement per slice (extensions/stats.
+    cohen_kappa): annotator A = the embeddings label, annotator B = the
+    same label md5-corrupted on ~20% of rows (shifted one class) —
+    kappa per vec_id%3 slice, exact integer marginals."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.stats import cohen_kappa
+
+    e = _t(spark, sf_dir, "embeddings")
+    noisy = F.when(
+        md5_u60(F.concat(F.lit("k-"), F.col("vec_id").cast("string"))) % 10
+        < 2,
+        (F.col("label") + 1) % 8,
+    ).otherwise(F.col("label"))
+    return cohen_kappa(
+        e.select(
+            (F.col("vec_id") % 3).alias("slice"),
+            F.col("label").alias("ann_a"),
+            noisy.alias("ann_b"),
+        ),
+        "ann_a",
+        "ann_b",
+        "slice",
+    )
+
+
+def text_chunks_q(spark, sf_dir):
+    """RAG sliding-window chunking (extensions/text.window_chunks):
+    32-token windows at stride 24 over the corpus — map-side explode,
+    zero Exchange (plan-pinned), dense chunk ids in document order."""
+    from knowledge_graph_etl_spark.extensions.text import window_chunks
+
+    return window_chunks(
+        _t(spark, sf_dir, "documents"), size=32, stride=24
+    )
+
+
+def eval_paired_bootstrap_q(spark, sf_dir):
+    """Paired-bootstrap system comparison (extensions/stats.
+    paired_bootstrap_eval): system A = length-derived score, system B =
+    A plus md5 noise minus a small constant handicap; 200 md5-derived
+    resamples over the 1-in-8 doc sample — fully deterministic, so the
+    win rates are oracle-exact."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.stats import (
+        paired_bootstrap_eval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.least(F.lit(999_999), F.col("n_chars").cast("bigint") * 900)
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(999_999),
+            a
+            + md5_u60(F.concat(F.lit("pb-"), F.col("doc_id").cast("string")))
+            % 100_001
+            - 40_000,
+        ),
+    )
+    return paired_bootstrap_eval(
+        d.select("doc_id", a.alias("score_a"), b.alias("score_b")),
+        "doc_id",
+        "score_a",
+        "score_b",
+        n_boot=200,
+        sample_mod=8,
+    )
+
+
 def shard_divergence_q(spark, sf_dir):
     """Per-shard token-distribution divergence report (extensions/
     stats.shard_psi_report): documents md5-hash-sharded 8 ways, each
@@ -5881,6 +5973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": url_canonical_dedup_q,
         "dedup_minhash_tuner": dedup_minhash_tuner_q,
         "shard_divergence": shard_divergence_q,
+        "eval_calibration": eval_calibration_q,
+        "eval_kappa": eval_kappa_q,
+        "text_chunks": text_chunks_q,
+        "eval_paired_bootstrap": eval_paired_bootstrap_q,
         # --- latest driver row r09 (oldest-first; last-checked rotates to the back) ---
         "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
@@ -8327,6 +8423,10 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_dedup": "WITH u AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'https://shop.example.com/item/' || CAST(doc_id % 97 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x' WHEN doc_id % 4 = 1 THEN 'HTTPS://Shop.Example.COM:443/item/' || CAST(doc_id % 97 AS VARCHAR) WHEN doc_id % 4 = 2 THEN 'https://shop.example.com/item/' || CAST(doc_id % 97 AS VARCHAR) || '?b=2&a=1#frag' ELSE 'https://shop.example.com:8443/item/' || CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2' END AS url FROM documents), c AS (SELECT doc_id, url, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS hostport, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath, regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), n AS (SELECT doc_id, url, scheme, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host, regexp_extract(hostport, ':([0-9]+)$', 1) AS port, CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END AS path, list_sort(list_filter(string_split(query, '&'), p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$'))) AS params FROM c), k AS (SELECT doc_id, url, CASE WHEN scheme = '' THEN lower(trim(url)) ELSE scheme || '://' || host || CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END || path || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END END AS canonical_url FROM n), g AS (SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM k GROUP BY 1) SELECT k.doc_id, k.url, k.canonical_url, g.group_size, k.doc_id = g.keep_id AS is_canonical FROM k JOIN g USING (canonical_url)",
         "dedup_minhash_tuner": "WITH samp AS (SELECT doc_id AS id, list_distinct(" + _TOKS + ") AS t FROM documents WHERE doc_id % 8 = 0), sz AS (SELECT id, len(t) AS n FROM samp), tok AS (SELECT id, unnest(t) AS tk FROM samp), inter AS (SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS i FROM tok a JOIN tok b ON a.tk = b.tk AND a.id < b.id GROUP BY 1, 2), pr AS (SELECT CAST(i * 1000000 // (na.n + nb.n - i) AS BIGINT) AS s_ppm FROM inter JOIN sz na ON na.id = ia JOIN sz nb ON nb.id = ib), cand AS (SELECT * FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1)) AS t(bands, rows_per_band)), sc AS (SELECT bands, rows_per_band, s_ppm, CAST(floor((1.0 - list_reduce(list_transform(generate_series(1, bands), x -> 1.0 - list_reduce(list_transform(generate_series(1, rows_per_band), y -> CAST(s_ppm AS DOUBLE) / 1000000.0), (a, v) -> a * v)), (a, v) -> a * v)) * 1000000.0 + 0.5) AS BIGINT) AS p_micro FROM pr CROSS JOIN cand), agg AS (SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(CASE WHEN s_ppm >= 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pairs, CAST(SUM(CASE WHEN s_ppm < 800000 THEN p_micro ELSE 0 END) AS BIGINT) AS fp_micro, CAST(SUM(CASE WHEN s_ppm >= 800000 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS fn_micro FROM sc GROUP BY 1, 2) SELECT CAST(bands AS INTEGER) AS bands, CAST(rows_per_band AS INTEGER) AS rows_per_band, n_pairs, n_pos_pairs, fp_micro, fn_micro, CAST(fp_micro + fn_micro AS BIGINT) AS cost_micro, CAST(row_number() OVER (ORDER BY fp_micro + fn_micro, bands) AS BIGINT) AS rank FROM agg",
         "shard_divergence": "WITH q AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard, CAST(floor(CAST(n_chars AS DOUBLE) * 1 + 0.5) AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL), h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1), rk AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM h), e AS (SELECT i, MIN(CASE WHEN cum >= (i * n + 9) // 10 THEN v END) AS edge FROM rk CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t GROUP BY i), bn AS (SELECT shard, (SELECT COUNT(*) FROM e WHERE q.v > e.edge) AS bin_id FROM q), cb AS (SELECT shard, bin_id, CAST(COUNT(*) AS BIGINT) AS cur_cnt FROM bn GROUP BY 1, 2), sh AS (SELECT DISTINCT shard FROM cb), spine AS (SELECT shard, bin_id FROM sh CROSS JOIN (SELECT unnest(range(10)) AS bin_id) b), rb AS (SELECT bin_id, CAST(SUM(cur_cnt) AS BIGINT) AS ref_cnt FROM cb GROUP BY 1), tt AS (SELECT CAST(SUM(cur_cnt) AS BIGINT) AS tr FROM cb), pt AS (SELECT shard, CAST(SUM(cur_cnt) AS BIGINT) AS tc FROM cb GROUP BY 1), j AS (SELECT spine.shard, spine.bin_id, CAST(COALESCE(cb.cur_cnt, 0) AS BIGINT) AS cur_cnt, CAST(COALESCE(rb.ref_cnt, 0) AS BIGINT) AS ref_cnt, pt.tc, tt.tr FROM spine LEFT JOIN cb ON cb.shard = spine.shard AND cb.bin_id = spine.bin_id LEFT JOIN rb ON rb.bin_id = spine.bin_id JOIN pt ON pt.shard = spine.shard CROSS JOIN tt), s2 AS (SELECT shard, tc, CAST(GREATEST(ref_cnt * 1000000 // GREATEST(tr, 1), 1) AS BIGINT) AS ref_ppm, CAST(GREATEST(cur_cnt * 1000000 // GREATEST(tc, 1), 1) AS BIGINT) AS cur_ppm FROM j), cell AS (SELECT shard, tc, CAST(floor(CAST(ref_ppm - cur_ppm AS DOUBLE) / 1000000.0 * ln(CAST(ref_ppm AS DOUBLE) / CAST(cur_ppm AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS psi_cell FROM s2) SELECT shard, CAST(MAX(tc) AS BIGINT) AS n_rows, CAST(SUM(psi_cell) AS BIGINT) AS psi_micro, CAST(SUM(psi_cell) AS BIGINT) > 250000 AS drifted FROM cell GROUP BY 1",
+        "eval_calibration": "WITH sc AS (SELECT least(999999, n_chars * 900) AS s, CAST(('0x' || substr(md5('cal-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < least(999999, n_chars * 900) AS y FROM documents WHERE n_chars IS NOT NULL), b AS (SELECT CAST(least(9, s * 10 // 1000000) AS INTEGER) AS bin_id, s, y FROM sc), p AS (SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS ss, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM b GROUP BY 1), q AS (SELECT bin_id, n, CAST(ss // n AS BIGINT) AS mean_pred_ppm, CAST(pos * 1000000 // n AS BIGINT) AS obs_pos_ppm, CAST(abs(ss // n - pos * 1000000 // n) AS BIGINT) AS gap_ppm FROM p), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n * gap_ppm) AS BIGINT) AS wg FROM q) SELECT bin_id, n, mean_pred_ppm, obs_pos_ppm, gap_ppm, CAST(wg // greatest(tn, 1) AS BIGINT) AS ece_ppm FROM q CROSS JOIN t",
+        "eval_kappa": "WITH b AS (SELECT vec_id % 3 AS slice, CAST(label AS VARCHAR) AS a, CAST(CASE WHEN CAST(('0x' || substr(md5('k-' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2 THEN (label + 1) % 8 ELSE label END AS VARCHAR) AS bb FROM embeddings WHERE label IS NOT NULL), c AS (SELECT slice, a, bb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3), nn AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), d AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS dg FROM c WHERE a = bb GROUP BY 1), ma AS (SELECT slice, a, CAST(SUM(c) AS BIGINT) AS ca FROM c GROUP BY 1, 2), mb AS (SELECT slice, bb, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1, 2), pe AS (SELECT ma.slice, CAST(SUM(ca * cb) AS BIGINT) AS pn FROM ma JOIN mb ON ma.slice = mb.slice AND ma.a = mb.bb GROUP BY 1), j AS (SELECT nn.slice, nn.n, CAST(coalesce(dg, 0) * 1000000 // nn.n AS BIGINT) AS po_ppm, CAST(coalesce(pn, 0) * 1000000 // (nn.n * nn.n) AS BIGINT) AS pe_ppm FROM nn LEFT JOIN d ON d.slice = nn.slice LEFT JOIN pe ON pe.slice = nn.slice) SELECT slice, n, po_ppm, pe_ppm, CAST(CASE WHEN pe_ppm >= 1000000 THEN 0 ELSE floor(CAST(po_ppm - pe_ppm AS DOUBLE) * 1000000.0 / CAST(1000000 - pe_ppm AS DOUBLE)) END AS BIGINT) AS kappa_micro FROM j",
+        "text_chunks": "WITH tok AS (SELECT doc_id, " + _TOKS + " AS t FROM documents), s AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS st FROM tok WHERE len(t) > 0) SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id, CAST(st AS BIGINT) AS start_tok, CAST(len(list_slice(t, st + 1, st + 32)) AS BIGINT) AS n_tokens, array_to_string(list_slice(t, st + 1, st + 32), ' ') AS chunk_text FROM s",
+        "eval_paired_bootstrap": "WITH samp AS (SELECT doc_id, least(999999, n_chars * 900) AS a, greatest(0, least(999999, least(999999, n_chars * 900) + CAST(('0x' || substr(md5('pb-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100001 - 40000)) AS bsc FROM documents WHERE doc_id % 8 = 0), idx AS (SELECT a - bsc AS delta, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM samp), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(delta) AS BIGINT) AS sd FROM idx), grid AS (SELECT bs.b, ii.i FROM (SELECT unnest(range(200)) AS b) bs CROSS JOIN (SELECT unnest(range(n)) AS i FROM nn) ii), draws AS (SELECT b, CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM nn) AS di FROM grid), pb AS (SELECT b, CAST(SUM(idx.delta) AS BIGINT) AS d FROM draws JOIN idx ON idx.i = draws.di GROUP BY b), ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boot, CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS aw, CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bw FROM pb) SELECT nn.n AS n_docs, ag.n_boot, CAST(CASE WHEN nn.n > 0 THEN floor(CAST(nn.sd AS DOUBLE) / nn.n) ELSE 0 END AS BIGINT) AS mean_delta_ppm, CAST(bw * 1000000 // n_boot AS BIGINT) AS b_wins_ppm, CAST(aw * 1000000 // n_boot AS BIGINT) AS a_wins_ppm, CAST((n_boot - aw - bw) * 1000000 // n_boot AS BIGINT) AS ties_ppm FROM ag CROSS JOIN nn",
         "text_url_features": (
             "WITH u AS (SELECT doc_id, 'https://' || source || "
             "'.example.org' || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE "

@@ -2094,3 +2094,246 @@ def shard_psi_report(
         "psi_micro",
         (F.col("psi_micro") > 250_000).alias("drifted"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Classifier reliability report + Expected Calibration Error — the
+    eval every learned quality/toxicity filter ships with before its
+    scores gate a training corpus: fixed-width bins over the predicted
+    probability (integer ppm in [0, 1e6]), and per bin the mean
+    predicted vs the observed positive rate. One row per bin:
+    ``(bin_id, n, mean_pred_ppm, obs_pos_ppm, gap_ppm, ece_ppm)`` with
+    ``ece_ppm`` the dataset-level Σ n_b·|gap_b| / N (repeated per row,
+    the report convention of psi_report/contamination_report).
+
+    Exactness: scores are integer ppm in, all binning/means/rates are
+    exact integer arithmetic (``div``), no floats anywhere. Scale
+    shape: ONE hash aggregate on the bin id (map-side combine) over a
+    projection, then bin-sized algebra with a broadcast total — a
+    100 TB score table reduces in a single pass."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = F.col(score_col).cast("bigint")
+    binned = df.where(s.isNotNull()).select(
+        F.least(F.lit(bins - 1), F.expr(f"{score_col} * {bins} div 1000000"))
+        .cast("int")
+        .alias("bin_id"),
+        s.alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    )
+    per = binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("_sum_s"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("_pos"),
+    )
+    per = per.select(
+        "bin_id",
+        "n",
+        F.expr("_sum_s div n").cast("bigint").alias("mean_pred_ppm"),
+        F.expr("_pos * 1000000 div n").cast("bigint").alias("obs_pos_ppm"),
+        F.abs(
+            F.expr("_sum_s div n") - F.expr("_pos * 1000000 div n")
+        )
+        .cast("bigint")
+        .alias("gap_ppm"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("_tn"),
+        F.sum(F.col("n") * F.col("gap_ppm")).cast("bigint").alias("_wg"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        "n",
+        "mean_pred_ppm",
+        "obs_pos_ppm",
+        "gap_ppm",
+        F.expr("_wg div greatest(_tn, 1)").cast("bigint").alias("ece_ppm"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement (Cohen's κ) per slice — the label-noise
+    gate for any human- or model-labeled training set: observed
+    agreement corrected by the chance agreement of the two annotators'
+    marginal label distributions. One row per slice:
+    ``(slice, n, po_ppm, pe_ppm, kappa_micro)`` where κ =
+    (p_o − p_e)/(1 − p_e) in micro units (floored; 0 when p_e = 1, the
+    single-label degenerate case — agreement is vacuous there).
+
+    Exactness: p_o and p_e come from exact integer counts (Σ over
+    labels of the marginal products, ``div`` by n²); only the final κ
+    ratio runs in doubles, floored — and the two operands are exact ppm
+    ints ≥ 1 apart whenever they differ, so the floor is engine-exact
+    (the standing |a/b − k| ≥ 1/b ≫ ulp argument). Scale shape: TWO
+    hash aggregates — (slice, a, b) confusion cells, then slice-keyed
+    algebra over the cell table (cells ≤ slices × |labels|², tiny);
+    the fact table is touched once."""
+    base = df.select(
+        F.col(slice_col).alias("slice"),
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("slice", "_a", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = cells.groupBy("slice").agg(F.sum("c").cast("bigint").alias("n"))
+    diag = (
+        cells.where(F.col("_a") == F.col("_b"))
+        .groupBy("slice")
+        .agg(F.sum("c").cast("bigint").alias("_diag"))
+    )
+    ma = cells.groupBy("slice", "_a").agg(
+        F.sum("c").cast("bigint").alias("ca")
+    )
+    mb = cells.groupBy("slice", "_b").agg(
+        F.sum("c").cast("bigint").alias("cb")
+    )
+    pe_num = (
+        ma.join(mb, (ma["slice"] == mb["slice"]) & (ma["_a"] == mb["_b"]))
+        .select(ma["slice"].alias("slice"), (F.col("ca") * F.col("cb")).alias("p"))
+        .groupBy("slice")
+        .agg(F.sum("p").cast("bigint").alias("_penum"))
+    )
+    j = (
+        n.join(diag, "slice", "left")
+        .join(pe_num, "slice", "left")
+        .select(
+            "slice",
+            "n",
+            F.expr("coalesce(_diag, 0) * 1000000 div n")
+            .cast("bigint")
+            .alias("po_ppm"),
+            F.expr("coalesce(_penum, 0) * 1000000 div (n * n)")
+            .cast("bigint")
+            .alias("pe_ppm"),
+        )
+    )
+    kappa = F.when(F.col("pe_ppm") >= 1_000_000, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("po_ppm") - F.col("pe_ppm")).cast("double")
+            * 1000000.0
+            / (F.lit(1_000_000) - F.col("pe_ppm")).cast("double")
+        )
+    )
+    return j.select(
+        "slice", "n", "po_ppm", "pe_ppm", kappa.cast("bigint").alias("kappa_micro")
+    )
+
+
+def paired_bootstrap_eval(
+    df: DataFrame,
+    id_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    n_boot: int = 200,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Paired-bootstrap significance for comparing two systems on the
+    same documents (the standard eval-harness test for "is B really
+    better than A or is it noise"): resample the paired per-document
+    score deltas ``n_boot`` times WITH replacement and report how often
+    each system wins. One row out: ``(n_docs, n_boot, mean_delta_ppm,
+    b_wins_ppm, a_wins_ppm, ties_ppm)`` — ``b_wins_ppm`` ≥ ~950000 is
+    the usual "B better, p < 0.05" read.
+
+    Determinism: the resample draws are md5-derived — draw i of
+    resample b picks index ``md5(b || '-' || i) % n`` — so the whole
+    test is reproducible and ORACLE-EXACT cross-engine (no RNG), the
+    same trick the md5-shuffle curation operators use. All sums are
+    exact integer ppm.
+
+    Scale shape: bootstrap resampling is SAMPLE-bounded by design
+    (``sample_mod`` knob, the tuner convention): the doc sample is
+    rank-indexed once (one sample-sized window), the (resample, draw)
+    grid is ``n_boot × n`` rows joined to the sample on the drawn
+    index — a co-partitioned equi-join, never a cross product — and
+    reduces by resample id then to one row. At 100 TB you bootstrap a
+    fixed-size eval set, not the corpus."""
+    from .hashing import md5_u60
+
+    if n_boot < 1:
+        raise ValueError(f"n_boot must be >= 1, got {n_boot}")
+    spark = df.sparkSession
+    sample = (
+        df.where((F.col(id_col) % sample_mod) == 0)
+        .select(
+            F.col(id_col).alias("_id"),
+            (F.col(score_a_col).cast("bigint") - F.col(score_b_col).cast("bigint")).alias(
+                "_delta"
+            ),
+        )
+        .withColumn(
+            "_idx",
+            F.row_number().over(Window.orderBy("_id")).cast("bigint") - 1,
+        )
+    )
+    n_row = sample.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    grid = (
+        spark.range(n_boot)
+        .select(F.col("id").alias("_b"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "_b",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+            "_n",
+        )
+        .select(
+            "_b",
+            (
+                md5_u60(
+                    F.concat(
+                        F.col("_b").cast("string"),
+                        F.lit("-"),
+                        F.col("_i").cast("string"),
+                    )
+                )
+                % F.col("_n")
+            ).alias("_idx"),
+        )
+    )
+    per_boot = (
+        grid.join(sample.select("_idx", "_delta"), "_idx")
+        .groupBy("_b")
+        .agg(F.sum("_delta").cast("bigint").alias("_d"))
+    )
+    out = per_boot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boot"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).cast("bigint").alias("_aw"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)).cast("bigint").alias("_bw"),
+    )
+    stats = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_delta").cast("bigint").alias("_sd"),
+    )
+    return out.crossJoin(F.broadcast(stats)).select(
+        "n_docs",
+        "n_boot",
+        # floor of the double division, NOT integer `div`: the sum can
+        # be negative and Spark's div truncates toward zero while
+        # DuckDB's // floors — floor(double) agrees on both (and the
+        # |a/b − k| ≥ 1/b ≫ ulp argument makes it exact)
+        F.when(
+            F.col("n_docs") > 0,
+            F.floor(
+                F.col("_sd").cast("double") / F.col("n_docs").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mean_delta_ppm"),
+        F.expr("_bw * 1000000 div n_boot").cast("bigint").alias("b_wins_ppm"),
+        F.expr("_aw * 1000000 div n_boot").cast("bigint").alias("a_wins_ppm"),
+        F.expr("(n_boot - _aw - _bw) * 1000000 div n_boot")
+        .cast("bigint")
+        .alias("ties_ppm"),
+    )

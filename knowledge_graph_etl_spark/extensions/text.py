@@ -722,3 +722,52 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(
         scheme == "", F.lower(F.trim(url))
     ).otherwise(F.concat(scheme, F.lit("://"), host, portpart, path, qpart))
+
+
+def window_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking — the fixed-size, overlapping token
+    windows a RAG / embedding pipeline splits documents into before
+    vectorizing (stride < size gives the standard overlap so no span
+    falls on a chunk boundary unseen). The content-defined complement
+    is doc_cdc_chunks; this is the shape-stable one retrieval indexes
+    want. One row per chunk: ``(id, chunk_id, start_tok, n_tokens,
+    chunk_text)`` — chunk_id dense from 0 in document order, last
+    chunk may be short, empty documents yield no rows.
+
+    Scale shape: tokens → per-row sequence of window starts →
+    posexplode; a pure map-side explode with NO shuffle and no UDF —
+    the fan-out is rows × ceil(n/stride), each output row narrow. At
+    100 TB this is scan-bound and embarrassingly parallel."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    tks = tokens(F.col(text_col))
+    n = F.size(tks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("bigint").alias("start_tok"),
+            F.slice(tks, s + 1, size).alias("_tk"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_c"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("_c.start_tok").alias("start_tok"),
+        F.size("_c._tk").cast("bigint").alias("n_tokens"),
+        F.array_join("_c._tk", " ").alias("chunk_text"),
+    )

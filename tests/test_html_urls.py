@@ -259,3 +259,108 @@ def test_shard_psi_report_validation(spark):
         shard_psi_report(df, "v", "shard", bins=1)
     with pytest.raises(ValueError):
         shard_psi_report(df, "v", "shard", quant_scale=0)
+
+
+# ---------------------------------------------------------- eval ops
+
+
+def test_calibration_report_hand_values(spark):
+    from knowledge_graph_etl_spark.extensions.stats import calibration_report
+
+    # bin 0: two rows predicted 50000, one positive -> obs 500000
+    # bin 9: two rows predicted 950000, both positive -> obs 1000000
+    rows = [
+        (50_000, True),
+        (50_000, False),
+        (950_000, True),
+        (950_000, True),
+    ]
+    df = spark.createDataFrame(rows, "score_ppm long, label boolean")
+    out = {r["bin_id"]: r for r in calibration_report(df, "score_ppm", "label").collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["mean_pred_ppm"] == 50_000 and out[0]["obs_pos_ppm"] == 500_000
+    assert out[0]["gap_ppm"] == 450_000
+    assert out[9]["gap_ppm"] == 50_000
+    # ECE = (2*450000 + 2*50000) / 4
+    assert out[0]["ece_ppm"] == out[9]["ece_ppm"] == 250_000
+
+
+def test_calibration_report_score_1e6_lands_in_last_bin(spark):
+    from knowledge_graph_etl_spark.extensions.stats import calibration_report
+
+    df = spark.createDataFrame([(1_000_000, True)], "score_ppm long, label boolean")
+    out = calibration_report(df, "score_ppm", "label").collect()
+    assert len(out) == 1 and out[0]["bin_id"] == 9
+
+
+def test_cohen_kappa_hand_values(spark):
+    from knowledge_graph_etl_spark.extensions.stats import cohen_kappa
+
+    # perfect agreement -> kappa 1e6; random-looking disagreement lower
+    rows = [(0, "x", "x"), (0, "y", "y"), (0, "x", "x"), (0, "y", "y")]
+    df = spark.createDataFrame(rows, "slice long, a string, b string")
+    r = cohen_kappa(df, "a", "b", "slice").collect()[0]
+    assert r["po_ppm"] == 1_000_000 and r["kappa_micro"] == 1_000_000
+
+    # single-label degenerate: pe = 1 -> kappa defined as 0
+    df2 = spark.createDataFrame([(1, "x", "x"), (1, "x", "x")], "slice long, a string, b string")
+    r2 = cohen_kappa(df2, "a", "b", "slice").collect()[0]
+    assert r2["pe_ppm"] == 1_000_000 and r2["kappa_micro"] == 0
+
+    # hand case: po = 0.5, marginals a: 2/2, b: 2/2 over {x,y} -> pe = 0.5
+    df3 = spark.createDataFrame(
+        [(2, "x", "x"), (2, "x", "y"), (2, "y", "x"), (2, "y", "y")],
+        "slice long, a string, b string",
+    )
+    r3 = cohen_kappa(df3, "a", "b", "slice").collect()[0]
+    assert r3["po_ppm"] == 500_000 and r3["pe_ppm"] == 500_000
+    assert r3["kappa_micro"] == 0
+
+
+def test_window_chunks_shapes(spark):
+    from knowledge_graph_etl_spark.extensions.text import window_chunks
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "one two"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = window_chunks(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 -> sizes 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_tok"] for r in c1] == [0, 3, 6, 9]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[-1]["chunk_text"] == "t9"
+    # consecutive chunks overlap by size - stride = 1 token
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty doc -> no rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        window_chunks(df, size=0)
+    with _pytest.raises(ValueError):
+        window_chunks(df, stride=0)
+
+
+def test_paired_bootstrap_deterministic_and_directional(spark):
+    from knowledge_graph_etl_spark.extensions.stats import (
+        paired_bootstrap_eval,
+    )
+
+    # B strictly better on every doc -> B wins every resample
+    rows = [(i, 100_000, 200_000) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, a long, b long")
+    r = paired_bootstrap_eval(df, "doc_id", "a", "b", n_boot=50).collect()[0]
+    assert r["n_docs"] == 12 and r["n_boot"] == 50
+    assert r["b_wins_ppm"] == 1_000_000 and r["a_wins_ppm"] == 0
+    assert r["mean_delta_ppm"] == -100_000
+    # deterministic: the same call yields the identical row
+    r2 = paired_bootstrap_eval(df, "doc_id", "a", "b", n_boot=50).collect()[0]
+    assert r.asDict() == r2.asDict()

@@ -948,3 +948,31 @@ def test_r13_new_operators_plan_shapes(spark):
     sd = _plan(q["shard_divergence"](spark, sf))
     assert "SortMergeJoin" not in sd, sd
     assert "CartesianProduct" not in sd, sd
+
+
+def test_r13_eval_operators_plan_shapes(spark):
+    """Scale posture of the r13 eval batch: text_chunks is a pure
+    map-side explode (zero Exchange); eval_calibration reduces in one
+    keyed aggregate family (no sort-merge join anywhere); eval_kappa
+    joins only cell-sized aggregates; the bootstrap's draws->sample
+    join is an equi-join, never a cartesian."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+
+    ch = _plan(q["text_chunks"](spark, sf))
+    assert not re.search(r"\(\d+\) Exchange\b", ch), ch
+    assert "Generate" in ch, ch  # the posexplode
+
+    cal = _plan(q["eval_calibration"](spark, sf))
+    assert "SortMergeJoin" not in cal, cal
+    assert "partial_count" in cal or "partial_sum" in cal, cal
+
+    kp = _plan(q["eval_kappa"](spark, sf))
+    assert "CartesianProduct" not in kp, kp
+
+    pb = _plan(q["eval_paired_bootstrap"](spark, sf))
+    assert "CartesianProduct" not in pb, pb
