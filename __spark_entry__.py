@@ -4522,6 +4522,78 @@ def eval_paired_bootstrap_q(spark, sf_dir):
     )
 
 
+def json_shape_profile_q(spark, sf_dir):
+    """JSON shape/schema profile (extensions/curation.
+    json_shape_profile): per-key type-class distribution of a
+    deterministic JSON feed derived from documents (nested object,
+    array, bool/null/number/string values, a 1-in-7 optional key) —
+    the ingestion QC report before committing to a parse schema."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        json_shape_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    js = F.concat(
+        F.lit('{"id": '), did.cast("string"),
+        F.lit(', "lang": "'), F.coalesce(F.col("lang"), F.lit("und")),
+        F.lit('", "meta": {"n": '), F.col("n_chars").cast("string"),
+        F.lit(', "src": "'), F.col("source"),
+        F.lit('"}, "tags": ["a", "b"], "score": 0.5, "flag": '),
+        F.when(did % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(', "note": null'),
+        F.when(did % 7 == 0, F.lit(', "extra": 1')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return json_shape_profile(d.select(js.alias("js")), "js")
+
+
+def data_learning_curve_q(spark, sf_dir):
+    """Nested learning-curve subsets (extensions/curation.
+    learning_curve_splits): exact ceil(f*N) document counts and
+    cumulative n_chars budgets at 10/20/40/100% in the reproducible
+    md5 shuffle order — each subset contained in the next."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        learning_curve_splits,
+    )
+
+    return learning_curve_splits(
+        _t(spark, sf_dir, "documents"), token_col="n_chars"
+    )
+
+
+def eval_ranking_q(spark, sf_dir):
+    """Ranked-retrieval metrics (extensions/search.ranking_metrics):
+    cosine top-10 of the vec_id<20 queries against the DISJOINT
+    vec_id>=20 corpus, judged by label match — MRR / P@10 / nDCG@10
+    per query, DCG discounts as shared integer literals."""
+    from knowledge_graph_etl_spark.extensions.search import ranking_metrics
+    from knowledge_graph_etl_spark.extensions.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    c = e.where(F.col("vec_id") >= 20)
+    runs = cosine_topk(
+        c,
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=10,
+        query_id_col="query_id",
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    qrels = (
+        q.select(F.col("vec_id").alias("qid"), F.col("label").alias("_ql"))
+        .join(
+            c.select(F.col("vec_id").alias("doc_id"), "label"),
+            F.col("_ql") == F.col("label"),
+        )
+        .select("qid", "doc_id", F.lit(1).alias("rel"))
+    )
+    return ranking_metrics(runs, qrels, k=10)
+
+
 def shard_divergence_q(spark, sf_dir):
     """Per-shard token-distribution divergence report (extensions/
     stats.shard_psi_report): documents md5-hash-sharded 8 ways, each
@@ -5977,6 +6049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_kappa": eval_kappa_q,
         "text_chunks": text_chunks_q,
         "eval_paired_bootstrap": eval_paired_bootstrap_q,
+        "json_shape_profile": json_shape_profile_q,
+        "data_learning_curve": data_learning_curve_q,
+        "eval_ranking": eval_ranking_q,
         # --- latest driver row r09 (oldest-first; last-checked rotates to the back) ---
         "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
@@ -8427,6 +8502,9 @@ def oracle_sql() -> dict[str, str]:
         "eval_kappa": "WITH b AS (SELECT vec_id % 3 AS slice, CAST(label AS VARCHAR) AS a, CAST(CASE WHEN CAST(('0x' || substr(md5('k-' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2 THEN (label + 1) % 8 ELSE label END AS VARCHAR) AS bb FROM embeddings WHERE label IS NOT NULL), c AS (SELECT slice, a, bb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3), nn AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), d AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS dg FROM c WHERE a = bb GROUP BY 1), ma AS (SELECT slice, a, CAST(SUM(c) AS BIGINT) AS ca FROM c GROUP BY 1, 2), mb AS (SELECT slice, bb, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1, 2), pe AS (SELECT ma.slice, CAST(SUM(ca * cb) AS BIGINT) AS pn FROM ma JOIN mb ON ma.slice = mb.slice AND ma.a = mb.bb GROUP BY 1), j AS (SELECT nn.slice, nn.n, CAST(coalesce(dg, 0) * 1000000 // nn.n AS BIGINT) AS po_ppm, CAST(coalesce(pn, 0) * 1000000 // (nn.n * nn.n) AS BIGINT) AS pe_ppm FROM nn LEFT JOIN d ON d.slice = nn.slice LEFT JOIN pe ON pe.slice = nn.slice) SELECT slice, n, po_ppm, pe_ppm, CAST(CASE WHEN pe_ppm >= 1000000 THEN 0 ELSE floor(CAST(po_ppm - pe_ppm AS DOUBLE) * 1000000.0 / CAST(1000000 - pe_ppm AS DOUBLE)) END AS BIGINT) AS kappa_micro FROM j",
         "text_chunks": "WITH tok AS (SELECT doc_id, " + _TOKS + " AS t FROM documents), s AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS st FROM tok WHERE len(t) > 0) SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id, CAST(st AS BIGINT) AS start_tok, CAST(len(list_slice(t, st + 1, st + 32)) AS BIGINT) AS n_tokens, array_to_string(list_slice(t, st + 1, st + 32), ' ') AS chunk_text FROM s",
         "eval_paired_bootstrap": "WITH samp AS (SELECT doc_id, least(999999, n_chars * 900) AS a, greatest(0, least(999999, least(999999, n_chars * 900) + CAST(('0x' || substr(md5('pb-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100001 - 40000)) AS bsc FROM documents WHERE doc_id % 8 = 0), idx AS (SELECT a - bsc AS delta, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM samp), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(delta) AS BIGINT) AS sd FROM idx), grid AS (SELECT bs.b, ii.i FROM (SELECT unnest(range(200)) AS b) bs CROSS JOIN (SELECT unnest(range(n)) AS i FROM nn) ii), draws AS (SELECT b, CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM nn) AS di FROM grid), pb AS (SELECT b, CAST(SUM(idx.delta) AS BIGINT) AS d FROM draws JOIN idx ON idx.i = draws.di GROUP BY b), ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boot, CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS aw, CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bw FROM pb) SELECT nn.n AS n_docs, ag.n_boot, CAST(CASE WHEN nn.n > 0 THEN floor(CAST(nn.sd AS DOUBLE) / nn.n) ELSE 0 END AS BIGINT) AS mean_delta_ppm, CAST(bw * 1000000 // n_boot AS BIGINT) AS b_wins_ppm, CAST(aw * 1000000 // n_boot AS BIGINT) AS a_wins_ppm, CAST((n_boot - aw - bw) * 1000000 // n_boot AS BIGINT) AS ties_ppm FROM ag CROSS JOIN nn",
+        "json_shape_profile": "WITH u AS (SELECT '{\"id\": ' || CAST(doc_id AS VARCHAR) || ', \"lang\": \"' || coalesce(lang, 'und') || '\", \"meta\": {\"n\": ' || CAST(n_chars AS VARCHAR) || ', \"src\": \"' || source || '\"}, \"tags\": [\"a\", \"b\"], \"score\": 0.5, \"flag\": ' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END || ', \"note\": null' || CASE WHEN doc_id % 7 = 0 THEN ', \"extra\": 1' ELSE '' END || '}' AS js FROM documents), base AS (SELECT regexp_extract_all(js, '\"([^\"]+)\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9][0-9.eE+-]*|true|false|null|\\{|\\[)', 1) AS k, regexp_extract_all(js, '\"([^\"]+)\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9][0-9.eE+-]*|true|false|null|\\{|\\[)', 2) AS v FROM u), ex AS (SELECT unnest(list_transform(generate_series(1, len(k)), i -> struct_pack(key := k[i], h := substr(v[i], 1, 1)))) AS p FROM base), tt AS (SELECT p.key AS key, CASE p.h WHEN '\"' THEN 'string' WHEN 't' THEN 'bool' WHEN 'f' THEN 'bool' WHEN 'n' THEN 'null' WHEN '{' THEN 'object' WHEN '[' THEN 'array' ELSE 'number' END AS jtype FROM ex), per AS (SELECT key, jtype, CAST(COUNT(*) AS BIGINT) AS n FROM tt GROUP BY 1, 2), tot AS (SELECT key, CAST(SUM(n) AS BIGINT) AS kt FROM per GROUP BY 1) SELECT per.key, jtype, n, CAST(n * 1000000 // kt AS BIGINT) AS key_share_ppm FROM per JOIN tot USING (key)",
+        "data_learning_curve": "WITH r AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h, doc_id, n_chars FROM documents), rk AS (SELECT row_number() OVER (ORDER BY h, doc_id) AS r, SUM(n_chars) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM r), n AS (SELECT CAST(MAX(r) AS BIGINT) AS nn FROM rk), f AS (SELECT unnest([100000, 200000, 400000, 1000000]) AS fp), cuts AS (SELECT CAST(fp AS BIGINT) AS fraction_ppm, CAST((fp * nn + 999999) // 1000000 AS BIGINT) AS cut FROM f CROSS JOIN n) SELECT fraction_ppm, cut AS n_docs, CAST(coalesce(cum, 0) AS BIGINT) AS n_tokens FROM cuts LEFT JOIN rk ON rk.r = cuts.cut",
+        "eval_ranking": "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings WHERE vec_id < 20), c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings WHERE vec_id >= 20), s AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id, round(list_cosine_similarity(c.v, q.v), 6) AS sim FROM c CROSS JOIN q), runs AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS BIGINT) AS rk FROM s QUALIFY rk <= 10), qr AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id, 1 AS rel FROM q JOIN c ON q.label = c.label), fac AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852), (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064)) t(i, f)), j AS (SELECT runs.qid, runs.rk, coalesce(qr.rel, 0) AS rel FROM runs LEFT JOIN qr ON qr.qid = runs.qid AND qr.doc_id = runs.doc_id), per AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_retrieved, MIN(CASE WHEN rel > 0 THEN rk END) AS fr, CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nh, CAST(SUM(rel * fac.f) AS BIGINT) AS dcg_micro FROM j JOIN fac ON fac.i = j.rk GROUP BY qid), id1 AS (SELECT qid, rel, doc_id, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS i FROM qr WHERE rel > 0), ideal AS (SELECT qid, CAST(SUM(rel * fac.f) AS BIGINT) AS idcg_micro FROM id1 JOIN fac ON fac.i = id1.i WHERE id1.i <= 10 GROUP BY qid), nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr WHERE rel > 0 GROUP BY qid) SELECT per.qid, n_retrieved, CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel, CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS mrr_micro, CAST(nh * 1000000 // 10 AS BIGINT) AS p_at_k_ppm, dcg_micro, CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro, CAST(CASE WHEN coalesce(idcg_micro, 0) > 0 THEN dcg_micro * 1000000 // idcg_micro ELSE 0 END AS BIGINT) AS ndcg_micro FROM per LEFT JOIN ideal ON ideal.qid = per.qid LEFT JOIN nr ON nr.qid = per.qid",
         "text_url_features": (
             "WITH u AS (SELECT doc_id, 'https://' || source || "
             "'.example.org' || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE "

@@ -2416,3 +2416,134 @@ def priority_sample(
         .withColumn("sample_rank", F.row_number().over(win))
         .where(F.col("sample_rank") <= n)
     )
+
+
+#: JSON value-head classes for json_shape_profile: first character of the
+#: raw captured value decides the type class — engine-neutral (the same
+#: regex scan runs on Spark and DuckDB), no JSON parser in the loop
+_JSON_KV_RE = (
+    r'"([^"]+)"\s*:\s*'
+    r'("(?:[^"\\]|\\.)*"|-?[0-9][0-9.eE+-]*|true|false|null|\{|\[)'
+)
+
+
+def json_shape_profile(
+    df: DataFrame,
+    json_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Schema/shape profile of a JSON string column — the ingestion QC
+    pass a crawl/feed pipeline runs before committing to a parse
+    schema: for every KEY (any nesting depth, flattened by name) the
+    document count and the value-type class distribution. One row per
+    (key, type class): ``(key, jtype, n, key_share_ppm)`` where jtype ∈
+    ``string number bool null object array`` and ``key_share_ppm`` is
+    this class's share of the key's occurrences.
+
+    Mechanics: one regex scan captures every ``"key": <value-head>``
+    pair (two aligned ``regexp_extract_all`` passes zipped — Catalyst
+    evaluates the scan per array, no per-key re-parse), the value head's
+    first character classifies the type. Deliberate contract: keys are
+    flattened BY NAME across nesting (a shape report, not a parser) and
+    string values containing ``":`` sequences are the documented false-
+    positive edge — the full tree walk lives in ingest.json_to_quads;
+    this is the cheap profiling complement. Scale shape: pure map +
+    explode + ONE (key, jtype) hash aggregate with map-side combine."""
+    cols = [F.col(id_col)] if id_col else []
+    keys = F.regexp_extract_all(F.col(json_col), F.lit(_JSON_KV_RE), F.lit(1))
+    vals = F.regexp_extract_all(F.col(json_col), F.lit(_JSON_KV_RE), F.lit(2))
+    pairs = F.arrays_zip(keys.alias("k"), vals.alias("v"))
+    ex = df.select(*cols, F.explode(pairs).alias("p")).select(
+        F.col("p.k").alias("key"),
+        F.substring(F.col("p.v"), 1, 1).alias("_h"),
+    )
+    jtype = (
+        F.when(F.col("_h") == '"', "string")
+        .when(F.col("_h") == "t", "bool")
+        .when(F.col("_h") == "f", "bool")
+        .when(F.col("_h") == "n", "null")
+        .when(F.col("_h") == "{", "object")
+        .when(F.col("_h") == "[", "array")
+        .otherwise("number")
+    )
+    per = ex.select("key", jtype.alias("jtype")).groupBy("key", "jtype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per.groupBy("key").agg(F.sum("n").cast("bigint").alias("_kt"))
+    return per.join(tot, "key").select(
+        "key",
+        "jtype",
+        "n",
+        F.expr("n * 1000000 div _kt").cast("bigint").alias("key_share_ppm"),
+    )
+
+
+def learning_curve_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    fractions_ppm: tuple[int, ...] = (100_000, 200_000, 400_000, 1_000_000),
+) -> DataFrame:
+    """Nested data-ablation subsets for learning-curve runs: fraction f
+    of the corpus = the first ``ceil(f·N)`` documents in the
+    reproducible md5 shuffle order, so the 10% subset is CONTAINED in
+    the 20% which is contained in the 40% … (the nesting every
+    scaling-law experiment needs: a bigger run reuses the smaller run's
+    data plus strictly new documents). One row per fraction:
+    ``(fraction_ppm, n_docs, n_tokens)`` cumulative at that fraction —
+    the budget table a learning-curve sweep schedules from.
+
+    Assignment is rank-exact, not hash-threshold: subset sizes are
+    exactly ceil(f·N), not binomial draws. Scale shape: rank-exact
+    subsets REQUIRE a total order, so this runs two global windows over
+    (md5(id), id) — the deliberate md5-shuffle convention shared with
+    mixture_sample / domain_frequency_cap (at 100 TB use a
+    hash-threshold variant and accept binomial sizes); past the
+    windows everything is fractions-sized, and the cut lookup is an
+    equi-join on the exact cut rank."""
+    from .hashing import md5_u60
+
+    if not fractions_ppm or any(
+        not 0 < int(f) <= 1_000_000 for f in fractions_ppm
+    ):
+        raise ValueError(f"bad fractions_ppm: {fractions_ppm}")
+    fr = sorted({int(f) for f in fractions_ppm})
+    tok = (
+        F.col(token_col).cast("bigint")
+        if token_col
+        else F.lit(1).cast("bigint")
+    )
+    w = Window.orderBy("_h", "_id")
+    ranked = (
+        df.select(
+            md5_u60(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_id"),
+            tok.alias("_tok"),
+        )
+        .select(
+            F.row_number().over(w).cast("bigint").alias("_r"),
+            F.sum("_tok")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("_cum_tok"),
+        )
+    )
+    n_tot = ranked.agg(F.max("_r").cast("bigint").alias("_n"))
+    cuts = n_tot.select(
+        F.explode(
+            F.array(*[F.lit(f) for f in fr])
+        ).alias("fraction_ppm"),
+        F.col("_n"),
+    ).select(
+        F.col("fraction_ppm").cast("bigint").alias("fraction_ppm"),
+        F.expr("(fraction_ppm * _n + 999999) div 1000000")
+        .cast("bigint")
+        .alias("_cut"),
+    )
+    return cuts.join(
+        ranked, cuts["_cut"] == ranked["_r"], "left"
+    ).select(
+        "fraction_ppm",
+        F.col("_cut").alias("n_docs"),
+        F.coalesce("_cum_tok", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )

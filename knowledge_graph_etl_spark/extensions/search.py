@@ -591,3 +591,116 @@ def bm25_topk_steady(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "n_hit_terms", "score_micro")
     )
+
+
+def dcg_factors_micro(k: int) -> list[int]:
+    """``floor(1e6 / log2(i + 1))`` for ranks i = 1..k, computed ONCE in
+    Python and injected as integer literals into both the Spark plan
+    and the SQL oracle — so the discounted-gain arithmetic is
+    integer-exact cross-engine with zero runtime float ops."""
+    import math
+
+    return [int(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ranking_metrics(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranked-retrieval evaluation — MRR, P@k and nDCG@k per query, the
+    scorecard every retriever/reranker change ships with: ``runs`` are
+    the system's ranked results (dense rank 1..k per query), ``qrels``
+    the graded relevance judgments. One row per query in runs:
+    ``(qid, n_retrieved, n_rel, mrr_micro, p_at_k_ppm, dcg_micro,
+    idcg_micro, ndcg_micro)``.
+
+    Exactness: every metric is integer arithmetic — MRR = 1e6 div the
+    first relevant rank; the DCG rank discounts are
+    :func:`dcg_factors_micro` integer literals (same numbers in the
+    oracle by construction); nDCG = dcg·1e6 div idcg (0 when idcg = 0).
+    Scale shape: one co-partitioned left join runs⋈qrels on (qid, doc),
+    one qid-keyed aggregate, and an ideal-gain window PARTITIONED BY
+    QUERY over qrels (judgment lists are eval-set-sized by nature; the
+    window never sees the corpus). No UDF, no collect."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    factors = dcg_factors_micro(k)
+    fmap = F.map_from_arrays(
+        F.array(*[F.lit(i + 1) for i in range(k)]),
+        F.array(*[F.lit(f) for f in factors]),
+    )
+    r = runs.select(
+        F.col(qid_col).alias("qid"),
+        F.col(doc_col).alias("doc"),
+        F.col(rank_col).cast("bigint").alias("rk"),
+    ).where(F.col(rank_col) <= k)
+    q = qrels.select(
+        F.col(qid_col).alias("qid"),
+        F.col(doc_col).alias("doc"),
+        F.col(rel_col).cast("bigint").alias("rel"),
+    )
+    j = r.join(q, ["qid", "doc"], "left").select(
+        "qid",
+        "rk",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        F.element_at(fmap, F.col("rk").cast("int")).alias("_f"),
+    )
+    per = j.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+        F.min(F.when(F.col("rel") > 0, F.col("rk"))).alias("_first_rel"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n_hit"),
+        F.sum(F.col("rel") * F.col("_f")).cast("bigint").alias("dcg_micro"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("doc").asc()
+    )
+    ideal = (
+        q.where(F.col("rel") > 0)
+        .select(
+            "qid",
+            "rel",
+            F.row_number().over(w).cast("int").alias("_i"),
+        )
+        .where(F.col("_i") <= k)
+        .select(
+            "qid",
+            (F.col("rel") * F.element_at(fmap, F.col("_i"))).alias("_g"),
+        )
+        .groupBy("qid")
+        .agg(F.sum("_g").cast("bigint").alias("idcg_micro"))
+    )
+    n_rel = q.where(F.col("rel") > 0).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    return (
+        per.join(ideal, "qid", "left")
+        .join(n_rel, "qid", "left")
+        .select(
+            "qid",
+            "n_retrieved",
+            F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce(
+                F.expr("1000000 div _first_rel"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("mrr_micro"),
+            F.expr(f"_n_hit * 1000000 div {k}")
+            .cast("bigint")
+            .alias("p_at_k_ppm"),
+            "dcg_micro",
+            F.coalesce("idcg_micro", F.lit(0)).cast("bigint").alias("idcg_micro"),
+            F.expr(
+                "case when coalesce(idcg_micro, 0) > 0 "
+                "then dcg_micro * 1000000 div idcg_micro else 0 end"
+            )
+            .cast("bigint")
+            .alias("ndcg_micro"),
+        )
+    )

@@ -364,3 +364,82 @@ def test_paired_bootstrap_deterministic_and_directional(spark):
     # deterministic: the same call yields the identical row
     r2 = paired_bootstrap_eval(df, "doc_id", "a", "b", n_boot=50).collect()[0]
     assert r.asDict() == r2.asDict()
+
+
+def test_json_shape_profile_types_and_shares(spark):
+    from knowledge_graph_etl_spark.extensions.curation import (
+        json_shape_profile,
+    )
+
+    rows = [
+        (1, '{"a": 1, "b": "x", "c": {"d": true}, "e": [1], "f": null}'),
+        (2, '{"a": -2.5e3, "b": "y with \\"quote", "g": false}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, js string")
+    out = {
+        (r["key"], r["jtype"]): r
+        for r in json_shape_profile(df, "js").collect()
+    }
+    assert out[("a", "number")]["n"] == 2
+    assert out[("a", "number")]["key_share_ppm"] == 1_000_000
+    assert out[("b", "string")]["n"] == 2
+    assert ("c", "object") in out and ("e", "array") in out
+    assert ("d", "bool") in out  # nested keys flattened by name
+    assert ("f", "null") in out and ("g", "bool") in out
+
+
+def test_learning_curve_splits_nested_exact(spark):
+    from knowledge_graph_etl_spark.extensions.curation import (
+        learning_curve_splits,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("tok")
+    )
+    out = {
+        r["fraction_ppm"]: r
+        for r in learning_curve_splits(df, token_col="tok").collect()
+    }
+    # exact ceil(f*N) sizes, cumulative tokens = 10 * n_docs
+    assert [out[f]["n_docs"] for f in (100_000, 200_000, 400_000, 1_000_000)] == [
+        10, 20, 40, 100,
+    ]
+    for f, r in out.items():
+        assert r["n_tokens"] == 10 * r["n_docs"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        learning_curve_splits(df, fractions_ppm=(0,))
+    with _pytest.raises(ValueError):
+        learning_curve_splits(df, fractions_ppm=())
+
+
+def test_ranking_metrics_hand_values(spark):
+    from knowledge_graph_etl_spark.extensions.search import (
+        dcg_factors_micro,
+        ranking_metrics,
+    )
+
+    runs = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3), (2, "d9", 1)],
+        "qid long, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "d2", 1), (1, "d3", 1), (1, "d7", 1), (2, "zz", 1)],
+        "qid long, doc_id string, rel long",
+    )
+    out = {r["qid"]: r for r in ranking_metrics(runs, qrels, k=3).collect()}
+    f = dcg_factors_micro(3)
+    r1 = out[1]
+    # first relevant at rank 2; 2 of 3 retrieved relevant; 3 relevant total
+    assert r1["mrr_micro"] == 500_000
+    assert r1["p_at_k_ppm"] == 666_666
+    assert r1["n_rel"] == 3
+    assert r1["dcg_micro"] == f[1] + f[2]
+    assert r1["idcg_micro"] == f[0] + f[1] + f[2]
+    assert r1["ndcg_micro"] == (f[1] + f[2]) * 1_000_000 // (f[0] + f[1] + f[2])
+    # query 2 retrieved nothing relevant
+    r2 = out[2]
+    assert r2["mrr_micro"] == 0 and r2["dcg_micro"] == 0
+    assert r2["idcg_micro"] == f[0] and r2["ndcg_micro"] == 0

@@ -976,3 +976,23 @@ def test_r13_eval_operators_plan_shapes(spark):
 
     pb = _plan(q["eval_paired_bootstrap"](spark, sf))
     assert "CartesianProduct" not in pb, pb
+
+
+def test_r13_batch3_plan_shapes(spark):
+    """json_shape_profile: map+explode then one keyed aggregate family,
+    no sort-merge join (the share join is agg-sized); eval_ranking:
+    no cartesian outside the deliberate broadcast query cross join."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+
+    sp = _plan(q["json_shape_profile"](spark, sf))
+    assert "Generate" in sp, sp
+    assert "CartesianProduct" not in sp, sp
+
+    lc = _plan(q["data_learning_curve"](spark, sf))
+    assert "CartesianProduct" not in lc, lc
+
+    rk = _plan(q["eval_ranking"](spark, sf))
+    assert "CartesianProduct" not in rk, rk
