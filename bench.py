@@ -124,6 +124,7 @@ def _parent(shards: int) -> int:
     bounds = [round(i * len(names) / shards) for i in range(shards + 1)]
     merged: dict[str, float] = {}
     merged_retries: dict[str, float] = {}
+    merged_fresh: dict[str, float] = {}
     for i in range(shards):
         lo, hi = bounds[i], bounds[i + 1]
         if lo == hi:
@@ -154,6 +155,7 @@ def _parent(shards: int) -> int:
                 child = _json.load(fh)
             merged.update(child.get("queries", {}))
             merged_retries.update(child.get("retries", {}))
+            merged_fresh.update(child.get("fresh", {}))
         except (OSError, ValueError) as e:
             print(f"# shard {i}: no result ({e})", file=sys.stderr)
         finally:
@@ -161,7 +163,7 @@ def _parent(shards: int) -> int:
                 os.unlink(out)
             except OSError:
                 pass
-    _finish(merged, None, merged_retries)
+    _finish(merged, None, merged_retries, merged_fresh)
     return 0
 
 
@@ -356,6 +358,21 @@ def main() -> int:
         except (OSError, ValueError):
             bars_for_retry = {}
     retries: dict[str, float] = {}
+    # Fresh-JVM escalation (r13, second iteration — measured): the
+    # in-session retry re-runs in the SAME degraded JVM, so JVM-level
+    # state (JIT code-cache sweeps, thread growth, pinned shuffle files
+    # — the probe-run findings above) makes breaches "persist" on retry
+    # while the identical entry runs at-bar solo minutes later
+    # (graph_pagerank: 16.9s in-bench + 15.4s retry vs 6.0s solo median
+    # the same hour, unchanged code). A breach that persists on retry
+    # is therefore adjudicated ONCE MORE in a fresh child process via
+    # tools/seq_bench.py (two runs; the first warms the JVM, the min is
+    # the verdict) — the manual n=5 solo-pin protocol's decision rule,
+    # automated at measurement time. Capped at 12 escalations per run
+    # (~40s each) so a pathological day degrades loudly, not endlessly;
+    # the cap being hit is logged (no silent caps).
+    fresh: dict[str, float] = {}
+    max_escalations = int(os.environ.get("SPARK_GRAFT_BENCH_ESCALATIONS", "12"))
 
     pos = 0
     for name in names:
@@ -382,6 +399,46 @@ def main() -> int:
             except Exception:  # noqa: BLE001 - keep the first timing
                 pass
             _reset()
+            if retries.get(name, timings[name]) > 2.0 * bar:
+                if len(fresh) >= max_escalations:
+                    print(
+                        f"# fresh-JVM escalation SKIPPED for {name}: cap "
+                        f"of {max_escalations} reached — treat this "
+                        "run's over_bar as host-suspect",
+                        file=sys.stderr,
+                    )
+                else:
+                    import subprocess
+
+                    here_dir = os.path.dirname(os.path.abspath(__file__))
+                    child_env = dict(os.environ)
+                    child_env["PYTHONPATH"] = here_dir
+                    try:
+                        cp = subprocess.run(
+                            [
+                                sys.executable,
+                                os.path.join(here_dir, "tools", "seq_bench.py"),
+                                f"{name},{name}",
+                            ],
+                            env=child_env,
+                            capture_output=True,
+                            text=True,
+                            timeout=600,
+                        )
+                        data = json.loads(cp.stdout.strip().splitlines()[-1])
+                        v = data[name]
+                        runs = v["runs"] if isinstance(v, dict) else [v]
+                        fresh[name] = min(runs)
+                        print(
+                            f"# fresh-JVM adjudication {name}: runs {runs} "
+                            f"-> {fresh[name]:.2f}s (bar {bar:.2f})",
+                            file=sys.stderr,
+                        )
+                    except Exception as e:  # noqa: BLE001 - keep in-session values
+                        print(
+                            f"# fresh-JVM adjudication {name} failed: {e}",
+                            file=sys.stderr,
+                        )
         if probe_fh is not None:
             rec = {"pos": pos, "query": name, "sec": timings[name]}
             rec.update(_jvm_probe(spark))
@@ -397,11 +454,13 @@ def main() -> int:
         # shard child: the parent merges and runs the tripwires once
         out_path = os.environ["SPARK_GRAFT_BENCH_OUT"]
         with open(out_path, "w") as fh:
-            json.dump({"queries": timings, "retries": retries}, fh)
+            json.dump(
+                {"queries": timings, "retries": retries, "fresh": fresh}, fh
+            )
         spark.stop()
         return 0
 
-    _finish(timings, loadavg_launch, retries)
+    _finish(timings, loadavg_launch, retries, fresh)
     spark.stop()
     return 0
 
@@ -410,6 +469,7 @@ def _finish(
     timings: dict[str, float],
     loadavg_launch: tuple | None = None,
     retries: dict[str, float] | None = None,
+    fresh: dict[str, float] | None = None,
 ) -> None:
     """Tripwires + payload over the (merged) per-query timings: drift vs
     the previous committed run, per-entry 2x bars, the ONE stdout JSON
@@ -480,6 +540,7 @@ def _finish(
     # 2x threshold is the repo's standing per-query regression bar.
     over_bar = None
     retries = retries or {}
+    fresh = fresh or {}
     bars_path = os.path.join(here, "tools", "bench_bars.json")
     if os.path.isfile(bars_path) and sf_val == 0.1:
         try:
@@ -487,18 +548,24 @@ def _finish(
                 bars = json.load(fh)
 
             def _eff(q: str) -> float:
-                # adaptive retry (r13): a breach must PERSIST on the
-                # in-session re-run to report — min(first, retry) is the
-                # value checked against the bar; "cur" stays the first
-                # run so totals remain comparable across rounds
-                r = retries.get(q)
-                return min(timings[q], r) if r is not None and r >= 0 else timings[q]
+                # adaptive retry + fresh-JVM escalation (r13): a breach
+                # must persist on the in-session re-run AND on the
+                # fresh-process adjudication to report — min(first,
+                # retry, fresh) is checked against the bar; "cur" stays
+                # the first run so totals remain comparable across rounds
+                vals = [timings[q]]
+                if retries.get(q) is not None and retries[q] >= 0:
+                    vals.append(retries[q])
+                if fresh.get(q) is not None and fresh[q] >= 0:
+                    vals.append(fresh[q])
+                return min(vals)
 
             over_bar = [
                 {
                     "query": q,
                     "cur": timings[q],
                     "retry": retries.get(q),
+                    "fresh": fresh.get(q),
                     "bar": bars[q]["bar"],
                     "ratio": round(_eff(q) / bars[q]["bar"], 2),
                     "bar_source": bars[q]["source"],
@@ -537,6 +604,7 @@ def _finish(
         "shared_sum_vs_prev": shared_sum_vs_prev,
         "over_bar": over_bar,
         "retries": retries,
+        "fresh": fresh,
     }
     print(json.dumps(payload))
     # Also persist the COMPLETE per-query record to a file: the driver's
