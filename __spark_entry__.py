@@ -5963,6 +5963,387 @@ def search_bm25_steady_q(spark, sf_dir):
     return bm25_topk_steady(queries, prefix, k=10)
 
 
+def eval_auc_q(spark, sf_dir):
+    """Per-slice ROC-AUC (extensions/stats.roc_auc_report): binary
+    label = embeddings label >= 4, score = label-dependent offset plus
+    md5 noise (a ~0.7-AUC classifier) — Mann-Whitney rank-sum identity,
+    pure integer arithmetic, midrank tie handling."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.stats import roc_auc_report
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("label").isNotNull())
+    y = (F.col("label") >= 4).cast("int")
+    s = (
+        y * 300
+        + md5_u60(F.concat(F.lit("auc-"), F.col("vec_id").cast("string")))
+        % 1000
+    )
+    return roc_auc_report(
+        e.select(
+            (F.col("vec_id") % 4).alias("slice"),
+            y.alias("y"),
+            s.alias("score"),
+        ),
+        "slice",
+        "y",
+        "score",
+    )
+
+
+def bpe_pair_stats_q(spark, sf_dir):
+    """First-round BPE merge candidates (extensions/text.
+    bpe_merge_candidates): top-50 adjacent character pairs inside
+    [a-z]+ words of the corpus — the tokenizer-fit statistic; key
+    space bounded by 26^2 so the post-aggregate rank window is a
+    trivial single task by construction."""
+    from knowledge_graph_etl_spark.extensions.text import (
+        bpe_merge_candidates,
+    )
+
+    return bpe_merge_candidates(
+        _t(spark, sf_dir, "documents"), "text", top_n=50
+    )
+
+
+def domain_quality_shrunk_q(spark, sf_dir):
+    """Empirical-Bayes domain quality ranking (extensions/curation.
+    shrunken_domain_quality): pass = n_chars >= 200; a 1-in-50 slice of
+    docs is routed to synthetic long-tail domains (source + doc_id%13)
+    so small-n domains demonstrably shrink toward the corpus rate at
+    prior_strength=200."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        shrunken_domain_quality,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    domain = F.when(
+        F.col("doc_id") % 50 == 7,
+        F.concat(
+            F.col("source"),
+            F.lit("_tail_"),
+            (F.col("doc_id") % 13).cast("string"),
+        ),
+    ).otherwise(F.col("source"))
+    return shrunken_domain_quality(
+        d.select(
+            domain.alias("domain"),
+            (F.col("n_chars") >= 200).cast("int").alias("ok"),
+        ),
+        "domain",
+        "ok",
+        prior_strength=200,
+    )
+
+
+def text_template_dedup_q(spark, sf_dir):
+    """Template-level dedup (extensions/text.template_dedup_stats) over
+    a deterministic machine-generated feed (invoice lines built from
+    doc_id/n_chars/source, 1-in-5 rows carrying a priority suffix):
+    digit runs normalize to 0, so rows group by (digit-normalized
+    source x suffix) template — the boilerplate detector exact dedup
+    misses."""
+    from knowledge_graph_etl_spark.extensions.text import (
+        template_dedup_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("Invoice #"),
+        F.col("doc_id").cast("string"),
+        F.lit("  total "),
+        (F.col("n_chars") * 7).cast("string"),
+        F.lit(" cents from "),
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" PRIORITY")).otherwise(
+            F.lit("")
+        ),
+    )
+    return template_dedup_stats(
+        d.select(F.col("doc_id"), line.alias("line")),
+        "doc_id",
+        "line",
+        min_count=2,
+    )
+
+
+def eval_bleu_q(spark, sf_dir):
+    """Corpus BLEU sufficient statistics (extensions/text.
+    bleu_corpus_stats): reference = first 30 [a-z]+ tokens of each
+    document; candidate = a deterministic corruption (every 5th token
+    substituted with 'zz', every 7th dropped, 0-based) — exercises
+    clipping, all four orders, and the brevity-relevant length gap."""
+    from knowledge_graph_etl_spark.extensions.text import (
+        bleu_corpus_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ref = F.slice(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda t: t != F.lit(""),
+        ),
+        1,
+        30,
+    )
+    base = d.select(F.col("doc_id"), ref.alias("ref")).withColumn(
+        "cand",
+        F.expr(
+            "filter(transform(ref, (t, i) -> CASE WHEN i % 5 = 2 THEN 'zz'"
+            " ELSE t END), (t, i) -> i % 7 != 3)"
+        ),
+    )
+    return bleu_corpus_stats(base, "doc_id", "cand", "ref", max_n=4)
+
+
+def eval_fleiss_q(spark, sf_dir):
+    """Fleiss' kappa (extensions/stats.fleiss_kappa): 3 synthetic
+    raters per document judging good/bad (truth = n_chars >= 200), each
+    rater flipping on a ~20% md5 draw; every 97th document loses rater
+    2 to exercise the fixed-m drop path."""
+    from knowledge_graph_etl_spark.extensions.hashing import md5_u60
+    from knowledge_graph_etl_spark.extensions.stats import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    ratings = d.select(
+        "doc_id",
+        (F.col("n_chars") >= 200).alias("_truth"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+    ).where(~((F.col("r") == 2) & (F.col("doc_id") % 97 == 0)))
+    flip = (
+        md5_u60(
+            F.concat(
+                F.lit("fk-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.col("r").cast("string"),
+            )
+        )
+        % 10
+        < 2
+    )
+    cat = F.when(
+        flip, F.when(F.col("_truth"), F.lit("bad")).otherwise(F.lit("good"))
+    ).otherwise(
+        F.when(F.col("_truth"), F.lit("good")).otherwise(F.lit("bad"))
+    )
+    return fleiss_kappa(
+        ratings.select("doc_id", cat.alias("cat")), "doc_id", "cat"
+    )
+
+
+def files_compaction_plan_q(spark, sf_dir):
+    """Compaction plan (extensions/curation.compaction_plan) over a
+    synthetic small-files table (one file per document, dir = source,
+    bytes = n_chars, target 50 kB) — running-sum banding per dir."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        compaction_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return compaction_plan(d, "source", "doc_id", "n_chars", 50_000)
+
+
+def embed_rp_project_q(spark, sf_dir):
+    """Sign random projection (extensions/similarity.rp_project) of the
+    64-dim embeddings to k=8: md5-seeded ±1 matrix, inputs quantized to
+    int64 at scale 1000 so every projected cell is an exact integer."""
+    from knowledge_graph_etl_spark.extensions.similarity import rp_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return rp_project(e, k=8, scale=1000, dim=64)
+
+
+def text_vocab_growth_q(spark, sf_dir):
+    """Heaps-law vocabulary growth (extensions/text.vocab_growth_curve)
+    at 10/20/40/100% nested md5-shuffle prefixes of the documents
+    corpus — distinct word types vs running token total per cut."""
+    from knowledge_graph_etl_spark.extensions.text import (
+        vocab_growth_curve,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_growth_curve(d, "doc_id", "text")
+
+
+def text_collocations_q(spark, sf_dir):
+    """PMI-lift collocations (extensions/text.collocation_lift): top-50
+    adjacent bigrams by integer lift with a min-count-5 floor over the
+    documents corpus."""
+    from knowledge_graph_etl_spark.extensions.text import collocation_lift
+
+    d = _t(spark, sf_dir, "documents")
+    return collocation_lift(d, "text", top_n=50, min_count=5)
+
+
+def text_script_profile_q(spark, sf_dir):
+    """Unicode-script profile (extensions/text.script_profile) over the
+    documents corpus with deterministic multilingual suffixes mixed in
+    (1-in-7 slices get cyrillic / cjk / greek / digit tails) so all six
+    script classes are exercised."""
+    from knowledge_graph_etl_spark.extensions.text import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 1, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 7 == 2, F.lit(" 你好世界你好世界你好"))
+        .when(F.col("doc_id") % 7 == 3, F.lit(" αβγδε"))
+        .when(F.col("doc_id") % 7 == 4, F.lit(" 1234567890"))
+        .otherwise(F.lit("")),
+    )
+    return script_profile(
+        d.select("doc_id", txt.alias("mixed")), "doc_id", "mixed"
+    )
+
+
+def embed_centroid_drift_q(spark, sf_dir):
+    """Per-label centroid drift (extensions/similarity.centroid_drift)
+    between the even-vec_id and odd-vec_id halves of the embeddings
+    table — int64-quantized exact dimension sums, cross-multiplied L1."""
+    from knowledge_graph_etl_spark.extensions.similarity import (
+        centroid_drift,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+        "label",
+        "embedding",
+        1000,
+    )
+
+
+def sketch_countmin_q(spark, sf_dir):
+    """Count-min heavy hitters (extensions/stats.
+    countmin_heavy_hitters, depth=4 width=256): sketch + exact audit of
+    the 20 heaviest tokens of the documents corpus."""
+    from knowledge_graph_etl_spark.extensions.stats import (
+        countmin_heavy_hitters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: (F.length(t) >= 2) & (F.length(t) <= 30),
+            )
+        ).alias("item")
+    )
+    return countmin_heavy_hitters(items, "item", depth=4, width=256, top_n=20)
+
+
+def text_gram_uniqueness_q(spark, sf_dir):
+    """Cross-doc gram uniqueness (extensions/text.gram_uniqueness,
+    n=3): per document, the fraction of its distinct trigrams no other
+    document shares (order-free corpus-df variant of the corpus-order
+    text_ngram_novelty entry)."""
+    from knowledge_graph_etl_spark.extensions.text import (
+        gram_uniqueness,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return gram_uniqueness(d, "doc_id", "text", n=3)
+
+
+def data_sequence_pack_q(spark, sf_dir):
+    """Sequence-packing report (extensions/curation.sequence_pack_plan,
+    context 2048): bins by fill decile with token proxy = n_chars div 4
+    in the md5-shuffle packing order."""
+    from knowledge_graph_etl_spark.extensions.curation import (
+        sequence_pack_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("n_chars div 4").cast("bigint").alias("tok")
+    )
+    return sequence_pack_plan(d, "doc_id", "tok", 2048)
+
+
+def orders_rfm_q(spark, sf_dir):
+    """RFM segmentation (extensions/stats.rfm_segments, q=5) of the
+    orders fact table — recency/frequency/monetary quintile codes with
+    exact cent totals."""
+    from knowledge_graph_etl_spark.extensions.stats import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice", q=5)
+
+
+def crawl_robots_q(spark, sf_dir):
+    """robots.txt longest-match policy join (extensions/html.
+    robots_policy_filter): synthetic per-host rule sets (site-wide
+    allow, /p3 disallow, /p3/page7 allow-override, /p1 disallow on
+    even-length sources) against doc-derived URLs — exercises
+    longest-prefix override, allow-beats-disallow ties, and the
+    no-rule default."""
+    from knowledge_graph_etl_spark.extensions.html import (
+        robots_policy_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit("/page"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("path"),
+    )
+    hosts = d.select("source").distinct()
+    rules = (
+        hosts.select(
+            F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("/").alias("path_prefix"),
+                        F.lit(True).alias("allow"),
+                    ),
+                    F.struct(
+                        F.lit("/p3").alias("path_prefix"),
+                        F.lit(False).alias("allow"),
+                    ),
+                    F.struct(
+                        F.lit("/p3/page7").alias("path_prefix"),
+                        F.lit(True).alias("allow"),
+                    ),
+                    F.when(
+                        F.length("source") % 2 == 0,
+                        F.struct(
+                            F.lit("/p1").alias("path_prefix"),
+                            F.lit(False).alias("allow"),
+                        ),
+                    ),
+                )
+            ).alias("_r"),
+        )
+        .where(F.col("_r").isNotNull())
+        .select("host", F.col("_r.path_prefix").alias("path_prefix"), F.col("_r.allow").alias("allow"))
+    )
+    return robots_policy_filter(urls, rules)
+
+
+def text_rake_q(spark, sf_dir):
+    """RAKE keywords (extensions/text.rake_keywords): top-50 corpus
+    phrases by degree/frequency score with a 5-occurrence floor; the
+    boundary set is corpus-fitting (the synthetic vocabulary's highest-
+    frequency words) so phrase segmentation is non-degenerate."""
+    from knowledge_graph_etl_spark.extensions.text import rake_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keywords(
+        d,
+        "text",
+        stopwords=["a", "the", "table", "value", "query", "part"],
+        top_n=50,
+        min_occurrences=5,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6052,6 +6433,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_shape_profile": json_shape_profile_q,
         "data_learning_curve": data_learning_curve_q,
         "eval_ranking": eval_ranking_q,
+        "eval_auc": eval_auc_q,
+        "bpe_pair_stats": bpe_pair_stats_q,
+        "domain_quality_shrunk": domain_quality_shrunk_q,
+        "text_template_dedup": text_template_dedup_q,
+        "eval_bleu": eval_bleu_q,
+        "eval_fleiss": eval_fleiss_q,
+        "files_compaction_plan": files_compaction_plan_q,
+        "embed_rp_project": embed_rp_project_q,
+        "text_vocab_growth": text_vocab_growth_q,
+        "text_collocations": text_collocations_q,
+        "text_script_profile": text_script_profile_q,
+        "embed_centroid_drift": embed_centroid_drift_q,
+        "sketch_countmin": sketch_countmin_q,
+        "text_ngram_novelty": text_ngram_novelty_q,
+        "data_sequence_pack": data_sequence_pack_q,
+        "orders_rfm": orders_rfm_q,
+        "crawl_robots": crawl_robots_q,
+        "text_rake": text_rake_q,
         # --- latest driver row r09 (oldest-first; last-checked rotates to the back) ---
         "top_supplier_revenue": top_supplier_revenue,
         "stats_ks_drift": stats_ks_drift_q,
@@ -6062,7 +6461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_pareto": stats_pareto_q,
         "stats_psi": stats_psi_q,
         "text_readability": text_readability_q,
-        "text_ngram_novelty": text_ngram_novelty_q,
+        "text_gram_uniqueness": text_gram_uniqueness_q,
         "stats_cramers_v": stats_cramers_v_q,
         "doc_lang_confusion": doc_lang_confusion_q,
         "orders_cohort_ltv": orders_cohort_ltv,
@@ -8505,6 +8904,24 @@ def oracle_sql() -> dict[str, str]:
         "json_shape_profile": "WITH u AS (SELECT '{\"id\": ' || CAST(doc_id AS VARCHAR) || ', \"lang\": \"' || coalesce(lang, 'und') || '\", \"meta\": {\"n\": ' || CAST(n_chars AS VARCHAR) || ', \"src\": \"' || source || '\"}, \"tags\": [\"a\", \"b\"], \"score\": 0.5, \"flag\": ' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END || ', \"note\": null' || CASE WHEN doc_id % 7 = 0 THEN ', \"extra\": 1' ELSE '' END || '}' AS js FROM documents), base AS (SELECT regexp_extract_all(js, '\"([^\"]+)\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9][0-9.eE+-]*|true|false|null|\\{|\\[)', 1) AS k, regexp_extract_all(js, '\"([^\"]+)\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?[0-9][0-9.eE+-]*|true|false|null|\\{|\\[)', 2) AS v FROM u), ex AS (SELECT unnest(list_transform(generate_series(1, len(k)), i -> struct_pack(key := k[i], h := substr(v[i], 1, 1)))) AS p FROM base), tt AS (SELECT p.key AS key, CASE p.h WHEN '\"' THEN 'string' WHEN 't' THEN 'bool' WHEN 'f' THEN 'bool' WHEN 'n' THEN 'null' WHEN '{' THEN 'object' WHEN '[' THEN 'array' ELSE 'number' END AS jtype FROM ex), per AS (SELECT key, jtype, CAST(COUNT(*) AS BIGINT) AS n FROM tt GROUP BY 1, 2), tot AS (SELECT key, CAST(SUM(n) AS BIGINT) AS kt FROM per GROUP BY 1) SELECT per.key, jtype, n, CAST(n * 1000000 // kt AS BIGINT) AS key_share_ppm FROM per JOIN tot USING (key)",
         "data_learning_curve": "WITH r AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h, doc_id, n_chars FROM documents), rk AS (SELECT row_number() OVER (ORDER BY h, doc_id) AS r, SUM(n_chars) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM r), n AS (SELECT CAST(MAX(r) AS BIGINT) AS nn FROM rk), f AS (SELECT unnest([100000, 200000, 400000, 1000000]) AS fp), cuts AS (SELECT CAST(fp AS BIGINT) AS fraction_ppm, CAST((fp * nn + 999999) // 1000000 AS BIGINT) AS cut FROM f CROSS JOIN n) SELECT fraction_ppm, cut AS n_docs, CAST(coalesce(cum, 0) AS BIGINT) AS n_tokens FROM cuts LEFT JOIN rk ON rk.r = cuts.cut",
         "eval_ranking": "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings WHERE vec_id < 20), c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings WHERE vec_id >= 20), s AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id, round(list_cosine_similarity(c.v, q.v), 6) AS sim FROM c CROSS JOIN q), runs AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS BIGINT) AS rk FROM s QUALIFY rk <= 10), qr AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id, 1 AS rel FROM q JOIN c ON q.label = c.label), fac AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852), (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064)) t(i, f)), j AS (SELECT runs.qid, runs.rk, coalesce(qr.rel, 0) AS rel FROM runs LEFT JOIN qr ON qr.qid = runs.qid AND qr.doc_id = runs.doc_id), per AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_retrieved, MIN(CASE WHEN rel > 0 THEN rk END) AS fr, CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nh, CAST(SUM(rel * fac.f) AS BIGINT) AS dcg_micro FROM j JOIN fac ON fac.i = j.rk GROUP BY qid), id1 AS (SELECT qid, rel, doc_id, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS i FROM qr WHERE rel > 0), ideal AS (SELECT qid, CAST(SUM(rel * fac.f) AS BIGINT) AS idcg_micro FROM id1 JOIN fac ON fac.i = id1.i WHERE id1.i <= 10 GROUP BY qid), nr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr WHERE rel > 0 GROUP BY qid) SELECT per.qid, n_retrieved, CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel, CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS mrr_micro, CAST(nh * 1000000 // 10 AS BIGINT) AS p_at_k_ppm, dcg_micro, CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro, CAST(CASE WHEN coalesce(idcg_micro, 0) > 0 THEN dcg_micro * 1000000 // idcg_micro ELSE 0 END AS BIGINT) AS ndcg_micro FROM per LEFT JOIN ideal ON ideal.qid = per.qid LEFT JOIN nr ON nr.qid = per.qid",
+        "eval_auc": "WITH b AS (SELECT vec_id % 4 AS slice, CAST(CASE WHEN label >= 4 THEN 1 ELSE 0 END AS INT) AS y, CAST(CASE WHEN label >= 4 THEN 300 ELSE 0 END + CAST(('0x' || substr(md5('auc-' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS BIGINT) AS s FROM embeddings WHERE label IS NOT NULL), c AS (SELECT slice, s, CAST(SUM(y) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS tot FROM b GROUP BY 1, 2), r AS (SELECT slice, pos, tot, CAST(coalesce(SUM(tot) OVER (PARTITION BY slice ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below FROM c), p AS (SELECT slice, CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(tot) - SUM(pos) AS BIGINT) AS n_neg, CAST(SUM(pos * (2 * below + tot + 1)) AS BIGINT) AS rs2 FROM r GROUP BY 1) SELECT slice, n_pos, n_neg, CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN (rs2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) ELSE NULL END AS BIGINT) AS auc_ppm FROM p",
+        "bpe_pair_stats": "WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS wd FROM documents), f AS (SELECT wd FROM w WHERE len(wd) BETWEEN 2 AND 30), p AS (SELECT unnest(list_transform(generate_series(1, len(wd) - 1), i -> substr(wd, i, 2))) AS pair FROM f), c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1) SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS merge_rank FROM c QUALIFY merge_rank <= 50",
+        "domain_quality_shrunk": "WITH b AS (SELECT CASE WHEN doc_id % 50 = 7 THEN source || '_tail_' || CAST(doc_id % 13 AS VARCHAR) ELSE source END AS domain, CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ok FROM documents), per AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ok) AS BIGINT) AS n_pass FROM b GROUP BY 1), g AS (SELECT CAST(SUM(n_pass) * 1000000 // SUM(n_docs) AS BIGINT) AS gppm FROM per) SELECT domain, n_docs, n_pass, CAST(n_pass * 1000000 // n_docs AS BIGINT) AS raw_ppm, CAST((n_pass * 1000000 + 200 * gppm) // (n_docs + 200) AS BIGINT) AS shrunk_ppm FROM per CROSS JOIN g",
+        "text_template_dedup": "WITH src AS (SELECT doc_id, 'Invoice #' || CAST(doc_id AS VARCHAR) || '  total ' || CAST(n_chars * 7 AS VARCHAR) || ' cents from ' || source || CASE WHEN doc_id % 5 = 0 THEN ' PRIORITY' ELSE '' END AS line FROM documents), b AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(line), '[0-9]+', '0', 'g'), '\\s+', ' ', 'g'))) AS template_hash FROM src), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM b), grp AS (SELECT template_hash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS exemplar_id FROM b GROUP BY 1) SELECT template_hash, n_docs, exemplar_id, CAST(n_docs * 1000000 // t AS BIGINT) AS share_ppm FROM grp CROSS JOIN tot WHERE n_docs >= 2",
+        "eval_bleu": "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')[1:30] AS ref FROM documents), c AS (SELECT doc_id, ref, list_transform(list_filter(generate_series(1, len(ref)), i -> ((i - 1) % 7) != 3), i -> CASE WHEN ((i - 1) % 5) = 2 THEN 'zz' ELSE ref[i] END) AS cand FROM t), ords AS (SELECT unnest([1, 2, 3, 4]) AS n), cg AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(cand) - n + 1), i -> array_to_string(cand[i:i+n-1], ' '))) AS gram FROM c CROSS JOIN ords WHERE len(cand) >= n), rg AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(ref) - n + 1), i -> array_to_string(ref[i:i+n-1], ' '))) AS gram FROM t CROSS JOIN ords WHERE len(ref) >= n), cc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM cg GROUP BY 1, 2, 3), rc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM rg GROUP BY 1, 2, 3), m AS (SELECT n, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS clipped FROM cc JOIN rc USING (doc_id, n, gram) GROUP BY 1), tt AS (SELECT n, CAST(SUM(c) AS BIGINT) AS total FROM cc GROUP BY 1), l AS (SELECT CAST(SUM(len(cand)) AS BIGINT) AS cand_len, CAST(SUM(len(ref)) AS BIGINT) AS ref_len FROM c) SELECT CAST(ords.n AS BIGINT) AS n, CAST(coalesce(clipped, 0) AS BIGINT) AS clipped_matches, CAST(coalesce(total, 0) AS BIGINT) AS cand_ngrams, CAST(CASE WHEN coalesce(total, 0) > 0 THEN coalesce(clipped, 0) * 1000000 // total END AS BIGINT) AS precision_ppm, cand_len, ref_len, CAST(CASE WHEN ref_len > 0 THEN cand_len * 1000000 // ref_len END AS BIGINT) AS length_ratio_ppm FROM ords LEFT JOIN tt USING (n) LEFT JOIN m USING (n) CROSS JOIN l",
+        "eval_fleiss": "WITH r AS (SELECT doc_id, n_chars >= 200 AS truth, unnest([0, 1, 2]) AS rr FROM documents), kept AS (SELECT doc_id, truth, rr FROM r WHERE NOT (rr = 2 AND doc_id % 97 = 0)), rated AS (SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5('fk-' || CAST(doc_id AS VARCHAR) || '-' || CAST(rr AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2 THEN (CASE WHEN truth THEN 'bad' ELSE 'good' END) ELSE (CASE WHEN truth THEN 'good' ELSE 'bad' END) END AS cat FROM kept), cells AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS c FROM rated GROUP BY 1, 2), per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_u, CAST(SUM(c * (c - 1)) AS BIGINT) AS a_u FROM cells GROUP BY 1), mm AS (SELECT CAST(MAX(n_u) AS BIGINT) AS m FROM per), st AS (SELECT CAST(SUM(CASE WHEN n_u = m THEN 1 ELSE 0 END) AS BIGINT) AS n_items, CAST(SUM(CASE WHEN n_u <> m THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_items, CAST(SUM(CASE WHEN n_u = m THEN a_u ELSE 0 END) AS BIGINT) AS a, CAST(MAX(m) AS BIGINT) AS n_raters FROM per CROSS JOIN mm), tc AS (SELECT cat, CAST(SUM(c) AS BIGINT) AS t FROM cells JOIN per USING (doc_id) CROSS JOIN mm WHERE per.n_u = mm.m GROUP BY 1), t2 AS (SELECT CAST(SUM(t * t) AS BIGINT) AS t2 FROM tc), j AS (SELECT n_items, n_raters, n_dropped_items, CAST(CASE WHEN n_raters >= 2 AND n_items > 0 THEN a * 1000000 // (n_items * n_raters * (n_raters - 1)) END AS BIGINT) AS po_ppm, CAST(CASE WHEN n_raters >= 2 AND n_items > 0 THEN t2 * 1000000 // (n_items * n_raters * n_items * n_raters) END AS BIGINT) AS pe_ppm FROM st CROSS JOIN t2) SELECT n_items, n_raters, n_dropped_items, po_ppm, pe_ppm, CAST(CASE WHEN po_ppm IS NULL THEN NULL WHEN pe_ppm >= 1000000 THEN 0 ELSE floor(CAST(po_ppm - pe_ppm AS DOUBLE) * 1000000.0 / CAST(1000000 - pe_ppm AS DOUBLE)) END AS BIGINT) AS kappa_micro FROM j",
+        "files_compaction_plan": "WITH b AS (SELECT source AS grp, doc_id, CAST(n_chars AS BIGINT) AS sz FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL), w AS (SELECT grp, sz, CAST(coalesce(SUM(sz) OVER (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef FROM b) SELECT grp AS \"group\", CAST(bef // 50000 AS BIGINT) AS out_group, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(sz) AS BIGINT) AS total_bytes, CAST(SUM(CASE WHEN sz >= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized FROM w GROUP BY 1, 2",
+        "embed_rp_project": "WITH u AS (SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)), i -> struct_pack(i := i, v := embedding[i]))) AS p FROM embeddings), q AS (SELECT vec_id, p.i - 1 AS i, CAST(floor(CAST(p.v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv FROM u), dims AS (SELECT unnest(generate_series(0, 7)) AS j), s AS (SELECT i, j, CASE WHEN CAST(('0x' || substr(md5('rp-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 1)) AS INT) < 8 THEN 1 ELSE -1 END AS sg FROM (SELECT DISTINCT i FROM q) CROSS JOIN dims) SELECT q.vec_id AS id, CAST(j AS BIGINT) AS dim, CAST(SUM(qv * sg) AS BIGINT) AS proj FROM q JOIN s USING (i) GROUP BY 1, 2",
+        "text_vocab_growth": "WITH d AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) BETWEEN 2 AND 30) AS tk FROM documents), r AS (SELECT row_number() OVER (ORDER BY h, doc_id) AS r, tk, len(tk) AS ntok FROM d), cum AS (SELECT r, SUM(ntok) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum_tok FROM r), fs AS (SELECT wd, CAST(MIN(r) AS BIGINT) AS fst FROM (SELECT r, unnest(tk) AS wd FROM r) GROUP BY 1), n AS (SELECT CAST(MAX(r) AS BIGINT) AS nn FROM r), f AS (SELECT unnest([100000, 200000, 400000, 1000000]) AS fp), cuts AS (SELECT CAST(fp AS BIGINT) AS fraction_ppm, CAST((fp * nn + 999999) // 1000000 AS BIGINT) AS cut FROM f CROSS JOIN n), v AS (SELECT fraction_ppm, cut, CAST(COUNT(*) AS BIGINT) AS vocab FROM fs CROSS JOIN cuts WHERE fs.fst <= cuts.cut GROUP BY 1, 2) SELECT fraction_ppm, cut AS n_docs, CAST(coalesce(cum_tok, 0) AS BIGINT) AS n_tokens, CAST(coalesce(vocab, 0) AS BIGINT) AS vocab_size, CAST(CASE WHEN coalesce(cum_tok, 0) > 0 THEN coalesce(vocab, 0) * 1000000 // cum_tok END AS BIGINT) AS ttr_ppm FROM cuts LEFT JOIN v USING (fraction_ppm, cut) LEFT JOIN cum ON cum.r = cuts.cut",
+        "text_collocations": "WITH d AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) BETWEEN 2 AND 30) AS tk FROM documents), u AS (SELECT unnest(tk) AS w FROM d), uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1), n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM uc), b AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1), i -> struct_pack(x := tk[i], y := tk[i + 1]))) AS p FROM d WHERE len(tk) >= 2), bc AS (SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS n_pair FROM b GROUP BY 1, 2), s AS (SELECT x || ' ' || y AS pair, n_pair, ux.c AS n_left, uy.c AS n_right, CAST(n_pair * nn * 1000000 // (ux.c * uy.c) AS BIGINT) AS lift_ppm FROM bc JOIN uc ux ON ux.w = bc.x JOIN uc uy ON uy.w = bc.y CROSS JOIN n WHERE n_pair >= 5) SELECT pair, n_pair, n_left, n_right, lift_ppm, CAST(row_number() OVER (ORDER BY lift_ppm DESC, pair) AS BIGINT) AS lift_rank FROM s QUALIFY lift_rank <= 50",
+        "text_script_profile": "WITH m AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 1 THEN ' Привет мир' WHEN doc_id % 7 = 2 THEN ' 你好世界你好世界你好' WHEN doc_id % 7 = 3 THEN ' αβγδε' WHEN doc_id % 7 = 4 THEN ' 1234567890' ELSE '' END AS t FROM documents), c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS ln, CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS BIGINT) AS c_latin, CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS c_digit, CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS c_cyrillic, CAST(length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS c_greek, CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS BIGINT) AS c_cjk FROM m), e AS (SELECT doc_id, ln, c_latin, c_digit, c_cyrillic, c_greek, c_cjk, ln - c_latin - c_digit - c_cyrillic - c_greek - c_cjk AS c_other FROM c), dm AS (SELECT doc_id, CASE WHEN ln = 0 THEN 'other' WHEN c_latin = greatest(c_latin, c_digit, c_cyrillic, c_greek, c_cjk, c_other) THEN 'latin' WHEN c_digit = greatest(c_latin, c_digit, c_cyrillic, c_greek, c_cjk, c_other) THEN 'digit' WHEN c_cyrillic = greatest(c_latin, c_digit, c_cyrillic, c_greek, c_cjk, c_other) THEN 'cyrillic' WHEN c_greek = greatest(c_latin, c_digit, c_cyrillic, c_greek, c_cjk, c_other) THEN 'greek' WHEN c_cjk = greatest(c_latin, c_digit, c_cyrillic, c_greek, c_cjk, c_other) THEN 'cjk' ELSE 'other' END AS dom FROM e), lng AS (SELECT doc_id, unnest(['latin', 'digit', 'cyrillic', 'greek', 'cjk', 'other']) AS script, unnest([c_latin, c_digit, c_cyrillic, c_greek, c_cjk, c_other]) AS cc FROM e), tot AS (SELECT CAST(SUM(ln) AS BIGINT) AS t FROM e) SELECT script, CAST(SUM(CASE WHEN dm.dom = lng.script THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dominant, CAST(SUM(cc) AS BIGINT) AS n_chars, CAST(CASE WHEN MAX(tot.t) > 0 THEN SUM(cc) * 1000000 // MAX(tot.t) END AS BIGINT) AS char_share_ppm FROM lng JOIN dm USING (doc_id) CROSS JOIN tot GROUP BY 1 HAVING SUM(cc) > 0 OR SUM(CASE WHEN dm.dom = lng.script THEN 1 ELSE 0 END) > 0",
+        "crawl_robots": "WITH u AS (SELECT doc_id, source || '.example.org' AS host, '/p' || CAST(doc_id % 17 AS VARCHAR) || '/page' || CAST(doc_id % 97 AS VARCHAR) AS path FROM documents), h AS (SELECT DISTINCT source, source || '.example.org' AS host FROM documents), r AS (SELECT host, '/' AS pp, TRUE AS al FROM h UNION ALL SELECT host, '/p3', FALSE FROM h UNION ALL SELECT host, '/p3/page7', TRUE FROM h UNION ALL SELECT host, '/p1', FALSE FROM h WHERE length(source) % 2 = 0), m AS (SELECT u.doc_id, u.host, u.path, r.pp, r.al FROM u LEFT JOIN r ON u.host = r.host AND starts_with(u.path, r.pp)), rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY (pp IS NULL), length(pp) DESC, al DESC, pp DESC) AS rn FROM m) SELECT doc_id, host, path, coalesce(al, TRUE) AS allowed, pp AS rule_prefix, CAST(length(pp) AS BIGINT) AS rule_len FROM rk WHERE rn = 1",
+        "text_rake": "WITH t AS (SELECT list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) BETWEEN 1 AND 30), w -> CASE WHEN w IN ('a', 'the', 'table', 'value', 'query', 'part') THEN '§' ELSE w END) AS mk FROM documents), ph AS (SELECT trim(p) AS phrase FROM (SELECT unnest(string_split(array_to_string(mk, ' '), '§')) AS p FROM t) WHERE trim(p) <> ''), occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1), wp AS (SELECT len(string_split(phrase, ' ')) AS plen, unnest(string_split(phrase, ' ')) AS w FROM ph), ws AS (SELECT w, CAST(SUM(plen) * 1000000 // COUNT(*) AS BIGINT) AS wscore FROM wp GROUP BY 1), pw AS (SELECT phrase, n_occurrences, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words, unnest(string_split(phrase, ' ')) AS w FROM occ), sc AS (SELECT phrase, n_words, n_occurrences, CAST(SUM(ws.wscore) AS BIGINT) AS score_ppm FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3) SELECT phrase, n_words, n_occurrences, score_ppm, CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase) AS BIGINT) AS kw_rank FROM sc WHERE n_occurrences >= 5 QUALIFY kw_rank <= 50",
+        "sketch_countmin": "WITH it AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) BETWEEN 2 AND 30)) AS item FROM documents), rr AS (SELECT unnest([0, 1, 2, 3]) AS r), cm AS (SELECT r, CAST(('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || '-' || item), 1, 15)) AS BIGINT) % 256 AS b, CAST(COUNT(*) AS BIGINT) AS c FROM it CROSS JOIN rr GROUP BY 1, 2), tr AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS true_count FROM it GROUP BY 1), top AS (SELECT item, true_count, CAST(row_number() OVER (ORDER BY true_count DESC, item) AS BIGINT) AS hh_rank FROM tr QUALIFY hh_rank <= 20), pr AS (SELECT item, true_count, hh_rank, r, CAST(('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || '-' || item), 1, 15)) AS BIGINT) % 256 AS b FROM top CROSS JOIN rr) SELECT item, true_count, CAST(MIN(c) AS BIGINT) AS est_count, CAST(MIN(c) - true_count AS BIGINT) AS overestimate, hh_rank FROM pr JOIN cm USING (r, b) GROUP BY 1, 2, 5",
+        "text_gram_uniqueness": "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) BETWEEN 2 AND 30) AS tk FROM documents), p AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' ')))) AS gram FROM d WHERE len(tk) >= 3), cf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS dfreq FROM p GROUP BY 1) SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm FROM p JOIN cf USING (gram) GROUP BY 1",
+        "data_sequence_pack": "WITH b AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h, CAST(n_chars // 4 AS BIGINT) AS tok FROM documents), w AS (SELECT tok, CAST(coalesce(SUM(tok) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef FROM b), pb AS (SELECT CAST(bef // 2048 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(tok) AS BIGINT) AS nt, CAST(SUM(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS nov FROM w GROUP BY 1) SELECT CAST(LEAST(nt * 10 // 2048, 10) AS BIGINT) AS fill_decile, CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(nd) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens, CAST(SUM(nov) AS BIGINT) AS n_overflow_docs FROM pb GROUP BY 1",
+        "orders_rfm": "WITH pc AS (SELECT o_custkey AS cust, CAST(MAX(date_diff('second', TIMESTAMP '1970-01-01', o_orderdate)) AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS f, CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1), t AS (SELECT cust, m, ntile(5) OVER (ORDER BY r, cust) AS rt, ntile(5) OVER (ORDER BY f, cust) AS ft, ntile(5) OVER (ORDER BY m, cust) AS mt FROM pc) SELECT CAST(rt * 100 + ft * 10 + mt AS BIGINT) AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers, CAST(SUM(m) AS BIGINT) AS spend_cents FROM t GROUP BY 1",
+        "embed_centroid_drift": "WITH u AS (SELECT vec_id, label, unnest(list_transform(generate_series(1, len(embedding)), i -> struct_pack(i := i, v := embedding[i]))) AS p FROM embeddings WHERE label IS NOT NULL), q AS (SELECT vec_id, label, p.i AS dim, CAST(floor(CAST(p.v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv FROM u), a AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sa, CAST(COUNT(*) AS BIGINT) AS na FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2), b AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sb, CAST(COUNT(*) AS BIGINT) AS nb FROM q WHERE vec_id % 2 = 1 GROUP BY 1, 2), j AS (SELECT coalesce(a.label, b.label) AS label, abs(sa * nb - sb * na) AS d, na, nb FROM a FULL OUTER JOIN b ON a.label = b.label AND a.dim = b.dim), per AS (SELECT label, CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb, CAST(SUM(d) AS BIGINT) AS t FROM j GROUP BY 1) SELECT label, CAST(coalesce(na, 0) AS BIGINT) AS n_a, CAST(coalesce(nb, 0) AS BIGINT) AS n_b, CAST(CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN t END AS BIGINT) AS l1_num, CAST(CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN t * 1000 // (na * nb * 1000) END AS BIGINT) AS l1_milli FROM per",
         "text_url_features": (
             "WITH u AS (SELECT doc_id, 'https://' || source || "
             "'.example.org' || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE "

@@ -2547,3 +2547,188 @@ def learning_curve_splits(
         F.col("_cut").alias("n_docs"),
         F.coalesce("_cum_tok", F.lit(0)).cast("bigint").alias("n_tokens"),
     )
+
+
+def shrunken_domain_quality(
+    df: DataFrame,
+    domain_col: str,
+    pass_col: str,
+    prior_strength: int = 100,
+) -> DataFrame:
+    """Per-domain quality pass-rate with empirical-Bayes shrinkage
+    toward the corpus rate — the ranking a crawl-curation pipeline
+    actually needs: a domain with 3/3 passes must NOT outrank one with
+    9 500/10 000, so each domain's rate is a beta-binomial posterior
+    mean with ``prior_strength`` pseudo-observations at the global
+    rate: shrunk = (passes + m·g) / (n + m). Output one row per
+    domain: ``(domain, n_docs, n_pass, raw_ppm, shrunk_ppm)``.
+
+    Exactness: the global rate is quantized to ppm first
+    (``g_ppm = P·10^6 div N``), then ``shrunk_ppm = (passes·10^6 +
+    m·g_ppm) div (n + m)`` — two integer divisions, both engine-exact;
+    the quantization displaces the result by < m/(n+m) ppm, and keeps
+    every intermediate ≤ passes·10^6 (no n·N cross term), so the
+    arithmetic never overflows regardless of corpus size.
+
+    Scale shape: ONE map-combinable hash aggregate on the domain key
+    (the fact table never shuffles raw rows), then a broadcast one-row
+    global total joined onto the domain table — domain cardinality,
+    not corpus size, bounds everything after the first aggregate."""
+    m = int(prior_strength)
+    if m < 0:
+        raise ValueError("prior_strength must be >= 0")
+    base = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(pass_col).cast("int").alias("_p"),
+    ).where(F.col("domain").isNotNull() & F.col("_p").isNotNull())
+    per = base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_p").cast("bigint").alias("n_pass"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_nn"), F.sum("n_pass").alias("_pp")
+    ).select(
+        F.expr("_pp * 1000000 div _nn").cast("bigint").alias("_gppm")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_pass",
+        F.expr("n_pass * 1000000 div n_docs").cast("bigint").alias("raw_ppm"),
+        F.expr(
+            f"(n_pass * 1000000 + {m} * _gppm) div (n_docs + {m})"
+        )
+        .cast("bigint")
+        .alias("shrunk_ppm"),
+    )
+
+
+def compaction_plan(
+    df: DataFrame,
+    group_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction plan — the table-maintenance step every
+    long-lived parquet corpus needs (a 100 TB table accreted from
+    streaming/incremental writes degrades into millions of KB-scale
+    files; scan cost is then per-FILE, not per-byte). Files are packed
+    per directory/partition ``group_col`` in deterministic ``file_col``
+    order by running-sum banding: a file starts a new output group when
+    the bytes packed before it reach a multiple of ``target_bytes`` —
+    one window pass, no driver-side bin packing, reproducible across
+    runs (rewrite jobs can be diffed). Output one row per planned
+    output file: ``(group, out_group, n_files, total_bytes,
+    n_oversized)`` where ``n_oversized`` counts single files ≥
+    ``target_bytes`` (they land alone-or-leading and should be left
+    in place by the executor; the plan surfaces them instead of hiding
+    them). Output groups can overshoot ``target_bytes`` by at most one
+    file — the standard compaction contract (bin-packing exactly would
+    serialize per group for a few percent of size balance).
+
+    Scale shape: ONE hash partition by ``group_col`` feeding a window
+    running sum, then a (group, out_group) hash aggregate — parallelism
+    = number of directories, the same key the rewrite jobs shard on;
+    nothing global, nothing collected."""
+    t = int(target_bytes)
+    if t <= 0:
+        raise ValueError("target_bytes must be positive")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(file_col).alias("_f"),
+        F.col(size_col).cast("bigint").alias("_sz"),
+    ).where(F.col("grp").isNotNull() & F.col("_sz").isNotNull())
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("_f")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    banded = base.withColumn(
+        "_before", F.coalesce(F.sum("_sz").over(w), F.lit(0)).cast("bigint")
+    ).withColumn("out_group", F.expr(f"_before div {t}").cast("bigint"))
+    return banded.groupBy("grp", "out_group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("_sz").cast("bigint").alias("total_bytes"),
+        F.sum(F.when(F.col("_sz") >= t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversized"),
+    ).select(
+        F.col("grp").alias("group"),
+        "out_group",
+        "n_files",
+        "total_bytes",
+        "n_oversized",
+    )
+
+
+def sequence_pack_plan(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    context_len: int,
+) -> DataFrame:
+    """Sequence-packing plan report — how efficiently the corpus packs
+    into fixed ``context_len``-token training windows under greedy
+    running-sum banding in the reproducible md5-shuffle order (the
+    packing a pretraining dataloader actually performs; unpacked
+    batches waste the padding fraction this report prices). A document
+    starts a new bin when the tokens packed before it reach a multiple
+    of ``context_len``; bins therefore overshoot by at most one
+    document, and documents longer than the context are counted as
+    overflow (the dataloader will split or truncate them — surfaced,
+    not hidden). Output: one row per FILL DECILE (0..10, fill =
+    bin tokens · 10 div context_len capped at 10):
+    ``(fill_decile, n_bins, n_docs, n_tokens, n_overflow_docs)`` —
+    bin population by fullness, 11 rows max regardless of corpus size.
+
+    Scale shape: the global order window is the standing md5-shuffle
+    convention (learning_curve_splits; hash-banded at 100 TB), then
+    one (bin) aggregate and one (decile) aggregate — output bounded at
+    11 rows."""
+    from .hashing import md5_u60
+
+    ln = int(context_len)
+    if ln <= 0:
+        raise ValueError("context_len must be positive")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        md5_u60(F.col(id_col).cast("string")).alias("_h"),
+        F.col(token_col).cast("bigint").alias("_tok"),
+    ).where(F.col("_tok").isNotNull())
+    w = Window.orderBy("_h", "_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = base.withColumn(
+        "_before", F.coalesce(F.sum("_tok").over(w), F.lit(0)).cast("bigint")
+    ).withColumn("_bin", F.expr(f"_before div {ln}").cast("bigint"))
+    per_bin = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_tok") > ln, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow_docs"),
+    )
+    decile = F.least(
+        F.expr(f"n_tokens * 10 div {ln}"), F.lit(10)
+    ).cast("bigint")
+    return (
+        per_bin.select(
+            decile.alias("fill_decile"),
+            "n_docs",
+            "n_tokens",
+            "n_overflow_docs",
+        )
+        .groupBy("fill_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_overflow_docs")
+            .cast("bigint")
+            .alias("n_overflow_docs"),
+        )
+        .select(
+            "fill_decile", "n_bins", "n_docs", "n_tokens", "n_overflow_docs"
+        )
+    )

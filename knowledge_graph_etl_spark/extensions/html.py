@@ -192,3 +192,66 @@ def outlink_hostgraph(
             F.countDistinct(id_col).cast("bigint").alias("n_src_docs"),
         )
     )
+
+
+def robots_policy_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    rule_host_col: str = "host",
+    rule_path_col: str = "path_prefix",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """robots.txt policy evaluation — the crawl-front-door admission
+    join: each URL against its host's rule set under the longest-match
+    rule (the REP / RFC 9309 resolution: the most specific matching
+    path prefix wins; on equal length, Allow beats Disallow; no
+    matching rule ⇒ allowed). Input ``rules`` rows are pre-parsed
+    ``(host, path_prefix, allow)`` — parsing robots.txt text is an
+    ingest step; POLICY RESOLUTION is the part that must run as a join
+    against billions of URLs, and is what this operator distributes.
+    Output: the URL rows plus ``(allowed, rule_prefix, rule_len)``
+    where ``rule_prefix`` is the winning rule (NULL when no rule
+    matched).
+
+    Scale shape: ONE host-keyed equi-join (rule sets are per-host and
+    small — broadcast when the rule table fits, AQE decides), prefix
+    match filtered IN the join, then one URL-keyed max-struct
+    aggregate picks the winner — no window over the URL table, no
+    regex, plain ``startswith`` in codegen."""
+    u = urls.select(
+        F.col(host_col).alias("_uh"),
+        F.col(path_col).alias("_up"),
+        "*",
+    )
+    r = rules.select(
+        F.col(rule_host_col).alias("_rh"),
+        F.col(rule_path_col).alias("_rp"),
+        F.col(allow_col).cast("boolean").alias("_ra"),
+    )
+    joined = u.join(
+        r,
+        (F.col("_uh") == F.col("_rh"))
+        & F.col("_up").startswith(F.col("_rp")),
+        "left",
+    )
+    # longest rule wins; tie -> allow wins: max over struct(len, allow)
+    win = F.max(
+        F.when(
+            F.col("_rp").isNotNull(),
+            F.struct(
+                F.length("_rp").cast("bigint").alias("l"),
+                F.col("_ra").alias("a"),
+                F.col("_rp").alias("p"),
+            ),
+        )
+    ).alias("_w")
+    key_cols = [c for c in urls.columns]
+    agg = joined.groupBy("_uh", "_up", *key_cols).agg(win)
+    return agg.select(
+        *key_cols,
+        F.coalesce(F.col("_w.a"), F.lit(True)).alias("allowed"),
+        F.col("_w.p").alias("rule_prefix"),
+        F.col("_w.l").alias("rule_len"),
+    )

@@ -2035,3 +2035,143 @@ def knn_label_eval(
         )
         .orderBy("label")
     )
+
+
+def rp_project(
+    df: DataFrame,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection of an embedding
+    column to ``k`` dimensions — the dimensionality-reduction front end
+    for sketching / clustering / cheap pre-filters at 100 TB (Achlioptas
+    2003: a ±1 projection matrix preserves pairwise distances in
+    expectation as well as Gaussian). The projection matrix is
+    DERIVED, not stored: sign(i, j) = +1 iff the first hex digit of
+    md5(f"{seed}-{i}-{j}") is < 8 — any engine (and the DuckDB oracle)
+    reconstructs the identical matrix from the seed string alone, so
+    re-projection after a schema migration is bit-reproducible.
+
+    Exactness: inputs are quantized first — q_i = floor(v_i·scale +
+    0.5) as int64 (the int8/int-quantization posture this module
+    already takes for storage; float sums are order-dependent, integer
+    sums are not) — so each output cell Σ_i q_i·s_ij is an EXACT
+    integer no matter how partitions or engines order the sum. Output
+    long-form: one row ``(id, dim, proj)`` per (vector, output dim),
+    dim 0-based.
+
+    Scale shape: pure map — an Arrow-batched pandas UDF does one
+    int64 GEMM per batch against the broadcast d×k sign matrix (the
+    same posture as ivf_topk's assignment GEMM); NO shuffle anywhere,
+    the explode to long form is map-side. The one driver read is a
+    single ``first()`` row to infer d when ``dim`` is not given."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    if k <= 0 or scale <= 0:
+        raise ValueError("k and scale must be positive")
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = int(row["d"])
+    d = int(dim)
+    signs = np.empty((d, k), dtype=np.int64)
+    for i in range(d):
+        for j in range(k):
+            h = hashlib.md5(f"{seed}-{i}-{j}".encode()).hexdigest()
+            signs[i, j] = 1 if int(h[0], 16) < 8 else -1
+
+    sc = float(scale)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        q = np.floor(m * sc + 0.5).astype(np.int64)
+        p = q @ signs
+        return pd.Series(list(p))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_proj(F.col(vec_col))).alias("dim", "proj"),
+    ).select("id", F.col("dim").cast("bigint").alias("dim"), "proj")
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-label embedding centroid drift between two snapshots — the
+    embedding-space monitoring report for a re-embedded or re-trained
+    corpus (a silently drifted encoder shifts class centroids long
+    before downstream recall craters; this is the cheap tripwire that
+    pairs with the ANN recall evals). Vectors are int64-quantized
+    (floor(v·scale + 0.5), the module's storage posture) so per-label
+    dimension sums are EXACT integers; the centroid L1 distance is the
+    cross-multiplied exact numerator t = Σ_dims |sumA·nB − sumB·nA|
+    reported with ``l1_milli = t·1000 div (nA·nB·scale)`` — L1 in
+    milli-units of the original embedding space, one engine-exact
+    division (overflow bound: t·1000 needs n·max|v|·scale ≲ 10¹⁵ —
+    comfortable for any per-label population that fits a cluster).
+    One row per label present in EITHER snapshot:
+    ``(label, n_a, n_b, l1_num, l1_milli)``; labels missing from one
+    side report the other side's count and NULL distances.
+
+    Scale shape: each snapshot reduces map-side to (label, dim) integer
+    sums via ONE explode + hash aggregate (the fact tables never
+    shuffle raw vectors); the (label, dim) tables — labels × dims rows,
+    corpus-size-independent — join co-partitioned, then reduce to one
+    row per label."""
+
+    def sums(df: DataFrame, side: str) -> DataFrame:
+        q = F.expr(
+            f"transform({vec_col}, v -> cast(floor(cast(v as double)"
+            f" * {int(scale)} + 0.5) as bigint))"
+        )
+        return (
+            df.select(F.col(label_col).alias("label"), q.alias("_q"))
+            .where(F.col("label").isNotNull())
+            .select("label", F.posexplode("_q").alias("dim", "_v"))
+            .groupBy("label", "dim")
+            .agg(
+                F.sum("_v").cast("bigint").alias(f"s_{side}"),
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{side}"),
+            )
+        )
+    a = sums(df_a, "a")
+    b = sums(df_b, "b")
+    j = a.join(b, ["label", "dim"], "full_outer")
+    per = j.groupBy("label").agg(
+        F.max("n_a").alias("_na"),
+        F.max("n_b").alias("_nb"),
+        F.sum(
+            F.abs(
+                F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+            )
+        )
+        .cast("bigint")
+        .alias("_t"),
+    )
+    both = F.col("_na").isNotNull() & F.col("_nb").isNotNull()
+    return per.select(
+        "label",
+        F.coalesce("_na", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("_nb", F.lit(0)).cast("bigint").alias("n_b"),
+        F.when(both, F.col("_t")).cast("bigint").alias("l1_num"),
+        F.when(
+            both,
+            F.expr(f"_t * 1000 div (_na * _nb * {int(scale)})"),
+        )
+        .cast("bigint")
+        .alias("l1_milli"),
+    )

@@ -2337,3 +2337,336 @@ def paired_bootstrap_eval(
         .cast("bigint")
         .alias("ties_ppm"),
     )
+
+
+def roc_auc_report(
+    df: DataFrame,
+    slice_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-slice ROC-AUC from integer scores via the Mann-Whitney
+    rank-sum identity — the classifier-quality gate for a trained
+    quality/toxicity filter, computed without materializing the ROC
+    curve: AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg) where
+    R_pos is the sum of the positives' average ranks (ties get the
+    midrank). One row per slice: ``(slice, n_pos, n_neg, auc_ppm)``;
+    ``auc_ppm`` is NULL when a slice has no positives or no negatives
+    (AUC undefined).
+
+    Exactness: ranks are never materialized per row — per distinct
+    score, the midrank contribution is (2·cum_below + tot + 1)/2, so
+    2·R_pos = Σ pos·(2·cum_below + tot + 1) stays integer; the final
+    AUC is one integer division ``(2R_pos − n_pos(n_pos+1))·10^6 div
+    (2·n_pos·n_neg)`` — no doubles anywhere. Overflow bound: 2R_pos ≤
+    2n² per slice, so ·10^6 needs n ≲ 2·10^6 rows/slice; beyond that,
+    pre-aggregate scores into coarser buckets or split slices.
+
+    Scale shape: ONE hash aggregate on (slice, score) — map-side
+    combinable, so the fact table never shuffles raw rows — then a
+    window over the DISTINCT-score table (bounded by score cardinality
+    per slice, not row count) and a final slice-keyed aggregate."""
+    base = df.select(
+        F.col(slice_col).alias("slice"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(score_col).cast("bigint").alias("_s"),
+    ).where(F.col("_y").isNotNull() & F.col("_s").isNotNull())
+    cells = base.groupBy("slice", "_s").agg(
+        F.sum("_y").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    w = (
+        Window.partitionBy("slice")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "_below", F.coalesce(F.sum("tot").over(w), F.lit(0)).cast("bigint")
+    )
+    per = ranked.groupBy("slice").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("tot") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("_below") + F.col("tot") + 1)
+        )
+        .cast("bigint")
+        .alias("_rs2"),
+    )
+    return per.select(
+        "slice",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "(_rs2 - n_pos * (n_pos + 1)) * 1000000"
+                " div (2 * n_pos * n_neg)"
+            ),
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Fleiss' κ — multi-rater nominal agreement, the label-noise gate
+    when each item is judged by m ≥ 2 annotators (Cohen's κ covers only
+    the two-rater case; see :func:`cohen_kappa`). Input: one row per
+    rating ``(item, category)``. The rater count m is taken as the
+    MAXIMUM ratings-per-item; items with fewer ratings are dropped
+    (partial judgments bias P̄ — the standard fixed-m formulation), and
+    their count is reported. One output row:
+    ``(n_items, n_raters, n_dropped_items, po_ppm, pe_ppm,
+    kappa_micro)`` — NULL agreement fields when m < 2 (vacuous), and
+    ``kappa_micro`` = 0 when p_e = 1 (single-label degenerate,
+    mirroring :func:`cohen_kappa`).
+
+    Exactness: P̄ = Σ_i Σ_c n_ic(n_ic−1) / (N·m·(m−1)) and
+    P̄_e = Σ_c t_c² / (N·m)² are exact integer ratios quantized to ppm
+    by ``div``; κ = (p_o − p_e)/(1 − p_e) is the one double op, floored
+    — its operands are exact ppm ints, so the floor is engine-exact
+    (the standing |a/b − k| ≥ 1/b ≫ ulp argument, as in cohen_kappa).
+
+    Scale shape: ONE map-combinable (item, cat) hash aggregate over the
+    fact table, then item-keyed and cat-keyed aggregates over the cell
+    table (≤ items × |labels| rows) — every global reduce after the
+    first aggregate is over a single-digit number of columns."""
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(cat_col).cast("string").alias("_c"),
+    ).where(F.col("_i").isNotNull() & F.col("_c").isNotNull())
+    cells = base.groupBy("_i", "_c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_item = cells.groupBy("_i").agg(
+        F.sum("c").cast("bigint").alias("n_u"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("a_u"),
+    )
+    m_row = per_item.agg(F.max("n_u").alias("_m"))
+    kept = per_item.crossJoin(F.broadcast(m_row))
+    item_stats = kept.agg(
+        F.sum(F.when(F.col("n_u") == F.col("_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_items"),
+        F.sum(F.when(F.col("n_u") != F.col("_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_items"),
+        F.sum(
+            F.when(F.col("n_u") == F.col("_m"), F.col("a_u")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_a"),
+        F.max("_m").cast("bigint").alias("n_raters"),
+    )
+    # category marginals over KEPT items only
+    t_c = (
+        cells.join(
+            per_item.crossJoin(F.broadcast(m_row))
+            .where(F.col("n_u") == F.col("_m"))
+            .select("_i"),
+            "_i",
+        )
+        .groupBy("_c")
+        .agg(F.sum("c").cast("bigint").alias("t"))
+    )
+    pe_num = t_c.agg(F.sum(F.col("t") * F.col("t")).cast("bigint").alias("_t2"))
+    j = item_stats.crossJoin(F.broadcast(pe_num))
+    po = F.expr("_a * 1000000 div (n_items * n_raters * (n_raters - 1))")
+    pe_i = F.expr(
+        "_t2 * 1000000 div (n_items * n_raters * n_items * n_raters)"
+    )
+    out = j.select(
+        "n_items",
+        "n_raters",
+        "n_dropped_items",
+        F.when(
+            (F.col("n_raters") >= 2) & (F.col("n_items") > 0), po
+        )
+        .cast("bigint")
+        .alias("po_ppm"),
+        F.when(
+            (F.col("n_raters") >= 2) & (F.col("n_items") > 0), pe_i
+        )
+        .cast("bigint")
+        .alias("pe_ppm"),
+    )
+    kappa = F.when(F.col("po_ppm").isNull(), F.lit(None)).when(
+        F.col("pe_ppm") >= 1_000_000, F.lit(0)
+    ).otherwise(
+        F.floor(
+            (F.col("po_ppm") - F.col("pe_ppm")).cast("double")
+            * 1000000.0
+            / (F.lit(1_000_000) - F.col("pe_ppm")).cast("double")
+        )
+    )
+    return out.select(
+        "n_items",
+        "n_raters",
+        "n_dropped_items",
+        "po_ppm",
+        "pe_ppm",
+        kappa.cast("bigint").alias("kappa_micro"),
+    )
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min sketch heavy-hitter report — the mergeable
+    fixed-memory frequency sketch (Cormode & Muthukrishnan 2005) a
+    streaming/sharded pipeline keeps when exact per-item counts don't
+    fit: ``depth`` md5-derived hash rows × ``width`` buckets, estimate
+    = min over rows of the item's bucket count (one-sided: NEVER an
+    underestimate). This operator builds the sketch AND audits it
+    against exact truth for the ``top_n`` true-heaviest items, so the
+    report both demonstrates the sketch and measures its overestimate
+    on the caller's actual skew. One row per top item: ``(item,
+    true_count, est_count, overestimate, hh_rank)``; every number is an
+    exact integer (the sketch is deterministic given the seed scheme —
+    the DuckDB oracle reconstructs it bit-for-bit).
+
+    Scale shape: the sketch is ONE map-combinable (row, bucket)
+    aggregate over a depth-× exploded scan — 4096 cells regardless of
+    corpus size, THE point of the sketch (shard sketches merge by
+    cell-wise +). Truth is one item-keyed aggregate; the probe join is
+    top_n·depth rows against the broadcast cell table."""
+    if depth < 1 or width < 1 or top_n < 1:
+        raise ValueError("depth, width and top_n must be positive")
+    base = df.select(F.col(item_col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    rs = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("r")
+
+    def bucket(item, r):
+        return (
+            md5_u60(
+                F.concat(
+                    F.lit("cm"), r.cast("string"), F.lit("-"), item
+                )
+            )
+            % int(width)
+        ).cast("bigint")
+
+    cm = (
+        base.select("item", rs)
+        .select("r", bucket(F.col("item"), F.col("r")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    truth = base.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    w = Window.orderBy(F.col("true_count").desc(), F.col("item").asc())
+    top = (
+        truth.withColumn("hh_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("hh_rank") <= int(top_n))
+    )
+    probes = top.select(
+        "item", "true_count", "hh_rank", rs
+    ).withColumn("b", bucket(F.col("item"), F.col("r")))
+    est = (
+        probes.join(F.broadcast(cm), ["r", "b"])
+        .groupBy("item", "true_count", "hh_rank")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    return est.select(
+        "item",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+        "hh_rank",
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    cust_col: str,
+    date_col: str,
+    amount_col: str,
+    q: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — the classic recency / frequency /
+    monetary quantile coding (segment "555" = recent, frequent, big
+    spender) that marketing-analytics warehouses run daily. Per
+    customer: recency = max order timestamp (unix seconds), frequency
+    = order count, monetary = exact cent total (amounts quantized
+    ``floor(a·100 + 0.5)`` BEFORE summing — float sums are
+    order-dependent, cent sums are not). Each metric maps to an
+    ``ntile(q)`` ASCENDING (tile q = most recent / most frequent /
+    highest spend), ties broken by customer id so the tiling is total
+    and engine-exact. Output one row per populated segment:
+    ``(segment, n_customers, spend_cents)`` with segment =
+    r·100 + f·10 + m for q ≤ 9.
+
+    Scale shape: ONE customer-keyed aggregate over the fact table,
+    then three ntile windows over the CUSTOMER table (customer-sized,
+    not order-sized — the standing global-window convention; at 100 TB
+    tile by pre-computed quantile bounds instead), and a final ≤ q³-row
+    aggregate."""
+    if not 2 <= int(q) <= 9:
+        raise ValueError("q must be between 2 and 9")
+    per_c = (
+        df.select(
+            F.col(cust_col).alias("cust"),
+            # naive (timezone-free) epoch seconds: TIMESTAMP_NTZ has no
+            # bigint cast, and unix_timestamp would re-interpret through
+            # the session timezone — timestampdiff against the naive
+            # epoch literal is stable across engines and sessions
+            F.expr(
+                "timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                f" cast({date_col} as timestamp_ntz))"
+            ).alias("_ts"),
+            F.expr(
+                f"cast(floor(cast({amount_col} as double) * 100 + 0.5)"
+                " as bigint)"
+            ).alias("_cents"),
+        )
+        .where(F.col("cust").isNotNull())
+        .groupBy("cust")
+        .agg(
+            F.max("_ts").cast("bigint").alias("_r"),
+            F.count(F.lit(1)).cast("bigint").alias("_f"),
+            F.sum("_cents").cast("bigint").alias("_m"),
+        )
+    )
+    qq = int(q)
+    tiled = (
+        per_c.withColumn(
+            "_rt",
+            F.ntile(qq).over(Window.orderBy(F.col("_r"), F.col("cust"))),
+        )
+        .withColumn(
+            "_ft",
+            F.ntile(qq).over(Window.orderBy(F.col("_f"), F.col("cust"))),
+        )
+        .withColumn(
+            "_mt",
+            F.ntile(qq).over(Window.orderBy(F.col("_m"), F.col("cust"))),
+        )
+    )
+    return (
+        tiled.select(
+            (
+                F.col("_rt") * 100 + F.col("_ft") * 10 + F.col("_mt")
+            )
+            .cast("bigint")
+            .alias("segment"),
+            "_m",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("_m").cast("bigint").alias("spend_cents"),
+        )
+    )

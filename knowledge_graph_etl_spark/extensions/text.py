@@ -7,7 +7,7 @@ function is a narrow per-row map, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal deterministic stopword lists for the language-ID heuristic.
@@ -770,4 +770,646 @@ def window_chunks(
         F.col("_c.start_tok").alias("start_tok"),
         F.size("_c._tk").cast("bigint").alias("n_tokens"),
         F.array_join("_c._tk", " ").alias("chunk_text"),
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 50,
+    max_word_len: int = 30,
+) -> DataFrame:
+    """First-round BPE merge candidates: the ``top_n`` most frequent
+    adjacent character pairs inside words — the corpus statistic a BPE
+    tokenizer trainer computes each merge round, here as one pass so a
+    pipeline can sanity-check tokenizer fit against a new corpus (a
+    shifted pair table means the frozen tokenizer's merges no longer
+    match the data). Words are ``[a-z]+`` runs of the lowercased text;
+    words longer than ``max_word_len`` are dropped (boilerplate/URL
+    blobs, and a hard bound on the explode fan-out). Output:
+    ``(pair, n, merge_rank)`` with rank 1 = most frequent, ties broken
+    by pair ascending.
+
+    Scale shape: a narrow map-side double explode (words, then ≤
+    ``max_word_len − 1`` pairs per word) feeding ONE map-combinable
+    hash aggregate whose key space is ≤ 26² — the aggregate output is
+    a few hundred rows regardless of corpus size, so the final
+    rank-and-limit window is a single trivial task by construction."""
+    words = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("_w")
+    ).where(
+        (F.length("_w") >= 2) & (F.length("_w") <= max_word_len)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(_w) - 1), i -> substr(_w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn(
+            "merge_rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("merge_rank") <= top_n)
+        .select("pair", "n", "merge_rank")
+    )
+
+
+def template_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Template-level dedup statistics: normalize each document to its
+    structural template (lowercase, every digit run → ``0``, whitespace
+    collapsed, trimmed) and report templates that more than
+    ``min_count − 1`` documents share — the machine-generated-
+    boilerplate detector (invoices, error pages, listings) that exact
+    dedup misses because the variable fields differ. Output one row per
+    surviving template: ``(template_hash, n_docs, exemplar_id,
+    share_ppm)`` where ``exemplar_id`` is the smallest id (a stable
+    representative to inspect or keep) and ``share_ppm`` is the
+    template's share of ALL documents.
+
+    Scale shape: per-row normalization + md5 (pure map, whole-stage
+    codegen), ONE map-combinable hash aggregate on the 128-bit template
+    hash, a broadcast one-row corpus total, and a post-aggregate
+    ``HAVING`` — no raw-row shuffle, no text carried past the map."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "0"),
+            "\\s+",
+            " ",
+        )
+    )
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.md5(norm).alias("template_hash"),
+    )
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_tot"))
+    grouped = base.groupBy("template_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("_id").alias("exemplar_id"),
+    )
+    return (
+        grouped.where(F.col("n_docs") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "template_hash",
+            "n_docs",
+            "exemplar_id",
+            F.expr("n_docs * 1000000 div _tot").cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+def bleu_corpus_stats(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU sufficient statistics — modified (clipped)
+    n-gram precision per order n = 1..``max_n`` plus the corpus length
+    ratio, the generation-eval statistic computed the way sacrebleu
+    does before the geometric mean: per segment, each candidate n-gram
+    counts at most as often as it appears in that segment's reference
+    (the clip that stops "the the the" from scoring). Inputs are token
+    ARRAY columns (tokenize upstream — tokenization is a contract, not
+    a detail). One row per order:
+    ``(n, clipped_matches, cand_ngrams, precision_ppm, cand_len,
+    ref_len, length_ratio_ppm)`` — the brevity penalty
+    exp(1 − r/c) is transcendental, so the exact inputs (corpus
+    ``cand_len``/``ref_len``) are reported instead of a rounded BP;
+    every reported number is an exact integer or a ppm ``div``.
+
+    Scale shape: both sides explode to (id, n, gram) counts via ONE
+    map-combinable hash aggregate each, then a co-partitioned equi-join
+    on the composite key (the canonical BLEU shuffle — ngram cells,
+    never raw text), and order-keyed finals whose output is ``max_n``
+    rows."""
+    orders = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_n)))
+    ).alias("n")
+
+    def ngram_counts(col: str, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(col).alias("_tk"),
+            )
+            .select("_id", orders, F.col("_tk"))
+            # sequence(1, 0) steps DOWNWARD in Spark ([1, 0] — a slice
+            # at index 0 throws), so rows too short for this order are
+            # filtered before the transform rather than clamped inside
+            .where(F.expr("size(_tk) >= n"))
+            .select(
+                "_id",
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_tk) - n + 1),"
+                        " i -> concat_ws(' ', slice(_tk, i, n)))"
+                    )
+                ).alias("gram"),
+            )
+            .groupBy("_id", "n", "gram")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(side))
+        )
+
+    cand = ngram_counts(cand_col, "cc")
+    ref = ngram_counts(ref_col, "rc")
+    matches = (
+        cand.join(ref, ["_id", "n", "gram"])
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("cc", "rc")).cast("bigint").alias("clipped_matches")
+        )
+    )
+    totals = cand.groupBy("n").agg(
+        F.sum("cc").cast("bigint").alias("cand_ngrams")
+    )
+    lens = df.agg(
+        F.sum(F.size(F.col(cand_col))).cast("bigint").alias("cand_len"),
+        F.sum(F.size(F.col(ref_col))).cast("bigint").alias("ref_len"),
+    )
+    spine = (
+        df.sparkSession.range(1, int(max_n) + 1)
+        .select(F.col("id").cast("int").alias("n"))
+    )
+    return (
+        spine.join(totals, "n", "left")
+        .join(matches, "n", "left")
+        .crossJoin(F.broadcast(lens))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.coalesce("clipped_matches", F.lit(0))
+            .cast("bigint")
+            .alias("clipped_matches"),
+            F.coalesce("cand_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("cand_ngrams"),
+            F.when(
+                F.col("cand_ngrams") > 0,
+                F.expr(
+                    "coalesce(clipped_matches, 0) * 1000000 div cand_ngrams"
+                ),
+            )
+            .cast("bigint")
+            .alias("precision_ppm"),
+            "cand_len",
+            "ref_len",
+            F.when(
+                F.col("ref_len") > 0,
+                F.expr("cand_len * 1000000 div ref_len"),
+            )
+            .cast("bigint")
+            .alias("length_ratio_ppm"),
+        )
+    )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions_ppm: tuple[int, ...] = (100_000, 200_000, 400_000, 1_000_000),
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: for each corpus fraction f
+    (nested md5-shuffle prefixes, the same reproducible order as
+    ``learning_curve_splits``), the number of DISTINCT word types seen
+    in the first ceil(f·N) documents vs the running token total — the
+    statistic that says whether a corpus keeps paying vocabulary for
+    more data (V(n) ≈ K·n^β; the curve is reported exactly, the log-fit
+    is the consumer's transcendental business). One row per fraction:
+    ``(fraction_ppm, n_docs, n_tokens, vocab_size, ttr_ppm)`` with
+    ``ttr_ppm`` the type-token ratio in ppm. Words are 2..
+    ``max_word_len``-char ``[a-z]+`` runs of the lowercased text.
+
+    Scale shape: per-doc DISTINCT (doc, word) pairs from one explode +
+    aggregate, then each word reduces to its FIRST-seen doc rank (one
+    word-keyed min), so cut evaluation is a ≤-join of the word table
+    against the handful of cut ranks — never re-scanning text per
+    fraction. The doc rank needs a total order: the same deliberate
+    global (md5(id), id) window convention as learning_curve_splits
+    (at 100 TB switch to hash-threshold prefixes and accept binomial
+    sizes); everything after the windows is vocab-sized or
+    fractions-sized."""
+    from .hashing import md5_u60
+
+    if not fractions_ppm or any(
+        not 0 < int(f) <= 1_000_000 for f in fractions_ppm
+    ):
+        raise ValueError(f"bad fractions_ppm: {fractions_ppm}")
+    fr = sorted({int(f) for f in fractions_ppm})
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: (F.length(t) >= 2) & (F.length(t) <= max_word_len),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        md5_u60(F.col(id_col).cast("string")).alias("_h"),
+        toks.alias("_tk"),
+    )
+    w = Window.orderBy("_h", "_id")
+    ranked = base.select(
+        F.col("_id"),
+        F.row_number().over(w).cast("bigint").alias("_r"),
+        F.size("_tk").cast("bigint").alias("_ntok"),
+        F.col("_tk"),
+    )
+    cum = ranked.select(
+        "_r",
+        F.sum("_ntok")
+        .over(
+            Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("_cum_tok"),
+    )
+    first_seen = (
+        ranked.select("_r", F.explode_outer("_tk").alias("_wd"))
+        .where(F.col("_wd").isNotNull())
+        .groupBy("_wd")
+        .agg(F.min("_r").cast("bigint").alias("_first"))
+    )
+    n_tot = ranked.agg(F.max("_r").cast("bigint").alias("_n"))
+    cuts = n_tot.select(
+        F.explode(F.array(*[F.lit(f) for f in fr])).alias("fraction_ppm"),
+        F.col("_n"),
+    ).select(
+        F.col("fraction_ppm").cast("bigint").alias("fraction_ppm"),
+        F.expr("(fraction_ppm * _n + 999999) div 1000000")
+        .cast("bigint")
+        .alias("_cut"),
+    )
+    vocab = (
+        first_seen.crossJoin(F.broadcast(cuts))
+        .where(F.col("_first") <= F.col("_cut"))
+        .groupBy("fraction_ppm", "_cut")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )
+    return (
+        cuts.join(vocab, ["fraction_ppm", "_cut"], "left")
+        .join(cum, F.col("_cut") == F.col("_r"), "left")
+        .select(
+            "fraction_ppm",
+            F.col("_cut").alias("n_docs"),
+            F.coalesce("_cum_tok", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("vocab_size", F.lit(0))
+            .cast("bigint")
+            .alias("vocab_size"),
+            F.when(
+                F.coalesce("_cum_tok", F.lit(0)) > 0,
+                F.expr("coalesce(vocab_size, 0) * 1000000 div _cum_tok"),
+            )
+            .cast("bigint")
+            .alias("ttr_ppm"),
+        )
+    )
+
+
+def collocation_lift(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 50,
+    min_count: int = 5,
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Collocation extraction by PMI-lift: the ``top_n`` adjacent word
+    bigrams ranked by lift = P(xy)/(P(x)·P(y)) — the phrase-mining /
+    tokenizer-vocab statistic ("new york" scores high, "of the" low)
+    computed WITHOUT logs so the oracle is exact: lift and log-PMI rank
+    identically (log is monotone), and lift_ppm = c_xy·N·10⁶ div
+    (c_x·c_y) is pure integer arithmetic (overflow bound: c_xy·N·10⁶
+    needs N ≲ 3·10⁶ tokens; at larger corpora pre-divide N or widen to
+    decimal — documented, not silent). ``min_count`` floors the bigram
+    count so hapax pairs (lift ≈ N) don't own the ranking. Output:
+    ``(pair, n_pair, n_left, n_right, lift_ppm, lift_rank)``, rank 1 =
+    highest lift, ties broken by pair ascending.
+
+    Scale shape: one explode for unigram counts, one windowless
+    adjacent-pair transform for bigram counts — both ONE map-combinable
+    hash aggregate; then the bigram table (already min_count-pruned)
+    joins the unigram table twice on word equi-keys. The final rank
+    window runs over ≤ the pruned-bigram table."""
+    if top_n <= 0 or min_count < 1:
+        raise ValueError("top_n must be positive and min_count >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: (F.length(t) >= 2) & (F.length(t) <= max_word_len),
+    )
+    base = df.select(toks.alias("_tk"))
+    uni = (
+        base.select(F.explode("_tk").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_row = uni.agg(F.sum("c").cast("bigint").alias("_n"))
+    bi = (
+        base.where(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1), i ->"
+                    " struct(element_at(_tk, i) AS x,"
+                    " element_at(_tk, i + 1) AS y))"
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.x").alias("x"), F.col("_p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_count))
+    )
+    ux = uni.select(F.col("_w").alias("x"), F.col("c").alias("n_left"))
+    uy = uni.select(F.col("_w").alias("y"), F.col("c").alias("n_right"))
+    scored = (
+        bi.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("pair"),
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.expr("n_pair * _n * 1000000 div (n_left * n_right)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("lift_ppm").desc(), F.col("pair").asc())
+    return (
+        scored.withColumn(
+            "lift_rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("lift_rank") <= int(top_n))
+        .select(
+            "pair", "n_pair", "n_left", "n_right", "lift_ppm", "lift_rank"
+        )
+    )
+
+
+_SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    # (class name, literal char-class pattern — literal ranges, not
+    # \p{...} names, so Java regex (Spark) and RE2 (DuckDB) agree)
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+)
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Unicode-script profile of a corpus — the multilingual-crawl
+    triage report language-ID alone misses (langid says *which*
+    language; this says whether the bytes are even the script the
+    pipeline expects, catching mojibake, mixed-script spam, and
+    wrong-corpus mounts). Per document, characters are counted in five
+    literal-range classes (latin / digit / cyrillic / greek / cjk —
+    literal ranges, not ``\\p{...}`` names, so every regex engine
+    agrees) plus ``other``; the document's dominant script is the
+    class with the most characters, ties broken by the declaration
+    order above (other last). One row per class present:
+    ``(script, n_docs_dominant, n_chars, char_share_ppm)`` where the
+    share is over ALL characters in the corpus.
+
+    Scale shape: pure map — per class, chars = length(text) −
+    length(regexp_replace(text, class, '')) in whole-stage codegen;
+    then ONE 6-key hash aggregate. Nothing shuffles but the 6-row
+    class table."""
+    names = [n for n, _ in _SCRIPT_CLASSES] + ["other"]
+    counts = [
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), pat, ""))
+        )
+        .cast("bigint")
+        .alias(f"_c_{name}")
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.col(text_col)).cast("bigint").alias("_len"),
+        *counts,
+    ).withColumn(
+        "_c_other",
+        F.col("_len")
+        - sum(F.col(f"_c_{n}") for n, _ in _SCRIPT_CLASSES),
+    )
+    dom = F.greatest(*[F.col(f"_c_{n}") for n in names])
+    pick = F.when(F.col("_len") == 0, F.lit("other"))
+    for n in names:
+        pick = pick.when(F.col(f"_c_{n}") == dom, F.lit(n))
+    long = base.select(
+        "_id",
+        pick.alias("_dom"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("script"),
+                        F.col(f"_c_{n}").alias("c"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", "_dom", F.col("_s.script").alias("script"), F.col("_s.c").alias("c"))
+    tot = base.agg(F.sum("_len").cast("bigint").alias("_tot"))
+    return (
+        long.groupBy("script")
+        .agg(
+            F.sum(F.when(F.col("_dom") == F.col("script"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_dominant"),
+            F.sum("c").cast("bigint").alias("n_chars"),
+        )
+        .where((F.col("n_chars") > 0) | (F.col("n_docs_dominant") > 0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "script",
+            "n_docs_dominant",
+            "n_chars",
+            F.when(
+                F.col("_tot") > 0,
+                F.expr("n_chars * 1000000 div _tot"),
+            )
+            .cast("bigint")
+            .alias("char_share_ppm"),
+        )
+    )
+
+
+def gram_uniqueness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_word_len: int = 30,
+) -> DataFrame:
+    """Cross-document gram uniqueness — per document, what fraction of
+    its DISTINCT word n-grams appear in no other document. The
+    order-free complement of :func:`ngram_novelty` (which credits the
+    FIRST document in corpus order; here a gram shared by any two docs
+    counts for neither) and the memorization/boilerplate axis
+    :func:`repetition_stats` cannot see: repetition is within-doc,
+    uniqueness is against the corpus (low uniqueness = templated/
+    syndicated content even when each doc looks clean in isolation). Words are 2..``max_word_len``-char ``[a-z]+``
+    runs; documents with fewer than ``n`` words produce no row
+    (novelty undefined). One row per document: ``(id, n_grams,
+    n_unique, novelty_ppm)`` — ``n_unique`` counts grams with corpus
+    document-frequency exactly 1, so every number is an exact count.
+
+    Scale shape: per-doc DISTINCT gram sets explode to (doc, gram)
+    pairs; corpus doc-frequency is ONE gram-keyed aggregate over those
+    pairs, and the score join is pairs ⋈ df on the SAME gram key — the
+    shuffle partitioning is reused, then one doc-keyed aggregate. No
+    pair ever meets another doc's pairs (this is novelty, not
+    similarity — no quadratic candidate set exists)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: (F.length(t) >= 2) & (F.length(t) <= max_word_len),
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        .where(F.size("_tk") >= int(n))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(_tk) - {int(n)} + 1),"
+                        f" i -> concat_ws(' ', slice(_tk, i, {int(n)})))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    cf = pairs.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    return (
+        pairs.join(cf, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_unique",
+            F.expr("n_unique * 1000000 div n_grams")
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    top_n: int = 50,
+    min_occurrences: int = 2,
+    max_word_len: int = 30,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus scale:
+    candidate phrases are maximal stopword-free token runs; each
+    word scores degree/frequency (degree = Σ lengths of phrases
+    containing it — co-occurrence reach; frequency = occurrence
+    count), and a phrase scores the sum of its words' scores. Word
+    scores are quantized once (``degree·10⁶ div freq``) so phrase
+    scores are exact integer sums — engine-reproducible, no doubles.
+    Output the ``top_n`` phrases with ≥ ``min_occurrences``
+    occurrences: ``(phrase, n_words, n_occurrences, score_ppm,
+    kw_rank)``, ties broken by phrase ascending.
+
+    The stopword-boundary split is pure array algebra (stopwords map
+    to a sentinel, join, split, trim — no lookarounds, portable to any
+    regex engine); default stopword list is the module's English set.
+
+    Scale shape: phrases explode map-side; word freq/degree is ONE
+    word-keyed aggregate over (word, phrase-length) pairs; scores join
+    back on the SAME word key (partitioning reused); the rank window
+    runs over the min-occurrence-pruned distinct-phrase table only."""
+    if top_n <= 0 or min_occurrences < 1:
+        raise ValueError("top_n and min_occurrences must be positive")
+    sw = stopwords if stopwords is not None else STOPWORDS["en"]
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: (F.length(t) >= 1) & (F.length(t) <= max_word_len),
+    )
+    marked = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(sw_arr, t), F.lit("§")).otherwise(t),
+    )
+    phrases = (
+        df.select(marked.alias("_mk"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split(F.concat_ws(" ", F.col("_mk")), "§"),
+                        lambda p: F.trim(p),
+                    ),
+                    lambda p: p != F.lit(""),
+                )
+            ).alias("phrase")
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    # (word, phrase length) pairs over ALL occurrences for freq/degree
+    wp = phrases.select(
+        F.size(F.split(F.col("phrase"), " ")).cast("bigint").alias("_plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("_w"),
+    )
+    ws = wp.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_freq"),
+        F.sum("_plen").cast("bigint").alias("_deg"),
+    ).select(
+        "_w",
+        F.expr("_deg * 1000000 div _freq").cast("bigint").alias("_wscore"),
+    )
+    # score each DISTINCT phrase from its word multiset
+    pw = occ.select(
+        "phrase",
+        "n_occurrences",
+        F.size(F.split(F.col("phrase"), " ")).cast("bigint").alias("n_words"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("_w"),
+    )
+    scored = (
+        pw.join(ws, "_w")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("_wscore").cast("bigint").alias("score_ppm"))
+        .where(F.col("n_occurrences") >= int(min_occurrences))
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase").asc())
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("kw_rank") <= int(top_n))
+        .select(
+            "phrase", "n_words", "n_occurrences", "score_ppm", "kw_rank"
+        )
     )

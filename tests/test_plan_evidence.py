@@ -996,3 +996,100 @@ def test_r13_batch3_plan_shapes(spark):
 
     rk = _plan(q["eval_ranking"](spark, sf))
     assert "CartesianProduct" not in rk, rk
+
+
+def test_r13_batch4_plan_shapes(spark):
+    """Scale posture of the r13 batch-4/5/6 operators. Pure-map entries
+    (embed_rp_project) must show ZERO Exchange; aggregate-only entries
+    must not degenerate into sort-merge joins of raw rows; nothing may
+    plan a CartesianProduct (the broadcast one-row totals plan as
+    BroadcastNestedLoopJoin, which is the intended shape)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+
+    # map + single hash-aggregate families: no raw-row SMJ anywhere
+    for name in ("text_template_dedup", "domain_quality_shrunk"):
+        p = _plan(q[name](spark, sf))
+        assert "SortMergeJoin" not in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+
+    # explode + bounded-key aggregate: the rank window rides on a
+    # few-hundred-row aggregate, never on raw rows
+    bp = _plan(q["bpe_pair_stats"](spark, sf))
+    assert "Generate" in bp, bp
+    assert "CartesianProduct" not in bp, bp
+
+    auc = _plan(q["eval_auc"](spark, sf))
+    assert "Window" in auc, auc
+    assert "CartesianProduct" not in auc, auc
+
+    # BLEU: the one deliberate shuffle is the (id, n, gram) equi-join
+    bl = _plan(q["eval_bleu"](spark, sf))
+    assert "CartesianProduct" not in bl, bl
+
+    fl = _plan(q["eval_fleiss"](spark, sf))
+    assert "CartesianProduct" not in fl, fl
+
+    # compaction plan: window + aggregate only — no join of any kind
+    cp = _plan(q["files_compaction_plan"](spark, sf))
+    assert "Window" in cp, cp
+    assert "Join" not in cp and "CartesianProduct" not in cp, cp
+    assert len(re.findall(r"\(\d+\) Exchange\b", cp)) <= 2, cp
+
+    # random projection: pure map — zero Exchange, Arrow-batched UDF
+    rp = _plan(q["embed_rp_project"](spark, sf))
+    assert not re.search(r"\(\d+\) Exchange\b", rp), rp
+    assert "ArrowEvalPython" in rp, rp
+    assert "Generate" in rp, rp
+
+    for name in ("text_vocab_growth", "text_collocations"):
+        p = _plan(q[name](spark, sf))
+        assert "CartesianProduct" not in p, (name, p)
+
+    # script profile: codegen map + explode + one aggregate family
+    spf = _plan(q["text_script_profile"](spark, sf))
+    assert "Generate" in spf, spf
+    assert "SortMergeJoin" not in spf, spf
+    assert "BatchEvalPython" not in spf and "ArrowEvalPython" not in spf, spf
+
+    # centroid drift: raw vectors reduce map-side; the only join is the
+    # (label, dim) sum-table full-outer — never a Python eval, never a
+    # cartesian
+    cd = _plan(q["embed_centroid_drift"](spark, sf))
+    assert "CartesianProduct" not in cd, cd
+    assert "BatchEvalPython" not in cd and "ArrowEvalPython" not in cd, cd
+
+    # count-min: the probe side joins the BROADCAST 4096-cell sketch
+    cmn = _plan(q["sketch_countmin"](spark, sf))
+    assert "BroadcastHashJoin" in cmn, cmn
+    assert "CartesianProduct" not in cmn, cmn
+
+    # gram uniqueness: pairs ⋈ df on the same gram key — co-partitioned,
+    # no cartesian, no Python
+    gu = _plan(q["text_gram_uniqueness"](spark, sf))
+    assert "CartesianProduct" not in gu, gu
+    assert "BatchEvalPython" not in gu and "ArrowEvalPython" not in gu, gu
+
+    # sequence packing: window + two bounded aggregates, no join at all
+    sp2 = _plan(q["data_sequence_pack"](spark, sf))
+    assert "Window" in sp2, sp2
+    assert "Join" not in sp2 and "CartesianProduct" not in sp2, sp2
+
+    # RFM: one fact aggregate, customer-table windows, no SMJ of facts
+    rf = _plan(q["orders_rfm"](spark, sf))
+    assert "Window" in rf, rf
+    assert "CartesianProduct" not in rf, rf
+
+    # robots: host-keyed equi-join with the prefix test as a join
+    # filter — never a cartesian, never a URL-table window
+    rb = _plan(q["crawl_robots"](spark, sf))
+    assert "CartesianProduct" not in rb, rb
+    assert "Window" not in rb, rb
+
+    rk2 = _plan(q["text_rake"](spark, sf))
+    assert "CartesianProduct" not in rk2, rk2
+    assert "BatchEvalPython" not in rk2 and "ArrowEvalPython" not in rk2, rk2

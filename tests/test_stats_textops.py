@@ -2204,3 +2204,562 @@ def test_anchor_text_features_signals(spark):
     t8 = out[8]
     assert t8["n_inlinks"] == 1 and t8["n_anchor_terms"] == 0
     assert t8["diversity_ppm"] == 0
+
+
+def test_roc_auc_perfect_random_and_degenerate(spark):
+    from knowledge_graph_etl_spark.extensions.stats import roc_auc_report
+
+    rows = (
+        # slice p: perfect separation -> AUC = 1
+        [("p", 1, 100 + i) for i in range(3)]
+        + [("p", 0, i) for i in range(3)]
+        # slice t: all scores tied -> AUC = 0.5 exactly (midranks)
+        + [("t", 1, 7), ("t", 1, 7), ("t", 0, 7), ("t", 0, 7)]
+        # slice d: no negatives -> AUC undefined
+        + [("d", 1, 1), ("d", 1, 2)]
+    )
+    df = spark.createDataFrame(rows, "s string, y int, sc long")
+    out = {r["slice"]: r for r in roc_auc_report(df, "s", "y", "sc").collect()}
+    assert out["p"]["auc_ppm"] == 1_000_000
+    assert (out["p"]["n_pos"], out["p"]["n_neg"]) == (3, 3)
+    assert out["t"]["auc_ppm"] == 500_000
+    assert out["d"]["auc_ppm"] is None
+
+
+def test_roc_auc_hand_checked_ties(spark):
+    from knowledge_graph_etl_spark.extensions.stats import roc_auc_report
+
+    # y:  1    0    1    0   with scores 3, 3, 1, 2
+    # pairs (pos, neg): (3,3) tie=0.5, (3,2) win, (1,3) loss, (1,2) loss
+    # AUC = (1 + 0.5) / 4 = 0.375
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 0, 3), ("a", 1, 1), ("a", 0, 2)],
+        "s string, y int, sc long",
+    )
+    row = roc_auc_report(df, "s", "y", "sc").collect()[0]
+    assert row["auc_ppm"] == 375_000
+
+
+def test_bpe_merge_candidates_counts_and_rank(spark):
+    from knowledge_graph_etl_spark.extensions.text import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [("abab cd! AB-ab x",), ("cd cd",)], "t string"
+    )
+    # words: abab, cd, ab, ab, cd, cd ("x" too short)
+    # pairs: ab:4 (abab->ab,ba,ab gives ab x2; ab x2) ba:1 cd:3
+    out = {r["pair"]: r for r in bpe_merge_candidates(df, "t").collect()}
+    assert out["ab"]["n"] == 4 and out["ab"]["merge_rank"] == 1
+    assert out["cd"]["n"] == 3 and out["cd"]["merge_rank"] == 2
+    assert out["ba"]["n"] == 1 and out["ba"]["merge_rank"] == 3
+
+
+def test_bpe_merge_candidates_bounds(spark):
+    from knowledge_graph_etl_spark.extensions.text import (
+        bpe_merge_candidates,
+    )
+
+    long_word = "a" * 40
+    df = spark.createDataFrame([(f"{long_word} hi hi",)], "t string")
+    out = bpe_merge_candidates(df, "t", top_n=1).collect()
+    # the 40-char blob is dropped by max_word_len; top_n caps output
+    assert len(out) == 1 and out[0]["pair"] == "hi" and out[0]["n"] == 2
+
+
+def test_shrunken_domain_quality_shrinks_small_domains(spark):
+    from knowledge_graph_etl_spark.extensions.curation import (
+        shrunken_domain_quality,
+    )
+
+    rows = [("big", 1)] * 50 + [("big", 0)] * 50 + [("tiny", 1)] * 2
+    df = spark.createDataFrame(rows, "d string, ok int")
+    out = {
+        r["domain"]: r
+        for r in shrunken_domain_quality(df, "d", "ok", 10).collect()
+    }
+    # global = 52/102 -> 509803 ppm
+    g = 52 * 1_000_000 // 102
+    assert out["big"]["raw_ppm"] == 500_000
+    assert out["big"]["shrunk_ppm"] == (50 * 1_000_000 + 10 * g) // 110
+    # tiny: raw 100% but shrunk far toward the global rate
+    assert out["tiny"]["raw_ppm"] == 1_000_000
+    assert out["tiny"]["shrunk_ppm"] == (2 * 1_000_000 + 10 * g) // 12
+    assert out["tiny"]["shrunk_ppm"] < 700_000
+
+
+def test_shrunken_domain_quality_validates(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_etl_spark.extensions.curation import (
+        shrunken_domain_quality,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "d string, ok int")
+    with _pytest.raises(ValueError, match="prior_strength"):
+        shrunken_domain_quality(df, "d", "ok", -1)
+    # m=0 degenerates to the raw rate
+    row = shrunken_domain_quality(df, "d", "ok", 0).collect()[0]
+    assert row["shrunk_ppm"] == row["raw_ppm"] == 1_000_000
+
+
+def test_template_dedup_groups_by_normalized_form(spark):
+    from knowledge_graph_etl_spark.extensions.text import (
+        template_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Order #123 shipped"),
+            (2, "order  #456   SHIPPED"),
+            (3, "order #9 shipped"),
+            (4, "totally different"),
+            (5, "another singleton 77"),
+        ],
+        "id long, t string",
+    )
+    out = template_dedup_stats(df, "id", "t").collect()
+    # one surviving template: the three order lines; singletons dropped
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3
+    assert r["exemplar_id"] == 1
+    assert r["share_ppm"] == 3 * 1_000_000 // 5
+
+
+def test_bleu_corpus_stats_hand_checked(spark):
+    from knowledge_graph_etl_spark.extensions.text import bleu_corpus_stats
+
+    # ref: "the cat sat on the mat", cand: "the the cat sat" —
+    # unigram clip: the->min(2,2)=2, cat 1, sat 1 => 4/4
+    # bigram: "the the"(0) "the cat"(1) "cat sat"(1) => 2/3
+    # trigram: "the the cat"(0) "the cat sat"(1) => 1/2; 4-gram 0/1
+    df = spark.createDataFrame(
+        [(1, ["the", "the", "cat", "sat"], ["the", "cat", "sat", "on", "the", "mat"])],
+        "id long, cand array<string>, ref array<string>",
+    )
+    out = {r["n"]: r for r in bleu_corpus_stats(df, "id", "cand", "ref").collect()}
+    assert (out[1]["clipped_matches"], out[1]["cand_ngrams"]) == (4, 4)
+    assert out[1]["precision_ppm"] == 1_000_000
+    assert (out[2]["clipped_matches"], out[2]["cand_ngrams"]) == (2, 3)
+    assert out[2]["precision_ppm"] == 2_000_000 // 3
+    assert (out[3]["clipped_matches"], out[3]["cand_ngrams"]) == (1, 2)
+    assert (out[4]["clipped_matches"], out[4]["cand_ngrams"]) == (0, 1)
+    assert out[1]["cand_len"] == 4 and out[1]["ref_len"] == 6
+    assert out[1]["length_ratio_ppm"] == 4_000_000 // 6
+
+
+def test_bleu_corpus_stats_short_docs_and_spine(spark):
+    from knowledge_graph_etl_spark.extensions.text import bleu_corpus_stats
+
+    # every doc shorter than 3 tokens: orders 3,4 must still report 0s
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], ["a", "b"]), (2, [], ["x"])],
+        "id long, cand array<string>, ref array<string>",
+    )
+    out = {r["n"]: r for r in bleu_corpus_stats(df, "id", "cand", "ref").collect()}
+    assert len(out) == 4
+    assert out[3]["cand_ngrams"] == 0 and out[3]["clipped_matches"] == 0
+    assert out[3]["precision_ppm"] is None
+    assert out[1]["clipped_matches"] == 2
+
+
+def test_fleiss_kappa_perfect_and_chance(spark):
+    from knowledge_graph_etl_spark.extensions.stats import fleiss_kappa
+
+    # perfect agreement, 2 raters, 2 items, 2 categories
+    rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_raters"], r["n_dropped_items"]) == (2, 2, 0)
+    assert r["po_ppm"] == 1_000_000
+    # pe = (2^2 + 2^2)/16 = 0.5 -> kappa = 1
+    assert r["pe_ppm"] == 500_000
+    assert r["kappa_micro"] == 1_000_000
+
+    # single category everywhere: pe = 1 -> kappa = 0 (cohen convention)
+    df2 = spark.createDataFrame([(1, "a"), (1, "a"), (2, "a"), (2, "a")], "item long, cat string")
+    r2 = fleiss_kappa(df2, "item", "cat").collect()[0]
+    assert r2["pe_ppm"] == 1_000_000 and r2["kappa_micro"] == 0
+
+
+def test_fleiss_kappa_drop_and_hand_value(spark):
+    from knowledge_graph_etl_spark.extensions.stats import fleiss_kappa
+
+    # 3 raters on items 1,2; item 3 has only 2 ratings -> dropped
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"), (2, "b"),
+        (3, "a"), (3, "a"),
+    ]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_raters"], r["n_dropped_items"]) == (2, 3, 1)
+    # A = (2*1 + 0) + (3*2) = 8; po = 8/(2*3*2) = 2/3
+    assert r["po_ppm"] == 8 * 1_000_000 // 12
+    # t_a=2, t_b=4 over kept; pe = (4+16)/36
+    assert r["pe_ppm"] == 20 * 1_000_000 // 36
+    # kappa = (po-pe)/(1-pe) with quantized ppm inputs
+    import math
+    assert r["kappa_micro"] == math.floor(
+        (r["po_ppm"] - r["pe_ppm"]) * 1_000_000 / (1_000_000 - r["pe_ppm"])
+    )
+
+
+def test_fleiss_kappa_single_rater_vacuous(spark):
+    from knowledge_graph_etl_spark.extensions.stats import fleiss_kappa
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert r["n_raters"] == 1
+    assert r["po_ppm"] is None and r["kappa_micro"] is None
+
+
+def test_compaction_plan_bands_and_oversized(spark):
+    from knowledge_graph_etl_spark.extensions.curation import compaction_plan
+
+    rows = [
+        ("d1", 1, 40), ("d1", 2, 40), ("d1", 3, 40),  # 40+40 | 40
+        ("d1", 4, 250),  # oversized, lands alone in its band
+        ("d2", 1, 10),
+    ]
+    df = spark.createDataFrame(rows, "dir string, f long, sz long")
+    out = {
+        (r["group"], r["out_group"]): r
+        for r in compaction_plan(df, "dir", "f", "sz", 100).collect()
+    }
+    # d1: before-sums 0,40,80,120 -> groups 0,0,0,1
+    g0 = out[("d1", 0)]
+    assert g0["n_files"] == 3 and g0["total_bytes"] == 120
+    g1 = out[("d1", 1)]
+    assert g1["n_files"] == 1 and g1["total_bytes"] == 250
+    assert g1["n_oversized"] == 1 and g0["n_oversized"] == 0
+    assert out[("d2", 0)]["n_files"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, "dir", "f", "sz", 0)
+
+
+def test_rp_project_matches_hashlib_reference(spark):
+    import hashlib
+
+    from knowledge_graph_etl_spark.extensions.similarity import rp_project
+
+    vecs = [(7, [0.5, -1.25, 2.0]), (8, [0.0004, 0.0006, -0.0004])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {(r["id"], r["dim"]): r["proj"] for r in rp_project(df, k=2).collect()}
+
+    def sign(i, j):
+        return 1 if int(hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()[0], 16) < 8 else -1
+
+    import math
+
+    import numpy as np
+
+    for vid, v in vecs:
+        # the stored column is float32: widen through np.float32 exactly
+        q = [math.floor(float(np.float32(x)) * 1000 + 0.5) for x in v]
+        for j in range(2):
+            exp = sum(q[i] * sign(i, j) for i in range(3))
+            assert out[(vid, j)] == exp
+    # quantization: 0.0004*1000+0.5 floors to 0 vs 0.0006 -> 1 (float32 widened)
+    assert len(out) == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k and scale"):
+        rp_project(df, k=0)
+
+
+def test_vocab_growth_curve_hand_corpus(spark):
+    from knowledge_graph_etl_spark.extensions.text import vocab_growth_curve
+
+    # md5-shuffle order of ids 1..4 is fixed; compute expectation from
+    # the operator's own contract: cumulative distinct types per cut
+    import hashlib
+
+    docs = {1: "aa bb", 2: "bb cc", 3: "aa", 4: "dd ee ff"}
+    order = sorted(docs, key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {r["fraction_ppm"]: r for r in vocab_growth_curve(
+        df, "doc_id", "text", fractions_ppm=(250_000, 500_000, 1_000_000)
+    ).collect()}
+    seen, toks, expect = set(), 0, {}
+    for pos, i in enumerate(order, start=1):
+        ws = docs[i].split()
+        seen.update(ws)
+        toks += len(ws)
+        expect[pos] = (len(seen), toks)
+    assert (out[250_000]["vocab_size"], out[250_000]["n_tokens"]) == expect[1]
+    assert (out[500_000]["vocab_size"], out[500_000]["n_tokens"]) == expect[2]
+    assert (out[1_000_000]["vocab_size"], out[1_000_000]["n_tokens"]) == expect[4]
+    assert out[1_000_000]["vocab_size"] == 6
+    assert out[1_000_000]["ttr_ppm"] == 6 * 1_000_000 // 8
+    # nesting: vocab and tokens never decrease with the fraction
+    assert out[250_000]["vocab_size"] <= out[500_000]["vocab_size"] <= out[1_000_000]["vocab_size"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractions_ppm"):
+        vocab_growth_curve(df, "doc_id", "text", fractions_ppm=(0,))
+
+
+def test_collocation_lift_ordering_and_floor(spark):
+    from knowledge_graph_etl_spark.extensions.text import collocation_lift
+
+    # "new york" always adjacent (lift high); "of the" frequent but both
+    # words everywhere (lift low); hapax pair filtered by min_count
+    rows = [("new york is big",)] * 5 + [("of the of the of x7q",)] * 5 + [
+        ("rare pairx",)
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = collocation_lift(df, "t", top_n=10, min_count=5).collect()
+    pairs = {r["pair"]: r for r in out}
+    assert "rare pairx" not in pairs
+    assert pairs["new york"]["n_pair"] == 5
+    # ranks are 1..n, dense and unique
+    ranks = sorted(r["lift_rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    # "new york" outranks "of the"
+    assert pairs["new york"]["lift_rank"] < pairs["of the"]["lift_rank"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_n"):
+        collocation_lift(df, "t", top_n=0)
+
+
+def test_script_profile_dominance_and_shares(spark):
+    from knowledge_graph_etl_spark.extensions.text import script_profile
+
+    rows = [
+        (1, "hello"),               # latin-dominant
+        (2, "Привет мир хорошо"),   # cyrillic-dominant
+        (3, "12345"),               # digit-dominant
+        (4, ""),                    # empty -> other
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["script"]: r for r in script_profile(df, "id", "t").collect()}
+    assert out["latin"]["n_docs_dominant"] == 1
+    assert out["cyrillic"]["n_docs_dominant"] == 1
+    assert out["digit"]["n_docs_dominant"] == 1
+    assert out["other"]["n_docs_dominant"] == 1
+    assert out["latin"]["n_chars"] == 5
+    assert out["digit"]["n_chars"] == 5
+    # cyrillic text: 17 chars total, 2 spaces are 'other'
+    assert out["cyrillic"]["n_chars"] == 15
+    total = 5 + 17 + 5 + 0
+    assert out["latin"]["char_share_ppm"] == 5 * 1_000_000 // total
+
+
+def test_centroid_drift_hand_and_edges(spark):
+    from knowledge_graph_etl_spark.extensions.similarity import centroid_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [3.0, 0.0]), (9, [1.0, 1.0])],
+        "label int, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(0, [2.0, 1.0])], "label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in centroid_drift(a, b).collect()}
+    # label 0: sums A=(4000,0) nA=2; B=(2000,1000) nB=1
+    # t = |4000*1-2000*2| + |0*1-1000*2| = 0 + 2000
+    r0 = out[0]
+    assert (r0["n_a"], r0["n_b"]) == (2, 1)
+    assert r0["l1_num"] == 2000
+    assert r0["l1_milli"] == 2000 * 1000 // (2 * 1 * 1000)
+    # label 9 only in A: NULL distances, counts reported
+    r9 = out[9]
+    assert (r9["n_a"], r9["n_b"]) == (1, 0)
+    assert r9["l1_num"] is None and r9["l1_milli"] is None
+    # identical snapshots drift to exactly zero
+    same = {r["label"]: r for r in centroid_drift(a, a).collect()}
+    assert same[0]["l1_num"] == 0 and same[0]["l1_milli"] == 0
+
+
+def test_countmin_est_dominates_truth_and_exact_cells(spark):
+    from knowledge_graph_etl_spark.extensions.stats import (
+        countmin_heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 2
+    df = spark.createDataFrame(rows, "item string")
+    out = {
+        r["item"]: r
+        for r in countmin_heavy_hitters(
+            df, "item", depth=4, width=64, top_n=3
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}  # top_n=3 by true count
+    assert out["a"]["true_count"] == 50 and out["a"]["hh_rank"] == 1
+    for r in out.values():
+        # count-min is one-sided: estimate never undercounts
+        assert r["est_count"] >= r["true_count"]
+        assert r["overestimate"] == r["est_count"] - r["true_count"]
+    # with width >> items, collisions are unlikely but not impossible;
+    # a singleton corpus gives exact cells
+    one = countmin_heavy_hitters(
+        spark.createDataFrame([("x",)] * 7, "item string"), "item",
+        depth=2, width=8, top_n=1,
+    ).collect()[0]
+    assert one["est_count"] == 7 and one["overestimate"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        countmin_heavy_hitters(df, "item", depth=0)
+
+
+def test_gram_uniqueness_shared_vs_unique(spark):
+    from knowledge_graph_etl_spark.extensions.text import gram_uniqueness
+
+    # docs 1,2 share "aa bb cc"; doc 3 is all-unique; doc 4 too short
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),
+            (2, "aa bb cc"),
+            (3, "xx yy zz qq"),
+            (4, "aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in gram_uniqueness(df, "doc_id", "text", n=3).collect()}
+    assert 4 not in out  # < n words -> no row
+    # doc 1 grams: "aa bb cc" (shared with doc 2), "bb cc dd" (unique)
+    assert out[1]["n_grams"] == 2 and out[1]["n_unique"] == 1
+    assert out[1]["novelty_ppm"] == 500_000
+    assert out[2]["n_grams"] == 1 and out[2]["n_unique"] == 0
+    assert out[3]["novelty_ppm"] == 1_000_000
+
+
+def test_sequence_pack_plan_bands_and_overflow(spark):
+    from knowledge_graph_etl_spark.extensions.curation import (
+        sequence_pack_plan,
+    )
+
+    # tokens chosen so bins are deterministic regardless of md5 order:
+    # every doc has 60 tokens, context 100 -> before-sums 0,60,120,...
+    rows = [(i, 60) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = {r["fill_decile"]: r for r in sequence_pack_plan(df, "doc_id", "tok", 100).collect()}
+    # before-sums 0,60,120,180 -> bins 0,0,1,1: two 120-token bins,
+    # each 120*10//100 = 12 capped to decile 10
+    assert out[10]["n_bins"] == 2 and out[10]["n_docs"] == 4
+    assert out[10]["n_tokens"] == 240
+    # overflow doc counted
+    df2 = spark.createDataFrame([(1, 250)], "doc_id long, tok long")
+    r2 = sequence_pack_plan(df2, "doc_id", "tok", 100).collect()[0]
+    assert r2["n_overflow_docs"] == 1 and r2["fill_decile"] == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="context_len"):
+        sequence_pack_plan(df, "doc_id", "tok", 0)
+
+
+def test_rfm_segments_hand_tiled(spark):
+    import datetime
+
+    from knowledge_graph_etl_spark.extensions.stats import rfm_segments
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    # 4 customers, q=2: c1 two big recent orders, c4 one old tiny order
+    rows = [
+        (1, ts(20), 100.0), (1, ts(21), 100.0),
+        (2, ts(10), 50.0), (2, ts(11), 50.0),
+        (3, ts(5), 20.0),
+        (4, ts(1), 1.004),
+    ]
+    df = spark.createDataFrame(rows, "c long, d timestamp, amt double")
+    out = {r["segment"]: r for r in rfm_segments(df, "c", "d", "amt", q=2).collect()}
+    # ascending ntile(2) over 4 customers: c1/c2 tile 2 on all three
+    # metrics -> 222; c3/c4 tile 1 -> 111
+    assert out[222]["n_customers"] == 2
+    assert out[111]["n_customers"] == 2
+    # exact cents: 1.004 quantizes to 100 cents BEFORE summing
+    assert out[111]["spend_cents"] == 100 + 2000
+    assert out[222]["spend_cents"] == 20000 + 10000
+    total = sum(r["n_customers"] for r in out.values())
+    assert total == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q must"):
+        rfm_segments(df, "c", "d", "amt", q=1)
+
+
+def test_robots_policy_longest_match_and_ties(spark):
+    from knowledge_graph_etl_spark.extensions.html import (
+        robots_policy_filter,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (1, "h1", "/a/b/c"),   # /a disallow, /a/b allow -> allowed
+            (2, "h1", "/a/x"),     # /a disallow wins
+            (3, "h1", "/zzz"),     # only '/' allow
+            (4, "h2", "/a/b"),     # no rules for h2 -> default allow
+            (5, "h1", "/t"),       # equal-length tie: allow beats disallow
+        ],
+        "id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h1", "/", True),
+            ("h1", "/a", False),
+            ("h1", "/a/b", True),
+            ("h1", "/t", False),
+            ("h1", "/t", True),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    out = {r["id"]: r for r in robots_policy_filter(urls, rules).collect()}
+    assert out[1]["allowed"] is True and out[1]["rule_prefix"] == "/a/b"
+    assert out[2]["allowed"] is False and out[2]["rule_prefix"] == "/a"
+    assert out[3]["allowed"] is True and out[3]["rule_prefix"] == "/"
+    assert out[4]["allowed"] is True and out[4]["rule_prefix"] is None
+    assert out[4]["rule_len"] is None
+    assert out[5]["allowed"] is True  # tie -> Allow wins
+    # passthrough columns intact
+    assert set(out[1].asDict()) == {
+        "id", "host", "path", "allowed", "rule_prefix", "rule_len"
+    }
+
+
+def test_rake_keywords_hand_scored(spark):
+    from knowledge_graph_etl_spark.extensions.text import rake_keywords
+
+    # stopword 'x' bounds phrases; "deep learning" appears 3x,
+    # "deep" once alone
+    rows = [("deep learning x deep learning",), ("deep learning x deep",)]
+    df = spark.createDataFrame(rows, "t string")
+    out = {
+        r["phrase"]: r
+        for r in rake_keywords(
+            df, "t", stopwords=["x"], top_n=10, min_occurrences=1
+        ).collect()
+    }
+    # freq(deep)=4, deg(deep)=2+2+2+1=7; freq(learning)=3, deg=6
+    # score(deep)=7e6//4=1750000; score(learning)=2000000
+    dl = out["deep learning"]
+    assert dl["n_occurrences"] == 3 and dl["n_words"] == 2
+    assert dl["score_ppm"] == 1_750_000 + 2_000_000
+    d = out["deep"]
+    assert d["n_occurrences"] == 1 and d["score_ppm"] == 1_750_000
+    assert dl["kw_rank"] == 1 and d["kw_rank"] == 2
+    # occurrence floor prunes
+    pruned = rake_keywords(
+        df, "t", stopwords=["x"], top_n=10, min_occurrences=2
+    ).collect()
+    assert [r["phrase"] for r in pruned] == ["deep learning"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_n"):
+        rake_keywords(df, "t", top_n=0)
