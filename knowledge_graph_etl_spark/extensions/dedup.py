@@ -642,6 +642,16 @@ def cross_snapshot_neardup(
     delta_ids = diff.where(F.col("status").isin(*statuses)).select(
         F.col(id_col), "status"
     )
+    if materialize and not new.isStreaming:
+        # delta_ids feeds THREE consumers (the delta semi-join, the probe
+        # and the final status join): unmaterialized, the snapshot_diff
+        # full-outer join — two corpus exchanges plus an md5 over the
+        # full text of BOTH snapshots — re-executes per consumer
+        # (measured 3× in the sf0.1 plan, r13). The checkpoint is
+        # delta-sized narrow rows (id, status), and its known size lets
+        # the planner broadcast the downstream joins instead of
+        # sort-merging corpus-keyed exchanges.
+        delta_ids = delta_ids.localCheckpoint(eager=True)
     # No broadcast hint: the delta scales with crawl churn (a full
     # re-crawl makes it corpus-sized), so pinning a broadcast here would
     # build a corpus-proportional table on the driver at volume. AQE

@@ -177,8 +177,15 @@ def pattern(
             cols.append(F.col("o_lang").alias(_companion(o.name, "lang")))
 
     out = quads
-    for c in conds:
-        out = out.where(c)
+    if conds:
+        # ONE combined filter instead of a where-chain: k-1 fewer plan
+        # nodes and py4j round-trips per pattern — the compile path is
+        # driver-bound at volume (guide §5/§7.3; measured r13: the 16
+        # mapping compiles spend ~42 s in py4j/JVM plan construction)
+        allc = conds[0]
+        for c in conds[1:]:
+            allc = allc & c
+        out = out.where(allc)
     if not cols:  # pattern with no variables: existence row
         return out.select(F.lit(1).alias("__match"))
     return out.select(*cols)
@@ -262,24 +269,64 @@ def star_scan(
         # properties straddle graphs must not merge across them
         keys.append(F.col("g").alias(graph_var))
     df = scan.groupBy(*keys).agg(*aggs)
-    if graph_var is not None:
-        df = df.withColumn(_companion(graph_var, "type"), F.lit("iri"))
+    # Post-agg shaping in a MINIMAL number of DataFrame ops (one combined
+    # filter + one select per explode + one final projection) instead of
+    # the 4-5 chained withColumn/drop/select/rename ops per variable the
+    # first implementation used: plan construction is driver-side py4j
+    # work, ~375 ms per star_scan call in the r13 compile profile, and
+    # every chained op re-walks the growing plan in the JVM (guide
+    # §5/§7.3). Output rows, column names AND column order are identical.
+    fconds: list[Column] = []
     for i, (_, o) in enumerate(patterns):
         if _is_var(o):
-            df = df.where(F.size(F.col(f"__vals_{i}")) > 0)
+            fconds.append(F.size(F.col(f"__vals_{i}")) > 0)
         else:
-            df = df.where(F.col(f"__has_{i}").isNotNull())
-            df = df.drop(f"__has_{i}")
+            fconds.append(F.col(f"__has_{i}").isNotNull())
+    if fconds:
+        allf = fconds[0]
+        for c in fconds[1:]:
+            allf = allf & c
+        df = df.where(allf)
+    # key/prefix columns of the final projection, in the original order
+    head: list[Column] = [F.col(subject.name), F.col(_companion(subject.name, "type"))]
+    if graph_var is not None:
+        head.append(F.col(graph_var))
+        head.append(F.lit("iri").alias(_companion(graph_var, "type")))
+    # sequential explodes (one Generate per select — Spark allows a single
+    # generator per projection; the per-subject cross product semantics
+    # need them nested anyway); carry only still-needed __vals columns
+    pending = [f"__vals_{i}" for i, _ in exploded]
+    for n, (i, _vname) in enumerate(exploded):
+        carry = [F.col(f"__e_{j}") for j, _ in exploded[:n]]
+        rest = [F.col(v) for v in pending[n + 1 :]]
+        df = df.select(
+            *head,
+            *carry,
+            *rest,
+            F.explode(F.col(f"__vals_{i}")).alias(f"__e_{i}"),
+        )
+        head = [F.col(c) for c in (
+            [subject.name, _companion(subject.name, "type")]
+            + ([graph_var, _companion(graph_var, "type")] if graph_var is not None else [])
+        )]
+    # one final projection: extract term fields for every exploded var,
+    # appending each var's (value, type, dt, lang) in pattern order —
+    # byte-identical schema to the chained-ops version
+    tail: list[Column] = []
     for i, vname in exploded:
-        df = df.withColumn(vname, F.explode(F.col(f"__vals_{i}"))).drop(f"__vals_{i}")
-        cols = [F.col(vname)["v"].alias("__tmp_v")]
+        e = F.col(f"__e_{i}")
+        tail.append(e["v"].alias(vname))
         if keep_object_meta:
-            cols += [
-                F.col(vname)["t"].alias(_companion(vname, "type")),
-                F.col(vname)["d"].alias(_companion(vname, "dt")),
-                F.col(vname)["l"].alias(_companion(vname, "lang")),
+            tail += [
+                e["t"].alias(_companion(vname, "type")),
+                e["d"].alias(_companion(vname, "dt")),
+                e["l"].alias(_companion(vname, "lang")),
             ]
-        df = df.select("*", *cols).drop(vname).withColumnRenamed("__tmp_v", vname)
+    if exploded:
+        df = df.select(*head, *tail)
+    elif any(not _is_var(o) for _, o in patterns):
+        # constants only: drop the __has flag columns in one projection
+        df = df.select(*head)
     return df
 
 
@@ -320,9 +367,10 @@ def _term_join(
             comp = _companion(v, k)
             if comp in right.columns and comp in left.columns:
                 ren[comp] = f"__r__{comp}"
-    r2 = right
-    for a, b in ren.items():
-        r2 = r2.withColumnRenamed(a, b)
+    # one batched rename (withColumnsRenamed) instead of a per-column
+    # withColumnRenamed chain: each chained call is a py4j round-trip plus
+    # a JVM plan re-walk — pure driver overhead on the compile path
+    r2 = right.withColumnsRenamed(ren) if ren else right
     cond = None
     for v in on:
         c = F.col(v) == F.col(f"__r__{v}")
