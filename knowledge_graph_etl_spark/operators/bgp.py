@@ -402,22 +402,23 @@ def _term_join(
             cond = extra if cond is None else (cond & extra)
     out = left.join(r2, on=cond, how=how)
     if how in ("inner", "left") and compat:
+        merged: dict[str, Column] = {}
         for v in compat:
             if v not in on:
                 continue
             use_l = F.col(v).isNotNull()
-            out = out.withColumn(
-                v, F.when(use_l, F.col(v)).otherwise(F.col(f"__r__{v}"))
-            )
+            merged[v] = F.when(use_l, F.col(v)).otherwise(F.col(f"__r__{v}"))
             for k in _COMPANION_KINDS:
                 comp = _companion(v, k)
                 if f"__r__{comp}" in r2.columns:
-                    out = out.withColumn(
-                        comp,
-                        F.when(use_l, F.col(comp)).otherwise(
-                            F.col(f"__r__{comp}")
-                        ),
+                    merged[comp] = F.when(use_l, F.col(comp)).otherwise(
+                        F.col(f"__r__{comp}")
                     )
+        if merged:
+            # batched withColumns: each merged expr reads only join-output
+            # columns (left copy + renamed right copy), never another
+            # merged result, so one batched call ≡ the chained loop
+            out = out.withColumns(merged)
     return out.drop(*ren.values())
 
 
@@ -573,11 +574,16 @@ class BGPBuilder:
             raise ValueError("BIND requires a preceding group")
         _check_var_name(Var(name))
         if isinstance(expr, TermExpr):
-            self.df = (
-                self.df.withColumn(name, expr.value)
-                .withColumn(_companion(name, "type"), expr.type)
-                .withColumn(_companion(name, "dt"), expr.datatype)
-                .withColumn(_companion(name, "lang"), expr.lang)
+            # one batched withColumns (vs 4 chained withColumn): the exprs
+            # are independent, so semantics and column order are identical
+            # — this is compile-path driver overhead (guide §5/§7.3)
+            self.df = self.df.withColumns(
+                {
+                    name: expr.value,
+                    _companion(name, "type"): expr.type,
+                    _companion(name, "dt"): expr.datatype,
+                    _companion(name, "lang"): expr.lang,
+                }
             )
         else:
             self.df = self.df.withColumn(name, expr)

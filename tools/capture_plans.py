@@ -26,6 +26,7 @@ spark = (
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.driver.memory", "16g")
     .config("spark.ui.enabled", "false")
+    .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")

@@ -19,6 +19,9 @@ spark = (
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.driver.memory", "16g")
     .config("spark.ui.enabled", "false")
+    # match bench.py (r13): origin-capture off, so solo pins stay
+    # comparable with in-bench timings
+    .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
