@@ -2751,10 +2751,18 @@ def curation_pipeline_q(spark, sf_dir):
     # groups, lowest id wins) — the agg+join-back form of exact_dedup()
     # would pay two
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # localCheckpoint (r13): decontaminate consumes its corpus three ways
+    # (gram explode, benchmark subset, id spine) — un-severed, the whole
+    # normalize→repetition→window-dedup subtree re-executed per consumer
+    # (measured 7.3 → 5.2 s solo with the checkpoint; the r05-shaped
+    # pipeline is the one place decontaminate sees a DERIVED corpus).
+    # The returned plan references the checkpoint; the harness releases
+    # it after consuming the result (ckpt module's accepted budget).
     kept = (
         filt.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint(eager=True)
     )
     # decontaminate returns a row per input doc — filter it directly, no
     # join-back needed for an id-only manifest

@@ -658,7 +658,14 @@ def decontaminate(
     documents, not terabytes — so its distinct-gram set broadcasts and the
     100 TB corpus side never shuffles (``broadcast_benchmark=True``).
     With a huge benchmark set, flip it off for a plain shuffle equi-join
-    on the gram key."""
+    on the gram key. ``docs`` is consumed twice (the gram explode + the
+    id spine); a one-pass ``explode_outer`` + left-join rewrite was
+    measured ~3× SLOWER here (r13 A/B, 0.44 → 1.41 s solo): it drags
+    every corpus gram row through the per-id aggregate, where this shape
+    aggregates only benchmark HITS and the spine is a column-pruned
+    id-only scan. Callers passing a DERIVED corpus (where the spine
+    would re-execute a whole pipeline, not re-scan a table) should
+    checkpoint it first — curation_pipeline does."""
     tks = tokens(F.col(text_col))
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
@@ -2469,8 +2476,14 @@ def json_shape_profile(
     per = ex.select("key", jtype.alias("jtype")).groupBy("key", "jtype").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    tot = per.groupBy("key").agg(F.sum("n").cast("bigint").alias("_kt"))
-    return per.join(tot, "key").select(
+    # per-key total as a window over the aggregated cells (r13): the
+    # groupBy+join-back shape consumed `per` twice, re-running the JSON
+    # pair-parse explode — the expensive stage — per consumer; the window
+    # runs over the (key, jtype) cell table, which is
+    # schema-sized, so the extra shuffle is negligible and the corpus
+    # parse happens exactly once
+    kt = F.sum("n").over(Window.partitionBy("key")).cast("bigint")
+    return per.withColumn("_kt", kt).select(
         "key",
         "jtype",
         "n",

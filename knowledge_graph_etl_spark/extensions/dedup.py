@@ -1143,9 +1143,16 @@ def pair_eval(
     oracle-able.
 
     Scale shape: both inputs are already bounded pair sets (banded /
-    blocked, never all-pairs); the intersection is one LEFT SEMI join on
-    the normalized (min, max) pair key and three count aggregates —
-    a single job over data far smaller than the corpus."""
+    blocked, never all-pairs); one FULL OUTER join on the normalized
+    (min, max) pair key carries presence flags for both sides, so all
+    three counts come out of a single aggregate — each input pipeline
+    appears ONCE in the plan. (r13: the previous left-semi + three
+    crossJoined count aggregates consumed ``candidates`` and ``truth``
+    twice each, re-executing the full LSH and exact-Jaccard pipelines —
+    dedup_lsh_eval's plan showed 8 parquet scans / 50 Exchanges for
+    what is structurally a 2-pipeline intersection. Both sides are
+    deduplicated on the join key, so the join is 1:1 and the flag
+    counts equal the old per-side counts exactly.)"""
     a_col, b_col = pair_cols
 
     def norm(df: DataFrame) -> DataFrame:
@@ -1153,12 +1160,15 @@ def pair_eval(
         hi = F.greatest(F.col(a_col), F.col(b_col))
         return df.select(lo.alias("id_a"), hi.alias("id_b")).dropDuplicates()
 
-    c, t = norm(candidates), norm(truth)
-    hits = t.join(c, ["id_a", "id_b"], "left_semi")
-    counts = (
-        c.agg(F.count(F.lit(1)).alias("n_candidates"))
-        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    c = norm(candidates).withColumn("__c", F.lit(1))
+    t = norm(truth).withColumn("__t", F.lit(1))
+    both = c.join(t, ["id_a", "id_b"], "full_outer")
+    counts = both.agg(
+        F.count("__c").alias("n_candidates"),
+        F.count("__t").alias("n_truth"),
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__t").isNotNull(), 1)).alias(
+            "n_hits"
+        ),
     )
     return counts.select(
         F.col("n_candidates").cast("bigint"),
@@ -1343,12 +1353,16 @@ def edit1_pairs(
         ),
     )
     ex = w.select("w", F.explode(variants).alias("v"))
-    a = ex.select(F.col("w").alias("word_a"), "v")
-    b = ex.select(F.col("w").alias("word_b"), "v")
+    # self-join via alias of the SAME plan (not two differently-projected
+    # copies): both sides then shuffle the byte-identical subtree and
+    # Catalyst serves the second from a ReusedExchange — the
+    # distinct+explode runs once, not twice (r13; same rationale as the
+    # simhash_pairs NOTE — the word_a/word_b renames moved after the join)
+    a, b = ex.alias("a"), ex.alias("b")
     return (
-        a.join(b, "v")
-        .where(F.col("word_a") < F.col("word_b"))
-        .select("word_a", "word_b")
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
         .distinct()
         .withColumn(
             "dist", F.levenshtein(F.col("word_a"), F.col("word_b"))

@@ -152,7 +152,21 @@ def triangle_count(
     for an arbitrary orientation — the difference between feasible and
     not on power-law graphs, where hub vertices would otherwise emit
     deg² wedges). All stages are hash equi-joins/aggs on vertex keys;
-    deterministic, so exactly oracle-able."""
+    deterministic, so exactly oracle-able.
+
+    The cleaned edge list and the oriented edge list are each
+    localCheckpoint-materialized ONCE (r13): both have multiple
+    consumers (canon feeds the degree aggregate twice plus the
+    orientation join; oriented feeds the three path/closure joins), so
+    the un-severed plan re-executed the upstream edge-building subtree —
+    for the bench's co-supply graph, the lineitem self-join — at every
+    leaf (measured: 68 parquet scans / 172 Exchanges in the plan; 2
+    scans after). deg stays lazy — its three consumers are cheap
+    aggregates over the canon checkpoint, and a third eager checkpoint
+    measured as pure job-sequencing overhead at bench scale. The
+    returned plan references both checkpoints; the caller releases them
+    after consuming the result (the ckpt-module pinned-RDD budget —
+    bench.py and check_oracle.py both do)."""
     raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     canon = (
         raw.where(F.col("a") != F.col("b"))
@@ -161,6 +175,7 @@ def triangle_count(
             F.greatest("a", "b").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("a").alias("v"))
@@ -178,7 +193,7 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))

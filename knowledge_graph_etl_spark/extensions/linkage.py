@@ -79,13 +79,18 @@ def idf_weighted_linkage(
     n_ref = reference.select(ref_id).distinct().count()
     # reference-side document frequency -> integer micro-IDF weight
     df_t = rtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # materialized once (r13): w_t is re-derived — a full reference-side
+    # explode + aggregate — inside EVERY consumer subtree otherwise
+    # (rtok_w×2, dtok_w×3 via its consumers); the table is
+    # vocabulary-sized, so the checkpoint is tiny while the un-severed
+    # plan showed 22 parquet scans for this operator
     w_t = df_t.select(
         "tok",
         "df",
         F.floor(F.log(F.lit(float(n_ref)) / F.col("df")) * 1e6 + F.lit(0.5))
         .cast("bigint")
         .alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     rtok_w = rtok.join(w_t, "tok")
     r_sum = rtok_w.groupBy("rid").agg(F.sum("w").alias("w_ref"))
     dtok = dirty.select(
@@ -94,6 +99,11 @@ def idf_weighted_linkage(
     )
     # unseen tokens score as df=1 (maximum rarity): they can't match the
     # reference side anyway, but they must count in the union weight
+    # dtok_w stays lazy: its three consumers (d_sum, the blocking window,
+    # the scoring join) each recompute only a dirty-side scan + explode +
+    # broadcast join against the w_t CHECKPOINT — cheap maps; an eager
+    # checkpoint here measured as pure job-sequencing overhead at bench
+    # scale while w_t's removes the actual repeated aggregation
     dtok_w = dtok.join(w_t.select("tok", "df", "w"), "tok", "left").select(
         "lid",
         "tok",

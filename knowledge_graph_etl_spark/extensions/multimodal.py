@@ -679,17 +679,23 @@ def ahash_dedup(
     grouping IS the near-dup match at this fingerprint's resolution).
     Returns ``(id_col, ahash, n_copies, is_canonical)`` — min-id copy
     canonical, undecodable rows excluded. One uniform 8-byte-key
-    shuffle, exactly :func:`dedup.exact_softweight`'s shape."""
-    h = image_ahash(media, hash_size, id_col, payload_col).where(F.col("ok"))
-    g = h.groupBy("ahash").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-        F.min(id_col).alias("__rep"),
-    )
-    return h.join(g, "ahash").select(
-        F.col(id_col),
-        "ahash",
-        "n_copies",
-        (F.col(id_col) == F.col("__rep")).alias("is_canonical"),
+    shuffle; the group count and min-id rep come from a window over that
+    one shuffle rather than :func:`dedup.exact_softweight`'s
+    groupBy+join-back shape (r13: with the join shape the decode+hash
+    ``mapInPandas`` — the expensive stage here, unlike softweight's
+    cheap md5 — executed once per consumer; the window keeps it to ONE
+    Python-boundary pass, and only (id, ahash) rows — never payloads —
+    enter the shuffle)."""
+    w = Window.partitionBy("ahash")
+    return (
+        image_ahash(media, hash_size, id_col, payload_col)
+        .where(F.col("ok"))
+        .select(
+            F.col(id_col),
+            "ahash",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+            (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+        )
     )
 
 

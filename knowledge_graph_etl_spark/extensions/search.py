@@ -195,10 +195,15 @@ def bm25_scores(
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # restrict the corpus to query terms BEFORE computing df
+    # restrict the corpus to query terms BEFORE computing df; materialize
+    # the surviving posting rows ONCE (r13): both consumers (the df
+    # aggregate and the scoring join) otherwise re-run the corpus
+    # tokenize→explode→tf aggregation — the expensive stage — and `hits`
+    # is posting-list-sized by construction (only query-term rows), so
+    # the checkpoint is bounded by the query batch, never the corpus
     hits = tf.join(
         F.broadcast(qterm.select("term").distinct()), "term", "inner"
-    )
+    ).localCheckpoint(eager=True)
     df_t = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -639,11 +644,15 @@ def ranking_metrics(
         F.col(doc_col).alias("doc"),
         F.col(rank_col).cast("bigint").alias("rk"),
     ).where(F.col(rank_col) <= k)
+    # materialized once (r13): three consumers (the relevance join, the
+    # ideal-gain window, the n_rel aggregate) otherwise re-execute the
+    # caller's whole qrels pipeline per consumer; judgment lists are
+    # eval-set-sized by nature, so the checkpoint is small by contract
     q = qrels.select(
         F.col(qid_col).alias("qid"),
         F.col(doc_col).alias("doc"),
         F.col(rel_col).cast("bigint").alias("rel"),
-    )
+    ).localCheckpoint(eager=True)
     j = r.join(q, ["qid", "doc"], "left").select(
         "qid",
         "rk",

@@ -1432,34 +1432,43 @@ def recall_at_k(
     division), the project's standard for oracle-able ratios.
 
     Scale shape: both sides are pre-filtered to rank ≤ k (≤ |Q|·k rows
-    each — bounded, tiny), hit counting is one LEFT SEMI join on
-    (query_id, neighbor_id) and a groupBy on query_id; the ground-truth
-    side is the spine so queries the index missed entirely still report
-    recall 0, not absence."""
+    each — bounded, tiny); hit counting is ONE left join of the
+    ground-truth side against the deduplicated approx side (1:at-most-1,
+    so a presence flag marks hits) and ONE groupBy on query_id producing
+    n_truth and n_hits together. (r13: the previous shape consumed the
+    ground-truth pipeline TWICE — once for the n_truth aggregate, once
+    for the left-semi hit join — re-executing the exact brute-force
+    top-k, the expensive side, per consumer. The ground-truth side stays
+    the spine: queries the index missed entirely still report recall 0,
+    not absence.)"""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     qid, nid, rk = query_id_col, neighbor_col, rank_col
-    a = approx.where(F.col(rk) <= k).select(
-        F.col(qid).alias("query_id"), F.col(nid).alias("neighbor_id")
+    # dropDuplicates makes the left join exactly equivalent to the left
+    # semi it replaces (≤1 match per truth row, no fan-out) even if an
+    # approx table ever carried a duplicate (query, neighbor) row
+    a = (
+        approx.where(F.col(rk) <= k)
+        .select(F.col(qid).alias("query_id"), F.col(nid).alias("neighbor_id"))
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
     )
     e = exact.where(F.col(rk) <= k).select(
         F.col(qid).alias("query_id"), F.col(nid).alias("neighbor_id")
     )
-    truth = e.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_truth")
-    )
-    hits = (
-        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    )
-    return truth.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-        "n_truth",
-        F.expr("coalesce(n_hits, 0) * 1000000 div n_truth").alias(
-            "recall_ppm"
-        ),
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "n_truth",
+            F.expr("n_hits * 1000000 div n_truth").alias("recall_ppm"),
+        )
     )
 
 

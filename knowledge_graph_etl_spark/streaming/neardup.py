@@ -122,14 +122,29 @@ def flag_neardups(
 
     Batch plan: banded signatures → per-bucket min-id (map-side
     combinable) → candidates join the bucket-first — all shuffles on the
-    uniform (band, bucket) / id keys, never all-pairs. Streaming plan:
-    per-bucket state (first id + signature) via
-    ``applyInPandasWithState``; state grows with distinct buckets (bound
-    it upstream by windowing/TTL re-keying when a stream is unbounded)."""
+    uniform (band, bucket) / id keys, never all-pairs. The signature
+    table is materialized ONCE and shared (r13: the previous shape
+    derived ``first``, the candidate side, and both refinement signature
+    lookups from the un-materialized banded subtree, re-running the
+    tokenize→hash→min aggregation — the expensive stage — four times;
+    the plan showed 4 full document scans). Streaming plan: per-bucket
+    state (first id + signature) via ``applyInPandasWithState``; state
+    grows with distinct buckets (bound it upstream by windowing/TTL
+    re-keying when a stream is unbounded)."""
     if not docs.isStreaming:
-        banded = _banded_signatures(
-            docs, text_col, id_col, num_hashes, bands, hash_fn
+        from ..extensions.dedup import _band_table, _signature_table
+
+        if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+            raise ValueError(
+                f"bands ({bands}) must divide num_hashes ({num_hashes})"
+            )
+        # same formulas as _banded_signatures (shared with the streaming
+        # path), but the (id, sig) table is localCheckpoint-materialized
+        # so every consumer reads it instead of recomputing it
+        sig = _signature_table(
+            docs, text_col, id_col, num_hashes, hash_fn, True
         )
+        banded = _band_table(sig, num_hashes, bands, hash_fn)
         first = banded.groupBy("band", "bucket").agg(
             F.min("id").alias("dup_of")
         )
@@ -139,7 +154,6 @@ def flag_neardups(
             .select("id", "dup_of")
             .distinct()
         )
-        sig = banded.select("id", "sig").distinct()
         est = F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
