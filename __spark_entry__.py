@@ -6754,6 +6754,21 @@ def _volume_base_path(spark) -> str:
     return os.path.join(wh, "kg_vol_base_v1_n10000")
 
 
+def _store_inventory(path: str):
+    """Cheap content fingerprint of a store directory: (file count,
+    total bytes). An incremental apply always appends quad/ledger bytes,
+    so any mutation changes this; walking ~2k files costs ~50 ms."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+            except OSError:
+                pass
+    return n, total
+
+
 def ensure_volume_base(spark, sf_dir: str) -> str:
     """Build the volume-corpus organizations store ONCE per warehouse
     (full run_pipeline over volume_documents(10000), ledger=True so the
@@ -6761,7 +6776,19 @@ def ensure_volume_base(spark, sf_dir: str) -> str:
     maintenance starts from); returns the store path. The
     kg_pipeline_incremental bench entry then measures ONLY the
     incremental maintenance against it — same untimed-setup pattern as
-    ensure_steady_index / ensure_knn_adjacency."""
+    ensure_steady_index / ensure_knn_adjacency.
+
+    r13 (measure-first, guide §1): the timed incremental apply MUTATES
+    the store (appends quad + ledger files; quad-idempotent but not
+    file-idempotent), so every later run — including the bench's own
+    retry pass — measured a progressively degraded store (measured: 38 s
+    on the seeded store, 104 s by the ~20th apply, purely from file-count
+    and ledger growth). The seed now keeps a pristine sidecar copy and
+    every call restores the store from it when the live inventory
+    differs, so each timed run starts from the identical seeded state.
+    The restore is a 42 MB local copy (~1 s), untimed in bench.py's
+    setup; results are unchanged (re-applies were already quad-level
+    idempotent)."""
     import shutil
 
     from knowledge_graph_etl_spark.engine import Engine
@@ -6770,10 +6797,17 @@ def ensure_volume_base(spark, sf_dir: str) -> str:
 
     sparql_dir = "/root/reference/airflow_files/dags/sparql"
     path = _volume_base_path(spark)
+    pristine = path + "__pristine"
     # v2 marker: r10 added the seeded ledger — pre-ledger warehouses rebuild
     marker = os.path.join(path, "_PIPELINE_DONE_V2")
+    if os.path.exists(marker) and not os.path.isdir(pristine):
+        # pre-r13 warehouse: seeded store exists but was never
+        # snapshotted, and an unknown number of applies already landed on
+        # it — rebuild once so the snapshot is genuinely pristine
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(pristine, ignore_errors=True)
         eng = Engine(spark, store_path=path)
         run_pipeline(
             eng,
@@ -6788,6 +6822,10 @@ def ensure_volume_base(spark, sf_dir: str) -> str:
         )
         with open(marker, "x"):
             pass
+        shutil.copytree(path, pristine)
+    elif _store_inventory(path) != _store_inventory(pristine):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(pristine, path)
     return path
 
 
