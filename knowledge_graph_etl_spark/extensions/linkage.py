@@ -79,18 +79,22 @@ def idf_weighted_linkage(
     n_ref = reference.select(ref_id).distinct().count()
     # reference-side document frequency -> integer micro-IDF weight
     df_t = rtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # materialized once (r13): w_t is re-derived — a full reference-side
-    # explode + aggregate — inside EVERY consumer subtree otherwise
-    # (rtok_w×2, dtok_w×3 via its consumers); the table is
-    # vocabulary-sized, so the checkpoint is tiny while the un-severed
-    # plan showed 22 parquet scans for this operator
+    # w_t stays LAZY (r13, reversed after 1x/10x/100x measurement): a
+    # localCheckpoint here severs Catalyst's size statistics, so the
+    # vocabulary-sized w_t stops broadcasting and four downstream joins
+    # fall back to SortMergeJoin (plan-verified) — the checkpointed shape
+    # measured SLOWER at every scale (solo 3.3->4.6 s at sf0.1, 18.5->22.8
+    # at 10x, 113->152 at 100x on the disjoint-block corpus). The repeated
+    # per-consumer re-derivation it was meant to remove is a column-pruned
+    # explode+agg that broadcast-joins cheaply; the lost broadcasts cost
+    # far more than the repeated aggregation at volume.
     w_t = df_t.select(
         "tok",
         "df",
         F.floor(F.log(F.lit(float(n_ref)) / F.col("df")) * 1e6 + F.lit(0.5))
         .cast("bigint")
         .alias("w"),
-    ).localCheckpoint(eager=True)
+    )
     rtok_w = rtok.join(w_t, "tok")
     r_sum = rtok_w.groupBy("rid").agg(F.sum("w").alias("w_ref"))
     dtok = dirty.select(
@@ -98,12 +102,9 @@ def idf_weighted_linkage(
         F.explode(_units(F.col(dirty_text))).alias("tok"),
     )
     # unseen tokens score as df=1 (maximum rarity): they can't match the
-    # reference side anyway, but they must count in the union weight
-    # dtok_w stays lazy: its three consumers (d_sum, the blocking window,
-    # the scoring join) each recompute only a dirty-side scan + explode +
-    # broadcast join against the w_t CHECKPOINT — cheap maps; an eager
-    # checkpoint here measured as pure job-sequencing overhead at bench
-    # scale while w_t's removes the actual repeated aggregation
+    # reference side anyway, but they must count in the union weight;
+    # dtok_w also stays lazy — each consumer recomputes only a dirty-side
+    # scan + explode + broadcast join against w_t (cheap maps)
     dtok_w = dtok.join(w_t.select("tok", "df", "w"), "tok", "left").select(
         "lid",
         "tok",
