@@ -1093,3 +1093,45 @@ def test_r13_batch4_plan_shapes(spark):
     rk2 = _plan(q["text_rake"](spark, sf))
     assert "CartesianProduct" not in rk2, rk2
     assert "BatchEvalPython" not in rk2 and "ArrowEvalPython" not in rk2, rk2
+
+
+def test_linkage_weight_table_joins_stay_broadcast(spark, tmp_path):
+    """idf_weighted_linkage's scale posture (r13 reversal): the
+    vocabulary-sized w_t weight table must stay LAZY so Catalyst keeps
+    its size estimate — an eager localCheckpoint there turned the four
+    dirty/reference-side scoring joins into SortMergeJoins of
+    corpus-proportional rows (plan-verified at sf0.1; solo 3.3 -> 4.6 s).
+    Pinned on parquet-backed inputs because only file-sourced statistics
+    make the planner's broadcast choice observable (LocalRelation inputs
+    plan identically either way)."""
+    from knowledge_graph_etl_spark.extensions.linkage import idf_weighted_linkage
+
+    refp, dyp = str(tmp_path / "ref"), str(tmp_path / "dirty")
+    spark.range(20000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("acme "),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" widget division "),
+            F.col("id").cast("string"),
+        ).alias("name"),
+    ).write.parquet(refp)
+    spark.range(2000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("acme "),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" widget "),
+            F.col("id").cast("string"),
+        ).alias("name"),
+    ).write.parquet(dyp)
+    plan = _plan(
+        idf_weighted_linkage(
+            spark.read.parquet(dyp),
+            spark.read.parquet(refp),
+            block_tokens=2,
+            min_score_ppm=1,
+        )
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
