@@ -661,13 +661,29 @@ def _star_units(run: list[TriplePattern]):
     units = []
     for subj, tps in stars.items():
         seen: set[str] = set()
+        seen_var_pred: set[str] = set()
         keep: list[TriplePattern] = []
         for tp in tps:
             if isinstance(tp.o, VarT):
                 if tp.o.name in seen:
                     singles.append(tp)
                     continue
+                # one variable-object pattern per predicate stays in the
+                # star: a REPEATED predicate with distinct object vars
+                # (?o :cf ?b1 . ?o :cf ?b2 . ?o :cf ?b3) would collect the
+                # SAME k-element list per subject and explode it once per
+                # pattern — a k^m per-subject cross product materialized
+                # BEFORE the chains that narrow each ?bi can apply
+                # (measured: tl_companies_mapping_overlay at the 10k-company
+                # volume = 10^3 x 10k = 10M bindings, 12 s of its checkpoint).
+                # Demoted to singleton equi-joins on the subject, each join
+                # expands by at most k and its chain narrows it back —
+                # identical multiset (inner joins commute), linear cost.
+                if tp.p.value in seen_var_pred:
+                    singles.append(tp)
+                    continue
                 seen.add(tp.o.name)
+                seen_var_pred.add(tp.p.value)
             keep.append(tp)
         if STAR_REWRITE_MIN and len(keep) >= STAR_REWRITE_MIN:
             star_vars = {subj} | {
