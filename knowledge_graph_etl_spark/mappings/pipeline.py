@@ -598,6 +598,14 @@ class Ledger:
         out = delta
         if "bucket" not in out.columns:
             out = out.withColumn("bucket", self.bucket_col())
+        # cluster the write by its partition column: without this every
+        # upstream task holds rows of MANY buckets, so a 32-partition
+        # delta over ~55 touched buckets commits up to 32x55 tiny files
+        # (r14 profile: the commit fan-out dominated t_ledger_write);
+        # hash-repartitioning on bucket writes one file per bucket and
+        # keeps the probe side's list/open cost flat across cycles
+        # (guide §6 "small files hurt twice")
+        out = out.repartition("bucket")
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         saved = self.spark.conf.get(mode_key, None)
         self.spark.conf.set(mode_key, "dynamic")
@@ -841,6 +849,12 @@ def _delta_conf(spark, partitions: int = 4):
         keys = {
             "spark.sql.shuffle.partitions": str(partitions),
             "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            # AQE is pure overhead at delta scale: every shuffle becomes its
+            # own query-stage job submission + driver re-optimization round
+            # trip, and there is nothing to re-optimize over ~10^2-doc
+            # staging with 4-partition shuffles (guide §1.2 step 3 — config
+            # after algorithm; measured on the incremental profile, r14)
+            "spark.sql.adaptive.enabled": "false",
         }
         saved = {}
         for k, v in keys.items():
@@ -1047,17 +1061,47 @@ def run_pipeline_incremental(
         )
 
     with _delta_conf(spark):
+        from ..ingest import json_to_quads
+
         scratch = Engine(spark)
         empty_sources = set()
+        # ONE tagged closure-docs materialization instead of a count job +
+        # a full load_json (dedup + anti-join + cache + count) PER source:
+        # the per-source doc counts come from one aggregate over the
+        # checkpointed union, and the three driving-source loads join the
+        # tenants/custom-fields docs in ONE batched set-insert below —
+        # the e1-e5 staging graphs are disjoint, so the final scratch
+        # store set is identical (same batching argument as
+        # run_pipeline's jobs>1 staging load); ~3x fewer delta-scale
+        # jobs on the sequential fresh-load floor (r14 profile:
+        # t_fresh_load 6.2 s of ~10 tiny jobs).
+        tagged = None
         for source in DELTA_SOURCES:
             o, n, d = diffs[source]
-            cdocs = closure_docs(source, n, d).coalesce(1)
-            n_docs = cdocs.count()
+            cdocs = closure_docs(source, n, d).coalesce(1).select(
+                F.lit(source).alias("__src"), "doc_id", "json"
+            )
+            tagged = cdocs if tagged is None else tagged.unionByName(cdocs)
+        tagged = tagged.localCheckpoint(eager=True)
+        by_src = {
+            r["__src"]: r["n"]
+            for r in tagged.groupBy("__src")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        batch = None
+        for source in DELTA_SOURCES:
+            n_docs = int(by_src.get(source, 0))
             counters[f"fresh_{source}_docs"] = n_docs
             if n_docs == 0:
                 empty_sources.add(source)
                 continue
-            scratch.load_json(cdocs, f"{GRAPH_NS}{source}", namespace=SOURCE_NS)
+            q = json_to_quads(
+                tagged.where(F.col("__src") == source).select("doc_id", "json"),
+                f"{GRAPH_NS}{source}",
+                namespace=SOURCE_NS,
+            )
+            batch = q if batch is None else batch.unionByName(q)
         # the tenants source is ONE whole-file entry array — closure-
         # filter it to the AFFECTED orgs' entries (their labels must be
         # rederivable after the stale delete; unaffected entries would
@@ -1096,15 +1140,22 @@ def run_pipeline_incremental(
             ).select(
                 F.lit("mediahaven_tenants-delta").alias("doc_id"), "json"
             )
-            scratch.load_json(
-                filtered,
-                f"{GRAPH_NS}mediahaven_tenants",
-                namespace=SOURCE_NS,
+            q = json_to_quads(
+                filtered, f"{GRAPH_NS}mediahaven_tenants", namespace=SOURCE_NS
             )
-        scratch.load_json(
+            batch = q if batch is None else batch.unionByName(q)
+        q = json_to_quads(
             _docs_df(spark, new_cf).coalesce(1),
             f"{GRAPH_NS}tl_custom_fields",
             namespace=SOURCE_NS,
+        )
+        batch = q if batch is None else batch.unionByName(q)
+        scratch.store.insert(
+            batch,
+            target_graphs=[
+                f"{GRAPH_NS}{s}"
+                for s in (*DELTA_SOURCES, "mediahaven_tenants", "tl_custom_fields")
+            ],
         )
         counters["t_fresh_load"] = round(_time.time() - _t0, 1)
         _t0 = _time.time()
@@ -1128,14 +1179,17 @@ def run_pipeline_incremental(
             .unionByName(fresh_led.select(bcol.alias("bucket")))
             .distinct()
         )
-        counters["ledger_buckets_touched"] = touched.count()
+        # one collect serves both the counter and overwrite_buckets'
+        # touched list (was a separate count job + a collect job)
+        touched_list = [r["bucket"] for r in touched.collect()]
+        counters["ledger_buckets_touched"] = len(touched_list)
         # checkpoint the kept side BEFORE unioning: (a) the write must
         # not read the path it overwrites, and (b) checkpointing a
         # Union of a pruned-join subtree trips Catalyst's constraint
         # rewrite (key-not-found on the pruned attribute) — two flat
         # LogicalRDD legs sidestep both
         kept = (
-            led_df.join(F.broadcast(touched), "bucket", "left_semi")
+            led_df.where(F.col("bucket").isin(touched_list))
             .join(F.broadcast(affected_grps), "grp", "left_anti")
             .select("grp", *QUAD_COLUMNS)
             .localCheckpoint(eager=True)
@@ -1143,9 +1197,7 @@ def run_pipeline_incremental(
         delta = kept.unionByName(
             fresh_led.select("grp", *QUAD_COLUMNS)
         ).dropDuplicates(["grp", *QUAD_COLUMNS])
-        ledger.overwrite_buckets(
-            delta, [r["bucket"] for r in touched.collect()]
-        )
+        ledger.overwrite_buckets(delta, touched_list)
     else:
         new_led = (
             led_df.join(F.broadcast(affected_grps), "grp", "left_anti")

@@ -711,13 +711,28 @@ def test_ledger_compact_preserves_content(spark, tmp_path_factory):
     run_pipeline(eng, old, REF_SPARQL_DIR, run_id="r", optimize=False, ledger=True)
     led = Ledger.for_engine(eng)
 
-    # fragment the fullest bucket the way a wide incremental write
-    # would: rewrite it with its own content split over 8 partitions
+    # fragment the fullest bucket the way a pre-r14 wide incremental
+    # write (or a multi-task seed write) would: rewrite its directory
+    # with the same content split over 8 files. overwrite_buckets itself
+    # now clusters by bucket before writing (one file per rewritten
+    # bucket — asserted below), so fragmentation must be fabricated at
+    # the file level.
     full = led.read()
     b0 = full.groupBy("bucket").count().orderBy(F.desc("count")).first()["bucket"]
     rows = full.where(F.col("bucket") == b0).collect()  # sever path lineage
-    delta = spark.createDataFrame(rows, full.schema).repartition(8)
-    led.overwrite_buckets(delta, [int(b0)])
+    delta = spark.createDataFrame(rows, full.schema)
+    led.overwrite_buckets(delta.repartition(8), [int(b0)])
+    bdir = os.path.join(led.path, f"bucket={int(b0)}")
+    # the clustered write defragments even an 8-partition delta
+    assert (
+        sum(f.endswith(".parquet") for f in os.listdir(bdir)) == 1
+    ), "overwrite_buckets should write one file per touched bucket"
+    (
+        delta.drop("bucket")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(bdir)
+    )
 
     from collections import Counter
 
