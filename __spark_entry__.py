@@ -1369,7 +1369,8 @@ def dedup_resolve_clusters_q(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         docs, num_hashes=32, bands=4, threshold=0.8, hash_fn="md5"
     )
-    out = resolve_clusters(pairs, docs=docs)
+    # minhash_lsh_pairs output is deduped with id_a < id_b — canonical
+    out = resolve_clusters(pairs, docs=docs, pairs_canonical=True)
     release_new_checkpoints(spark, before, keep=out)
     return out
 

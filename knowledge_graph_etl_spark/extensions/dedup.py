@@ -285,16 +285,17 @@ def minhash_lsh_pairs(
     candidate join, signature-agreement estimate — is verifiable against
     an ANSI-SQL oracle; the LSH machinery is identical in both modes.
 
-    Refinement join strategy (evaluated r05, shuffle kept deliberately):
-    broadcasting the signature table onto the raw candidate stream looks
-    like it should save the dedup + two join shuffles, but measured 7×
-    SLOWER — the tiny signature relation AQE-coalesces to one partition
-    and the broadcast path inherits that layout for the whole 7M-row
-    refinement (one task, zero parallelism), while the shuffle joins
-    re-exchange to full parallelism and the band self-join reuses ONE
-    exchange for both sides (ReusedExchange). Narrow-pairs-first +
-    shuffle joins is also the only shape that works when signatures
-    exceed executor memory, so the two paths would diverge at scale
+    Refinement join strategy (evaluated r05, re-evaluated r14 — shuffle
+    kept deliberately): broadcasting the signature table onto the raw
+    candidate stream measured 7× SLOWER (r05: the tiny signature
+    relation AQE-coalesces to one partition and the broadcast path
+    inherits that layout for the whole refinement), and carrying the
+    signature through the band join with an inline estimate measured
+    4× slower (r14: the estimate becomes a JOIN-CONDITION predicate,
+    where the higher-order zip_with runs interpreted per raw
+    band-duplicate row — see the inline note below). Narrow-pairs-first
+    + shuffle joins is also the only shape that works when signatures
+    exceed executor memory, so the alternatives would diverge at scale
     anyway."""
     if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
         # bands > num_hashes would make every band bucket a constant (one
@@ -312,6 +313,13 @@ def minhash_lsh_pairs(
     banded = _band_table(sig, num_hashes, bands, hash_fn)
     # Candidate generation joins NARROW rows (id, band, bucket) only;
     # signatures are joined back after dedup, when the pair set is small.
+    # (r14 re-measured the "carry the signature through the band join and
+    # estimate inline" alternative: the estimate then references both join
+    # sides, so Catalyst fuses it into the JOIN CONDITION, where the
+    # higher-order zip_with is evaluated INTERPRETED once per RAW band-
+    # duplicate candidate — 15.6M evaluations instead of a codegen'd
+    # filter over 3.9M deduped pairs; 39-45 s vs 10 s at sf0.1. Declined;
+    # guide §1.1's "the ideal plan is usually slower at first".)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -680,6 +688,7 @@ def resolve_clusters(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iter: int = 30,
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate *pairs* into per-document keep/drop decisions:
     distributed connected components over the pair graph, emitting one row
@@ -731,11 +740,15 @@ def resolve_clusters(
     """
     a_col, b_col = pair_cols
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    edges = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    edges = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not pairs_canonical:
+        edges = edges.where(F.col("u") != F.col("v")).distinct()
+    # pairs_canonical=True: the caller guarantees pairs are UNIQUE with a
+    # strict order on (a, b) — e.g. minhash_lsh_pairs' dropDuplicates +
+    # id_a < id_b — so the symmetrized union is loop-free and
+    # duplicate-free by construction and the pair-graph-sized dedup
+    # shuffle before the edge checkpoint is skipped (r14, guide §2.4:
+    # "a distinct on data that is already unique").
     if docs is not None:
         nodes = docs.select(F.col(id_col).alias("node")).distinct()
     else:
@@ -1018,7 +1031,10 @@ def corpus_dedup(
         threshold=threshold,
         hash_fn=hash_fn,
     )
-    resolved = resolve_clusters(pairs, docs=docs, id_col=id_col)
+    # minhash_lsh_pairs output is deduped with id_a < id_b — canonical
+    resolved = resolve_clusters(
+        pairs, docs=docs, id_col=id_col, pairs_canonical=True
+    )
     return resolved.withColumn(
         "is_kept", F.col(id_col) == F.col("cluster_rep")
     )
