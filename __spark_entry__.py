@@ -2353,7 +2353,10 @@ def graph_pagerank_q(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select(
         pfx("n", "n_nationkey").alias("src"), pfx("r", "n_regionkey").alias("dst")
     )
-    return pagerank(o.unionByName(c).unionByName(n), iters=5)
+    # pagerank consumes the edge plan 4x (node spine x2, out-degrees,
+    # degree-annotated edges) — one checkpoint, one execution (r14)
+    e = o.unionByName(c).unionByName(n).localCheckpoint(eager=True)
+    return pagerank(e, iters=5)
 
 
 def graph_ppr_q(spark, sf_dir):
@@ -2378,7 +2381,9 @@ def graph_ppr_q(spark, sf_dir):
     seeds = _t(spark, sf_dir, "nation").select(
         pfx("n", "n_nationkey").alias("node")
     )
-    return pagerank(o.unionByName(c).unionByName(n), iters=5, restart=seeds)
+    # same 4-consumer edge-plan reuse as graph_pagerank (r14)
+    e = o.unionByName(c).unionByName(n).localCheckpoint(eager=True)
+    return pagerank(e, iters=5, restart=seeds)
 
 
 def _pagerank_oracle(iters: int = 5, seed_like: str | None = None) -> str:
@@ -2457,6 +2462,12 @@ def graph_communities_q(spark, sf_dir):
         .select(
             F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
         )
+        # the co-supply self-join (1.5s warm, 8.7M edges at sf0.1) feeds
+        # FOUR consumers inside label_propagation (both symmetrize-union
+        # branches of the edge checkpoint + both node-spine branches);
+        # checkpointed once here it executes once (r14, guide §2.4 —
+        # corpus-sized edge list, the safe checkpoint class)
+        .localCheckpoint(eager=True)
     )
     return label_propagation(e, iters=4)
 
@@ -4962,8 +4973,12 @@ def graph_wcc_q(spark, sf_dir):
             F.col("y.l_suppkey").alias("dst"),
         )
         .distinct()
+        # the domestic co-purchase join feeds every consumer inside
+        # connected_components — checkpoint once, execute once (r14)
+        .localCheckpoint(eager=True)
     )
-    return connected_components(e)
+    # e is distinct with x.supp < y.supp — canonical pairs
+    return connected_components(e, pairs_canonical=True)
 
 
 def doc_lang_confusion_q(spark, sf_dir):

@@ -855,6 +855,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Weakly-connected components of an undirected edge list: one row
     per node with its ``component`` (the minimum node id reachable — a
@@ -876,7 +877,13 @@ def connected_components(
     from .dedup import resolve_clusters
 
     out = resolve_clusters(
-        edges, pair_cols=(src, dst), id_col="node", max_iter=max_iter
+        edges,
+        pair_cols=(src, dst),
+        id_col="node",
+        max_iter=max_iter,
+        # pass-through: an already-distinct edge list with a strict
+        # src < dst order skips the symmetrized-edge dedup shuffle
+        pairs_canonical=pairs_canonical,
     )
     return out.select(
         "node",
