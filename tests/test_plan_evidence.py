@@ -1103,8 +1103,19 @@ def test_linkage_weight_table_joins_stay_broadcast(spark, tmp_path):
     corpus-proportional rows (plan-verified at sf0.1; solo 3.3 -> 4.6 s).
     Pinned on parquet-backed inputs because only file-sourced statistics
     make the planner's broadcast choice observable (LocalRelation inputs
-    plan identically either way)."""
+    plan identically either way).
+
+    The broadcast threshold is pinned to Spark's default for the scope
+    of the test (r13 ADVICE): the no-SMJ assertion also covers the
+    corpus-proportional candidate/scoring joins, which only broadcast at
+    this fixture scale under the DEFAULT autoBroadcastJoinThreshold — a
+    session-level threshold experiment must not fail this test for
+    reasons unrelated to the w_t posture it documents."""
     from knowledge_graph_etl_spark.extensions.linkage import idf_weighted_linkage
+
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(thr_key, None)
+    spark.conf.set(thr_key, str(10 * 1024 * 1024))
 
     refp, dyp = str(tmp_path / "ref"), str(tmp_path / "dirty")
     spark.range(20000).select(
@@ -1125,13 +1136,19 @@ def test_linkage_weight_table_joins_stay_broadcast(spark, tmp_path):
             F.col("id").cast("string"),
         ).alias("name"),
     ).write.parquet(dyp)
-    plan = _plan(
-        idf_weighted_linkage(
-            spark.read.parquet(dyp),
-            spark.read.parquet(refp),
-            block_tokens=2,
-            min_score_ppm=1,
+    try:
+        plan = _plan(
+            idf_weighted_linkage(
+                spark.read.parquet(dyp),
+                spark.read.parquet(refp),
+                block_tokens=2,
+                min_score_ppm=1,
+            )
         )
-    )
+    finally:
+        if saved is None:
+            spark.conf.unset(thr_key)
+        else:
+            spark.conf.set(thr_key, saved)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan

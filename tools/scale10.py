@@ -31,6 +31,19 @@ Builds a 10×-scale corpus from sf0.1 in /tmp/scale10:
 * all other tables symlinked unchanged.
 
 Usage: python tools/scale10.py q1,q2,...   # then compare vs seq_bench at sf0.1
+
+``--decade`` (r14, closes the r13 judge's item 8): build /tmp/scale10
+then compose /tmp/scale100 from it, and measure the named queries at
+100x under the ADJUDICATION-GRADE protocol the r13 linkage decision
+established — page-cache pre-warm (byte-read every corpus parquet) +
+n=3 runs INTERLEAVED across the named queries (q1,q2,...,q1,q2,...), so
+slow host drift lands on every arm equally; per-query the series and
+median are reported. Rationale: single 100x runs on this host swing
+92-264 s on identical shapes (r13) — only the interleaved warmed median
+is decision-grade. Defaults under --decade: 128 shuffle partitions,
+48g driver (override SCALE_PARTITIONS / SCALE_DRIVER_MEM / SCALE_RUNS).
+
+    python tools/scale10.py --decade q1,q2
 """
 
 import json
@@ -56,7 +69,26 @@ ID_STRIDE = int(os.environ.get("SCALE_STRIDE", str(100_000_000)))
 USER_STRIDE = int(os.environ.get("SCALE_USER_STRIDE", str(1_000_000)))
 DAY_SHIFT = int(os.environ.get("SCALE_DAYS", "31"))
 
-names = sys.argv[1].split(",") if len(sys.argv) > 1 else []
+DECADE = "--decade" in sys.argv[1:]
+_args = [a for a in sys.argv[1:] if a != "--decade"]
+names = _args[0].split(",") if _args else []
+
+if DECADE:
+    # build (or reuse) /tmp/scale10 first — a child invocation with the
+    # default env, no queries — then compose the 100x corpus from it
+    # with strides above the first decade's id range and a time shift
+    # past its span (the composition convention documented above)
+    import subprocess
+
+    child_env = {
+        k: v for k, v in os.environ.items() if not k.startswith("SCALE_")
+    }
+    subprocess.run([sys.executable, os.path.abspath(__file__)],
+                   check=True, env=child_env)
+    SRC, DST = "/tmp/scale10", "/tmp/scale100"
+    ID_STRIDE = 10_000_000_000
+    USER_STRIDE = 100_000_000
+    DAY_SHIFT = 370
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -145,12 +177,16 @@ spark = (
     # harness do the same when probing the larger decades
     .config(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SCALE_PARTITIONS", "32"),
+        os.environ.get("SCALE_PARTITIONS", "128" if DECADE else "32"),
     )
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    .config("spark.driver.memory", "16g")
+    .config(
+        "spark.driver.memory",
+        os.environ.get("SCALE_DRIVER_MEM", "48g" if DECADE else "16g"),
+    )
     .config("spark.ui.enabled", "false")
+    .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -178,14 +214,44 @@ for name in names:
             file=sys.stderr,
         )
 
+if DECADE:
+    # page-cache pre-warm: a full byte read of every corpus parquet, so
+    # no arm's first run absorbs the cold-read cost (same rationale and
+    # mechanism as bench.py's warm-up)
+    import glob as _glob
+
+    for pq in sorted(_glob.glob(os.path.join(DST, "*.parquet"))):
+        if os.path.islink(pq):
+            pq = os.path.realpath(pq)
+        with open(pq, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+N_RUNS = int(os.environ.get("SCALE_RUNS", "3" if DECADE else "1"))
 out = {}
-for name in names:
-    t0 = time.time()
-    n = qs[name](spark, DST).count()
-    out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
-    spark._jvm.System.gc()
+for r in range(N_RUNS):
+    # INTERLEAVED rounds: q1,q2,...,q1,q2,... — host drift lands on
+    # every arm equally instead of biasing whichever ran later. A name
+    # listed twice becomes two INDEPENDENT shape-identical arms
+    # (q#0/q#1) — the instrument's own reproducibility check.
+    for i, name in enumerate(names):
+        key = name if names.count(name) == 1 else f"{name}#{i}"
+        t0 = time.time()
+        n = qs[name](spark, DST).count()
+        rec = out.setdefault(key, {"runs": [], "rows": n})
+        rec["runs"].append(round(time.time() - t0, 2))
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark._jvm.System.gc()
+for name, rec in out.items():
+    s = sorted(rec["runs"])
+    rec["median"] = (
+        s[len(s) // 2]
+        if len(s) % 2
+        else round((s[len(s) // 2 - 1] + s[len(s) // 2]) / 2, 2)
+    )
+    if len(rec["runs"]) == 1:
+        rec["sec"] = rec["runs"][0]  # back-compat single-run shape
 print(json.dumps(out))
 spark.stop()
