@@ -1216,8 +1216,13 @@ def run_pipeline_incremental(
         ],
         how="left_anti",
     )
-    engine.store.delete(deletes, target_graphs=[f"{GRAPH_NS}organizations"])
-    engine.store.insert(
+    # fused apply (r14): deletes (stale with no support in the new
+    # ledger) and inserts (⊆ the new ledger) are DISJOINT by
+    # construction, so one copy-on-write rewrite of the organizations
+    # partition replaces the delete-rewrite + insert-append pair — one
+    # commit instead of two on the corpus-sized graph
+    engine.store.apply_delta(
+        deletes,
         fresh_led.select(*QUAD_COLUMNS).dropDuplicates(QUAD_COLUMNS),
         target_graphs=[f"{GRAPH_NS}organizations"],
     )

@@ -278,6 +278,70 @@ class GraphStore:
             self._mem_pieces = [remaining]
             self._mem = remaining
 
+    def apply_delta(
+        self,
+        del_quads: DataFrame,
+        ins_quads: DataFrame,
+        target_graphs: list[str],
+    ) -> None:
+        """Fused DELETE + INSERT against the same graphs in ONE
+        copy-on-write rewrite per graph (r14, guide §2.4): the
+        incremental pipeline's apply phase paid a full partition rewrite
+        for the delete and then a second commit (set-dedup anti-join +
+        append) for the insert. Both touch the same partition, so one
+        pass writes the final generation directly:
+
+            final = (stored ∖ deletes) ∪ (inserts ∖ stored)
+
+        which equals delete-then-insert whenever ``deletes`` and
+        ``inserts`` are disjoint (the caller's contract here — the
+        reference-counted incremental delete guarantees it: deletes =
+        stale quads with NO support in the new ledger, inserts ⊆ the new
+        ledger). ``ins_quads`` must also be duplicate-free (the caller
+        dedups), like ``batch_distinct``. Crash safety is the compaction
+        protocol's: write tmp → COMMIT marker → swap."""
+        self._pred_stats = None
+        dels = del_quads.select(*QUAD_COLUMNS)
+        ins = ins_quads.select(*QUAD_COLUMNS)
+        if not self.path:
+            # in-memory store: keep the two-step path (it is one cached
+            # materialization either way)
+            self.delete(dels, target_graphs=target_graphs)
+            self.insert(ins, target_graphs=target_graphs)
+            return
+        self._recover_compactions()
+        existing = set(self.list_graphs())
+        if len(target_graphs) > 1:
+            # per-graph rewrites re-evaluate both batches — pin them
+            dels = dels.localCheckpoint(eager=True)
+            ins = ins.localCheckpoint(eager=True)
+        for gname in target_graphs:
+            g_ins = ins.where(F.col("g") == gname)
+            if gname not in existing:
+                # nothing stored: the insert batch IS the generation
+                g_ins.write.mode("append").partitionBy("g").parquet(self.path)
+                continue
+            remaining = self.graph(gname).alias("ex").join(
+                dels.where(F.col("g") == gname).alias("dl"),
+                on=_quad_eq_cond("ex", "dl"),
+                how="left_anti",
+            )
+            # inserts dedup against the PRE-delete store: disjointness of
+            # deletes and inserts makes that identical to post-delete
+            new_rows = g_ins.alias("nw").join(
+                self.graph(gname).alias("ex"),
+                on=_quad_eq_cond("nw", "ex"),
+                how="left_anti",
+            )
+            gen = remaining.unionByName(new_rows)
+            esc = _escape_partition_value(gname)
+            tmp_g = os.path.join(self.path, "_compact_tmp", esc)
+            marker = os.path.join(self.path, "_compact_tmp", esc + ".COMMIT")
+            gen.drop("g").write.mode("overwrite").parquet(tmp_g)
+            with open(marker, "x"):
+                pass
+            self._complete_swap(gname)
+
     _MEM_CONSOLIDATE_AT = 32
 
     def _consolidate_mem(self) -> None:

@@ -140,3 +140,51 @@ def test_load_silent_suppresses_parse_failure(spark, tmp_path):
     # including on malformed documents
     eng.update(f"LOAD SILENT <file://{bad}> INTO GRAPH <urn:g:new>")
     assert len(_graph_rows(eng, "urn:g:a")) == 2  # store untouched
+
+
+@pytest.mark.parametrize("mode", ["mem", "parquet"])
+def test_apply_delta_equals_delete_then_insert(spark, tmp_path, mode):
+    """GraphStore.apply_delta (r14): one copy-on-write rewrite must equal
+    delete-then-insert for disjoint delete/insert batches, including
+    no-op deletes (absent quads) and inserts already present (set
+    semantics), and must leave other graphs untouched."""
+    from knowledge_graph_etl_spark.terms import QUAD_SCHEMA
+
+    def quad(g, s, o):
+        return (g, s, "iri", "urn:p:x", o, "literal", None, None)
+
+    base = [quad("urn:g:a", f"urn:s:{i}", f"v{i}") for i in range(6)]
+    base += [quad("urn:g:b", "urn:s:keep", "vb")]
+
+    def build(path):
+        eng = Engine(spark, path)
+        eng.store.insert(spark.createDataFrame(base, QUAD_SCHEMA))
+        return eng
+
+    dels = [
+        quad("urn:g:a", "urn:s:0", "v0"),
+        quad("urn:g:a", "urn:s:1", "v1"),
+        quad("urn:g:a", "urn:s:99", "absent"),  # no-op delete
+    ]
+    ins = [
+        quad("urn:g:a", "urn:s:7", "new"),
+        quad("urn:g:a", "urn:s:5", "v5"),  # already present: set no-op
+    ]
+    d_df = spark.createDataFrame(dels, QUAD_SCHEMA)
+    i_df = spark.createDataFrame(ins, QUAD_SCHEMA)
+
+    fused = build(str(tmp_path / "f") if mode == "parquet" else None)
+    fused.store.apply_delta(d_df, i_df, target_graphs=["urn:g:a"])
+
+    twostep = build(str(tmp_path / "t") if mode == "parquet" else None)
+    twostep.store.delete(d_df, target_graphs=["urn:g:a"])
+    twostep.store.insert(i_df, target_graphs=["urn:g:a"])
+
+    def content(eng):
+        return sorted(tuple(r) for r in eng.store.quads().collect())
+
+    assert content(fused) == content(twostep)
+    assert fused.store.graph("urn:g:b").count() == 1
+    # set semantics held: s:5 appears once, s:7 added, s:0/s:1 gone
+    a = {r["s"] for r in fused.store.graph("urn:g:a").collect()}
+    assert a == {"urn:s:2", "urn:s:3", "urn:s:4", "urn:s:5", "urn:s:7"}
